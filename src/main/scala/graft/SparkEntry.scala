@@ -10,7 +10,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  def modules: Seq[QueryModule] = Seq(CoreQueries)
+  def modules: Seq[QueryModule] = Seq(
+    CoreQueries, RelationalQueries, TextQueries, DedupQueries, SimilarityQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

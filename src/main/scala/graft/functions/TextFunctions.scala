@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data pipelines:
+  * tokenization, quality metrics, language-ID, fingerprinting. All are pure
+  * Catalyst expressions (codegen'd, no UDFs) so they stay inside
+  * whole-stage codegen and scale linearly with no shuffle.
+  *
+  * Cross-engine determinism: everything reduces to string/integer ops plus
+  * exact integer arithmetic; ratios are emitted as bigint/bigint double
+  * divisions, which are IEEE-identical on any engine.
+  */
+object TextFunctions {
+
+  /** Word tokens: maximal [a-z0-9]+ runs of the lowercased text. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** BPE-ish token split: letter runs, digit runs, or single symbols —
+    * the shape a byte-pair pretokenizer produces.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Ratio of non-alphanumeric, non-space characters — punctuation load. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9 ]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un"))
+
+  def stopwordHits(text: Column, lang: String): Column = {
+    val set = stopwords(lang).map(lit): Seq[Column]
+    size(filter(tokens(text), t => array_contains(array(set: _*), t)))
+  }
+
+  /** Stopword ratio against the English list — a quality-score component. */
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text, "en").cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Deterministic argmax language guess from stopword-hit counts, with a
+    * fixed en>de>fr>es tie-break (mirrors a CASE chain the oracle repeats).
+    */
+  def langGuess(text: Column): Column = {
+    val en = stopwordHits(text, "en"); val de = stopwordHits(text, "de")
+    val fr = stopwordHits(text, "fr"); val es = stopwordHits(text, "es")
+    when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Composite quality score in [0,1]: long-enough, low-punctuation,
+    * stopword-bearing text scores high. Weights are arbitrary but fixed.
+    */
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text).cast("double") / lit(50.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - punctRatio(text)) * lit(0.3) +
+      least(stopwordRatio(text) * lit(5.0), lit(1.0)) * lit(0.3)
+
+  /** Order-insensitive document fingerprint: md5 of the sorted distinct
+    * token set — the classic "bag of words" dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Exact-content fingerprint: md5 of whitespace-normalized text. */
+  def contentHash(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Word n-gram shingles (space-joined), empty below n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** One MinHash signature component: the minimum md5 of `seed:shingle`
+    * over the document's distinct shingles. A fixed-width hex string is
+    * order-isomorphic to its numeric value, so `min` over hex == min over
+    * the hash integers — and md5 hex is identical on every engine.
+    */
+  def minhashComponent(shingleCol: Column, seed: Int): Column =
+    min(md5(concat(lit(s"$seed:"), shingleCol)))
+}

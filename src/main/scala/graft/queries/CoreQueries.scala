@@ -24,8 +24,8 @@ object CoreQueries extends QueryModule {
   private val q01 = QueryDef(
     "q01_fetchall_scan",
     (s, d) => Tables(s, d, "lineitem")
-      .orderBy("l_orderkey", "l_linenumber"),
-    Some("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+    Some("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"))
 
   /** O3 fetchone (etl.py:172-204): first row of an ordered result. */
   private val q02 = QueryDef(
@@ -42,12 +42,12 @@ object CoreQueries extends QueryModule {
   private val q03 = QueryDef(
     "q03_chunked_extract",
     (s, d) => Tables(s, d, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
       .filter(col("l_quantity") >= 30.0)
-      .orderBy("l_orderkey", "l_linenumber"),
-    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey"),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
             FROM lineitem WHERE l_quantity >= 30.0
-            ORDER BY l_orderkey, l_linenumber"""))
+            ORDER BY l_orderkey, l_linenumber, l_partkey"""))
 
   /** §2.3 parameterized predicates (test_etl_extract.py:80-87): positional /
     * named binds become Scala closure parameters over Column expressions.
@@ -58,13 +58,13 @@ object CoreQueries extends QueryModule {
       val maxDisc = 0.05
       (s, d) => Tables(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit(minDate) && col("l_discount") <= lit(maxDisc))
-        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_shipdate", "l_discount", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
     },
-    Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_discount, l_returnflag
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate, l_discount, l_returnflag
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_discount <= 0.05
-            ORDER BY l_orderkey, l_linenumber"""))
+            ORDER BY l_orderkey, l_linenumber, l_partkey"""))
 
   /** §2.8 transform (etl.py:134-135, test_etl_transform.py:152-159): the
     * reference's chunk-transform examples — shift a key, upper-case a string,

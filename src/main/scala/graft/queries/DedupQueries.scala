@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators (beyond-reference surface): exact hash dedup,
+  * deterministic keep-first keyed dedup, MinHash signatures, MinHash-LSH
+  * candidate pairs, n-gram Jaccard, and SimHash.
+  *
+  * Scale design: every pipeline is shuffle-bounded by (doc, token/shingle)
+  * cardinality — no cross joins. LSH banding turns the quadratic pair
+  * problem into equality joins on band keys (the only sound way to near-dup
+  * 100 TB); Jaccard scoring joins only within bounded blocks.
+  */
+object DedupQueries extends QueryModule {
+
+  private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** Exact dedup by content hash: one survivor (min doc_id) per distinct
+    * normalized text; copies counted. Pure hash-groupBy — one shuffle.
+    */
+  private val q29 = QueryDef(
+    "q29_dedup_exact",
+    (s, d) => Tables(s, d, "documents")
+      .withColumn("content_hash", contentHash(col("text")))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "content_hash", "n_copies")
+      .orderBy("doc_id"),
+    Some(s"""SELECT min(doc_id) AS doc_id,
+                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+                    COUNT(*) AS n_copies
+             FROM documents
+             GROUP BY content_hash ORDER BY doc_id"""))
+
+  /** Deterministic keyed dedup (dropDuplicates made reproducible): first
+    * lineitem per order in (linenumber) order — row_number window, keep 1.
+    */
+  private val q30 = QueryDef(
+    "q30_dedup_keyed",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc)
+      Tables(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+              SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+                     ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber ASC, l_partkey ASC, l_suppkey ASC) rn
+              FROM lineitem) t
+            WHERE rn = 1 ORDER BY l_orderkey"""))
+
+  /** MinHash signatures over word-trigram shingles: 8 components, each the
+    * min md5 of seed:shingle. Fixed-width hex min == numeric min, and md5
+    * agrees across engines. One shuffle on doc_id.
+    */
+  private val q31 = QueryDef(
+    "q31_minhash_signature",
+    (s, d) => Tables(s, d, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+      .groupBy("doc_id")
+      .agg(
+        minhashComponent(col("sh"), 0).as("h0"),
+        minhashComponent(col("sh"), 1).as("h1"),
+        minhashComponent(col("sh"), 2).as("h2"),
+        minhashComponent(col("sh"), 3).as("h3"),
+        minhashComponent(col("sh"), 4).as("h4"),
+        minhashComponent(col("sh"), 5).as("h5"),
+        minhashComponent(col("sh"), 6).as("h6"),
+        minhashComponent(col("sh"), 7).as("h7"))
+      .orderBy("doc_id"),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+                  sh AS (SELECT doc_id, unnest(list_distinct(
+                           CASE WHEN len(t) >= 3
+                                THEN list_transform(range(len(t) - 2),
+                                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                                ELSE []::VARCHAR[] END)) AS s
+                         FROM toks)
+             SELECT doc_id,
+                    min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+                    min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+                    min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+                    min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+             FROM sh GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** MinHash-LSH candidate pairs: 8 unigram minhashes -> 4 bands of 2 ->
+    * equality join on band keys. The quadratic all-pairs problem becomes
+    * linear-ish equality joins; at 100 TB bucket sizes bound the blow-up.
+    */
+  private val q32 = QueryDef(
+    "q32_lsh_candidate_pairs",
+    (s, d) => {
+      val sig = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .groupBy("doc_id")
+        .agg(minhashComponent(col("tok"), 0).as("h0"),
+          (1 until 8).map(i => minhashComponent(col("tok"), i).as(s"h$i")): _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokSql)) AS t FROM documents),
+                  sig AS (SELECT doc_id,
+                           min(md5('0:' || t)) AS h0, min(md5('1:' || t)) AS h1,
+                           min(md5('2:' || t)) AS h2, min(md5('3:' || t)) AS h3,
+                           min(md5('4:' || t)) AS h4, min(md5('5:' || t)) AS h5,
+                           min(md5('6:' || t)) AS h6, min(md5('7:' || t)) AS h7
+                          FROM tok GROUP BY doc_id),
+                  bands AS (
+                    SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig UNION ALL
+                    SELECT doc_id, 1 AS band, md5(h2 || h3) AS key FROM sig UNION ALL
+                    SELECT doc_id, 2 AS band, md5(h4 || h5) AS key FROM sig UNION ALL
+                    SELECT doc_id, 3 AS band, md5(h6 || h7) AS key FROM sig)
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+             ORDER BY doc_a, doc_b"""))
+
+  /** n-gram (unigram) Jaccard near-dup scoring within source blocks:
+    * |A∩B| / |A∪B| as exact integer division. Blocking on `source` bounds
+    * the pair count (the all-pairs form would be quadratic at scale).
+    */
+  private val q33 = QueryDef(
+    "q33_jaccard_pairs",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val tok = docs.select(col("doc_id"), col("source"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = tok.as("a"); val b = tok.as("b")
+      val inter = a.join(b, col("a.tok") === col("b.tok")
+          && col("a.source") === col("b.source")
+          && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, source, unnest(list_distinct($tokSql)) AS t FROM documents),
+                  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+                  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                            FROM tok a JOIN tok b
+                              ON a.t = b.t AND a.source = b.source AND a.doc_id < b.doc_id
+                            GROUP BY a.doc_id, b.doc_id)
+             SELECT doc_a, doc_b,
+                    CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+             FROM inter
+             JOIN sizes sa ON doc_a = sa.doc_id
+             JOIN sizes sb ON doc_b = sb.doc_id
+             WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
+             ORDER BY doc_a, doc_b"""))
+
+  /** SimHash (32-bit) from token counts: per-(token,bit) pseudo-random sign
+    * from md5, weighted by term frequency; bit set iff the signed sum is
+    * positive. Integer arithmetic only — engine-independent.
+    */
+  private val q34 = QueryDef(
+    "q34_simhash",
+    (s, d) => {
+      val tw = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+      val bits = tw
+        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .withColumn("contrib",
+          when(substring(md5(concat(col("tok"), lit(":"), col("b").cast("string"))), 1, 1) <= "7",
+            col("w")).otherwise(-col("w")))
+        .groupBy("doc_id", "b")
+        .agg(sum(col("contrib")).as("s"))
+      bits.groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+          .otherwise(lit(0L))).as("simhash"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tw AS (SELECT doc_id, t AS tok, COUNT(*) AS w
+                         FROM (SELECT doc_id, unnest($tokSql) AS t FROM documents)
+                         GROUP BY doc_id, t),
+                  bits AS (SELECT doc_id, b,
+                             SUM(CASE WHEN substring(md5(tok || ':' || b), 1, 1) <= '7'
+                                      THEN w ELSE -w END) AS s
+                           FROM tw, range(32) r(b) GROUP BY doc_id, b)
+             SELECT doc_id,
+                    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+             FROM bits GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** SimHash near-dup candidates: band on the 4 bytes of the signature
+    * (a pair within hamming distance 6 shares a byte with high probability),
+    * then exact hamming via bit_count(xor).
+    */
+  private val q35 = QueryDef(
+    "q35_simhash_pairs",
+    (s, d) => {
+      val tw = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+      val sig = tw
+        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .withColumn("contrib",
+          when(substring(md5(concat(col("tok"), lit(":"), col("b").cast("string"))), 1, 1) <= "7",
+            col("w")).otherwise(-col("w")))
+        .groupBy("doc_id", "b").agg(sum(col("contrib")).as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+          .otherwise(lit(0L))).as("simhash"))
+      val bands = sig.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("key", expr("(simhash >> (band * 8)) & 255"))
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH tw AS (SELECT doc_id, t AS tok, COUNT(*) AS w
+                         FROM (SELECT doc_id, unnest($tokSql) AS t FROM documents)
+                         GROUP BY doc_id, t),
+                  bits AS (SELECT doc_id, b,
+                             SUM(CASE WHEN substring(md5(tok || ':' || b), 1, 1) <= '7'
+                                      THEN w ELSE -w END) AS s
+                           FROM tw, range(32) r(b) GROUP BY doc_id, b),
+                  sig AS (SELECT doc_id,
+                            CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+                          FROM bits GROUP BY doc_id),
+                  bands AS (SELECT doc_id, simhash, b AS band,
+                              (simhash >> (b * 8)) & 255 AS key
+                            FROM sig, range(4) r(b))
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    bit_count(xor(a.simhash, b.simhash)) AS hamming
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+             ORDER BY doc_a, doc_b"""))
+
+  override def defs: Seq[QueryDef] = Seq(q29, q30, q31, q32, q33, q34, q35)
+}

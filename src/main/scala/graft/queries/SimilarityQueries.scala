@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (array<float>, 64 dims):
+  * brute-force cosine top-k as the correctness baseline, random-hyperplane
+  * LSH bucketing as the scale path, and LSH-prefiltered near-dup pairs.
+  *
+  * Scale design: the query set is broadcast (it is small by definition);
+  * brute-force scoring is a broadcast nested loop — linear in the corpus,
+  * no shuffle of the big side. The LSH variants replace the quadratic pair
+  * space with equality joins on bucket ids; bucket count (2^planes) tunes
+  * the recall/cost trade-off. Cosine is a sequential double fold =>
+  * bit-identical to DuckDB's list_dot_product (verified), so scores
+  * hash-match without rounding.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private val dims = 64
+
+  /** Shared oracle fragment: cosine between DOUBLE[] vectors, written as
+    * dot / (sqrt(dot_aa) * sqrt(dot_bb)) exactly like VectorFunctions.cosine.
+    */
+  private def cosSql(a: String, b: String) =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** Brute-force cosine top-10 neighbors for query vectors (vec_id < 5). */
+  private val q36 = QueryDef(
+    "q36_cosine_topk",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val scored = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          cosine(col("qv"), col("v")).as("sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+          col("rank"), col("sim").as("cos_sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                  q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+                  scored AS (SELECT qid, e.vec_id AS nid, ${cosSql("qv", "v")} AS sim
+                             FROM e JOIN q ON qid <> e.vec_id)
+             SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim AS cos_sim
+             FROM (SELECT qid, nid, sim,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+                   FROM scored) t
+             WHERE rn <= 10 ORDER BY query_id, rank"""))
+
+  /** Shared oracle fragment: 4-plane LSH bucket via exact integer
+    * quantization (round(v[i]*1e6) as bigint) and md5-derived plane signs —
+    * bucket bits can never flip on float noise.
+    */
+  private val bucketSql =
+    """SELECT vec_id, CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       FROM (SELECT vec_id, p,
+                    list_sum(list_transform(range(1, 65),
+                      i -> (CASE WHEN substring(md5(p || ':' || i), 1, 1) <= '7' THEN 1 ELSE -1 END)
+                           * CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT))) AS proj
+             FROM e, range(4) r(p)) t
+       GROUP BY vec_id"""
+
+  /** ANN via LSH buckets: candidates share the query's bucket; exact cosine
+    * re-rank within the bucket, top 5 per query.
+    */
+  private val q37 = QueryDef(
+    "q37_ann_lsh",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", lshBucket(col("v"), 4, dims))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qb"))
+      val scored = e.join(broadcast(q),
+          col("qb") === col("bucket") && col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"), col("bucket"),
+          cosine(col("qv"), col("v")).as("sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+          col("bucket"), col("rank"), col("sim").as("cos_sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                  bk AS ($bucketSql),
+                  ev AS (SELECT e.vec_id, v, bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
+                  q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM ev WHERE vec_id < 5),
+                  scored AS (SELECT qid, ev.vec_id AS nid, ev.bucket, ${cosSql("qv", "v")} AS sim
+                             FROM ev JOIN q ON qb = ev.bucket AND qid <> ev.vec_id)
+             SELECT qid AS query_id, nid AS neighbor_id, bucket, rn AS rank, sim AS cos_sim
+             FROM (SELECT qid, nid, bucket, sim,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+                   FROM scored) t
+             WHERE rn <= 5 ORDER BY query_id, rank"""))
+
+  /** Embedding near-duplicate pairs: LSH-bucket prefilter (equality join)
+    * then exact cosine >= 0.3 — the approximate-near-dup contract: only
+    * same-bucket pairs are candidates.
+    */
+  private val q38 = QueryDef(
+    "q38_embedding_neardup",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", lshBucket(col("v"), 4, dims))
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          cosine(col("a.v"), col("b.v")).as("sim"))
+        .filter(col("sim") >= 0.3)
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                  bk AS ($bucketSql),
+                  ev AS (SELECT e.vec_id, v, bucket FROM e JOIN bk ON e.vec_id = bk.vec_id)
+             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                    ${cosSql("a.v", "b.v")} AS sim
+             FROM ev a JOIN ev b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             WHERE ${cosSql("a.v", "b.v")} >= 0.3
+             ORDER BY vec_a, vec_b"""))
+
+  override def defs: Seq[QueryDef] = Seq(q36, q37, q38)
+}

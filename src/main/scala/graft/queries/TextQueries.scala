@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table (beyond-reference
+  * surface: language-ID, quality scoring, token counting, fingerprinting).
+  * All metrics are codegen'd Catalyst expressions — per-row, shuffle-free,
+  * linear at 100 TB.
+  *
+  * Oracle notes: DuckDB regexp_replace needs the 'g' flag to match Spark's
+  * replace-all default; ratios are written as CAST(int AS DOUBLE)/CAST(int
+  * AS DOUBLE) in both engines so they are IEEE-identical.
+  */
+object TextQueries extends QueryModule {
+
+  private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private val nTokSql = s"len($tokSql)"
+  private val punctSql =
+    "(CAST(LENGTH(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)" +
+      " / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE))"
+  private val avgLenSql =
+    "(CAST(LENGTH(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)" +
+      s" / CAST(GREATEST($nTokSql, 1) AS DOUBLE))"
+  private def hitsSql(words: Seq[String]) =
+    s"len(list_filter($tokSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+  private val enHits = hitsSql(Seq("the", "a", "of", "and", "to", "in", "is"))
+  private val deHits = hitsSql(Seq("der", "die", "das", "und", "ist", "ein"))
+  private val frHits = hitsSql(Seq("le", "la", "les", "et", "est", "un"))
+  private val esHits = hitsSql(Seq("el", "los", "las", "y", "es", "un"))
+  private val stopRatioSql =
+    s"(CAST($enHits AS DOUBLE) / CAST(GREATEST($nTokSql, 1) AS DOUBLE))"
+
+  /** Token counting: whitespace-word and BPE-ish tokenizations side by side. */
+  private val q25 = QueryDef(
+    "q25_token_stats",
+    (s, d) => Tables(s, d, "documents")
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        distinctTokenCount(col("text")).as("n_distinct_tokens"),
+        size(bpeTokens(col("text"))).as("n_bpe_tokens"),
+        length(col("text")).as("char_len"),
+        avgTokenLen(col("text")).as("avg_token_len"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+                    $nTokSql AS n_tokens,
+                    len(list_distinct($tokSql)) AS n_distinct_tokens,
+                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+                    LENGTH(text) AS char_len,
+                    $avgLenSql AS avg_token_len
+             FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: length/punctuation/stopword components + composite. */
+  private val q26 = QueryDef(
+    "q26_quality_score",
+    (s, d) => Tables(s, d, "documents")
+      .select(
+        col("doc_id"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+                    $punctSql AS punct_ratio,
+                    $stopRatioSql AS stopword_ratio,
+                    LEAST(CAST($nTokSql AS DOUBLE) / 50.0, 1.0) * 0.4
+                      + (1.0 - $punctSql) * 0.3
+                      + LEAST($stopRatioSql * 5.0, 1.0) * 0.3 AS quality
+             FROM documents ORDER BY doc_id"""))
+
+  /** Language-ID: stopword-hit argmax with fixed tie-break, scored against
+    * the labeled `lang` column.
+    */
+  private val q27 = QueryDef(
+    "q27_lang_id",
+    (s, d) => Tables(s, d, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        langGuess(col("text")).as("lang_guess"),
+        (langGuess(col("text")) === col("lang")).cast("int").as("hit"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang,
+                    CASE WHEN $enHits >= $deHits AND $enHits >= $frHits AND $enHits >= $esHits THEN 'en'
+                         WHEN $deHits >= $frHits AND $deHits >= $esHits THEN 'de'
+                         WHEN $frHits >= $esHits THEN 'fr'
+                         ELSE 'es' END AS lang_guess,
+                    CAST(CASE WHEN $enHits >= $deHits AND $enHits >= $frHits AND $enHits >= $esHits THEN 'en'
+                         WHEN $deHits >= $frHits AND $deHits >= $esHits THEN 'de'
+                         WHEN $frHits >= $esHits THEN 'fr'
+                         ELSE 'es' END = lang AS INT) AS hit
+             FROM documents ORDER BY doc_id"""))
+
+  /** Document fingerprinting: exact-content hash + order-insensitive
+    * bag-of-words hash (the dedup keys used by DedupQueries).
+    */
+  private val q28 = QueryDef(
+    "q28_fingerprint",
+    (s, d) => Tables(s, d, "documents")
+      .select(
+        col("doc_id"),
+        contentHash(col("text")).as("content_hash"),
+        fingerprint(col("text")).as("bow_fingerprint"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+                    md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS bow_fingerprint
+             FROM documents ORDER BY doc_id"""))
+
+  override def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28)
+}

@@ -17,10 +17,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return v
+    import decimal
+    import numpy as np
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
+        return "nan" if math.isnan(v) else v
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, decimal.Decimal):
+        return int(v) if v == v.to_integral_value() else float(v)
     return v
 
 
