@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   def modules: Seq[QueryModule] = Seq(
-    CoreQueries, RelationalQueries, TextQueries, DedupQueries, SimilarityQueries)
+    CoreQueries, RelationalQueries, TextQueries, DedupQueries,
+    SimilarityQueries, EventQueries, MiscQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

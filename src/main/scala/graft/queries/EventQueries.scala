@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** Event-time analytics over the `events` table — the batch twins of the
+  * Structured Streaming pipelines in graft.streaming (SURVEY.md §2.9: the
+  * reference has no streaming engine; this is the designed superset).
+  * Tumbling/sliding windows use Spark's `window()` (epoch-aligned, matching
+  * DuckDB time_bucket — origin 2000-01-03 is a multiple of every bucket
+  * width used here); sessionization is the classic gap-marker cumulative
+  * sum, microsecond-exact via timestamp interval comparison.
+  */
+object EventQueries extends QueryModule {
+
+  /** Tumbling 15-minute windows: count + exact value sum per event type. */
+  private val q39 = QueryDef(
+    "q39_tumbling_window",
+    (s, d) => Tables(s, d, "events")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type"),
+    Some(s"""SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+                    event_type, COUNT(*) AS n_events,
+                    ${sqlDsum("value")} AS total_value
+             FROM events GROUP BY window_start, event_type
+             ORDER BY window_start, event_type"""))
+
+  /** Sliding 30-minute windows every 10 minutes: each event contributes to
+    * exactly 3 windows (Spark explodes via window(); the oracle replicates
+    * with a range(3) lateral join).
+    */
+  private val q40 = QueryDef(
+    "q40_sliding_window",
+    (s, d) => Tables(s, d, "events")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("n_users"))
+      .orderBy("window_start"),
+    Some("""SELECT time_bucket(INTERVAL '10 minutes', ts) - k * INTERVAL '10 minutes' AS window_start,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events, range(3) r(k)
+            GROUP BY window_start ORDER BY window_start"""))
+
+  /** Gap-based sessionization (30-minute inactivity): session boundaries by
+    * lag + cumulative marker sum, then per-session metrics. The batch twin
+    * of flatMapGroupsWithState; two shuffles (user, then user+session).
+    */
+  private val q41 = QueryDef(
+    "q41_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("session_value"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some(s"""WITH marked AS (
+               SELECT user_id, ts, value,
+                      CASE WHEN lag(ts, 1) OVER w IS NULL
+                             OR ts > lag(ts, 1) OVER w + INTERVAL '30 minutes'
+                           THEN 1 ELSE 0 END AS new_session
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+             sessions AS (
+               SELECT user_id, ts, value,
+                      SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+               FROM marked)
+             SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                    MIN(ts) AS session_start, MAX(ts) AS session_end,
+                    COUNT(*) AS n_events, ${sqlDsum("value")} AS session_value
+             FROM sessions GROUP BY user_id, session_idx
+             ORDER BY user_id, session_idx"""))
+
+  /** Semi-structured extraction: pull a JSON field out of `props` and
+    * aggregate it — Spark get_json_object vs DuckDB json_extract.
+    */
+  private val q42 = QueryDef(
+    "q42_json_extract",
+    (s, d) => Tables(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+                   MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  override def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42)
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** Grouping-set analytics (ROLLUP/CUBE/PIVOT), multimodal binary-column
+  * plumbing, and sketch-based approximate aggregation.
+  */
+object MiscQueries extends QueryModule {
+
+  /** ROLLUP: hierarchical subtotals + grand total. NULLS FIRST is explicit
+    * in both engines (Spark's ASC default vs DuckDB's differ).
+    */
+  private val q43 = QueryDef(
+    "q43_rollup",
+    (s, d) => Tables(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+                    ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** CUBE: all grouping combinations over two dimensions. */
+  private val q44 = QueryDef(
+    "q44_cube",
+    (s, d) => Tables(s, d, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                    ${sqlDsum("o_totalprice")} AS total
+             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** PIVOT: return-flag counts as columns per line status (explicit value
+    * list keeps the output schema static — required at scale anyway).
+    */
+  private val q45 = QueryDef(
+    "q45_pivot",
+    (s, d) => Tables(s, d, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("A", "N", "R"))
+      .orderBy("l_linestatus"),
+    Some("""SELECT l_linestatus,
+                   COUNT(*) FILTER (l_returnflag = 'A') AS "A",
+                   COUNT(*) FILTER (l_returnflag = 'N') AS "N",
+                   COUNT(*) FILTER (l_returnflag = 'R') AS "R"
+            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** Multimodal column plumbing: treat text as an opaque binary payload
+    * (stand-in for image/audio bytes — decode libs are stubbed per spec),
+    * with typed metadata extraction: byte length, content digest, and a
+    * deterministic fake decode of width/height "dimensions". The Spark-side
+    * schema/partitioning/expression plumbing is real; only the codec is fake.
+    */
+  private val q46 = QueryDef(
+    "q46_multimodal_meta",
+    (s, d) => Tables(s, d, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        (octet_length(col("payload")) % 640).as("fake_width"),
+        ((col("doc_id") * 7) % 480).cast("int").as("fake_height"),
+        expr("CAST(octet_length(payload) div 2 AS INT)").as("mid_offset"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(LENGTH(text) AS INT) AS n_bytes,
+                   md5(text) AS digest,
+                   CAST(LENGTH(text) % 640 AS INT) AS fake_width,
+                   CAST((doc_id * 7) % 480 AS INT) AS fake_height,
+                   CAST(LENGTH(text) // 2 AS INT) AS mid_offset
+            FROM documents ORDER BY doc_id"""))
+
+  /** Sketch aggregation: HyperLogLog approximate distinct vs exact. No SQL
+    * oracle (HLL estimates are engine-specific) — rows-only check.
+    */
+  private val q47 = QueryDef(
+    "q47_approx_distinct",
+    (s, d) => Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag"),
+    None)
+
+  override def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47)
+}
