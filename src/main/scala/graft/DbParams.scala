@@ -1,0 +1,111 @@
+package graft
+
+/** Connection configuration mirroring the reference's `DbParams`
+  * (/root/reference/etlhelper/db_params.py:20-108): eager per-dbtype
+  * validation at construction, construction from prefixed environment
+  * variables, and password resolution from a named env var at connect time
+  * only — never stored (/root/reference/etlhelper/db_helpers/db_helper.py:75-92).
+  *
+  * Emits the option map for `spark.read.format("jdbc")` /
+  * `DataFrameWriter.jdbc`; `chunkSize` maps onto JDBC `fetchsize` (read) and
+  * `batchsize` (write), the Spark analogues of the reference's CHUNKSIZE.
+  */
+final case class DbParams(
+    dbtype: String,
+    host: String = "",
+    port: Int = 0,
+    dbname: String = "",
+    user: String = "",
+    filename: String = "",
+    odbcDriver: String = "") {
+
+  import DbParams._
+
+  validate()
+
+  private def validate(): Unit = {
+    val required = requiredKeys.getOrElse(
+      dbtype.toUpperCase,
+      throw new EtlDbParamsError(
+        s"dbtype '$dbtype' not supported (one of ${requiredKeys.keys.mkString(", ")})"))
+    val present = Map(
+      "host" -> host.nonEmpty, "port" -> (port > 0), "dbname" -> dbname.nonEmpty,
+      "user" -> user.nonEmpty, "filename" -> filename.nonEmpty,
+      "odbc_driver" -> odbcDriver.nonEmpty)
+    val missing = required.filterNot(present(_))
+    if (missing.nonEmpty)
+      throw new EtlDbParamsError(
+        s"${missing.mkString(", ")} not set for $dbtype db_params")
+  }
+
+  /** JDBC URL per backend — the connection-string builders of
+    * db_helpers/{oracle,postgres,sqlite,mssql}.py re-expressed for JDBC,
+    * plus DERBY for the embeddable test backend.
+    */
+  def jdbcUrl: String = dbtype.toUpperCase match {
+    case "POSTGRES" => s"jdbc:postgresql://$host:$port/$dbname"
+    case "ORACLE"   => s"jdbc:oracle:thin:@$host:$port/$dbname"
+    case "MSSQL"    => s"jdbc:sqlserver://$host:$port;databaseName=$dbname"
+    case "SQLITE"   => s"jdbc:sqlite:$filename"
+    case "DERBY"    => s"jdbc:derby:$filename"
+  }
+
+  def driverClass: String = dbtype.toUpperCase match {
+    case "POSTGRES" => "org.postgresql.Driver"
+    case "ORACLE"   => "oracle.jdbc.OracleDriver"
+    case "MSSQL"    => "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+    case "SQLITE"   => "org.sqlite.JDBC"
+    case "DERBY"    => "org.apache.derby.jdbc.EmbeddedDriver"
+  }
+
+  /** Password from the named environment variable, at call time only —
+    * mirrors get_password (db_helper.py:75-92) including the clear error.
+    */
+  def password(passwordVariable: String): String =
+    sys.env.getOrElse(passwordVariable,
+      throw new EtlDbParamsError(
+        s"Password environment variable ($passwordVariable) is not set"))
+
+  /** Option map for spark.read.format("jdbc") / write.jdbc. */
+  def readOptions(query: String, passwordVariable: Option[String] = None,
+      fetchSize: Int = 5000): Map[String, String] =
+    baseOptions(passwordVariable) ++ Map("query" -> query, "fetchsize" -> fetchSize.toString)
+
+  def writeOptions(table: String, passwordVariable: Option[String] = None,
+      batchSize: Int = 5000): Map[String, String] =
+    baseOptions(passwordVariable) ++
+      Map("dbtable" -> Identifiers.validate(table), "batchsize" -> batchSize.toString)
+
+  private def baseOptions(passwordVariable: Option[String]): Map[String, String] =
+    Map("url" -> jdbcUrl, "driver" -> driverClass) ++
+      (if (user.nonEmpty) Map("user" -> user) else Map.empty) ++
+      passwordVariable.map(v => "password" -> password(v)).toMap
+}
+
+object DbParams {
+  /** Required keys per backend (db_helpers/{oracle,postgres,mssql,sqlite}.py). */
+  val requiredKeys: Map[String, Set[String]] = Map(
+    "ORACLE" -> Set("host", "port", "dbname", "user"),
+    "POSTGRES" -> Set("host", "port", "dbname", "user"),
+    "MSSQL" -> Set("host", "port", "dbname", "user", "odbc_driver"),
+    "SQLITE" -> Set("filename"),
+    "DERBY" -> Set("filename"))
+
+  /** Construction from environment variables with a prefix
+    * (db_params.py:85-108): e.g. prefix "TEST_" reads TEST_DBTYPE,
+    * TEST_HOST, ... Password variables are intentionally excluded.
+    */
+  def fromEnvironment(prefix: String, env: Map[String, String] = sys.env): DbParams = {
+    def get(k: String) = env.get(prefix + k.toUpperCase)
+    val dbtype = get("DBTYPE").getOrElse(
+      throw new EtlDbParamsError(s"Environment variable ${prefix}DBTYPE is not set"))
+    DbParams(
+      dbtype = dbtype,
+      host = get("HOST").getOrElse(""),
+      port = get("PORT").map(_.toInt).getOrElse(0),
+      dbname = get("DBNAME").getOrElse(""),
+      user = get("USER").getOrElse(""),
+      filename = get("FILENAME").getOrElse(""),
+      odbcDriver = get("ODBC_DRIVER").getOrElse(""))
+  }
+}

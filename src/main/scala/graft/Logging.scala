@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.slf4j.LoggerFactory
+
+import graft.operators.LoadResult
+
+/** O17 progress logging (/root/reference/etlhelper/__init__.py:50-81,
+  * etl.py:119-124, :327-328): the reference logs "N rows processed
+  * (M failed)" per chunk and "N rows returned" per extract. Chunk-serial
+  * logging is meaningless across executors, so totals stay exact via
+  * accumulators/metrics and progress is surfaced per task-end.
+  */
+object Logging {
+  private val log = LoggerFactory.getLogger("graft")
+
+  /** The reference's load log contract, driven by exact accumulator counts. */
+  def logLoadResult(r: LoadResult): Unit =
+    log.info(s"${r.processed} rows processed (${r.failed} failed)")
+
+  def logRowsReturned(n: Long): Unit =
+    log.info(s"$n rows returned")
+
+  /** Task-level progress listener: emits cumulative records read/written as
+    * tasks finish — the distributed analogue of per-chunk progress lines.
+    * Returns the listener so callers can detach with `removeSparkListener`.
+    */
+  def attachProgressListener(spark: SparkSession): SparkListener = {
+    val listener = new SparkListener {
+      private val read = new java.util.concurrent.atomic.AtomicLong()
+      private val written = new java.util.concurrent.atomic.AtomicLong()
+      override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+        val m = taskEnd.taskMetrics
+        if (m != null) {
+          val r = read.addAndGet(m.inputMetrics.recordsRead)
+          val w = written.addAndGet(m.outputMetrics.recordsWritten)
+          log.debug(s"progress: $r rows read, $w rows written")
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    listener
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.{DbParams, Identifiers}
+
+/** Cross-store copy (reference O7/O8, /root/reference/etlhelper/etl.py:368-506).
+  *
+  * The reference pipes iter_rows(select) into executemany(insert) on one
+  * thread — extraction pulled chunk-by-chunk by the loader. In Spark the
+  * same composition is ONE lazy plan: read -> transform -> write, and the
+  * chunk interleaving becomes true pipelined parallelism across partitions
+  * (a strict upgrade: partitions stream concurrently, constant memory per
+  * executor, no driver materialization).
+  */
+object Copy {
+
+  /** O7 copy_rows: arbitrary source DataFrame + in-flight transform into a
+    * JDBC sink with the error channel's exact counts.
+    */
+  def copyRows(src: DataFrame, db: DbParams, table: String,
+      transform: DataFrame => DataFrame = identity,
+      passwordVariable: Option[String] = None,
+      chunkSize: Int = 5000): LoadResult =
+    Load.loadWithErrorChannel(transform(src), db, table, passwordVariable, chunkSize)
+
+  /** O8 copy_table_rows: whole-table copy by validated name. */
+  def copyTableRows(spark: SparkSession, srcDb: DbParams, destDb: DbParams,
+      table: String, target: Option[String] = None,
+      passwordVariable: Option[String] = None,
+      chunkSize: Int = 5000): LoadResult = {
+    Identifiers.validate(table)
+    val src = Extract.fromJdbc(spark, srcDb, s"SELECT * FROM $table",
+      passwordVariable, chunkSize)
+    copyRows(src, destDb, target.getOrElse(table), identity, passwordVariable, chunkSize)
+  }
+
+  /** File-store copy: parquet -> transform -> parquet as one lazy plan.
+    * `repartitionBy` co-partitions the output on join keys (write-side
+    * bucketing prep) so downstream joins at scale avoid a shuffle.
+    */
+  def copyParquet(spark: SparkSession, srcPath: String, destPath: String,
+      transform: DataFrame => DataFrame = identity,
+      partitionByCols: Seq[String] = Nil): Unit = {
+    val out = transform(spark.read.parquet(srcPath))
+    val writer = out.write.mode(SaveMode.Overwrite)
+    (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*) else writer)
+      .parquet(destPath)
+  }
+}

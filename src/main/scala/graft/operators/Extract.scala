@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import graft.{DbParams, EtlExtractError}
+
+/** Extraction operators (reference O1-O4, /root/reference/etlhelper/etl.py:53-230),
+  * Spark-first: a partitioned DataFrame IS the lazy chunk stream — each JDBC
+  * fetch block / parquet row-group plays the role of a 5000-row chunk, and
+  * Catalyst's lazy plan is the generator laziness. The driver-side iterator
+  * views exist for API parity but the distributed DataFrame is the intended
+  * surface at scale (toLocalIterator funnels through the driver).
+  */
+object Extract {
+
+  /** O1 root extraction from a JDBC SELECT: chunk_size -> fetchsize.
+    * Parallel chunking (numPartitions + partitionColumn bounds) is the
+    * upgrade the single-threaded reference cannot do.
+    */
+  def fromJdbc(spark: SparkSession, db: DbParams, query: String,
+      passwordVariable: Option[String] = None, chunkSize: Int = 5000,
+      partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame =
+    try {
+      val base = spark.read.format("jdbc")
+        .options(db.readOptions(query, passwordVariable, chunkSize))
+      val withParts = partitionColumn match {
+        case Some((col, lower, upper, n)) => base
+          .option("partitionColumn", col)
+          .option("lowerBound", lower.toString)
+          .option("upperBound", upper.toString)
+          .option("numPartitions", n.toString)
+        case None => base
+      }
+      withParts.load()
+    } catch {
+      case e: Exception =>
+        throw new EtlExtractError(s"Error executing query: ${e.getMessage}", query, e)
+    }
+
+  def fromParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** O4 fetchall: materialize the full result on the driver. */
+  def fetchAll(df: DataFrame): Seq[Row] = df.collect().toSeq
+
+  /** O3 fetchone: first row or None. */
+  def fetchOne(df: DataFrame): Option[Row] = df.head(1).headOption
+
+  /** O2 iter_rows: driver-side lazy row iterator (pulls partition by
+    * partition — constant driver memory like the reference's generator).
+    */
+  def iterRows(df: DataFrame): Iterator[Row] =
+    scala.jdk.CollectionConverters.IteratorHasAsScala(df.toLocalIterator()).asScala
+
+  /** O1 iter_chunks: driver-side chunked view, grouped at chunkSize —
+    * semantic parity with the reference's Generator[Chunk].
+    */
+  def iterChunks(df: DataFrame, chunkSize: Int = 5000): Iterator[Seq[Row]] =
+    iterRows(df).grouped(chunkSize).map(_.toSeq)
+
+  /** §2.8 transform, untyped: an arbitrary DataFrame => DataFrame applied
+    * in-flight (Catalyst sees through it — filters still push down).
+    */
+  def withTransform(df: DataFrame)(f: DataFrame => DataFrame): DataFrame = f(df)
+
+  /** §2.8 transform, typed: the literal chunk-transform equivalent —
+    * an Iterator => Iterator function over each partition (may filter,
+    * reshape, 1->N like the reference's generator transforms).
+    */
+  def transformChunks[T, U: org.apache.spark.sql.Encoder](ds: Dataset[T])(
+      f: Iterator[T] => Iterator[U]): Dataset[U] =
+    ds.mapPartitions(f)
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.{CollectionAccumulator, LongAccumulator}
+
+import graft.{DbParams, EtlInsertError, Identifiers}
+
+/** A row that failed per-row retry, with its error — the reference's
+  * FailedRow (etl.py:48-50) carried back to the driver via accumulator.
+  */
+final case class FailedRow(values: Seq[String], error: String)
+
+/** Outcome of a load: `processed` counts every input row INCLUDING failed
+  * ones, exactly the reference's semantics
+  * (/root/reference/test/integration/etl/test_etl_load.py:60-74).
+  */
+final case class LoadResult(processed: Long, failed: Long, failedRows: Seq[FailedRow])
+
+/** Load operators (reference O5/O6/O9, etl.py:233-365, :509-574).
+  *
+  * Two tiers:
+  *  - `load`: the plain path — Spark's native JDBC writer (batched inserts,
+  *    `batchsize` = chunk_size, SaveMode.Append, table must pre-exist per
+  *    docs/etl_functions/copy.rst:22-24). All-or-nothing per task.
+  *  - `loadWithErrorChannel`: the reference's distinctive on_error semantics
+  *    (§2.10) that Spark's writer cannot express: per-partition batched
+  *    inserts with chunk commit, batch failure -> rollback -> row-by-row
+  *    retry each in its own transaction -> surviving failures collected to
+  *    a bounded accumulator (the DLQ/quarantine channel) and counted.
+  *    Exact `(processed, failed)` counts via LongAccumulators.
+  *
+  * Scale notes: one JDBC connection per partition, batches of `chunkSize`
+  * per round-trip; counts/quarantine flow through accumulators (no driver
+  * collect of the data path). Speculative execution should be off for this
+  * sink (non-idempotent inserts), as for any JDBC sink.
+  */
+object Load {
+
+  /** O9 `load` via Spark's JDBC writer — schema-driven INSERT generation is
+    * native (no first-row peek needed: the schema is static).
+    */
+  def load(df: DataFrame, db: DbParams, table: String,
+      passwordVariable: Option[String] = None, chunkSize: Int = 5000): Unit =
+    try {
+      df.write.format("jdbc")
+        .options(db.writeOptions(table, passwordVariable, chunkSize))
+        .mode("append").save()
+    } catch {
+      case e: Exception =>
+        throw new EtlInsertError(s"Error during insert: ${e.getMessage}",
+          s"INSERT INTO $table", e)
+    }
+
+  /** O11 generate_insert_sql (etl.py:577-639): INSERT built from the schema
+    * with every identifier validated; JDBC `?` placeholders (the qmark
+    * paramstyle — binding by position is what the writer does).
+    */
+  def generateInsertSql(table: String, schema: StructType): String = {
+    Identifiers.validate(table)
+    val cols = schema.fieldNames.map(Identifiers.validate)
+    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+  }
+
+  /** O5+O6 executemany with the on_error channel. `maxQuarantine` bounds the
+    * failed-row payload shipped driver-ward (counts stay exact regardless).
+    */
+  def loadWithErrorChannel(df: DataFrame, db: DbParams, table: String,
+      passwordVariable: Option[String] = None, chunkSize: Int = 5000,
+      commitChunks: Boolean = true, maxQuarantine: Int = 10000): LoadResult = {
+
+    val spark = df.sparkSession
+    val sql = generateInsertSql(table, df.schema)
+    val processed: LongAccumulator = spark.sparkContext.longAccumulator("etl.processed")
+    val failed: LongAccumulator = spark.sparkContext.longAccumulator("etl.failed")
+    val quarantine: CollectionAccumulator[FailedRow] =
+      spark.sparkContext.collectionAccumulator[FailedRow]("etl.quarantine")
+
+    val schema = df.schema
+    val url = db.jdbcUrl
+    val driverClass = db.driverClass
+    val user = db.user
+    val pw = passwordVariable.map(db.password)
+
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        Class.forName(driverClass)
+        val conn = connect(url, user, pw)
+        try {
+          conn.setAutoCommit(false)
+          val stmt = conn.prepareStatement(sql)
+          try {
+            rows.grouped(chunkSize).foreach { chunk =>
+              insertChunk(conn, stmt, sql, schema, chunk, processed, failed,
+                quarantine, maxQuarantine, commitChunks)
+            }
+            if (!commitChunks) conn.commit()
+          } finally stmt.close()
+        } finally conn.close()
+      }
+    }
+    // accumulator values are only exact after the job completes (foreachPartition is an action)
+    LoadResult(processed.value, failed.value,
+      scala.jdk.CollectionConverters.ListHasAsScala(quarantine.value).asScala.toSeq)
+  }
+
+  private def connect(url: String, user: String, pw: Option[String]): Connection =
+    if (user.nonEmpty) DriverManager.getConnection(url, user, pw.orNull)
+    else DriverManager.getConnection(url)
+
+  /** One chunk: batch insert; on failure rollback and retry row-by-row,
+    * each row in its own transaction (etl.py:342-365).
+    */
+  private def insertChunk(conn: Connection, stmt: PreparedStatement, sql: String,
+      schema: StructType, chunk: Seq[Row], processed: LongAccumulator,
+      failed: LongAccumulator, quarantine: CollectionAccumulator[FailedRow],
+      maxQuarantine: Int, commitChunks: Boolean): Unit = {
+    try {
+      chunk.foreach { row => bind(stmt, schema, row); stmt.addBatch() }
+      stmt.executeBatch()
+      if (commitChunks) conn.commit()
+    } catch {
+      case e: java.sql.SQLException =>
+        conn.rollback()
+        stmt.clearBatch()
+        chunk.foreach { row =>
+          try {
+            bind(stmt, schema, row)
+            stmt.execute()
+            conn.commit()
+          } catch {
+            case rowErr: java.sql.SQLException =>
+              conn.rollback()
+              failed.add(1)
+              if (quarantine.value.size < maxQuarantine)
+                quarantine.add(FailedRow(
+                  (0 until row.length).map(i => String.valueOf(row.get(i))),
+                  rowErr.getMessage))
+          }
+        }
+    }
+    processed.add(chunk.size) // includes failed rows (reference contract)
+  }
+
+  /** Positional bind by schema type — the qmark paramstyle binding. */
+  private def bind(stmt: PreparedStatement, schema: StructType, row: Row): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      val p = i + 1
+      if (row.isNullAt(i)) stmt.setObject(p, null)
+      else schema(i).dataType match {
+        case IntegerType => stmt.setInt(p, row.getInt(i))
+        case LongType => stmt.setLong(p, row.getLong(i))
+        case DoubleType => stmt.setDouble(p, row.getDouble(i))
+        case FloatType => stmt.setFloat(p, row.getFloat(i))
+        case StringType => stmt.setString(p, row.getString(i))
+        case BooleanType => stmt.setBoolean(p, row.getBoolean(i))
+        case DateType => stmt.setDate(p, row.getDate(i))
+        case TimestampType => stmt.setTimestamp(p, row.getTimestamp(i))
+        case BinaryType => stmt.setBytes(p, row.getAs[Array[Byte]](i))
+        case _: DecimalType => stmt.setBigDecimal(p, row.getDecimal(i))
+        case _ => stmt.setObject(p, row.get(i))
+      }
+      i += 1
+    }
+  }
+}

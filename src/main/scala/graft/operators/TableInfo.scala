@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.DataFrame
+import graft.{DbParams, EtlQueryError, Identifiers}
+
+/** Column metadata — the reference's `Column(name, type, not_null,
+  * has_default)` namedtuple (/root/reference/etlhelper/utils.py:11).
+  */
+final case class ColumnInfo(name: String, dataType: String,
+    notNull: Boolean, hasDefault: Boolean)
+
+/** O14 table_info (utils.py:14-40): schema introspection with the
+  * reference's error contract — missing table raises, ambiguous table
+  * (same name in two schemas) raises.
+  */
+object TableInfo {
+
+  /** Spark-native: from a DataFrame's resolved schema (nullability maps to
+    * not_null; defaults live in field metadata when present).
+    */
+  def fromDataFrame(df: DataFrame): Seq[ColumnInfo] =
+    df.schema.fields.toSeq.map { f =>
+      ColumnInfo(f.name, f.dataType.simpleString, notNull = !f.nullable,
+        hasDefault = f.metadata.contains("default"))
+    }
+
+  /** JDBC catalog introspection via DatabaseMetaData — the dialect-neutral
+    * analogue of the per-backend catalog queries
+    * (db_helpers/postgres.py:14-33 etc.).
+    */
+  def fromJdbc(db: DbParams, table: String, schema: Option[String] = None,
+      passwordVariable: Option[String] = None): Seq[ColumnInfo] = {
+    Identifiers.validate(table)
+    Class.forName(db.driverClass)
+    val conn =
+      if (db.user.nonEmpty)
+        DriverManager.getConnection(db.jdbcUrl, db.user,
+          passwordVariable.map(db.password).orNull)
+      else DriverManager.getConnection(db.jdbcUrl)
+    try {
+      val meta = conn.getMetaData
+      // Count schemas containing the table to reproduce the ambiguity error.
+      val tablesRs = meta.getTables(null, schema.map(_.toUpperCase).orNull,
+        table.toUpperCase, Array("TABLE"))
+      var schemas = List.empty[String]
+      while (tablesRs.next()) schemas ::= tablesRs.getString("TABLE_SCHEM")
+      if (schemas.isEmpty)
+        throw new EtlQueryError(s"Table name '$table' not found.")
+      if (schemas.distinct.length > 1)
+        throw new EtlQueryError(
+          s"Table name '$table' is not unique in database (schemas: ${schemas.distinct.sorted.mkString(", ")}).")
+
+      val rs = meta.getColumns(null, schemas.head, table.toUpperCase, null)
+      var cols = Vector.empty[ColumnInfo]
+      while (rs.next()) {
+        cols :+= ColumnInfo(
+          rs.getString("COLUMN_NAME").toLowerCase,
+          rs.getString("TYPE_NAME"),
+          notNull = rs.getInt("NULLABLE") == java.sql.DatabaseMetaData.columnNoNulls,
+          hasDefault = Option(rs.getString("COLUMN_DEF")).exists(_.nonEmpty))
+      }
+      cols
+    } finally conn.close()
+  }
+}

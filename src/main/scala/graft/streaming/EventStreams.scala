@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines over the `events` table (SURVEY.md §2.9:
+  * the designed superset of the reference, which has no streaming engine —
+  * its closest analogues are unbounded-generator ingestion + per-chunk
+  * commit, which map to micro-batches + checkpointing).
+  *
+  * Batch/stream unification: the window aggregations below accept either a
+  * streaming or a batch DataFrame — the batch twins in EventQueries are the
+  * DuckDB-verified versions of exactly these plans.
+  */
+object EventStreams {
+
+  /** The events schema as stored (ts is INT64 nanos in the parquet). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over an events parquet directory; converts
+    * the nano timestamp exactly to a micros TimestampType column.
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling/sliding window counts with a watermark: late data beyond
+    * `watermark` is dropped; in append mode a window emits once its end
+    * passes the watermark.
+    */
+  def windowedCounts(events: DataFrame, width: String,
+      slide: Option[String] = None, watermark: String = "10 minutes"): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col("ts"), width, s)
+      case None => window(col("ts"), width)
+    }
+    events.withWatermark("ts", watermark)
+      .groupBy(w.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Run a streaming aggregation from `dir` to an in-memory table and block
+    * until all available input is processed (the deterministic local-test
+    * harness for streaming plans). Returns the result table.
+    */
+  def runToMemory(spark: SparkSession, src: DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = src.writeStream
+      .format("memory").queryName(queryName).outputMode(mode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
+      last_ts: Timestamp)
+
+  /** Custom streaming state (§2.9 upgrade): per-user running totals via
+    * mapGroupsWithState — the KeyValueGroupedDataset state-store surface.
+    * Emits the updated running aggregate for each user every micro-batch.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0, new Timestamp(0L)))
+          val evs = batch.toSeq
+          val next = UserRunning(
+            userId,
+            prev.n_events + evs.size,
+            prev.total_value + evs.map(_.value).sum,
+            evs.map(_.ts).foldLeft(prev.last_ts)((a, b) => if (b.after(a)) b else a))
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Copy, Extract}
+
+/** Cross-store copy semantics (mirror of copy_rows/copy_table_rows tests,
+  * /root/reference/test/integration/etl/test_etl_transform.py:28-90):
+  * read -> transform -> write as one plan; transform applied exactly once.
+  */
+class CopySpec extends SparkSuite {
+  import Fixture._
+
+  private val db = DbParams("derby", filename = "memory:copydb;create=true")
+
+  private def exec(ddl: String): Unit = {
+    val conn = DriverManager.getConnection(db.jdbcUrl)
+    try {
+      try { conn.createStatement().execute(ddl) }
+      catch { case _: java.sql.SQLException if ddl.startsWith("DROP") => () }
+    } finally conn.close()
+  }
+
+  private val tableDdl = "(id INT PRIMARY KEY, value DOUBLE NOT NULL," +
+    " simple_text VARCHAR(100), utf8_text VARCHAR(100), day DATE, date_time TIMESTAMP)"
+
+  test("copyTableRows: whole-table derby -> derby") {
+    exec("DROP TABLE src_t"); exec("DROP TABLE dest_t")
+    exec(s"CREATE TABLE src_t $tableDdl"); exec(s"CREATE TABLE dest_t $tableDdl")
+    import spark.implicits._
+    CopyFixtures.loadFixture(spark, db, "src_t")
+    val r = Copy.copyTableRows(spark, db, db, "src_t", target = Some("dest_t"))
+    assert(r.processed == 3 && r.failed == 0)
+    val back = Extract.fromJdbc(spark, db, "SELECT * FROM dest_t")
+    assert(back.count() == 3)
+  }
+
+  test("copyRows with transform: filter + computed column land transformed") {
+    exec("DROP TABLE dest_agg")
+    exec("CREATE TABLE dest_agg (id INT, value DOUBLE)")
+    import spark.implicits._
+    val src = spark.createDataset(rows).toDF()
+    val r = Copy.copyRows(src, db, "dest_agg",
+      transform = d => d.filter(col("id") > 1)
+        .select(col("id") + 1000 as "id", col("value")))
+    assert(r.processed == 2 && r.failed == 0)
+    val got = Extract.fromJdbc(spark, db, "SELECT * FROM dest_agg")
+      .orderBy("ID").collect()
+    assert(got.map(_.getAs[Int]("ID")).toSeq == Seq(1002, 1003))
+  }
+
+  test("copyParquet: parquet -> transform -> parquet single lazy plan") {
+    import spark.implicits._
+    val srcPath = tmpDir("copy-src")
+    spark.createDataset(rows).toDF().write.mode("overwrite").parquet(srcPath)
+    val destPath = tmpDir("copy-dest") + "/out"
+    Copy.copyParquet(spark, srcPath, destPath,
+      transform = _.withColumn("value", col("value") * 2))
+    val back = spark.read.parquet(destPath).orderBy("id")
+    assert(back.head().getAs[Double]("value") == 2.468)
+  }
+}
+
+/** Test-only helper keeping LoadSpec/CopySpec independent. */
+private object CopyFixtures {
+  def loadFixture(spark: org.apache.spark.sql.SparkSession, db: DbParams,
+      table: String): Unit = {
+    import spark.implicits._
+    graft.operators.Load.load(spark.createDataset(Fixture.rows).toDF(), db, table)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirror of /root/reference/test/unit/test_db_params.py:25-175: required-key
+  * validation per dbtype, env construction, connection-string emission,
+  * password-variable contract.
+  */
+class DbParamsSpec extends AnyFunSuite {
+
+  test("postgres params validate and emit jdbc url") {
+    val p = DbParams("postgres", host = "localhost", port = 5432,
+      dbname = "etlhelper", user = "etlhelper_user")
+    assert(p.jdbcUrl == "jdbc:postgresql://localhost:5432/etlhelper")
+    assert(p.driverClass == "org.postgresql.Driver")
+  }
+
+  test("sqlite requires only filename") {
+    val p = DbParams("sqlite", filename = "/tmp/data.db")
+    assert(p.jdbcUrl == "jdbc:sqlite:/tmp/data.db")
+  }
+
+  test("missing required key raises EtlDbParamsError") {
+    val e = intercept[EtlDbParamsError](DbParams("postgres", host = "localhost"))
+    assert(e.getMessage.contains("not set"))
+  }
+
+  test("unknown dbtype raises") {
+    val e = intercept[EtlDbParamsError](DbParams("mongodb", host = "h"))
+    assert(e.getMessage.contains("not supported"))
+  }
+
+  test("mssql additionally requires odbc_driver") {
+    assertThrows[EtlDbParamsError](
+      DbParams("mssql", host = "h", port = 1433, dbname = "d", user = "u"))
+    DbParams("mssql", host = "h", port = 1433, dbname = "d", user = "u",
+      odbcDriver = "ODBC Driver 17 for SQL Server")
+  }
+
+  test("fromEnvironment builds from prefixed vars") {
+    val env = Map("TEST_DBTYPE" -> "postgres", "TEST_HOST" -> "h",
+      "TEST_PORT" -> "5432", "TEST_DBNAME" -> "db", "TEST_USER" -> "u")
+    val p = DbParams.fromEnvironment("TEST_", env)
+    assert(p.dbtype == "postgres" && p.port == 5432)
+  }
+
+  test("fromEnvironment with missing DBTYPE raises") {
+    val e = intercept[EtlDbParamsError](DbParams.fromEnvironment("NOPE_", Map.empty))
+    assert(e.getMessage.contains("NOPE_DBTYPE"))
+  }
+
+  test("password comes from env var at call time; missing var raises") {
+    val p = DbParams("sqlite", filename = "x.db")
+    val e = intercept[EtlDbParamsError](p.password("GRAFT_NO_SUCH_PASSWORD_VAR"))
+    assert(e.getMessage.contains("GRAFT_NO_SUCH_PASSWORD_VAR"))
+  }
+
+  test("writeOptions validates the table identifier") {
+    val p = DbParams("derby", filename = "memory:opts;create=true")
+    assertThrows[EtlBadIdentifierError](p.writeOptions("bad;table"))
+    assert(p.writeOptions("good_table")("dbtable") == "good_table")
+    assert(p.writeOptions("good_table")("batchsize") == "5000")
+  }
+}

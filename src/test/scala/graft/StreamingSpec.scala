@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+/** Structured Streaming pipelines driven synchronously from static parquet
+  * (memory sink + processAllAvailable — the deterministic local harness).
+  */
+class StreamingSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** File-stream sources need a directory; stage the single parquet file. */
+  private lazy val streamDir: String = {
+    val d = tmpDir("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    d
+  }
+
+  test("tumbling window counts stream end-to-end and match the batch twin") {
+    val events = EventStreams.readStream(spark, streamDir)
+    val agg = EventStreams.windowedCounts(events, "15 minutes")
+    val got = EventStreams.runToMemory(spark, agg, "tumbling_t", OutputMode.Complete())
+    assert(got.count() > 0)
+    // batch twin over the same data must agree on total event count
+    val batchTotal = graft.queries.EventQueries.defs
+      .find(_.name == "q39_tumbling_window").get
+      .fn(spark, dir).agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+    val streamTotal = got.agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+    assert(streamTotal == batchTotal)
+  }
+
+  test("sliding windows emit ~3 windows per event") {
+    val events = EventStreams.readStream(spark, streamDir)
+    val agg = EventStreams.windowedCounts(events, "30 minutes", Some("10 minutes"))
+    val got = EventStreams.runToMemory(spark, agg, "sliding_t", OutputMode.Complete())
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    val windowed = got.agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+    assert(windowed == 3 * nEvents)
+  }
+
+  test("stateful running totals via mapGroupsWithState") {
+    import spark.implicits._
+    val events = EventStreams.readStream(spark, streamDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val running = EventStreams.runningUserTotals(events)
+    val got = EventStreams.runToMemory(spark, running.toDF(), "running_t",
+      OutputMode.Update())
+    assert(got.count() > 0)
+    assert(got.select("user_id").distinct().count() ==
+      spark.read.parquet(s"$dir/events.parquet")
+        .select("user_id").distinct().count())
+  }
+}
