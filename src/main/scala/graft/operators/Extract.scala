@@ -57,6 +57,13 @@ object Extract {
   def iterChunks(df: DataFrame, chunkSize: Int = 5000): Iterator[Seq[Row]] =
     iterRows(df).grouped(chunkSize).map(_.toSeq)
 
+  /** §2.3 named-parameter SQL (the reference's named binds,
+    * test_etl_extract.py:80-87): Spark >= 3.4 parameterized SQL — values are
+    * bound as literals by the analyzer, never string-interpolated.
+    */
+  def sql(spark: SparkSession, sqlText: String, args: Map[String, Any]): DataFrame =
+    spark.sql(sqlText, args)
+
   /** §2.8 transform, untyped: an arbitrary DataFrame => DataFrame applied
     * in-flight (Catalyst sees through it — filters still push down).
     */

@@ -106,6 +106,28 @@ object Load {
       scala.jdk.CollectionConverters.ListHasAsScala(quarantine.value).asScala.toSeq)
   }
 
+  /** INSERT ... ON CONFLICT DO NOTHING analogue
+    * (docs/code_demos/error_handling/demo_sql_conflict_error.py:53-57),
+    * Spark-native: dedup the incoming batch on the key, anti-join away rows
+    * whose keys already exist in the target, then append. At scale this is
+    * one shuffle on the key columns versus per-row conflict handling in the
+    * database — the distributed-correct formulation of upsert-ignore.
+    */
+  def appendIfAbsent(df: DataFrame, db: DbParams, table: String, keyCols: Seq[String],
+      passwordVariable: Option[String] = None, chunkSize: Int = 5000): LoadResult = {
+    Identifiers.validate(table)
+    keyCols.foreach(Identifiers.validate)
+    val spark = df.sparkSession
+    val existing = spark.read.format("jdbc")
+      .options(db.readOptions(
+        s"SELECT ${keyCols.mkString(", ")} FROM $table", passwordVariable, chunkSize))
+      .load()
+      .toDF(keyCols: _*) // normalize case (Derby/Oracle upper-case metadata)
+    val fresh = df.dropDuplicates(keyCols)
+      .join(existing, keyCols, "left_anti")
+    loadWithErrorChannel(fresh, db, table, passwordVariable, chunkSize)
+  }
+
   private def connect(url: String, user: String, pw: Option[String]): Connection =
     if (user.nonEmpty) DriverManager.getConnection(url, user, pw.orNull)
     else DriverManager.getConnection(url)

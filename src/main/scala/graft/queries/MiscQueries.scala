@@ -92,5 +92,27 @@ object MiscQueries extends QueryModule {
       .orderBy("l_returnflag"),
     None)
 
-  override def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47)
+  /** WKT spatial round-trip as text (the reference's spatial recipe,
+    * etl.py:387-390 / docs/recipes/spatial_etl.rst: geometry travels as WKT
+    * strings): build POINT WKT from numeric columns, parse a coordinate
+    * back out with a regexp — all string ops, engine-portable.
+    */
+  private val q48 = QueryDef(
+    "q48_spatial_wkt",
+    (s, d) => Tables(s, d, "part")
+      .withColumn("wkt", concat(lit("POINT("), col("p_size").cast("string"),
+        lit(" "), (col("p_partkey") % 100).cast("string"), lit(")")))
+      .select(
+        col("p_partkey"),
+        col("wkt"),
+        regexp_extract(col("wkt"), "POINT\\(([0-9]+) ", 1).cast("int").as("x_back"),
+        regexp_extract(col("wkt"), " ([0-9]+)\\)", 1).cast("bigint").as("y_back"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+                   'POINT(' || CAST(p_size AS VARCHAR) || ' ' || CAST(p_partkey % 100 AS VARCHAR) || ')' AS wkt,
+                   CAST(regexp_extract('POINT(' || CAST(p_size AS VARCHAR) || ' ' || CAST(p_partkey % 100 AS VARCHAR) || ')', 'POINT\(([0-9]+) ', 1) AS INT) AS x_back,
+                   CAST(regexp_extract('POINT(' || CAST(p_size AS VARCHAR) || ' ' || CAST(p_partkey % 100 AS VARCHAR) || ')', ' ([0-9]+)\)', 1) AS BIGINT) AS y_back
+            FROM part ORDER BY p_partkey"""))
+
+  override def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q48)
 }

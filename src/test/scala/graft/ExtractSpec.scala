@@ -83,4 +83,12 @@ class ExtractSpec extends SparkSuite {
     val df = Extract.fromParquet(spark, srcPath).filter(col("id") >= minId)
     assert(df.count() == 2)
   }
+
+  test("named-parameter SQL binds values without interpolation") {
+    Extract.fromParquet(spark, srcPath).createOrReplaceTempView("src_v")
+    val df = Extract.sql(spark,
+      "SELECT id, value FROM src_v WHERE id >= :min_id AND simple_text = :txt",
+      Map("min_id" -> 2, "txt" -> "text"))
+    assert(df.count() == 2)
+  }
 }
