@@ -18,9 +18,14 @@ object VectorFunctions {
   /** Cast an array<float> embedding to array<double> (exact widening). */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product of two array<double> columns, as a native
+    * codegen'd expression (see DotProductExpr — bit-identical to the
+    * aggregate(zip_with(...)) fold but compiled to a primitive loop).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(DotProductExpr(expression(a), expression(b)))
+  }
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 

@@ -114,5 +114,25 @@ object MiscQueries extends QueryModule {
                    CAST(regexp_extract('POINT(' || CAST(p_size AS VARCHAR) || ' ' || CAST(p_partkey % 100 AS VARCHAR) || ')', ' ([0-9]+)\)', 1) AS BIGINT) AS y_back
             FROM part ORDER BY p_partkey"""))
 
-  override def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q48)
+  /** Skew-mitigated aggregation: l_returnflag has 3 values — at 100 TB a
+    * single-phase groupBy sends ~33% of all rows to one reducer. The salted
+    * two-phase form (groupBy(key, salt) then groupBy(key)) spreads phase one
+    * across salt*3 reducers. Decimal partials reassociate exactly, so the
+    * result is identical to the naive plan the oracle runs.
+    */
+  private val q49 = QueryDef(
+    "q49_salted_agg",
+    (s, d) => Tables(s, d, "lineitem")
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum(dec(col("l_quantity"))).as("part_qty"), count(lit(1)).as("part_n"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("part_qty")).cast("double").as("sum_qty"),
+        sum(col("part_n")).as("n"))
+      .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty,
+                    COUNT(*) AS n
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  override def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q48, q49)
 }
