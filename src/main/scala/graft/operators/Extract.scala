@@ -39,6 +39,31 @@ object Extract {
   def fromParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** CSV source (the reference's csv recipe, docs/recipes/csv_files.rst —
+    * there via pandas; here a native distributed scan). Pass a schema for
+    * production reads; inference scans the data twice.
+    */
+  def fromCsv(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      header: Boolean = true, multiLine: Boolean = false): DataFrame = {
+    // multiLine parses quoted embedded newlines but makes files unsplittable
+    // (one task per file) — at scale prefer escaped newlines + default mode.
+    val r = spark.read.option("header", header.toString)
+      .option("multiLine", multiLine.toString)
+    schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None => r.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** JSON-lines source (docs/recipes recipes use requests+json; native here). */
+  def fromJson(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None => spark.read.json(path)
+    }
+
   /** O4 fetchall: materialize the full result on the driver. */
   def fetchAll(df: DataFrame): Seq[Row] = df.collect().toSeq
 

@@ -41,6 +41,35 @@ class StreamingSpec extends SparkSuite {
     assert(windowed == 3 * nEvents)
   }
 
+  test("foreachBatch JDBC sink: micro-batch epochs land in Derby " +
+    "(commit_chunks ~ epoch commits)") {
+    val db = DbParams("derby", filename = "memory:streamdb;create=true")
+    val conn = java.sql.DriverManager.getConnection(db.jdbcUrl)
+    try {
+      try conn.createStatement().execute("DROP TABLE stream_sink")
+      catch { case _: java.sql.SQLException => () }
+      conn.createStatement().execute(
+        "CREATE TABLE stream_sink (window_start TIMESTAMP, event_type VARCHAR(20)," +
+          " n_events BIGINT, total_value DOUBLE)")
+    } finally conn.close()
+
+    val events = EventStreams.readStream(spark, streamDir)
+    val agg = EventStreams.windowedCounts(events, "1 hour", watermark = "5 minutes")
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("stream-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Load.load(batch, db, "stream_sink")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode with watermark: windows strictly before the final
+    // watermark have been emitted and committed as epochs
+    val got = graft.operators.Extract.fromJdbc(spark, db,
+      "SELECT COUNT(*) AS n FROM stream_sink").head()
+    assert(got.getAs[Number]("N").longValue() > 0)
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     import spark.implicits._
     val events = EventStreams.readStream(spark, streamDir)
