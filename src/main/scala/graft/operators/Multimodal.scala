@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata, processed partition-by-partition.
+  *
+  * The decode step is STUBBED deterministically (this container has no
+  * image/audio codecs — per spec) — everything around it is the real
+  * production shape: binary columns stay columnar in parquet, the decode
+  * runs inside mapPartitions so one task amortizes codec init across its
+  * whole partition (the Scala analogue of mapInPandas batching), feature
+  * vectors come back as fixed-width arrays ready for the similarity
+  * operators, and nothing ever collects to the driver.
+  */
+object Multimodal {
+
+  /** Typed decoded record: what a real image decode would yield. */
+  final case class DecodedMeta(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, channels: Int, features: Array[Float])
+
+  /** Attach a binary payload column (stand-in for stored image bytes). */
+  def withPayload(df: DataFrame, textCol: String = "text",
+      payloadCol: String = "payload"): DataFrame =
+    df.withColumn(payloadCol, encode(col(textCol), "UTF-8"))
+
+  /** STUB codec: a real implementation would call the image library here
+    * (one codec instance per partition). Deterministic fake: dimensions
+    * derived from payload length, features = normalized byte histogram.
+    */
+  private def decodeStub(id: Long, payload: Array[Byte]): DecodedMeta = {
+    val n = payload.length
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < n) { hist((payload(i) & 0xff) % 16) += 1f; i += 1 }
+    if (n > 0) { var j = 0; while (j < 16) { hist(j) /= n; j += 1 } }
+    DecodedMeta(id, n, width = 64 + n % 640, height = 64 + (n * 7) % 480,
+      channels = 3, features = hist)
+  }
+
+  /** Decode + feature-extract over partitions: the batch shape, schema, and
+    * partition-local codec lifecycle are real; only decodeStub is fake.
+    */
+  def decodeAndFeaturize(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[DecodedMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init would go here (amortized across rows)
+        it.map { case (id, payload) => decodeStub(id, payload) }
+      }
+  }
+
+  /** Frame-sample offsets for a byte stream chunked at `frameSize`: every
+    * `stride`-th frame start — the video-frame-sampling access pattern as
+    * pure column arithmetic (no decode needed to plan the read).
+    */
+  def frameSampleOffsets(df: DataFrame, payloadCol: String = "payload",
+      frameSize: Int = 1024, stride: Int = 10): DataFrame =
+    df.withColumn("frame_offsets",
+      sequence(lit(0), greatest(octet_length(col(payloadCol)) - 1, lit(0)),
+        lit(frameSize.toLong * stride)))
+}

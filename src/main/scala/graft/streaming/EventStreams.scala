@@ -71,6 +71,21 @@ object EventStreams {
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
       last_ts: Timestamp)
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, session_value: Double)
+
+  /** Event-time session windows via the built-in session_window: sessions
+    * close when no event arrives within `gap`; the watermark bounds state
+    * and emits closed sessions in append mode. This is the streaming twin
+    * of the q41 batch sessionization.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
 
   /** Custom streaming state (§2.9 upgrade): per-user running totals via
     * mapGroupsWithState — the KeyValueGroupedDataset state-store surface.

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Multimodal binary plumbing: payload attach, partition-wise decode stub,
+  * feature shape, frame-sample offsets.
+  */
+class MultimodalSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("decodeAndFeaturize yields typed metadata + fixed-width features") {
+    val docs = Tables(spark, dir, "documents")
+    val decoded = Multimodal.decodeAndFeaturize(Multimodal.withPayload(docs))
+    val rows = decoded.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.features.length == 16))
+    assert(rows.forall(r => math.abs(r.features.sum - 1.0f) < 1e-3))
+    assert(rows.forall(r => r.width >= 64 && r.channels == 3))
+    // deterministic: same input -> same features
+    val again = Multimodal.decodeAndFeaturize(Multimodal.withPayload(docs))
+      .collect().map(r => r.doc_id -> r.features.toSeq).toMap
+    assert(rows.forall(r => again(r.doc_id) == r.features.toSeq))
+  }
+
+  test("frameSampleOffsets plans strided frame reads as column arithmetic") {
+    val docs = Multimodal.withPayload(Tables(spark, dir, "documents"))
+    val out = Multimodal.frameSampleOffsets(docs, frameSize = 16, stride = 2)
+    val r = out.select(col("doc_id"), col("frame_offsets"),
+      octet_length(col("payload")).as("len")).head()
+    val offsets = r.getAs[scala.collection.Seq[Long]]("frame_offsets").toSeq
+    assert(offsets.head == 0L)
+    assert(offsets.forall(o => o < r.getAs[Int]("len")))
+    assert(offsets == offsets.sorted)
+  }
+
+  test("features feed the similarity operators (cosine over decoded docs)") {
+    import graft.functions.VectorFunctions
+    val docs = Tables(spark, dir, "documents").limit(50)
+    val feats = Multimodal.decodeAndFeaturize(Multimodal.withPayload(docs))
+      .toDF().select(col("doc_id"), col("features").cast("array<double>").as("v"))
+    val a = feats.as("a"); val b = feats.as("b")
+    val sims = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(VectorFunctions.cosine(col("a.v"), col("b.v")).as("sim"))
+    val stats = sims.agg(min("sim"), max("sim")).head()
+    assert(stats.getDouble(0) >= -1.0000001 && stats.getDouble(1) <= 1.0000001)
+  }
+}

@@ -70,6 +70,19 @@ class StreamingSpec extends SparkSuite {
     assert(got.getAs[Number]("N").longValue() > 0)
   }
 
+  test("event-time session windows close by gap and bound state via watermark") {
+    val events = EventStreams.readStream(spark, streamDir)
+    val sessions = EventStreams.sessionWindows(events, gap = "30 minutes",
+      watermark = "1 hour")
+    val got = EventStreams.runToMemory(spark, sessions, "sessions_t",
+      OutputMode.Append())
+    assert(got.count() > 0)
+    // session windows: start <= end, gap semantics make end >= start always
+    val bad = got.filter(org.apache.spark.sql.functions
+      .col("session_end") < org.apache.spark.sql.functions.col("session_start")).count()
+    assert(bad == 0)
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     import spark.implicits._
     val events = EventStreams.readStream(spark, streamDir)
