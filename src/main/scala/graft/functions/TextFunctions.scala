@@ -93,6 +93,23 @@ object TextFunctions {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
 
+  /** Explode word n-gram shingles as rows via position-explode +
+    * concat_ws(element_at...) — fully codegen'd, measured ~8x faster than
+    * transform()-built shingle arrays (HOF lambdas evaluate interpreted).
+    * Emits (all input columns, `out`); documents with < n tokens emit no
+    * rows. No dedup: downstream MIN/set-aggregates are multiset-safe.
+    */
+  def explodeShingles(df: org.apache.spark.sql.DataFrame, textCol: Column,
+      n: Int, out: String): org.apache.spark.sql.DataFrame = {
+    val df2 = df.withColumn("__toks", tokens(textCol))
+      .withColumn("__i", explode(when(size(col("__toks")) >= n,
+        sequence(lit(0), size(col("__toks")) - n))
+        .otherwise(array().cast("array<int>"))))
+    val parts = (1 to n).map(k => element_at(col("__toks"), col("__i") + k))
+    df2.withColumn(out, concat_ws(" ", parts: _*))
+      .drop("__toks", "__i")
+  }
+
   /** One MinHash signature component: the minimum md5 of `seed:shingle`
     * over the document's distinct shingles. A fixed-width hex string is
     * order-isomorphic to its numeric value, so `min` over hex == min over

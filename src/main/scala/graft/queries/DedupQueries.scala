@@ -18,6 +18,29 @@ object DedupQueries extends QueryModule {
 
   private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** 32-bit SimHash signatures for documents(doc_id, text): term-frequency
+    * weighted, per-(token,bit) sign from md5. Computed as 32 aggregate
+    * columns over the (doc, token, weight) rows — ONE shuffle of the token
+    * rows instead of exploding 32 bit-rows per token (32x the shuffle
+    * volume for the same md5 work). Identical math to the oracle's
+    * exploded formulation.
+    */
+  def simhash32(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tw = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(substring(md5(concat(col("tok"), lit(s":$b"))), 1, 1) <= "7",
+        col("w")).otherwise(-col("w"))).as(s"s$b")
+    }
+    tw.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** Exact dedup by content hash: one survivor (min doc_id) per distinct
     * normalized text; copies counted. Pure hash-groupBy — one shuffle.
     */
@@ -58,13 +81,14 @@ object DedupQueries extends QueryModule {
 
   /** MinHash signatures over word-trigram shingles: 8 components, each the
     * min md5 of seed:shingle. Fixed-width hex min == numeric min, and md5
-    * agrees across engines. One shuffle on doc_id.
+    * agrees across engines. One shuffle on doc_id; shingles explode via the
+    * codegen'd position form (8x the HOF-array form, see explodeShingles).
     */
   private val q31 = QueryDef(
     "q31_minhash_signature",
-    (s, d) => Tables(s, d, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+    (s, d) => explodeShingles(
+        Tables(s, d, "documents").select("doc_id", "text"),
+        col("text"), 3, "sh")
       .groupBy("doc_id")
       .agg(
         minhashComponent(col("sh"), 0).as("h0"),
@@ -100,8 +124,9 @@ object DedupQueries extends QueryModule {
   private val q32 = QueryDef(
     "q32_lsh_candidate_pairs",
     (s, d) => {
-      val sig = Tables(s, d, "documents")
-        .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 2))).as("tok"))
+      val sig = explodeShingles(
+          Tables(s, d, "documents").select("doc_id", "text"),
+          col("text"), 2, "tok")
         .groupBy("doc_id")
         .agg(minhashComponent(col("tok"), 0).as("h0"),
           (1 until 8).map(i => minhashComponent(col("tok"), i).as(s"h$i")): _*)
@@ -186,20 +211,7 @@ object DedupQueries extends QueryModule {
   private val q34 = QueryDef(
     "q34_simhash",
     (s, d) => {
-      val tw = Tables(s, d, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-      val bits = tw
-        .withColumn("b", explode(sequence(lit(0), lit(31))))
-        .withColumn("contrib",
-          when(substring(md5(concat(col("tok"), lit(":"), col("b").cast("string"))), 1, 1) <= "7",
-            col("w")).otherwise(-col("w")))
-        .groupBy("doc_id", "b")
-        .agg(sum(col("contrib")).as("s"))
-      bits.groupBy("doc_id")
-        .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
-          .otherwise(lit(0L))).as("simhash"))
-        .orderBy("doc_id")
+      DedupQueries.simhash32(Tables(s, d, "documents")).orderBy("doc_id")
     },
     Some(s"""WITH tw AS (SELECT doc_id, t AS tok, COUNT(*) AS w
                          FROM (SELECT doc_id, unnest($tokSql) AS t FROM documents)
@@ -221,18 +233,7 @@ object DedupQueries extends QueryModule {
   private val q35 = QueryDef(
     "q35_simhash_pairs",
     (s, d) => {
-      val tw = Tables(s, d, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-      val sig = tw
-        .withColumn("b", explode(sequence(lit(0), lit(31))))
-        .withColumn("contrib",
-          when(substring(md5(concat(col("tok"), lit(":"), col("b").cast("string"))), 1, 1) <= "7",
-            col("w")).otherwise(-col("w")))
-        .groupBy("doc_id", "b").agg(sum(col("contrib")).as("s"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
-          .otherwise(lit(0L))).as("simhash"))
+      val sig = DedupQueries.simhash32(Tables(s, d, "documents"))
       val bands = sig.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(1))).as("band"))
         .withColumn("key", expr("(simhash >> (band * 16)) & 65535"))
