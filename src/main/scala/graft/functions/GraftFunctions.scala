@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+
+/** SQL-facing registration of graft's native expressions, so `spark.sql`
+  * users get the same codegen'd operators as the Column API:
+  *
+  *   GraftFunctions.register(spark)
+  *   spark.sql("SELECT graft_dot(a.v, b.v) FROM ...")
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    GraftColumnBridge.registerFunction(spark, "graft_dot",
+      exprs => DotProductExpr(exprs(0), exprs(1)))
+    GraftColumnBridge.registerFunction(spark, "graft_cosine", { exprs =>
+      val (a, b) = (exprs(0), exprs(1))
+      Divide(
+        DotProductExpr(a, b),
+        Multiply(Sqrt(DotProductExpr(a, a)), Sqrt(DotProductExpr(b, b))))
+    })
+  }
+
+  /** Column-API twins (same expressions, no registration needed). */
+  def graftDot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
+  def graftCosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
+}

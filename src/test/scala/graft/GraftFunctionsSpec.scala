@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions.{GraftFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** SQL-registered native functions agree with the Column API. */
+class GraftFunctionsSpec extends SparkSuite {
+
+  test("graft_dot / graft_cosine callable from SQL, equal to Column API") {
+    GraftFunctions.register(spark)
+    Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+      .createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |       graft_dot(a.v, b.v) AS d, graft_cosine(a.v, b.v) AS c
+        |FROM emb_v a JOIN emb_v b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 3 AND b.vec_id < 6
+        |ORDER BY qid, nid""".stripMargin).collect()
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    val a = e.as("a"); val b = e.as("b")
+    val viaCol = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.vec_id") < 3 && col("b.vec_id") < 6)
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        VectorFunctions.dot(col("a.v"), col("b.v")).as("d"),
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("c"))
+      .orderBy("qid", "nid").collect()
+    assert(viaSql.length == viaCol.length && viaSql.nonEmpty)
+    viaSql.zip(viaCol).foreach { case (x, y) =>
+      assert(x.getDouble(2) == y.getDouble(2)) // bit-exact
+      assert(x.getDouble(3) == y.getDouble(3))
+    }
+  }
+}
