@@ -109,5 +109,34 @@ object EventQueries extends QueryModule {
                    MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  override def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42)
+  /** As-of join (the canonical "operator Spark lacks"): match each click to
+    * the most recent strictly-prior view of the same user. Composed from
+    * built-ins per the preference order — union-tag + last(ignoreNulls)
+    * over a (-inf, -1) frame — which is ALSO the scalable formulation: one
+    * shuffle on user_id, single ordered pass per user, versus the naive
+    * inequality self-join (quadratic per user). DuckDB's last_value ...
+    * IGNORE NULLS agrees exactly.
+    */
+  private val q50 = QueryDef(
+    "q50_asof_join",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "events")
+        .withColumn("prior_view_ts",
+          last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts", "prior_view_ts")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id, ts, prior_view_ts FROM (
+              SELECT user_id, event_id, ts, event_type,
+                     last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_ts
+              FROM events) t
+            WHERE event_type = 'click' ORDER BY user_id, event_id"""))
+
+  override def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q50)
 }

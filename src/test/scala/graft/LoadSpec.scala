@@ -70,6 +70,27 @@ class LoadSpec extends SparkSuite {
     }
   }
 
+  test("loadWithErrorChannel: failures spread across many chunks and " +
+    "partitions keep exact counts") {
+    withTable("dest_bulk") {
+      import spark.implicits._
+      // 1000 clean rows + 50 conflicting ids sprinkled through the range
+      val base = (1 to 1000).map(i =>
+        (i, i * 1.0, "t", "u", java.sql.Date.valueOf("2020-01-01"),
+          java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      val dupes = (1 to 1000 by 20).map(i =>
+        (i, -1.0, "dup", "u", java.sql.Date.valueOf("2020-01-01"),
+          java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      val df = (base ++ dupes)
+        .toDF("id", "value", "simple_text", "utf8_text", "day", "date_time")
+        .repartition(4) // conflicts land in arbitrary chunks of arbitrary partitions
+      val r = Load.loadWithErrorChannel(df, db, "dest_bulk", chunkSize = 100)
+      assert(r.processed == 1050)
+      assert(r.failed == 50, s"failed=${r.failed}")
+      assert(rowCount("dest_bulk") == 1000)
+    }
+  }
+
   test("loadWithErrorChannel: empty input -> (0, 0) (load() empty contract)") {
     withTable("dest_empty") {
       val r = Load.loadWithErrorChannel(fixtureDf.limit(0), db, "dest_empty")
