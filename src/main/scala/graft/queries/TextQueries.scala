@@ -109,5 +109,47 @@ object TextQueries extends QueryModule {
                     md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS bow_fingerprint
              FROM documents ORDER BY doc_id"""))
 
-  override def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28)
+  /** TF-IDF-style keyword extraction: top-3 distinctive tokens per doc by
+    * tf * (N/df). Deliberately log-free — the linear rarity weight keeps
+    * the score an exact double expression both engines compute identically
+    * (ln() bit-patterns are libm-dependent and would break the hash gate).
+    * Shape at scale: tf is one shuffle on (doc,token); df is a tiny
+    * aggregate (vocabulary-sized) joined back by broadcast; the corpus size
+    * N is a broadcast scalar.
+    */
+  private val q51 = QueryDef(
+    "q51_tfidf_keywords",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, d, "documents")
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df_ = tok.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok").asc)
+      tf.join(broadcast(df_), "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"),
+          col("score"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+                  tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+                  dfx AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok),
+                  scored AS (SELECT doc_id, tok, tf, df,
+                               CAST(tf AS DOUBLE) * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+                             FROM tf JOIN dfx USING (tok))
+             SELECT doc_id, rnk, tok, tf, df, score FROM (
+               SELECT doc_id, tok, tf, df, score,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk
+               FROM scored) t
+             WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+
+  override def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q51)
 }
