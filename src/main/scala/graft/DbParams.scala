@@ -66,6 +66,22 @@ final case class DbParams(
       throw new EtlDbParamsError(
         s"Password environment variable ($passwordVariable) is not set"))
 
+  /** TCP reachability probe (db_params.py:110-131): can we open a socket to
+    * host:port? No credentials involved; false for socket-less backends.
+    */
+  def isReachable(timeoutMs: Int = 2000): Boolean = {
+    if (host.isEmpty || port <= 0) false
+    else {
+      val s = new java.net.Socket()
+      try {
+        s.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+        true
+      } catch {
+        case _: java.io.IOException => false
+      } finally s.close()
+    }
+  }
+
   /** Option map for spark.read.format("jdbc") / write.jdbc. */
   def readOptions(query: String, passwordVariable: Option[String] = None,
       fetchSize: Int = 5000): Map[String, String] =

@@ -82,6 +82,15 @@ object Extract {
   def iterChunks(df: DataFrame, chunkSize: Int = 5000): Iterator[Seq[Row]] =
     iterRows(df).grouped(chunkSize).map(_.toSeq)
 
+  /** Incremental extract (the reference's incremental-load recipe): only
+    * rows with watermarkCol strictly greater than the last seen value —
+    * a pushed-down range predicate, so the scan skips old partitions/row
+    * groups entirely (partition pruning + parquet min/max at scale).
+    */
+  def incremental(df: DataFrame, watermarkCol: String, lastSeen: Any): DataFrame =
+    df.filter(org.apache.spark.sql.functions.col(watermarkCol) >
+      org.apache.spark.sql.functions.lit(lastSeen))
+
   /** §2.3 named-parameter SQL (the reference's named binds,
     * test_etl_extract.py:80-87): Spark >= 3.4 parameterized SQL — values are
     * bound as literals by the analyzer, never string-interpolated.

@@ -55,6 +55,25 @@ class DbParamsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("GRAFT_NO_SUCH_PASSWORD_VAR"))
   }
 
+  test("copy re-validates (attribute-set validation parity)") {
+    val p = DbParams("postgres", host = "h", port = 5432, dbname = "d", user = "u")
+    assertThrows[EtlDbParamsError](p.copy(user = ""))
+    assert(p.copy(port = 5433).port == 5433)
+  }
+
+  test("isReachable: open local port true, closed port false, socketless false") {
+    val server = new java.net.ServerSocket(0)
+    try {
+      val open = DbParams("postgres", host = "127.0.0.1",
+        port = server.getLocalPort, dbname = "d", user = "u")
+      assert(open.isReachable())
+    } finally server.close()
+    val closed = DbParams("postgres", host = "127.0.0.1",
+      port = server.getLocalPort, dbname = "d", user = "u")
+    assert(!closed.isReachable(timeoutMs = 500))
+    assert(!DbParams("sqlite", filename = "x.db").isReachable())
+  }
+
   test("writeOptions validates the table identifier") {
     val p = DbParams("derby", filename = "memory:opts;create=true")
     assertThrows[EtlBadIdentifierError](p.writeOptions("bad;table"))

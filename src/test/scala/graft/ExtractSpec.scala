@@ -84,6 +84,24 @@ class ExtractSpec extends SparkSuite {
     assert(df.count() == 2)
   }
 
+  test("tuple-typed facade (tuple_row_factory parity) gives positional access") {
+    import spark.implicits._
+    val ds = Extract.fromParquet(spark, srcPath)
+      .select("id", "value").as[(Int, Double)]
+    val got = ds.collect().sortBy(_._1)
+    assert(got.head == ((1, 1.234)))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+  }
+
+  test("incremental extract filters by watermark and pushes the predicate") {
+    val df = Extract.incremental(
+      Extract.fromParquet(spark, srcPath), "day", java.sql.Date.valueOf("2018-12-07"))
+    assert(df.count() == 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(day"),
+      s"watermark predicate should reach the scan:\n$plan")
+  }
+
   test("named-parameter SQL binds values without interpolation") {
     Extract.fromParquet(spark, srcPath).createOrReplaceTempView("src_v")
     val df = Extract.sql(spark,
