@@ -70,15 +70,19 @@ final case class DbParams(
     * host:port? No credentials involved; false for socket-less backends.
     */
   def isReachable(timeoutMs: Int = 2000): Boolean = {
-    if (host.isEmpty || port <= 0) false
+    // Note: timeoutMs bounds the TCP connect only; hostname resolution in
+    // InetSocketAddress uses the OS resolver's own timeout.
+    if (host.isEmpty || port <= 0 || port > 65535) false
     else {
       val s = new java.net.Socket()
       try {
-        s.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+        s.connect(new java.net.InetSocketAddress(host, port), math.max(timeoutMs, 1))
         true
       } catch {
-        case _: java.io.IOException => false
-      } finally s.close()
+        case scala.util.control.NonFatal(_) => false
+      } finally {
+        try s.close() catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   }
 

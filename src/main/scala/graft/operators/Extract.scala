@@ -88,7 +88,10 @@ object Extract {
     * groups entirely (partition pruning + parquet min/max at scale).
     */
   def incremental(df: DataFrame, watermarkCol: String, lastSeen: Any): DataFrame =
-    df.filter(org.apache.spark.sql.functions.col(watermarkCol) >
+    // null lastSeen = no watermark yet (e.g. max() over an empty target):
+    // first run must be the full extract, not `col > NULL` (zero rows).
+    if (lastSeen == null) df
+    else df.filter(org.apache.spark.sql.functions.col(watermarkCol) >
       org.apache.spark.sql.functions.lit(lastSeen))
 
   /** §2.3 named-parameter SQL (the reference's named binds,

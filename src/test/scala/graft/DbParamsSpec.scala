@@ -68,10 +68,15 @@ class DbParamsSpec extends AnyFunSuite {
         port = server.getLocalPort, dbname = "d", user = "u")
       assert(open.isReachable())
     } finally server.close()
+    // port 1 (tcpmux): never bound in this environment, avoids ephemeral
+    // port-reuse races on the just-closed server port
     val closed = DbParams("postgres", host = "127.0.0.1",
-      port = server.getLocalPort, dbname = "d", user = "u")
+      port = 1, dbname = "d", user = "u")
     assert(!closed.isReachable(timeoutMs = 500))
     assert(!DbParams("sqlite", filename = "x.db").isReachable())
+    // out-of-range port: false, not IllegalArgumentException
+    assert(!DbParams("postgres", host = "127.0.0.1", port = 543210,
+      dbname = "d", user = "u").isReachable(timeoutMs = 100))
   }
 
   test("writeOptions validates the table identifier") {

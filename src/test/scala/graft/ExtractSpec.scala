@@ -100,6 +100,9 @@ class ExtractSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(day"),
       s"watermark predicate should reach the scan:\n$plan")
+    // first run (no watermark yet): full extract, not zero rows
+    assert(Extract.incremental(
+      Extract.fromParquet(spark, srcPath), "day", null).count() == 3)
   }
 
   test("named-parameter SQL binds values without interpolation") {
