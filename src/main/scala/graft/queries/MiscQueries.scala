@@ -134,5 +134,65 @@ object MiscQueries extends QueryModule {
                     COUNT(*) AS n
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  override def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q48, q49)
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * quantile_cont on sorted values; interpolation arithmetic lands exactly
+    * on the same doubles for this data). The exact form sorts per group —
+    * at 100 TB switch to approx_percentile (t-digest) and drop the oracle.
+    */
+  private val q52 = QueryDef(
+    "q52_percentiles",
+    (s, d) => Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_quantity, array(0.25, 0.75))").getItem(1)
+          .as("q3_qty"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS median_qty,
+                   quantile_cont(l_quantity, 0.9) AS p90_qty,
+                   quantile_cont(l_quantity, 0.75) AS q3_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Pearson correlation via exact decimal sufficient statistics (n, Σx,
+    * Σy, Σxy, Σx², Σy²) — the built-in corr() is an order-dependent double
+    * stream and can't hash-match across engines; the decimal sums are
+    * order-insensitive and the final formula is computed identically both
+    * sides. Same single-shuffle cost as any grouped aggregate.
+    */
+  private val q53 = QueryDef(
+    "q53_correlation",
+    (s, d) => {
+      val x = dec(col("l_quantity")); val y = dec(col("l_discount"))
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_disc"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""WITH stats AS (SELECT l_returnflag, COUNT(*) AS n,
+                    CAST(SUM(${sqlDec("l_quantity")}) AS DOUBLE) AS sx,
+                    CAST(SUM(${sqlDec("l_discount")}) AS DOUBLE) AS sy,
+                    CAST(SUM(${sqlDec("l_quantity")} * ${sqlDec("l_discount")}) AS DOUBLE) AS sxy,
+                    CAST(SUM(${sqlDec("l_quantity")} * ${sqlDec("l_quantity")}) AS DOUBLE) AS sxx,
+                    CAST(SUM(${sqlDec("l_discount")} * ${sqlDec("l_discount")}) AS DOUBLE) AS syy
+             FROM lineitem GROUP BY l_returnflag)
+             SELECT l_returnflag, n,
+                    ((n * sxy - sx * sy) /
+                     (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS corr_qty_disc
+             FROM stats ORDER BY l_returnflag"""))
+
+  override def defs: Seq[QueryDef] =
+    Seq(q43, q44, q45, q46, q47, q48, q49, q52, q53)
 }

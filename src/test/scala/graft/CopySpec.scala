@@ -50,6 +50,21 @@ class CopySpec extends SparkSuite {
     assert(got.map(_.getAs[Int]("ID")).toSeq == Seq(1002, 1003))
   }
 
+  test("copyParquet with partitionBy lays out hive dirs and prunes on read") {
+    val destPath = tmpDir("copy-part") + "/out"
+    Copy.copyParquet(spark, "/root/testdata/sf0.001/lineitem.parquet", destPath,
+      partitionByCols = Seq("l_returnflag"))
+    val dirs = new java.io.File(destPath).listFiles().map(_.getName).filter(_.startsWith("l_returnflag="))
+    assert(dirs.toSet == Set("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"))
+    val pruned = spark.read.parquet(destPath).filter(col("l_returnflag") === "A")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"),
+      s"partition pruning should appear in scan:\n$plan")
+    assert(pruned.count() ==
+      Tables(spark, "/root/testdata/sf0.001", "lineitem")
+        .filter(col("l_returnflag") === "A").count())
+  }
+
   test("copyParquet: parquet -> transform -> parquet single lazy plan") {
     import spark.implicits._
     val srcPath = tmpDir("copy-src")
