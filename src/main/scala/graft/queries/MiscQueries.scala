@@ -193,6 +193,24 @@ object MiscQueries extends QueryModule {
                      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS corr_qty_disc
              FROM stats ORDER BY l_returnflag"""))
 
+  /** Collect/string aggregation made deterministic: collect_set is
+    * order-nondeterministic across partitions, so the contract is
+    * sort-then-join — same discipline as every other oracled aggregate.
+    */
+  private val q54 = QueryDef(
+    "q54_string_agg",
+    (s, d) => Tables(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus,
+                   array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+                   COUNT(DISTINCT o_orderpriority) AS n_priorities
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q43, q44, q45, q46, q47, q48, q49, q52, q53)
+    Seq(q43, q44, q45, q46, q47, q48, q49, q52, q53, q54)
 }
