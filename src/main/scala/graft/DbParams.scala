@@ -86,15 +86,30 @@ final case class DbParams(
     }
   }
 
-  /** Option map for spark.read.format("jdbc") / write.jdbc. */
+  /** Backend fast-path options — the JDBC analogues of the reference's
+    * driver-specific insert paths (postgres.py:76-96 execute_batch,
+    * mssql.py:79-100 fast_executemany, oracle.py:43-48 LOB prefetch).
+    */
+  def dialectOptions: Map[String, String] = dbtype.toUpperCase match {
+    case "POSTGRES" => Map("reWriteBatchedInserts" -> "true")
+    case "MSSQL" => Map("useBulkCopyForBatchInsert" -> "true")
+    case "ORACLE" => Map("oracle.jdbc.defaultLobPrefetchSize" -> "4000")
+    case _ => Map.empty
+  }
+
+  /** Option map for spark.read.format("jdbc") / write.jdbc. `extra` wins
+    * over defaults for per-call dialect tuning.
+    */
   def readOptions(query: String, passwordVariable: Option[String] = None,
-      fetchSize: Int = 5000): Map[String, String] =
-    baseOptions(passwordVariable) ++ Map("query" -> query, "fetchsize" -> fetchSize.toString)
+      fetchSize: Int = 5000, extra: Map[String, String] = Map.empty): Map[String, String] =
+    baseOptions(passwordVariable) ++ dialectOptions ++
+      Map("query" -> query, "fetchsize" -> fetchSize.toString) ++ extra
 
   def writeOptions(table: String, passwordVariable: Option[String] = None,
-      batchSize: Int = 5000): Map[String, String] =
-    baseOptions(passwordVariable) ++
-      Map("dbtable" -> Identifiers.validate(table), "batchsize" -> batchSize.toString)
+      batchSize: Int = 5000, extra: Map[String, String] = Map.empty): Map[String, String] =
+    baseOptions(passwordVariable) ++ dialectOptions ++
+      Map("dbtable" -> Identifiers.validate(table), "batchsize" -> batchSize.toString) ++
+      extra
 
   private def baseOptions(passwordVariable: Option[String]): Map[String, String] =
     Map("url" -> jdbcUrl, "driver" -> driverClass) ++

@@ -85,4 +85,13 @@ class DbParamsSpec extends AnyFunSuite {
     assert(p.writeOptions("good_table")("dbtable") == "good_table")
     assert(p.writeOptions("good_table")("batchsize") == "5000")
   }
+
+  test("dialect fast paths: postgres batched-insert rewrite on by default, " +
+    "extra options override") {
+    val pg = DbParams("postgres", host = "h", port = 5432, dbname = "d", user = "u")
+    assert(pg.writeOptions("t")("reWriteBatchedInserts") == "true")
+    assert(pg.writeOptions("t", extra = Map("batchsize" -> "99"))("batchsize") == "99")
+    val derby = DbParams("derby", filename = "memory:x;create=true")
+    assert(!derby.writeOptions("t").contains("reWriteBatchedInserts"))
+  }
 }
