@@ -138,5 +138,29 @@ object EventQueries extends QueryModule {
               FROM events) t
             WHERE event_type = 'click' ORDER BY user_id, event_id"""))
 
-  override def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q50)
+  /** RANGE window frame (value-based, not row-based): for each event, how
+    * many same-user events occurred in the preceding 10 minutes. Ordered by
+    * exact epoch microseconds so the frame bounds are integers on both
+    * engines. One shuffle on user_id, single ordered pass.
+    */
+  private val q55 = QueryDef(
+    "q55_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-600000000L, -1L)
+      Tables(s, d, "events")
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .withColumn("prior_10min", count(lit(1)).over(w))
+        .select("user_id", "event_id", "ts", "prior_10min")
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""SELECT user_id, event_id, ts, prior_10min FROM (
+              SELECT user_id, event_id, ts,
+                     COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING) AS prior_10min
+              FROM events) t
+            ORDER BY user_id, ts, event_id"""))
+
+  override def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q50, q55)
 }
