@@ -5,6 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line with per-query wall times at
   * SPARK_GRAFT_SF_DIR. A warmup pass (table row counts) absorbs JVM/codegen/
   * parquet-footer startup so timings measure the queries, not the session.
+  *
+  * Each query is materialized through the noop sink
+  * (`format("noop").mode("overwrite")`), which evaluates every output row and
+  * column but writes nothing. Under a bare `count()` Catalyst is free to
+  * remove deterministic sorts (EliminateSorts) and prune every projected
+  * column the count doesn't need — so map-only queries (e.g. per-row md5 /
+  * regex metrics) would time a near-empty scan instead of the expression work
+  * being benchmarked. The noop sink keeps the full plan live, the way a real
+  * downstream writer would.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,15 +33,20 @@ object Bench {
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
 
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => failures += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    // A failed query must fail the round loudly, not deflate the total.
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

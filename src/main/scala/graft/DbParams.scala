@@ -58,6 +58,11 @@ final case class DbParams(
     case "DERBY"    => "org.apache.derby.jdbc.EmbeddedDriver"
   }
 
+  /** Load this backend's JDBC driver class with the reference's helpful
+    * missing-driver error contract (db_helpers/db_helper.py:122-128).
+    */
+  def loadDriver(): Unit = DbParams.loadDriver(driverClass, dbtype)
+
   /** Password from the named environment variable, at call time only —
     * mirrors get_password (db_helper.py:75-92) including the clear error.
     */
@@ -118,6 +123,27 @@ final case class DbParams(
 }
 
 object DbParams {
+
+  /** Load a JDBC driver class, wrapping ClassNotFoundException in an
+    * EtlConnectionError with instructive text — the reference's
+    * missing-driver contract (db_helpers/db_helper.py:122-128, message shape
+    * per db_helpers/postgres.py:38-40, contract-tested at
+    * test/unit/test_db_helpers.py:113-138: "Could not" + driver name).
+    * Static so executor-side code can call it without serializing DbParams.
+    */
+  def loadDriver(driverClass: String, dbtype: String): Unit =
+    try Class.forName(driverClass)
+    catch {
+      case e: ClassNotFoundException =>
+        throw new EtlConnectionError(
+          s"Could not load JDBC driver class $driverClass required for " +
+            s"$dbtype connections.  Add the driver jar to the classpath " +
+            "(spark.jars / --jars).  See " +
+            "https://github.com/BritishGeologicalSurvey/etlhelper for the " +
+            "reference installation instructions",
+          e)
+    }
+
   /** Required keys per backend (db_helpers/{oracle,postgres,mssql,sqlite}.py). */
   val requiredKeys: Map[String, Set[String]] = Map(
     "ORACLE" -> Set("host", "port", "dbname", "user"),

@@ -15,12 +15,19 @@ import graft.operators.LoadResult
 object Logging {
   private val log = LoggerFactory.getLogger("graft")
 
-  /** The reference's load log contract, driven by exact accumulator counts. */
-  def logLoadResult(r: LoadResult): Unit =
-    log.info(s"${r.processed} rows processed (${r.failed} failed)")
+  /** The reference's exact log-line contract
+    * (test/integration/etl/test_etl_logging.py:14-56): these strings ARE the
+    * API — pinned verbatim by LoggingSpec.
+    */
+  def loadResultMessage(r: LoadResult): String =
+    s"${r.processed} rows processed (${r.failed} failed)"
 
-  def logRowsReturned(n: Long): Unit =
-    log.info(s"$n rows returned")
+  def rowsReturnedMessage(n: Long): String = s"$n rows returned"
+
+  /** The reference's load log contract, driven by exact accumulator counts. */
+  def logLoadResult(r: LoadResult): Unit = log.info(loadResultMessage(r))
+
+  def logRowsReturned(n: Long): Unit = log.info(rowsReturnedMessage(n))
 
   /** Task-level progress listener: emits cumulative records read/written as
     * tasks finish — the distributed analogue of per-chunk progress lines.

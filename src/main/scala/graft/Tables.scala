@@ -23,7 +23,8 @@ object Tables {
       // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
       // reader rejects. Read nanos as long (legacy conf) and convert exactly
       // to a microsecond timestamp (the values are micro-precision anyway).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else {

@@ -32,12 +32,23 @@ object Abort {
   def abort(spark: SparkSession, groupId: String = DefaultGroup): Unit =
     spark.sparkContext.cancelJobGroup(groupId)
 
+  /** Structural detection first: Spark raises `SPARK_JOB_CANCELLED` (a
+    * SparkThrowable error condition) for cancelled job groups — stable across
+    * versions, unlike message text. Message substrings remain only as a
+    * fallback for wrappers that drop the cause chain.
+    */
   private def isCancellation(e: Throwable): Boolean = {
     var t: Throwable = e
     while (t != null) {
+      t match {
+        case st: org.apache.spark.SparkThrowable
+            if st.getCondition != null &&
+              st.getCondition.startsWith("SPARK_JOB_CANCELLED") => return true
+        case _: InterruptedException => return true
+        case _ =>
+      }
       val m = Option(t.getMessage).getOrElse("")
-      if (m.contains("cancelled") || m.contains("canceled") ||
-        t.isInstanceOf[InterruptedException]) return true
+      if (m.contains("cancelled") || m.contains("canceled")) return true
       t = t.getCause
     }
     false

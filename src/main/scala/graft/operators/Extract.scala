@@ -20,15 +20,21 @@ object Extract {
       passwordVariable: Option[String] = None, chunkSize: Int = 5000,
       partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame =
     try {
-      val base = spark.read.format("jdbc")
-        .options(db.readOptions(query, passwordVariable, chunkSize))
       val withParts = partitionColumn match {
-        case Some((col, lower, upper, n)) => base
-          .option("partitionColumn", col)
-          .option("lowerBound", lower.toString)
-          .option("upperBound", upper.toString)
-          .option("numPartitions", n.toString)
-        case None => base
+        case Some((col, lower, upper, n)) =>
+          // Spark rejects `query` + `partitionColumn` together; the
+          // partitioned form must go through `dbtable` as a derived table so
+          // Spark can append its per-partition range predicates.
+          spark.read.format("jdbc")
+            .options(db.readOptions(query, passwordVariable, chunkSize)
+              - "query" + ("dbtable" -> s"($query) graft_subq"))
+            .option("partitionColumn", col)
+            .option("lowerBound", lower.toString)
+            .option("upperBound", upper.toString)
+            .option("numPartitions", n.toString)
+        case None =>
+          spark.read.format("jdbc")
+            .options(db.readOptions(query, passwordVariable, chunkSize))
       }
       withParts.load()
     } catch {

@@ -65,11 +65,18 @@ object Load {
   }
 
   /** O5+O6 executemany with the on_error channel. `maxQuarantine` bounds the
-    * failed-row payload shipped driver-ward (counts stay exact regardless).
+    * TOTAL failed-row payload shipped driver-ward (counts stay exact
+    * regardless): the budget is split across partitions up front, so the
+    * global quarantine size can never exceed it no matter how many tasks
+    * fail. `onError`, when provided, is the reference's per-chunk callback
+    * (etl.py:305-320): invoked on the executor after each failed chunk's
+    * row-by-row retry with exactly that chunk's failed rows — it must be
+    * serializable, and runs distributed (one call per failed chunk per task).
     */
   def loadWithErrorChannel(df: DataFrame, db: DbParams, table: String,
       passwordVariable: Option[String] = None, chunkSize: Int = 5000,
-      commitChunks: Boolean = true, maxQuarantine: Int = 10000): LoadResult = {
+      commitChunks: Boolean = true, maxQuarantine: Int = 10000,
+      onError: Option[Seq[FailedRow] => Unit] = None): LoadResult = {
 
     val spark = df.sparkSession
     val sql = generateInsertSql(table, df.schema)
@@ -81,20 +88,36 @@ object Load {
     val schema = df.schema
     val url = db.jdbcUrl
     val driverClass = db.driverClass
+    val dbtype = db.dbtype
     val user = db.user
     val pw = passwordVariable.map(db.password)
+    // Split the global quarantine budget across partitions so the sum of all
+    // task contributions is bounded by maxQuarantine (the accumulator's
+    // task-local .value can't see other tasks, so a global check on the
+    // executor is impossible — a pre-divided budget is the sound bound).
+    val numParts = math.max(1, df.rdd.getNumPartitions)
+    val perPartitionQuarantine =
+      if (maxQuarantine <= 0) 0 else math.max(1, maxQuarantine / numParts)
 
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        Class.forName(driverClass)
+        DbParams.loadDriver(driverClass, dbtype)
         val conn = connect(url, user, pw)
         try {
           conn.setAutoCommit(false)
           val stmt = conn.prepareStatement(sql)
           try {
+            var quarantineBudget = perPartitionQuarantine
             rows.grouped(chunkSize).foreach { chunk =>
-              insertChunk(conn, stmt, sql, schema, chunk, processed, failed,
-                quarantine, maxQuarantine, commitChunks)
+              val chunkFailed = insertChunk(conn, stmt, schema, chunk,
+                processed, failed, commitChunks)
+              if (chunkFailed.nonEmpty) {
+                val keep = math.min(quarantineBudget, chunkFailed.size)
+                var i = 0
+                while (i < keep) { quarantine.add(chunkFailed(i)); i += 1 }
+                quarantineBudget -= keep
+                onError.foreach(f => f(chunkFailed))
+              }
             }
             if (!commitChunks) conn.commit()
           } finally stmt.close()
@@ -113,15 +136,20 @@ object Load {
     * one shuffle on the key columns versus per-row conflict handling in the
     * database — the distributed-correct formulation of upsert-ignore.
     */
+  /** `keyPartitioning` = (column, lowerBound, upperBound, numPartitions)
+    * splits the existing-keys scan across parallel JDBC range reads — against
+    * a 10⁹-row target the single-connection whole-table read is the
+    * bottleneck, exactly as it is for any extract (see Extract.fromJdbc).
+    */
   def appendIfAbsent(df: DataFrame, db: DbParams, table: String, keyCols: Seq[String],
-      passwordVariable: Option[String] = None, chunkSize: Int = 5000): LoadResult = {
+      passwordVariable: Option[String] = None, chunkSize: Int = 5000,
+      keyPartitioning: Option[(String, Long, Long, Int)] = None): LoadResult = {
     Identifiers.validate(table)
     keyCols.foreach(Identifiers.validate)
     val spark = df.sparkSession
-    val existing = spark.read.format("jdbc")
-      .options(db.readOptions(
-        s"SELECT ${keyCols.mkString(", ")} FROM $table", passwordVariable, chunkSize))
-      .load()
+    val existing = Extract.fromJdbc(spark, db,
+        s"SELECT ${keyCols.mkString(", ")} FROM $table",
+        passwordVariable, chunkSize, keyPartitioning)
       .toDF(keyCols: _*) // normalize case (Derby/Oracle upper-case metadata)
     val fresh = df.dropDuplicates(keyCols)
       .join(existing, keyCols, "left_anti")
@@ -133,18 +161,19 @@ object Load {
     else DriverManager.getConnection(url)
 
   /** One chunk: batch insert; on failure rollback and retry row-by-row,
-    * each row in its own transaction (etl.py:342-365).
+    * each row in its own transaction (etl.py:342-365). Returns the chunk's
+    * failed rows (empty when the batch succeeded).
     */
-  private def insertChunk(conn: Connection, stmt: PreparedStatement, sql: String,
+  private def insertChunk(conn: Connection, stmt: PreparedStatement,
       schema: StructType, chunk: Seq[Row], processed: LongAccumulator,
-      failed: LongAccumulator, quarantine: CollectionAccumulator[FailedRow],
-      maxQuarantine: Int, commitChunks: Boolean): Unit = {
+      failed: LongAccumulator, commitChunks: Boolean): Seq[FailedRow] = {
+    val chunkFailed = scala.collection.mutable.ArrayBuffer.empty[FailedRow]
     try {
       chunk.foreach { row => bind(stmt, schema, row); stmt.addBatch() }
       stmt.executeBatch()
       if (commitChunks) conn.commit()
     } catch {
-      case e: java.sql.SQLException =>
+      case _: java.sql.SQLException =>
         conn.rollback()
         stmt.clearBatch()
         chunk.foreach { row =>
@@ -156,14 +185,14 @@ object Load {
             case rowErr: java.sql.SQLException =>
               conn.rollback()
               failed.add(1)
-              if (quarantine.value.size < maxQuarantine)
-                quarantine.add(FailedRow(
-                  (0 until row.length).map(i => String.valueOf(row.get(i))),
-                  rowErr.getMessage))
+              chunkFailed += FailedRow(
+                (0 until row.length).map(i => String.valueOf(row.get(i))),
+                rowErr.getMessage)
           }
         }
     }
     processed.add(chunk.size) // includes failed rows (reference contract)
+    chunkFailed.toSeq
   }
 
   /** Positional bind by schema type — the qmark paramstyle binding. */

@@ -33,7 +33,7 @@ object TableInfo {
   def fromJdbc(db: DbParams, table: String, schema: Option[String] = None,
       passwordVariable: Option[String] = None): Seq[ColumnInfo] = {
     Identifiers.validate(table)
-    Class.forName(db.driverClass)
+    db.loadDriver()
     val conn =
       if (db.user.nonEmpty)
         DriverManager.getConnection(db.jdbcUrl, db.user,
@@ -41,9 +41,16 @@ object TableInfo {
       else DriverManager.getConnection(db.jdbcUrl)
     try {
       val meta = conn.getMetaData
+      // Fold unquoted identifiers the way THIS backend's catalog stores them
+      // (Derby/Oracle upper-case, PostgreSQL lower-case, mixed-case stores
+      // keep them as-is) — DatabaseMetaData knows, so ask it.
+      def fold(s: String): String =
+        if (meta.storesUpperCaseIdentifiers) s.toUpperCase
+        else if (meta.storesLowerCaseIdentifiers) s.toLowerCase
+        else s
       // Count schemas containing the table to reproduce the ambiguity error.
-      val tablesRs = meta.getTables(null, schema.map(_.toUpperCase).orNull,
-        table.toUpperCase, Array("TABLE"))
+      val tablesRs = meta.getTables(null, schema.map(fold).orNull,
+        fold(table), Array("TABLE"))
       var schemas = List.empty[String]
       while (tablesRs.next()) schemas ::= tablesRs.getString("TABLE_SCHEM")
       if (schemas.isEmpty)
@@ -52,7 +59,7 @@ object TableInfo {
         throw new EtlQueryError(
           s"Table name '$table' is not unique in database (schemas: ${schemas.distinct.sorted.mkString(", ")}).")
 
-      val rs = meta.getColumns(null, schemas.head, table.toUpperCase, null)
+      val rs = meta.getColumns(null, schemas.head, fold(table), null)
       var cols = Vector.empty[ColumnInfo]
       while (rs.next()) {
         cols :+= ColumnInfo(

@@ -164,33 +164,55 @@ object DedupQueries extends QueryModule {
                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
              ORDER BY doc_a, doc_b"""))
 
-  /** n-gram (unigram) Jaccard near-dup scoring within source blocks:
-    * |A∩B| / |A∪B| as exact integer division. Blocking on `source` bounds
-    * the pair count (the all-pairs form would be quadratic at scale).
+  /** n-gram (unigram) Jaccard near-dup scoring within source blocks with a
+    * document-frequency cap: |A∩B| / |A∪B| as exact integer division over
+    * token sets PRUNED of hot tokens (df > dfCap within the block).
+    *
+    * Scale design: blocking on `source` alone is not enough — one stopword
+    * appearing in n docs of a block still fans the token self-join out to
+    * ~n² rows. The df-cap is the standard fix: a (token, doc) row can match
+    * at most dfCap partners, so intersect-join rows are bounded by
+    * dfCap × |token rows| — LINEAR in corpus size, with dfCap the dial.
+    * The hot-token list itself is tiny (stopwords) and broadcast, so the
+    * prune is a map-side anti join, and sizes are computed from the pruned
+    * sets so the score stays a true Jaccard over the capped vocabulary.
+    * Exercised with a skewed corpus in DedupCapSpec; at the test SFs no
+    * token exceeds the default cap, so results match the uncapped r1 output.
     */
+  def jaccardPairs(docs: org.apache.spark.sql.DataFrame, dfCap: Int = 300,
+      threshold: Double = 0.8): org.apache.spark.sql.DataFrame = {
+    val tok0 = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val hot = tok0.groupBy("source", "tok")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select("source", "tok")
+    val tok = tok0.join(broadcast(hot), Seq("source", "tok"), "left_anti")
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = tok.as("a"); val b = tok.as("b")
+    val inter = a.join(b, col("a.tok") === col("b.tok")
+        && col("a.source") === col("b.source")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   private val q33 = QueryDef(
     "q33_jaccard_pairs",
-    (s, d) => {
-      val docs = Tables(s, d, "documents")
-      val tok = docs.select(col("doc_id"), col("source"),
-        explode(array_distinct(tokens(col("text")))).as("tok"))
-      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val a = tok.as("a"); val b = tok.as("b")
-      val inter = a.join(b, col("a.tok") === col("b.tok")
-          && col("a.source") === col("b.source")
-          && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") /
-            (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-        .orderBy("doc_a", "doc_b")
-    },
-    Some(s"""WITH tok AS (SELECT doc_id, source, unnest(list_distinct($tokSql)) AS t FROM documents),
+    (s, d) => jaccardPairs(Tables(s, d, "documents")),
+    Some(s"""WITH tok0 AS (SELECT doc_id, source, unnest(list_distinct($tokSql)) AS t FROM documents),
+                  hot AS (SELECT source, t FROM tok0 GROUP BY source, t HAVING COUNT(*) > 300),
+                  tok AS (SELECT tok0.doc_id, tok0.source, tok0.t
+                          FROM tok0 ANTI JOIN hot
+                            ON tok0.source = hot.source AND tok0.t = hot.t),
                   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
                   inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
                             FROM tok a JOIN tok b

@@ -78,19 +78,31 @@ object MiscQueries extends QueryModule {
                    CAST(LENGTH(text) // 2 AS INT) AS mid_offset
             FROM documents ORDER BY doc_id"""))
 
-  /** Sketch aggregation: HyperLogLog approximate distinct vs exact. No SQL
-    * oracle (HLL estimates are engine-specific) — rows-only check.
+  /** Sketch aggregation: HyperLogLog approximate distinct, oracled. The raw
+    * HLL estimate is engine-specific (DuckDB's sketch can't reproduce
+    * Spark's), so the SEMANTIC contract — estimate within 2% of exact — is
+    * what goes through the oracle: the exact columns hash-compare and
+    * `approx_ok` must come out TRUE, which only happens if Spark's sketch
+    * (rsd 0.01, deterministic for a given dataset) meets the bound. The
+    * numeric relative error itself is pinned in SketchSpec.
     */
   private val q47 = QueryDef(
     "q47_approx_distinct",
     (s, d) => Tables(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("approx") - col("exact_parts")).cast("double") <=
+          col("exact_parts").cast("double") * 0.02).as("approx_ok"))
       .orderBy("l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS exact_parts,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   TRUE AS approx_ok
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** WKT spatial round-trip as text (the reference's spatial recipe,
     * etl.py:387-390 / docs/recipes/spatial_etl.rst: geometry travels as WKT

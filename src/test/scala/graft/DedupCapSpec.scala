@@ -1,0 +1,49 @@
+package graft
+
+import graft.queries.DedupQueries
+
+/** The q33 document-frequency cap on a skewed corpus: a token hot within a
+  * block (df > cap) must be pruned BEFORE the token self-join — that prune is
+  * what bounds intersect-join fan-out to dfCap × |token rows| (linear in
+  * corpus size) instead of ~n² per hot token.
+  */
+class DedupCapSpec extends SparkSuite {
+
+  private def docs = {
+    import spark.implicits._
+    // one block; "common" appears in all 6 docs (hot), the rest are rare
+    Seq(
+      (1L, "s1", "common alpha beta gamma"),
+      (2L, "s1", "common alpha beta gamma delta"),
+      (3L, "s1", "common"),
+      (4L, "s1", "common"),
+      (5L, "s1", "common"),
+      (6L, "s1", "common")
+    ).toDF("doc_id", "source", "text")
+  }
+
+  test("df-cap prunes hot tokens: near-dups still found via rare tokens") {
+    val pairs = DedupQueries.jaccardPairs(docs, dfCap = 3, threshold = 0.5)
+      .collect()
+    // docs 1,2 share {alpha,beta,gamma} of union {alpha,beta,gamma,delta}
+    // once "common" (df=6 > 3) is pruned -> jaccard 0.75
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(math.abs(pairs.head.getDouble(2) - 0.75) < 1e-12)
+  }
+
+  test("without the cap the hot token pairs every doc in the block (the n² blow-up)") {
+    val pairs = DedupQueries.jaccardPairs(docs, dfCap = 1000, threshold = 0.5)
+      .collect()
+    // the 4 "common"-only docs are all mutually identical -> C(4,2)=6 pairs,
+    // plus (1,2): the fan-out the cap exists to prevent
+    assert(pairs.length == 7)
+  }
+
+  test("capped pair generation is bounded by dfCap per (token, doc) row") {
+    // with dfCap=3 no token row can match more than 3 partners; the capped
+    // join row count here is exactly the 3 rare-token matches of (1,2)
+    val capped = DedupQueries.jaccardPairs(docs, dfCap = 3, threshold = 0.0)
+      .collect()
+    assert(capped.length == 1) // only (1,2) survives — hot-only docs have empty sets
+  }
+}

@@ -4,6 +4,23 @@ import java.sql.DriverManager
 
 import graft.operators.{Extract, Load}
 
+/** Executor-side onError capture: local-mode executors share this JVM, so a
+  * static holder observes the distributed callback invocations.
+  */
+object LoadSpecState {
+  val errors = new java.util.concurrent.ConcurrentLinkedQueue[graft.operators.FailedRow]()
+  val calls = new java.util.concurrent.atomic.AtomicInteger()
+  val totalRows = new java.util.concurrent.atomic.AtomicInteger()
+
+  def reset(): Unit = { errors.clear(); calls.set(0); totalRows.set(0) }
+
+  val record: Seq[graft.operators.FailedRow] => Unit = { rows =>
+    calls.incrementAndGet()
+    totalRows.addAndGet(rows.size)
+    rows.foreach(errors.add)
+  }
+}
+
 /** Load semantics against embedded Derby (the in-process JDBC backend):
   * mirror of /root/reference/test/integration/etl/test_etl_load.py —
   * happy path, duplicate-PK error channel with exact (processed, failed)
@@ -97,6 +114,64 @@ class LoadSpec extends SparkSuite {
       assert(r.processed == 0 && r.failed == 0)
       assert(rowCount("dest_empty") == 0)
     }
+  }
+
+  test("loadWithErrorChannel: maxQuarantine bounds TOTAL quarantined rows " +
+    "across partitions; failure counts stay exact") {
+    withTable("dest_qbound") {
+      import spark.implicits._
+      val all = (1 to 200).map(i =>
+        (i, i * 1.0, "t", "u", java.sql.Date.valueOf("2020-01-01"),
+          java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .toDF("id", "value", "simple_text", "utf8_text", "day", "date_time")
+      Load.load(all, db, "dest_qbound") // pre-populate: every re-insert conflicts
+      val r = Load.loadWithErrorChannel(all.repartition(4), db, "dest_qbound",
+        chunkSize = 25, maxQuarantine = 20)
+      assert(r.failed == 200, s"failed=${r.failed}") // exact regardless of bound
+      assert(r.processed == 200)
+      // global bound: 4 partitions × (20/4) budget — never maxQuarantine × tasks
+      assert(r.failedRows.length == 20, s"quarantined=${r.failedRows.length}")
+    }
+  }
+
+  test("loadWithErrorChannel: onError invoked per failed chunk with exactly " +
+    "that chunk's failed rows (etl.py:305-320 parity)") {
+    withTable("dest_onerr") {
+      import spark.implicits._
+      val all = (1 to 10).map(i =>
+        (i, i * 1.0, "t", "u", java.sql.Date.valueOf("2020-01-01"),
+          java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .toDF("id", "value", "simple_text", "utf8_text", "day", "date_time")
+      Load.load(all, db, "dest_onerr")
+      LoadSpecState.reset()
+      val r = Load.loadWithErrorChannel(all.coalesce(1), db, "dest_onerr",
+        chunkSize = 5, onError = Some(LoadSpecState.record))
+      assert(r.failed == 10)
+      assert(LoadSpecState.calls.get() == 2) // 10 rows / 5-row chunks, both failed
+      assert(LoadSpecState.totalRows.get() == 10)
+      assert(LoadSpecState.errors.iterator().next().error.nonEmpty)
+    }
+  }
+
+  test("LOB round-trip: 40k-char CLOB and 40k-byte BLOB survive load + " +
+    "extract (reference test_oracle.py:289-328 parity, via Derby)") {
+    val conn = DriverManager.getConnection(db.jdbcUrl)
+    try {
+      try conn.createStatement().execute("DROP TABLE lob_t")
+      catch { case _: java.sql.SQLException => () }
+      conn.createStatement().execute(
+        "CREATE TABLE lob_t (id INT PRIMARY KEY, big_text CLOB, big_bytes BLOB)")
+    } finally conn.close()
+    import spark.implicits._
+    val bigText = "etlhelper" * 4445 + "END" // 40,008 chars
+    val bigBytes = Array.tabulate[Byte](40000)(i => (i % 251).toByte)
+    val df = Seq((1, bigText, bigBytes)).toDF("id", "big_text", "big_bytes")
+    val r = Load.loadWithErrorChannel(df, db, "lob_t")
+    assert(r.processed == 1 && r.failed == 0)
+    val back = Extract.fromJdbc(spark, db,
+      "SELECT id, big_text, big_bytes FROM lob_t").head()
+    assert(back.getAs[String]("BIG_TEXT") == bigText)
+    assert(back.getAs[Array[Byte]]("BIG_BYTES").sameElements(bigBytes))
   }
 
   test("invalid table name raises EtlBadIdentifierError before any SQL") {

@@ -83,6 +83,38 @@ class StreamingSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("watermark drops late data in append mode (out-of-order input)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val agg = EventStreams.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"),
+      width = "10 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("late_t")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("late-ckpt"))
+      .start()
+    try {
+      // batch 1: two events in the 10:00 window, plus 11:00 which advances
+      // the watermark to 10:50 — the 10:00 window closes and emits n=2
+      input.addData((ts("10:00"), "a", 1.0), (ts("10:05"), "a", 1.0), (ts("11:00"), "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: a late event at 10:01, behind the watermark -> dropped
+      input.addData((ts("10:01"), "a", 99.0))
+      q.processAllAvailable()
+      // batch 3: advance far enough to flush every remaining window
+      input.addData((ts("12:00"), "a", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("late_t")
+      .filter($"window_start" === ts("10:00")).collect()
+    assert(got.length == 1, "the 10:00 window must emit exactly once")
+    assert(got.head.getAs[Long]("n_events") == 2L,
+      "late 10:01 event must NOT be counted")
+    assert(got.head.getAs[Double]("total_value") == 2.0)
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     import spark.implicits._
     val events = EventStreams.readStream(spark, streamDir)

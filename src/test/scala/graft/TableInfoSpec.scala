@@ -37,6 +37,23 @@ class TableInfoSpec extends SparkSuite {
     assert(byName("id").dataType.toUpperCase.contains("INT"))
   }
 
+  test("case folding follows the backend's catalog convention " +
+    "(mixed-case lookup still resolves on an upper-folding store)") {
+    val conn = DriverManager.getConnection(db.jdbcUrl)
+    try {
+      try { conn.createStatement().execute("DROP TABLE mixed_t") }
+      catch { case _: java.sql.SQLException => () }
+      conn.createStatement().execute(
+        "CREATE TABLE mixed_t (id INT NOT NULL, label VARCHAR(10))")
+    } finally conn.close()
+    // Derby stores unquoted identifiers upper-cased; the fold must be asked
+    // of DatabaseMetaData, not assumed — so any casing of the name resolves
+    for (name <- Seq("mixed_t", "MIXED_T", "MiXeD_t")) {
+      val cols = TableInfo.fromJdbc(db, name)
+      assert(cols.map(_.name) == Seq("id", "label"), s"lookup of $name")
+    }
+  }
+
   test("missing table raises EtlQueryError") {
     val e = intercept[EtlQueryError](TableInfo.fromJdbc(db, "no_such_table"))
     assert(e.getMessage.contains("not found"))
