@@ -12,7 +12,7 @@ object SparkEntry {
 
   def modules: Seq[QueryModule] = Seq(
     CoreQueries, RelationalQueries, TextQueries, DedupQueries,
-    SimilarityQueries, EventQueries, MiscQueries)
+    SimilarityQueries, EventQueries, MiscQueries, PipelineQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -64,6 +64,17 @@ object Load {
     s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
   }
 
+  /** O11 named-paramstyle form (the reference's named/pyformat surface,
+    * `named_paramstyle` in each db_helpers backend): `:name` placeholders
+    * keyed by column, the shape Spark's parameterized SQL (`Extract.sql`)
+    * binds.
+    */
+  def generateInsertSqlNamed(table: String, schema: StructType): String = {
+    Identifiers.validate(table)
+    val cols = schema.fieldNames.map(Identifiers.validate)
+    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(c => s":$c").mkString(", ")})"
+  }
+
   /** O5+O6 executemany with the on_error channel. `maxQuarantine` bounds the
     * TOTAL failed-row payload shipped driver-ward (counts stay exact
     * regardless): the budget is split across partitions up front, so the

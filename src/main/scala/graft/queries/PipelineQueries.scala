@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import Exact._
+
+/** Composite training-data pipeline queries and the remaining relational
+  * surface: the end-to-end corpus-clean pass (quality gate + language check
+  * + exact dedup in one plan), correlated aggregate predicates, multiset set
+  * ops, GROUPING SETS, higher-order array aggregation, and window
+  * distribution functions.
+  *
+  * Scale notes: q56 is the shape a 100 TB pre-training clean actually runs —
+  * per-row codegen'd metrics (no shuffle) feeding ONE hash shuffle on the
+  * content hash for the dedup; nothing is collected and the quality gate
+  * prunes before the shuffle, so shuffle volume is the post-filter survivor
+  * set only. q57's per-nation averages are a 25-row aggregate broadcast back
+  * against the full table — the correlated-subquery decorrelation a good
+  * optimizer performs, written explicitly.
+  */
+object PipelineQueries extends QueryModule {
+
+  private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private val nTokSql = s"len($tokSql)"
+  private val punctSql =
+    "(CAST(LENGTH(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)" +
+      " / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE))"
+  private def hitsSql(words: Seq[String]) =
+    s"len(list_filter($tokSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+  private val enHits = hitsSql(Seq("the", "a", "of", "and", "to", "in", "is"))
+  private val stopRatioSql =
+    s"(CAST($enHits AS DOUBLE) / CAST(GREATEST($nTokSql, 1) AS DOUBLE))"
+  private val qualitySql =
+    s"""LEAST(CAST($nTokSql AS DOUBLE) / 50.0, 1.0) * 0.4
+        + (1.0 - $punctSql) * 0.3
+        + LEAST($stopRatioSql * 5.0, 1.0) * 0.3"""
+
+  /** The full corpus-clean pass in one declarative plan: score every doc
+    * (codegen'd, shuffle-free), gate on quality, then exact-dedup survivors
+    * on the content hash keeping the lowest doc_id. The only shuffle is the
+    * dedup window on content_hash, and it sees post-gate survivors only.
+    */
+  private val q56 = QueryDef(
+    "q56_corpus_clean",
+    (s, d) => {
+      val scored = Tables(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        qualityScore(col("text")).as("quality"),
+        contentHash(col("text")).as("content_hash"))
+      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id").asc)
+      scored.filter(col("quality") >= 0.5)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "quality", "content_hash")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH scored AS (
+               SELECT doc_id, lang, $qualitySql AS quality,
+                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+               FROM documents),
+             ranked AS (
+               SELECT doc_id, lang, quality, content_hash,
+                      ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id ASC) AS rn
+               FROM scored WHERE quality >= 0.5)
+             SELECT doc_id, lang, quality, content_hash
+             FROM ranked WHERE rn = 1 ORDER BY doc_id"""))
+
+  /** Correlated aggregate predicate, decorrelated: customers above their
+    * nation's average balance. The per-nation aggregate is tiny (one row per
+    * nation) and broadcast — the full table never shuffles.
+    */
+  private val q57 = QueryDef(
+    "q57_above_nation_avg",
+    (s, d) => {
+      val c = Tables(s, d, "customer")
+      val nav = c.groupBy("c_nationkey")
+        .agg(davg(col("c_acctbal")).as("nation_avg"))
+      c.join(broadcast(nav), "c_nationkey")
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "nation_avg")
+        .orderBy("c_custkey")
+    },
+    Some(s"""WITH nav AS (SELECT c_nationkey, ${sqlDavg("c_acctbal")} AS nation_avg
+                          FROM customer GROUP BY c_nationkey)
+             SELECT c_custkey, c_name, c_nationkey, c_acctbal, nation_avg
+             FROM customer JOIN nav USING (c_nationkey)
+             WHERE c_acctbal > nation_avg
+             ORDER BY c_custkey"""))
+
+  /** Multiset set operations (q17 covers the DISTINCT forms): nation keys of
+    * customers vs suppliers with multiplicity — INTERSECT ALL keeps
+    * min(count_a, count_b) copies, EXCEPT ALL keeps count_a - count_b.
+    */
+  private val q58 = QueryDef(
+    "q58_set_ops_all",
+    (s, d) => {
+      val a = Tables(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val b = Tables(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .orderBy("op", "nationkey")
+    },
+    Some("""SELECT nationkey, 'intersect_all' AS op
+            FROM (SELECT c_nationkey AS nationkey FROM customer
+                  INTERSECT ALL
+                  SELECT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT nationkey, 'except_all' AS op
+            FROM (SELECT c_nationkey AS nationkey FROM customer
+                  EXCEPT ALL
+                  SELECT s_nationkey FROM supplier)
+            ORDER BY op, nationkey"""))
+
+  /** Explicit GROUPING SETS (beyond q43/q44's ROLLUP/CUBE): per-flag and
+    * per-status subtotals plus the grand total, disambiguated by
+    * grouping_id — one aggregation pass with grouping expansion.
+    */
+  private val q59 = QueryDef(
+    "q59_grouping_sets",
+    (s, d) => Tables(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first),
+    Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                    ${sqlDsum("l_quantity")} AS sum_qty,
+                    GROUPING(l_returnflag, l_linestatus) AS gid
+             FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** Higher-order array aggregation: per-order quantity vectors processed
+    * with codegen'd HOFs — fold (aggregate), predicate count (filter), no
+    * UDFs. Arrays stay internal; outputs are scalars so the differential
+    * hash sees plain columns.
+    */
+  private val q60 = QueryDef(
+    "q60_hof_arrays",
+    (s, d) => Tables(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_list(col("l_quantity").cast("int"))).as("qtys"))
+      .select(
+        col("l_orderkey"),
+        size(col("qtys")).as("n_items"),
+        aggregate(col("qtys"), lit(0), (acc, x) => acc + x).as("qty_sum"),
+        size(filter(col("qtys"), _ > 25)).as("n_big"),
+        element_at(col("qtys"), 1).as("min_qty"),
+        element_at(col("qtys"), -1).as("max_qty"))
+      .orderBy("l_orderkey"),
+    Some("""WITH q AS (SELECT l_orderkey,
+                              list_sort(list(CAST(l_quantity AS INT))) AS qtys
+                       FROM lineitem GROUP BY l_orderkey)
+            SELECT l_orderkey,
+                   len(qtys) AS n_items,
+                   CAST(list_aggregate(qtys, 'sum') AS INT) AS qty_sum,
+                   len(list_filter(qtys, x -> x > 25)) AS n_big,
+                   qtys[1] AS min_qty,
+                   qtys[-1] AS max_qty
+            FROM q ORDER BY l_orderkey"""))
+
+  /** Window distribution functions: quartile bucket, percent_rank and
+    * cume_dist of customers by balance within market segment. The window
+    * order carries a unique tie-break so ntile assignment is deterministic.
+    */
+  private val q61 = QueryDef(
+    "q61_window_distribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables(s, d, "customer")
+        .select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+                   NTILE(4) OVER w AS quartile,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CUME_DIST() OVER w AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal ASC, c_custkey ASC)
+            ORDER BY c_custkey"""))
+
+  override def defs: Seq[QueryDef] = Seq(q56, q57, q58, q59, q60, q61)
+}

@@ -87,6 +87,30 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Streaming exact deduplication bounded by the watermark: duplicate
+    * event_ids arriving within the horizon are dropped, and the dedup state
+    * for ids older than the watermark is garbage-collected — the streaming
+    * twin of q29/q30 batch dedup, and the only dedup formulation whose state
+    * doesn't grow without bound on an infinite stream.
+    */
+  def dedupedStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: right events of the same user within
+    * `within` after the left event. Both sides are watermarked so Spark can
+    * bound and GC the join state buffers; the interval condition is what
+    * makes that GC possible at all (an unbounded-time stream join would
+    * buffer forever).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, within: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+      s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $within"))
+  }
+
   /** Custom streaming state (§2.9 upgrade): per-user running totals via
     * mapGroupsWithState — the KeyValueGroupedDataset state-store surface.
     * Emits the updated running aggregate for each user every micro-batch.

@@ -185,6 +185,15 @@ class LoadSpec extends SparkSuite {
       " VALUES (?, ?, ?, ?, ?, ?)")
   }
 
+  test("generateInsertSqlNamed emits named-paramstyle INSERT (reference " +
+    "named/pyformat surface)") {
+    val sql = Load.generateInsertSqlNamed("dest", fixtureDf.schema)
+    assert(sql == "INSERT INTO dest (id, value, simple_text, utf8_text, day, date_time)" +
+      " VALUES (:id, :value, :simple_text, :utf8_text, :day, :date_time)")
+    assertThrows[EtlBadIdentifierError](
+      Load.generateInsertSqlNamed("bad;table", fixtureDf.schema))
+  }
+
   test("round-trip: load then extract back preserves values incl UTF-8") {
     withTable("dest_rt") {
       Load.load(fixtureDf, db, "dest_rt")

@@ -115,6 +115,61 @@ class StreamingSpec extends SparkSuite {
     assert(got.head.getAs[Double]("total_value") == 2.0)
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark, " +
+    "across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val deduped = EventStreams.dedupedStream(
+      input.toDF().toDF("event_id", "ts"), watermark = "30 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_t")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("dedup-ckpt"))
+      .start()
+    try {
+      // batch 1: id 1 twice in one batch + id 2
+      input.addData((1L, ts("10:00")), (1L, ts("10:00")), (2L, ts("10:05")))
+      q.processAllAvailable()
+      // batch 2: id 1 again, still inside the watermark horizon -> dropped
+      input.addData((1L, ts("10:01")), (3L, ts("10:10")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_t").collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "each event_id must survive exactly once")
+  }
+
+  test("stream-stream interval join matches right events within the window, " +
+    "same user only") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val joined = EventStreams.intervalJoin(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      views.toDF().toDF("event_id", "user_id", "ts"),
+      within = "10 minutes")
+      .selectExpr("l.event_id AS click_id", "r.event_id AS view_id",
+        "l.user_id AS user_id")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_t")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("ssjoin-ckpt"))
+      .start()
+    try {
+      clicks.addData((100L, 1L, ts("10:00")))
+      views.addData(
+        (200L, 1L, ts("10:05")), // same user, within 10 min -> match
+        (201L, 1L, ts("10:20")), // same user, outside the interval -> no match
+        (202L, 2L, ts("10:02"))) // different user -> no match
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjoin_t").collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 100L && got.head.getLong(1) == 200L)
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     import spark.implicits._
     val events = EventStreams.readStream(spark, streamDir)
