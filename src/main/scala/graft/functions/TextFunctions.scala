@@ -110,11 +110,22 @@ object TextFunctions {
       .drop("__toks", "__i")
   }
 
-  /** One MinHash signature component: the minimum md5 of `seed:shingle`
-    * over the document's distinct shingles. A fixed-width hex string is
-    * order-isomorphic to its numeric value, so `min` over hex == min over
-    * the hash integers — and md5 hex is identical on every engine.
+  /** Parent digest p (0 or 1) for the sliced MinHash scheme: md5 of
+    * `p:shingle`. Each 128-bit digest is cut into four 32-bit (8-hex-char)
+    * slices, so TWO md5 evaluations per shingle yield EIGHT independent
+    * hash components — md5 is the dominant per-shingle cost of MinHash at
+    * corpus scale, and this is 4x fewer digests than one per component.
+    * Materialize parents as columns BEFORE the aggregate so the projection
+    * computes each digest once (codegen CSE), not once per agg expression.
     */
-  def minhashComponent(shingleCol: Column, seed: Int): Column =
-    min(md5(concat(lit(s"$seed:"), shingleCol)))
+  def minhashParent(shingleCol: Column, p: Int): Column =
+    md5(concat(lit(s"$p:"), shingleCol))
+
+  /** MinHash component i (0-7) as an aggregate over parent digests m0/m1:
+    * the minimum of the i-th 8-hex-char slice. A fixed-width hex string is
+    * order-isomorphic to its numeric value, so `min` over hex == min over
+    * the 32-bit hash integers — and md5 hex is identical on every engine.
+    */
+  def minhashSlice(m0: Column, m1: Column, i: Int): Column =
+    min(substring(if (i < 4) m0 else m1, (i % 4) * 8 + 1, 8))
 }

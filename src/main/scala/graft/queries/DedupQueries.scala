@@ -19,18 +19,22 @@ object DedupQueries extends QueryModule {
   private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   /** 32-bit SimHash signatures for documents(doc_id, text): term-frequency
-    * weighted, per-(token,bit) sign from md5. Computed as 32 aggregate
-    * columns over the (doc, token, weight) rows — ONE shuffle of the token
-    * rows instead of exploding 32 bit-rows per token (32x the shuffle
-    * volume for the same md5 work). Identical math to the oracle's
-    * exploded formulation.
+    * weighted, per-(token,bit) sign taken from nibble b of md5(token).
+    * Computed as 32 aggregate columns over the (doc, token, weight) rows —
+    * ONE shuffle of the token rows instead of exploding 32 bit-rows per
+    * token (32x the shuffle volume), and ONE md5 per distinct token
+    * occurrence instead of 32 (each of md5's 32 hex nibbles supplies an
+    * independent sign bit) — md5 is the dominant per-row cost of this
+    * operator at corpus scale. Identical math to the oracle's exploded
+    * formulation.
     */
   def simhash32(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tw = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+      .withColumn("h", md5(col("tok")))
     val bitSums = (0 until 32).map { b =>
-      sum(when(substring(md5(concat(col("tok"), lit(s":$b"))), 1, 1) <= "7",
+      sum(when(substring(col("h"), b + 1, 1) <= "7",
         col("w")).otherwise(-col("w"))).as(s"s$b")
     }
     tw.groupBy("doc_id")
@@ -79,26 +83,31 @@ object DedupQueries extends QueryModule {
               FROM lineitem) t
             WHERE rn = 1 ORDER BY l_orderkey"""))
 
-  /** MinHash signatures over word-trigram shingles: 8 components, each the
-    * min md5 of seed:shingle. Fixed-width hex min == numeric min, and md5
-    * agrees across engines. One shuffle on doc_id; shingles explode via the
-    * codegen'd position form (8x the HOF-array form, see explodeShingles).
+  /** MinHash signatures over word-trigram shingles: 8 components sliced
+    * from TWO parent md5 digests per shingle (four 32-bit slices each — see
+    * minhashParent/minhashSlice). Fixed-width hex min == numeric min, and
+    * md5 agrees across engines. One shuffle on doc_id; shingles explode via
+    * the codegen'd position form (8x the HOF-array form, see
+    * explodeShingles), and the 8-char components shrink signature shuffle
+    * bytes 4x vs full digests.
     */
   private val q31 = QueryDef(
     "q31_minhash_signature",
     (s, d) => explodeShingles(
         Tables(s, d, "documents").select("doc_id", "text"),
         col("text"), 3, "sh")
+      .withColumn("m0", minhashParent(col("sh"), 0))
+      .withColumn("m1", minhashParent(col("sh"), 1))
       .groupBy("doc_id")
       .agg(
-        minhashComponent(col("sh"), 0).as("h0"),
-        minhashComponent(col("sh"), 1).as("h1"),
-        minhashComponent(col("sh"), 2).as("h2"),
-        minhashComponent(col("sh"), 3).as("h3"),
-        minhashComponent(col("sh"), 4).as("h4"),
-        minhashComponent(col("sh"), 5).as("h5"),
-        minhashComponent(col("sh"), 6).as("h6"),
-        minhashComponent(col("sh"), 7).as("h7"))
+        minhashSlice(col("m0"), col("m1"), 0).as("h0"),
+        minhashSlice(col("m0"), col("m1"), 1).as("h1"),
+        minhashSlice(col("m0"), col("m1"), 2).as("h2"),
+        minhashSlice(col("m0"), col("m1"), 3).as("h3"),
+        minhashSlice(col("m0"), col("m1"), 4).as("h4"),
+        minhashSlice(col("m0"), col("m1"), 5).as("h5"),
+        minhashSlice(col("m0"), col("m1"), 6).as("h6"),
+        minhashSlice(col("m0"), col("m1"), 7).as("h7"))
       .orderBy("doc_id"),
     Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
                   sh AS (SELECT doc_id, unnest(list_distinct(
@@ -108,10 +117,14 @@ object DedupQueries extends QueryModule {
                                 ELSE []::VARCHAR[] END)) AS s
                          FROM toks)
              SELECT doc_id,
-                    min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-                    min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-                    min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-                    min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+                    min(substring(md5('0:' || s), 1, 8)) AS h0,
+                    min(substring(md5('0:' || s), 9, 8)) AS h1,
+                    min(substring(md5('0:' || s), 17, 8)) AS h2,
+                    min(substring(md5('0:' || s), 25, 8)) AS h3,
+                    min(substring(md5('1:' || s), 1, 8)) AS h4,
+                    min(substring(md5('1:' || s), 9, 8)) AS h5,
+                    min(substring(md5('1:' || s), 17, 8)) AS h6,
+                    min(substring(md5('1:' || s), 25, 8)) AS h7
              FROM sh GROUP BY doc_id ORDER BY doc_id"""))
 
   /** MinHash-LSH candidate pairs: 8 bigram-shingle minhashes -> 4 bands of
@@ -127,9 +140,11 @@ object DedupQueries extends QueryModule {
       val sig = explodeShingles(
           Tables(s, d, "documents").select("doc_id", "text"),
           col("text"), 2, "tok")
+        .withColumn("m0", minhashParent(col("tok"), 0))
+        .withColumn("m1", minhashParent(col("tok"), 1))
         .groupBy("doc_id")
-        .agg(minhashComponent(col("tok"), 0).as("h0"),
-          (1 until 8).map(i => minhashComponent(col("tok"), i).as(s"h$i")): _*)
+        .agg(minhashSlice(col("m0"), col("m1"), 0).as("h0"),
+          (1 until 8).map(i => minhashSlice(col("m0"), col("m1"), i).as(s"h$i")): _*)
       val bands = sig.select(col("doc_id"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band"),
           md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("key"))): _*)).as("bk"))
@@ -149,10 +164,14 @@ object DedupQueries extends QueryModule {
                                  ELSE []::VARCHAR[] END)) AS t
                           FROM toks),
                   sig AS (SELECT doc_id,
-                           min(md5('0:' || t)) AS h0, min(md5('1:' || t)) AS h1,
-                           min(md5('2:' || t)) AS h2, min(md5('3:' || t)) AS h3,
-                           min(md5('4:' || t)) AS h4, min(md5('5:' || t)) AS h5,
-                           min(md5('6:' || t)) AS h6, min(md5('7:' || t)) AS h7
+                           min(substring(md5('0:' || t), 1, 8)) AS h0,
+                           min(substring(md5('0:' || t), 9, 8)) AS h1,
+                           min(substring(md5('0:' || t), 17, 8)) AS h2,
+                           min(substring(md5('0:' || t), 25, 8)) AS h3,
+                           min(substring(md5('1:' || t), 1, 8)) AS h4,
+                           min(substring(md5('1:' || t), 9, 8)) AS h5,
+                           min(substring(md5('1:' || t), 17, 8)) AS h6,
+                           min(substring(md5('1:' || t), 25, 8)) AS h7
                           FROM tok GROUP BY doc_id),
                   bands AS (
                     SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig UNION ALL
@@ -239,7 +258,7 @@ object DedupQueries extends QueryModule {
                          FROM (SELECT doc_id, unnest($tokSql) AS t FROM documents)
                          GROUP BY doc_id, t),
                   bits AS (SELECT doc_id, b,
-                             SUM(CASE WHEN substring(md5(tok || ':' || b), 1, 1) <= '7'
+                             SUM(CASE WHEN substring(md5(tok), CAST(b + 1 AS INT), 1) <= '7'
                                       THEN w ELSE -w END) AS s
                            FROM tw, range(32) r(b) GROUP BY doc_id, b)
              SELECT doc_id,
@@ -272,7 +291,7 @@ object DedupQueries extends QueryModule {
                          FROM (SELECT doc_id, unnest($tokSql) AS t FROM documents)
                          GROUP BY doc_id, t),
                   bits AS (SELECT doc_id, b,
-                             SUM(CASE WHEN substring(md5(tok || ':' || b), 1, 1) <= '7'
+                             SUM(CASE WHEN substring(md5(tok), CAST(b + 1 AS INT), 1) <= '7'
                                       THEN w ELSE -w END) AS s
                            FROM tw, range(32) r(b) GROUP BY doc_id, b),
                   sig AS (SELECT doc_id,

@@ -12,7 +12,7 @@ class SketchSpec extends SparkSuite {
     Tables(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
         countDistinct(col("l_partkey")).as("exact"))
       .collect()
       .map(r => (r.getString(0),
