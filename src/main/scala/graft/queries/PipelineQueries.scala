@@ -189,5 +189,37 @@ object PipelineQueries extends QueryModule {
                          ORDER BY c_acctbal ASC, c_custkey ASC)
             ORDER BY c_custkey"""))
 
-  override def defs: Seq[QueryDef] = Seq(q56, q57, q58, q59, q60, q61)
+  /** Full outer join over disjoint-ish aggregates: nations' high-balance
+    * customer counts vs low-balance supplier counts — both sides filtered so
+    * some nations appear on only one side and the outer join must synthesize
+    * nulls (coalesced to zero). Both inputs are already-reduced aggregates,
+    * so the join is tiny regardless of fact-table size.
+    */
+  private val q63 = QueryDef(
+    "q63_full_outer",
+    (s, d) => {
+      val c = Tables(s, d, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_rich_cust"))
+      val sp = Tables(s, d, "supplier")
+        .filter(col("s_acctbal") < -800)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_poor_supp"))
+      c.join(sp, c("c_nationkey") === sp("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+          coalesce(col("n_poor_supp"), lit(0L)).as("n_poor_supp"))
+        .orderBy("nationkey")
+    },
+    Some("""WITH c AS (SELECT c_nationkey, COUNT(*) AS n_rich_cust
+                       FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+                 sp AS (SELECT s_nationkey, COUNT(*) AS n_poor_supp
+                        FROM supplier WHERE s_acctbal < -800 GROUP BY s_nationkey)
+            SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+                   COALESCE(n_rich_cust, 0) AS n_rich_cust,
+                   COALESCE(n_poor_supp, 0) AS n_poor_supp
+            FROM c FULL OUTER JOIN sp ON c_nationkey = s_nationkey
+            ORDER BY nationkey"""))
+
+  override def defs: Seq[QueryDef] = Seq(q56, q57, q58, q59, q60, q61, q63)
 }

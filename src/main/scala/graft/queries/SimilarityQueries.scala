@@ -131,5 +131,66 @@ object SimilarityQueries extends QueryModule {
              WHERE ${cosSql("a.v", "b.v")} >= 0.3
              ORDER BY vec_a, vec_b"""))
 
-  override def defs: Seq[QueryDef] = Seq(q36, q37, q38)
+  /** ANN via IVF (inverted-file) coarse quantization — the other classic
+    * scale path next to LSH (q37): assign every vector to its nearest of 8
+    * fixed coarse centroids (here: sampled corpus vectors, the zero-iteration
+    * k-means init — deterministic and engine-portable), then probe the
+    * query's 2 nearest cells (nprobe, the recall/cost dial) and exact-rerank
+    * only those cells' members.
+    *
+    * Scale shape: centroids are broadcast (8 rows), assignment is a
+    * broadcast join + per-vector 8-row argmax — linear, no shuffle of the
+    * corpus beyond the cell groupBy; candidate scoring touches only the
+    * probed cells instead of the whole corpus. Recall improves with nprobe;
+    * cost is proportional to the probed fraction.
+    */
+  private val q62 = QueryDef(
+    "q62_ann_ivf",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val aff = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"),
+          cosine(col("v"), col("cv")).as("aff"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("aff").desc, col("cid").asc)
+      val ranked = aff.withColumn("crn", row_number().over(w))
+      val cells = ranked.filter(col("crn") === 1)
+        .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      val qcells = ranked.filter(col("vec_id") < 5 && col("crn") <= 2)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid").as("cell"))
+      val scored = cells.join(broadcast(qcells),
+          cells("cell") === qcells("cell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          cosine(col("qv"), col("v")).as("sim"))
+      val wr = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      scored.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+          col("rank"), col("sim").as("cos_sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                  cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+                  ranked AS (SELECT vec_id, v, cid, aff,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY aff DESC, cid ASC) AS crn
+                             FROM (SELECT e.vec_id, e.v, cid, ${cosSql("v", "cv")} AS aff
+                                   FROM e CROSS JOIN cents)),
+                  cells AS (SELECT vec_id, v, cid AS cell FROM ranked WHERE crn = 1),
+                  qcells AS (SELECT vec_id AS qid, v AS qv, cid AS cell
+                             FROM ranked WHERE vec_id < 5 AND crn <= 2),
+                  scored AS (SELECT qid, cells.vec_id AS nid, ${cosSql("qv", "v")} AS sim
+                             FROM cells JOIN qcells ON cells.cell = qcells.cell
+                                                   AND cells.vec_id <> qid)
+             SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim AS cos_sim
+             FROM (SELECT qid, nid, sim,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+                   FROM scored) t
+             WHERE rn <= 5 ORDER BY query_id, rank"""))
+
+  override def defs: Seq[QueryDef] = Seq(q36, q37, q38, q62)
 }

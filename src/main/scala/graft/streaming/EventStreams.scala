@@ -111,6 +111,54 @@ object EventStreams {
       s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $within"))
   }
 
+  /** Custom sessionization via flatMapGroupsWithState with an event-time
+    * timeout — the fully general state API (0..N outputs per group per
+    * batch, explicit state machine): events accumulate into an open
+    * session; when the watermark passes the session's gap the timeout
+    * fires and the CLOSED session is emitted. Unlike the built-in
+    * session_window (sessionWindows above) this shape can carry arbitrary
+    * per-session state (e.g. first/last event payloads) — it is the escape
+    * hatch when session semantics outgrow the built-in.
+    */
+  def sessionizeWithState(events: Dataset[Event], gapMinutes: Long = 30,
+      watermark: String = "10 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserSession]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed the gap: close and emit the session
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption.orNull
+            val closed = Seq.newBuilder[UserSession]
+            evs.foreach { e =>
+              cur match {
+                case null =>
+                  cur = UserSession(userId, e.ts, e.ts, 1L, e.value)
+                case s if e.ts.getTime - s.session_end.getTime > gapMs =>
+                  closed += s // gap exceeded inside the batch: emit, start anew
+                  cur = UserSession(userId, e.ts, e.ts, 1L, e.value)
+                case s =>
+                  cur = s.copy(session_end = e.ts, n_events = s.n_events + 1,
+                    session_value = s.session_value + e.value)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.session_end.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Custom streaming state (§2.9 upgrade): per-user running totals via
     * mapGroupsWithState — the KeyValueGroupedDataset state-store surface.
     * Emits the updated running aggregate for each user every micro-batch.

@@ -170,6 +170,40 @@ class StreamingSpec extends SparkSuite {
     assert(got.head.getLong(0) == 100L && got.head.getLong(1) == 200L)
   }
 
+  test("flatMapGroupsWithState sessionization: event-time timeout closes " +
+    "and emits sessions once the watermark passes the gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def ev(id: Long, user: Long, t: String, v: Double) =
+      EventStreams.Event(id, ts(t), user, "click", v)
+    val input = MemoryStream[EventStreams.Event](spark)
+    val sessions = EventStreams.sessionizeWithState(input.toDS(), gapMinutes = 30)
+    val q = sessions.toDF().writeStream.format("memory").queryName("fmgws_t")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("fmgws-ckpt"))
+      .start()
+    try {
+      // open two sessions
+      input.addData(ev(1, 1L, "10:00", 1.0), ev(2, 1L, "10:10", 2.0),
+        ev(3, 2L, "10:05", 5.0))
+      q.processAllAvailable()
+      // a much later event advances the watermark past both sessions' gaps,
+      // firing their event-time timeouts
+      input.addData(ev(4, 3L, "13:00", 0.0))
+      q.processAllAvailable()
+      input.addData(ev(5, 3L, "16:00", 0.0)) // flush user 3's first session too
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fmgws_t").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(got.exists(s => s._1 == 1L && s._2 == ts("10:00") && s._3 == ts("10:10")
+      && s._4 == 2L && s._5 == 3.0), s"user1 session missing: ${got.mkString(",")}")
+    assert(got.exists(s => s._1 == 2L && s._4 == 1L && s._5 == 5.0),
+      s"user2 session missing: ${got.mkString(",")}")
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     import spark.implicits._
     val events = EventStreams.readStream(spark, streamDir)
