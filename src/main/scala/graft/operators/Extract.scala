@@ -70,6 +70,19 @@ object Extract {
       case None => spark.read.json(path)
     }
 
+  /** ORC source — the other columnar format with full pushdown/pruning
+    * support (PushedFilters/ReadSchema reach the ORC reader exactly as for
+    * parquet).
+    */
+  def fromOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Plain-text source: one row per line (`value` string column) — the raw
+    * ingestion shape for unstructured corpus files before parsing.
+    */
+  def fromText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** O4 fetchall: materialize the full result on the driver. */
   def fetchAll(df: DataFrame): Seq[Row] = df.collect().toSeq
 

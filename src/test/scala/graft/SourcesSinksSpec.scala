@@ -32,6 +32,29 @@ class SourcesSinksSpec extends SparkSuite {
     assert(back.head().getAs[String]("utf8_text") == "Öæ°\nz")
   }
 
+  test("orc round-trip keeps types and UTF-8 content") {
+    val p = tmpDir("orc-rt") + "/data"
+    fixtureDf.write.orc(p)
+    val back = Extract.fromOrc(spark, p).orderBy("id")
+    assert(back.count() == 3)
+    assert(back.head().getAs[String]("utf8_text") == "Öæ°\nz")
+    assert(back.schema("value").dataType.typeName == "double")
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = Extract.fromOrc(spark, p).filter(col("id") === 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
+  }
+
+  test("text source reads one row per line into a `value` column") {
+    val p = tmpDir("text-src")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p, "corpus.txt"),
+      "first line\nsecond line\nthird".getBytes("UTF-8"))
+    val back = Extract.fromText(spark, p)
+    assert(back.columns.toSeq == Seq("value"))
+    assert(back.count() == 3)
+    assert(back.orderBy("value").head().getString(0) == "first line")
+  }
+
   test("api sink posts bounded JSON batches and counts exactly") {
     ApiCollector.batches.clear()
     val df = fixtureDf.union(fixtureDf).union(fixtureDf).coalesce(2) // 9 rows
