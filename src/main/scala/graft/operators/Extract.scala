@@ -42,6 +42,45 @@ object Extract {
         throw new EtlExtractError(s"Error executing query: ${e.getMessage}", query, e)
     }
 
+  /** Parallel JDBC read via an explicit predicate list — one partition per
+    * predicate (the reference's chunking generalized to non-numeric splits:
+    * date ranges, hash buckets, region lists). Complements the numeric
+    * `partitionColumn` quadruple of `fromJdbc`.
+    */
+  def fromJdbcPredicates(spark: SparkSession, db: DbParams, table: String,
+      predicates: Seq[String], passwordVariable: Option[String] = None,
+      chunkSize: Int = 5000): DataFrame = {
+    graft.Identifiers.validate(table)
+    val props = new java.util.Properties()
+    props.setProperty("driver", db.driverClass)
+    props.setProperty("fetchsize", chunkSize.toString)
+    if (db.user.nonEmpty) props.setProperty("user", db.user)
+    passwordVariable.foreach(v => props.setProperty("password", db.password(v)))
+    db.dialectOptions.foreach { case (k, v) => props.setProperty(k, v) }
+    spark.read.jdbc(db.jdbcUrl, table, predicates.toArray, props)
+  }
+
+  /** The namedtuple row-factory's rename contract
+    * (/root/reference/etlhelper/row_factories.py:97-105): columns whose
+    * names are invalid identifiers (aggregates like `count(*)`) or collide
+    * after normalization are renamed positionally `_1, _2, ...`, with a
+    * warning listing the renames. Valid, unique names pass through.
+    */
+  def withSafeColumnNames(df: DataFrame): DataFrame = {
+    val names = df.columns
+    val seen = scala.collection.mutable.Set.empty[String]
+    val renamed = names.zipWithIndex.map { case (n, i) =>
+      val ok = graft.Identifiers.isValid(n) && !seen.contains(n.toLowerCase)
+      if (ok) { seen += n.toLowerCase; n } else s"_${i + 1}"
+    }
+    val changed = names.zip(renamed).filter { case (a, b) => a != b }
+    if (changed.nonEmpty) {
+      org.slf4j.LoggerFactory.getLogger("graft").warn(
+        s"Columns renamed: ${changed.map { case (a, b) => s"$a -> $b" }.mkString(", ")}")
+      df.toDF(renamed: _*)
+    } else df
+  }
+
   def fromParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -44,4 +44,25 @@ class JdbcExtractSpec extends SparkSuite {
     val q = Extract.fromJdbc(spark, db, "SELECT COUNT(*) AS n FROM big_t")
     assert(q.head().getAs[Number]("N").longValue() == 1000)
   }
+
+  test("predicates-array read: one partition per predicate, disjoint " +
+    "predicates partition the table exactly") {
+    val preds = Seq("id <= 250", "id > 250 AND id <= 700", "id > 700")
+    val df = Extract.fromJdbcPredicates(spark, db, "big_t", preds)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 1000)
+    val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect().sorted
+    assert(sizes.toSeq == Seq(250, 300, 450))
+  }
+
+  test("withSafeColumnNames renames invalid/colliding columns positionally " +
+    "(namedtuple row-factory parity)") {
+    import spark.implicits._
+    val df = Seq((1, 2, 3, 4)).toDF("good", "count(*)", "GOOD", "also_good")
+    val safe = Extract.withSafeColumnNames(df)
+    assert(safe.columns.toSeq == Seq("good", "_2", "_3", "also_good"))
+    // all-valid names pass through untouched (same DataFrame)
+    val clean = Seq((1, 2)).toDF("a", "b")
+    assert(Extract.withSafeColumnNames(clean).columns.toSeq == Seq("a", "b"))
+  }
 }
