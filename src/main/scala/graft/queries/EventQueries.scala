@@ -162,5 +162,52 @@ object EventQueries extends QueryModule {
               FROM events) t
             ORDER BY user_id, ts, event_id"""))
 
-  override def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q50, q55)
+  /** Daily active users + volume: the workhorse engagement rollup. One
+    * shuffle; DISTINCT users via partial aggregation (at extreme scale swap
+    * countDistinct for the q47 HLL sketch — same plan shape).
+    */
+  private val q64 = QueryDef(
+    "q64_daily_active",
+    (s, d) => Tables(s, d, "events")
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("day"),
+    Some(s"""SELECT date_trunc('day', ts) AS day,
+                    COUNT(DISTINCT user_id) AS dau,
+                    COUNT(*) AS n_events,
+                    ${sqlDsum("value")} AS total_value
+             FROM events GROUP BY day ORDER BY day"""))
+
+  /** Cohort retention: users bucketed by first-seen day, distinct actives
+    * per (cohort, day-offset). Three shuffles — first-seen per user, daily
+    * activity dedup, then the cohort rollup — each on a high-cardinality
+    * key, no driver-side state.
+    */
+  private val q65 = QueryDef(
+    "q65_retention_cohort",
+    (s, d) => {
+      val ev = Tables(s, d, "events")
+      val firstDay = ev.groupBy("user_id")
+        .agg(min(date_trunc("DAY", col("ts"))).as("cohort"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .distinct()
+      activity.join(firstDay, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("int"))
+        .groupBy("cohort", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    },
+    Some("""WITH fd AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort
+                        FROM events GROUP BY user_id),
+                 act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                         FROM events)
+            SELECT cohort, CAST(date_diff('day', cohort, day) AS INT) AS day_offset,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM act JOIN fd USING (user_id)
+            GROUP BY cohort, day_offset ORDER BY cohort, day_offset"""))
+
+  override def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q50, q55, q64, q65)
 }
