@@ -110,6 +110,15 @@ object TextFunctions {
       .drop("__toks", "__i")
   }
 
+  /** Sign bitmask of a hex digest: bit b set iff hex char b is '0'..'7' —
+    * the SimHash sign convention, compiled to ONE codegen'd byte scan (see
+    * HexSignMaskExpr) instead of 32 substring+compare projections per row.
+    */
+  def hexSignMask(h: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(HexSignMaskExpr(expression(h)))
+  }
+
   /** Parent digest p (0 or 1) for the sliced MinHash scheme: md5 of
     * `p:shingle`. Each 128-bit digest is cut into four 32-bit (8-hex-char)
     * slices, so TWO md5 evaluations per shingle yield EIGHT independent

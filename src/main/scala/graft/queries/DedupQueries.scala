@@ -32,9 +32,9 @@ object DedupQueries extends QueryModule {
     val tw = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-      .withColumn("h", md5(col("tok")))
+      .withColumn("mask", hexSignMask(md5(col("tok"))))
     val bitSums = (0 until 32).map { b =>
-      sum(when(substring(col("h"), b + 1, 1) <= "7",
+      sum(when(shiftright(col("mask"), b).bitwiseAND(lit(1L)) === 1L,
         col("w")).otherwise(-col("w"))).as(s"s$b")
     }
     tw.groupBy("doc_id")

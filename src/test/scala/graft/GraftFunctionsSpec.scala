@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 /** SQL-registered native functions agree with the Column API. */
 class GraftFunctionsSpec extends SparkSuite {
 
+  test("hexSignMask equals the 32-way substring formulation bit for bit") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.hexSignMask
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .distinct()
+      .withColumn("h", md5(col("tok")))
+    val viaSubstring = (0 until 32).map { b =>
+      when(substring(col("h"), b + 1, 1) <= "7", lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = docs.select(
+        hexSignMask(col("h")).bitwiseAND(lit(0xFFFFFFFFL)).as("fast"),
+        viaSubstring.as("slow"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("graft_dot / graft_cosine callable from SQL, equal to Column API") {
     GraftFunctions.register(spark)
     Tables(spark, "/root/testdata/sf0.001", "embeddings")
