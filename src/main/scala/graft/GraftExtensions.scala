@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+
+import graft.functions.{DotProductExpr, HexSignMaskExpr}
+
+/** SparkSessionExtensions entry point — the library-deployment packaging of
+  * graft's native expressions: add
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * to a cluster config and every session (including ones the library never
+  * touches programmatically, e.g. Thrift/Connect users) gets the codegen'd
+  * graft_* functions in SQL. The per-session `GraftFunctions.register`
+  * remains for ad-hoc use; both routes register the same builders.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProductExpr].getName, null, name, usage, "")
+
+  /** The injectable function set (identifier, info, builder). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - codegen'd dot product of two array<double>"),
+      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity via codegen'd dot products"),
+      (exprs: Seq[Expression]) => {
+        val (a, b) = (exprs(0), exprs(1))
+        Divide(
+          DotProductExpr(a, b),
+          Multiply(Sqrt(DotProductExpr(a, a)), Sqrt(DotProductExpr(b, b))))
+      }),
+    (FunctionIdentifier("graft_hex_sign_mask"),
+      info("graft_hex_sign_mask",
+        "graft_hex_sign_mask(h) - bitmask of hex digest chars in '0'..'7' (SimHash signs)"),
+      (exprs: Seq[Expression]) => HexSignMaskExpr(exprs(0))))
+}

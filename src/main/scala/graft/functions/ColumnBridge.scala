@@ -18,4 +18,12 @@ object GraftColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Drive a SparkSessionExtensions' injected functions into a live
+    * session's registry — what session construction does when
+    * `spark.sql.extensions` is set (`registerFunctions` is private[sql]).
+    */
+  def applyExtensionFunctions(ext: SparkSessionExtensions, spark: SparkSession): Unit =
+    ext.registerFunctions(
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry)
 }

@@ -12,16 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
   */
 object GraftFunctions {
 
-  def register(spark: SparkSession): Unit = {
-    GraftColumnBridge.registerFunction(spark, "graft_dot",
-      exprs => DotProductExpr(exprs(0), exprs(1)))
-    GraftColumnBridge.registerFunction(spark, "graft_cosine", { exprs =>
-      val (a, b) = (exprs(0), exprs(1))
-      Divide(
-        DotProductExpr(a, b),
-        Multiply(Sqrt(DotProductExpr(a, a)), Sqrt(DotProductExpr(b, b))))
-    })
-  }
+  def register(spark: SparkSession): Unit =
+    graft.GraftExtensions.functions.foreach { case (id, _, builder) =>
+      GraftColumnBridge.registerFunction(spark, id.funcName, builder)
+    }
 
   /** Column-API twins (same expressions, no registration needed). */
   def graftDot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)

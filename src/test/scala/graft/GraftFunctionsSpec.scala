@@ -6,6 +6,20 @@ import org.apache.spark.sql.functions._
 /** SQL-registered native functions agree with the Column API. */
 class GraftFunctionsSpec extends SparkSuite {
 
+  test("GraftExtensions injects the graft_* functions through the " +
+    "SparkSessionExtensions path") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    // drive the extension's own registration hook against a live registry,
+    // exactly what session construction does with spark.sql.extensions set
+    org.apache.spark.sql.GraftColumnBridge.applyExtensionFunctions(ext, spark)
+    val got = spark.sql(
+      "SELECT graft_hex_sign_mask('07f') AS m, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head()
+    assert(got.getLong(0) == 3L) // '0','7' set, 'f' clear
+    assert(got.getDouble(1) == 11.0)
+  }
+
   test("hexSignMask equals the 32-way substring formulation bit for bit") {
     import spark.implicits._
     import graft.functions.TextFunctions.hexSignMask
