@@ -221,5 +221,54 @@ object PipelineQueries extends QueryModule {
             FROM c FULL OUTER JOIN sp ON c_nationkey = s_nationkey
             ORDER BY nationkey"""))
 
-  override def defs: Seq[QueryDef] = Seq(q56, q57, q58, q59, q60, q61, q63)
+  /** Deterministic train/test split: assignment from a salted content-free
+    * hash of the stable id, not rand() — reproducible across runs, engines,
+    * and partitionings (the only split discipline that survives re-runs at
+    * scale). Two leading md5 hex chars give 256 buckets; '0'..'e5' ≈ 90%.
+    * Map-only, no shuffle.
+    */
+  private val q66 = QueryDef(
+    "q66_train_test_split",
+    (s, d) => Tables(s, d, "documents")
+      .withColumn("h2", substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 2))
+      .withColumn("split", when(col("h2") < "e6", lit("train")).otherwise(lit("test")))
+      .select("doc_id", "h2", "split")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
+                   CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id"""))
+
+  /** Stratified deterministic sampling: 1-in-5 per source block, chosen by
+    * hash order (not rand()) with a unique tie-break — every run and every
+    * engine picks the same rows. One shuffle on the stratum key; the
+    * integer guard rn*5 <= n keeps the arithmetic exact.
+    */
+  private val q67 = QueryDef(
+    "q67_stratified_sample",
+    (s, d) => {
+      val byStratum = Window.partitionBy(col("source"))
+      val w = byStratum.orderBy(
+        md5(concat(lit("samp:"), col("doc_id").cast("string"))).asc,
+        col("doc_id").asc)
+      Tables(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_src", count(lit(1)).over(byStratum))
+        .filter(col("rn") * 5 <= col("n_src"))
+        .select("doc_id", "source", "rn")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source, rn FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n_src
+              FROM documents) t
+            WHERE rn * 5 <= n_src ORDER BY doc_id"""))
+
+  override def defs: Seq[QueryDef] =
+    Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67)
 }

@@ -55,6 +55,19 @@ class SourcesSinksSpec extends SparkSuite {
     assert(back.orderBy("value").head().getString(0) == "first line")
   }
 
+  test("schema evolution: mergeSchema unions parquet batches with " +
+    "different columns (nulls where absent)") {
+    import spark.implicits._
+    val p = tmpDir("schema-evo") + "/data"
+    Seq((1, "a")).toDF("id", "old_col").write.parquet(p + "/batch=1")
+    Seq((2, 3.5)).toDF("id", "new_col").write.parquet(p + "/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert(merged.columns.sorted.toSeq == Seq("batch", "id", "new_col", "old_col"))
+    assert(merged.count() == 2)
+    val r1 = merged.filter(col("id") === 1).head()
+    assert(r1.getAs[String]("old_col") == "a" && r1.isNullAt(r1.fieldIndex("new_col")))
+  }
+
   test("api sink posts bounded JSON batches and counts exactly") {
     ApiCollector.batches.clear()
     val df = fixtureDf.union(fixtureDf).union(fixtureDf).coalesce(2) // 9 rows
