@@ -29,6 +29,22 @@ object Logging {
 
   def logRowsReturned(n: Long): Unit = log.info(rowsReturnedMessage(n))
 
+  /** In-flight metrics via the observe() API: attach named aggregate
+    * metrics to a plan node; Spark computes them DURING the action (no
+    * second pass over the data, unlike a separate count()) and exposes them
+    * through the returned Observation once the action finishes. The
+    * distributed, single-pass upgrade of the reference's per-chunk progress
+    * counters — works identically under batch and foreachBatch streaming.
+    */
+  def observed(df: org.apache.spark.sql.DataFrame, name: String = "etl")
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val out = df.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+    (out, obs)
+  }
+
   /** Task-level progress listener: emits cumulative records read/written as
     * tasks finish — the distributed analogue of per-chunk progress lines.
     * Returns the listener so callers can detach with `removeSparkListener`.

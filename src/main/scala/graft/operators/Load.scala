@@ -84,10 +84,15 @@ object Load {
     * row-by-row retry with exactly that chunk's failed rows — it must be
     * serializable, and runs distributed (one call per failed chunk per task).
     */
+  /** `quarantinePath`: when set, the (bounded) quarantined rows are also
+    * written as a parquet dead-letter table `(values, error)` — the DLQ
+    * form of the reference's on_error recipe, queryable like any table.
+    */
   def loadWithErrorChannel(df: DataFrame, db: DbParams, table: String,
       passwordVariable: Option[String] = None, chunkSize: Int = 5000,
       commitChunks: Boolean = true, maxQuarantine: Int = 10000,
-      onError: Option[Seq[FailedRow] => Unit] = None): LoadResult = {
+      onError: Option[Seq[FailedRow] => Unit] = None,
+      quarantinePath: Option[String] = None): LoadResult = {
 
     val spark = df.sparkSession
     val sql = generateInsertSql(table, df.schema)
@@ -136,8 +141,15 @@ object Load {
       }
     }
     // accumulator values are only exact after the job completes (foreachPartition is an action)
-    LoadResult(processed.value, failed.value,
+    val result = LoadResult(processed.value, failed.value,
       scala.jdk.CollectionConverters.ListHasAsScala(quarantine.value).asScala.toSeq)
+    quarantinePath.foreach { path =>
+      // bounded by maxQuarantine, so a driver-built DataFrame is safe
+      import spark.implicits._
+      result.failedRows.toDF("values", "error")
+        .write.mode("append").parquet(path)
+    }
+    result
   }
 
   /** INSERT ... ON CONFLICT DO NOTHING analogue

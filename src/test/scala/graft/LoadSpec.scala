@@ -174,6 +174,34 @@ class LoadSpec extends SparkSuite {
     assert(back.getAs[Array[Byte]]("BIG_BYTES").sameElements(bigBytes))
   }
 
+  test("quarantinePath writes failed rows as a queryable parquet DLQ") {
+    withTable("dest_dlq") {
+      import spark.implicits._
+      val all = (1 to 10).map(i =>
+        (i, i * 1.0, "t", "u", java.sql.Date.valueOf("2020-01-01"),
+          java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .toDF("id", "value", "simple_text", "utf8_text", "day", "date_time")
+      Load.load(all, db, "dest_dlq") // pre-populate: re-insert all conflicts
+      val dlq = tmpDir("dlq") + "/failed"
+      val r = Load.loadWithErrorChannel(all, db, "dest_dlq",
+        quarantinePath = Some(dlq))
+      assert(r.failed == 10)
+      val back = spark.read.parquet(dlq)
+      assert(back.count() == 10)
+      assert(back.columns.toSeq == Seq("values", "error"))
+      assert(back.head().getSeq[String](0).nonEmpty)
+    }
+  }
+
+  test("observed() exposes single-pass in-flight row metrics") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i, i * 2.0)).toDF("id", "v")
+    val (out, obs) = Logging.observed(df.filter(org.apache.spark.sql.functions
+      .col("id") > 40), "load_metrics")
+    assert(out.count() == 60)
+    assert(obs.get("rows") == 60L)
+  }
+
   test("invalid table name raises EtlBadIdentifierError before any SQL") {
     assertThrows[EtlBadIdentifierError](
       Load.loadWithErrorChannel(fixtureDf, db, "bad;table"))
