@@ -46,4 +46,25 @@ object Copy {
     (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*) else writer)
       .parquet(destPath)
   }
+
+  /** Small-file compaction: rewrite a parquet dataset into
+    * ceil(bytes / targetFileBytes) files. Streaming sinks and incremental
+    * loads accrete thousands of small files; at scan time each costs a task
+    * plus a footer read, and at 100 TB the footer metadata alone can
+    * dominate planning. Sizing comes from the filesystem (no data scan);
+    * the rewrite is one job with a round-robin repartition (no key skew).
+    * Returns the output file count.
+    */
+  def compactParquet(spark: SparkSession, srcPath: String, destPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(srcPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(srcPath)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(srcPath)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(destPath)
+    nFiles
+  }
 }

@@ -65,6 +65,28 @@ class CopySpec extends SparkSuite {
         .filter(col("l_returnflag") === "A").count())
   }
 
+  test("compactParquet rewrites a many-small-files dataset to the sized " +
+    "file count with identical data") {
+    import spark.implicits._
+    val srcPath = tmpDir("compact-src")
+    // 40 tiny files (one per partition)
+    (1 to 2000).map(i => (i.toLong, s"doc $i body"))
+      .toDF("id", "body").repartition(40)
+      .write.mode("overwrite").parquet(srcPath)
+    val before = new java.io.File(srcPath).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 40)
+    val destPath = tmpDir("compact-dest") + "/out"
+    val n = Copy.compactParquet(spark, srcPath, destPath,
+      targetFileBytes = 512L * 1024)
+    val after = new java.io.File(destPath).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after == n && after < before, s"expected $n files, got $after (before=$before)")
+    // identical data
+    assert(spark.read.parquet(destPath).orderBy("id").collect().toSeq ==
+      spark.read.parquet(srcPath).orderBy("id").collect().toSeq)
+  }
+
   test("copyParquet: parquet -> transform -> parquet single lazy plan") {
     import spark.implicits._
     val srcPath = tmpDir("copy-src")
