@@ -269,6 +269,83 @@ object PipelineQueries extends QueryModule {
               FROM documents) t
             WHERE rn * 5 <= n_src ORDER BY doc_id"""))
 
+  /** Positional explode (LATERAL VIEW surface): tokens with their positions
+    * for a slice of the corpus — the UDTF-shaped 1→N generator as a
+    * first-class query. Map-side only; no shuffle before the harness sort.
+    */
+  private val q68 = QueryDef(
+    "q68_posexplode_tokens",
+    (s, d) => Tables(s, d, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("tok"))
+      .orderBy("doc_id", "pos"),
+    Some(s"""SELECT doc_id,
+                    CAST(generate_subscripts(tk, 1) AS INT) AS pos,
+                    unnest(tk) AS tok
+             FROM (SELECT doc_id, $tokSql AS tk FROM documents WHERE doc_id < 50)
+             ORDER BY doc_id, pos"""))
+
+  /** Blocked fuzzy join: nearest customer name per supplier by edit
+    * distance, pairs bounded by the nation block (the fuzzy-matching shape
+    * of entity resolution). levenshtein is exact integer edit distance on
+    * both engines; rank-1 with a unique tie-break keeps it deterministic.
+    */
+  private val q69 = QueryDef(
+    "q69_fuzzy_name_match",
+    (s, d) => {
+      val sup = Tables(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val w = Window.partitionBy(col("s_suppkey"))
+        .orderBy(col("dist").asc, col("c_custkey").asc)
+      sup.join(cust, col("s_nationkey") === col("c_nationkey"))
+        .withColumn("dist", levenshtein(col("s_name"), col("c_name")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select("s_suppkey", "s_name", "c_custkey", "c_name", "dist")
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name, c_custkey, c_name, dist FROM (
+              SELECT s_suppkey, s_name, c_custkey, c_name,
+                     levenshtein(s_name, c_name) AS dist,
+                     ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                       ORDER BY levenshtein(s_name, c_name) ASC, c_custkey ASC) AS rnk
+              FROM supplier JOIN customer ON s_nationkey = c_nationkey) t
+            WHERE rnk = 1 ORDER BY s_suppkey"""))
+
+  /** Calendar-spine gap filling: generate the full day range between the
+    * corpus bounds and left-join daily counts so empty days appear as
+    * zeros — the time-series densification every reporting pipeline needs.
+    * The spine is generated from a 1-row aggregate (broadcast), never
+    * materialized wide.
+    */
+  private val q70 = QueryDef(
+    "q70_calendar_gapfill",
+    (s, d) => {
+      val ev = Tables(s, d, "events")
+      val daily = ev.groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val spine = ev.agg(min(date_trunc("DAY", col("ts"))).as("lo"),
+          max(date_trunc("DAY", col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events
+                           FROM events GROUP BY day),
+                 bounds AS (SELECT MIN(date_trunc('day', ts)) AS lo,
+                                   MAX(date_trunc('day', ts)) AS hi FROM events),
+                 spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS day
+                           FROM bounds)
+            SELECT day, COALESCE(n_events, 0) AS n_events
+            FROM spine LEFT JOIN daily USING (day)
+            ORDER BY day"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67)
+    Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67, q68, q69, q70)
 }
