@@ -42,6 +42,27 @@ object Extract {
         throw new EtlExtractError(s"Error executing query: ${e.getMessage}", query, e)
     }
 
+  /** Auto-partitioned whole-table read: probe MIN/MAX of the split column
+    * with one tiny query, then fan out `numPartitions` range readers — the
+    * zero-config form of the `partitionColumn` quadruple for the common
+    * "read this whole big table in parallel" case. Empty tables fall back
+    * to a single-partition read.
+    */
+  def fromJdbcAutoPartitioned(spark: SparkSession, db: DbParams, table: String,
+      column: String, numPartitions: Int, passwordVariable: Option[String] = None,
+      chunkSize: Int = 5000): DataFrame = {
+    graft.Identifiers.validate(table)
+    graft.Identifiers.validate(column)
+    val bounds = fromJdbc(spark, db,
+      s"SELECT MIN($column) AS lo, MAX($column) AS hi FROM $table",
+      passwordVariable).head()
+    val select = s"SELECT * FROM $table"
+    if (bounds.isNullAt(0)) fromJdbc(spark, db, select, passwordVariable, chunkSize)
+    else fromJdbc(spark, db, select, passwordVariable, chunkSize,
+      Some((column, bounds.getAs[Number](0).longValue(),
+        bounds.getAs[Number](1).longValue(), numPartitions)))
+  }
+
   /** Parallel JDBC read via an explicit predicate list — one partition per
     * predicate (the reference's chunking generalized to non-numeric splits:
     * date ranges, hash buckets, region lists). Complements the numeric

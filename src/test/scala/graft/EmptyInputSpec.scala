@@ -1,0 +1,39 @@
+package graft
+
+/** Totality on empty input: every registered query must plan and execute
+  * against 0-row tables without throwing — the guarantee that a pipeline
+  * stage fed an empty upstream partition (or a fresh day with no data)
+  * degrades to an empty result, never to a crash.
+  */
+class EmptyInputSpec extends SparkSuite {
+
+  /** Mirror of the testdata layout with every table's RAW file schema and
+    * no rows (events keeps its INT64 ts — Tables applies the timestamp
+    * conversion on read, so the empty file must look like the source file,
+    * not like the converted DataFrame).
+    */
+  private lazy val emptyDir: String = {
+    val src = "/root/testdata/sf0.001"
+    val d = tmpDir("empty-sf")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.names.foreach { t =>
+      val schema = spark.read.parquet(s"$src/$t.parquet").schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    d
+  }
+
+  test("every registered query executes on empty tables and returns 0 rows") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, emptyDir).count()
+        if (n == 0) None else Some(s"$name returned $n rows on empty input")
+      } catch {
+        case e: Throwable => Some(s"$name threw ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -55,6 +55,21 @@ class JdbcExtractSpec extends SparkSuite {
     assert(sizes.toSeq == Seq(250, 300, 450))
   }
 
+  test("fromJdbcAutoPartitioned probes bounds and fans out range readers; " +
+    "empty table falls back to one partition") {
+    val df = Extract.fromJdbcAutoPartitioned(spark, db, "big_t", "id", 4)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 1000)
+    val conn = DriverManager.getConnection(db.jdbcUrl)
+    try {
+      try conn.createStatement().execute("DROP TABLE empty_t")
+      catch { case _: java.sql.SQLException => () }
+      conn.createStatement().execute("CREATE TABLE empty_t (id INT PRIMARY KEY)")
+    } finally conn.close()
+    val empty = Extract.fromJdbcAutoPartitioned(spark, db, "empty_t", "id", 4)
+    assert(empty.count() == 0)
+  }
+
   test("withSafeColumnNames renames invalid/colliding columns positionally " +
     "(namedtuple row-factory parity)") {
     import spark.implicits._
