@@ -57,6 +57,8 @@ object Copy {
     */
   def compactParquet(spark: SparkSession, srcPath: String, destPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(srcPath != destPath,
+      "compactParquet cannot overwrite its own input (lazy read would see the truncated target)")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(srcPath), spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.{DbParams, Identifiers}
-import graft.operators.{Db, Extract, Load}
+import graft.operators.{Db, Load}
 
 /** Exactly-once JDBC streaming sink via an epoch ledger.
   *
@@ -39,10 +39,27 @@ object IdempotentSink {
       table: String, epochTable: String, keyCols: Seq[String],
       queryName: String, passwordVariable: Option[String] = None): Boolean = {
     Identifiers.validate(epochTable)
-    val done = Extract.fromJdbc(batch.sparkSession, db,
-      s"SELECT COUNT(*) AS n FROM $epochTable " +
-        s"WHERE query_name = '$queryName' AND epoch_id = $epochId",
-      passwordVariable).head().getAs[Number](0).longValue() > 0
+    Identifiers.validate(queryName) // interpolation-free, but keep the gate
+    // one-row ledger probe: a plain driver-side JDBC read with bound
+    // parameters — spinning up a Spark job per micro-batch for this would
+    // dominate epoch latency
+    db.loadDriver()
+    val conn =
+      if (db.user.nonEmpty)
+        java.sql.DriverManager.getConnection(db.jdbcUrl, db.user,
+          passwordVariable.map(db.password).orNull)
+      else java.sql.DriverManager.getConnection(db.jdbcUrl)
+    val done =
+      try {
+        val stmt = conn.prepareStatement(
+          s"SELECT COUNT(*) FROM $epochTable WHERE query_name = ? AND epoch_id = ?")
+        try {
+          stmt.setString(1, queryName)
+          stmt.setLong(2, epochId)
+          val rs = stmt.executeQuery()
+          rs.next() && rs.getLong(1) > 0
+        } finally stmt.close()
+      } finally conn.close()
     if (done) false
     else {
       Load.appendIfAbsent(batch, db, table, keyCols, passwordVariable)
