@@ -57,12 +57,16 @@ object Copy {
     */
   def compactParquet(spark: SparkSession, srcPath: String, destPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    require(srcPath != destPath,
-      "compactParquet cannot overwrite its own input (lazy read would see the truncated target)")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(srcPath), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(srcPath)).getLength
+    // compare QUALIFIED paths — "/a/b" vs "/a/b/" or relative forms of the
+    // same dir must hit the guard, or the lazy read scans its own
+    // truncated output
+    val srcQ = fs.makeQualified(new org.apache.hadoop.fs.Path(srcPath))
+    val destQ = fs.makeQualified(new org.apache.hadoop.fs.Path(destPath))
+    require(srcQ != destQ,
+      "compactParquet cannot overwrite its own input (lazy read would see the truncated target)")
+    val totalBytes = fs.getContentSummary(srcQ).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(srcPath)
       .repartition(nFiles)

@@ -83,15 +83,18 @@ object Extract {
 
   /** The namedtuple row-factory's rename contract
     * (/root/reference/etlhelper/row_factories.py:97-105): columns whose
-    * names are invalid identifiers (aggregates like `count(*)`) or collide
-    * after normalization are renamed positionally `_1, _2, ...`, with a
-    * warning listing the renames. Valid, unique names pass through.
+    * names are invalid identifiers (aggregates like `count(*)`), start with
+    * an underscore (namedtuple's own rule — which is also what makes the
+    * positional `_N` targets collision-free), or collide after
+    * normalization are renamed positionally `_1, _2, ...`, with a warning
+    * listing the renames. Valid, unique names pass through.
     */
   def withSafeColumnNames(df: DataFrame): DataFrame = {
     val names = df.columns
     val seen = scala.collection.mutable.Set.empty[String]
     val renamed = names.zipWithIndex.map { case (n, i) =>
-      val ok = graft.Identifiers.isValid(n) && !seen.contains(n.toLowerCase)
+      val ok = graft.Identifiers.isValid(n) && !n.startsWith("_") &&
+        !seen.contains(n.toLowerCase)
       if (ok) { seen += n.toLowerCase; n } else s"_${i + 1}"
     }
     val changed = names.zip(renamed).filter { case (a, b) => a != b }

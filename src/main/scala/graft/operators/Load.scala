@@ -111,9 +111,11 @@ object Load {
     // task contributions is bounded by maxQuarantine (the accumulator's
     // task-local .value can't see other tasks, so a global check on the
     // executor is impossible — a pre-divided budget is the sound bound).
+    // base + remainder by partition id sums to EXACTLY maxQuarantine, so the
+    // global bound holds even with more partitions than budget.
     val numParts = math.max(1, df.rdd.getNumPartitions)
-    val perPartitionQuarantine =
-      if (maxQuarantine <= 0) 0 else math.max(1, maxQuarantine / numParts)
+    val budgetBase = math.max(0, maxQuarantine) / numParts
+    val budgetRemainder = math.max(0, maxQuarantine) % numParts
 
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
@@ -123,7 +125,9 @@ object Load {
           conn.setAutoCommit(false)
           val stmt = conn.prepareStatement(sql)
           try {
-            var quarantineBudget = perPartitionQuarantine
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var quarantineBudget =
+              budgetBase + (if (pid < budgetRemainder) 1 else 0)
             rows.grouped(chunkSize).foreach { chunk =>
               val chunkFailed = insertChunk(conn, stmt, schema, chunk,
                 processed, failed, commitChunks)

@@ -85,6 +85,9 @@ class CopySpec extends SparkSuite {
     // identical data
     assert(spark.read.parquet(destPath).orderBy("id").collect().toSeq ==
       spark.read.parquet(srcPath).orderBy("id").collect().toSeq)
+    // self-overwrite guard catches path spellings of the same dir
+    assertThrows[IllegalArgumentException](
+      Copy.compactParquet(spark, srcPath, srcPath + "/"))
   }
 
   test("copyParquet: parquet -> transform -> parquet single lazy plan") {

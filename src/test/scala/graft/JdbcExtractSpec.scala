@@ -79,5 +79,11 @@ class JdbcExtractSpec extends SparkSuite {
     // all-valid names pass through untouched (same DataFrame)
     val clean = Seq((1, 2)).toDF("a", "b")
     assert(Extract.withSafeColumnNames(clean).columns.toSeq == Seq("a", "b"))
+    // a pre-existing underscore name is itself renamed (namedtuple rule),
+    // so positional _N targets can never collide with a kept column
+    val tricky = Seq((1, 2, 3)).toDF("a", "_3", "b c")
+    val safeTricky = Extract.withSafeColumnNames(tricky)
+    assert(safeTricky.columns.toSeq == Seq("a", "_2", "_3"))
+    assert(safeTricky.columns.distinct.length == 3)
   }
 }

@@ -131,6 +131,11 @@ class LoadSpec extends SparkSuite {
       assert(r.processed == 200)
       // global bound: 4 partitions × (20/4) budget — never maxQuarantine × tasks
       assert(r.failedRows.length == 20, s"quarantined=${r.failedRows.length}")
+      // more partitions than budget: remainder split keeps the EXACT bound
+      val r2 = Load.loadWithErrorChannel(all.repartition(8), db, "dest_qbound",
+        chunkSize = 25, maxQuarantine = 3)
+      assert(r2.failed == 200)
+      assert(r2.failedRows.length == 3, s"quarantined=${r2.failedRows.length}")
     }
   }
 
