@@ -57,15 +57,22 @@ object Copy {
     */
   def compactParquet(spark: SparkSession, srcPath: String, destPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(srcPath), spark.sparkContext.hadoopConfiguration)
-    // compare QUALIFIED paths — "/a/b" vs "/a/b/" or relative forms of the
-    // same dir must hit the guard, or the lazy read scans its own
-    // truncated output
-    val srcQ = fs.makeQualified(new org.apache.hadoop.fs.Path(srcPath))
-    val destQ = fs.makeQualified(new org.apache.hadoop.fs.Path(destPath))
-    require(srcQ != destQ,
-      "compactParquet cannot overwrite its own input (lazy read would see the truncated target)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // qualify each path against ITS OWN filesystem (a scheme-less dest
+    // belongs to the default FS, not the source's), then reject equality
+    // AND nesting in either direction: a dest that is an ancestor of the
+    // source would delete the source tree on Overwrite, and a dest nested
+    // inside the source sits in the very tree being read
+    val srcP = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = srcP.getFileSystem(conf)
+    val srcQ = fs.makeQualified(srcP)
+    val destP = new org.apache.hadoop.fs.Path(destPath)
+    val destQ = destP.getFileSystem(conf).makeQualified(destP)
+    val srcStr = srcQ.toString.stripSuffix("/") + "/"
+    val destStr = destQ.toString.stripSuffix("/") + "/"
+    require(!srcStr.startsWith(destStr) && !destStr.startsWith(srcStr),
+      s"compactParquet input and output overlap ($srcQ vs $destQ): " +
+        "Overwrite would destroy data the lazy read still needs")
     val totalBytes = fs.getContentSummary(srcQ).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(srcPath)

@@ -85,9 +85,14 @@ class CopySpec extends SparkSuite {
     // identical data
     assert(spark.read.parquet(destPath).orderBy("id").collect().toSeq ==
       spark.read.parquet(srcPath).orderBy("id").collect().toSeq)
-    // self-overwrite guard catches path spellings of the same dir
+    // self-overwrite guard catches path spellings of the same dir AND
+    // nesting in either direction
     assertThrows[IllegalArgumentException](
       Copy.compactParquet(spark, srcPath, srcPath + "/"))
+    assertThrows[IllegalArgumentException](
+      Copy.compactParquet(spark, srcPath, srcPath + "/nested"))
+    assertThrows[IllegalArgumentException](
+      Copy.compactParquet(spark, srcPath + "/part", srcPath))
   }
 
   test("copyParquet: parquet -> transform -> parquet single lazy plan") {
