@@ -183,6 +183,37 @@ object Load {
     loadWithErrorChannel(fresh, db, table, passwordVariable, chunkSize)
   }
 
+  /** Proactive schema check before a load: compare the DataFrame's columns
+    * against the target table's catalog metadata and raise ONE clear error
+    * listing every problem (missing columns, extras without defaults,
+    * NOT-NULL targets fed by nullable sources) — instead of the opaque
+    * batch-insert failure the database would produce mid-load. Matching is
+    * case-insensitive (JDBC catalogs fold case; see TableInfo).
+    */
+  def validateAgainstTable(df: DataFrame, db: DbParams, table: String,
+      passwordVariable: Option[String] = None): Unit = {
+    val target = TableInfo.fromJdbc(db, table, passwordVariable = passwordVariable)
+    val targetByName = target.map(c => c.name.toLowerCase -> c).toMap
+    val dfCols = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val problems = Seq.newBuilder[String]
+    df.schema.fields.foreach { f =>
+      if (!targetByName.contains(f.name.toLowerCase))
+        problems += s"column '${f.name}' not present in $table"
+    }
+    target.foreach { c =>
+      if (!dfCols.contains(c.name)) {
+        if (c.notNull && !c.hasDefault)
+          problems += s"NOT NULL column '${c.name}' of $table has no source column and no default"
+      } else if (c.notNull && dfCols(c.name).nullable)
+        problems += s"NOT NULL column '${c.name}' of $table is fed by a nullable source column"
+    }
+    val found = problems.result()
+    if (found.nonEmpty)
+      throw new EtlInsertError(
+        s"Schema mismatch against $table:\n  ${found.mkString("\n  ")}",
+        s"INSERT INTO $table")
+  }
+
   private def connect(url: String, user: String, pw: Option[String]): Connection =
     if (user.nonEmpty) DriverManager.getConnection(url, user, pw.orNull)
     else DriverManager.getConnection(url)

@@ -207,6 +207,20 @@ class LoadSpec extends SparkSuite {
     assert(obs.get("rows") == 60L)
   }
 
+  test("validateAgainstTable reports every schema problem in one error; " +
+    "clean match passes") {
+    withTable("dest_schema") {
+      import spark.implicits._
+      Load.validateAgainstTable(fixtureDf, db, "dest_schema") // clean: no throw
+      // extra column + missing NOT NULL column, reported together
+      val bad = Seq((1, "x")).toDF("id", "mystery_col")
+      val e = intercept[EtlInsertError](
+        Load.validateAgainstTable(bad, db, "dest_schema"))
+      assert(e.getMessage.contains("mystery_col"))
+      assert(e.getMessage.toLowerCase.contains("value")) // NOT NULL, no default
+    }
+  }
+
   test("invalid table name raises EtlBadIdentifierError before any SQL") {
     assertThrows[EtlBadIdentifierError](
       Load.loadWithErrorChannel(fixtureDf, db, "bad;table"))
