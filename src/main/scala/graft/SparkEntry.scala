@@ -14,7 +14,13 @@ object SparkEntry {
     CoreQueries, RelationalQueries, TextQueries, DedupQueries,
     SimilarityQueries, EventQueries, MiscQueries, PipelineQueries)
 
-  private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
+  private lazy val all: Seq[QueryDef] = {
+    val defs = modules.flatMap(_.defs)
+    // a duplicate name would silently drop a query in the toMap below
+    val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
 /** Native Catalyst expression turning a hex digest string into a sign
   * bitmask: bit b is set iff hex character b is in '0'..'7' (i.e. the
@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * the substring formulation's, so the DuckDB oracle (which keeps the
   * substring form) still hash-matches.
   */
-case class HexSignMaskExpr(child: Expression) extends UnaryExpression {
+case class HexSignMaskExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
 
   private def maskOf(bytes: Array[Byte]): Long = {
