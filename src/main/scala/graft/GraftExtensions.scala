@@ -24,17 +24,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[DotProductExpr].getName, null, name, usage, "")
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   /** The injectable function set (identifier, info, builder). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - codegen'd dot product of two array<double>"),
+      info(classOf[DotProductExpr], "graft_dot",
+        "graft_dot(a, b) - codegen'd dot product of two array<double>"),
       (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))),
     (FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - cosine similarity via codegen'd dot products"),
+      info(classOf[DotProductExpr], "graft_cosine",
+        "graft_cosine(a, b) - cosine similarity via codegen'd dot products"),
       (exprs: Seq[Expression]) => {
         val (a, b) = (exprs(0), exprs(1))
         Divide(
@@ -42,7 +44,7 @@ object GraftExtensions {
           Multiply(Sqrt(DotProductExpr(a, a)), Sqrt(DotProductExpr(b, b))))
       }),
     (FunctionIdentifier("graft_hex_sign_mask"),
-      info("graft_hex_sign_mask",
+      info(classOf[HexSignMaskExpr], "graft_hex_sign_mask",
         "graft_hex_sign_mask(h) - bitmask of hex digest chars in '0'..'7' (SimHash signs)"),
       (exprs: Seq[Expression]) => HexSignMaskExpr(exprs(0))))
 }

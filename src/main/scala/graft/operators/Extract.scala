@@ -72,13 +72,17 @@ object Extract {
       predicates: Seq[String], passwordVariable: Option[String] = None,
       chunkSize: Int = 5000): DataFrame = {
     graft.Identifiers.validate(table)
+    // reuse DbParams' option assembly (single source of truth for driver/
+    // auth/dialect keys) — only the query key doesn't apply here
     val props = new java.util.Properties()
-    props.setProperty("driver", db.driverClass)
-    props.setProperty("fetchsize", chunkSize.toString)
-    if (db.user.nonEmpty) props.setProperty("user", db.user)
-    passwordVariable.foreach(v => props.setProperty("password", db.password(v)))
-    db.dialectOptions.foreach { case (k, v) => props.setProperty(k, v) }
-    spark.read.jdbc(db.jdbcUrl, table, predicates.toArray, props)
+    (db.readOptions(table, passwordVariable, chunkSize) - "query")
+      .foreach { case (k, v) => props.setProperty(k, v) }
+    try spark.read.jdbc(db.jdbcUrl, table, predicates.toArray, props)
+    catch {
+      case e: Exception =>
+        throw new EtlExtractError(s"Error executing query: ${e.getMessage}",
+          s"SELECT * FROM $table", e)
+    }
   }
 
   /** The namedtuple row-factory's rename contract

@@ -146,7 +146,16 @@ object EventStreams {
                   closed += s // gap exceeded inside the batch: emit, start anew
                   cur = UserSession(userId, e.ts, e.ts, 1L, e.value)
                 case s =>
-                  cur = s.copy(session_end = e.ts, n_events = s.n_events + 1,
+                  // min/max bounds, not blind assignment: a late-but-within-
+                  // watermark event from a later batch may precede the
+                  // session's current bounds, and moving session_end
+                  // backwards would corrupt the gap/timeout arithmetic
+                  cur = s.copy(
+                    session_start =
+                      if (e.ts.before(s.session_start)) e.ts else s.session_start,
+                    session_end =
+                      if (e.ts.after(s.session_end)) e.ts else s.session_end,
+                    n_events = s.n_events + 1,
                     session_value = s.session_value + e.value)
               }
             }

@@ -40,29 +40,22 @@ object IdempotentSink {
       queryName: String, passwordVariable: Option[String] = None): Boolean = {
     Identifiers.validate(epochTable)
     Identifiers.validate(queryName) // interpolation-free, but keep the gate
-    // one-row ledger probe: a plain driver-side JDBC read with bound
-    // parameters — spinning up a Spark job per micro-batch for this would
-    // dominate epoch latency
-    db.loadDriver()
-    val conn =
-      if (db.user.nonEmpty)
-        java.sql.DriverManager.getConnection(db.jdbcUrl, db.user,
-          passwordVariable.map(db.password).orNull)
-      else java.sql.DriverManager.getConnection(db.jdbcUrl)
-    val done =
-      try {
-        val stmt = conn.prepareStatement(
-          s"SELECT COUNT(*) FROM $epochTable WHERE query_name = ? AND epoch_id = ?")
-        try {
-          stmt.setString(1, queryName)
-          stmt.setLong(2, epochId)
-          val rs = stmt.executeQuery()
-          rs.next() && rs.getLong(1) > 0
-        } finally stmt.close()
-      } finally conn.close()
+    // one-row ledger probe as a driver-side JDBC read with bound parameters
+    // — spinning up a Spark job per micro-batch would dominate epoch latency
+    val done = Db.queryScalarLong(db,
+      s"SELECT COUNT(*) FROM $epochTable WHERE query_name = ? AND epoch_id = ?",
+      Seq(queryName, java.lang.Long.valueOf(epochId)), passwordVariable) > 0
     if (done) false
     else {
-      Load.appendIfAbsent(batch, db, table, keyCols, passwordVariable)
+      val result = Load.appendIfAbsent(batch, db, table, keyCols, passwordVariable)
+      // an epoch with quarantined failures must NOT enter the ledger: the
+      // replay would be skipped and the failed rows lost forever — fail the
+      // micro-batch instead so the checkpoint retries it
+      if (result.failed > 0)
+        throw new graft.EtlInsertError(
+          s"epoch $epochId of $queryName left ${result.failed} rows unwritten; " +
+            "refusing to record it as complete",
+          s"INSERT INTO $table")
       Db.execute(db, s"INSERT INTO $epochTable (query_name, epoch_id) VALUES (?, ?)",
         Seq(queryName, java.lang.Long.valueOf(epochId)), passwordVariable)
       true

@@ -246,6 +246,62 @@ class StreamingSpec extends SparkSuite {
     assert(countRows == 5)
   }
 
+  test("idempotent epoch sink refuses to record an epoch with failed rows") {
+    import spark.implicits._
+    import graft.streaming.IdempotentSink
+    val db = DbParams("derby", filename = "memory:epochdb2;create=true")
+    def exec(sql: String): Unit =
+      try graft.operators.Db.execute(db, sql)
+      catch { case _: EtlQueryError => () }
+    exec("DROP TABLE strict_data"); exec("DROP TABLE strict_epochs")
+    exec("CREATE TABLE strict_data (event_id BIGINT PRIMARY KEY, v DOUBLE NOT NULL)")
+    exec(IdempotentSink.ledgerDdl("strict_epochs"))
+    // a NOT NULL violation quarantines one row -> the epoch must fail loudly
+    val bad = Seq((1L, Some(1.0)), (2L, None))
+      .toDF("event_id", "v").selectExpr("event_id", "CAST(v AS DOUBLE) AS v")
+    intercept[EtlInsertError](IdempotentSink.processEpoch(bad, 0L, db,
+      "strict_data", "strict_epochs", Seq("event_id"), "qs"))
+    // the ledger did NOT record epoch 0: a clean retry still processes it
+    val clean = Seq((1L, 1.0), (2L, 2.0)).toDF("event_id", "v")
+    assert(IdempotentSink.processEpoch(clean, 0L, db,
+      "strict_data", "strict_epochs", Seq("event_id"), "qs"))
+    val n = graft.operators.Db.queryScalarLong(db,
+      "SELECT COUNT(*) FROM strict_data")
+    assert(n == 2)
+  }
+
+  test("flatMapGroupsWithState sessionization merges late-but-within-" +
+    "watermark events instead of moving session bounds backwards") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def ev(id: Long, user: Long, t: String, v: Double) =
+      EventStreams.Event(id, ts(t), user, "click", v)
+    val input = MemoryStream[EventStreams.Event](spark)
+    val sessions = EventStreams.sessionizeWithState(input.toDS(),
+      gapMinutes = 30, watermark = "10 minutes")
+    val q = sessions.toDF().writeStream.format("memory").queryName("late_sess_t")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("late-sess-ckpt"))
+      .start()
+    try {
+      input.addData(ev(1, 1L, "10:00", 1.0))
+      q.processAllAvailable()
+      // 09:59 is behind the session but above the watermark (09:50):
+      // it must extend the session backwards, not reset its end
+      input.addData(ev(2, 1L, "09:59", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 2L, "13:00", 0.0)) // advance watermark, fire timeout
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("late_sess_t")
+      .filter($"user_id" === 1L).collect()
+    assert(got.length == 1, s"one merged session expected: ${got.mkString(",")}")
+    assert(got.head.getTimestamp(1) == ts("09:59")) // session_start min-adjusted
+    assert(got.head.getTimestamp(2) == ts("10:00")) // session_end NOT moved back
+    assert(got.head.getLong(3) == 2L)
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     import spark.implicits._
     val events = EventStreams.readStream(spark, streamDir)
