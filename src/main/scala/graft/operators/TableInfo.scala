@@ -43,27 +43,46 @@ object TableInfo {
       val meta = conn.getMetaData
       // Fold unquoted identifiers the way THIS backend's catalog stores them
       // (Derby/Oracle upper-case, PostgreSQL lower-case, mixed-case stores
-      // keep them as-is) — DatabaseMetaData knows, so ask it.
+      // keep them as-is) — DatabaseMetaData knows, so ask it. Locale.ROOT:
+      // a Turkish-locale JVM would otherwise fold i/I to dotted variants
+      // that never match the catalog.
       def fold(s: String): String =
-        if (meta.storesUpperCaseIdentifiers) s.toUpperCase
-        else if (meta.storesLowerCaseIdentifiers) s.toLowerCase
+        if (meta.storesUpperCaseIdentifiers) s.toUpperCase(java.util.Locale.ROOT)
+        else if (meta.storesLowerCaseIdentifiers) s.toLowerCase(java.util.Locale.ROOT)
         else s
+      // getTables/getColumns treat names as LIKE patterns: '_' is a
+      // single-char wildcard, so MY_TABLE would also match MYXTABLE.
+      // Escape metacharacters where the backend supports it (Derby returns
+      // an EMPTY escape string and honors no escaping at all — measured),
+      // and post-filter every result row by EXACT name as the portable
+      // guarantee.
+      val esc = meta.getSearchStringEscape
+      def pat(s: String): String =
+        if (esc == null || esc.isEmpty) s
+        else s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+      val wantedTable = fold(table)
       // Count schemas containing the table to reproduce the ambiguity error.
-      val tablesRs = meta.getTables(null, schema.map(fold).orNull,
-        fold(table), Array("TABLE"))
+      val tablesRs = meta.getTables(null, schema.map(s => pat(fold(s))).orNull,
+        pat(wantedTable), Array("TABLE"))
       var schemas = List.empty[String]
-      while (tablesRs.next()) schemas ::= tablesRs.getString("TABLE_SCHEM")
+      while (tablesRs.next())
+        if (tablesRs.getString("TABLE_NAME") == wantedTable)
+          schemas ::= tablesRs.getString("TABLE_SCHEM")
       if (schemas.isEmpty)
         throw new EtlQueryError(s"Table name '$table' not found.")
       if (schemas.distinct.length > 1)
         throw new EtlQueryError(
           s"Table name '$table' is not unique in database (schemas: ${schemas.distinct.sorted.mkString(", ")}).")
 
-      val rs = meta.getColumns(null, schemas.head, fold(table), null)
+      val rs = meta.getColumns(null, pat(schemas.head), pat(wantedTable), null)
       var cols = Vector.empty[ColumnInfo]
       while (rs.next()) {
+        if (rs.getString("TABLE_NAME") != wantedTable ||
+          rs.getString("TABLE_SCHEM") != schemas.head) {
+          // pattern over-match (e.g. Derby, which cannot escape) — skip
+        } else
         cols :+= ColumnInfo(
-          rs.getString("COLUMN_NAME").toLowerCase,
+          rs.getString("COLUMN_NAME").toLowerCase(java.util.Locale.ROOT),
           rs.getString("TYPE_NAME"),
           notNull = rs.getInt("NULLABLE") == java.sql.DatabaseMetaData.columnNoNulls,
           hasDefault = Option(rs.getString("COLUMN_DEF")).exists(_.nonEmpty))

@@ -54,6 +54,24 @@ class TableInfoSpec extends SparkSuite {
     }
   }
 
+  test("underscore in a table name is escaped, not treated as a LIKE " +
+    "wildcard matching sibling tables") {
+    val conn = DriverManager.getConnection(db.jdbcUrl)
+    try {
+      for (t <- Seq("MY_TABLE", "MYXTABLE")) {
+        try { conn.createStatement().execute(s"DROP TABLE $t") }
+        catch { case _: java.sql.SQLException => () }
+      }
+      conn.createStatement().execute("CREATE TABLE my_table (a INT, b INT)")
+      conn.createStatement().execute(
+        "CREATE TABLE myxtable (c INT, d INT, e INT)")
+    } finally conn.close()
+    // without escaping, the MY_TABLE pattern matches both tables and the
+    // column list silently merges (or a spurious ambiguity error fires)
+    val cols = TableInfo.fromJdbc(db, "my_table")
+    assert(cols.map(_.name) == Seq("a", "b"), cols.map(_.name).toString)
+  }
+
   test("missing table raises EtlQueryError") {
     val e = intercept[EtlQueryError](TableInfo.fromJdbc(db, "no_such_table"))
     assert(e.getMessage.contains("not found"))
