@@ -58,9 +58,23 @@ object Extract {
       passwordVariable).head()
     val select = s"SELECT * FROM $table"
     if (bounds.isNullAt(0)) fromJdbc(spark, db, select, passwordVariable, chunkSize)
-    else fromJdbc(spark, db, select, passwordVariable, chunkSize,
-      Some((column, bounds.getAs[Number](0).longValue(),
-        bounds.getAs[Number](1).longValue(), numPartitions)))
+    else
+      try {
+        // bounds travel as their string forms, which Spark's JDBC source
+        // parses for numeric, date, AND timestamp partition columns — a
+        // Number-only cast here would crash on date/timestamp split keys
+        spark.read.format("jdbc")
+          .options(db.readOptions(select, passwordVariable, chunkSize)
+            - "query" + ("dbtable" -> s"($select) graft_subq"))
+          .option("partitionColumn", column)
+          .option("lowerBound", bounds.get(0).toString)
+          .option("upperBound", bounds.get(1).toString)
+          .option("numPartitions", numPartitions.toString)
+          .load()
+      } catch {
+        case e: Exception =>
+          throw new EtlExtractError(s"Error executing query: ${e.getMessage}", select, e)
+      }
   }
 
   /** Parallel JDBC read via an explicit predicate list — one partition per
@@ -72,6 +86,9 @@ object Extract {
       predicates: Seq[String], passwordVariable: Option[String] = None,
       chunkSize: Int = 5000): DataFrame = {
     graft.Identifiers.validate(table)
+    require(predicates.nonEmpty,
+      "fromJdbcPredicates with an empty predicate list would read ZERO rows " +
+        "(one partition per predicate) — pass predicates or use fromJdbc")
     // reuse DbParams' option assembly (single source of truth for driver/
     // auth/dialect keys) — only the query key doesn't apply here
     val props = new java.util.Properties()

@@ -41,12 +41,15 @@ object Multimodal {
 
   /** Decode + feature-extract over partitions: the batch shape, schema, and
     * partition-local codec lifecycle are real; only decodeStub is fake.
+    * Rows with a null id or null payload are dropped up front — a missing
+    * blob is an absent asset, not a task-killing NullPointerException.
     */
   def decodeAndFeaturize(df: DataFrame, idCol: String = "doc_id",
       payloadCol: String = "payload"): Dataset[DecodedMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
+      .na.drop()
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition codec init would go here (amortized across rows)
@@ -56,11 +59,16 @@ object Multimodal {
 
   /** Frame-sample offsets for a byte stream chunked at `frameSize`: every
     * `stride`-th frame start — the video-frame-sampling access pattern as
-    * pure column arithmetic (no decode needed to plan the read).
+    * pure column arithmetic (no decode needed to plan the read). Empty
+    * payloads get an empty offset list and null payloads stay null — never
+    * a phantom offset 0 into a stream with no bytes.
     */
   def frameSampleOffsets(df: DataFrame, payloadCol: String = "payload",
       frameSize: Int = 1024, stride: Int = 10): DataFrame =
     df.withColumn("frame_offsets",
-      sequence(lit(0), greatest(octet_length(col(payloadCol)) - 1, lit(0)),
-        lit(frameSize.toLong * stride)))
+      when(col(payloadCol).isNull, lit(null).cast("array<bigint>"))
+        .when(octet_length(col(payloadCol)) === 0, array().cast("array<bigint>"))
+        .otherwise(sequence(lit(0L),
+          (octet_length(col(payloadCol)) - 1).cast("long"),
+          lit(frameSize.toLong * stride))))
 }

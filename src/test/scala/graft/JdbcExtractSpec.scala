@@ -60,6 +60,25 @@ class JdbcExtractSpec extends SparkSuite {
     val df = Extract.fromJdbcAutoPartitioned(spark, db, "big_t", "id", 4)
     assert(df.rdd.getNumPartitions == 4)
     assert(df.count() == 1000)
+    // date split columns work too (bounds travel as strings)
+    val conn0 = DriverManager.getConnection(db.jdbcUrl)
+    try {
+      try conn0.createStatement().execute("DROP TABLE date_t")
+      catch { case _: java.sql.SQLException => () }
+      conn0.createStatement().execute("CREATE TABLE date_t (d DATE PRIMARY KEY, v INT)")
+      val ins = conn0.prepareStatement("INSERT INTO date_t VALUES (?, ?)")
+      (0 until 60).foreach { i =>
+        ins.setDate(1, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)))
+        ins.setInt(2, i); ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally conn0.close()
+    val byDate = Extract.fromJdbcAutoPartitioned(spark, db, "date_t", "d", 3)
+    assert(byDate.rdd.getNumPartitions == 3)
+    assert(byDate.count() == 60)
+    // empty predicate list must be rejected, not silently read zero rows
+    assertThrows[IllegalArgumentException](
+      Extract.fromJdbcPredicates(spark, db, "big_t", Seq.empty))
     val conn = DriverManager.getConnection(db.jdbcUrl)
     try {
       try conn.createStatement().execute("DROP TABLE empty_t")

@@ -35,6 +35,24 @@ class MultimodalSpec extends SparkSuite {
     assert(offsets == offsets.sorted)
   }
 
+  test("frameSampleOffsets: empty payload -> no offsets, null payload -> " +
+    "null (no phantom frame 0); decode drops null-payload rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Array[Byte](1, 2, 3))),
+      (2L, Some(Array.empty[Byte])),
+      (3L, None)
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.frameSampleOffsets(df, frameSize = 1, stride = 1)
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[Long](2).nonEmpty)
+    assert(out(1).getSeq[Long](2).isEmpty, "empty payload must yield []")
+    assert(out(2).isNullAt(2), "null payload must stay null")
+    val decoded = Multimodal.decodeAndFeaturize(df).collect()
+    assert(decoded.map(_.doc_id).sorted.toSeq == Seq(1L, 2L),
+      "null-payload row must be dropped, empty payload decoded")
+  }
+
   test("features feed the similarity operators (cosine over decoded docs)") {
     import graft.functions.VectorFunctions
     val docs = Tables(spark, dir, "documents").limit(50)
