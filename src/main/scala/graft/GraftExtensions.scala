@@ -27,17 +27,29 @@ object GraftExtensions {
   private def info(clazz: Class[_], name: String, usage: String) =
     new ExpressionInfo(clazz.getName, null, name, usage, "")
 
+  /** Clean arity error at analysis time — without this, a wrong-arity SQL
+    * call dies with a bare IndexOutOfBoundsException that names neither
+    * the function nor its signature.
+    */
+  private def arity(name: String, n: Int, exprs: Seq[Expression]): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+
   /** The injectable function set (identifier, info, builder). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       info(classOf[DotProductExpr], "graft_dot",
         "graft_dot(a, b) - codegen'd dot product of two array<double>"),
-      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))),
+      (exprs: Seq[Expression]) => {
+        arity("graft_dot", 2, exprs); DotProductExpr(exprs(0), exprs(1))
+      }),
     (FunctionIdentifier("graft_cosine"),
       info(classOf[DotProductExpr], "graft_cosine",
         "graft_cosine(a, b) - cosine similarity via codegen'd dot products"),
       (exprs: Seq[Expression]) => {
+        arity("graft_cosine", 2, exprs)
         val (a, b) = (exprs(0), exprs(1))
         Divide(
           DotProductExpr(a, b),
@@ -46,5 +58,7 @@ object GraftExtensions {
     (FunctionIdentifier("graft_hex_sign_mask"),
       info(classOf[HexSignMaskExpr], "graft_hex_sign_mask",
         "graft_hex_sign_mask(h) - bitmask of hex digest chars in '0'..'7' (SimHash signs)"),
-      (exprs: Seq[Expression]) => HexSignMaskExpr(exprs(0))))
+      (exprs: Seq[Expression]) => {
+        arity("graft_hex_sign_mask", 1, exprs); HexSignMaskExpr(exprs(0))
+      }))
 }

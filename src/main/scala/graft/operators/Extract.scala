@@ -20,27 +20,37 @@ object Extract {
       passwordVariable: Option[String] = None, chunkSize: Int = 5000,
       partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame =
     try {
-      val withParts = partitionColumn match {
+      partitionColumn match {
         case Some((col, lower, upper, n)) =>
-          // Spark rejects `query` + `partitionColumn` together; the
-          // partitioned form must go through `dbtable` as a derived table so
-          // Spark can append its per-partition range predicates.
-          spark.read.format("jdbc")
-            .options(db.readOptions(query, passwordVariable, chunkSize)
-              - "query" + ("dbtable" -> s"($query) graft_subq"))
-            .option("partitionColumn", col)
-            .option("lowerBound", lower.toString)
-            .option("upperBound", upper.toString)
-            .option("numPartitions", n.toString)
+          partitionedRead(spark, db, query, passwordVariable, chunkSize,
+            col, lower.toString, upper.toString, n)
         case None =>
           spark.read.format("jdbc")
             .options(db.readOptions(query, passwordVariable, chunkSize))
+            .load()
       }
-      withParts.load()
     } catch {
       case e: Exception =>
         throw new EtlExtractError(s"Error executing query: ${e.getMessage}", query, e)
     }
+
+  /** Shared partitioned-read assembly: Spark rejects `query` +
+    * `partitionColumn` together, so the partitioned form goes through
+    * `dbtable` as a derived table Spark can append range predicates to.
+    * Bounds are strings because Spark parses numeric, date, and timestamp
+    * forms — callers with Longs stringify.
+    */
+  private def partitionedRead(spark: SparkSession, db: DbParams, query: String,
+      passwordVariable: Option[String], chunkSize: Int,
+      col: String, lower: String, upper: String, n: Int): DataFrame =
+    spark.read.format("jdbc")
+      .options(db.readOptions(query, passwordVariable, chunkSize)
+        - "query" + ("dbtable" -> s"($query) graft_subq"))
+      .option("partitionColumn", col)
+      .option("lowerBound", lower)
+      .option("upperBound", upper)
+      .option("numPartitions", n.toString)
+      .load()
 
   /** Auto-partitioned whole-table read: probe MIN/MAX of the split column
     * with one tiny query, then fan out `numPartitions` range readers — the
@@ -59,19 +69,13 @@ object Extract {
     val select = s"SELECT * FROM $table"
     if (bounds.isNullAt(0)) fromJdbc(spark, db, select, passwordVariable, chunkSize)
     else
-      try {
+      try
         // bounds travel as their string forms, which Spark's JDBC source
         // parses for numeric, date, AND timestamp partition columns — a
         // Number-only cast here would crash on date/timestamp split keys
-        spark.read.format("jdbc")
-          .options(db.readOptions(select, passwordVariable, chunkSize)
-            - "query" + ("dbtable" -> s"($select) graft_subq"))
-          .option("partitionColumn", column)
-          .option("lowerBound", bounds.get(0).toString)
-          .option("upperBound", bounds.get(1).toString)
-          .option("numPartitions", numPartitions.toString)
-          .load()
-      } catch {
+        partitionedRead(spark, db, select, passwordVariable, chunkSize,
+          column, bounds.get(0).toString, bounds.get(1).toString, numPartitions)
+      catch {
         case e: Exception =>
           throw new EtlExtractError(s"Error executing query: ${e.getMessage}", select, e)
       }
@@ -114,8 +118,11 @@ object Extract {
     val names = df.columns
     val seen = scala.collection.mutable.Set.empty[String]
     val renamed = names.zipWithIndex.map { case (n, i) =>
-      val ok = graft.Identifiers.isValid(n) && !n.startsWith("_") &&
-        !seen.contains(n.toLowerCase)
+      // single-part names only: Identifiers.isValid accepts the dotted
+      // schema.table form, but a dotted COLUMN (e.g. "price.usd") breaks
+      // df.select resolution and INSERT generation — rename it
+      val ok = !n.contains(".") && graft.Identifiers.isValid(n) &&
+        !n.startsWith("_") && !seen.contains(n.toLowerCase)
       if (ok) { seen += n.toLowerCase; n } else s"_${i + 1}"
     }
     val changed = names.zip(renamed).filter { case (a, b) => a != b }

@@ -148,10 +148,14 @@ object Load {
     val result = LoadResult(processed.value, failed.value,
       scala.jdk.CollectionConverters.ListHasAsScala(quarantine.value).asScala.toSeq)
     quarantinePath.foreach { path =>
-      // bounded by maxQuarantine, so a driver-built DataFrame is safe
-      import spark.implicits._
-      result.failedRows.toDF("values", "error")
-        .write.mode("append").parquet(path)
+      // bounded by maxQuarantine, so a driver-built DataFrame is safe;
+      // skipped when clean — a nightly job must not accrete one empty
+      // part file per successful run
+      if (result.failedRows.nonEmpty) {
+        import spark.implicits._
+        result.failedRows.toDF("values", "error")
+          .write.mode("append").parquet(path)
+      }
     }
     result
   }
@@ -174,10 +178,16 @@ object Load {
     Identifiers.validate(table)
     keyCols.foreach(Identifiers.validate)
     val spark = df.sparkSession
+    // the split column must exist in the derived table Spark ranges over,
+    // so project it alongside the keys when it isn't one of them
+    val extraSplitCol = keyPartitioning.map(_._1)
+      .filterNot(c => keyCols.exists(_.equalsIgnoreCase(c))).toSeq
+    val selectCols = keyCols ++ extraSplitCol
     val existing = Extract.fromJdbc(spark, db,
-        s"SELECT ${keyCols.mkString(", ")} FROM $table",
+        s"SELECT ${selectCols.mkString(", ")} FROM $table",
         passwordVariable, chunkSize, keyPartitioning)
-      .toDF(keyCols: _*) // normalize case (Derby/Oracle upper-case metadata)
+      .toDF(selectCols: _*) // normalize case (Derby/Oracle upper-case metadata)
+      .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
     val fresh = df.dropDuplicates(keyCols)
       .join(existing, keyCols, "left_anti")
     loadWithErrorChannel(fresh, db, table, passwordVariable, chunkSize)

@@ -61,23 +61,35 @@ object TableInfo {
         if (esc == null || esc.isEmpty) s
         else s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
       val wantedTable = fold(table)
+      // Exact-name filter, but honoring the backend's case regime: a
+      // case-INSENSITIVE store that preserves mixed case (e.g. MSSQL
+      // default collation: neither storesUpper nor storesLower) matches
+      // MyTable for 'mytable', so the filter must compare ignoring case
+      // there; only genuinely case-sensitive stores compare exactly.
+      val caseSensitive = meta.supportsMixedCaseIdentifiers
+      def sameName(catalogName: String): Boolean =
+        if (caseSensitive) catalogName == wantedTable
+        else catalogName.equalsIgnoreCase(wantedTable)
       // Count schemas containing the table to reproduce the ambiguity error.
       val tablesRs = meta.getTables(null, schema.map(s => pat(fold(s))).orNull,
         pat(wantedTable), Array("TABLE"))
       var schemas = List.empty[String]
+      var matchedName: String = wantedTable
       while (tablesRs.next())
-        if (tablesRs.getString("TABLE_NAME") == wantedTable)
+        if (sameName(tablesRs.getString("TABLE_NAME"))) {
+          matchedName = tablesRs.getString("TABLE_NAME")
           schemas ::= tablesRs.getString("TABLE_SCHEM")
+        }
       if (schemas.isEmpty)
         throw new EtlQueryError(s"Table name '$table' not found.")
       if (schemas.distinct.length > 1)
         throw new EtlQueryError(
           s"Table name '$table' is not unique in database (schemas: ${schemas.distinct.sorted.mkString(", ")}).")
 
-      val rs = meta.getColumns(null, pat(schemas.head), pat(wantedTable), null)
+      val rs = meta.getColumns(null, pat(schemas.head), pat(matchedName), null)
       var cols = Vector.empty[ColumnInfo]
       while (rs.next()) {
-        if (rs.getString("TABLE_NAME") != wantedTable ||
+        if (!sameName(rs.getString("TABLE_NAME")) ||
           rs.getString("TABLE_SCHEM") != schemas.head) {
           // pattern over-match (e.g. Derby, which cannot escape) — skip
         } else

@@ -145,6 +145,12 @@ object EventStreams {
                 case s if e.ts.getTime - s.session_end.getTime > gapMs =>
                   closed += s // gap exceeded inside the batch: emit, start anew
                   cur = UserSession(userId, e.ts, e.ts, 1L, e.value)
+                case s if s.session_start.getTime - e.ts.getTime > gapMs =>
+                  // a late event more than `gap` BEFORE the open session
+                  // (possible when the watermark delay exceeds the gap):
+                  // it is its own session, already closed by construction —
+                  // merging it would fabricate a session spanning silence
+                  closed += UserSession(userId, e.ts, e.ts, 1L, e.value)
                 case s =>
                   // min/max bounds, not blind assignment: a late-but-within-
                   // watermark event from a later batch may precede the

@@ -104,5 +104,8 @@ class JdbcExtractSpec extends SparkSuite {
     val safeTricky = Extract.withSafeColumnNames(tricky)
     assert(safeTricky.columns.toSeq == Seq("a", "_2", "_3"))
     assert(safeTricky.columns.distinct.length == 3)
+    // dotted column names break select/INSERT resolution -> renamed
+    val dotted = Seq((1, 2)).toDF("ok", "price.usd")
+    assert(Extract.withSafeColumnNames(dotted).columns.toSeq == Seq("ok", "_2"))
   }
 }

@@ -302,6 +302,39 @@ class StreamingSpec extends SparkSuite {
     assert(got.head.getLong(3) == 2L)
   }
 
+  test("flatMapGroupsWithState sessionization: a late event more than gap " +
+    "BEFORE the open session becomes its own session, not a merged span") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def ev(id: Long, user: Long, t: String, v: Double) =
+      EventStreams.Event(id, ts(t), user, "click", v)
+    val input = MemoryStream[EventStreams.Event](spark)
+    val sessions = EventStreams.sessionizeWithState(input.toDS(),
+      gapMinutes = 30, watermark = "3 hours") // watermark > gap: stray possible
+    val q = sessions.toDF().writeStream.format("memory").queryName("stray_sess_t")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("stray-sess-ckpt"))
+      .start()
+    try {
+      input.addData(ev(1, 1L, "12:00", 1.0))
+      q.processAllAvailable()
+      // 10:30 is 90 min before the open session yet above the watermark:
+      // must NOT merge into [10:30,12:00]
+      input.addData(ev(2, 1L, "10:30", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 2L, "16:00", 0.0)) // flush via timeout
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stray_sess_t")
+      .filter($"user_id" === 1L)
+      .collect().map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(_._1.getTime)
+    assert(got.length == 2, s"two sessions expected: ${got.mkString(",")}")
+    assert(got(0) == ((ts("10:30"), ts("10:30"), 1L)))
+    assert(got(1) == ((ts("12:00"), ts("12:00"), 1L)))
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     import spark.implicits._
     val events = EventStreams.readStream(spark, streamDir)
