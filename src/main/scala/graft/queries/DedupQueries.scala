@@ -307,5 +307,91 @@ object DedupQueries extends QueryModule {
              WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
              ORDER BY doc_a, doc_b"""))
 
-  override def defs: Seq[QueryDef] = Seq(q29, q30, q31, q32, q33, q34, q35)
+  /** MinHash Jaccard ESTIMATION over the LSH candidate pairs: the fraction
+    * of agreeing signature components estimates the true Jaccard — the
+    * step that turns q32's candidates into scored near-dup decisions
+    * without touching the documents again. Signature-only scoring: the
+    * text never re-enters the pipeline, so the score join is over
+    * (pair, 8 small strings), not the corpus.
+    */
+  private val q72 = QueryDef(
+    "q72_minhash_jaccard_estimate",
+    (s, d) => {
+      val sig = explodeShingles(
+          Tables(s, d, "documents").select("doc_id", "text"),
+          col("text"), 2, "tok")
+        .withColumn("m0", minhashParent(col("tok"), 0))
+        .withColumn("m1", minhashParent(col("tok"), 1))
+        .groupBy("doc_id")
+        .agg(minhashSlice(col("m0"), col("m1"), 0).as("h0"),
+          (1 until 8).map(i => minhashSlice(col("m0"), col("m1"), i).as(s"h$i")): _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val a = bands.as("a"); val b = bands.as("b")
+      val pairs = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sig.as("sa"); val sb = sig.as("sb")
+      pairs
+        .join(sa, col("doc_a") === col("sa.doc_id"))
+        .join(sb, col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          ((0 until 8).map(i =>
+            when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+            .reduce(_ + _).cast("double") / 8.0).as("jaccard_est"))
+        .filter(col("jaccard_est") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  tok AS (SELECT doc_id, unnest(list_distinct(
+                            CASE WHEN len(tk) >= 2
+                                 THEN list_transform(range(len(tk) - 1),
+                                        i -> tk[i+1] || ' ' || tk[i+2])
+                                 ELSE []::VARCHAR[] END)) AS t
+                          FROM toks),
+                  sig AS (SELECT doc_id,
+                           min(substring(md5('0:' || t), 1, 8)) AS h0,
+                           min(substring(md5('0:' || t), 9, 8)) AS h1,
+                           min(substring(md5('0:' || t), 17, 8)) AS h2,
+                           min(substring(md5('0:' || t), 25, 8)) AS h3,
+                           min(substring(md5('1:' || t), 1, 8)) AS h4,
+                           min(substring(md5('1:' || t), 9, 8)) AS h5,
+                           min(substring(md5('1:' || t), 17, 8)) AS h6,
+                           min(substring(md5('1:' || t), 25, 8)) AS h7
+                          FROM tok GROUP BY doc_id),
+                  bands AS (
+                    SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig UNION ALL
+                    SELECT doc_id, 1 AS band, md5(h2 || h3) AS key FROM sig UNION ALL
+                    SELECT doc_id, 2 AS band, md5(h4 || h5) AS key FROM sig UNION ALL
+                    SELECT doc_id, 3 AS band, md5(h6 || h7) AS key FROM sig),
+                  pairs AS (
+                    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+             SELECT doc_a, doc_b,
+                    CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+                          CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+                          CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+                          CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END +
+                          CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END +
+                          CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END +
+                          CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END +
+                          CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 AS jaccard_est
+             FROM pairs
+             JOIN sig sa ON doc_a = sa.doc_id
+             JOIN sig sb ON doc_b = sb.doc_id
+             WHERE CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+                         CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+                         CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+                         CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END +
+                         CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END +
+                         CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END +
+                         CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END +
+                         CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 >= 0.5
+             ORDER BY doc_a, doc_b"""))
+
+  override def defs: Seq[QueryDef] = Seq(q29, q30, q31, q32, q33, q34, q35, q72)
 }

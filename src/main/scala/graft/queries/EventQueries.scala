@@ -209,5 +209,43 @@ object EventQueries extends QueryModule {
             FROM act JOIN fd USING (user_id)
             GROUP BY cohort, day_offset ORDER BY cohort, day_offset"""))
 
-  override def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q50, q55, q64, q65)
+  /** Funnel conversion: of users whose journey contains a view, how many
+    * click strictly after their first view. Two grouped aggregates and one
+    * join, all on user_id — the per-user funnel state never leaves the
+    * executors, and the output is one summary row.
+    */
+  private val q71 = QueryDef(
+    "q71_funnel_conversion",
+    (s, d) => {
+      val ev = Tables(s, d, "events")
+      val viewers = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"))
+        .filter(col("first_view").isNotNull)
+      val clicks = ev.filter(col("event_type") === "click")
+        .join(viewers, "user_id")
+        .filter(col("ts") > col("first_view"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("first_click_after"))
+      viewers.join(clicks, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_viewers"),
+          count(col("first_click_after")).as("n_converted"))
+        .select(col("n_viewers"), col("n_converted"),
+          (col("n_converted").cast("double") / col("n_viewers").cast("double"))
+            .as("conv_rate"))
+    },
+    Some("""WITH viewers AS (
+              SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+              FROM events GROUP BY user_id HAVING first_view IS NOT NULL),
+            clicks AS (
+              SELECT e.user_id, MIN(e.ts) AS first_click_after
+              FROM events e JOIN viewers v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.first_view
+              GROUP BY e.user_id)
+            SELECT COUNT(*) AS n_viewers,
+                   COUNT(first_click_after) AS n_converted,
+                   CAST(COUNT(first_click_after) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conv_rate
+            FROM viewers LEFT JOIN clicks USING (user_id)"""))
+
+  override def defs: Seq[QueryDef] =
+    Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71)
 }
