@@ -25,11 +25,19 @@ class EmptyInputSpec extends SparkSuite {
     d
   }
 
-  test("every registered query executes on empty tables and returns 0 rows") {
+  /** Global aggregates (no GROUP BY) correctly emit ONE summary row even on
+    * empty input — (0, 0, null) — exactly as SQL semantics demand.
+    */
+  private val globalAggregates = Set("q71_funnel_conversion")
+
+  test("every registered query executes on empty tables and returns 0 rows " +
+    "(global aggregates: their single summary row)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
-        if (n == 0) None else Some(s"$name returned $n rows on empty input")
+        val expected = if (globalAggregates(name)) 1L else 0L
+        if (n == expected) None
+        else Some(s"$name returned $n rows on empty input (expected $expected)")
       } catch {
         case e: Throwable => Some(s"$name threw ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
       }
