@@ -224,6 +224,31 @@ object MiscQueries extends QueryModule {
                    COUNT(DISTINCT o_orderpriority) AS n_priorities
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Approximate percentiles with a verified bound (the q47 pattern): the
+    * GK sketch's median must land within one quantity unit of the exact
+    * interpolated median. The exact columns hash-compare; `approx_ok` goes
+    * through the oracle as the semantic contract, TRUE only if Spark's
+    * sketch (deterministic per dataset) meets the bound. At 100 TB the
+    * sketch replaces the per-group sort q52 needs — fixed memory,
+    * mergeable map-side.
+    */
+  private val q73 = QueryDef(
+    "q73_approx_percentile",
+    (s, d) => Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_median"),
+        expr("percentile(l_quantity, 0.5)").as("exact_median"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_median"), col("n"),
+        (abs(col("approx_median") - col("exact_median")) <= 1.0).as("approx_ok"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS exact_median,
+                   COUNT(*) AS n,
+                   TRUE AS approx_ok
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q43, q44, q45, q46, q47, q48, q49, q52, q53, q54)
+    Seq(q43, q44, q45, q46, q47, q48, q49, q52, q53, q54, q73)
 }
