@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.DedupQueries
+
+/** Connected components over candidate pairs (the dedup "last mile"):
+  * hash-to-min label propagation must converge to the component-minimum
+  * label on arbitrary topologies within the iteration cap.
+  */
+class ClusterSpec extends SparkSuite {
+
+  private def pairsDF(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("doc_a", "doc_b")
+  }
+
+  private def labels(pairs: (Long, Long)*): Map[Long, Long] =
+    DedupQueries.connectedComponents(pairsDF(pairs: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two disjoint components get their own min labels") {
+    val l = labels((1L, 2L), (2L, 3L), (10L, 11L))
+    assert(l == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a long chain converges to the global min (log-round propagation)") {
+    // chain 1-2-3-...-20: diameter 19, far beyond what one or two rounds
+    // of plain neighbor-min would cover — exercises the hash-to-min
+    // doubling and the convergence detection
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val l = labels(chain: _*)
+    assert(l.keySet == (1L to 20L).toSet)
+    assert(l.values.toSet == Set(1L))
+  }
+
+  test("a cycle and a bridge merge into one component") {
+    val l = labels((5L, 6L), (6L, 7L), (7L, 5L), (7L, 9L), (9L, 2L))
+    assert(l.values.toSet == Set(2L))
+    assert(l.keySet == Set(2L, 5L, 6L, 7L, 9L))
+  }
+
+  test("empty pair set yields empty clustering") {
+    assert(DedupQueries.connectedComponents(
+      pairsDF().limit(0)).count() == 0L)
+  }
+
+  test("survivor selection keeps one doc per cluster plus unpaired docs") {
+    import spark.implicits._
+    val cc = DedupQueries.connectedComponents(pairsDF((1L, 2L), (2L, 3L)))
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val survivors = docs
+      .join(cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L))
+  }
+}
