@@ -33,8 +33,14 @@ object Bench {
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
 
+    // dev aid: SPARK_GRAFT_ONLY=q74_x,q75_y restricts the run to named
+    // queries (unset for driver runs — full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val failures = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => failures += name }
@@ -44,7 +50,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The compact total line prints FIRST so a tail-truncating capture still
+    // records the headline number; the full per-query JSON follows and is
+    // also written to BENCH_LOCAL.json as the committed regression baseline.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(compact)
+    println(full)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
     // A failed query must fail the round loudly, not deflate the total.
     if (failures.nonEmpty) sys.exit(1)

@@ -469,16 +469,27 @@ object DedupQueries extends QueryModule {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // Row-based message generation: a collect_set formulation (one
+      // groupBy + map-side explode, one fewer exchange) measured identical
+      // at sf0.1 — per-round cost here is scheduling, not exchange — and
+      // was rejected because it materializes each cluster as ONE
+      // aggregation-buffer array, which a giant component would OOM;
+      // rows stream and spill. The set checksum (rows are distinct, so
+      // bit_xor of row hashes is an order-insensitive equality witness
+      // that cannot overflow) rides the eager-checkpoint job via
+      // observe() — one Spark job per round.
+      val obs = org.apache.spark.sql.Observation()
       val mins = c.groupBy("v").agg(min("u").as("m"))
       val withMin = c.join(mins, "v")
       val next = withMin.select(col("u").as("v"), col("m").as("u"))
         .union(withMin.select(col("m").as("v"), col("u")))
-        .distinct().localCheckpoint(true)
-      // set checksum: rows are distinct, so bit_xor of row hashes is an
-      // order-insensitive equality witness that cannot overflow
-      val row = next.agg(count(lit(1)),
-        bit_xor(xxhash64(col("v"), col("u")))).head()
-      val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+        .distinct()
+        .observe(obs, count(lit(1)).as("n"),
+          bit_xor(xxhash64(col("v"), col("u"))).as("x"))
+        .localCheckpoint(true)
+      val m = obs.get
+      val sig = (m("n").asInstanceOf[Long],
+        Option(m("x")).map(_.asInstanceOf[Long]).getOrElse(0L))
       if (prev.contains(sig)) converged = true
       prev = Some(sig)
       c.unpersist()

@@ -288,15 +288,19 @@ object PipelineQueries extends QueryModule {
              ORDER BY doc_id, pos"""))
 
   /** Blocked fuzzy join: nearest customer name per supplier by edit
-    * distance, pairs bounded by the nation block (the fuzzy-matching shape
-    * of entity resolution). levenshtein is exact integer edit distance on
-    * both engines. The argmin is a `min(struct(dist, tiebreak, payload))`
+    * distance, with a COMPOSITE blocking key — (nation, last-2-chars of the
+    * name). Nation-only blocking is still quadratic (both sides of a block
+    * grow with corpus size, only divided by the 25 nations); adding the
+    * name-tail key bounds candidates per supplier by block cardinality:
+    * measured at sf0.1, 599k pairs nation-only vs 6.0k composite (99x).
+    * For these zero-padded numeric names the discriminative characters are
+    * the low-order digits, so the tail is the "prefix" of the key portion;
+    * real-name pipelines would use a phonetic key here instead. Suppliers
+    * whose block has no candidate are kept with a NULL match (left join
+    * after the argmin), so blocking narrows candidates, not output
+    * cardinality. The argmin is a `min(struct(dist, tiebreak, payload))`
     * hash aggregation: struct min is lexicographic so the winner (dist asc,
     * custkey asc) equals the rank-1 window's, with map-side partial min.
-    * Measured equivalent to the window form at sf0.1 (Spark's
-    * WindowGroupLimit also limits map-side for rank<=k windows); kept for
-    * the sort-free plan. The levenshtein evaluation over the blocked pairs
-    * dominates either way.
     */
   private val q69 = QueryDef(
     "q69_fuzzy_name_match",
@@ -305,23 +309,31 @@ object PipelineQueries extends QueryModule {
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
       val cust = Tables(s, d, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      sup.join(cust, col("s_nationkey") === col("c_nationkey"))
+      val best = sup.join(cust,
+          col("s_nationkey") === col("c_nationkey") &&
+            substring(col("s_name"), -2, 2) === substring(col("c_name"), -2, 2))
         .withColumn("dist", levenshtein(col("s_name"), col("c_name")))
-        .groupBy("s_suppkey", "s_name")
+        .groupBy("s_suppkey")
         .agg(min(struct(col("dist"), col("c_custkey"), col("c_name"))).as("best"))
+      sup.join(best, Seq("s_suppkey"), "left")
         .select(col("s_suppkey"), col("s_name"),
           col("best.c_custkey").as("c_custkey"),
           col("best.c_name").as("c_name"),
           col("best.dist").as("dist"))
         .orderBy("s_suppkey")
     },
-    Some("""SELECT s_suppkey, s_name, c_custkey, c_name, dist FROM (
-              SELECT s_suppkey, s_name, c_custkey, c_name,
-                     levenshtein(s_name, c_name) AS dist,
-                     ROW_NUMBER() OVER (PARTITION BY s_suppkey
-                       ORDER BY levenshtein(s_name, c_name) ASC, c_custkey ASC) AS rnk
-              FROM supplier JOIN customer ON s_nationkey = c_nationkey) t
-            WHERE rnk = 1 ORDER BY s_suppkey"""))
+    Some("""SELECT s.s_suppkey, s.s_name, t.c_custkey, t.c_name, t.dist
+            FROM supplier s LEFT JOIN (
+              SELECT s_suppkey, c_custkey, c_name, dist FROM (
+                SELECT s_suppkey, c_custkey, c_name,
+                       levenshtein(s_name, c_name) AS dist,
+                       ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                         ORDER BY levenshtein(s_name, c_name) ASC, c_custkey ASC) AS rnk
+                FROM supplier JOIN customer
+                  ON s_nationkey = c_nationkey
+                 AND substring(s_name, -2, 2) = substring(c_name, -2, 2)) x
+              WHERE rnk = 1) t ON s.s_suppkey = t.s_suppkey
+            ORDER BY s.s_suppkey"""))
 
   /** Calendar-spine gap filling: generate the full day range between the
     * corpus bounds and left-join daily counts so empty days appear as
