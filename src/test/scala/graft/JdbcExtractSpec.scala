@@ -89,6 +89,31 @@ class JdbcExtractSpec extends SparkSuite {
     assert(empty.count() == 0)
   }
 
+  test("JDBC scan pushes filter predicates and column projection into " +
+    "the database (no full-table transfer)") {
+    import org.apache.spark.sql.execution.RowDataSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("jdbc")
+      .option("url", db.jdbcUrl)
+      .option("driver", db.driverClass)
+      .option("dbtable", "big_t")
+      .load()
+      .filter(col("id") > 500)
+      .select("id")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: RowDataSourceScanExec => s
+    }
+    assert(scans.size == 1, "expected exactly one JDBC scan node")
+    // the filter travels to the database as a pushed predicate...
+    val pushed = scans.head.metadata("PushedFilters").toLowerCase
+    assert(pushed.contains("greaterthan(id,500)"),
+      s"filter not pushed into the JDBC source: $pushed")
+    // ...and the scan fetches only the projected column, not the row
+    assert(scans.head.output.map(_.name.toLowerCase) == Seq("id"),
+      s"projection not pruned at the scan: ${scans.head.output}")
+    assert(df.count() == 500)
+  }
+
   test("withSafeColumnNames renames invalid/colliding columns positionally " +
     "(namedtuple row-factory parity)") {
     import spark.implicits._
