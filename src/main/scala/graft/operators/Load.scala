@@ -75,6 +75,27 @@ object Load {
     s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(c => s":$c").mkString(", ")})"
   }
 
+  /** O11, full paramstyle surface (etl.py:596-602): the five DBAPI
+    * placeholder dialects the reference renders. JDBC itself always binds
+    * positionally with `?`; the other styles exist for emitting SQL to
+    * engines/drivers that expect them.
+    */
+  def generateInsertSqlStyled(table: String, schema: StructType,
+      paramstyle: String): String = {
+    Identifiers.validate(table)
+    val cols = schema.fieldNames.map(Identifiers.validate)
+    val placeholders: Seq[String] = paramstyle match {
+      case "qmark"    => cols.toSeq.map(_ => "?")
+      case "numeric"  => cols.indices.map(i => s":${i + 1}")
+      case "named"    => cols.toSeq.map(c => s":$c")
+      case "format"   => cols.toSeq.map(_ => "%s")
+      case "pyformat" => cols.toSeq.map(c => s"%($c)s")
+      case other => throw new IllegalArgumentException(
+        s"unknown paramstyle '$other' (expected qmark, numeric, named, format or pyformat)")
+    }
+    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${placeholders.mkString(", ")})"
+  }
+
   /** O5+O6 executemany with the on_error channel. `maxQuarantine` bounds the
     * TOTAL failed-row payload shipped driver-ward (counts stay exact
     * regardless): the budget is split across partitions up front, so the

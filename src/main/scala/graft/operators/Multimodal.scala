@@ -25,6 +25,29 @@ object Multimodal {
       payloadCol: String = "payload"): DataFrame =
     df.withColumn(payloadCol, encode(col(textCol), "UTF-8"))
 
+  /** Ingest a directory of binary assets (images/audio/video files) via
+    * Spark's `binaryFile` source: one row per file, content as the
+    * `payload` column feeding decodeAndFeaturize unchanged, plus the
+    * file-level metadata a curation pipeline filters on. The id is the
+    * xxhash64 of the file path — stable across re-reads and executors.
+    *
+    * Scale notes: `pathGlobFilter` prunes at LISTING time (non-matching
+    * files are never opened); each file must fit in one row (the source's
+    * contract — large video goes through chunked range reads instead);
+    * listing parallelizes across the cluster for object-store prefixes.
+    */
+  def fromBinaryFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("path"),
+        col("length").as("n_bytes"),
+        col("modificationTime").as("modified_at"),
+        col("content").as("payload"))
+
   /** STUB codec: a real implementation would call the image library here
     * (one codec instance per partition). Deterministic fake: dimensions
     * derived from payload length, features = normalized byte histogram.

@@ -241,6 +241,27 @@ class LoadSpec extends SparkSuite {
       Load.generateInsertSqlNamed("bad;table", fixtureDf.schema))
   }
 
+  test("generateInsertSqlStyled renders all five reference paramstyles") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType)))
+    val cases = Seq(
+      "qmark"    -> "VALUES (?, ?)",
+      "numeric"  -> "VALUES (:1, :2)",
+      "named"    -> "VALUES (:id, :name)",
+      "format"   -> "VALUES (%s, %s)",
+      "pyformat" -> "VALUES (%(id)s, %(name)s)")
+    cases.foreach { case (style, tail) =>
+      val sql = Load.generateInsertSqlStyled("dest", schema, style)
+      assert(sql == s"INSERT INTO dest (id, name) $tail", s"style=$style")
+    }
+    // identifiers are validated in every style; unknown styles are rejected
+    assertThrows[EtlBadIdentifierError](
+      Load.generateInsertSqlStyled("bad;table", schema, "qmark"))
+    assertThrows[IllegalArgumentException](
+      Load.generateInsertSqlStyled("dest", schema, "qmarkish"))
+  }
+
   test("round-trip: load then extract back preserves values incl UTF-8") {
     withTable("dest_rt") {
       Load.load(fixtureDf, db, "dest_rt")

@@ -24,6 +24,39 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.forall(r => again(r.doc_id) == r.features.toSeq))
   }
 
+  test("binaryFile source ingests a directory of assets into the payload " +
+    "pipeline (glob-pruned at listing, stable hashed ids)") {
+    val assetDir = tmpDir("bin-assets")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$assetDir/$name"), bytes)
+    put("a.img", Array.tabulate(300)(_.toByte))
+    put("b.img", "tiny".getBytes("UTF-8"))
+    put("skip.txt", "not an image".getBytes("UTF-8"))
+
+    val files = Multimodal.fromBinaryFiles(spark, assetDir, glob = "*.img")
+    val rows = files.collect()
+    // the glob pruned skip.txt at listing time
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Array[Byte]]("payload").nonEmpty))
+    val byPath = rows.map(r => r.getAs[String]("path") -> r).toMap
+    assert(byPath.keys.count(_.endsWith(".img")) == 2)
+    // length metadata matches the payload actually carried
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_bytes") == r.getAs[Array[Byte]]("payload").length.toLong))
+
+    // ids are stable across re-reads (hash of path, not read order)
+    val again = Multimodal.fromBinaryFiles(spark, assetDir, glob = "*.img")
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[Long]("doc_id")).toMap
+    assert(rows.forall(r => again(r.getAs[String]("path")) == r.getAs[Long]("doc_id")))
+
+    // the existing decode pipeline consumes the source unchanged
+    val decoded = Multimodal.decodeAndFeaturize(files).collect()
+    assert(decoded.length == 2)
+    assert(decoded.forall(_.features.length == 16))
+    val a = decoded.find(_.n_bytes == 300).get
+    assert(a.width == 64 + 300 % 640)
+  }
+
   test("frameSampleOffsets plans strided frame reads as column arithmetic") {
     val docs = Multimodal.withPayload(Tables(spark, dir, "documents"))
     val out = Multimodal.frameSampleOffsets(docs, frameSize = 16, stride = 2)
