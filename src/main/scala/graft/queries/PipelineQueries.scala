@@ -365,6 +365,134 @@ object PipelineQueries extends QueryModule {
             FROM spine LEFT JOIN daily USING (day)
             ORDER BY day"""))
 
+  /** Repetition-based quality filter (the Gopher/MassiveText rule family):
+    * per-document duplicate-token fraction, top-token share, and repeated-
+    * bigram fraction, with keep/drop flags at corpus-calibrated thresholds.
+    * All metrics are pure array arithmetic on the token list — map-only,
+    * codegen'd, no shuffle before the harness sort — and every fraction is
+    * an integer ratio computed with the identical FP ops on both engines.
+    * The O(distinct × n) top-token scan is per-document work over ~100
+    * tokens; at 100 TB it stays embarrassingly parallel.
+    */
+  private val q76 = QueryDef(
+    "q76_repetition_filter",
+    (s, d) => Tables(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("n", size(col("tk")))
+      .withColumn("nd", size(array_distinct(col("tk"))))
+      .withColumn("topc", expr(
+        "CASE WHEN size(tk) > 0 THEN array_max(transform(array_distinct(tk), d -> size(filter(tk, x -> x = d)))) ELSE 0 END"))
+      .withColumn("nd2", expr(
+        "CASE WHEN size(tk) >= 2 THEN size(array_distinct(transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))) ELSE 0 END"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr("CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END").as("dup_frac"),
+        expr("CASE WHEN n > 0 THEN CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END").as("top_share"),
+        expr("CASE WHEN n >= 2 THEN CAST(n - 1 - nd2 AS DOUBLE) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END").as("rep2_frac"))
+      .withColumn("kept", col("dup_frac") <= 0.55 && col("top_share") <= 0.12
+        && col("rep2_frac") <= 0.05)
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  m AS (SELECT doc_id,
+                          len(tk) AS n,
+                          len(list_distinct(tk)) AS nd,
+                          CASE WHEN len(tk) > 0
+                               THEN list_max(list_transform(list_distinct(tk),
+                                      d -> len(list_filter(tk, x -> x = d))))
+                               ELSE 0 END AS topc,
+                          CASE WHEN len(tk) >= 2
+                               THEN len(list_distinct(list_transform(range(len(tk) - 1),
+                                      i -> tk[i+1] || ' ' || tk[i+2])))
+                               ELSE 0 END AS nd2
+                        FROM t)
+             SELECT doc_id, n AS n_tokens,
+                    CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END AS dup_frac,
+                    CASE WHEN n > 0 THEN CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END AS top_share,
+                    CASE WHEN n >= 2 THEN CAST(n - 1 - nd2 AS DOUBLE) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END AS rep2_frac,
+                    (CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) <= 0.55
+                      AND (CASE WHEN n > 0 THEN CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) <= 0.12
+                      AND (CASE WHEN n >= 2 THEN CAST(n - 1 - nd2 AS DOUBLE) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END) <= 0.05
+                      AS kept
+             FROM m ORDER BY doc_id"""))
+
+  /** Sequence packing for training batches: documents in doc_id order are
+    * assigned to fixed token-budget bins by exclusive running token count
+    * (bin = cum_before DIV 512) — the boundary-packing approximation whose
+    * per-bin overflow is bounded by one document. Integer arithmetic only.
+    *
+    * Scale note: the single global running sum is the small-data form; at
+    * 100 TB packing runs per partition with bin ids offset by a per-
+    * partition prefix (one pass to count partition totals, one map pass) —
+    * same arithmetic, no global sort.
+    */
+  private val q77 = QueryDef(
+    "q77_sequence_packing",
+    (s, d) => {
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "documents")
+        .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("cum_before div 512").as("bin_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, n_tokens,
+                    CAST(COALESCE(cum_before, 0) AS BIGINT) // 512 AS bin_id
+             FROM (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens,
+                          SUM(CAST(len($tokSql) AS BIGINT)) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+                   FROM documents) t
+             ORDER BY doc_id"""))
+
+  /** Deterministic domain mixing: downsample each source to an equal token
+    * budget (total_tokens DIV n_sources) with hash-order selection — the
+    * pretraining-mixture rebalance, rerun-stable like q66/q67 (never
+    * rand()). The keep decision compares a 16-bit md5 slice against the
+    * source's quantized keep-rate rendered as a zero-padded hex literal, so
+    * both engines make the identical string comparison; sources already
+    * under budget keep everything. Per-source stats are a tiny broadcast
+    * (one row per domain); the corpus itself is scanned map-only.
+    */
+  private val q78 = QueryDef(
+    "q78_domain_mix",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4).as("h4"))
+      val bySrc = docs.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+      val tot = bySrc.agg(sum("src_tokens").as("total"), count(lit(1)).as("n_src"))
+      val rates = bySrc.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("total div n_src"))
+        .select(col("source"), col("src_tokens"), col("budget"),
+          floor(col("budget").cast("double") / col("src_tokens").cast("double")
+            * lit(65536.0)).as("cut"))
+      docs.join(broadcast(rates), "source")
+        .filter(col("src_tokens") <= col("budget")
+          || col("h4") < lpad(lower(hex(col("cut"))), 4, "0"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH docs AS (SELECT doc_id, source,
+                             CAST(len($tokSql) AS BIGINT) AS n_tokens,
+                             substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+                           FROM documents),
+                  by_src AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+                             FROM docs GROUP BY source),
+                  tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total,
+                                 COUNT(*) AS n_src
+                          FROM by_src),
+                  rates AS (SELECT source, src_tokens, total // n_src AS budget,
+                                   CAST(floor(CAST(total // n_src AS DOUBLE)
+                                     / CAST(src_tokens AS DOUBLE) * 65536.0) AS BIGINT) AS cut
+                            FROM by_src CROSS JOIN tot)
+             SELECT doc_id, docs.source, n_tokens
+             FROM docs JOIN rates ON docs.source = rates.source
+             WHERE src_tokens <= budget
+                OR h4 < lpad(lower(to_hex(cut)), 4, '0')
+             ORDER BY doc_id"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67, q68, q69, q70)
+    Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67, q68, q69, q70,
+      q76, q77, q78)
 }
