@@ -172,6 +172,11 @@ object SimilarityQueries extends QueryModule {
         .groupBy("cid")
         .agg(sort_array(collect_list(struct(col("idx"), col("cvi")))).as("a"))
         .select(col("cid"), expr("transform(a, x -> x.cvi)").as("cv"))
+        // materialize each iteration's k rows: without this, iteration i
+        // re-executes iterations 1..i-1 embedded in its plan (measured
+        // 2.66s -> 2.31s on q62 at sf0.1; the avoided recompute grows
+        // quadratically with iteration count)
+        .localCheckpoint(true)
     }
     cents
   }
