@@ -59,9 +59,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(compact)
     println(full)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
-    catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    // only full runs may refresh the committed regression baseline — a
+    // SPARK_GRAFT_ONLY dev run must not overwrite it with a partial total
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
+      catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    }
     spark.stop()
     // A failed query must fail the round loudly, not deflate the total.
     if (failures.nonEmpty) sys.exit(1)

@@ -46,4 +46,14 @@ object Identifiers {
 
   def isValid(identifier: String): Boolean =
     try { validate(identifier); true } catch { case _: EtlBadIdentifierError => false }
+
+  /** Column-name validation: like validate but WITHOUT the schema.table
+    * dot allowance — a dotted column would render broken placeholders
+    * (`:a.b`, `%(a.b)s`) and an unresolvable column list.
+    */
+  def validateColumn(identifier: String): String = {
+    if (!rule.pattern.matcher(identifier).matches())
+      throw new EtlBadIdentifierError(s"'$identifier' contains invalid characters")
+    identifier
+  }
 }

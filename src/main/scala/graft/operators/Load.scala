@@ -58,32 +58,28 @@ object Load {
     * with every identifier validated; JDBC `?` placeholders (the qmark
     * paramstyle — binding by position is what the writer does).
     */
-  def generateInsertSql(table: String, schema: StructType): String = {
-    Identifiers.validate(table)
-    val cols = schema.fieldNames.map(Identifiers.validate)
-    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
-  }
+  def generateInsertSql(table: String, schema: StructType): String =
+    generateInsertSqlStyled(table, schema, "qmark")
 
   /** O11 named-paramstyle form (the reference's named/pyformat surface,
     * `named_paramstyle` in each db_helpers backend): `:name` placeholders
     * keyed by column, the shape Spark's parameterized SQL (`Extract.sql`)
     * binds.
     */
-  def generateInsertSqlNamed(table: String, schema: StructType): String = {
-    Identifiers.validate(table)
-    val cols = schema.fieldNames.map(Identifiers.validate)
-    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(c => s":$c").mkString(", ")})"
-  }
+  def generateInsertSqlNamed(table: String, schema: StructType): String =
+    generateInsertSqlStyled(table, schema, "named")
 
   /** O11, full paramstyle surface (etl.py:596-602): the five DBAPI
     * placeholder dialects the reference renders. JDBC itself always binds
     * positionally with `?`; the other styles exist for emitting SQL to
-    * engines/drivers that expect them.
+    * engines/drivers that expect them. Table names may carry a schema.
+    * prefix; column names may not contain dots (a dotted column renders
+    * broken placeholders), so they get the stricter no-dot validation.
     */
   def generateInsertSqlStyled(table: String, schema: StructType,
       paramstyle: String): String = {
     Identifiers.validate(table)
-    val cols = schema.fieldNames.map(Identifiers.validate)
+    val cols = schema.fieldNames.map(Identifiers.validateColumn)
     val placeholders: Seq[String] = paramstyle match {
       case "qmark"    => cols.toSeq.map(_ => "?")
       case "numeric"  => cols.indices.map(i => s":${i + 1}")

@@ -154,6 +154,40 @@ object DedupQueries extends QueryModule {
       .distinct()
   }
 
+  /** Shared DuckDB CTE chain producing the LSH signatures (`sig`) and
+    * candidate pairs (`pairs`) — the single source of truth for the
+    * oracles of q32, q72, q74 and q75, mirroring the shared Spark-side
+    * minhashSigs/lshCandidatePairs generators: a divergence between the
+    * pair sets those four queries check is structurally impossible.
+    */
+  private val lshPairsCteSql =
+    s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+        tok AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) >= 2
+                       THEN list_transform(range(len(tk) - 1),
+                              i -> tk[i+1] || ' ' || tk[i+2])
+                       ELSE []::VARCHAR[] END)) AS t
+                FROM toks),
+        sig AS (SELECT doc_id,
+                 min(substring(md5('0:' || t), 1, 8)) AS h0,
+                 min(substring(md5('0:' || t), 9, 8)) AS h1,
+                 min(substring(md5('0:' || t), 17, 8)) AS h2,
+                 min(substring(md5('0:' || t), 25, 8)) AS h3,
+                 min(substring(md5('1:' || t), 1, 8)) AS h4,
+                 min(substring(md5('1:' || t), 9, 8)) AS h5,
+                 min(substring(md5('1:' || t), 17, 8)) AS h6,
+                 min(substring(md5('1:' || t), 25, 8)) AS h7
+                FROM tok GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig UNION ALL
+          SELECT doc_id, 1 AS band, md5(h2 || h3) AS key FROM sig UNION ALL
+          SELECT doc_id, 2 AS band, md5(h4 || h5) AS key FROM sig UNION ALL
+          SELECT doc_id, 3 AS band, md5(h6 || h7) AS key FROM sig),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
   /** MinHash-LSH candidate pairs: 8 bigram-shingle minhashes -> 4 bands of
     * 2 -> equality join on band keys. The quadratic all-pairs problem
     * becomes equality joins whose cost is bounded by bucket sizes; shingle
@@ -165,31 +199,8 @@ object DedupQueries extends QueryModule {
     "q32_lsh_candidate_pairs",
     (s, d) => lshCandidatePairs(Tables(s, d, "documents"))
       .orderBy("doc_a", "doc_b"),
-    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
-                  tok AS (SELECT doc_id, unnest(list_distinct(
-                            CASE WHEN len(tk) >= 2
-                                 THEN list_transform(range(len(tk) - 1),
-                                        i -> tk[i+1] || ' ' || tk[i+2])
-                                 ELSE []::VARCHAR[] END)) AS t
-                          FROM toks),
-                  sig AS (SELECT doc_id,
-                           min(substring(md5('0:' || t), 1, 8)) AS h0,
-                           min(substring(md5('0:' || t), 9, 8)) AS h1,
-                           min(substring(md5('0:' || t), 17, 8)) AS h2,
-                           min(substring(md5('0:' || t), 25, 8)) AS h3,
-                           min(substring(md5('1:' || t), 1, 8)) AS h4,
-                           min(substring(md5('1:' || t), 9, 8)) AS h5,
-                           min(substring(md5('1:' || t), 17, 8)) AS h6,
-                           min(substring(md5('1:' || t), 25, 8)) AS h7
-                          FROM tok GROUP BY doc_id),
-                  bands AS (
-                    SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig UNION ALL
-                    SELECT doc_id, 1 AS band, md5(h2 || h3) AS key FROM sig UNION ALL
-                    SELECT doc_id, 2 AS band, md5(h4 || h5) AS key FROM sig UNION ALL
-                    SELECT doc_id, 3 AS band, md5(h6 || h7) AS key FROM sig)
-             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b
-               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    Some(s"""WITH $lshPairsCteSql
+             SELECT doc_a, doc_b FROM pairs
              ORDER BY doc_a, doc_b"""))
 
   /** n-gram (unigram) Jaccard near-dup scoring within source blocks with a
@@ -340,32 +351,7 @@ object DedupQueries extends QueryModule {
         .filter(col("jaccard_est") >= 0.5)
         .orderBy("doc_a", "doc_b")
     },
-    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
-                  tok AS (SELECT doc_id, unnest(list_distinct(
-                            CASE WHEN len(tk) >= 2
-                                 THEN list_transform(range(len(tk) - 1),
-                                        i -> tk[i+1] || ' ' || tk[i+2])
-                                 ELSE []::VARCHAR[] END)) AS t
-                          FROM toks),
-                  sig AS (SELECT doc_id,
-                           min(substring(md5('0:' || t), 1, 8)) AS h0,
-                           min(substring(md5('0:' || t), 9, 8)) AS h1,
-                           min(substring(md5('0:' || t), 17, 8)) AS h2,
-                           min(substring(md5('0:' || t), 25, 8)) AS h3,
-                           min(substring(md5('1:' || t), 1, 8)) AS h4,
-                           min(substring(md5('1:' || t), 9, 8)) AS h5,
-                           min(substring(md5('1:' || t), 17, 8)) AS h6,
-                           min(substring(md5('1:' || t), 25, 8)) AS h7
-                          FROM tok GROUP BY doc_id),
-                  bands AS (
-                    SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig UNION ALL
-                    SELECT doc_id, 1 AS band, md5(h2 || h3) AS key FROM sig UNION ALL
-                    SELECT doc_id, 2 AS band, md5(h4 || h5) AS key FROM sig UNION ALL
-                    SELECT doc_id, 3 AS band, md5(h6 || h7) AS key FROM sig),
-                  pairs AS (
-                    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                    FROM bands a JOIN bands b
-                      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    Some(s"""WITH $lshPairsCteSql
              SELECT doc_a, doc_b,
                     CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
                           CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
@@ -387,37 +373,6 @@ object DedupQueries extends QueryModule {
                          CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END +
                          CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 >= 0.5
              ORDER BY doc_a, doc_b"""))
-
-  /** Shared DuckDB CTE chain producing the q32 LSH candidate pairs —
-    * prefix for the cluster/survivor oracles (q74/q75).
-    */
-  private val lshPairsCteSql =
-    s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
-        tok AS (SELECT doc_id, unnest(list_distinct(
-                  CASE WHEN len(tk) >= 2
-                       THEN list_transform(range(len(tk) - 1),
-                              i -> tk[i+1] || ' ' || tk[i+2])
-                       ELSE []::VARCHAR[] END)) AS t
-                FROM toks),
-        sig AS (SELECT doc_id,
-                 min(substring(md5('0:' || t), 1, 8)) AS h0,
-                 min(substring(md5('0:' || t), 9, 8)) AS h1,
-                 min(substring(md5('0:' || t), 17, 8)) AS h2,
-                 min(substring(md5('0:' || t), 25, 8)) AS h3,
-                 min(substring(md5('1:' || t), 1, 8)) AS h4,
-                 min(substring(md5('1:' || t), 9, 8)) AS h5,
-                 min(substring(md5('1:' || t), 17, 8)) AS h6,
-                 min(substring(md5('1:' || t), 25, 8)) AS h7
-                FROM tok GROUP BY doc_id),
-        bands AS (
-          SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig UNION ALL
-          SELECT doc_id, 1 AS band, md5(h2 || h3) AS key FROM sig UNION ALL
-          SELECT doc_id, 2 AS band, md5(h4 || h5) AS key FROM sig UNION ALL
-          SELECT doc_id, 3 AS band, md5(h6 || h7) AS key FROM sig),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
   /** Oracle CTE chain extending the pairs to converged connected components:
     * `cc(doc_id, cluster_id)` with cluster_id = min doc_id reachable.
@@ -446,10 +401,13 @@ object DedupQueries extends QueryModule {
     * min-label propagation), each round two shuffles (a groupBy-min and a
     * distinct) over the state rows, whose count is bounded by
     * 2·|V| + |components|·max-cluster at convergence and never exceeds
-    * the message volume O(Σ|C(v)|). State is persisted per round and the
-    * previous round unpersisted, so lineage stays one round deep; at
-    * 100 TB the loop would checkpoint every few rounds and the maxIter
-    * cap (default 30 ≈ 4× the measured need) bounds worst-case cost.
+    * the message volume O(Σ|C(v)|). State is eagerly local-checkpointed
+    * per round so lineage stays one round deep; a dropped round's blocks
+    * are freed by the ContextCleaner once the reference goes (explicit
+    * unpersist() does not reach checkpoint blocks). At 100 TB the loop
+    * would write reliable checkpoints to the cluster FS and delete the
+    * previous round's files explicitly, and the maxIter cap (default 30
+    * ≈ 4× the measured need) bounds worst-case cost.
     * Convergence is detected by (row count, xxhash64 row checksum)
     * stability — one cheap aggregate per round, no driver-side collect
     * of the state itself.
@@ -498,7 +456,9 @@ object DedupQueries extends QueryModule {
         Option(m("x")).map(_.asInstanceOf[Long]).getOrElse(0L))
       if (prev.contains(sig)) converged = true
       prev = Some(sig)
-      c.unpersist()
+      // the dropped round's checkpoint blocks are reclaimed by the
+      // ContextCleaner once this reference goes (unpersist() does not
+      // reach localCheckpoint storage)
       c = next
       i += 1
     }

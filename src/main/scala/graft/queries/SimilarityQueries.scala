@@ -148,10 +148,14 @@ object SimilarityQueries extends QueryModule {
     */
   private def kmeansCentroids(e: org.apache.spark.sql.DataFrame,
       k: Int = 8, iters: Int = 3): org.apache.spark.sql.DataFrame = {
+    // materialized once: every Lloyd iteration reads the quantized
+    // component rows, and without the checkpoint each iteration would
+    // re-scan and re-explode the corpus (the dominant row volume)
     val ex = e.select(col("vec_id"), posexplode(col("v")))
       .toDF("vec_id", "idx", "vv")
       .select(col("vec_id"), col("idx"),
         floor(col("vv") * lit(1e6) + lit(0.5)).cast("long").as("q"))
+      .localCheckpoint(true)
     val seedBase = e.select(col("vec_id"), col("v"),
         md5(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(k)

@@ -7,7 +7,7 @@ import graft.queries.DedupQueries
   * hash-to-min label propagation must converge to the component-minimum
   * label on arbitrary topologies within the iteration cap.
   */
-class ClusterSpec extends SparkSuite {
+class DedupClusterSpec extends SparkSuite {
 
   private def pairsDF(pairs: (Long, Long)*) = {
     import spark.implicits._
