@@ -1,0 +1,63 @@
+package graft
+
+/** Physical-plan shape assertions for the plans that matter at 100 TB:
+  * the point is not that these queries return rows (QueriesSpec) or match
+  * the oracle (Verify) but that Catalyst picked the plan we designed for —
+  * broadcasts actually broadcast, top-k never global-sorts, filters reach
+  * the scan, blocked joins never degenerate to nested loops.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q08 star join broadcasts its dimension sides (no fact shuffle " +
+    "for the dims)") {
+    assert(plan("q08_join_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("q16 top-k plans as TakeOrderedAndProject (per-partition heaps), " +
+    "never a global sort") {
+    val p = plan("q16_sort_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q04 parameterized filter is pushed into the parquet scan") {
+    val p = plan("q04_filter_params")
+    // the FileScan metadata string is truncated in toString, so just
+    // require a non-empty PushedFilters list (would print "[]" if empty)
+    assert("PushedFilters: \\[\\w".r.findFirstIn(p).isDefined,
+      s"no non-empty PushedFilters in:\n$p")
+  }
+
+  test("q69 composite-blocked fuzzy join stays an equality join — " +
+    "never a cartesian/nested-loop over the blocks") {
+    val p = plan("q69_fuzzy_name_match")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"))
+  }
+
+  test("q32 LSH banding plans as an equality join on band keys (the " +
+    "whole point of banding)") {
+    val p = plan("q32_lsh_candidate_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("map-only text metrics stay inside whole-stage codegen (q25)") {
+    // codegen'd operators print with the *(stageId) prefix — visible in
+    // the ADAPTIVE plan only once executed (isFinalPlan=true)
+    val df = SparkEntry.queries("q25_token_stats")(spark, dir)
+    df.collect() // finalizes THIS DataFrame's adaptive plan (a sink write
+    // would spawn a separate query execution and leave this one initial)
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("q78 domain rates are broadcast, the corpus is never shuffled " +
+    "for the mix decision") {
+    val p = plan("q78_domain_mix")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+}
