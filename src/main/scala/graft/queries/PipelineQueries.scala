@@ -492,7 +492,53 @@ object PipelineQueries extends QueryModule {
                 OR h4 < lpad(lower(to_hex(cut)), 4, '0')
              ORDER BY doc_id"""))
 
+  /** Benchmark decontamination: train-split documents (q66's split) that
+    * share at least one 5-token shingle with any eval-split document —
+    * the eval-leakage sweep every pretraining corpus runs. Shingle length
+    * is the precision dial: at this corpus's ~30-word vocabulary,
+    * 4-grams over-flag incidental overlap (60/456 docs at sf0.01) while
+    * 5-grams isolate true near-dup leakage (4/456, matching the q74
+    * duplicate clusters); production corpora use 8-13-gram windows.
+    *
+    * Scale shape: the eval shingle set is the SMALL side by construction
+    * (the held-out split) — broadcast it and the corpus-side scan stays
+    * map-only up to the per-doc count; the corpus never shuffles on text.
+    */
+  private val q79 = QueryDef(
+    "q79_decontamination",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("h2", substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string"))), 1, 2))
+      val sh = explodeShingles(
+          docs.select(col("doc_id"), col("h2"), col("text")),
+          col("text"), 5, "sh")
+        .select("doc_id", "h2", "sh").distinct()
+      val evalSh = sh.filter(col("h2") >= "e6").select("sh").distinct()
+      sh.filter(col("h2") < "e6")
+        .join(broadcast(evalSh), "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tk,
+                          substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+                        FROM documents),
+                  sh AS (SELECT DISTINCT doc_id, h2, s FROM (
+                           SELECT doc_id, h2, unnest(list_distinct(
+                             CASE WHEN len(tk) >= 5
+                                  THEN list_transform(range(len(tk) - 4),
+                                         i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                                              || ' ' || tk[i+4] || ' ' || tk[i+5])
+                                  ELSE []::VARCHAR[] END)) AS s
+                           FROM t) x),
+                  ev AS (SELECT DISTINCT s FROM sh WHERE h2 >= 'e6')
+             SELECT doc_id, COUNT(*) AS n_shared_shingles
+             FROM sh JOIN ev ON sh.s = ev.s
+             WHERE sh.h2 < 'e6'
+             GROUP BY doc_id ORDER BY doc_id"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67, q68, q69, q70,
-      q76, q77, q78)
+      q76, q77, q78, q79)
 }
