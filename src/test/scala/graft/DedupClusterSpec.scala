@@ -44,6 +44,38 @@ class DedupClusterSpec extends SparkSuite {
       pairsDF().limit(0)).count() == 0L)
   }
 
+  test("property: hash-to-min labels equal union-find ground truth on " +
+    "random graphs (20 seeded topologies)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // plain-Scala union-find as the independent reference implementation
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(v => v -> find(v)).toMap
+    }
+    val genPairs = Gen.listOfN(30, for {
+      a <- Gen.chooseNum(1L, 25L); b <- Gen.chooseNum(1L, 25L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    (0 until 20).foreach { i =>
+      val pairs = genPairs.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(Nil).distinct
+      if (pairs.nonEmpty) {
+        val got = labels(pairs: _*)
+        val want = unionFind(pairs)
+        assert(got == want, s"seed $i: pairs=$pairs")
+      }
+    }
+  }
+
   test("survivor selection keeps one doc per cluster plus unpaired docs") {
     import spark.implicits._
     val cc = DedupQueries.connectedComponents(pairsDF((1L, 2L), (2L, 3L)))
