@@ -282,5 +282,56 @@ object SimilarityQueries extends QueryModule {
                    FROM scored) t
              WHERE rn <= 5 ORDER BY query_id, rank"""))
 
-  override def defs: Seq[QueryDef] = Seq(q36, q37, q38, q62)
+  /** Embedding-space diagnostics by label: the exact per-label centroid
+    * (same integer-quantized mean as the k-means refinement — bit-identical
+    * across engines) and the min/max cosine of members to their centroid.
+    * Min/max are order-insensitive, so the report hash-matches without the
+    * decimal detour that an AVG of cosines would break on.
+    *
+    * Scale shape: centroids are one broadcast row per label; the member
+    * scan is map-only — the standard embedding-quality report (tight
+    * clusters → high min cosine) at any corpus size.
+    */
+  private val q81 = QueryDef(
+    "q81_label_centroid_stats",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val ex = e.select(col("vec_id"), col("label"), posexplode(col("v")))
+        .toDF("vec_id", "label", "idx", "vv")
+        .select(col("vec_id"), col("label"), col("idx"),
+          floor(col("vv") * lit(1e6) + lit(0.5)).cast("long").as("q"))
+      val cents = ex.groupBy("label", "idx")
+        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+        .select(col("label"), col("idx"),
+          (col("sq").cast("double") / col("n").cast("double") / lit(1e6)).as("cvi"))
+        .groupBy("label")
+        .agg(sort_array(collect_list(struct(col("idx"), col("cvi")))).as("a"))
+        .select(col("label"), expr("transform(a, x -> x.cvi)").as("cv"))
+      e.join(broadcast(cents), "label")
+        .select(col("label"), cosine(col("v"), col("cv")).as("cos"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("cos")).as("min_intra_cos"),
+          max(col("cos")).as("max_intra_cos"))
+        .orderBy("label")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                  ex AS (SELECT vec_id, label,
+                           CAST(generate_subscripts(v, 1) AS INT) AS idx,
+                           CAST(floor(unnest(v) * 1e6 + 0.5) AS BIGINT) AS q
+                         FROM e),
+                  comp AS (SELECT label, idx,
+                             CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE) / 1e6 AS cvi
+                           FROM ex GROUP BY label, idx),
+                  cents AS (SELECT label, list(cvi ORDER BY idx) AS cv
+                            FROM comp GROUP BY label)
+             SELECT e.label, COUNT(*) AS n_vecs,
+                    MIN(${cosSql("v", "cv")}) AS min_intra_cos,
+                    MAX(${cosSql("v", "cv")}) AS max_intra_cos
+             FROM e JOIN cents ON e.label = cents.label
+             GROUP BY e.label ORDER BY e.label"""))
+
+  override def defs: Seq[QueryDef] = Seq(q36, q37, q38, q62, q81)
 }

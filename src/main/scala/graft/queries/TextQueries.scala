@@ -151,5 +151,35 @@ object TextQueries extends QueryModule {
                FROM scored) t
              WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
 
-  override def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q51)
+  /** Document chunking for retrieval/context-window ingestion: overlapping
+    * token windows (width 20, stride 10) per document, with the chunk text
+    * reassembled and counted. Pure array arithmetic — the start offsets
+    * are a generated sequence, each window a slice; map-only at any scale
+    * (the RAG-ingestion twin of q77's training-batch packing, which groups
+    * docs instead of splitting them).
+    */
+  private val q80 = QueryDef(
+    "q80_doc_chunking",
+    (s, d) => Tables(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("n", size(col("tk")))
+      .withColumn("start", explode(expr(
+        "CASE WHEN n > 0 THEN sequence(0, n - 1, 10) ELSE array() END")))
+      .select(col("doc_id"),
+        expr("start div 10").as("chunk_id"),
+        expr("size(slice(tk, start + 1, 20))").as("n_chunk_tokens"),
+        expr("array_join(slice(tk, start + 1, 20), ' ')").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id"),
+    Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  st AS (SELECT doc_id, tk, unnest(
+                           CASE WHEN len(tk) > 0 THEN range(0, len(tk), 10)
+                                ELSE []::BIGINT[] END) AS start
+                         FROM t)
+             SELECT doc_id,
+                    start // 10 AS chunk_id,
+                    len(list_slice(tk, start + 1, start + 20)) AS n_chunk_tokens,
+                    array_to_string(list_slice(tk, start + 1, start + 20), ' ') AS chunk_text
+             FROM st ORDER BY doc_id, chunk_id"""))
+
+  override def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q51, q80)
 }
