@@ -139,18 +139,42 @@ object DedupQueries extends QueryModule {
       .agg(minhashSlice(col("m0"), col("m1"), 0).as("h0"),
         (1 until 8).map(i => minhashSlice(col("m0"), col("m1"), i).as(s"h$i")): _*)
 
-  /** MinHash-LSH candidate pairs (doc_a < doc_b, distinct) from the shared
-    * signature: 4 bands of 2 components -> equality join on band keys.
+  /** (doc_id, band, key) bucket membership rows from the shared signature:
+    * 4 bands of 2 components each.
     */
-  def lshCandidatePairs(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bands = minhashSigs(documents).select(col("doc_id"), explode(array(
+  private def lshBands(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    minhashSigs(documents).select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** MinHash-LSH candidate pairs (doc_a < doc_b, distinct): equality join
+    * on band keys.
+    */
+  def lshCandidatePairs(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = lshBands(documents)
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Bucket-star spanning edges: every bucket member connects to its
+    * bucket's minimum doc_id. An LSH bucket is a clique in the candidate
+    * graph, so the stars have EXACTLY the connected components of the full
+    * pair set — but edge count is LINEAR in bucket size where pairs are
+    * quadratic (a 200-doc hot bucket is 199 star edges vs 19,900 pairs).
+    * This is the input the clustering queries feed the component loop at
+    * scale; pair generation (q32/q72) still exists for pair SCORING,
+    * where each candidate must be looked at individually.
+    */
+  def lshBucketStars(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = lshBands(documents)
+    val mins = bands.groupBy("band", "key").agg(min("doc_id").as("doc_a"))
+    bands.join(mins, Seq("band", "key"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
   }
 
@@ -466,14 +490,17 @@ object DedupQueries extends QueryModule {
       .select(col("v").as("doc_id"), col("cluster_id"))
   }
 
-  /** Dedup last mile, step 1: LSH candidate pairs -> duplicate clusters.
+  /** Dedup last mile, step 1: LSH candidates -> duplicate clusters.
     * Every document that appears in a candidate pair is labeled with its
-    * component's minimum doc_id.
+    * component's minimum doc_id. The component loop runs on bucket-star
+    * edges (linear) rather than the quadratic pair set — identical
+    * components, verified against the oracle's pair-based transitive
+    * closure.
     */
   private val q74 = QueryDef(
     "q74_dedup_clusters",
     (s, d) => connectedComponents(
-        lshCandidatePairs(Tables(s, d, "documents")))
+        lshBucketStars(Tables(s, d, "documents")))
       .orderBy("doc_id"),
     Some(s"""WITH RECURSIVE $ccCteSql
              SELECT doc_id, cluster_id FROM cc ORDER BY doc_id"""))
@@ -488,7 +515,7 @@ object DedupQueries extends QueryModule {
     "q75_dedup_survivors",
     (s, d) => {
       val docs = Tables(s, d, "documents")
-      val cc = connectedComponents(lshCandidatePairs(docs))
+      val cc = connectedComponents(lshBucketStars(docs))
       val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n"))
         .withColumnRenamed("cluster_id", "doc_id")
       val dupes = cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
