@@ -510,10 +510,16 @@ object PipelineQueries extends QueryModule {
       val docs = Tables(s, d, "documents")
         .withColumn("h2", substring(md5(concat(lit("split:"),
           col("doc_id").cast("string"))), 1, 2))
-      val sh = explodeShingles(
-          docs.select(col("doc_id"), col("h2"), col("text")),
-          col("text"), 5, "sh")
-        .select("doc_id", "h2", "sh").distinct()
+      // per-doc distinct shingles MAP-SIDE (array_distinct before the
+      // explode) — a global distinct here would shuffle every corpus
+      // shingle string, exactly what this operator is shaped to avoid
+      val sh = docs
+        .withColumn("tk", tokens(col("text")))
+        .withColumn("sh", explode(expr(
+          "CASE WHEN size(tk) >= 5 THEN array_distinct(transform(" +
+            "sequence(1, size(tk) - 4), i -> concat_ws(' ', slice(tk, i, 5))))" +
+            " ELSE array() END")))
+        .select("doc_id", "h2", "sh")
       val evalSh = sh.filter(col("h2") >= "e6").select("sh").distinct()
       sh.filter(col("h2") < "e6")
         .join(broadcast(evalSh), "sh")

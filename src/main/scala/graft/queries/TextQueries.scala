@@ -163,8 +163,12 @@ object TextQueries extends QueryModule {
     (s, d) => Tables(s, d, "documents")
       .withColumn("tk", tokens(col("text")))
       .withColumn("n", size(col("tk")))
+      // last start is greatest(n-11, 0): a start past that would yield a
+      // window wholly contained in the previous one (n <= s+10 means
+      // [s+1, n] is a sub-span of [s-9, s+10]) — a 100%-duplicate chunk
+      // in the index
       .withColumn("start", explode(expr(
-        "CASE WHEN n > 0 THEN sequence(0, n - 1, 10) ELSE array() END")))
+        "CASE WHEN n > 0 THEN sequence(0, greatest(n - 11, 0), 10) ELSE array() END")))
       .select(col("doc_id"),
         expr("start div 10").as("chunk_id"),
         expr("size(slice(tk, start + 1, 20))").as("n_chunk_tokens"),
@@ -172,7 +176,8 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id", "chunk_id"),
     Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
                   st AS (SELECT doc_id, tk, unnest(
-                           CASE WHEN len(tk) > 0 THEN range(0, len(tk), 10)
+                           CASE WHEN len(tk) > 0
+                                THEN range(0, greatest(len(tk) - 10, 1), 10)
                                 ELSE []::BIGINT[] END) AS start
                          FROM t)
              SELECT doc_id,

@@ -62,18 +62,21 @@ class DedupClusterSpec extends SparkSuite {
       }
       parent.keys.map(v => v -> find(v)).toMap
     }
+    // sieve-free generator (a < b by construction): every seed yields a
+    // topology — a suchThat filter makes listOfN return None on sieve
+    // misses, which would silently skip seeds
     val genPairs = Gen.listOfN(30, for {
-      a <- Gen.chooseNum(1L, 25L); b <- Gen.chooseNum(1L, 25L) if a != b
-    } yield (math.min(a, b), math.max(a, b)))
-    (0 until 20).foreach { i =>
+      a <- Gen.chooseNum(1L, 24L); b <- Gen.chooseNum(a + 1, 25L)
+    } yield (a, b))
+    val ran = (0 until 20).count { i =>
       val pairs = genPairs.apply(Gen.Parameters.default, Seed(i.toLong))
-        .getOrElse(Nil).distinct
-      if (pairs.nonEmpty) {
-        val got = labels(pairs: _*)
-        val want = unionFind(pairs)
-        assert(got == want, s"seed $i: pairs=$pairs")
-      }
+        .getOrElse(sys.error(s"generator failed for seed $i")).distinct
+      val got = labels(pairs: _*)
+      val want = unionFind(pairs)
+      assert(got == want, s"seed $i: pairs=$pairs")
+      true
     }
+    assert(ran == 20)
   }
 
   test("survivor selection keeps one doc per cluster plus unpaired docs") {
