@@ -535,6 +535,77 @@ object DedupQueries extends QueryModule {
              LEFT JOIN sz ON d.doc_id = sz.cluster_id
              ORDER BY d.doc_id"""))
 
+  /** Incremental-batch dedup: the daily-ingest path. New documents (one
+    * source partition standing in for "today's crawl") are checked against
+    * the EXISTING corpus: band-key equality join old-vs-new only, then
+    * signature-only Jaccard estimation, keeping new docs whose best match
+    * against the existing corpus clears the near-dup bar. Output is the
+    * reject list (new doc, best old match, score).
+    *
+    * Scale shape: the increment's band keys are the SMALL side and are
+    * broadcast — the existing corpus is probed by equality join, never
+    * re-paired against itself (no old×old work, the whole point of
+    * incremental ingestion); in production the old side's signatures are
+    * a stored index, not recomputed. Scoring joins fetch only the two
+    * signature rows per candidate.
+    */
+  private val q82 = QueryDef(
+    "q82_incremental_dedup",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sig = minhashSigs(docs)
+      val bands = lshBands(docs)
+      val newIds = docs.filter(col("source") === "src19").select("doc_id")
+      val newBands = bands.join(broadcast(newIds), "doc_id")
+      val oldBands = bands.join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      val cand = oldBands.as("o").join(broadcast(newBands.as("n")),
+          col("o.band") === col("n.band") && col("o.key") === col("n.key"))
+        .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+        .distinct()
+      val sa = sig.as("sa"); val sb = sig.as("sb")
+      cand
+        .join(sa, col("new_id") === col("sa.doc_id"))
+        .join(sb, col("old_id") === col("sb.doc_id"))
+        .select(col("new_id"), col("old_id"),
+          ((0 until 8).map(i =>
+            when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+            .reduce(_ + _).cast("double") / 8.0).as("jaccard_est"))
+        .filter(col("jaccard_est") >= 0.5)
+        .groupBy("new_id")
+        .agg(min(struct(negate(col("jaccard_est")).as("neg"),
+          col("old_id").as("oid"))).as("best"))
+        .select(col("new_id"),
+          col("best.oid").as("old_id"),
+          negate(col("best.neg")).as("jaccard_est"))
+        .orderBy("new_id")
+    },
+    Some(s"""WITH $lshPairsCteSql,
+                  new_ids AS (SELECT doc_id FROM documents WHERE source = 'src19'),
+                  cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+                           FROM bands n
+                           JOIN new_ids ON n.doc_id = new_ids.doc_id
+                           JOIN bands o ON o.band = n.band AND o.key = n.key
+                           WHERE o.doc_id NOT IN (SELECT doc_id FROM new_ids)),
+                  scored AS (SELECT new_id, old_id,
+                               CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+                                     CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+                                     CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+                                     CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END +
+                                     CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END +
+                                     CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END +
+                                     CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END +
+                                     CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0
+                                 AS jaccard_est
+                             FROM cand
+                             JOIN sig sa ON new_id = sa.doc_id
+                             JOIN sig sb ON old_id = sb.doc_id)
+             SELECT new_id, old_id, jaccard_est FROM (
+               SELECT new_id, old_id, jaccard_est,
+                      ROW_NUMBER() OVER (PARTITION BY new_id
+                        ORDER BY jaccard_est DESC, old_id ASC) AS rn
+               FROM scored WHERE jaccard_est >= 0.5) t
+             WHERE rn = 1 ORDER BY new_id"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75)
+    Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82)
 }
