@@ -139,14 +139,17 @@ object DedupQueries extends QueryModule {
       .agg(minhashSlice(col("m0"), col("m1"), 0).as("h0"),
         (1 until 8).map(i => minhashSlice(col("m0"), col("m1"), i).as(s"h$i")): _*)
 
-  /** (doc_id, band, key) bucket membership rows from the shared signature:
-    * 4 bands of 2 components each.
+  /** (doc_id, band, key) bucket membership rows from a minhashSigs
+    * relation: 4 bands of 2 components each.
     */
-  private def lshBands(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    minhashSigs(documents).select(col("doc_id"), explode(array(
+  private def bandsFromSigs(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  private def lshBands(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandsFromSigs(minhashSigs(documents))
 
   /** MinHash-LSH candidate pairs (doc_a < doc_b, distinct): equality join
     * on band keys.
@@ -180,9 +183,11 @@ object DedupQueries extends QueryModule {
 
   /** Shared DuckDB CTE chain producing the LSH signatures (`sig`) and
     * candidate pairs (`pairs`) — the single source of truth for the
-    * oracles of q32, q72, q74 and q75, mirroring the shared Spark-side
-    * minhashSigs/lshCandidatePairs generators: a divergence between the
-    * pair sets those four queries check is structurally impossible.
+    * oracles of q32, q72, q74, q75 and q82 (unused CTEs are pruned by
+    * DuckDB, so consumers may reference only the sig/bands prefix),
+    * mirroring the shared Spark-side minhashSigs/lshCandidatePairs
+    * generators: a divergence between the pair/signature sets those
+    * queries check is structurally impossible.
     */
   private val lshPairsCteSql =
     s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
@@ -211,6 +216,21 @@ object DedupQueries extends QueryModule {
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+  /** Fraction of agreeing signature components — the MinHash Jaccard
+    * estimate used by q72 and q82. `a`/`b` are the aliases of two
+    * minhashSigs relations.
+    */
+  def jaccardEstimate(a: String, b: String): org.apache.spark.sql.Column =
+    (0 until 8).map(i =>
+      when(col(s"$a.h$i") === col(s"$b.h$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / 8.0
+
+  /** SQL twin of jaccardEstimate over sig aliases `sa`/`sb`. */
+  private def jaccardEstSql(sa: String, sb: String): String =
+    "CAST((" + (0 until 8).map(i =>
+      s"CASE WHEN $sa.h$i = $sb.h$i THEN 1 ELSE 0 END").mkString(" +\n           ") +
+      ") AS DOUBLE) / 8.0"
 
   /** MinHash-LSH candidate pairs: 8 bigram-shingle minhashes -> 4 bands of
     * 2 -> equality join on band keys. The quadratic all-pairs problem
@@ -369,33 +389,17 @@ object DedupQueries extends QueryModule {
         .join(sa, col("doc_a") === col("sa.doc_id"))
         .join(sb, col("doc_b") === col("sb.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          ((0 until 8).map(i =>
-            when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
-            .reduce(_ + _).cast("double") / 8.0).as("jaccard_est"))
+          jaccardEstimate("sa", "sb").as("jaccard_est"))
         .filter(col("jaccard_est") >= 0.5)
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""WITH $lshPairsCteSql
              SELECT doc_a, doc_b,
-                    CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
-                          CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
-                          CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
-                          CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END +
-                          CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END +
-                          CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END +
-                          CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END +
-                          CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 AS jaccard_est
+                    ${jaccardEstSql("sa", "sb")} AS jaccard_est
              FROM pairs
              JOIN sig sa ON doc_a = sa.doc_id
              JOIN sig sb ON doc_b = sb.doc_id
-             WHERE CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
-                         CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
-                         CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
-                         CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END +
-                         CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END +
-                         CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END +
-                         CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END +
-                         CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 >= 0.5
+             WHERE ${jaccardEstSql("sa", "sb")} >= 0.5
              ORDER BY doc_a, doc_b"""))
 
   /** Oracle CTE chain extending the pairs to converged connected components:
@@ -538,9 +542,10 @@ object DedupQueries extends QueryModule {
   /** Incremental-batch dedup: the daily-ingest path. New documents (one
     * source partition standing in for "today's crawl") are checked against
     * the EXISTING corpus: band-key equality join old-vs-new only, then
-    * signature-only Jaccard estimation, keeping new docs whose best match
-    * against the existing corpus clears the near-dup bar. Output is the
-    * reject list (new doc, best old match, score).
+    * signature-only Jaccard estimation. Output is the REJECT list — new
+    * docs whose best match against the existing corpus clears the
+    * near-dup bar, with that best match and its score; everything not
+    * listed is safe to ingest.
     *
     * Scale shape: the increment's band keys are the SMALL side and are
     * broadcast — the existing corpus is probed by equality join, never
@@ -553,8 +558,11 @@ object DedupQueries extends QueryModule {
     "q82_incremental_dedup",
     (s, d) => {
       val docs = Tables(s, d, "documents")
-      val sig = minhashSigs(docs)
-      val bands = lshBands(docs)
+      // the signature aggregation is the expensive stage and feeds FOUR
+      // consumers (new/old bands, both score sides) — materialize it once
+      // rather than relying on exchange reuse
+      val sig = minhashSigs(docs).localCheckpoint(true)
+      val bands = bandsFromSigs(sig)
       val newIds = docs.filter(col("source") === "src19").select("doc_id")
       val newBands = bands.join(broadcast(newIds), "doc_id")
       val oldBands = bands.join(broadcast(newIds), Seq("doc_id"), "left_anti")
@@ -567,9 +575,7 @@ object DedupQueries extends QueryModule {
         .join(sa, col("new_id") === col("sa.doc_id"))
         .join(sb, col("old_id") === col("sb.doc_id"))
         .select(col("new_id"), col("old_id"),
-          ((0 until 8).map(i =>
-            when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
-            .reduce(_ + _).cast("double") / 8.0).as("jaccard_est"))
+          jaccardEstimate("sa", "sb").as("jaccard_est"))
         .filter(col("jaccard_est") >= 0.5)
         .groupBy("new_id")
         .agg(min(struct(negate(col("jaccard_est")).as("neg"),
@@ -587,15 +593,7 @@ object DedupQueries extends QueryModule {
                            JOIN bands o ON o.band = n.band AND o.key = n.key
                            WHERE o.doc_id NOT IN (SELECT doc_id FROM new_ids)),
                   scored AS (SELECT new_id, old_id,
-                               CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
-                                     CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
-                                     CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
-                                     CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END +
-                                     CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END +
-                                     CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END +
-                                     CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END +
-                                     CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0
-                                 AS jaccard_est
+                               ${jaccardEstSql("sa", "sb")} AS jaccard_est
                              FROM cand
                              JOIN sig sa ON new_id = sa.doc_id
                              JOIN sig sb ON old_id = sb.doc_id)
