@@ -246,6 +246,45 @@ object EventQueries extends QueryModule {
                    CAST(COUNT(first_click_after) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conv_rate
             FROM viewers LEFT JOIN clicks USING (user_id)"""))
 
+  /** SCD2-style state intervals: collapse each user's event stream to its
+    * state CHANGES (event_type != previous), then build validity intervals
+    * [valid_from, valid_to) via lead — the slowly-changing-dimension
+    * construction every warehouse history table runs; the open current
+    * state has a NULL valid_to. Two windows over the same (user, time)
+    * partitioning — one sort, both computed in a single window stage.
+    * event_id breaks timestamp ties deterministically and keys the sort.
+    */
+  private val q83 = QueryDef(
+    "q83_scd2_intervals",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val changes = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+    Some("""WITH changes AS (
+              SELECT event_id, user_id, ts, event_type
+              FROM (SELECT event_id, user_id, ts, event_type,
+                           LAG(event_type, 1) OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC) AS prev_type
+                    FROM events) t
+              WHERE prev_type IS NULL OR prev_type <> event_type)
+            SELECT event_id, user_id, event_type,
+                   ts AS valid_from,
+                   LEAD(ts, 1) OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC) AS valid_to
+            FROM changes
+            ORDER BY user_id, valid_from, event_id"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71)
+    Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71, q83)
 }
