@@ -60,4 +60,18 @@ class PlanShapeSpec extends SparkSuite {
     val p = plan("q78_domain_mix")
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("q79 decontamination probes the corpus with a broadcast of the " +
+    "eval shingle set — no corpus-side shuffle join") {
+    val p = plan("q79_decontamination")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q82 incremental dedup broadcasts the increment, never re-pairs " +
+    "the old corpus against itself") {
+    val p = plan("q82_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
