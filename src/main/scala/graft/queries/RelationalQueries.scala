@@ -313,7 +313,47 @@ object RelationalQueries extends QueryModule {
                    s_suppkey % 7 AS key_mod7
             FROM supplier ORDER BY s_suppkey"""))
 
+  /** Range join: every lineitem priced into its band by a non-equi
+    * interval join against a tiny broadcast band dimension — the range-join
+    * shape (SURVEY §2: the named operator example Spark has no native
+    * node for). With a handful of intervals the honest plan is a broadcast
+    * nested-loop join whose inner side is 5 rows — per-row cost is a
+    * 5-interval scan, linear overall. At real scale with many intervals,
+    * the standard rewrite prejoins on a coarse bin key (floor(price /
+    * binWidth) equality) and checks bounds inside the bin — equality-join
+    * cost with interval semantics.
+    */
+  private val q84 = QueryDef(
+    "q84_range_join_bands",
+    (s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("p0_under_1k", 0d, 1000d),
+        ("p1_1k_5k", 1000d, 5000d),
+        ("p2_5k_20k", 5000d, 20000d),
+        ("p3_20k_50k", 20000d, 50000d),
+        ("p4_50k_plus", 50000d, Double.MaxValue))
+        .toDF("band", "lo", "hi")
+      Tables(s, d, "lineitem")
+        .join(broadcast(bands),
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("band")
+    },
+    Some(s"""WITH bands(band, lo, hi) AS (VALUES
+               ('p0_under_1k', 0.0, 1000.0),
+               ('p1_1k_5k', 1000.0, 5000.0),
+               ('p2_5k_20k', 5000.0, 20000.0),
+               ('p3_20k_50k', 20000.0, 50000.0),
+               ('p4_50k_plus', 50000.0, 1.7976931348623157e308))
+             SELECT band, COUNT(*) AS n_items,
+                    ${sqlDsum("l_extendedprice")} AS sum_price
+             FROM lineitem JOIN bands
+               ON l_extendedprice >= lo AND l_extendedprice < hi
+             GROUP BY band ORDER BY band"""))
+
   override def defs: Seq[QueryDef] = Seq(
     q09, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22, q23, q24)
+    q17, q18, q19, q20, q21, q22, q23, q24, q84)
 }
