@@ -36,7 +36,15 @@ object Bench {
     // dev aid: SPARK_GRAFT_ONLY=q74_x,q75_y restricts the run to named
     // queries (unset for driver runs — full set)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd filter that matches nothing would otherwise exit 0 with
+    // total 0.0 and read as a passing run
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but matches no queries")
+    }
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -59,9 +67,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(compact)
     println(full)
-    // only full runs may refresh the committed regression baseline — a
-    // SPARK_GRAFT_ONLY dev run must not overwrite it with a partial total
-    if (only.isEmpty) {
+    // only CLEAN full runs may refresh the committed regression baseline —
+    // a SPARK_GRAFT_ONLY dev run must not overwrite it with a partial
+    // total, and a run with failed queries must not deflate it
+    if (only.isEmpty && failures.isEmpty) {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
       catch { case _: Throwable => () } // read-only cwd must not fail the bench

@@ -18,7 +18,14 @@ object Verify {
     // dev aid: SPARK_GRAFT_ONLY=q69_x,q74_y restricts the dump to named
     // queries (unset for driver runs — full dump)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail loudly on a typo'd filter — a zero-query dump looks like success
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but matches no queries")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

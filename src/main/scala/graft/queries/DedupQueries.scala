@@ -490,6 +490,14 @@ object DedupQueries extends QueryModule {
       c = next
       i += 1
     }
+    // Exiting via the cap means labels may not be component minima yet —
+    // plausible-looking but WRONG clusters. Fail loudly rather than emit
+    // them; the cap is sized ~4x the measured need, so hitting it signals
+    // an adversarial topology (one long path) that needs a larger cap.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations; " +
+        "raise maxIter — emitting unconverged labels would be silently wrong")
     c.groupBy("v").agg(min("u").as("cluster_id"))
       .select(col("v").as("doc_id"), col("cluster_id"))
   }

@@ -44,6 +44,19 @@ class DedupClusterSpec extends SparkSuite {
       pairsDF().limit(0)).count() == 0L)
   }
 
+  test("hitting the iteration cap without convergence throws instead of " +
+    "emitting unconverged (wrong) labels") {
+    // a 20-node path needs several doubling rounds; maxIter=1 cannot
+    // converge, and silently returning non-minimum labels would be the
+    // worst failure mode for a dedup pipeline
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      DedupQueries.connectedComponents(pairsDF(chain: _*), maxIter = 1)
+        .count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("property: hash-to-min labels equal union-find ground truth on " +
     "random graphs (20 seeded topologies)") {
     import org.scalacheck.Gen

@@ -356,8 +356,13 @@ class StreamingSpec extends SparkSuite {
     val ckpt = tmpDir("restart-ckpt")
     val outDir = tmpDir("restart-out")
 
-    // stage the corpus as two parquet files in the RAW schema (long nanos)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // stage the corpus as two parquet files in the RAW schema (long nanos);
+    // restore the session conf afterwards so later tests in the shared
+    // session see the default again (no test-order coupling)
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosPrev = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try {
     val all = spark.read.schema(EventStreams.rawSchema)
       .parquet(s"$dir/events.parquet")
     def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
@@ -397,5 +402,11 @@ class StreamingSpec extends SparkSuite {
     val out = spark.read.parquet(outDir)
     assert(out.count() == all.count())
     assert(out.select("event_id").distinct().count() == all.count())
+    } finally {
+      nanosPrev match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None    => spark.conf.unset(nanosKey)
+      }
+    }
   }
 }
