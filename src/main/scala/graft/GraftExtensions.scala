@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 
-import graft.functions.{DotProductExpr, HexSignMaskExpr}
+import graft.functions.{DotProductExpr, HexSignMaskExpr, NormalizeTextExpr}
 
 /** SparkSessionExtensions entry point — the library-deployment packaging of
   * graft's native expressions: add
@@ -60,5 +60,11 @@ object GraftExtensions {
         "graft_hex_sign_mask(h) - bitmask of hex digest chars in '0'..'7' (SimHash signs)"),
       (exprs: Seq[Expression]) => {
         arity("graft_hex_sign_mask", 1, exprs); HexSignMaskExpr(exprs(0))
+      }),
+    (FunctionIdentifier("graft_normalize_text"),
+      info(classOf[NormalizeTextExpr], "graft_normalize_text",
+        "graft_normalize_text(s) - NFC + accent strip + lowercase + whitespace collapse"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_normalize_text", 1, exprs); NormalizeTextExpr(exprs(0))
       }))
 }

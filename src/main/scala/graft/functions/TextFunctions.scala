@@ -119,6 +119,15 @@ object TextFunctions {
     column(HexSignMaskExpr(expression(h)))
   }
 
+  /** Unicode canonicalization (NFC + accent strip + lowercase + whitespace
+    * collapse) as ONE codegen'd expression — see NormalizeTextExpr. The
+    * pre-fingerprint normalization step of a corpus-dedup pipeline.
+    */
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(NormalizeTextExpr(expression(text)))
+  }
+
   /** Parent digest p (0 or 1) for the sliced MinHash scheme: md5 of
     * `p:shingle`. Each 128-bit digest is cut into four 32-bit (8-hex-char)
     * slices, so TWO md5 evaluations per shingle yield EIGHT independent

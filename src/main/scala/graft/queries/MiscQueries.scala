@@ -9,6 +9,9 @@ import Exact._
   */
 object MiscQueries extends QueryModule {
 
+  /** Oracle twin of TextFunctions.tokens over the documents table. */
+  private val tokSqlDocs = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
   /** ROLLUP: hierarchical subtotals + grand total. NULLS FIRST is explicit
     * in both engines (Spark's ASC default vs DuckDB's differ).
     */
@@ -249,6 +252,105 @@ object MiscQueries extends QueryModule {
                    TRUE AS approx_ok
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Count-min sketch for token frequencies, expressed relationally: d=4
+    * hash rows x w=1024 buckets, built as ONE partial-aggregated shuffle of
+    * at most d*w rows (the explode multiplies rows map-side, the combine
+    * collapses them map-side — what ships is the sketch, not the corpus).
+    * Estimates = min over the d bucket counts. Count-min never
+    * underestimates, and the overshoot is Markov-bounded by the sketch
+    * width; like q47/q73 those semantic contracts go through the oracle as
+    * TRUE columns (the sketch itself is engine-specific), alongside the
+    * hash-compared exact counts. SketchSpec pins the numeric behavior.
+    */
+  private val q87 = QueryDef(
+    "q87_countmin_heavy_hitters",
+    (s, d) => {
+      val w = 1024
+      val depth = 4
+      val toks = Tables(s, d, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      def rows(tok: org.apache.spark.sql.Column) = array((0 until depth).map(i =>
+        struct(lit(i).as("h"), pmod(xxhash64(lit(i), tok), lit(w)).as("b"))): _*)
+      val cm = toks.select(explode(rows(col("tok"))).as("hb"))
+        .groupBy(col("hb.h").as("h"), col("hb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(20)
+      top.select(col("tok"), col("n"), explode(rows(col("tok"))).as("hb"))
+        .join(broadcast(cm),
+          col("hb.h") === cm("h") && col("hb.b") === cm("b"))
+        .groupBy("tok", "n")
+        .agg(min("c").as("est"))
+        .crossJoin(broadcast(total))
+        .select(col("tok"), col("n"),
+          (col("est") >= col("n")).as("no_underestimate"),
+          (col("est") - col("n") <= lit(8) * col("total") / lit(w))
+            .as("within_bound"))
+        .orderBy(col("n").desc, col("tok"))
+    },
+    Some(s"""WITH tk AS (SELECT unnest($tokSqlDocs) AS tok FROM documents)
+             SELECT tok, COUNT(*) AS n,
+                    TRUE AS no_underestimate, TRUE AS within_bound
+             FROM tk GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""))
+
+  /** Z-score outlier screen over order totals — the standard numeric
+    * sanity filter before a column feeds training statistics. The global
+    * moments come from exact DECIMAL sums (the 4-decimal-digit doubles are
+    * exact in DECIMAL(18,4), their squares exact in the widened product
+    * type), so mean/variance are order-insensitive and engine-identical;
+    * z is then derived through an identical double expression tree. Plan
+    * shape: one 1-row aggregate broadcast back over the table — the
+    * corpus itself is never shuffled, linear at 100 TB.
+    */
+  private val q90 = QueryDef(
+    "q90_zscore_outliers",
+    (s, d) => {
+      val o = Tables(s, d, "orders")
+      val st = o.agg(
+        sum(dec(col("o_totalprice"))).cast("double").as("sq"),
+        sum(dec(col("o_totalprice")) * dec(col("o_totalprice")))
+          .cast("double").as("sq2"),
+        count(lit(1)).as("cnt"))
+      val z = (col("o_totalprice") - col("sq") / col("cnt")) /
+        sqrt(col("sq2") / col("cnt") -
+          (col("sq") / col("cnt")) * (col("sq") / col("cnt")))
+      o.crossJoin(broadcast(st))
+        .select(col("o_orderkey"), col("o_totalprice"), z.as("z"),
+          (abs(z) > lit(2.5)).as("is_outlier"))
+        .orderBy("o_orderkey")
+    },
+    // the squared term is DECIMAL(19,4)^2 in DuckDB — width 38 promotes the
+    // storage to HUGEINT (int64 multiply would overflow); still exact, and
+    // Spark's (18,4)^2 = (37,8) product is exact too, so the values match
+    Some(s"""WITH st AS (SELECT CAST(SUM(${sqlDec("o_totalprice")}) AS DOUBLE) AS sq,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS sq2,
+                           COUNT(*) AS cnt FROM orders)
+             SELECT o_orderkey, o_totalprice,
+                    (o_totalprice - sq / cnt)
+                      / sqrt(sq2 / cnt - (sq / cnt) * (sq / cnt)) AS z,
+                    abs((o_totalprice - sq / cnt)
+                      / sqrt(sq2 / cnt - (sq / cnt) * (sq / cnt))) > 2.5 AS is_outlier
+             FROM orders, st ORDER BY o_orderkey"""))
+
+  /** Fixed-width histogram of document lengths: bucket = n_chars/50 capped
+    * at 19. One partial-aggregated shuffle of at most 20 rows — the shape
+    * of every distribution dashboard at corpus scale.
+    */
+  private val q89 = QueryDef(
+    "q89_length_histogram",
+    (s, d) => Tables(s, d, "documents")
+      .select(least(floor(col("n_chars") / 50), lit(19)).cast("long").as("bucket"),
+        col("n_chars"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("bucket"),
+    Some("""SELECT CAST(LEAST(floor(n_chars / 50), 19) AS BIGINT) AS bucket,
+                   COUNT(*) AS n_docs,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+            FROM documents GROUP BY bucket ORDER BY bucket"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q43, q44, q45, q46, q47, q48, q49, q52, q53, q54, q73)
+    Seq(q43, q44, q45, q46, q47, q48, q49, q52, q53, q54, q73, q87, q89, q90)
 }

@@ -544,7 +544,65 @@ object PipelineQueries extends QueryModule {
              WHERE sh.h2 < 'e6'
              GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Decontamination at scale: bloom-filter semijoin reduction. Same
+    * semantic as an exact eval-shingle join (the oracle runs that form),
+    * different physical strategy: the eval side's shingle hashes build a
+    * broadcast bloom bitset, the train side probes it MAP-SIDE with
+    * Spark's codegen'd might_contain, and only the (tiny) surviving rows
+    * enter the exact confirm join that removes bloom false positives. At
+    * 100 TB this is the difference between shuffling every corpus shingle
+    * into a join and shuffling ~nothing: a q79-shaped broadcast join still
+    * streams every train shingle through join code, while the bloom probe
+    * rejects the overwhelming majority inside the scan stage. Output is
+    * the KEPT corpus: train docs sharing < 3 five-gram shingles with eval.
+    */
+  private val q91 = QueryDef(
+    "q91_bloom_decontaminated_corpus",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("h2", substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string"))), 1, 2))
+      val sh = explodeShingles(docs.select("doc_id", "h2", "text"),
+        col("text"), 5, "sh").select("doc_id", "h2", "sh")
+      val evalSh = sh.filter(col("h2") >= "e6").select("sh").distinct()
+      val evalFp = evalSh.select(xxhash64(col("sh")).as("fp"))
+      val bloom = graft.functions.BloomFunctions.buildLongBloom(
+        evalFp, col("fp"), expectedItems = evalFp.count(), fpp = 0.01)
+      val contaminated = sh.filter(col("h2") < "e6")
+        // the scale lever: map-side bitset probe before any join
+        .filter(graft.functions.BloomFunctions.mightContainLong(
+          bloom, xxhash64(col("sh"))))
+        // exact confirm join kills bloom false positives; multiset-safe
+        // because explodeShingles emits dup shingles only across docs and
+        // the per-doc count below counts DISTINCT shared shingles
+        .join(broadcast(evalSh), "sh")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("sh")).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      docs.filter(col("h2") < "e6")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tk,
+                          substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+                        FROM documents),
+                  sh AS (SELECT DISTINCT doc_id, h2, s FROM (
+                           SELECT doc_id, h2, unnest(CASE WHEN len(tk) >= 5
+                             THEN list_transform(range(len(tk) - 4),
+                                    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                                         || ' ' || tk[i+4] || ' ' || tk[i+5])
+                             ELSE []::VARCHAR[] END) AS s
+                           FROM t) x),
+                  ev AS (SELECT DISTINCT s FROM sh WHERE h2 >= 'e6'),
+                  cont AS (SELECT doc_id FROM sh JOIN ev ON sh.s = ev.s
+                           WHERE sh.h2 < 'e6'
+                           GROUP BY doc_id HAVING COUNT(*) >= 3)
+             SELECT doc_id FROM t
+             WHERE h2 < 'e6' AND doc_id NOT IN (SELECT doc_id FROM cont)
+             ORDER BY doc_id"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67, q68, q69, q70,
-      q76, q77, q78, q79)
+      q76, q77, q78, q79, q91)
 }

@@ -186,5 +186,88 @@ object TextQueries extends QueryModule {
                     array_to_string(list_slice(tk, start + 1, start + 20), ' ') AS chunk_text
              FROM st ORDER BY doc_id, chunk_id"""))
 
-  override def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q51, q80)
+  // PII scrub patterns (applied in order: the email/phone shapes must be
+  // masked before the bare digit-run rule can eat their digit groups).
+  // Identical RE2-compatible syntax on both engines.
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+  private val idRunRe = "[0-9]{4,}"
+
+  /** PII redaction over the customer dimension: mask email-, phone-, and
+    * id-shaped substrings, reporting per-row redaction counts. Map-only
+    * regex chain — no shuffle, linear at 100 TB; at cluster scale this is
+    * the write-side scrub every export runs. (The synthetic names carry id
+    * runs; the email/phone patterns are exercised value-level in
+    * GraftFunctionsSpec.)
+    */
+  private val q85 = QueryDef(
+    "q85_pii_redaction",
+    (s, d) => Tables(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        regexp_replace(regexp_replace(regexp_replace(col("c_name"),
+          emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), idRunRe, "[ID]")
+          .as("redacted_name"),
+        regexp_count(col("c_name"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("c_name"), lit(phoneRe)).as("n_phones"),
+        regexp_count(col("c_name"), lit(idRunRe)).as("n_ids"))
+      .orderBy("c_custkey"),
+    Some(s"""SELECT c_custkey,
+                    regexp_replace(regexp_replace(regexp_replace(c_name,
+                      '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[PHONE]', 'g'),
+                      '$idRunRe', '[ID]', 'g') AS redacted_name,
+                    CAST(len(regexp_extract_all(c_name, '$emailRe')) AS INT) AS n_emails,
+                    CAST(len(regexp_extract_all(c_name, '$phoneRe')) AS INT) AS n_phones,
+                    CAST(len(regexp_extract_all(c_name, '$idRunRe')) AS INT) AS n_ids
+             FROM customer ORDER BY c_custkey"""))
+
+  /** Corpus heavy hitters: exact top-20 bigrams by count. The bigram array
+    * is built map-side from the token array (no window, no per-token
+    * shuffle); the only exchange is the partial-aggregated (bigram, count)
+    * shuffle, whose width is the bigram vocabulary — tiny next to the
+    * corpus. TopK is a sort of the aggregate output, not the data.
+    */
+  private val q86 = QueryDef(
+    "q86_bigram_heavy_hitters",
+    (s, d) => Tables(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("bigram", explode(expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1)," +
+          " i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))" +
+          " ELSE array() END")))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20),
+    Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  bg AS (SELECT unnest(CASE WHEN len(tk) >= 2
+                           THEN list_transform(range(len(tk) - 1),
+                                  i -> tk[i+1] || ' ' || tk[i+2])
+                           ELSE []::VARCHAR[] END) AS bigram FROM t)
+             SELECT bigram, COUNT(*) AS n FROM bg
+             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""))
+
+  /** Unicode canonicalization via the codegen'd NormalizeTextExpr: NFC,
+    * accent strip, lowercase, whitespace collapse — the pre-fingerprint
+    * normalization of a dedup pipeline, as one per-row expression. The
+    * oracle runs DuckDB's utf8proc equivalents; non-ASCII behavior is
+    * value-pinned in GraftFunctionsSpec (the corpus itself is ASCII).
+    */
+  private val q88 = QueryDef(
+    "q88_text_normalize",
+    (s, d) => Tables(s, d, "documents")
+      .select(
+        col("doc_id"),
+        normalizeText(col("text")).as("norm_text"),
+        md5(normalizeText(col("text"))).as("norm_hash"),
+        (normalizeText(col("text")) =!= col("text")).as("changed"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   trim(regexp_replace(lower(strip_accents(nfc_normalize(text))), '\s+', ' ', 'g')) AS norm_text,
+                   md5(trim(regexp_replace(lower(strip_accents(nfc_normalize(text))), '\s+', ' ', 'g'))) AS norm_hash,
+                   trim(regexp_replace(lower(strip_accents(nfc_normalize(text))), '\s+', ' ', 'g')) != text AS changed
+            FROM documents ORDER BY doc_id"""))
+
+  override def defs: Seq[QueryDef] =
+    Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88)
 }

@@ -64,4 +64,76 @@ class GraftFunctionsSpec extends SparkSuite {
       assert(x.getDouble(3) == y.getDouble(3))
     }
   }
+
+  test("normalizeText: NFC + accent strip + lowercase + whitespace collapse") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.normalizeText
+    val cases = Seq(
+      // (input, expected)
+      ("Café  RENÁ", "cafe rena"), // precomposed accents
+      ("Café Rená", "cafe rena"), // combining-mark (NFD) form
+      ("  hello \t\n world  ", "hello world"), // whitespace runs + trim
+      ("Plain ASCII Text", "plain ascii text"), // ASCII fast path
+      ("", ""),
+      ("Über straße", "uber straße")) // U+00DF has no mark to strip
+    val got = cases.map(_._1).toDF("s")
+      .select(normalizeText(col("s"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
+    // NFC- and NFD-encoded inputs converge to one fingerprint
+    val Seq(a, b) = Seq("Café", "Café").toDF("s")
+      .select(md5(normalizeText(col("s")))).as[String].collect().toSeq
+    assert(a == b)
+    // null propagates
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(normalizeText(col("s"))).head().isNullAt(0))
+  }
+
+  test("graft_normalize_text callable from SQL, equal to Column API") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensionFunctions(ext, spark)
+    val got = spark.sql(
+      "SELECT graft_normalize_text('  Café  DU  MONDE ') AS n").head().getString(0)
+    assert(got == "cafe du monde")
+  }
+
+  test("q85 PII regexes mask email and phone shapes before the digit-run rule") {
+    import spark.implicits._
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+    val idRunRe = "[0-9]{4,}"
+    def redact(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), idRunRe, "[ID]")
+    val cases = Seq(
+      ("contact bob.smith+x@mail.example.org today",
+        "contact [EMAIL] today"),
+      ("call 555-867-5309 or 555.123.4567",
+        "call [PHONE] or [PHONE]"),
+      ("customer 123456789 bought item 42", // bare digit runs >= 4
+        "customer [ID] bought item 42"),
+      ("a@b.io 123-4567-8901 9999", // all three in one value
+        "[EMAIL] [PHONE] [ID]"),
+      ("no pii here", "no pii here"))
+    val got = cases.map(_._1).toDF("s").select(redact(col("s"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
+  }
+
+  test("bloom semijoin: no false negatives; probe prunes most non-members") {
+    import graft.functions.BloomFunctions
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val members = docs.filter(col("doc_id") % 7 === 0)
+      .select(xxhash64(col("text")).as("fp"))
+    val bloom = BloomFunctions.buildLongBloom(
+      members, col("fp"), expectedItems = members.count(), fpp = 0.01)
+    val probed = docs.select(col("doc_id"),
+      BloomFunctions.mightContainLong(bloom, xxhash64(col("text"))).as("hit"))
+    // every true member must survive the probe (no false negatives)
+    assert(probed.filter(col("doc_id") % 7 === 0 && !col("hit")).count() == 0)
+    // fpp=1% over ~430 non-members: allow generous slack, but the probe
+    // must reject the overwhelming majority
+    val nonMembers = probed.filter(col("doc_id") % 7 =!= 0)
+    val fp = nonMembers.filter(col("hit")).count().toDouble / nonMembers.count()
+    assert(fp < 0.05, s"bloom false-positive rate $fp")
+  }
 }

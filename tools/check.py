@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
-"""Local differential checker (dev tool only — the library itself is pure
-Scala/Spark). Replicates the driver's t2 gate: reads each query's parquet dump
-produced by graft.Verify, runs the corresponding oracle SQL in DuckDB over the
-same testdata parquet, and compares values column-name-sorted.
+"""Local approximation of the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/local_verify.py <sfDir> <outDir> [query ...]
+
+Reads the parquet dumped by graft.Verify from <outDir>/<query>/, runs the
+matching oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
+parquet tables in <sfDir>, and compares rows / columns / values (columns
+sorted by name, rows sorted, floats compared with tolerance).
 """
 import json
 import math
@@ -12,66 +14,93 @@ import sys
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    import decimal
-    import numpy as np
-    if isinstance(v, (float, np.floating)):
-        v = float(v)
-        return "nan" if math.isnan(v) else v
-    if isinstance(v, (int, np.integer)):
-        return int(v)
-    if isinstance(v, decimal.Decimal):
-        return int(v) if v == v.to_integral_value() else float(v)
-    return v
+def canon(rows, cols):
+    import datetime
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                vals.append(round(v, 6))
+            elif isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+                # mirror the driver's pandas comparator: DATE and midnight
+                # TIMESTAMP are the same value (Spark's date_trunc returns
+                # timestamp; DuckDB's returns date)
+                vals.append(datetime.datetime(v.year, v.month, v.day))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
 
 
-def main(sf_dir, out_dir):
+def approx_eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    wanted = sys.argv[3:]
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    names = wanted or sorted(oracle)
+    failed = []
+    for name in names:
+        if name not in oracle:
+            print(f"{name}: NO ORACLE (rows-only check)")
+            continue
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
-            exp = con.execute(sql).fetchdf()
-            got = got.reindex(sorted(got.columns), axis=1)
-            exp = exp.reindex(sorted(exp.columns), axis=1)
-            if list(got.columns) != list(exp.columns):
-                print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
-                n_fail += 1
-                continue
-            if len(got) != len(exp):
-                print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
-                n_fail += 1
-                continue
-            grows = [tuple(norm(v) for v in r) for r in got.itertuples(index=False)]
-            erows = [tuple(norm(v) for v in r) for r in exp.itertuples(index=False)]
-            # exact compare both as-ordered and sorted (driver may do either)
-            ordered_ok = grows == erows
-            sorted_ok = sorted(map(repr, grows)) == sorted(map(repr, erows))
-            if ordered_ok and sorted_ok:
-                print(f"PASS {name} ({len(got)} rows)")
-                n_pass += 1
-            else:
-                n_fail += 1
-                print(f"FAIL {name}: ordered_ok={ordered_ok} sorted_ok={sorted_ok}")
-                for g, e in list(zip(grows, erows))[:200]:
-                    if g != e:
-                        print(f"  got={g}\n  exp={e}")
+            spark = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            s_cols = [d[0] for d in spark.description]
+            s_rows = spark.fetchall()
+            orc = con.execute(oracle[name])
+            o_cols = [d[0] for d in orc.description]
+            o_rows = orc.fetchall()
+        except Exception as e:
+            print(f"{name}: ERROR {e}")
+            failed.append(name)
+            continue
+        ok_cols = sorted(s_cols) == sorted(o_cols)
+        ok_rows = len(s_rows) == len(o_rows)
+        ok_vals = False
+        if ok_cols and ok_rows:
+            a, b = canon(s_rows, s_cols), canon(o_rows, o_cols)
+            ok_vals = all(
+                len(x) == len(y) and all(approx_eq(u, v) for u, v in zip(x, y))
+                for x, y in zip(a, b))
+            if not ok_vals:
+                for x, y in zip(a, b):
+                    if len(x) != len(y) or not all(
+                            approx_eq(u, v) for u, v in zip(x, y)):
+                        print(f"  first diff:\n    spark:  {x}\n    oracle: {y}")
                         break
-        except Exception as ex:
-            n_fail += 1
-            print(f"FAIL {name}: {type(ex).__name__}: {ex}")
-    print(f"\n{n_pass} pass, {n_fail} fail")
-    return 1 if n_fail else 0
+        status = "PASS" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failed.append(name)
+            print(f"{name}: {status} rows {len(s_rows)}/{len(o_rows)} "
+                  f"cols_match={ok_cols} spark_cols={sorted(s_cols)} "
+                  f"oracle_cols={sorted(o_cols)}")
+        else:
+            print(f"{name}: PASS ({len(s_rows)} rows)")
+    if failed:
+        print("FAILED:", ", ".join(failed))
+        sys.exit(1)
+    print("ALL PASS")
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main()
