@@ -58,15 +58,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // The compact total line prints FIRST so a tail-truncating capture still
-    // records the headline number; the full per-query JSON follows and is
-    // also written to BENCH_LOCAL.json as the committed regression baseline.
+    // The compact total line prints FIRST (head-truncation safety) and again
+    // LAST (the driver's capture keeps the tail — r4 lost the total because
+    // compact printed only first); the full per-query JSON sits between and
+    // is also written to BENCH_LOCAL.json as the committed regression
+    // baseline.
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(compact)
     println(full)
+    println(compact)
     // only CLEAN full runs may refresh the committed regression baseline —
     // a SPARK_GRAFT_ONLY dev run must not overwrite it with a partial
     // total, and a run with failed queries must not deflate it

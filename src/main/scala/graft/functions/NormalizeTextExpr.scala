@@ -41,6 +41,18 @@ case class NormalizeTextExpr(child: Expression) extends UnaryExpression
 object TextNormalizer {
   import java.text.Normalizer
 
+  /** Supported input class (where kernel and the q88 oracle provably
+    * agree): text whose whitespace is ASCII [\t\n\f\r ] or Unicode
+    * SPACE_SEPARATOR, whose cased letters lowercase without locale/context
+    * rules (no Greek final sigma, no Turkish dotted-I), and whose
+    * combining marks are in the BMP. Outside that class the kernel and the
+    * DuckDB oracle's RE2 \s + utf8proc lower() may diverge: Java
+    * Character.isWhitespace also collapses \x0B and \x1C-\x1F (RE2 \s
+    * does not), per-char toLowerCase maps final sigma context-free, and
+    * per-char getType misses supplementary-plane marks in surrogate
+    * pairs. The corpus generator emits only the supported class; q88's
+    * oracle comment documents the same assumption.
+    */
   def normalize(u: UTF8String): UTF8String = {
     val bytes = u.getBytes
     var ascii = true

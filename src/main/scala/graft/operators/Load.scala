@@ -297,6 +297,16 @@ object Load {
         case TimestampType => stmt.setTimestamp(p, row.getTimestamp(i))
         case BinaryType => stmt.setBytes(p, row.getAs[Array[Byte]](i))
         case _: DecimalType => stmt.setBigDecimal(p, row.getDecimal(i))
+        case ShortType => stmt.setShort(p, row.getShort(i))
+        case ByteType => stmt.setByte(p, row.getByte(i))
+        case t @ (_: ArrayType | _: MapType | _: StructType) =>
+          // setObject on a Spark collection value would throw a driver-
+          // specific error (or silently store a toString) deep inside the
+          // batch — fail fast with the fix instead
+          throw new IllegalArgumentException(
+            s"cannot bind column '${schema(i).name}' of type ${t.simpleString}: " +
+            "JDBC has no portable binding for nested types — flatten the " +
+            "column or serialize it (e.g. to_json) before load")
         case _ => stmt.setObject(p, row.get(i))
       }
       i += 1

@@ -151,17 +151,61 @@ object DedupQueries extends QueryModule {
   private def lshBands(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     bandsFromSigs(minhashSigs(documents))
 
-  /** MinHash-LSH candidate pairs (doc_a < doc_b, distinct): equality join
-    * on band keys.
+  /** Default band-bucket size cap for the pair-SCORING path (q32/q72/q82
+    * and the signature-index probe). In-bucket pairs are quadratic in
+    * bucket size, and one boilerplate-heavy bucket (empty docs, licence
+    * headers, templated pages — routine in web crawls) makes the scoring
+    * join quadratic at scale. Buckets above the cap are dropped before the
+    * pair join — the df-cap move q33 makes for tokens, applied to band
+    * keys. The CLUSTER path (q74/q75) is deliberately NOT capped: it runs
+    * on bucket-star edges, which are linear in bucket size, so hot buckets
+    * still cluster (and a 500-copy boilerplate bucket still collapses to
+    * one survivor) while pair scoring stays bounded.
     */
-  def lshCandidatePairs(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bands = lshBands(documents)
+  val defaultBucketCap = 200
+
+  /** Drops (band, key) buckets with more than `cap` members. The hot-bucket
+    * list is tiny by construction (only boilerplate keys exceed the cap) and
+    * broadcast, so the prune is a map-side anti join — no extra shuffle of
+    * the bands.
+    */
+  private def dropHotBuckets(bands: org.apache.spark.sql.DataFrame,
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    val hot = bands.groupBy("band", "key")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .select("band", "key")
+    bands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+  }
+
+  /** MinHash-LSH candidate pairs (doc_a < doc_b, distinct) from an ALREADY
+    * MATERIALIZED minhashSigs relation: equality join on band keys, hot
+    * buckets (> bucketCap members) dropped first so the in-bucket quadratic
+    * fan-out is bounded by bucketCap² per bucket. The caller materializes
+    * `sig` (checkpoint/stored index) because the band rows feed THREE
+    * consumers — the hot-bucket aggregate and both pair-join sides — and
+    * relying on AQE exchange reuse across the broadcast boundary re-ran
+    * the shingle explosion (measured +31% on q32 at sf0.1). Consumers that
+    * also SCORE pairs (q72) pass the same materialized sig to both stages,
+    * so the signature aggregation runs exactly once per query.
+    */
+  def lshCandidatePairsFromSigs(sig: org.apache.spark.sql.DataFrame,
+      bucketCap: Int = defaultBucketCap): org.apache.spark.sql.DataFrame = {
+    val bands = dropHotBuckets(bandsFromSigs(sig), bucketCap)
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** [[lshCandidatePairsFromSigs]] from raw documents — computes and
+    * materializes the signatures internally.
+    */
+  def lshCandidatePairs(documents: org.apache.spark.sql.DataFrame,
+      bucketCap: Int = defaultBucketCap): org.apache.spark.sql.DataFrame =
+    lshCandidatePairsFromSigs(
+      minhashSigs(documents).localCheckpoint(true), bucketCap)
 
   /** Bucket-star spanning edges: every bucket member connects to its
     * bucket's minimum doc_id. An LSH bucket is a clique in the candidate
@@ -181,13 +225,17 @@ object DedupQueries extends QueryModule {
       .distinct()
   }
 
-  /** Shared DuckDB CTE chain producing the LSH signatures (`sig`) and
-    * candidate pairs (`pairs`) — the single source of truth for the
+  /** Shared DuckDB CTE chain producing the LSH signatures (`sig`), the full
+    * band membership (`bands`), the hot-bucket-capped membership (`cbands`,
+    * cap hard-coded to 200 = defaultBucketCap) and candidate pairs
+    * (`pairs`, built from `cbands`) — the single source of truth for the
     * oracles of q32, q72, q74, q75 and q82 (unused CTEs are pruned by
-    * DuckDB, so consumers may reference only the sig/bands prefix),
-    * mirroring the shared Spark-side minhashSigs/lshCandidatePairs
-    * generators: a divergence between the pair/signature sets those
-    * queries check is structurally impossible.
+    * DuckDB, so consumers may reference only the prefix they need),
+    * mirroring the shared Spark-side minhashSigs/dropHotBuckets/
+    * lshCandidatePairs generators: a divergence between the pair/signature
+    * sets those queries check is structurally impossible. The CC oracle
+    * (ccCteSql) builds its closure from the UNCAPPED `bands`, mirroring
+    * the uncapped bucket-star cluster path.
     */
   private val lshPairsCteSql =
     s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
@@ -212,9 +260,14 @@ object DedupQueries extends QueryModule {
           SELECT doc_id, 1 AS band, md5(h2 || h3) AS key FROM sig UNION ALL
           SELECT doc_id, 2 AS band, md5(h4 || h5) AS key FROM sig UNION ALL
           SELECT doc_id, 3 AS band, md5(h6 || h7) AS key FROM sig),
+        hotb AS (SELECT band, key FROM bands
+                 GROUP BY band, key HAVING COUNT(*) > 200),
+        cbands AS (SELECT bands.doc_id, bands.band, bands.key
+                   FROM bands ANTI JOIN hotb
+                     ON bands.band = hotb.band AND bands.key = hotb.key),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
+          FROM cbands a JOIN cbands b
             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
   /** Fraction of agreeing signature components — the MinHash Jaccard
@@ -382,8 +435,10 @@ object DedupQueries extends QueryModule {
     "q72_minhash_jaccard_estimate",
     (s, d) => {
       val docs = Tables(s, d, "documents")
-      val sig = minhashSigs(docs)
-      val pairs = lshCandidatePairs(docs)
+      // ONE materialized signature relation feeds pair generation AND both
+      // scoring sides — the signature aggregation runs once
+      val sig = minhashSigs(docs).localCheckpoint(true)
+      val pairs = lshCandidatePairsFromSigs(sig)
       val sa = sig.as("sa"); val sb = sig.as("sb")
       pairs
         .join(sa, col("doc_a") === col("sa.doc_id"))
@@ -402,13 +457,22 @@ object DedupQueries extends QueryModule {
              WHERE ${jaccardEstSql("sa", "sb")} >= 0.5
              ORDER BY doc_a, doc_b"""))
 
-  /** Oracle CTE chain extending the pairs to converged connected components:
-    * `cc(doc_id, cluster_id)` with cluster_id = min doc_id reachable.
+  /** Oracle CTE chain extending the candidate graph to converged connected
+    * components: `cc(doc_id, cluster_id)` with cluster_id = min doc_id
+    * reachable. The closure runs over `pairs_all` — pairs from the UNCAPPED
+    * `bands` — because the Spark cluster path (lshBucketStars) is linear in
+    * bucket size and deliberately uncapped: hot boilerplate buckets still
+    * collapse into one cluster even though pair SCORING (q32/q72) drops
+    * them.
     */
   private val ccCteSql =
     s"""$lshPairsCteSql,
-        edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        pairs_all AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs_all
+                  UNION ALL SELECT doc_b, doc_a FROM pairs_all),
         walk(u, v) AS (
           SELECT u, v FROM edges
           UNION
@@ -517,24 +581,34 @@ object DedupQueries extends QueryModule {
     Some(s"""WITH RECURSIVE $ccCteSql
              SELECT doc_id, cluster_id FROM cc ORDER BY doc_id"""))
 
-  /** Dedup last mile, step 2: survivor selection. Keeps the minimum doc_id
-    * of every duplicate cluster plus all unpaired documents — the corpus
-    * with near-dups removed — and reports how many copies each survivor
-    * absorbed. The anti join against the (tiny) non-survivor set is the
-    * only touch on the full corpus.
+  /** Dedup last mile, step 2: survivor selection from a cluster-label map.
+    * Keeps the minimum doc_id of every duplicate cluster plus all unpaired
+    * documents — the corpus with near-dups removed — and reports how many
+    * copies each survivor absorbed. The anti join against the (tiny)
+    * non-survivor set is the only touch on the full corpus.
+    *
+    * `labels` is a (doc_id, cluster_id) relation, normally the output of
+    * [[connectedComponents]] — in production MATERIALIZED ONCE and fed to
+    * both the cluster report and this selection (DedupClusterSpec proves
+    * one CC run feeds both), rather than re-running the component loop
+    * per consumer the way the per-query harness does.
     */
+  def dedupSurvivors(docs: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .withColumnRenamed("cluster_id", "doc_id")
+    val dupes = labels.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    docs.join(dupes, Seq("doc_id"), "left_anti")
+      .join(sizes, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        (coalesce(col("n"), lit(1L)) - 1L).cast("long").as("n_dupes_removed"))
+  }
+
   private val q75 = QueryDef(
     "q75_dedup_survivors",
     (s, d) => {
       val docs = Tables(s, d, "documents")
-      val cc = connectedComponents(lshBucketStars(docs))
-      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n"))
-        .withColumnRenamed("cluster_id", "doc_id")
-      val dupes = cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-      docs.join(dupes, Seq("doc_id"), "left_anti")
-        .join(sizes, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"),
-          (coalesce(col("n"), lit(1L)) - 1L).cast("long").as("n_dupes_removed"))
+      dedupSurvivors(docs, connectedComponents(lshBucketStars(docs)))
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $ccCteSql,
@@ -547,20 +621,97 @@ object DedupQueries extends QueryModule {
              LEFT JOIN sz ON d.doc_id = sz.cluster_id
              ORDER BY d.doc_id"""))
 
-  /** Incremental-batch dedup: the daily-ingest path. New documents (one
-    * source partition standing in for "today's crawl") are checked against
-    * the EXISTING corpus: band-key equality join old-vs-new only, then
-    * signature-only Jaccard estimation. Output is the REJECT list — new
-    * docs whose best match against the existing corpus clears the
-    * near-dup bar, with that best match and its score; everything not
-    * listed is safe to ingest.
+  /** The incremental-dedup core shared by q82 and the persisted signature
+    * index probe: given the EXISTING corpus's signatures and the
+    * increment's signatures, returns the REJECT list — new docs whose best
+    * match against the existing corpus clears the near-dup bar, with that
+    * best match and its score.
     *
     * Scale shape: the increment's band keys are the SMALL side and are
     * broadcast — the existing corpus is probed by equality join, never
     * re-paired against itself (no old×old work, the whole point of
-    * incremental ingestion); in production the old side's signatures are
-    * a stored index, not recomputed. Scoring joins fetch only the two
-    * signature rows per candidate.
+    * incremental ingestion). Hot buckets are capped over the COMBINED
+    * band membership (a boilerplate bucket is hot no matter which side
+    * its members land on). Scoring joins fetch only the two signature
+    * rows per candidate.
+    */
+  def incrementalReject(oldSig: org.apache.spark.sql.DataFrame,
+      newSig: org.apache.spark.sql.DataFrame,
+      bucketCap: Int = defaultBucketCap,
+      threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val oldBands = bandsFromSigs(oldSig)
+    val newBands = bandsFromSigs(newSig)
+    val hot = oldBands.select("band", "key")
+      .unionAll(newBands.select("band", "key"))
+      .groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > bucketCap)
+      .select("band", "key")
+    val o = oldBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val n = newBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val cand = o.as("o").join(broadcast(n.as("n")),
+        col("o.band") === col("n.band") && col("o.key") === col("n.key"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    val sa = newSig.as("sa"); val sb = oldSig.as("sb")
+    cand
+      .join(sa, col("new_id") === col("sa.doc_id"))
+      .join(sb, col("old_id") === col("sb.doc_id"))
+      .select(col("new_id"), col("old_id"),
+        jaccardEstimate("sa", "sb").as("jaccard_est"))
+      .filter(col("jaccard_est") >= threshold)
+      .groupBy("new_id")
+      .agg(min(struct(negate(col("jaccard_est")).as("neg"),
+        col("old_id").as("oid"))).as("best"))
+      .select(col("new_id"),
+        col("best.oid").as("old_id"),
+        negate(col("best.neg")).as("jaccard_est"))
+  }
+
+  /** Builds the persisted signature index: the corpus's 8-component MinHash
+    * signatures (doc_id, h0..h7) written ONCE to parquet at `path`. This is
+    * the build-once side of the production incremental-dedup lifecycle —
+    * after this, daily increments are checked via [[probeSignatureIndex]]
+    * and admitted docs added via [[appendSignatureIndex]]; the old corpus's
+    * TEXT is never read again. The index is ~40 bytes/doc (8 × 8-char hex
+    * components), so a 100 TB / 10^11-doc corpus indexes to ~4 TB of
+    * parquet — scanned per increment instead of the corpus's 100 TB.
+    */
+  def buildSignatureIndex(documents: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    minhashSigs(documents).write.mode("overwrite").parquet(path)
+
+  /** Probes the persisted signature index with an increment: computes the
+    * increment's signatures from its text, reads the OLD side's signatures
+    * from the index (the only touch on the existing corpus), and returns
+    * [[incrementalReject]]'s reject list. SignatureIndexSpec asserts the
+    * probe plan's file scans are exactly the index plus the increment —
+    * no re-scan of the old documents.
+    */
+  def probeSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      increment: org.apache.spark.sql.DataFrame, path: String,
+      bucketCap: Int = defaultBucketCap,
+      threshold: Double = 0.5): org.apache.spark.sql.DataFrame =
+    incrementalReject(spark.read.parquet(path), minhashSigs(increment),
+      bucketCap, threshold)
+
+  /** Appends an (admitted) increment's signatures to the index so the next
+    * day's probe sees them. Parquet append writes new files only — no
+    * rewrite of the existing index.
+    */
+  def appendSignatureIndex(increment: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    minhashSigs(increment).write.mode("append").parquet(path)
+
+  /** Incremental-batch dedup: the daily-ingest path. New documents (one
+    * source partition standing in for "today's crawl") are checked against
+    * the EXISTING corpus via [[incrementalReject]]; everything not listed
+    * is safe to ingest. This harness form recomputes both sides'
+    * signatures from the documents table so the oracle can mirror it; the
+    * PRODUCTION form is [[buildSignatureIndex]]/[[probeSignatureIndex]],
+    * where the old side's signatures are a stored parquet index that is
+    * probed and appended to without ever re-reading the old corpus's text
+    * (SignatureIndexSpec proves the probe plan's only scans are the index
+    * and the increment).
     */
   private val q82 = QueryDef(
     "q82_incremental_dedup",
@@ -570,35 +721,17 @@ object DedupQueries extends QueryModule {
       // consumers (new/old bands, both score sides) — materialize it once
       // rather than relying on exchange reuse
       val sig = minhashSigs(docs).localCheckpoint(true)
-      val bands = bandsFromSigs(sig)
       val newIds = docs.filter(col("source") === "src19").select("doc_id")
-      val newBands = bands.join(broadcast(newIds), "doc_id")
-      val oldBands = bands.join(broadcast(newIds), Seq("doc_id"), "left_anti")
-      val cand = oldBands.as("o").join(broadcast(newBands.as("n")),
-          col("o.band") === col("n.band") && col("o.key") === col("n.key"))
-        .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
-        .distinct()
-      val sa = sig.as("sa"); val sb = sig.as("sb")
-      cand
-        .join(sa, col("new_id") === col("sa.doc_id"))
-        .join(sb, col("old_id") === col("sb.doc_id"))
-        .select(col("new_id"), col("old_id"),
-          jaccardEstimate("sa", "sb").as("jaccard_est"))
-        .filter(col("jaccard_est") >= 0.5)
-        .groupBy("new_id")
-        .agg(min(struct(negate(col("jaccard_est")).as("neg"),
-          col("old_id").as("oid"))).as("best"))
-        .select(col("new_id"),
-          col("best.oid").as("old_id"),
-          negate(col("best.neg")).as("jaccard_est"))
-        .orderBy("new_id")
+      val newSig = sig.join(broadcast(newIds), "doc_id")
+      val oldSig = sig.join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      incrementalReject(oldSig, newSig).orderBy("new_id")
     },
     Some(s"""WITH $lshPairsCteSql,
                   new_ids AS (SELECT doc_id FROM documents WHERE source = 'src19'),
                   cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-                           FROM bands n
+                           FROM cbands n
                            JOIN new_ids ON n.doc_id = new_ids.doc_id
-                           JOIN bands o ON o.band = n.band AND o.key = n.key
+                           JOIN cbands o ON o.band = n.band AND o.key = n.key
                            WHERE o.doc_id NOT IN (SELECT doc_id FROM new_ids)),
                   scored AS (SELECT new_id, old_id,
                                ${jaccardEstSql("sa", "sb")} AS jaccard_est

@@ -46,4 +46,48 @@ class DedupCapSpec extends SparkSuite {
       .collect()
     assert(capped.length == 1) // only (1,2) survives — hot-only docs have empty sets
   }
+
+  // --- LSH band-bucket cap (the q32/q72/q82 scoring-path analogue of the
+  // df-cap): a boilerplate-heavy bucket must not make pair scoring
+  // quadratic, while the (linear) cluster path still absorbs it. ---
+
+  /** 500 copies of one boilerplate doc (identical text -> identical
+    * signature -> one 500-member bucket in every band), plus a genuine
+    * near-dup pair (1, 2) and a singleton.
+    */
+  private def skewedDocs = {
+    import spark.implicits._
+    val boiler = (100L until 600L).map(
+      (_, "this licence header is reproduced verbatim on every page all rights reserved"))
+    (boiler ++ Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (3L, "a completely unrelated singleton document about something else")
+    )).toDF("doc_id", "text")
+  }
+
+  test("hot LSH buckets (500-copy boilerplate) are dropped from pair scoring") {
+    val pairs = DedupQueries.lshCandidatePairs(skewedDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate bucket (500 > cap 200) contributes NO pairs; the
+    // real near-dup pair is still found via its own (small) buckets
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("without the cap the boilerplate bucket pairs quadratically (the blow-up the cap prevents)") {
+    val n = DedupQueries.lshCandidatePairs(skewedDocs, bucketCap = Int.MaxValue)
+      .count()
+    assert(n == 500L * 499L / 2 + 1) // C(500,2) boilerplate pairs + (1,2)
+  }
+
+  test("the cluster path stays uncapped: boilerplate still collapses to ONE cluster via linear star edges") {
+    val labels = DedupQueries.connectedComponents(
+        DedupQueries.lshBucketStars(skewedDocs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((100L until 600L).forall(labels(_) == 100L))
+    assert(labels(1L) == 1L && labels(2L) == 1L)
+    assert(!labels.contains(3L)) // singleton never enters the candidate graph
+    // and the star edge count is LINEAR in the bucket: 499 + 1, not 124,750
+    assert(DedupQueries.lshBucketStars(skewedDocs).count() == 500L)
+  }
 }

@@ -102,4 +102,30 @@ class DedupClusterSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(survivors == Set(1L, 4L))
   }
+
+  test("one materialized CC run feeds BOTH the cluster report and survivor " +
+    "selection (the production composition; q75's standalone form re-runs " +
+    "the loop only for oracle independence)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "alpha bravo charlie delta echo foxtrot"),
+      (2L, "s1", "alpha bravo charlie delta echo foxtrot"),
+      (3L, "s1", "an unrelated document about entirely different things")
+    ).toDF("doc_id", "source", "text")
+    // the single CC run, materialized once — both consumers read its result
+    val labels = DedupQueries.connectedComponents(
+      DedupQueries.lshBucketStars(docs)).localCheckpoint(true)
+    val clusterMap = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusterMap == Map(1L -> 1L, 2L -> 1L))
+    val survivors = DedupQueries.dedupSurvivors(docs, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // survivor 1 absorbed one copy; unpaired doc 3 survives with 0 removed
+    assert(survivors == Set((1L, 1L), (3L, 0L)))
+    // the survivors plan consumes the checkpointed labels — no second
+    // component loop (no groupBy-min iteration nodes beyond the checkpoint)
+    val plan = DedupQueries.dedupSurvivors(docs, labels)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD"), // the checkpoint boundary
+      s"survivors must read the materialized labels, not recompute them:\n$plan")
+  }
 }

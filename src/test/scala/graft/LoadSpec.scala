@@ -179,6 +179,41 @@ class LoadSpec extends SparkSuite {
     assert(back.getAs[Array[Byte]]("BIG_BYTES").sameElements(bigBytes))
   }
 
+  test("short/byte columns bind natively (SMALLINT round-trip)") {
+    val conn = DriverManager.getConnection(db.jdbcUrl)
+    try {
+      try conn.createStatement().execute("DROP TABLE small_t")
+      catch { case _: java.sql.SQLException => () }
+      conn.createStatement().execute(
+        "CREATE TABLE small_t (id INT PRIMARY KEY, sv SMALLINT, bv SMALLINT)")
+    } finally conn.close()
+    import spark.implicits._
+    val df = Seq((1, 32767.toShort, 127.toByte), (2, (-32768).toShort, (-128).toByte))
+      .toDF("id", "sv", "bv")
+    val r = Load.loadWithErrorChannel(df, db, "small_t")
+    assert(r.processed == 2 && r.failed == 0)
+    val back = Extract.fromJdbc(spark, db,
+        "SELECT id, sv, bv FROM small_t ORDER BY id")
+      .collect().map(x => (x.getInt(0), x.getAs[Number](1).intValue,
+        x.getAs[Number](2).intValue)).toSeq
+    assert(back == Seq((1, 32767, 127), (2, -32768, -128)))
+  }
+
+  test("nested column types (array/map/struct) fail fast with a clear bind " +
+    "error instead of a driver-specific setObject failure") {
+    withTable("dest_nested") {
+      import spark.implicits._
+      val df = Seq((1, Seq(1, 2, 3))).toDF("id", "value")
+      val e = intercept[Exception] {
+        Load.loadWithErrorChannel(df, db, "dest_nested")
+      }
+      val messages = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      assert(messages.contains("no portable binding for nested types"),
+        s"expected the bind-time nested-type error, got:\n$messages")
+    }
+  }
+
   test("quarantinePath writes failed rows as a queryable parquet DLQ") {
     withTable("dest_dlq") {
       import spark.implicits._

@@ -1,0 +1,74 @@
+package graft
+
+import graft.queries.DedupQueries
+
+/** The persisted signature-index lifecycle behind incremental dedup (the
+  * production form of q82): build the MinHash signature index ONCE from the
+  * corpus, probe daily increments against the stored index without ever
+  * re-reading the old corpus's text, and append admitted increments so the
+  * next probe sees them.
+  */
+class SignatureIndexSpec extends SparkSuite {
+
+  private def oldDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "how vexingly quick daft zebras jump today"),
+      (4L, "sphinx of black quartz judge my vow now"),
+      (5L, "jackdaws love my big sphinx of quartz too")
+    ).toDF("doc_id", "text")
+  }
+
+  /** doc 101 duplicates old doc 3 (identical text -> jaccard_est 1.0);
+    * doc 102 is genuinely new.
+    */
+  private def increment = {
+    import spark.implicits._
+    Seq(
+      (101L, "how vexingly quick daft zebras jump today"),
+      (102L, "an entirely fresh document with brand new content words")
+    ).toDF("doc_id", "text")
+  }
+
+  test("probe against the stored index equals the full in-memory recompute") {
+    val idx = tmpDir("sigidx") + "/sig_index_store"
+    DedupQueries.buildSignatureIndex(oldDocs, idx)
+    val got = DedupQueries.probeSignatureIndex(spark, increment, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = DedupQueries.incrementalReject(
+        DedupQueries.minhashSigs(oldDocs), DedupQueries.minhashSigs(increment))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got == Set((101L, 3L, 1.0))) // dup rejected, fresh doc admitted
+  }
+
+  test("probe plan scans ONLY the index and the increment — the old corpus text is never re-read") {
+    val dir = tmpDir("sigidx")
+    val corpusPath = s"$dir/raw_corpus_docs"
+    oldDocs.write.parquet(corpusPath)
+    val idx = s"$dir/sig_index_store"
+    DedupQueries.buildSignatureIndex(spark.read.parquet(corpusPath), idx)
+    val probe = DedupQueries.probeSignatureIndex(spark, increment, idx)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("sig_index_store"),
+      s"probe plan must scan the signature index:\n$plan")
+    assert(!plan.contains("raw_corpus_docs"),
+      s"probe plan must NOT re-scan the old corpus's documents:\n$plan")
+  }
+
+  test("append makes yesterday's admitted increment visible to today's probe") {
+    val idx = tmpDir("sigidx") + "/sig_index_store"
+    DedupQueries.buildSignatureIndex(oldDocs, idx)
+    DedupQueries.appendSignatureIndex(increment, idx)
+    import spark.implicits._
+    val day2 = Seq(
+      (201L, "an entirely fresh document with brand new content words")
+    ).toDF("doc_id", "text")
+    val rejects = DedupQueries.probeSignatureIndex(spark, day2, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 201 duplicates day-1's doc 102, found ONLY via the appended index rows
+    assert(rejects == Set((201L, 102L, 1.0)))
+  }
+}
