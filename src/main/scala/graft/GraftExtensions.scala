@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 
-import graft.functions.{DotProductExpr, HexSignMaskExpr, NormalizeTextExpr}
+import graft.functions.{DotProductExpr, HexSignMaskExpr, NormalizeTextExpr, ZOrderExpr}
 
 /** SparkSessionExtensions entry point — the library-deployment packaging of
   * graft's native expressions: add
@@ -66,5 +66,11 @@ object GraftExtensions {
         "graft_normalize_text(s) - NFC + accent strip + lowercase + whitespace collapse"),
       (exprs: Seq[Expression]) => {
         arity("graft_normalize_text", 1, exprs); NormalizeTextExpr(exprs(0))
+      }),
+    (FunctionIdentifier("graft_zorder"),
+      info(classOf[ZOrderExpr], "graft_zorder",
+        "graft_zorder(x, y) - 16-bit Z-order (Morton) interleave of two 8-bit bucketed coordinates"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_zorder", 2, exprs); ZOrderExpr(exprs(0), exprs(1), 8)
       }))
 }

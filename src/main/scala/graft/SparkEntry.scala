@@ -12,7 +12,8 @@ object SparkEntry {
 
   def modules: Seq[QueryModule] = Seq(
     CoreQueries, RelationalQueries, TextQueries, DedupQueries,
-    SimilarityQueries, EventQueries, MiscQueries, PipelineQueries)
+    SimilarityQueries, EventQueries, MiscQueries, PipelineQueries,
+    SearchQueries)
 
   private lazy val all: Seq[QueryDef] = {
     val defs = modules.flatMap(_.defs)

@@ -745,6 +745,157 @@ object DedupQueries extends QueryModule {
                FROM scored WHERE jaccard_est >= 0.5) t
              WHERE rn = 1 ORDER BY new_id"""))
 
+  /** Exact-substring span dedup at token-5-gram granularity (the
+    * within-document twin of q29's whole-document dedup, after Lee et al.
+    * 2022's "Deduplicating Training Data Makes Language Models Better"):
+    * any token position covered by a 5-gram that occurs MORE THAN ONCE in
+    * the corpus is removed, and each document's text is rebuilt from the
+    * surviving tokens. Boilerplate spans (licence headers, templated
+    * navigation) disappear from every copy — including the first — which is
+    * exactly the exact-substring contract (document-level dedup keeps one
+    * copy; span-level removes repeated SUBSTRINGS everywhere).
+    *
+    * Scale shape: the gram relation is one row per token (corpus-linear);
+    * duplicated-gram detection is ONE hash shuffle on the gram; coverage
+    * expansion is a bounded ×5 map-side explode of duplicate occurrences
+    * only; the rebuild is one shuffle on doc_id. Real pipelines use a
+    * suffix-array pass to find MAXIMAL repeats — the n-gram form
+    * approximates it with fixed-width windows and composes from the same
+    * relational pieces at any scale.
+    */
+  private val q96 = QueryDef(
+    "q96_ngram_span_dedup",
+    (s, d) => {
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .localCheckpoint(true) // feeds grams, positions, and the final join
+      val tokp = toks.select(col("doc_id"), posexplode(col("tk")))
+        .toDF("doc_id", "pos0", "tok")
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      val grams = toks.withColumn("i", explode(
+          when(size(col("tk")) >= 5, sequence(lit(0), size(col("tk")) - 5))
+            .otherwise(array().cast("array<int>"))))
+        .select(col("doc_id"), (col("i") + 1).as("pos"),
+          concat_ws(" ", (1 to 5).map(k =>
+            element_at(col("tk"), col("i") + k)): _*).as("gram"))
+      // duplicated grams are a corpus-frequency aggregate (NOT broadcast:
+      // boilerplate-heavy corpora can have a large duplicate vocabulary)
+      val dupg = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select("gram")
+      val covered = grams.join(dupg, "gram")
+        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("pos"))
+        .distinct()
+      val rebuilt = tokp.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          collect_list(struct(col("pos"), col("tok"))).as("a"))
+        .select(col("doc_id"), col("n_kept"),
+          expr("array_join(transform(array_sort(a), x -> x.tok), ' ')").as("txt"))
+      toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("txt"), lit("")).as("cleaned_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  tokp AS (SELECT doc_id, CAST(generate_subscripts(tk, 1) AS INT) AS pos,
+                                  unnest(tk) AS tok FROM toks),
+                  grams AS (SELECT doc_id, CAST(i + 1 AS INT) AS pos,
+                                   tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                                     || ' ' || tk[i+4] || ' ' || tk[i+5] AS gram
+                            FROM toks, unnest(CASE WHEN len(tk) >= 5
+                                                   THEN range(len(tk) - 4)
+                                                   ELSE []::BIGINT[] END) u(i)),
+                  dupg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+                  covered AS (SELECT DISTINCT doc_id, CAST(pos + o AS INT) AS pos
+                              FROM (SELECT g.doc_id, g.pos
+                                    FROM grams g JOIN dupg USING (gram)) dup,
+                                   unnest(range(5)) v(o)),
+                  kept AS (SELECT t.doc_id, t.pos, t.tok
+                           FROM tokp t ANTI JOIN covered c
+                             ON t.doc_id = c.doc_id AND t.pos = c.pos),
+                  rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+                                     string_agg(tok, ' ' ORDER BY pos) AS txt
+                              FROM kept GROUP BY doc_id)
+             SELECT t.doc_id,
+                    CAST(len(tk) AS BIGINT) AS n_tokens,
+                    CAST(len(tk) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+                    COALESCE(txt, '') AS cleaned_text
+             FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+             ORDER BY t.doc_id"""))
+
+  /** LSH retrieval-quality evaluation: precision/recall of the banded
+    * candidate pairs (q32's generator) against exact-Jaccard ground truth
+    * (>= 0.5 over the SAME distinct bigram-shingle sets, df-capped like
+    * q33). The q37/q62 recall-measurement discipline applied to the dedup
+    * index: band/row counts are the recall dial, and this operator is how
+    * a pipeline measures the dial's position before trusting the index at
+    * scale. One summary row: candidate/truth/hit counts + precision/recall.
+    *
+    * Scale shape: the ground-truth side is the expensive one (exact
+    * pairwise scoring) — production runs it on a SAMPLE of the corpus; the
+    * operator composes the already-scale-shaped q32/q33 plans unchanged.
+    */
+  private val q99 = QueryDef(
+    "q99_lsh_precision_recall",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sig = minhashSigs(docs).localCheckpoint(true)
+      val cand = lshCandidatePairsFromSigs(sig)
+      val sh = explodeShingles(docs.select("doc_id", "text"), col("text"), 2, "sh")
+        .select("doc_id", "sh").distinct()
+      val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 300).select("sh")
+      val tok = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = tok.as("a"); val b = tok.as("b")
+      val inter = a.join(b, col("a.sh") === col("b.sh")
+          && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val truth = inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .filter(col("i").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("i")).cast("double") >= 0.5)
+        .select("doc_a", "doc_b")
+      cand.withColumn("in_cand", lit(1L))
+        .join(truth.withColumn("in_truth", lit(1L)),
+          Seq("doc_a", "doc_b"), "full_outer")
+        .agg(sum(coalesce(col("in_cand"), lit(0L))).as("n_candidates"),
+          sum(coalesce(col("in_truth"), lit(0L))).as("n_truth"),
+          sum(when(col("in_cand").isNotNull && col("in_truth").isNotNull, 1L)
+            .otherwise(0L)).as("n_hit"))
+        .select(col("n_candidates"), col("n_truth"), col("n_hit"),
+          (col("n_hit").cast("double") /
+            greatest(col("n_candidates"), lit(1L)).cast("double")).as("prec"),
+          (col("n_hit").cast("double") /
+            greatest(col("n_truth"), lit(1L)).cast("double")).as("recall"))
+    },
+    Some(s"""WITH $lshPairsCteSql,
+                  hot2 AS (SELECT t FROM tok GROUP BY t HAVING COUNT(*) > 300),
+                  tok2 AS (SELECT tok.doc_id, tok.t FROM tok ANTI JOIN hot2 ON tok.t = hot2.t),
+                  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+                  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                            FROM tok2 a JOIN tok2 b
+                              ON a.t = b.t AND a.doc_id < b.doc_id
+                            GROUP BY a.doc_id, b.doc_id),
+                  truth AS (SELECT doc_a, doc_b
+                            FROM inter
+                            JOIN sizes sa ON doc_a = sa.doc_id
+                            JOIN sizes sb ON doc_b = sb.doc_id
+                            WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5),
+                  m AS (SELECT
+                          (SELECT COUNT(*) FROM pairs) AS n_candidates,
+                          (SELECT COUNT(*) FROM truth) AS n_truth,
+                          (SELECT COUNT(*) FROM pairs JOIN truth
+                             ON pairs.doc_a = truth.doc_a AND pairs.doc_b = truth.doc_b) AS n_hit)
+             SELECT n_candidates, n_truth, n_hit,
+                    CAST(n_hit AS DOUBLE) / CAST(GREATEST(n_candidates, 1) AS DOUBLE) AS prec,
+                    CAST(n_hit AS DOUBLE) / CAST(GREATEST(n_truth, 1) AS DOUBLE) AS recall
+             FROM m"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82)
+    Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99)
 }

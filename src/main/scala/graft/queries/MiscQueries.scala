@@ -365,6 +365,77 @@ object MiscQueries extends QueryModule {
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
             FROM documents GROUP BY bucket ORDER BY bucket"""))
 
+  /** Z-order (Morton) data-layout clustering: lineitem rows keyed by the
+    * bit-interleave of (l_partkey, l_suppkey) buckets, summarized per
+    * 64-tile layout bucket (top 6 interleaved bits). Each tile's min/max
+    * show BOTH dimensions bounded — the property that makes Z-ordered file
+    * layout answer range predicates on either column with bounded file
+    * reads, where a lexicographic sort bounds only the leading column.
+    * The interleave is the codegen'd ZOrderExpr (one shift/mask loop per
+    * row); the oracle carries the expanded 16-term shift/mask sum.
+    *
+    * Scale shape: map-only index computation + a 64-row aggregate; the
+    * production form feeds the index to a write-path sort
+    * (repartitionByRange on z) so downstream scans prune files — the
+    * layout decision happens once at write time, costs one range shuffle.
+    */
+  private val q98 = QueryDef(
+    "q98_zorder_layout",
+    (s, d) => {
+      import graft.functions.ZOrderExpr.zorder
+      Tables(s, d, "lineitem")
+        .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+        .withColumn("z", zorder(col("x"), col("y"), 8))
+        .withColumn("tile", expr("z div 1024"))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n_rows"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("tile")
+    },
+    Some(s"""WITH zed AS (SELECT x, y,
+                    ${graft.functions.ZOrderExpr.zorderSql("x", "y", 8)} AS z
+                  FROM (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y
+                        FROM lineitem) b)
+             SELECT z // 1024 AS tile, COUNT(*) AS n_rows,
+                    MIN(x) AS min_x, MAX(x) AS max_x,
+                    MIN(y) AS min_y, MAX(y) AS max_y
+             FROM zed GROUP BY tile ORDER BY tile"""))
+
+  /** The dataset card: one-row corpus summary (doc/source/language counts,
+    * token and char totals, exact-duplicate rate) — the numbers a corpus
+    * release publishes, as one aggregate pass. countDistinct on the content
+    * hash is exact; at extreme scale the HLL form (q47) swaps in with
+    * documented error. Map-side codegen'd metrics + a single global
+    * aggregate: no per-group shuffle at all.
+    */
+  private val q100 = QueryDef(
+    "q100_dataset_card",
+    (s, d) => {
+      import graft.functions.TextFunctions.{contentHash, tokenCount}
+      Tables(s, d, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars_total"),
+          countDistinct(contentHash(col("text"))).as("n_distinct_texts"))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("n_tokens"), col("n_chars_total"), col("n_distinct_texts"),
+          ((col("n_docs") - col("n_distinct_texts")).cast("double") /
+            col("n_docs").cast("double")).as("dup_rate"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_docs,
+                    COUNT(DISTINCT source) AS n_sources,
+                    COUNT(DISTINCT lang) AS n_langs,
+                    CAST(SUM(len($tokSqlDocs)) AS BIGINT) AS n_tokens,
+                    CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+                    COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_distinct_texts,
+                    CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+             FROM documents"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q43, q44, q45, q46, q47, q48, q49, q52, q53, q54, q73, q87, q89, q90)
+    Seq(q43, q44, q45, q46, q47, q48, q49, q52, q53, q54, q73, q87, q89,
+      q90, q98, q100)
 }

@@ -602,7 +602,110 @@ object PipelineQueries extends QueryModule {
              WHERE h2 < 'e6' AND doc_id NOT IN (SELECT doc_id FROM cont)
              ORDER BY doc_id"""))
 
+  /** Weighted sampling, probability proportional to size (systematic PPS):
+    * documents are laid on a cumulative-weight axis (weight = n_chars, the
+    * token-budget proxy) and one document is taken wherever the running sum
+    * crosses a multiple of step = total/100 — so expected inclusion
+    * probability is weight/step, and a 100-doc sample costs ZERO randomness
+    * (reproducible across runs, engines, partitionings — the q66/q67
+    * discipline applied to weighted selection). All arithmetic is integer
+    * (running sum, integer division), so both engines agree bit-for-bit.
+    *
+    * Scale shape: the running sum is a prefix sum — at cluster scale it is
+    * the classic two-pass form (per-partition totals, broadcast as offsets,
+    * then a map-side scan); the single-pass window here is the local[n]
+    * rendering of the same plan. One pass over (doc_id, n_chars) — the text
+    * never enters the operator.
+    */
+  private val q94 = QueryDef(
+    "q94_weighted_sample",
+    (s, d) => {
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("cw", sum(col("n_chars")).over(w))
+        .crossJoin(broadcast(Tables(s, d, "documents")
+          .agg(greatest(expr("sum(n_chars) div 100"), lit(1L)).as("step"))))
+        .filter(expr("cw div step > (cw - n_chars) div step"))
+        .select(col("doc_id"), col("n_chars"), col("cw"),
+          expr("cw div step").as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, n_chars,
+                              CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cw
+                       FROM documents),
+                 tot AS (SELECT CAST(GREATEST(SUM(n_chars) // 100, 1) AS BIGINT) AS step
+                         FROM documents)
+            SELECT doc_id, n_chars, cw, cw // step AS bucket
+            FROM w, tot
+            WHERE cw // step > (cw - n_chars) // step
+            ORDER BY doc_id"""))
+
+  /** Benchmark contamination REPORT: for every corpus document, the
+    * fraction of its distinct 8-gram shingles that appear anywhere in the
+    * benchmark set (here: doc_id % 50 = 0 stands in for the eval suite).
+    * q79/q91 give the binary keep/drop decision; this is the measurement
+    * form — the overlap histogram an eval-integrity audit publishes, and
+    * the dial for choosing the drop threshold.
+    *
+    * Scale shape: benchmark n-grams are eval-suite-sized — tiny against the
+    * corpus — so the membership probe is a broadcast left join inside the
+    * corpus scan stage (the q91 bloom would replace the exact broadcast at
+    * extreme benchmark sizes); per-doc ratios are one shuffle on doc_id.
+    */
+  private val q95 = QueryDef(
+    "q95_contamination_overlap",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val bench = explodeShingles(docs.filter(col("doc_id") % 50 === 0)
+          .select("doc_id", "text"), col("text"), 8, "gram")
+        .select("gram").distinct()
+        .withColumn("hit", lit(1L))
+      val grams = explodeShingles(docs.filter(col("doc_id") % 50 =!= 0)
+          .select("doc_id", "text"), col("text"), 8, "gram")
+        .select("doc_id", "gram").distinct()
+      val hits = grams.join(broadcast(bench), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      val ratio = col("n_hit").cast("double") /
+        greatest(col("n_grams"), lit(1L)).cast("double")
+      docs.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("overlap", ratio)
+        .withColumn("contaminated", ratio >= lit(0.2))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  g AS (SELECT doc_id, unnest(list_distinct(
+                          CASE WHEN len(tk) >= 8
+                               THEN list_transform(range(len(tk) - 7),
+                                      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+                                        || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] || ' ' || tk[i+8])
+                               ELSE []::VARCHAR[] END)) AS gram
+                        FROM toks),
+                  bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+                  hits AS (SELECT c.doc_id, COUNT(*) AS n_grams,
+                                  CAST(SUM(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                           FROM (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0) c
+                           LEFT JOIN bench ON c.gram = bench.gram
+                           GROUP BY c.doc_id)
+             SELECT d.doc_id,
+                    COALESCE(n_grams, 0) AS n_grams,
+                    COALESCE(n_hit, 0) AS n_hit,
+                    CAST(COALESCE(n_hit, 0) AS DOUBLE)
+                      / CAST(GREATEST(COALESCE(n_grams, 0), 1) AS DOUBLE) AS overlap,
+                    CAST(COALESCE(n_hit, 0) AS DOUBLE)
+                      / CAST(GREATEST(COALESCE(n_grams, 0), 1) AS DOUBLE) >= 0.2 AS contaminated
+             FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+             WHERE d.doc_id % 50 <> 0
+             ORDER BY d.doc_id"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67, q68, q69, q70,
-      q76, q77, q78, q79, q91)
+      q76, q77, q78, q79, q91, q94, q95)
 }

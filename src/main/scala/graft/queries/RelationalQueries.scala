@@ -353,7 +353,56 @@ object RelationalQueries extends QueryModule {
                ON l_extendedprice >= lo AND l_extendedprice < hi
              GROUP BY band ORDER BY band"""))
 
+  /** CDC batch apply (MERGE semantics, last-writer-wins): a change batch of
+    * upserts and deletes merges into a snapshot — rows untouched by the
+    * batch survive, 'U' rows replace/insert with their new values, 'D' rows
+    * vanish. The snapshot (orderkey % 4 <> 3) and the deterministic batch
+    * (orderkey % 3 = 0; deletes where % 9 = 0, updates repriced ×1.1)
+    * derive from `orders` so the oracle can mirror them; the operator is
+    * the standard two-piece MERGE plan — anti join for survivors, batch
+    * projection for upserts — that any CDC ingestion compiles to.
+    *
+    * Scale shape: one hash shuffle of both sides on the merge key (the
+    * batch is normally the small side and broadcast; at 100 TB the snapshot
+    * is bucketed on the key so the merge is shuffle-free and the rewrite
+    * touches only buckets the batch hits — the Db.appendIfAbsent upsert's
+    * table-scale sibling).
+    */
+  private val q97 = QueryDef(
+    "q97_cdc_merge",
+    (s, d) => {
+      val o = Tables(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val snap = o.filter(col("o_orderkey") % 4 =!= 3)
+      val batch = o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("op", when(col("o_orderkey") % 9 === 0, lit("D")).otherwise(lit("U")))
+      val kept = snap
+        .join(batch.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .withColumn("change_type", lit("kept"))
+      val upserted = batch.filter(col("op") === "U")
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * lit(1.1)).as("o_totalprice"),
+          lit("upserted").as("change_type"))
+      kept.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "change_type")
+        .unionAll(upserted)
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                          FROM orders WHERE o_orderkey % 4 <> 3),
+                 batch AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                                  CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op
+                           FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+                   'kept' AS change_type
+            FROM snap s ANTI JOIN batch b ON s.o_orderkey = b.o_orderkey
+            UNION ALL
+            SELECT o_orderkey, o_custkey, 'U', o_totalprice * 1.1, 'upserted'
+            FROM batch WHERE op = 'U'
+            ORDER BY o_orderkey"""))
+
   override def defs: Seq[QueryDef] = Seq(
     q09, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22, q23, q24, q84)
+    q17, q18, q19, q20, q21, q22, q23, q24, q84, q97)
 }

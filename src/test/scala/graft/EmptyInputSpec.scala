@@ -28,7 +28,8 @@ class EmptyInputSpec extends SparkSuite {
   /** Global aggregates (no GROUP BY) correctly emit ONE summary row even on
     * empty input — (0, 0, null) — exactly as SQL semantics demand.
     */
-  private val globalAggregates = Set("q71_funnel_conversion")
+  private val globalAggregates = Set("q71_funnel_conversion",
+    "q99_lsh_precision_recall", "q100_dataset_card")
 
   test("every registered query executes on empty tables and returns 0 rows " +
     "(global aggregates: their single summary row)") {

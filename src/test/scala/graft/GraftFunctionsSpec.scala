@@ -14,10 +14,12 @@ class GraftFunctionsSpec extends SparkSuite {
     // exactly what session construction does with spark.sql.extensions set
     org.apache.spark.sql.GraftColumnBridge.applyExtensionFunctions(ext, spark)
     val got = spark.sql(
-      "SELECT graft_hex_sign_mask('07f') AS m, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      "SELECT graft_hex_sign_mask('07f') AS m, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "graft_zorder(3L, 1L) AS z")
       .head()
     assert(got.getLong(0) == 3L) // '0','7' set, 'f' clear
     assert(got.getDouble(1) == 11.0)
+    assert(got.getLong(2) == 11L) // x=0b11 on odd bits, y=0b01 on even
   }
 
   test("hexSignMask equals the 32-way substring formulation bit for bit") {
@@ -135,5 +137,44 @@ class GraftFunctionsSpec extends SparkSuite {
     val nonMembers = probed.filter(col("doc_id") % 7 =!= 0)
     val fp = nonMembers.filter(col("hit")).count().toDouble / nonMembers.count()
     assert(fp < 0.05, s"bloom false-positive rate $fp")
+  }
+
+  test("zorder: value pins, null propagation, and codegen == expanded form") {
+    import spark.implicits._
+    import graft.functions.ZOrderExpr
+    // hand-computed pins: interleave(x=0b11, y=0b01) = 0b1011 = 11;
+    // x supplies odd bits so zorder(1,0)=2, zorder(0,1)=1
+    val pins = Seq((0L, 0L, 0L), (1L, 0L, 2L), (0L, 1L, 1L), (3L, 1L, 11L),
+      (255L, 255L, 65535L), (255L, 0L, 43690L), (0L, 255L, 21845L))
+    pins.foreach { case (x, y, want) =>
+      val got = Seq((x, y)).toDF("x", "y")
+        .select(ZOrderExpr.zorder(col("x"), col("y"), 8).as("z"))
+        .head().getLong(0)
+      assert(got == want, s"zorder($x,$y)=$got want $want")
+    }
+    val nullRow = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .select(ZOrderExpr.zorder(col("x"), col("y"), 8).as("z")).head()
+    assert(nullRow.isNullAt(0))
+    // whole-column agreement with the expanded shift/mask SQL twin on
+    // real data (codegen'd loop vs 16-term expression)
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+      .select(ZOrderExpr.zorder(col("x"), col("y"), 8).as("fast"),
+        expr(ZOrderExpr.zorderSql("x", "y", 8)).as("slow"))
+    assert(li.filter(col("fast") =!= col("slow")).count() == 0)
+    // z-order locality: any 1024-wide z range confines BOTH coordinates
+    // to a 32x32 tile (top 6 interleaved bits = 3 bits per axis => 2^5
+    // remaining per axis)
+    val tiles = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+      .select(ZOrderExpr.zorder(col("x"), col("y"), 8).as("z"), col("x"), col("y"))
+      .withColumn("tile", expr("z div 1024"))
+      .groupBy("tile")
+      .agg(max("x") - min("x"), max("y") - min("y"))
+      .collect()
+    tiles.foreach { r =>
+      assert(r.getLong(1) < 32 && r.getLong(2) < 32,
+        s"tile ${r.getLong(0)} spans ${r.getLong(1)}x${r.getLong(2)}")
+    }
   }
 }
