@@ -74,4 +74,30 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q92 BM25 term stats are broadcast; the corpus never shuffles for " +
+    "df/avgdl") {
+    val p = plan("q92_bm25_search")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q95 contamination probe broadcasts the benchmark n-gram set — " +
+    "the corpus side stays map-only up to the per-doc aggregate") {
+    val p = plan("q95_contamination_overlap")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q96 span dedup's duplicate-gram join is an equality join (the " +
+    "duplicate vocabulary is NOT broadcast by design — no cartesian)") {
+    val p = plan("q96_ngram_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q98 Z-order layout is map-side index + one aggregate exchange — " +
+    "no join machinery at all") {
+    val p = plan("q98_zorder_layout")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+  }
 }
