@@ -93,6 +93,26 @@ object TextFunctions {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
 
+  /** Position-preserving shingle explode over an EXISTING token-array
+    * column (for callers that already tokenized, e.g. to share one
+    * checkpointed token relation among consumers): emits (all input
+    * columns, `out`, `posOut` = 1-based start position). Same codegen'd
+    * position-explode + concat_ws(element_at...) kernel as
+    * [[explodeShingles]].
+    */
+  def explodeShinglesFromTokens(df: org.apache.spark.sql.DataFrame,
+      toksCol: Column, n: Int, out: String,
+      posOut: String): org.apache.spark.sql.DataFrame = {
+    val df2 = df.withColumn("__stoks", toksCol)
+      .withColumn("__i", explode(when(size(col("__stoks")) >= n,
+        sequence(lit(0), size(col("__stoks")) - n))
+        .otherwise(array().cast("array<int>"))))
+    val parts = (1 to n).map(k => element_at(col("__stoks"), col("__i") + k))
+    df2.withColumn(out, concat_ws(" ", parts: _*))
+      .withColumn(posOut, col("__i") + 1)
+      .drop("__stoks", "__i")
+  }
+
   /** Explode word n-gram shingles as rows via position-explode +
     * concat_ws(element_at...) — fully codegen'd, measured ~8x faster than
     * transform()-built shingle arrays (HOF lambdas evaluate interpreted).
@@ -100,15 +120,9 @@ object TextFunctions {
     * rows. No dedup: downstream MIN/set-aggregates are multiset-safe.
     */
   def explodeShingles(df: org.apache.spark.sql.DataFrame, textCol: Column,
-      n: Int, out: String): org.apache.spark.sql.DataFrame = {
-    val df2 = df.withColumn("__toks", tokens(textCol))
-      .withColumn("__i", explode(when(size(col("__toks")) >= n,
-        sequence(lit(0), size(col("__toks")) - n))
-        .otherwise(array().cast("array<int>"))))
-    val parts = (1 to n).map(k => element_at(col("__toks"), col("__i") + k))
-    df2.withColumn(out, concat_ws(" ", parts: _*))
-      .drop("__toks", "__i")
-  }
+      n: Int, out: String): org.apache.spark.sql.DataFrame =
+    explodeShinglesFromTokens(df, tokens(textCol), n, out, "__pos")
+      .drop("__pos")
 
   /** Sign bitmask of a hex digest: bit b set iff hex char b is '0'..'7' —
     * the SimHash sign convention, compiled to ONE codegen'd byte scan (see

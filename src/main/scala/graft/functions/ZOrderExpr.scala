@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType}
 
 /** Native Catalyst expression computing the Z-order (Morton) index of two
   * non-negative coordinates: the low `bits` bits of x and y interleaved,
@@ -19,10 +19,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * `bits` bits — callers bucket first.
   */
 case class ZOrderExpr(left: Expression, right: Expression, bits: Int)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
 
-  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  // ImplicitCast (not bare ExpectsInputTypes) so SQL callers can pass any
+  // integer width — bucketed coordinates are routinely INT
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(x: Any, y: Any): Any = {

@@ -774,12 +774,8 @@ object DedupQueries extends QueryModule {
       val tokp = toks.select(col("doc_id"), posexplode(col("tk")))
         .toDF("doc_id", "pos0", "tok")
         .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
-      val grams = toks.withColumn("i", explode(
-          when(size(col("tk")) >= 5, sequence(lit(0), size(col("tk")) - 5))
-            .otherwise(array().cast("array<int>"))))
-        .select(col("doc_id"), (col("i") + 1).as("pos"),
-          concat_ws(" ", (1 to 5).map(k =>
-            element_at(col("tk"), col("i") + k)): _*).as("gram"))
+      val grams = explodeShinglesFromTokens(toks, col("tk"), 5, "gram", "pos")
+        .select("doc_id", "pos", "gram")
       // duplicated grams are a corpus-frequency aggregate (NOT broadcast:
       // boilerplate-heavy corpora can have a large duplicate vocabulary)
       val dupg = grams.groupBy("gram").agg(count(lit(1)).as("n"))
@@ -871,13 +867,18 @@ object DedupQueries extends QueryModule {
         .filter(col("i").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("i")).cast("double") >= 0.5)
         .select("doc_a", "doc_b")
+      // outer coalesce: sum over ZERO rows is NULL, and a dedup-clean
+      // corpus (empty candidate AND truth sets) must report zeros like
+      // the oracle's COUNT(*) subqueries, not a row of NULLs
       cand.withColumn("in_cand", lit(1L))
         .join(truth.withColumn("in_truth", lit(1L)),
           Seq("doc_a", "doc_b"), "full_outer")
-        .agg(sum(coalesce(col("in_cand"), lit(0L))).as("n_candidates"),
-          sum(coalesce(col("in_truth"), lit(0L))).as("n_truth"),
-          sum(when(col("in_cand").isNotNull && col("in_truth").isNotNull, 1L)
-            .otherwise(0L)).as("n_hit"))
+        .agg(coalesce(sum(coalesce(col("in_cand"), lit(0L))), lit(0L))
+            .as("n_candidates"),
+          coalesce(sum(coalesce(col("in_truth"), lit(0L))), lit(0L))
+            .as("n_truth"),
+          coalesce(sum(when(col("in_cand").isNotNull && col("in_truth").isNotNull,
+            1L).otherwise(0L)), lit(0L)).as("n_hit"))
         .select(col("n_candidates"), col("n_truth"), col("n_hit"),
           (col("n_hit").cast("double") /
             greatest(col("n_candidates"), lit(1L)).cast("double")).as("prec"),

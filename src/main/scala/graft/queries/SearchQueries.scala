@@ -13,18 +13,21 @@ import graft.functions.VectorFunctions._
   * answers "which documents match this query", for corpus exploration and
   * retrieval-augmented pipelines).
   *
-  * Scale design: the query-term set is tiny by definition, so term
-  * statistics (df, avgdl) are broadcast scalars; the tf scan filters to
-  * query terms INSIDE the token explode (predicate on the generator
-  * output), so the only shuffled relation is (matching doc, term) —
-  * query-selectivity-sized, not corpus-sized. Ranking is over the matching
-  * set only; the corpus never sorts globally.
+  * Scale design: ONE corpus scan. Per-document length and per-term tf are
+  * array arithmetic over the token array (map-side, no token explode, no
+  * per-doc aggregate shuffle); corpus statistics (N, total tokens, per-term
+  * df) are ONE 1-row aggregate broadcast back; scoring is a map-side
+  * projection over the rows matching at least one term. Nothing
+  * corpus-sized is ever shuffled or joined — the only exchanges are the
+  * 1-row stats funnel and the top-k. Ranking is over the matching set
+  * only; the corpus never sorts globally.
   *
   * Cross-engine determinism: BM25 is computed in its log-free odds form —
   * idf = (N - df + 0.5)/(df + 0.5) without the usual ln() — because ln()
   * bit-patterns are libm-dependent (the q51 rationale). The per-term scores
-  * are summed in FIXED term order (one pivoted column per term), not by a
-  * floating-point aggregate whose addition order the engine picks.
+  * are added in FIXED term order (one column per term, absent terms
+  * contributing exactly 0.0), not by a floating-point aggregate whose
+  * addition order the engine picks.
   */
 object SearchQueries extends QueryModule {
 
@@ -34,67 +37,72 @@ object SearchQueries extends QueryModule {
   private val terms = Seq("spark", "window", "hash")
 
   /** BM25 scores (k1=1.2, b=0.75, log-free idf) for documents matching at
-    * least one query term: (doc_id, n_terms_hit, score).
+    * least one query term: (doc_id, n_terms_hit, score). One corpus scan:
+    * tf and dl are computed from the token array per row, the corpus
+    * stats (N, Σdl, per-term df) are a single 1-row broadcast aggregate,
+    * and the score is a map-side projection over matching rows.
     */
   def bm25Scores(docs: DataFrame, queryTerms: Seq[String] = terms): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tf = tok.filter(col("tok").isin(queryTerms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
-    val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
-    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-      (col("df").cast("double") + lit(0.5))
-    val tfd = col("tf").cast("double")
-    val norm = (tfd * lit(2.2)) /
-      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-    val scored = tf.join(broadcast(dfx), "tok").join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("tok"), (idf * norm).as("s"))
-    // pivot to one column per term: each per-term aggregate sees <= 1 row,
-    // so the final fixed-order addition is engine-identical
-    val pivoted = scored.groupBy("doc_id")
-      .agg(sum(when(col("tok") === queryTerms.head, col("s"))).as("s0"),
-        queryTerms.tail.zipWithIndex.map { case (t, i) =>
-          sum(when(col("tok") === t, col("s"))).as(s"s${i + 1}")
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id") +: size(col("tk")).as("dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("tk"), x => x === lit(t))).as(s"tf$i")
         }: _*)
-    val hit = queryTerms.indices
-      .map(i => col(s"s$i").isNotNull.cast("int")).reduce(_ + _)
-    val total = queryTerms.indices
-      .map(i => coalesce(col(s"s$i"), lit(0.0))).reduce(_ + _)
-    pivoted.select(col("doc_id"), hit.as("n_terms_hit"), total.as("score"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
+    def termScore(i: Int) = {
+      val idf = (col("n_docs").cast("double") - col(s"df$i").cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      val tfd = col(s"tf$i").cast("double")
+      val norm = (tfd * lit(2.2)) /
+        (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+      when(col(s"tf$i") > 0, idf * norm).otherwise(lit(0.0))
+    }
+    base.filter(queryTerms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        queryTerms.indices.map(i => (col(s"tf$i") > 0).cast("int"))
+          .reduce(_ + _).as("n_terms_hit"),
+        queryTerms.indices.map(termScore).reduce(_ + _).as("score"))
   }
 
   /** Shared oracle CTE chain ending in `bm(doc_id, n_terms_hit, score)` —
-    * the q92 scorer, reused verbatim by q93's fusion oracle.
+    * the q92 scorer, reused verbatim by q93's fusion oracle. Mirrors the
+    * Spark single-scan shape: per-row tf/dl from the token list, one
+    * stats row, map-side scoring.
     */
-  private val bm25CteSql =
-    s"""tok AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
-        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
-        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
-               WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})
-               GROUP BY doc_id, tok),
-        dfx AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-        scored AS (SELECT doc_id, tok,
-                     ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                        / (CAST(df AS DOUBLE) + 0.5))
-                     * ((CAST(tf AS DOUBLE) * 2.2)
-                        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-                             * (CAST(dl AS DOUBLE)
-                                / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS s
-                   FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id)
-                   CROSS JOIN stats),
-        piv AS (SELECT doc_id,
-                  ${terms.zipWithIndex.map { case (t, i) =>
-                    s"SUM(CASE WHEN tok = '$t' THEN s END) AS s$i"
-                  }.mkString(",\n                  ")}
-                FROM scored GROUP BY doc_id),
+  private val bm25CteSql = {
+    val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n                  ")
+    val dfDefs = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n                  ")
+    def termScoreSql(i: Int) =
+      s"""(CASE WHEN tf$i > 0 THEN
+            ((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+               / (CAST(df$i AS DOUBLE) + 0.5))
+            * ((CAST(tf$i AS DOUBLE) * 2.2)
+               / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75
+                    * (CAST(dl AS DOUBLE)
+                       / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+          ELSE 0.0 END)"""
+    s"""base AS (SELECT doc_id, len(tk) AS dl,
+                  $tfDefs
+                FROM (SELECT doc_id, $tokSql AS tk FROM documents) t0),
+        stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot,
+                  $dfDefs
+                  FROM base),
         bm AS (SELECT doc_id,
-                 ${terms.indices.map(i => s"CAST(s$i IS NOT NULL AS INT)").mkString(" + ")} AS n_terms_hit,
-                 ${terms.indices.map(i => s"COALESCE(s$i, 0.0)").mkString(" + ")} AS score
-               FROM piv)"""
+                 ${terms.indices.map(i => s"CAST(tf$i > 0 AS INT)").mkString(" + ")} AS n_terms_hit,
+                 ${terms.indices.map(termScoreSql).mkString("\n                 + ")} AS score
+               FROM base CROSS JOIN stats
+               WHERE ${terms.indices.map(i => s"tf$i > 0").mkString(" OR ")})"""
+  }
 
   /** BM25 top-20 for the fixed query-term set. */
   private val q92 = QueryDef(

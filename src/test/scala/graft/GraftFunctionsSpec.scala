@@ -15,7 +15,7 @@ class GraftFunctionsSpec extends SparkSuite {
     org.apache.spark.sql.GraftColumnBridge.applyExtensionFunctions(ext, spark)
     val got = spark.sql(
       "SELECT graft_hex_sign_mask('07f') AS m, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
-        "graft_zorder(3L, 1L) AS z")
+        "graft_zorder(3, 1) AS z") // INT literals: ImplicitCast widens
       .head()
     assert(got.getLong(0) == 3L) // '0','7' set, 'f' clear
     assert(got.getDouble(1) == 11.0)

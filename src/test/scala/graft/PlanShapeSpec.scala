@@ -75,11 +75,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q92 BM25 term stats are broadcast; the corpus never shuffles for " +
-    "df/avgdl") {
+  test("q92 BM25 is one corpus scan + a 1-row broadcast stats join — " +
+    "no corpus-sized shuffle join anywhere") {
     val p = plan("q92_bm25_search")
-    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
     assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
   test("q95 contamination probe broadcasts the benchmark n-gram set — " +
