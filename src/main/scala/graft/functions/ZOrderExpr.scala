@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Native Catalyst expression computing the Z-order (Morton) index of two
   * non-negative coordinates: the low `bits` bits of x and y interleaved,
@@ -23,8 +23,10 @@ case class ZOrderExpr(left: Expression, right: Expression, bits: Int)
   require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
 
   // ImplicitCast (not bare ExpectsInputTypes) so SQL callers can pass any
-  // integer width — bucketed coordinates are routinely INT
-  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  // integer width — bucketed coordinates are routinely INT. Declared as
+  // Seq[DataType] (covariant with the Seq[AbstractDataType] contract)
+  // because AbstractDataType is private[sql].
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(x: Any, y: Any): Any = {
