@@ -909,6 +909,68 @@ object DedupQueries extends QueryModule {
                     CAST(n_hit AS DOUBLE) / CAST(GREATEST(n_truth, 1) AS DOUBLE) AS recall
              FROM m"""))
 
+  /** Cross-source redundancy matrix: for every pair of sources, how many
+    * distinct 8-gram shingles they share, and the Jaccard of their shingle
+    * sets. This is the measurement a mixing decision (q78) reads — two
+    * mirrors of the same crawl should be collapsed before weights are
+    * assigned, and a source whose content is mostly contained in another
+    * contributes less novelty than its row count suggests.
+    *
+    * Scale shape: the distinct (source, gram) projection is one shuffle of
+    * the gram rows; the pairwise overlap is an equality join on the gram —
+    * per-gram fan-out is bounded by (#sources containing it)², which is
+    * #sources-bounded, NOT corpus-bounded (20 sources → ≤190 pairs per
+    * gram). At web scale (millions of domains) the same query runs over
+    * source GROUPS (registrable domain, crawl snapshot), keeping the pair
+    * space small; a df-cap on the gram (à la q33) bounds the worst case.
+    */
+  private val q103 = QueryDef(
+    "q103_source_overlap",
+    (s, d) => {
+      val sg = explodeShingles(
+          Tables(s, d, "documents").select("source", "text"),
+          col("text"), 8, "gram")
+        .select("source", "gram").distinct()
+      val counts = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      val shared = sg.as("a").join(sg.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(counts.as("ca"), col("source_a") === col("ca.source"))
+        .join(counts.as("cb"), col("source_b") === col("cb.source"))
+        .select(col("source_a"), col("source_b"),
+          col("ca.n_grams").as("grams_a"), col("cb.n_grams").as("grams_b"),
+          col("shared"),
+          (col("shared").cast("double") /
+            (col("ca.n_grams") + col("cb.n_grams") - col("shared")).cast("double"))
+            .as("jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""WITH toks AS (SELECT source, $tokSql AS tk FROM documents),
+                  sg AS (SELECT DISTINCT source, gram FROM (
+                           SELECT source, unnest(
+                             CASE WHEN len(tk) >= 8
+                                  THEN list_transform(range(len(tk) - 7),
+                                         i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+                                           || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] || ' ' || tk[i+8])
+                                  ELSE []::VARCHAR[] END) AS gram
+                           FROM toks)),
+                  counts AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source),
+                  shared AS (SELECT a.source AS source_a, b.source AS source_b,
+                                    COUNT(*) AS shared
+                             FROM sg a JOIN sg b
+                               ON a.gram = b.gram AND a.source < b.source
+                             GROUP BY a.source, b.source)
+             SELECT source_a, source_b,
+                    ca.n_grams AS grams_a, cb.n_grams AS grams_b, shared,
+                    CAST(shared AS DOUBLE)
+                      / CAST(ca.n_grams + cb.n_grams - shared AS DOUBLE) AS jaccard
+             FROM shared
+             JOIN counts ca ON source_a = ca.source
+             JOIN counts cb ON source_b = cb.source
+             ORDER BY source_a, source_b"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99)
+    Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q103)
 }

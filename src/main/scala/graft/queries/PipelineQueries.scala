@@ -705,7 +705,43 @@ object PipelineQueries extends QueryModule {
              WHERE d.doc_id % 50 <> 0
              ORDER BY d.doc_id"""))
 
+  /** Deterministic training-shard assignment: documents are laid out in
+    * md5-hash order (the engine-portable global shuffle — no rand(), same
+    * order every run) and dealt round-robin into 16 shards; the output is
+    * the per-shard balance report a shard-writing job checks before
+    * committing (round-robin over a hash order concentrates token totals
+    * tightly around N/16 of the corpus).
+    *
+    * Scale shape: the global row_number is a range-partitioned sort on the
+    * hash — one exchange, the same shape every distributed global shuffle
+    * uses (sort-based, not random); the report is a 16-row aggregate. The
+    * shard-id arithmetic is integer, so both engines agree bit-for-bit.
+    */
+  private val q106 = QueryDef(
+    "q106_shard_assignment",
+    (s, d) => {
+      val w = Window.orderBy(col("h"), col("doc_id"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("shard", ((row_number().over(w) - 1) % 16).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+        .orderBy("shard")
+    },
+    Some(s"""WITH docs AS (SELECT doc_id,
+                             CAST(len($tokSql) AS BIGINT) AS n_tokens,
+                             md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
+                           FROM documents),
+                  sh AS (SELECT doc_id, n_tokens,
+                           (ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1) % 16 AS shard
+                         FROM docs)
+             SELECT shard, COUNT(*) AS n_docs,
+                    CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+             FROM sh GROUP BY shard ORDER BY shard"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67, q68, q69, q70,
-      q76, q77, q78, q79, q91, q94, q95)
+      q76, q77, q78, q79, q91, q94, q95, q106)
 }

@@ -333,5 +333,117 @@ object SimilarityQueries extends QueryModule {
              FROM e JOIN cents ON e.label = cents.label
              GROUP BY e.label ORDER BY e.label"""))
 
-  override def defs: Seq[QueryDef] = Seq(q36, q37, q38, q62, q81)
+  /** SemDeDup-style semantic deduplication (cluster-then-prune): vectors
+    * are assigned to their nearest k-means cell (the q62 coarse quantizer,
+    * deterministic hash-seeded Lloyd), and within each cell a vector is
+    * dropped when ANY lower-id member of the same cell is closer than the
+    * cosine threshold. This "dominance" rule is the deterministic,
+    * join-expressible variant of the paper's greedy ε-ball sweep: it
+    * prunes at least as much as greedy (a dropped doc can still disqualify
+    * its own neighbors), which is the conservative direction for corpus
+    * dedup, and it needs no sequential pass. Output is the per-cell audit
+    * (members / dropped / kept) a curation run publishes.
+    *
+    * Scale shape: the pair space is confined to same-cell pairs by an
+    * equality join on the cell id — never a corpus cross join. Per-cell
+    * pair cost is quadratic in cell size, so at scale k grows with the
+    * corpus (k ≈ N/targetCellSize keeps total pairs linear in N), exactly
+    * how SemDeDup runs in production; the k-means assignment itself is a
+    * broadcast of k centroid rows + a map-side argmax.
+    */
+  private val q101 = QueryDef(
+    "q101_semantic_dedup",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val cents = kmeansCentroids(e)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("aff").desc, col("cid").asc)
+      val cells = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"),
+          cosine(col("v"), col("cv")).as("aff"))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      val dropped = cells.as("a").join(cells.as("b"),
+          col("a.cell") === col("b.cell")
+            && col("b.vec_id") < col("a.vec_id")
+            && cosine(col("a.v"), col("b.v")) >= lit(0.3),
+          "left_semi")
+        .select(col("vec_id"), lit(1L).as("dr"))
+      cells.join(dropped, Seq("vec_id"), "left")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(coalesce(col("dr"), lit(0L))).as("n_dropped"))
+        .select(col("cell").cast("long").as("cell"),
+          col("n_members"), col("n_dropped"),
+          (col("n_members") - col("n_dropped")).as("n_kept"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                  ${kmeansSql()},
+                  ranked AS (SELECT vec_id, v, cid,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY aff DESC, cid ASC) AS crn
+                             FROM (SELECT e.vec_id, e.v, cid, ${cosSql("v", "cv")} AS aff
+                                   FROM e CROSS JOIN cents3)),
+                  cells AS (SELECT vec_id, v, cid AS cell FROM ranked WHERE crn = 1),
+                  dropped AS (SELECT DISTINCT a.vec_id
+                              FROM cells a JOIN cells b
+                                ON a.cell = b.cell AND b.vec_id < a.vec_id
+                               AND ${cosSql("a.v", "b.v")} >= 0.3)
+             SELECT CAST(cells.cell AS BIGINT) AS cell,
+                    COUNT(*) AS n_members,
+                    CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                    COUNT(*) - CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             FROM cells LEFT JOIN dropped d ON cells.vec_id = d.vec_id
+             GROUP BY cells.cell ORDER BY cell"""))
+
+  /** Int8 scalar quantization fidelity report: each vector is quantized to
+    * 8-bit codes with a per-vector scale (max|v| / 127 — symmetric absmax,
+    * the standard embedding-compression scheme: 4x less memory and 4x more
+    * ANN candidates per cache line), reconstructed, and scored by the
+    * cosine between the original and the reconstruction. The per-label
+    * min/max fidelity and the count below the action threshold are the
+    * go/no-go report for switching an ANN index to int8.
+    *
+    * Determinism: scale uses max (order-insensitive), quantize/reconstruct
+    * are elementwise IEEE ops written identically in the oracle, and the
+    * cosine is the sequential fold shared with q36 — so scores hash-match
+    * without rounding. Scale shape: map-only scan + one 10-row aggregate;
+    * nothing here shuffles the corpus.
+    */
+  private val q102 = QueryDef(
+    "q102_int8_quant_fidelity",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val r = e
+        .withColumn("scale",
+          expr("array_max(transform(v, x -> abs(x)))") / lit(127.0))
+        .withColumn("rv", expr(
+          "transform(transform(v, x -> CAST(floor(x / scale + 0.5D) AS BIGINT)), q -> CAST(q AS DOUBLE) * scale)"))
+        .withColumn("fid", cosine(col("v"), col("rv")))
+      r.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("fid")).as("min_fidelity"),
+          max(col("fid")).as("max_fidelity"),
+          sum(when(col("fid") < lit(0.99997), lit(1L)).otherwise(lit(0L))).as("n_low"))
+        .orderBy("label")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                  q AS (SELECT label, v,
+                          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                        FROM e),
+                  r AS (SELECT label, v,
+                          list_transform(list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)),
+                                         qq -> CAST(qq AS DOUBLE) * scale) AS rv
+                        FROM q)
+             SELECT label, COUNT(*) AS n_vecs,
+                    MIN(${cosSql("v", "rv")}) AS min_fidelity,
+                    MAX(${cosSql("v", "rv")}) AS max_fidelity,
+                    CAST(SUM(CASE WHEN ${cosSql("v", "rv")} < 0.99997 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+             FROM r GROUP BY label ORDER BY label"""))
+
+  override def defs: Seq[QueryDef] = Seq(q36, q37, q38, q62, q81, q101, q102)
 }

@@ -31,6 +31,10 @@ object TextQueries extends QueryModule {
   private val esHits = hitsSql(Seq("el", "los", "las", "y", "es", "un"))
   private val stopRatioSql =
     s"(CAST($enHits AS DOUBLE) / CAST(GREATEST($nTokSql, 1) AS DOUBLE))"
+  private val qualitySql =
+    s"""LEAST(CAST($nTokSql AS DOUBLE) / 50.0, 1.0) * 0.4
+                      + (1.0 - $punctSql) * 0.3
+                      + LEAST($stopRatioSql * 5.0, 1.0) * 0.3"""
 
   /** Token counting: whitespace-word and BPE-ish tokenizations side by side. */
   private val q25 = QueryDef(
@@ -65,9 +69,7 @@ object TextQueries extends QueryModule {
     Some(s"""SELECT doc_id,
                     $punctSql AS punct_ratio,
                     $stopRatioSql AS stopword_ratio,
-                    LEAST(CAST($nTokSql AS DOUBLE) / 50.0, 1.0) * 0.4
-                      + (1.0 - $punctSql) * 0.3
-                      + LEAST($stopRatioSql * 5.0, 1.0) * 0.3 AS quality
+                    $qualitySql AS quality
              FROM documents ORDER BY doc_id"""))
 
   /** Language-ID: stopword-hit argmax with fixed tie-break, scored against
@@ -268,6 +270,69 @@ object TextQueries extends QueryModule {
                    trim(regexp_replace(lower(strip_accents(nfc_normalize(text))), '\s+', ' ', 'g')) != text AS changed
             FROM documents ORDER BY doc_id"""))
 
+  /** First BPE merge round: the top adjacent-character pairs over the word
+    * VOCABULARY, weighted by word frequency — the argmax a byte-pair
+    * tokenizer trainer computes before its first merge. Running the pair
+    * expansion over distinct words (not the corpus stream) is the standard
+    * trick: corpus scale only affects the word-count aggregation; the
+    * quadratic-ish pair work is vocabulary-sized, and vocabularies grow
+    * sub-linearly (Heaps' law) while the corpus grows without bound.
+    */
+  private val q104 = QueryDef(
+    "q104_bpe_merge_pairs",
+    (s, d) => Tables(s, d, "documents")
+      .withColumn("w", explode(tokens(col("text"))))
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+      .filter(length(col("w")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), length(col("w")) - 1)))
+      .select(expr("substring(w, i, 2)").as("pair"), col("wn"))
+      .groupBy("pair")
+      .agg(sum("wn").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20),
+    Some(s"""WITH wd AS (SELECT unnest($tokSql) AS w FROM documents),
+                  words AS (SELECT w, COUNT(*) AS wn FROM wd GROUP BY w),
+                  pr AS (SELECT unnest(CASE WHEN len(w) >= 2
+                           THEN list_transform(range(len(w) - 1),
+                                  i -> substring(w, CAST(i + 1 AS INT), 2))
+                           ELSE []::VARCHAR[] END) AS pair, wn
+                         FROM words)
+             SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+             FROM pr GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""))
+
+  /** Per-source quality pruning (the FineWeb-style curation move): score
+    * every document with the q26 composite and keep each source's top
+    * half by percent_rank. Pruning WITHIN the source (not globally)
+    * preserves the source mix — a global cutoff would silently delete
+    * whole low-scoring domains, which is a mixing decision (q78/q103),
+    * not a quality one.
+    *
+    * Determinism: percent_rank is (rank-1)/(n-1) with a doc_id tiebreak —
+    * exact integer arithmetic into one IEEE division, identical in both
+    * engines. Scale shape: one shuffle on source for the window; the
+    * score itself is map-only codegen'd expressions.
+    */
+  private val q105 = QueryDef(
+    "q105_quality_prune",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          qualityScore(col("text")).as("quality"))
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") <= 0.5)
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, source, quality, pr FROM (
+               SELECT doc_id, source, quality,
+                      PERCENT_RANK() OVER (PARTITION BY source
+                        ORDER BY quality DESC, doc_id ASC) AS pr
+               FROM (SELECT doc_id, source, $qualitySql AS quality
+                     FROM documents) t) r
+             WHERE pr <= 0.5 ORDER BY doc_id"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88)
+    Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88, q104, q105)
 }

@@ -101,4 +101,39 @@ class PlanShapeSpec extends SparkSuite {
     val p = plan("q98_zorder_layout")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"))
   }
+
+  test("q101 semantic dedup confines the pair space to same-cell equality " +
+    "joins — the only nested loop is the k-row centroid broadcast") {
+    val p = plan("q101_semantic_dedup")
+    assert(!p.contains("CartesianProduct"))
+    // the dominance semi join must key on the cell id, not enumerate pairs
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+  }
+
+  test("q102 int8 quantization fidelity is a map-only scan + one 10-row " +
+    "aggregate — no join machinery at all") {
+    val p = plan("q102_int8_quant_fidelity")
+    assert(!p.contains("Join") && !p.contains("Exchange hashpartitioning(vec_id"))
+  }
+
+  test("q103 source overlap pairs sources through a gram-equality join — " +
+    "never a source x source cartesian") {
+    val p = plan("q103_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q104 BPE pair expansion runs over the aggregated vocabulary, not " +
+    "the corpus stream — no join machinery, explode above the word agg") {
+    val p = plan("q104_bpe_merge_pairs")
+    assert(!p.contains("Join"))
+    // the top-20 must be a bounded heap, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("q105 quality prune is one source-keyed window — no join, score " +
+    "computed map-side") {
+    val p = plan("q105_quality_prune")
+    assert(!p.contains("Join"))
+    assert(p.contains("Window"), s"no window in:\n$p")
+  }
 }

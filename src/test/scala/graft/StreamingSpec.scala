@@ -409,4 +409,74 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("streaming decontamination probes the static benchmark bloom " +
+    "map-side — stateless plan, contaminated docs dropped in-flight") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.functions.{BloomFunctions, TextFunctions}
+    import graft.streaming.CorpusStreams
+
+    // static benchmark: one eval doc -> distinct 5-gram fingerprints
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val fp = TextFunctions.explodeShingles(
+        bench.select("doc_id", "text"), col("text"), 5, "sh")
+      .select(xxhash64(col("sh")).as("fp")).distinct()
+    val bloom = BloomFunctions.buildLongBloom(fp, col("fp"), fp.count(), 0.01)
+
+    val input = MemoryStream[(Long, String)](spark)
+    val out = CorpusStreams.decontaminated(
+      input.toDF().toDF("doc_id", "text"), bloom)
+    val q = out.writeStream.format("memory").queryName("decon_t")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("decon-ckpt"))
+      .start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon"), // shares a bench 5-gram
+        (2L, "totally novel words in here nothing shared with the suite"),
+        (3L, "short doc")) // < 5 tokens -> no shingles -> kept
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("decon_t").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L),
+      s"doc 1 must be dropped in-flight, 2 and 3 kept; got $kept")
+    // the whole point: the streaming plan carries NO stateful operator
+    val progress = q.lastProgress
+    assert(progress == null || progress.stateOperators.isEmpty,
+      "decontamination must be stateless")
+  }
+
+  test("streaming corpus-clean composite gates quality before the bloom " +
+    "probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.functions.BloomFunctions
+    import graft.streaming.CorpusStreams
+
+    // empty benchmark -> bloom rejects nothing; quality gate does the work
+    val bloom = BloomFunctions.buildLongBloom(
+      Seq.empty[Long].toDF("fp"), col("fp"), 0L, 0.01)
+    val input = MemoryStream[(Long, String)](spark)
+    val out = CorpusStreams.cleaned(
+      input.toDF().toDF("doc_id", "text"), bloom, minQuality = 0.5)
+    val q = out.writeStream.format("memory").queryName("clean_t")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("clean-ckpt"))
+      .start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog and runs to the " +
+          "hills in a fine morning light with a steady pace and a clear goal"),
+        (2L, "!!! ??? ###")) // pure punctuation -> quality ~ 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("clean_t").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L), s"only the natural-text doc survives; got $kept")
+  }
 }
