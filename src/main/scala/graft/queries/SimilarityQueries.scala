@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -26,6 +27,16 @@ object SimilarityQueries extends QueryModule {
     */
   private def cosSql(a: String, b: String) =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** Exact squared L2 via the dot expansion ||a-b||² = a·a − 2a·b + b·b —
+    * three sequential-fold dots and fixed-order arithmetic, so both
+    * engines produce bit-identical distances (the subtraction form would
+    * need an elementwise zip that DuckDB folds in a different order).
+    */
+  private def l2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+  private def l2Sql(a: String, b: String) =
+    s"(list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b))"
 
   /** Brute-force cosine top-10 neighbors for query vectors (vec_id < 5). */
   private val q36 = QueryDef(
@@ -147,7 +158,8 @@ object SimilarityQueries extends QueryModule {
     * keeps exactly this bounded-iteration refinement loop.
     */
   private def kmeansCentroids(e: org.apache.spark.sql.DataFrame,
-      k: Int = 8, iters: Int = 3): org.apache.spark.sql.DataFrame = {
+      k: Int = 8, iters: Int = 3,
+      byL2: Boolean = false): org.apache.spark.sql.DataFrame = {
     // materialized once: every Lloyd iteration reads the quantized
     // component rows, and without the checkpoint each iteration would
     // re-scan and re-explode the corpus (the dominant row volume)
@@ -163,9 +175,15 @@ object SimilarityQueries extends QueryModule {
       (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).as("cid"),
       col("v").as("cv"))
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy("vec_id").orderBy(col("aff").desc, col("cid").asc)
+      // cosine argmax for the spherical IVF/SemDeDup form; exact L2
+      // argmin for the PQ codebooks (subvector norms must count there)
+      val w =
+        if (byL2) Window.partitionBy("vec_id").orderBy(col("aff").asc, col("cid").asc)
+        else Window.partitionBy("vec_id").orderBy(col("aff").desc, col("cid").asc)
+      val affCol =
+        if (byL2) l2(col("v"), col("cv")) else cosine(col("v"), col("cv"))
       val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"), cosine(col("v"), col("cv")).as("aff"))
+        .select(col("vec_id"), col("cid"), affCol.as("aff"))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") === 1).select("vec_id", "cid")
       cents = assigned.join(ex, "vec_id")
@@ -186,29 +204,35 @@ object SimilarityQueries extends QueryModule {
   }
 
   /** Oracle twin of kmeansCentroids: unrolled CTE chain ending in a
-    * centroid relation named `cents$iters`(cid, cv).
+    * centroid relation named `${p}cents$iters`(cid, cv). `rel` is the
+    * (vec_id, v) source relation; `p` prefixes every CTE name so several
+    * instances (one per PQ subspace) can coexist in one WITH clause;
+    * `byL2` mirrors kmeansCentroids' metric switch.
     */
-  private def kmeansSql(k: Int = 8, iters: Int = 3): String = {
+  private def kmeansSql(k: Int = 8, iters: Int = 3, p: String = "",
+      rel: String = "e", byL2: Boolean = false): String = {
+    val ord =
+      if (byL2) s"${l2Sql("v", "cv")} ASC" else s"${cosSql("v", "cv")} DESC"
     val base =
-      s"""ex AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS INT) AS idx,
+      s"""${p}ex AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS INT) AS idx,
                         CAST(floor(unnest(v) * 1e6 + 0.5) AS BIGINT) AS q
-                 FROM e),
-          seedb AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
-                    FROM e ORDER BY h, vec_id LIMIT $k),
-          cents0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                 FROM $rel),
+          ${p}seedb AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+                    FROM $rel ORDER BY h, vec_id LIMIT $k),
+          ${p}cents0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid,
                             v AS cv
-                     FROM seedb)"""
+                     FROM ${p}seedb)"""
     val steps = (1 to iters).map { i =>
-      s"""asg$i AS (SELECT vec_id, cid FROM (
-                     SELECT e.vec_id, cid,
-                            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY ${cosSql("v", "cv")} DESC, cid ASC) AS crn
-                     FROM e CROSS JOIN cents${i - 1}) x WHERE crn = 1),
-          cents$i AS (SELECT cid, list(cvi ORDER BY idx) AS cv FROM (
+      s"""${p}asg$i AS (SELECT vec_id, cid FROM (
+                     SELECT $rel.vec_id, cid,
+                            ROW_NUMBER() OVER (PARTITION BY $rel.vec_id
+                              ORDER BY $ord, cid ASC) AS crn
+                     FROM $rel CROSS JOIN ${p}cents${i - 1}) x WHERE crn = 1),
+          ${p}cents$i AS (SELECT cid, list(cvi ORDER BY idx) AS cv FROM (
                        SELECT cid, idx,
                               CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
                                 / CAST(COUNT(*) AS DOUBLE) / 1e6 AS cvi
-                       FROM asg$i JOIN ex ON asg$i.vec_id = ex.vec_id
+                       FROM ${p}asg$i JOIN ${p}ex ON ${p}asg$i.vec_id = ${p}ex.vec_id
                        GROUP BY cid, idx) y
                       GROUP BY cid)"""
     }
@@ -445,5 +469,83 @@ object SimilarityQueries extends QueryModule {
                     CAST(SUM(CASE WHEN ${cosSql("v", "rv")} < 0.99997 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
              FROM r GROUP BY label ORDER BY label"""))
 
-  override def defs: Seq[QueryDef] = Seq(q36, q37, q38, q62, q81, q101, q102)
+  /** Product quantization (PQ): the 64-dim space is cut into 4 subspaces
+    * of 16 dims; each subspace trains its own 8-code k-means codebook
+    * (exact-L2 Lloyd, deterministic hash seeding — the q62 machinery with
+    * the metric switched, because subvector NORMS must count in a
+    * reconstruction codebook), every vector is encoded as its 4 nearest
+    * codes, and the report scores the reconstruction (concatenated
+    * codewords) against the original by cosine, per label. 4 codes × 3
+    * bits ≈ 64× compression here; production PQ is the same shape at
+    * 8-16 subspaces × 256 codes. Compare directly with q102: int8 SQ is
+    * 4× smaller with ~0.99995 fidelity, PQ is far smaller and far
+    * coarser — this report is how you pick.
+    *
+    * Scale shape: codebooks are k×S tiny broadcast relations; encoding is
+    * a per-subspace broadcast argmin (map-only over the corpus); the only
+    * corpus shuffle is the vec_id regroup that concatenates the 4
+    * codewords (production encoders keep subspaces columnar and skip
+    * even that). Training cost is S small k-means runs over sliced
+    * projections of one corpus scan each.
+    */
+  private val q107 = QueryDef(
+    "q107_pq_fidelity",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val coded = (0 until 4).map { sub =>
+        val sv = emb.select(col("vec_id"),
+          expr(s"slice(v, ${sub * 16 + 1}, 16)").as("v"))
+        val cents = kmeansCentroids(sv, k = 8, iters = 2, byL2 = true)
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist").asc, col("cid").asc)
+        sv.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"), col("cv"),
+            l2(col("v"), col("cv")).as("dist"))
+          .withColumn("crn", row_number().over(w))
+          .filter(col("crn") === 1)
+          .select(col("vec_id"), lit(sub).as("sub"), col("cv"))
+      }.reduce(_ unionAll _)
+      val recon = coded.groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("sub"), col("cv")))).as("a"))
+        .select(col("vec_id"),
+          expr("flatten(transform(a, x -> x.cv))").as("rv"))
+      emb.join(recon, "vec_id")
+        .select(col("label"), cosine(col("v"), col("rv")).as("fid"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("fid")).as("min_fidelity"),
+          max(col("fid")).as("max_fidelity"))
+        .orderBy("label")
+    },
+    Some {
+      val subCtes = (0 until 4).map { sub =>
+        val rel = s"s${sub}v"
+        val p = s"s${sub}_"
+        s"""$rel AS (SELECT vec_id, v[${sub * 16 + 1}:${sub * 16 + 16}] AS v FROM e),
+            ${kmeansSql(k = 8, iters = 2, p = p, rel = rel, byL2 = true)}"""
+      }.mkString(",\n")
+      val codedSelects = (0 until 4).map { sub =>
+        val rel = s"s${sub}v"
+        val cents = s"s${sub}_cents2"
+        s"""SELECT vec_id, $sub AS sub, cv FROM (
+              SELECT $rel.vec_id, cv,
+                     ROW_NUMBER() OVER (PARTITION BY $rel.vec_id
+                       ORDER BY ${l2Sql("v", "cv")} ASC, cid ASC) AS crn
+              FROM $rel CROSS JOIN $cents) x WHERE crn = 1"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              $subCtes,
+              coded AS ($codedSelects),
+              recon AS (SELECT vec_id, flatten(list(cv ORDER BY sub)) AS rv
+                        FROM coded GROUP BY vec_id)
+         SELECT label, COUNT(*) AS n_vecs,
+                MIN(${cosSql("v", "rv")}) AS min_fidelity,
+                MAX(${cosSql("v", "rv")}) AS max_fidelity
+         FROM e JOIN recon ON e.vec_id = recon.vec_id
+         GROUP BY label ORDER BY label"""
+    })
+
+  override def defs: Seq[QueryDef] =
+    Seq(q36, q37, q38, q62, q81, q101, q102, q107)
 }

@@ -136,4 +136,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Join"))
     assert(p.contains("Window"), s"no window in:\n$p")
   }
+
+  test("q107 PQ encoding broadcasts every codebook — the corpus side " +
+    "never shuffles for the argmin, no cartesian anywhere") {
+    val p = plan("q107_pq_fidelity")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"codebooks must broadcast in:\n$p")
+  }
 }
