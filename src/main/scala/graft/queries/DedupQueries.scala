@@ -909,7 +909,9 @@ object DedupQueries extends QueryModule {
                     CAST(n_hit AS DOUBLE) / CAST(GREATEST(n_truth, 1) AS DOUBLE) AS recall
              FROM m"""))
 
-  /** Cross-source redundancy matrix: for every pair of sources, how many
+  /** Cross-source redundancy matrix: for EVERY pair of sources (zero-
+    * overlap pairs included, as explicit shared=0 rows — a reader must be
+    * able to distinguish "no overlap" from "source absent"), how many
     * distinct 8-gram shingles they share, and the Jaccard of their shingle
     * sets. This is the measurement a mixing decision (q78) reads — two
     * mirrors of the same crawl should be collapsed before weights are
@@ -936,14 +938,19 @@ object DedupQueries extends QueryModule {
           col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
         .agg(count(lit(1)).as("shared"))
-      shared
-        .join(counts.as("ca"), col("source_a") === col("ca.source"))
-        .join(counts.as("cb"), col("source_b") === col("cb.source"))
-        .select(col("source_a"), col("source_b"),
+      // the full matrix comes from counts x counts (a source-count-sized
+      // broadcast nested loop, NOT a corpus join) left-joined to the
+      // gram-derived overlaps, so disjoint pairs surface as shared = 0
+      val sh = coalesce(col("shared"), lit(0L))
+      counts.as("ca").join(counts.as("cb"),
+          col("ca.source") < col("cb.source"))
+        .join(shared, col("ca.source") === col("source_a")
+          && col("cb.source") === col("source_b"), "left")
+        .select(col("ca.source").as("source_a"), col("cb.source").as("source_b"),
           col("ca.n_grams").as("grams_a"), col("cb.n_grams").as("grams_b"),
-          col("shared"),
-          (col("shared").cast("double") /
-            (col("ca.n_grams") + col("cb.n_grams") - col("shared")).cast("double"))
+          sh.as("shared"),
+          (sh.cast("double") /
+            (col("ca.n_grams") + col("cb.n_grams") - sh).cast("double"))
             .as("jaccard"))
         .orderBy("source_a", "source_b")
     },
@@ -962,13 +969,15 @@ object DedupQueries extends QueryModule {
                              FROM sg a JOIN sg b
                                ON a.gram = b.gram AND a.source < b.source
                              GROUP BY a.source, b.source)
-             SELECT source_a, source_b,
-                    ca.n_grams AS grams_a, cb.n_grams AS grams_b, shared,
-                    CAST(shared AS DOUBLE)
-                      / CAST(ca.n_grams + cb.n_grams - shared AS DOUBLE) AS jaccard
-             FROM shared
-             JOIN counts ca ON source_a = ca.source
-             JOIN counts cb ON source_b = cb.source
+             SELECT ca.source AS source_a, cb.source AS source_b,
+                    ca.n_grams AS grams_a, cb.n_grams AS grams_b,
+                    COALESCE(shared, 0) AS shared,
+                    CAST(COALESCE(shared, 0) AS DOUBLE)
+                      / CAST(ca.n_grams + cb.n_grams - COALESCE(shared, 0) AS DOUBLE) AS jaccard
+             FROM counts ca
+             JOIN counts cb ON ca.source < cb.source
+             LEFT JOIN shared s ON ca.source = s.source_a
+                               AND cb.source = s.source_b
              ORDER BY source_a, source_b"""))
 
   override def defs: Seq[QueryDef] =

@@ -712,20 +712,36 @@ object PipelineQueries extends QueryModule {
     * committing (round-robin over a hash order concentrates token totals
     * tightly around N/16 of the corpus).
     *
-    * Scale shape: the global row_number is a range-partitioned sort on the
-    * hash — one exchange, the same shape every distributed global shuffle
-    * uses (sort-based, not random); the report is a 16-row aggregate. The
-    * shard-id arithmetic is integer, so both engines agree bit-for-bit.
+    * Scale shape: the global rank is computed in the genuinely distributed
+    * two-pass form — an unpartitioned Window.orderBy would funnel the
+    * whole corpus through ONE partition (Spark's single-partition window
+    * warning), so instead pass 1 aggregates per-hash-prefix bucket counts
+    * (256 tiny rows) into exclusive prefix offsets, and pass 2 ranks
+    * WITHIN each bucket (a 256-way partitioned window) and adds the
+    * broadcast offset. Bucket-then-offset ordering equals the global
+    * (h, doc_id) order because the bucket IS h's prefix. The report is a
+    * 16-row aggregate; all shard arithmetic is integer, so both engines
+    * agree bit-for-bit.
     */
   private val q106 = QueryDef(
     "q106_shard_assignment",
     (s, d) => {
-      val w = Window.orderBy(col("h"), col("doc_id"))
-      Tables(s, d, "documents")
+      val base = Tables(s, d, "documents")
         .select(col("doc_id"),
           tokenCount(col("text")).cast("long").as("n_tokens"),
           md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
-        .withColumn("shard", ((row_number().over(w) - 1) % 16).cast("long"))
+        .withColumn("bk", substring(col("h"), 1, 2))
+      // pass 1: 256 bucket counts -> exclusive prefix offsets (tiny)
+      val offs = base.groupBy("bk").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum("c").over(
+          Window.orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bk", "off")
+      // pass 2: per-bucket rank + broadcast offset = global rank
+      val wb = Window.partitionBy("bk").orderBy(col("h"), col("doc_id"))
+      base.join(broadcast(offs), "bk")
+        .withColumn("rank", col("off") + row_number().over(wb))
+        .withColumn("shard", ((col("rank") - 1) % 16).cast("long"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
         .orderBy("shard")
@@ -734,9 +750,19 @@ object PipelineQueries extends QueryModule {
                              CAST(len($tokSql) AS BIGINT) AS n_tokens,
                              md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
                            FROM documents),
-                  sh AS (SELECT doc_id, n_tokens,
-                           (ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1) % 16 AS shard
-                         FROM docs)
+                  b AS (SELECT doc_id, n_tokens, h, substring(h, 1, 2) AS bk
+                        FROM docs),
+                  offs AS (SELECT bk,
+                             COALESCE(CAST(SUM(c) OVER (ORDER BY bk
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                               AS BIGINT), 0) AS off
+                           FROM (SELECT bk, COUNT(*) AS c FROM b GROUP BY bk) t),
+                  r AS (SELECT b.doc_id, n_tokens,
+                               off + ROW_NUMBER() OVER (PARTITION BY b.bk
+                                 ORDER BY h, doc_id) AS rank
+                        FROM b JOIN offs ON b.bk = offs.bk),
+                  sh AS (SELECT doc_id, n_tokens, (rank - 1) % 16 AS shard
+                         FROM r)
              SELECT shard, COUNT(*) AS n_docs,
                     CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
              FROM sh GROUP BY shard ORDER BY shard"""))

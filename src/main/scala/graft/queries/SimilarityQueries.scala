@@ -38,6 +38,43 @@ object SimilarityQueries extends QueryModule {
   private def l2Sql(a: String, b: String) =
     s"(list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b))"
 
+  /** Nearest-centroid assignment: broadcast the (tiny) centroid relation,
+    * score every (vector, centroid) pair, keep the argmax-cosine (argmin-L2
+    * when `byL2`) row per vector with the cid tiebreak. The ONE shared
+    * implementation of the move the Lloyd loop, the SemDeDup cell
+    * assignment (q101) and the PQ encoder (q107) all make — tie-break
+    * changes happen here and in nearestSql, nowhere else. (q62 keeps its
+    * inline ranked form because it also reads crn <= 2 for probe cells.)
+    * Output columns: vec_id, v, cid, cv.
+    */
+  private def nearestCentroid(e: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      byL2: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val aff = if (byL2) l2(col("v"), col("cv")) else cosine(col("v"), col("cv"))
+    val w =
+      if (byL2) Window.partitionBy("vec_id").orderBy(col("aff").asc, col("cid").asc)
+      else Window.partitionBy("vec_id").orderBy(col("aff").desc, col("cid").asc)
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"), col("cv"), aff.as("aff"))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select("vec_id", "v", "cid", "cv")
+  }
+
+  /** Oracle twin of nearestCentroid: one argmin/argmax select over
+    * `rel`(vec_id, v) × `cents`(cid, cv), projecting `out`.
+    */
+  private def nearestSql(rel: String, cents: String, byL2: Boolean,
+      out: String): String = {
+    val ord =
+      if (byL2) s"${l2Sql("v", "cv")} ASC" else s"${cosSql("v", "cv")} DESC"
+    s"""SELECT $out FROM (
+          SELECT $rel.vec_id, v, cid, cv,
+                 ROW_NUMBER() OVER (PARTITION BY $rel.vec_id
+                   ORDER BY $ord, cid ASC) AS crn
+          FROM $rel CROSS JOIN $cents) x WHERE crn = 1"""
+  }
+
   /** Brute-force cosine top-10 neighbors for query vectors (vec_id < 5). */
   private val q36 = QueryDef(
     "q36_cosine_topk",
@@ -177,15 +214,7 @@ object SimilarityQueries extends QueryModule {
     for (_ <- 0 until iters) {
       // cosine argmax for the spherical IVF/SemDeDup form; exact L2
       // argmin for the PQ codebooks (subvector norms must count there)
-      val w =
-        if (byL2) Window.partitionBy("vec_id").orderBy(col("aff").asc, col("cid").asc)
-        else Window.partitionBy("vec_id").orderBy(col("aff").desc, col("cid").asc)
-      val affCol =
-        if (byL2) l2(col("v"), col("cv")) else cosine(col("v"), col("cv"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"), affCol.as("aff"))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1).select("vec_id", "cid")
+      val assigned = nearestCentroid(e, cents, byL2).select("vec_id", "cid")
       cents = assigned.join(ex, "vec_id")
         .groupBy("cid", "idx")
         .agg(sum("q").as("sq"), count(lit(1)).as("n"))
@@ -211,8 +240,6 @@ object SimilarityQueries extends QueryModule {
     */
   private def kmeansSql(k: Int = 8, iters: Int = 3, p: String = "",
       rel: String = "e", byL2: Boolean = false): String = {
-    val ord =
-      if (byL2) s"${l2Sql("v", "cv")} ASC" else s"${cosSql("v", "cv")} DESC"
     val base =
       s"""${p}ex AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS INT) AS idx,
                         CAST(floor(unnest(v) * 1e6 + 0.5) AS BIGINT) AS q
@@ -223,11 +250,7 @@ object SimilarityQueries extends QueryModule {
                             v AS cv
                      FROM ${p}seedb)"""
     val steps = (1 to iters).map { i =>
-      s"""${p}asg$i AS (SELECT vec_id, cid FROM (
-                     SELECT $rel.vec_id, cid,
-                            ROW_NUMBER() OVER (PARTITION BY $rel.vec_id
-                              ORDER BY $ord, cid ASC) AS crn
-                     FROM $rel CROSS JOIN ${p}cents${i - 1}) x WHERE crn = 1),
+      s"""${p}asg$i AS (${nearestSql(rel, s"${p}cents${i - 1}", byL2, "vec_id, cid")}),
           ${p}cents$i AS (SELECT cid, list(cvi ORDER BY idx) AS cv FROM (
                        SELECT cid, idx,
                               CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
@@ -381,13 +404,7 @@ object SimilarityQueries extends QueryModule {
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val cents = kmeansCentroids(e)
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("aff").desc, col("cid").asc)
-      val cells = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cid"),
-          cosine(col("v"), col("cv")).as("aff"))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
+      val cells = nearestCentroid(e, cents)
         .select(col("vec_id"), col("v"), col("cid").as("cell"))
       val dropped = cells.as("a").join(cells.as("b"),
           col("a.cell") === col("b.cell")
@@ -406,12 +423,8 @@ object SimilarityQueries extends QueryModule {
     },
     Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
                   ${kmeansSql()},
-                  ranked AS (SELECT vec_id, v, cid,
-                               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY aff DESC, cid ASC) AS crn
-                             FROM (SELECT e.vec_id, e.v, cid, ${cosSql("v", "cv")} AS aff
-                                   FROM e CROSS JOIN cents3)),
-                  cells AS (SELECT vec_id, v, cid AS cell FROM ranked WHERE crn = 1),
+                  cells AS (${nearestSql("e", "cents3", byL2 = false,
+                    "vec_id, v, cid AS cell")}),
                   dropped AS (SELECT DISTINCT a.vec_id
                               FROM cells a JOIN cells b
                                 ON a.cell = b.cell AND b.vec_id < a.vec_id
@@ -434,20 +447,28 @@ object SimilarityQueries extends QueryModule {
     * Determinism: scale uses max (order-insensitive), quantize/reconstruct
     * are elementwise IEEE ops written identically in the oracle, and the
     * cosine is the sequential fold shared with q36 — so scores hash-match
-    * without rounding. Scale shape: map-only scan + one 10-row aggregate;
-    * nothing here shuffles the corpus.
+    * without rounding. An all-zero vector (a padding row) reports fidelity
+    * 0.0 explicitly — the scale divisor is floored at 1e-300 so no NaN
+    * ever reaches the bigint CAST, where the engines would diverge.
+    * Scale shape: map-only scan + one 10-row aggregate; nothing here
+    * shuffles the corpus.
     */
   private val q102 = QueryDef(
     "q102_int8_quant_fidelity",
     (s, d) => {
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      // the GREATEST floor keeps x/scale finite for an all-zero vector
+      // (otherwise 0/0 = NaN flows into a bigint CAST, where the engines
+      // diverge: Spark yields 0, DuckDB errors); the explicit CASE then
+      // reports fidelity 0.0 for zero vectors — flagged, never NaN
       val r = e
-        .withColumn("scale",
-          expr("array_max(transform(v, x -> abs(x)))") / lit(127.0))
+        .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("scale", greatest(col("maxabs"), lit(1e-300)) / lit(127.0))
         .withColumn("rv", expr(
           "transform(transform(v, x -> CAST(floor(x / scale + 0.5D) AS BIGINT)), q -> CAST(q AS DOUBLE) * scale)"))
-        .withColumn("fid", cosine(col("v"), col("rv")))
+        .withColumn("fid",
+          when(col("maxabs") > 0, cosine(col("v"), col("rv"))).otherwise(lit(0.0)))
       r.groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
           min(col("fid")).as("min_fidelity"),
@@ -455,19 +476,23 @@ object SimilarityQueries extends QueryModule {
           sum(when(col("fid") < lit(0.99997), lit(1L)).otherwise(lit(0L))).as("n_low"))
         .orderBy("label")
     },
-    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-                  q AS (SELECT label, v,
-                          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-                        FROM e),
-                  r AS (SELECT label, v,
-                          list_transform(list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)),
-                                         qq -> CAST(qq AS DOUBLE) * scale) AS rv
-                        FROM q)
-             SELECT label, COUNT(*) AS n_vecs,
-                    MIN(${cosSql("v", "rv")}) AS min_fidelity,
-                    MAX(${cosSql("v", "rv")}) AS max_fidelity,
-                    CAST(SUM(CASE WHEN ${cosSql("v", "rv")} < 0.99997 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
-             FROM r GROUP BY label ORDER BY label"""))
+    Some {
+      val fid = s"CASE WHEN maxabs > 0 THEN ${cosSql("v", "rv")} ELSE 0.0 END"
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT label, v,
+                      list_max(list_transform(v, x -> abs(x))) AS maxabs,
+                      GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-300) / 127.0 AS scale
+                    FROM e),
+              r AS (SELECT label, v, maxabs,
+                      list_transform(list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)),
+                                     qq -> CAST(qq AS DOUBLE) * scale) AS rv
+                    FROM q)
+         SELECT label, COUNT(*) AS n_vecs,
+                MIN($fid) AS min_fidelity,
+                MAX($fid) AS max_fidelity,
+                CAST(SUM(CASE WHEN $fid < 0.99997 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+         FROM r GROUP BY label ORDER BY label"""
+    })
 
   /** Product quantization (PQ): the 64-dim space is cut into 4 subspaces
     * of 16 dims; each subspace trains its own 8-code k-means codebook
@@ -497,13 +522,7 @@ object SimilarityQueries extends QueryModule {
         val sv = emb.select(col("vec_id"),
           expr(s"slice(v, ${sub * 16 + 1}, 16)").as("v"))
         val cents = kmeansCentroids(sv, k = 8, iters = 2, byL2 = true)
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist").asc, col("cid").asc)
-        sv.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cid"), col("cv"),
-            l2(col("v"), col("cv")).as("dist"))
-          .withColumn("crn", row_number().over(w))
-          .filter(col("crn") === 1)
+        nearestCentroid(sv, cents, byL2 = true)
           .select(col("vec_id"), lit(sub).as("sub"), col("cv"))
       }.reduce(_ unionAll _)
       val recon = coded.groupBy("vec_id")
@@ -526,13 +545,8 @@ object SimilarityQueries extends QueryModule {
             ${kmeansSql(k = 8, iters = 2, p = p, rel = rel, byL2 = true)}"""
       }.mkString(",\n")
       val codedSelects = (0 until 4).map { sub =>
-        val rel = s"s${sub}v"
-        val cents = s"s${sub}_cents2"
-        s"""SELECT vec_id, $sub AS sub, cv FROM (
-              SELECT $rel.vec_id, cv,
-                     ROW_NUMBER() OVER (PARTITION BY $rel.vec_id
-                       ORDER BY ${l2Sql("v", "cv")} ASC, cid ASC) AS crn
-              FROM $rel CROSS JOIN $cents) x WHERE crn = 1"""
+        nearestSql(s"s${sub}v", s"s${sub}_cents2", byL2 = true,
+          s"vec_id, $sub AS sub, cv")
       }.mkString("\nUNION ALL\n")
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               $subCtes,
@@ -546,6 +560,94 @@ object SimilarityQueries extends QueryModule {
          GROUP BY label ORDER BY label"""
     })
 
+  /** ADC search — the query-time half of an IVF-PQ index (q107 is the
+    * build-time half): queries stay exact, the corpus is only its PQ
+    * codes, and distance is the sum over subspaces of l2(query-subvector,
+    * codeword) read from a per-query lookup table (here 5 queries × 4
+    * subspaces × 8 codes = 160 broadcast rows; production is the same
+    * shape with the LUT in L1 cache). The corpus-side cost per candidate
+    * is 4 LUT reads and 3 adds — the whole point of PQ search.
+    *
+    * Determinism: each (query, doc) group has exactly ONE row per
+    * subspace, pivoted into four columns (a single non-null value per
+    * sum — no FP reordering exists), then summed in fixed column order
+    * d0+d1+d2+d3; ties on the ADC distance break on vec_id. So both
+    * engines rank identically.
+    *
+    * Scale shape: codebooks and LUTs broadcast; the per-subspace code
+    * join is a broadcast hash join on the code id (map-only over the
+    * corpus); the single corpus shuffle is the (qid, vec_id) regroup
+    * that sums the four partial distances — production keeps codes
+    * columnar (one row per doc) and skips even that.
+    */
+  private val q108 = QueryDef(
+    "q108_pq_adc_search",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val parts = (0 until 4).map { sub =>
+        val sv = emb.select(col("vec_id"),
+          expr(s"slice(v, ${sub * 16 + 1}, 16)").as("v"))
+        val cents = kmeansCentroids(sv, k = 8, iters = 2, byL2 = true)
+        val codes = nearestCentroid(sv, cents, byL2 = true)
+          .select(col("vec_id"), col("cid"))
+        val lut = sv.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+          .crossJoin(broadcast(cents))
+          .select(col("qid"), col("cid"), l2(col("qv"), col("cv")).as("dd"))
+        codes.join(broadcast(lut), "cid")
+          .select(col("qid"), col("vec_id"), lit(sub).as("sub"), col("dd"))
+      }.reduce(_ unionAll _)
+      val adc = parts.groupBy("qid", "vec_id")
+        .agg(
+          sum(when(col("sub") === 0, col("dd"))).as("d0"),
+          sum(when(col("sub") === 1, col("dd"))).as("d1"),
+          sum(when(col("sub") === 2, col("dd"))).as("d2"),
+          sum(when(col("sub") === 3, col("dd"))).as("d3"))
+        .select(col("qid"), col("vec_id"),
+          (col("d0") + col("d1") + col("d2") + col("d3")).as("adc"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adc").asc, col("vec_id").asc)
+      adc.filter(col("qid") =!= col("vec_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("adc").as("adc_dist"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val subCtes = (0 until 4).map { sub =>
+        val rel = s"s${sub}v"
+        val p = s"s${sub}_"
+        s"""$rel AS (SELECT vec_id, v[${sub * 16 + 1}:${sub * 16 + 16}] AS v FROM e),
+            ${kmeansSql(k = 8, iters = 2, p = p, rel = rel, byL2 = true)},
+            ${p}cd AS (${nearestSql(rel, s"${p}cents2", byL2 = true, "vec_id, cid")}),
+            ${p}lut AS (SELECT qid, cid, ${l2Sql("qv", "cv")} AS dd
+                        FROM (SELECT vec_id AS qid, v AS qv FROM $rel
+                              WHERE vec_id < 5) q
+                        CROSS JOIN ${p}cents2),
+            ${p}part AS (SELECT qid, ${p}cd.vec_id, $sub AS sub, dd
+                         FROM ${p}cd JOIN ${p}lut ON ${p}cd.cid = ${p}lut.cid)"""
+      }.mkString(",\n")
+      val unions = (0 until 4).map(sub => s"SELECT * FROM s${sub}_part")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              $subCtes,
+              parts AS ($unions),
+              adc AS (SELECT qid, vec_id,
+                        SUM(CASE WHEN sub = 0 THEN dd END)
+                          + SUM(CASE WHEN sub = 1 THEN dd END)
+                          + SUM(CASE WHEN sub = 2 THEN dd END)
+                          + SUM(CASE WHEN sub = 3 THEN dd END) AS adc
+                      FROM parts GROUP BY qid, vec_id)
+         SELECT qid AS query_id, vec_id AS neighbor_id, rn AS rank, adc AS adc_dist
+         FROM (SELECT qid, vec_id, adc,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY adc ASC, vec_id ASC) AS rn
+               FROM adc WHERE qid <> vec_id) t
+         WHERE rn <= 5 ORDER BY query_id, rank"""
+    })
+
   override def defs: Seq[QueryDef] =
-    Seq(q36, q37, q38, q62, q81, q101, q102, q107)
+    Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108)
 }

@@ -333,6 +333,72 @@ object TextQueries extends QueryModule {
                      FROM documents) t) r
              WHERE pr <= 0.5 ORDER BY doc_id"""))
 
+  /** Corpus-trained bigram coherence score (the CCNet-style statistical
+    * quality filter, without a log): every bigram occurrence is scored by
+    * how often its first word is followed by its second across the corpus
+    * — affinity = (10⁶·count(w1,w2)) div count(w1·), an INTEGER in
+    * [0, 10⁶] — and a document's coherence is the mean affinity of its
+    * bigrams. Word salad scores low (its bigrams never repeat), natural
+    * phrasing scores high. Integer affinities make the per-doc SUM
+    * order-independent (a float sum across a shuffle would not be), so
+    * the score survives the cross-engine hash gate; the single division
+    * happens once at the end.
+    *
+    * Scale shape: the two COUNT windows are token-keyed shuffles of the
+    * bigram stream (same cardinality class as q86); when the vocabulary
+    * fits (Heaps' law says it usually does), a broadcast affinity table
+    * replaces both windows with map-side lookups. Per-doc reduce is one
+    * doc_id shuffle.
+    */
+  private val q109 = QueryDef(
+    "q109_bigram_coherence",
+    (s, d) => {
+      val w1w = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+      val bww = org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")
+      val docs = Tables(s, d, "documents")
+      val bg = docs.withColumn("tk", tokens(col("text")))
+        .withColumn("i", explode(expr(
+          "CASE WHEN size(tk) >= 2 THEN sequence(1, size(tk) - 1)" +
+            " ELSE CAST(array() AS ARRAY<INT>) END")))
+        .select(col("doc_id"),
+          expr("element_at(tk, i)").as("w1"),
+          expr("element_at(tk, i + 1)").as("w2"))
+      val per = bg
+        .withColumn("cu", count(lit(1)).over(w1w))
+        .withColumn("cb", count(lit(1)).over(bww))
+        .withColumn("aff", expr("(1000000 * cb) div cu"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("aff").as("sc"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          (coalesce(col("sc"), lit(0L)).cast("double") /
+            (greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)).cast("double")
+              * lit(1000000.0))).as("coherence"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  bg AS (SELECT doc_id,
+                           unnest(CASE WHEN len(tk) >= 2 THEN tk[1:len(tk)-1]
+                                  ELSE []::VARCHAR[] END) AS w1,
+                           unnest(CASE WHEN len(tk) >= 2 THEN tk[2:len(tk)]
+                                  ELSE []::VARCHAR[] END) AS w2
+                         FROM t),
+                  per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                                 CAST(SUM(aff) AS BIGINT) AS sc
+                          FROM (SELECT doc_id,
+                                  (1000000 * COUNT(*) OVER (PARTITION BY w1, w2))
+                                    // COUNT(*) OVER (PARTITION BY w1) AS aff
+                                FROM bg) x
+                          GROUP BY doc_id)
+             SELECT d.doc_id,
+                    COALESCE(n_bigrams, 0) AS n_bigrams,
+                    CAST(COALESCE(sc, 0) AS DOUBLE)
+                      / (CAST(GREATEST(COALESCE(n_bigrams, 0), 1) AS DOUBLE) * 1000000.0)
+                      AS coherence
+             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+             ORDER BY d.doc_id"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88, q104, q105)
+    Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88, q104, q105, q109)
 }

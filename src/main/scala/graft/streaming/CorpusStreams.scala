@@ -17,17 +17,20 @@ import graft.functions.{BloomFunctions, TextFunctions}
 object CorpusStreams {
 
   /** Word n-gram shingles as an ARRAY column (never exploded — a streaming
-    * probe must stay per-row). Same tokenization and join-with-space as the
+    * probe must stay per-row), built from an ALREADY-BOUND token-array
+    * column. Callers must materialize the tokenization into its own
+    * projected column first (see decontaminated): inlining tokens(text)
+    * here would re-run the full-text regex for every element_at inside the
+    * HOF lambda — HOF lambdas evaluate interpreted, with no common-
+    * subexpression reuse. Same tokenization and join-with-space as the
     * batch explodeShingles, so a bloom built from batch shingles probes
     * stream shingles correctly.
     */
-  def shingleArray(text: Column, n: Int): Column = {
-    val tk = TextFunctions.tokens(text)
+  def shingleArray(tk: Column, n: Int): Column =
     when(size(tk) >= n,
       transform(sequence(lit(1), size(tk) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(tk, i + lit(k))): _*)))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Benchmark decontamination for a document STREAM: drop any document
     * one of whose n-gram shingles might be in the benchmark bloom. The
@@ -36,10 +39,18 @@ object CorpusStreams {
     * the plan has zero stateful operators. Bloom false positives over-drop
     * at the configured fpp; the batch q91 adds the exact confirm join,
     * which a crawl front-end trades away for bounded per-row cost.
+    *
+    * The token array is bound as its own projected column so the regex
+    * tokenization runs ONCE per row (Catalyst keeps the projection — a
+    * non-cheap expression referenced many times is not collapsed into its
+    * consumers).
     */
   def decontaminated(docs: DataFrame, bloom: Array[Byte], n: Int = 5): DataFrame =
-    docs.filter(!exists(shingleArray(col("text"), n),
-      g => BloomFunctions.mightContainLong(bloom, xxhash64(g))))
+    docs
+      .withColumn("__graft_tk", TextFunctions.tokens(col("text")))
+      .filter(!exists(shingleArray(col("__graft_tk"), n),
+        g => BloomFunctions.mightContainLong(bloom, xxhash64(g))))
+      .drop("__graft_tk")
 
   /** The streaming corpus-clean composite (q56 + q91 in-flight): quality
     * gate first (cheap per-row arithmetic prunes before the shingle

@@ -177,4 +177,40 @@ class GraftFunctionsSpec extends SparkSuite {
         s"tile ${r.getLong(0)} spans ${r.getLong(1)}x${r.getLong(2)}")
     }
   }
+
+  test("property: graft_zorder is a bijection on 8-bit coordinates — " +
+    "de-interleaving the index recovers exactly the inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(300)((rnd.nextInt(256), rnd.nextInt(256)))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.ZOrderExpr.zorder(col("x"), col("y"), 8).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (x, y, z) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      var dx = 0; var dy = 0
+      for (i <- 0 until 8) {
+        dx |= (((z >> (2 * i + 1)) & 1L) << i).toInt
+        dy |= (((z >> (2 * i)) & 1L) << i).toInt
+      }
+      assert(dx == x && dy == y, s"($x,$y) -> $z -> ($dx,$dy)")
+    }
+  }
+
+  test("property: normalize_text is idempotent — normalizing a normalized " +
+    "string is the identity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "aA zZ\t\n éÉüÜñÑ çÇ09 -_.,!?áàâ  ÅåØø"
+    val strs = Seq.fill(300)(
+      (1 to rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    import graft.functions.TextFunctions.normalizeText
+    val bad = strs.toDF("s")
+      .select(normalizeText(col("s")).as("once"),
+        normalizeText(normalizeText(col("s"))).as("twice"))
+      .filter(col("once") =!= col("twice"))
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+  }
 }

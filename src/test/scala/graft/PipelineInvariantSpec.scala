@@ -87,4 +87,17 @@ class PipelineInvariantSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(flagged.subsetOf(trainIds))
   }
+
+  test("q106 shard assignment partitions the corpus: doc counts sum to the " +
+    "corpus and the round-robin deal is balanced to within one document") {
+    val shards = run("q106_shard_assignment")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(shards.map(_._2).sum == nDocs, "every doc in exactly one shard")
+    assert(shards.length == math.min(16L, nDocs),
+      "every non-empty shard reports")
+    val counts = shards.map(_._2)
+    assert(counts.max - counts.min <= 1,
+      s"round-robin deal must balance to ±1 doc: $counts")
+  }
 }

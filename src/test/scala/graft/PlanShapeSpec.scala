@@ -116,10 +116,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Join") && !p.contains("Exchange hashpartitioning(vec_id"))
   }
 
-  test("q103 source overlap pairs sources through a gram-equality join — " +
-    "never a source x source cartesian") {
+  test("q103 source overlap counts shared grams through an equality join; " +
+    "the only nested loop is the source-count-sized counts matrix") {
     val p = plan("q103_source_overlap")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("CartesianProduct"))
+    // the gram-overlap join must be a real equality join on the gram
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no equality join in:\n$p")
+  }
+
+  test("q106 shard rank uses the two-pass form — per-bucket windows plus " +
+    "a broadcast offset join, never one global window partition for the " +
+    "corpus side") {
+    val p = plan("q106_shard_assignment")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast-join in:\n$p")
   }
 
   test("q104 BPE pair expansion runs over the aggregated vocabulary, not " +

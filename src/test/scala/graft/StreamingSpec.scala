@@ -445,9 +445,10 @@ class StreamingSpec extends SparkSuite {
     assert(kept == Seq(2L, 3L),
       s"doc 1 must be dropped in-flight, 2 and 3 kept; got $kept")
     // the whole point: the streaming plan carries NO stateful operator
+    // (progress must exist — a null would make this check vacuous)
     val progress = q.lastProgress
-    assert(progress == null || progress.stateOperators.isEmpty,
-      "decontamination must be stateless")
+    assert(progress != null, "no progress recorded — cannot verify statelessness")
+    assert(progress.stateOperators.isEmpty, "decontamination must be stateless")
   }
 
   test("streaming corpus-clean composite gates quality before the bloom " +
