@@ -933,16 +933,24 @@ object DedupQueries extends QueryModule {
           Tables(s, d, "documents").select("source", "text"),
           col("text"), 8, "gram")
         .select("source", "gram").distinct()
-      val counts = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      // the matrix is rooted in the SOURCE dimension, not the shingle
+      // stream — a source whose docs are all shorter than the shingle
+      // width still gets its rows (with 0 grams), keeping the "every
+      // pair" contract honest
+      val counts = Tables(s, d, "documents").select("source").distinct()
+        .join(sg.groupBy("source").agg(count(lit(1)).as("g")), Seq("source"), "left")
+        .select(col("source"), coalesce(col("g"), lit(0L)).as("n_grams"))
       val shared = sg.as("a").join(sg.as("b"),
           col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
         .agg(count(lit(1)).as("shared"))
       // the full matrix comes from counts x counts (a source-count-sized
-      // broadcast nested loop, NOT a corpus join) left-joined to the
-      // gram-derived overlaps, so disjoint pairs surface as shared = 0
+      // broadcast nested loop — hinted, so Catalyst can never fall back
+      // to a CartesianProduct on a bad static estimate), left-joined to
+      // the gram overlaps so disjoint pairs surface as shared = 0; the
+      // GREATEST floors the union size for two all-short sources (0/0)
       val sh = coalesce(col("shared"), lit(0L))
-      counts.as("ca").join(counts.as("cb"),
+      counts.as("ca").join(broadcast(counts.as("cb")),
           col("ca.source") < col("cb.source"))
         .join(shared, col("ca.source") === col("source_a")
           && col("cb.source") === col("source_b"), "left")
@@ -950,7 +958,8 @@ object DedupQueries extends QueryModule {
           col("ca.n_grams").as("grams_a"), col("cb.n_grams").as("grams_b"),
           sh.as("shared"),
           (sh.cast("double") /
-            (col("ca.n_grams") + col("cb.n_grams") - sh).cast("double"))
+            greatest(col("ca.n_grams") + col("cb.n_grams") - sh, lit(1L))
+              .cast("double"))
             .as("jaccard"))
         .orderBy("source_a", "source_b")
     },
@@ -963,7 +972,11 @@ object DedupQueries extends QueryModule {
                                            || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] || ' ' || tk[i+8])
                                   ELSE []::VARCHAR[] END) AS gram
                            FROM toks)),
-                  counts AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source),
+                  counts AS (SELECT d.source, COALESCE(g, 0) AS n_grams
+                             FROM (SELECT DISTINCT source FROM documents) d
+                             LEFT JOIN (SELECT source, COUNT(*) AS g
+                                        FROM sg GROUP BY source) c
+                               ON d.source = c.source),
                   shared AS (SELECT a.source AS source_a, b.source AS source_b,
                                     COUNT(*) AS shared
                              FROM sg a JOIN sg b
@@ -973,7 +986,7 @@ object DedupQueries extends QueryModule {
                     ca.n_grams AS grams_a, cb.n_grams AS grams_b,
                     COALESCE(shared, 0) AS shared,
                     CAST(COALESCE(shared, 0) AS DOUBLE)
-                      / CAST(ca.n_grams + cb.n_grams - COALESCE(shared, 0) AS DOUBLE) AS jaccard
+                      / CAST(GREATEST(ca.n_grams + cb.n_grams - COALESCE(shared, 0), 1) AS DOUBLE) AS jaccard
              FROM counts ca
              JOIN counts cb ON ca.source < cb.source
              LEFT JOIN shared s ON ca.source = s.source_a

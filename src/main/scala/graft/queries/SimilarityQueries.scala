@@ -447,9 +447,11 @@ object SimilarityQueries extends QueryModule {
     * Determinism: scale uses max (order-insensitive), quantize/reconstruct
     * are elementwise IEEE ops written identically in the oracle, and the
     * cosine is the sequential fold shared with q36 — so scores hash-match
-    * without rounding. An all-zero vector (a padding row) reports fidelity
-    * 0.0 explicitly — the scale divisor is floored at 1e-300 so no NaN
-    * ever reaches the bigint CAST, where the engines would diverge.
+    * without rounding. A vector too small to quantize — max|v| below the
+    * 1e-300 scale floor, which includes all-zero padding rows — reports
+    * fidelity 0.0 explicitly: the floored divisor keeps NaN out of the
+    * bigint CAST (where the engines diverge) and the CASE keeps the 0/0
+    * cosine of an all-zero reconstruction out of the aggregates.
     * Scale shape: map-only scan + one 10-row aggregate; nothing here
     * shuffles the corpus.
     */
@@ -467,8 +469,12 @@ object SimilarityQueries extends QueryModule {
         .withColumn("scale", greatest(col("maxabs"), lit(1e-300)) / lit(127.0))
         .withColumn("rv", expr(
           "transform(transform(v, x -> CAST(floor(x / scale + 0.5D) AS BIGINT)), q -> CAST(q AS DOUBLE) * scale)"))
+        // guard at the floor boundary, not at zero: below 1e-300 the
+        // floored scale quantizes EVERY component to 0 (all-zero rv →
+        // 0/0 cosine), so those vectors take the flagged-0.0 branch too
         .withColumn("fid",
-          when(col("maxabs") > 0, cosine(col("v"), col("rv"))).otherwise(lit(0.0)))
+          when(col("maxabs") >= lit(1e-300), cosine(col("v"), col("rv")))
+            .otherwise(lit(0.0)))
       r.groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
           min(col("fid")).as("min_fidelity"),
@@ -477,7 +483,7 @@ object SimilarityQueries extends QueryModule {
         .orderBy("label")
     },
     Some {
-      val fid = s"CASE WHEN maxabs > 0 THEN ${cosSql("v", "rv")} ELSE 0.0 END"
+      val fid = s"CASE WHEN maxabs >= 1e-300 THEN ${cosSql("v", "rv")} ELSE 0.0 END"
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               q AS (SELECT label, v,
                       list_max(list_transform(v, x -> abs(x))) AS maxabs,
@@ -513,18 +519,74 @@ object SimilarityQueries extends QueryModule {
     * even that). Training cost is S small k-means runs over sliced
     * projections of one corpus scan each.
     */
+  /** PQ codebook training, the library surface: one exact-L2 k-means per
+    * subspace over the sliced projections of `emb`(vec_id, …, v). In
+    * production this runs ONCE and the returned (subvectors, codebook)
+    * pairs are persisted to serve BOTH the fidelity report (q107) and ADC
+    * search (q108) — PqIndexSpec proves one training feeds both with
+    * results identical to the standalone queries (everything here is
+    * deterministic, so equality is exact).
+    */
+  def pqTrain(emb: org.apache.spark.sql.DataFrame, subspaces: Int = 4,
+      subDim: Int = 16, k: Int = 8, iters: Int = 2)
+      : Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] =
+    (0 until subspaces).map { sub =>
+      val sv = emb.select(col("vec_id"),
+        expr(s"slice(v, ${sub * subDim + 1}, $subDim)").as("v"))
+      (sv, kmeansCentroids(sv, k, iters, byL2 = true))
+    }
+
+  /** Encode every vector against trained codebooks: one row per
+    * (vec_id, subspace) carrying the nearest codeword. The broadcast
+    * argmin is map-only over the corpus.
+    */
+  def pqCodewords(parts: Seq[(org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame)]): org.apache.spark.sql.DataFrame =
+    parts.zipWithIndex.map { case ((sv, cents), sub) =>
+      nearestCentroid(sv, cents, byL2 = true)
+        .select(col("vec_id"), lit(sub).as("sub"), col("cv"))
+    }.reduce(_ unionAll _)
+
+  /** ADC search against trained codebooks: queries (vec_id < `nQueries`)
+    * stay exact; corpus vectors are only their codes; per-subspace LUT
+    * distances pivot into fixed-order-summed columns (see q108).
+    */
+  def pqAdcSearch(parts: Seq[(org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame)], nQueries: Int = 5,
+      topK: Int = 5): org.apache.spark.sql.DataFrame = {
+    val scored = parts.zipWithIndex.map { case ((sv, cents), sub) =>
+      val codes = nearestCentroid(sv, cents, byL2 = true)
+        .select(col("vec_id"), col("cid"))
+      val lut = sv.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .crossJoin(broadcast(cents))
+        .select(col("qid"), col("cid"), l2(col("qv"), col("cv")).as("dd"))
+      codes.join(broadcast(lut), "cid")
+        .select(col("qid"), col("vec_id"), lit(sub).as("sub"), col("dd"))
+    }.reduce(_ unionAll _)
+    val nSub = parts.length
+    val pivots = (0 until nSub).map(s =>
+      sum(when(col("sub") === s, col("dd"))).as(s"d$s"))
+    val adc = scored.groupBy("qid", "vec_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("qid"), col("vec_id"),
+        (0 until nSub).map(s => col(s"d$s")).reduce(_ + _).as("adc"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    adc.filter(col("qid") =!= col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("adc").as("adc_dist"))
+      .orderBy("query_id", "rank")
+  }
+
   private val q107 = QueryDef(
     "q107_pq_fidelity",
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      val coded = (0 until 4).map { sub =>
-        val sv = emb.select(col("vec_id"),
-          expr(s"slice(v, ${sub * 16 + 1}, 16)").as("v"))
-        val cents = kmeansCentroids(sv, k = 8, iters = 2, byL2 = true)
-        nearestCentroid(sv, cents, byL2 = true)
-          .select(col("vec_id"), lit(sub).as("sub"), col("cv"))
-      }.reduce(_ unionAll _)
+      val coded = pqCodewords(pqTrain(emb))
       val recon = coded.groupBy("vec_id")
         .agg(sort_array(collect_list(struct(col("sub"), col("cv")))).as("a"))
         .select(col("vec_id"),
@@ -585,35 +647,7 @@ object SimilarityQueries extends QueryModule {
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val parts = (0 until 4).map { sub =>
-        val sv = emb.select(col("vec_id"),
-          expr(s"slice(v, ${sub * 16 + 1}, 16)").as("v"))
-        val cents = kmeansCentroids(sv, k = 8, iters = 2, byL2 = true)
-        val codes = nearestCentroid(sv, cents, byL2 = true)
-          .select(col("vec_id"), col("cid"))
-        val lut = sv.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("v").as("qv"))
-          .crossJoin(broadcast(cents))
-          .select(col("qid"), col("cid"), l2(col("qv"), col("cv")).as("dd"))
-        codes.join(broadcast(lut), "cid")
-          .select(col("qid"), col("vec_id"), lit(sub).as("sub"), col("dd"))
-      }.reduce(_ unionAll _)
-      val adc = parts.groupBy("qid", "vec_id")
-        .agg(
-          sum(when(col("sub") === 0, col("dd"))).as("d0"),
-          sum(when(col("sub") === 1, col("dd"))).as("d1"),
-          sum(when(col("sub") === 2, col("dd"))).as("d2"),
-          sum(when(col("sub") === 3, col("dd"))).as("d3"))
-        .select(col("qid"), col("vec_id"),
-          (col("d0") + col("d1") + col("d2") + col("d3")).as("adc"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("adc").asc, col("vec_id").asc)
-      adc.filter(col("qid") =!= col("vec_id"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
-          col("rank"), col("adc").as("adc_dist"))
-        .orderBy("query_id", "rank")
+      pqAdcSearch(pqTrain(emb))
     },
     Some {
       val subCtes = (0 until 4).map { sub =>

@@ -17,19 +17,42 @@ class CorpusPipelineSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Two identical one-token documents ("the" scores ~0.61 on the quality
+    * gate: 0.008 length + 0.3 clean-punct + 0.3 stopword) — the shortest
+    * possible duplicate pair, below the 2-gram shingle width.
+    */
+  private lazy val shortDups = {
+    import spark.implicits._
+    Seq((900001L, "the", "en", "srcX", 3L), (900002L, "the", "en", "srcX", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   private def runChain() = {
+    // the corpus plus two adversarial rows: IDENTICAL one-token docs,
+    // which pass the quality gate but are invisible to the 2-gram LSH
+    // signatures — only the exact-hash stage can deduplicate them
     val docs = Tables(spark, dir, "documents")
+      .unionByName(shortDups)
 
     // 1. quality gate (the q56/q105 move) — cheap per-row score first,
     // so every later stage touches fewer rows
     val gated = docs.filter(TextFunctions.qualityScore(col("text")) >= 0.4)
 
-    // 2. near-dup removal: ONE connected-components run feeds survivor
+    // 2a. EXACT dedup first (content-hash keep-first, the q29/q30 move):
+    // catches duplicates of any length, including sub-shingle docs the
+    // LSH signatures cannot see
+    val wch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ch")).orderBy(col("doc_id"))
+    val exact = gated.withColumn("ch", md5(col("text")))
+      .withColumn("rn", row_number().over(wch))
+      .filter(col("rn") === 1).drop("ch", "rn")
+
+    // 2b. near-dup removal: ONE connected-components run feeds survivor
     // selection (the q74/q75 production composition)
     val labels = DedupQueries.connectedComponents(
-      DedupQueries.lshBucketStars(gated))
-    val kept = gated.join(
-      DedupQueries.dedupSurvivors(gated, labels).select("doc_id"),
+      DedupQueries.lshBucketStars(exact))
+    val kept = exact.join(
+      DedupQueries.dedupSurvivors(exact, labels).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
     // 3. benchmark decontamination: eval set = doc_id % 50 == 0; the
@@ -56,12 +79,18 @@ class CorpusPipelineSpec extends SparkSuite {
     "5-gram leaks, and the split partitions the clean corpus") {
     val (_, gated, kept, evalSh, clean, train, test) = runChain()
 
-    // near-dup removal must in particular kill EXACT duplicates (same
-    // text → same signature → same bucket star → same component)
+    // the dedup stages together kill EVERY exact-content duplicate:
+    // the hash stage catches sub-shingle docs, the LSH/CC stage catches
+    // the rest (same text → same signature → same bucket star)
     val dupContent = kept.groupBy(md5(col("text"))).count()
       .filter(col("count") > 1).count()
     assert(dupContent == 0, s"$dupContent duplicated texts survived dedup")
     assert(kept.count() <= gated.count())
+    // the adversarial sub-shingle pair: keep-first means 900001 survives
+    val shortIds = kept.filter(col("doc_id") >= 900000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(shortIds == Seq(900001L),
+      s"exact stage must keep exactly the first short dup, got $shortIds")
 
     // decontamination: EXACT check, not just the bloom's word — no clean
     // doc shares any 5-gram with the eval set (the bloom can only
