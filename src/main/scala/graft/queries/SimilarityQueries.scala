@@ -396,43 +396,60 @@ object SimilarityQueries extends QueryModule {
     * pair cost is quadratic in cell size, so at scale k grows with the
     * corpus (k ≈ N/targetCellSize keeps total pairs linear in N), exactly
     * how SemDeDup runs in production; the k-means assignment itself is a
-    * broadcast of k centroid rows + a map-side argmax.
+    * broadcast of k centroid rows + a map-side argmax. `cellCap` is the
+    * defensive bound (the q32 bucket-cap move): a cell the k growth
+    * didn't anticipate — a dense boilerplate mode collapsing onto one
+    * centroid — skips pair scoring entirely and is REPORTED as
+    * capped=true (action: re-cluster it with a larger k or drop it
+    * wholesale) instead of silently going quadratic.
     */
+  def semanticDedup(e: org.apache.spark.sql.DataFrame, tau: Double = 0.3,
+      cellCap: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    val cents = kmeansCentroids(e)
+    val cells = nearestCentroid(e, cents)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("cn"))
+    val small = cells.join(
+      broadcast(sizes.filter(col("cn") <= cellCap).select("cell")),
+      Seq("cell"), "left_semi")
+    val dropped = small.as("a").join(small.as("b"),
+        col("a.cell") === col("b.cell")
+          && col("b.vec_id") < col("a.vec_id")
+          && cosine(col("a.v"), col("b.v")) >= lit(tau),
+        "left_semi")
+      .select(col("vec_id"), lit(1L).as("dr"))
+    cells.join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("dr"), lit(0L))).as("n_dropped"))
+      .select(col("cell").cast("long").as("cell"),
+        col("n_members"), col("n_dropped"),
+        (col("n_members") - col("n_dropped")).as("n_kept"),
+        (col("n_members") > cellCap).as("capped"))
+      .orderBy("cell")
+  }
+
   private val q101 = QueryDef(
     "q101_semantic_dedup",
-    (s, d) => {
-      val e = Tables(s, d, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val cents = kmeansCentroids(e)
-      val cells = nearestCentroid(e, cents)
-        .select(col("vec_id"), col("v"), col("cid").as("cell"))
-      val dropped = cells.as("a").join(cells.as("b"),
-          col("a.cell") === col("b.cell")
-            && col("b.vec_id") < col("a.vec_id")
-            && cosine(col("a.v"), col("b.v")) >= lit(0.3),
-          "left_semi")
-        .select(col("vec_id"), lit(1L).as("dr"))
-      cells.join(dropped, Seq("vec_id"), "left")
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n_members"),
-          sum(coalesce(col("dr"), lit(0L))).as("n_dropped"))
-        .select(col("cell").cast("long").as("cell"),
-          col("n_members"), col("n_dropped"),
-          (col("n_members") - col("n_dropped")).as("n_kept"))
-        .orderBy("cell")
-    },
+    (s, d) => semanticDedup(Tables(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))),
     Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
                   ${kmeansSql()},
                   cells AS (${nearestSql("e", "cents3", byL2 = false,
                     "vec_id, v, cid AS cell")}),
+                  small AS (SELECT cells.* FROM cells
+                            SEMI JOIN (SELECT cell FROM cells
+                                       GROUP BY cell HAVING COUNT(*) <= 100000) s
+                              ON cells.cell = s.cell),
                   dropped AS (SELECT DISTINCT a.vec_id
-                              FROM cells a JOIN cells b
+                              FROM small a JOIN small b
                                 ON a.cell = b.cell AND b.vec_id < a.vec_id
                                AND ${cosSql("a.v", "b.v")} >= 0.3)
              SELECT CAST(cells.cell AS BIGINT) AS cell,
                     COUNT(*) AS n_members,
                     CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-                    COUNT(*) - CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+                    COUNT(*) - CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                    COUNT(*) > 100000 AS capped
              FROM cells LEFT JOIN dropped d ON cells.vec_id = d.vec_id
              GROUP BY cells.cell ORDER BY cell"""))
 
@@ -447,11 +464,14 @@ object SimilarityQueries extends QueryModule {
     * Determinism: scale uses max (order-insensitive), quantize/reconstruct
     * are elementwise IEEE ops written identically in the oracle, and the
     * cosine is the sequential fold shared with q36 — so scores hash-match
-    * without rounding. A vector too small to quantize — max|v| below the
-    * 1e-300 scale floor, which includes all-zero padding rows — reports
-    * fidelity 0.0 explicitly: the floored divisor keeps NaN out of the
-    * bigint CAST (where the engines diverge) and the CASE keeps the 0/0
-    * cosine of an all-zero reconstruction out of the aggregates.
+    * without rounding. A vector with max|v| below the 1e-300 scale floor
+    * (including all-zero padding rows) reports fidelity 0.0 explicitly:
+    * the floored divisor keeps NaN out of the bigint CAST (where the
+    * engines diverge), and the CASE keeps the degenerate cosine out of
+    * the aggregates — degenerate either because every component
+    * quantizes to code 0 (all-zero rv, 0/0) or, for magnitudes just
+    * under the floor, because the v·rv products (~1e-600) underflow to
+    * 0 and the cosine is again 0/0.
     * Scale shape: map-only scan + one 10-row aggregate; nothing here
     * shuffles the corpus.
     */
@@ -470,8 +490,9 @@ object SimilarityQueries extends QueryModule {
         .withColumn("rv", expr(
           "transform(transform(v, x -> CAST(floor(x / scale + 0.5D) AS BIGINT)), q -> CAST(q AS DOUBLE) * scale)"))
         // guard at the floor boundary, not at zero: below 1e-300 the
-        // floored scale quantizes EVERY component to 0 (all-zero rv →
-        // 0/0 cosine), so those vectors take the flagged-0.0 branch too
+        // cosine degenerates to 0/0 (all components quantize to 0, or
+        // the v*rv products underflow), so those vectors take the
+        // flagged-0.0 branch too
         .withColumn("fid",
           when(col("maxabs") >= lit(1e-300), cosine(col("v"), col("rv")))
             .otherwise(lit(0.0)))
@@ -500,25 +521,6 @@ object SimilarityQueries extends QueryModule {
          FROM r GROUP BY label ORDER BY label"""
     })
 
-  /** Product quantization (PQ): the 64-dim space is cut into 4 subspaces
-    * of 16 dims; each subspace trains its own 8-code k-means codebook
-    * (exact-L2 Lloyd, deterministic hash seeding — the q62 machinery with
-    * the metric switched, because subvector NORMS must count in a
-    * reconstruction codebook), every vector is encoded as its 4 nearest
-    * codes, and the report scores the reconstruction (concatenated
-    * codewords) against the original by cosine, per label. 4 codes × 3
-    * bits ≈ 64× compression here; production PQ is the same shape at
-    * 8-16 subspaces × 256 codes. Compare directly with q102: int8 SQ is
-    * 4× smaller with ~0.99995 fidelity, PQ is far smaller and far
-    * coarser — this report is how you pick.
-    *
-    * Scale shape: codebooks are k×S tiny broadcast relations; encoding is
-    * a per-subspace broadcast argmin (map-only over the corpus); the only
-    * corpus shuffle is the vec_id regroup that concatenates the 4
-    * codewords (production encoders keep subspaces columnar and skip
-    * even that). Training cost is S small k-means runs over sliced
-    * projections of one corpus scan each.
-    */
   /** PQ codebook training, the library surface: one exact-L2 k-means per
     * subspace over the sliced projections of `emb`(vec_id, …, v). In
     * production this runs ONCE and the returned (subvectors, codebook)
@@ -536,9 +538,22 @@ object SimilarityQueries extends QueryModule {
       (sv, kmeansCentroids(sv, k, iters, byL2 = true))
     }
 
-  /** Encode every vector against trained codebooks: one row per
-    * (vec_id, subspace) carrying the nearest codeword. The broadcast
-    * argmin is map-only over the corpus.
+  /** Encode every vector against trained codebooks, code-ID form: one row
+    * per (vec_id, subspace) carrying the nearest code id — the compressed
+    * representation an index PERSISTS, and the input ADC search consumes.
+    * The broadcast argmin is map-only over the corpus; at 4 subspaces × 8
+    * codes this is 12 bits per vector.
+    */
+  def pqCodes(parts: Seq[(org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame)]): org.apache.spark.sql.DataFrame =
+    parts.zipWithIndex.map { case ((sv, cents), sub) =>
+      nearestCentroid(sv, cents, byL2 = true)
+        .select(col("vec_id"), lit(sub).as("sub"), col("cid"))
+    }.reduce(_ unionAll _)
+
+  /** Encode every vector against trained codebooks, codeword form: the
+    * nearest codeword VECTOR per (vec_id, subspace) — what reconstruction
+    * (q107's fidelity report) consumes.
     */
   def pqCodewords(parts: Seq[(org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame)]): org.apache.spark.sql.DataFrame =
@@ -547,21 +562,28 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id"), lit(sub).as("sub"), col("cv"))
     }.reduce(_ unionAll _)
 
-  /** ADC search against trained codebooks: queries (vec_id < `nQueries`)
-    * stay exact; corpus vectors are only their codes; per-subspace LUT
-    * distances pivot into fixed-order-summed columns (see q108).
+  /** ADC search: `queries`(qid, qv) are EXTERNAL full-dimension exact
+    * vectors (any source — they need not be corpus members); the corpus
+    * side is only its persisted `codes` (from [[pqCodes]] — computed once,
+    * not re-derived here); distance is the sum over subspaces of
+    * l2(query-subvector, codeword) read from broadcast per-query LUTs.
+    * A corpus vector whose vec_id equals a qid is excluded as a
+    * self-match. Per-subspace distances pivot into fixed-order-summed
+    * columns (see q108's determinism note).
     */
   def pqAdcSearch(parts: Seq[(org.apache.spark.sql.DataFrame,
-      org.apache.spark.sql.DataFrame)], nQueries: Int = 5,
-      topK: Int = 5): org.apache.spark.sql.DataFrame = {
-    val scored = parts.zipWithIndex.map { case ((sv, cents), sub) =>
-      val codes = nearestCentroid(sv, cents, byL2 = true)
-        .select(col("vec_id"), col("cid"))
-      val lut = sv.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      org.apache.spark.sql.DataFrame)],
+      codes: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      subDim: Int = 16, topK: Int = 5): org.apache.spark.sql.DataFrame = {
+    val scored = parts.zipWithIndex.map { case ((_, cents), sub) =>
+      val lut = queries
+        .select(col("qid"),
+          expr(s"slice(qv, ${sub * subDim + 1}, $subDim)").as("qv"))
         .crossJoin(broadcast(cents))
         .select(col("qid"), col("cid"), l2(col("qv"), col("cv")).as("dd"))
-      codes.join(broadcast(lut), "cid")
+      codes.filter(col("sub") === sub).drop("sub")
+        .join(broadcast(lut), "cid")
         .select(col("qid"), col("vec_id"), lit(sub).as("sub"), col("dd"))
     }.reduce(_ unionAll _)
     val nSub = parts.length
@@ -581,6 +603,23 @@ object SimilarityQueries extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** Product quantization fidelity report: the 64-dim space is cut into 4
+    * subspaces of 16 dims; each trains an 8-code exact-L2 codebook
+    * (pqTrain — the q62 k-means with the metric switched, because
+    * subvector NORMS must count in a reconstruction codebook), every
+    * vector is encoded as its 4 nearest codewords (pqCodewords), and the
+    * report scores the reconstruction against the original by cosine, per
+    * label. 4 codes × 3 bits ≈ 64× compression here; production PQ is
+    * the same shape at 8-16 subspaces × 256 codes. Compare with q102:
+    * int8 SQ is 4× smaller at ~0.99995 fidelity, PQ far smaller and far
+    * coarser — the two reports together are the compression decision.
+    *
+    * Scale shape: codebooks are k×S tiny broadcast relations; encoding is
+    * a per-subspace broadcast argmin (map-only over the corpus); the only
+    * corpus shuffle is the vec_id regroup that concatenates the 4
+    * codewords (production encoders keep subspaces columnar and skip
+    * even that).
+    */
   private val q107 = QueryDef(
     "q107_pq_fidelity",
     (s, d) => {
@@ -647,7 +686,10 @@ object SimilarityQueries extends QueryModule {
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      pqAdcSearch(pqTrain(emb))
+      val index = pqTrain(emb)
+      pqAdcSearch(index, pqCodes(index),
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv")))
     },
     Some {
       val subCtes = (0 until 4).map { sub =>

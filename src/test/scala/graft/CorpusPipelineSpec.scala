@@ -38,12 +38,13 @@ class CorpusPipelineSpec extends SparkSuite {
     // so every later stage touches fewer rows
     val gated = docs.filter(TextFunctions.qualityScore(col("text")) >= 0.4)
 
-    // 2a. EXACT dedup first (content-hash keep-first, the q29/q30 move):
-    // catches duplicates of any length, including sub-shingle docs the
-    // LSH signatures cannot see
+    // 2a. EXACT dedup first (content-hash keep-first, the q29/q30 move —
+    // the SAME whitespace/case-normalized contentHash q29 uses, so
+    // 'The ' and 'the' collapse): catches duplicates of any length,
+    // including sub-shingle docs the LSH signatures cannot see
     val wch = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ch")).orderBy(col("doc_id"))
-    val exact = gated.withColumn("ch", md5(col("text")))
+    val exact = gated.withColumn("ch", TextFunctions.contentHash(col("text")))
       .withColumn("rn", row_number().over(wch))
       .filter(col("rn") === 1).drop("ch", "rn")
 
@@ -82,7 +83,7 @@ class CorpusPipelineSpec extends SparkSuite {
     // the dedup stages together kill EVERY exact-content duplicate:
     // the hash stage catches sub-shingle docs, the LSH/CC stage catches
     // the rest (same text → same signature → same bucket star)
-    val dupContent = kept.groupBy(md5(col("text"))).count()
+    val dupContent = kept.groupBy(TextFunctions.contentHash(col("text"))).count()
       .filter(col("count") > 1).count()
     assert(dupContent == 0, s"$dupContent duplicated texts survived dedup")
     assert(kept.count() <= gated.count())

@@ -15,25 +15,47 @@ class PqIndexSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("one pqTrain feeds both ADC search and the codeword encoder with " +
-    "results identical to the standalone queries") {
+  test("one pqTrain + one pqCodes feed ADC search and the codeword " +
+    "encoder with results identical to the standalone queries") {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val index = SimilarityQueries.pqTrain(emb)
+    val codes = SimilarityQueries.pqCodes(index) // encoded ONCE, reused
 
-    // search from the shared index == the standalone q108
-    val fromIndex = SimilarityQueries.pqAdcSearch(index)
+    // search from the shared index + persisted codes == the standalone q108
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val fromIndex = SimilarityQueries.pqAdcSearch(index, codes, queries)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val standalone = SparkEntry.queries("q108_pq_adc_search")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(fromIndex.sameElements(standalone),
       "shared-index search must equal the standalone query result")
 
-    // the encoder consumes the SAME index: every vector gets exactly one
-    // codeword per subspace, drawn from that subspace's codebook
-    val codes = SimilarityQueries.pqCodewords(index)
+    // the codeword encoder consumes the SAME index: one codeword per
+    // (vector, subspace), and the code-id form agrees row-for-row
+    val cw = SimilarityQueries.pqCodewords(index)
     val n = emb.count()
-    assert(codes.count() == 4 * n, "one codeword per (vector, subspace)")
-    assert(codes.groupBy("vec_id").count().filter(col("count") =!= 4).count() == 0)
+    assert(cw.count() == 4 * n, "one codeword per (vector, subspace)")
+    assert(codes.count() == 4 * n, "one code id per (vector, subspace)")
+    assert(cw.groupBy("vec_id").count().filter(col("count") =!= 4).count() == 0)
+  }
+
+  test("ADC search accepts EXTERNAL query vectors — a vector that is not " +
+    "a corpus member still retrieves a full top-k") {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val index = SimilarityQueries.pqTrain(emb)
+    val codes = SimilarityQueries.pqCodes(index)
+    // synthetic query: qid outside the corpus id space, constant vector
+    val external = Seq((-1L, Array.fill(64)(0.1)))
+      .toDF("qid", "qv")
+      .select(col("qid"), col("qv").cast("array<double>").as("qv"))
+    val got = SimilarityQueries.pqAdcSearch(index, codes, external, topK = 3)
+      .collect()
+    assert(got.length == 3, s"expected a full top-3, got ${got.length}")
+    assert(got.map(_.getLong(0)).forall(_ == -1L))
+    assert(got.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
   }
 }
