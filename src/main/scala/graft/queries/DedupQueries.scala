@@ -926,73 +926,139 @@ object DedupQueries extends QueryModule {
     * source GROUPS (registrable domain, crawl snapshot), keeping the pair
     * space small; a df-cap on the gram (à la q33) bounds the worst case.
     */
+  /** Oracle twin of overlapMatrix: CTE chain ending in
+    * `jac`(source_a, source_b, grams_a, grams_b, shared, jaccard).
+    */
+  private val overlapCtes: String =
+    s"""toks AS (SELECT source, $tokSql AS tk FROM documents),
+        sg AS (SELECT DISTINCT source, gram FROM (
+                 SELECT source, unnest(
+                   CASE WHEN len(tk) >= 8
+                        THEN list_transform(range(len(tk) - 7),
+                               i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+                                 || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] || ' ' || tk[i+8])
+                        ELSE []::VARCHAR[] END) AS gram
+                 FROM toks)),
+        counts AS (SELECT d.source, COALESCE(g, 0) AS n_grams
+                   FROM (SELECT DISTINCT source FROM documents) d
+                   LEFT JOIN (SELECT source, COUNT(*) AS g
+                              FROM sg GROUP BY source) c
+                     ON d.source = c.source),
+        shared AS (SELECT a.source AS source_a, b.source AS source_b,
+                          COUNT(*) AS shared
+                   FROM sg a JOIN sg b
+                     ON a.gram = b.gram AND a.source < b.source
+                   GROUP BY a.source, b.source),
+        jac AS (SELECT ca.source AS source_a, cb.source AS source_b,
+                       ca.n_grams AS grams_a, cb.n_grams AS grams_b,
+                       COALESCE(shared, 0) AS shared,
+                       CAST(COALESCE(shared, 0) AS DOUBLE)
+                         / CAST(GREATEST(ca.n_grams + cb.n_grams - COALESCE(shared, 0), 1) AS DOUBLE) AS jaccard
+                FROM counts ca
+                JOIN counts cb ON ca.source < cb.source
+                LEFT JOIN shared s ON ca.source = s.source_a
+                                  AND cb.source = s.source_b)"""
+
+  /** The full pairwise source matrix (source_a, source_b, grams_a,
+    * grams_b, shared, jaccard) behind q103 and the q110 mixing report —
+    * rooted in the SOURCE dimension, not the shingle stream, so a source
+    * whose docs are all shorter than the shingle width still gets its
+    * rows (0 grams), keeping the "every pair" contract honest. The
+    * counts×counts matrix is a source-count-sized broadcast nested loop
+    * (hinted, so Catalyst can never fall back to CartesianProduct on a
+    * bad static estimate); GREATEST floors the union size for two
+    * all-short sources (0/0).
+    */
+  private def overlapMatrix(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sg = explodeShingles(docs.select("source", "text"),
+        col("text"), 8, "gram")
+      .select("source", "gram").distinct()
+    val counts = docs.select("source").distinct()
+      .join(sg.groupBy("source").agg(count(lit(1)).as("g")), Seq("source"), "left")
+      .select(col("source"), coalesce(col("g"), lit(0L)).as("n_grams"))
+    val shared = sg.as("a").join(sg.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sh = coalesce(col("shared"), lit(0L))
+    counts.as("ca").join(broadcast(counts.as("cb")),
+        col("ca.source") < col("cb.source"))
+      .join(shared, col("ca.source") === col("source_a")
+        && col("cb.source") === col("source_b"), "left")
+      .select(col("ca.source").as("source_a"), col("cb.source").as("source_b"),
+        col("ca.n_grams").as("grams_a"), col("cb.n_grams").as("grams_b"),
+        sh.as("shared"),
+        (sh.cast("double") /
+          greatest(col("ca.n_grams") + col("cb.n_grams") - sh, lit(1L))
+            .cast("double"))
+          .as("jaccard"))
+  }
+
   private val q103 = QueryDef(
     "q103_source_overlap",
+    (s, d) => overlapMatrix(Tables(s, d, "documents"))
+      .orderBy("source_a", "source_b"),
+    Some(s"""WITH $overlapCtes
+             SELECT * FROM jac ORDER BY source_a, source_b"""))
+
+  /** The mixing decision report: per source, its size (docs/tokens), its
+    * exact mean quality (integer-scaled floor(q·10⁶) sums — the q109
+    * determinism move, so the mean is order-independent), its worst
+    * redundancy against any other source (max pairwise 8-gram Jaccard
+    * from the q103 matrix), and a composite mix score = mean_quality ×
+    * (1 − max_overlap). This is the table a curation run reads to set
+    * q78's weights: big + clean + novel scores high; a mirror of another
+    * crawl scores near zero regardless of its size.
+    *
+    * Scale shape: one corpus pass for the per-source aggregate; the
+    * overlap side is exactly q103's plan; the final join is over the
+    * source dimension (tiny).
+    */
+  private val q110 = QueryDef(
+    "q110_mixing_report",
     (s, d) => {
-      val sg = explodeShingles(
-          Tables(s, d, "documents").select("source", "text"),
-          col("text"), 8, "gram")
-        .select("source", "gram").distinct()
-      // the matrix is rooted in the SOURCE dimension, not the shingle
-      // stream — a source whose docs are all shorter than the shingle
-      // width still gets its rows (with 0 grams), keeping the "every
-      // pair" contract honest
-      val counts = Tables(s, d, "documents").select("source").distinct()
-        .join(sg.groupBy("source").agg(count(lit(1)).as("g")), Seq("source"), "left")
-        .select(col("source"), coalesce(col("g"), lit(0L)).as("n_grams"))
-      val shared = sg.as("a").join(sg.as("b"),
-          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-        .agg(count(lit(1)).as("shared"))
-      // the full matrix comes from counts x counts (a source-count-sized
-      // broadcast nested loop — hinted, so Catalyst can never fall back
-      // to a CartesianProduct on a bad static estimate), left-joined to
-      // the gram overlaps so disjoint pairs surface as shared = 0; the
-      // GREATEST floors the union size for two all-short sources (0/0)
-      val sh = coalesce(col("shared"), lit(0L))
-      counts.as("ca").join(broadcast(counts.as("cb")),
-          col("ca.source") < col("cb.source"))
-        .join(shared, col("ca.source") === col("source_a")
-          && col("cb.source") === col("source_b"), "left")
-        .select(col("ca.source").as("source_a"), col("cb.source").as("source_b"),
-          col("ca.n_grams").as("grams_a"), col("cb.n_grams").as("grams_b"),
-          sh.as("shared"),
-          (sh.cast("double") /
-            greatest(col("ca.n_grams") + col("cb.n_grams") - sh, lit(1L))
-              .cast("double"))
-            .as("jaccard"))
-        .orderBy("source_a", "source_b")
+      val docs = Tables(s, d, "documents")
+      val per = docs.select(col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("nt"),
+          floor(graft.functions.TextFunctions.qualityScore(col("text"))
+            * lit(1e6)).cast("long").as("q6"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          sum("q6").as("sq"))
+      val jac = overlapMatrix(docs)
+      val both = jac.select(col("source_a").as("source"), col("jaccard"))
+        .unionAll(jac.select(col("source_b").as("source"), col("jaccard")))
+      val mx = both.groupBy("source").agg(max("jaccard").as("max_overlap"))
+      per.join(mx, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("sq").cast("double") /
+            (col("n_docs").cast("double") * lit(1e6))).as("mean_quality"),
+          coalesce(col("max_overlap"), lit(0.0)).as("max_overlap"))
+        .withColumn("mix_score",
+          col("mean_quality") * (lit(1.0) - col("max_overlap")))
+        .orderBy("source")
     },
-    Some(s"""WITH toks AS (SELECT source, $tokSql AS tk FROM documents),
-                  sg AS (SELECT DISTINCT source, gram FROM (
-                           SELECT source, unnest(
-                             CASE WHEN len(tk) >= 8
-                                  THEN list_transform(range(len(tk) - 7),
-                                         i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
-                                           || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] || ' ' || tk[i+8])
-                                  ELSE []::VARCHAR[] END) AS gram
-                           FROM toks)),
-                  counts AS (SELECT d.source, COALESCE(g, 0) AS n_grams
-                             FROM (SELECT DISTINCT source FROM documents) d
-                             LEFT JOIN (SELECT source, COUNT(*) AS g
-                                        FROM sg GROUP BY source) c
-                               ON d.source = c.source),
-                  shared AS (SELECT a.source AS source_a, b.source AS source_b,
-                                    COUNT(*) AS shared
-                             FROM sg a JOIN sg b
-                               ON a.gram = b.gram AND a.source < b.source
-                             GROUP BY a.source, b.source)
-             SELECT ca.source AS source_a, cb.source AS source_b,
-                    ca.n_grams AS grams_a, cb.n_grams AS grams_b,
-                    COALESCE(shared, 0) AS shared,
-                    CAST(COALESCE(shared, 0) AS DOUBLE)
-                      / CAST(GREATEST(ca.n_grams + cb.n_grams - COALESCE(shared, 0), 1) AS DOUBLE) AS jaccard
-             FROM counts ca
-             JOIN counts cb ON ca.source < cb.source
-             LEFT JOIN shared s ON ca.source = s.source_a
-                               AND cb.source = s.source_b
-             ORDER BY source_a, source_b"""))
+    Some(s"""WITH $overlapCtes,
+                  sides AS (SELECT source_a AS source, jaccard FROM jac
+                            UNION ALL
+                            SELECT source_b AS source, jaccard FROM jac),
+                  mx AS (SELECT source, MAX(jaccard) AS max_overlap
+                         FROM sides GROUP BY source),
+                  per AS (SELECT source, COUNT(*) AS n_docs,
+                                 CAST(SUM(len($tokSql)) AS BIGINT) AS n_tokens,
+                                 CAST(SUM(CAST(floor((${TextQueries.qualitySql}) * 1e6) AS BIGINT)) AS BIGINT) AS sq
+                          FROM documents GROUP BY source)
+             SELECT per.source, n_docs, n_tokens,
+                    CAST(sq AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6) AS mean_quality,
+                    COALESCE(max_overlap, 0.0) AS max_overlap,
+                    CAST(sq AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6)
+                      * (1.0 - COALESCE(max_overlap, 0.0)) AS mix_score
+             FROM per LEFT JOIN mx ON per.source = mx.source
+             ORDER BY per.source"""))
 
   override def defs: Seq[QueryDef] =
-    Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q103)
+    Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99,
+      q103, q110)
 }

@@ -31,7 +31,8 @@ object TextQueries extends QueryModule {
   private val esHits = hitsSql(Seq("el", "los", "las", "y", "es", "un"))
   private val stopRatioSql =
     s"(CAST($enHits AS DOUBLE) / CAST(GREATEST($nTokSql, 1) AS DOUBLE))"
-  private val qualitySql =
+  // shared with DedupQueries' q110 mixing report (same formula, one text)
+  private[queries] val qualitySql =
     s"""LEAST(CAST($nTokSql AS DOUBLE) / 50.0, 1.0) * 0.4
                       + (1.0 - $punctSql) * 0.3
                       + LEAST($stopRatioSql * 5.0, 1.0) * 0.3"""
