@@ -406,8 +406,13 @@ object SimilarityQueries extends QueryModule {
   def semanticDedup(e: org.apache.spark.sql.DataFrame, tau: Double = 0.3,
       cellCap: Long = 100000L): org.apache.spark.sql.DataFrame = {
     val cents = kmeansCentroids(e)
+    // materialized once: the assignment scan feeds FOUR consumers (sizes,
+    // both sides of the dominance join, the final aggregate) — without
+    // the checkpoint each re-executes the broadcast argmax over the
+    // corpus (the kmeansCentroids-loop move applied here)
     val cells = nearestCentroid(e, cents)
       .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      .localCheckpoint(true)
     val sizes = cells.groupBy("cell").agg(count(lit(1)).as("cn"))
     val small = cells.join(
       broadcast(sizes.filter(col("cn") <= cellCap).select("cell")),
@@ -521,72 +526,93 @@ object SimilarityQueries extends QueryModule {
          FROM r GROUP BY label ORDER BY label"""
     })
 
+  /** A trained PQ index: per-subspace (subvector projection, codebook)
+    * pairs PLUS the geometry they were trained with — carried together so
+    * a search can never slice queries at a different subDim than the
+    * codebooks were built from (a mismatch would silently truncate the
+    * dot products instead of erroring).
+    */
+  final case class PqIndex(
+      parts: Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)],
+      subspaces: Int, subDim: Int)
+
   /** PQ codebook training, the library surface: one exact-L2 k-means per
     * subspace over the sliced projections of `emb`(vec_id, …, v). In
-    * production this runs ONCE and the returned (subvectors, codebook)
-    * pairs are persisted to serve BOTH the fidelity report (q107) and ADC
-    * search (q108) — PqIndexSpec proves one training feeds both with
-    * results identical to the standalone queries (everything here is
-    * deterministic, so equality is exact).
+    * production this runs ONCE and the returned index is persisted to
+    * serve BOTH the fidelity report (q107) and ADC search (q108) —
+    * PqIndexSpec proves one training feeds both with results identical
+    * to the standalone queries (everything here is deterministic, so
+    * equality is exact).
     */
   def pqTrain(emb: org.apache.spark.sql.DataFrame, subspaces: Int = 4,
-      subDim: Int = 16, k: Int = 8, iters: Int = 2)
-      : Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] =
-    (0 until subspaces).map { sub =>
+      subDim: Int = 16, k: Int = 8, iters: Int = 2): PqIndex =
+    PqIndex((0 until subspaces).map { sub =>
       val sv = emb.select(col("vec_id"),
         expr(s"slice(v, ${sub * subDim + 1}, $subDim)").as("v"))
       (sv, kmeansCentroids(sv, k, iters, byL2 = true))
-    }
+    }, subspaces, subDim)
 
-  /** Encode every vector against trained codebooks, code-ID form: one row
+  /** The one encoder behind both persisted forms: the nearest-codeword
+    * row per (vec_id, subspace), projecting `out` ("cid" or "cv") — a
+    * tie-break or metric change lands here once, never in one form only.
+    */
+  private def pqEncode(index: PqIndex, out: String)
+      : org.apache.spark.sql.DataFrame =
+    index.parts.zipWithIndex.map { case ((sv, cents), sub) =>
+      nearestCentroid(sv, cents, byL2 = true)
+        .select(col("vec_id"), lit(sub).as("sub"), col(out))
+    }.reduce(_ unionAll _)
+
+  /** Encode every vector against the trained index, code-ID form: one row
     * per (vec_id, subspace) carrying the nearest code id — the compressed
     * representation an index PERSISTS, and the input ADC search consumes.
     * The broadcast argmin is map-only over the corpus; at 4 subspaces × 8
     * codes this is 12 bits per vector.
     */
-  def pqCodes(parts: Seq[(org.apache.spark.sql.DataFrame,
-      org.apache.spark.sql.DataFrame)]): org.apache.spark.sql.DataFrame =
-    parts.zipWithIndex.map { case ((sv, cents), sub) =>
-      nearestCentroid(sv, cents, byL2 = true)
-        .select(col("vec_id"), lit(sub).as("sub"), col("cid"))
-    }.reduce(_ unionAll _)
+  def pqCodes(index: PqIndex): org.apache.spark.sql.DataFrame =
+    pqEncode(index, "cid")
 
-  /** Encode every vector against trained codebooks, codeword form: the
+  /** Encode every vector against the trained index, codeword form: the
     * nearest codeword VECTOR per (vec_id, subspace) — what reconstruction
     * (q107's fidelity report) consumes.
     */
-  def pqCodewords(parts: Seq[(org.apache.spark.sql.DataFrame,
-      org.apache.spark.sql.DataFrame)]): org.apache.spark.sql.DataFrame =
-    parts.zipWithIndex.map { case ((sv, cents), sub) =>
-      nearestCentroid(sv, cents, byL2 = true)
-        .select(col("vec_id"), lit(sub).as("sub"), col("cv"))
-    }.reduce(_ unionAll _)
+  def pqCodewords(index: PqIndex): org.apache.spark.sql.DataFrame =
+    pqEncode(index, "cv")
 
   /** ADC search: `queries`(qid, qv) are EXTERNAL full-dimension exact
     * vectors (any source — they need not be corpus members); the corpus
     * side is only its persisted `codes` (from [[pqCodes]] — computed once,
     * not re-derived here); distance is the sum over subspaces of
     * l2(query-subvector, codeword) read from broadcast per-query LUTs.
-    * A corpus vector whose vec_id equals a qid is excluded as a
-    * self-match. Per-subspace distances pivot into fixed-order-summed
-    * columns (see q108's determinism note).
+    * Query vectors are validated against the index geometry (assert_true
+    * on the small queries side — a wrong-dimension vector fails loudly
+    * instead of silently truncating the dot products). `excludeSelfMatches`
+    * drops a corpus vector whose vec_id equals the qid — set it ONLY when
+    * queries are corpus members (q108); external qids that happen to
+    * collide with corpus ids must not lose candidates. Per-subspace
+    * distances pivot into fixed-order-summed columns (see q108's
+    * determinism note).
     */
-  def pqAdcSearch(parts: Seq[(org.apache.spark.sql.DataFrame,
-      org.apache.spark.sql.DataFrame)],
+  def pqAdcSearch(index: PqIndex,
       codes: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame,
-      subDim: Int = 16, topK: Int = 5): org.apache.spark.sql.DataFrame = {
-    val scored = parts.zipWithIndex.map { case ((_, cents), sub) =>
-      val lut = queries
+      topK: Int = 5,
+      excludeSelfMatches: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val dims = index.subspaces * index.subDim
+    val checked = queries.filter(
+      assert_true(size(col("qv")) === lit(dims),
+        lit(s"pqAdcSearch: query vector length must be $dims")).isNull)
+    val scored = index.parts.zipWithIndex.map { case ((_, cents), sub) =>
+      val lut = checked
         .select(col("qid"),
-          expr(s"slice(qv, ${sub * subDim + 1}, $subDim)").as("qv"))
+          expr(s"slice(qv, ${sub * index.subDim + 1}, ${index.subDim})").as("qv"))
         .crossJoin(broadcast(cents))
         .select(col("qid"), col("cid"), l2(col("qv"), col("cv")).as("dd"))
       codes.filter(col("sub") === sub).drop("sub")
         .join(broadcast(lut), "cid")
         .select(col("qid"), col("vec_id"), lit(sub).as("sub"), col("dd"))
     }.reduce(_ unionAll _)
-    val nSub = parts.length
+    val nSub = index.subspaces
     val pivots = (0 until nSub).map(s =>
       sum(when(col("sub") === s, col("dd"))).as(s"d$s"))
     val adc = scored.groupBy("qid", "vec_id")
@@ -595,7 +621,7 @@ object SimilarityQueries extends QueryModule {
         (0 until nSub).map(s => col(s"d$s")).reduce(_ + _).as("adc"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc").asc, col("vec_id").asc)
-    adc.filter(col("qid") =!= col("vec_id"))
+    (if (excludeSelfMatches) adc.filter(col("qid") =!= col("vec_id")) else adc)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
@@ -689,7 +715,8 @@ object SimilarityQueries extends QueryModule {
       val index = pqTrain(emb)
       pqAdcSearch(index, pqCodes(index),
         emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("v").as("qv")))
+          .select(col("vec_id").as("qid"), col("v").as("qv")),
+        excludeSelfMatches = true) // queries ARE corpus members here
     },
     Some {
       val subCtes = (0 until 4).map { sub =>

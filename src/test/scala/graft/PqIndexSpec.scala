@@ -25,7 +25,8 @@ class PqIndexSpec extends SparkSuite {
     // search from the shared index + persisted codes == the standalone q108
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val fromIndex = SimilarityQueries.pqAdcSearch(index, codes, queries)
+    val fromIndex = SimilarityQueries
+      .pqAdcSearch(index, codes, queries, excludeSelfMatches = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val standalone = SparkEntry.queries("q108_pq_adc_search")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
