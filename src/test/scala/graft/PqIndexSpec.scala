@@ -59,4 +59,22 @@ class PqIndexSpec extends SparkSuite {
     assert(got.map(_.getLong(0)).forall(_ == -1L))
     assert(got.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
   }
+
+  test("an external qid colliding with a corpus vec_id does NOT lose that " +
+    "candidate: self-exclusion is opt-in") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val index = SimilarityQueries.pqTrain(emb)
+    val codes = SimilarityQueries.pqCodes(index)
+    // query = corpus vector 0 itself, under the colliding qid 0. Its own
+    // codes are the per-subspace argmin for this exact vector, so no code
+    // combination scores lower and ties break to the lowest vec_id: rank 1
+    // MUST be vec 0 — unless the self-filter wrongly drops it.
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val top = SimilarityQueries.pqAdcSearch(index, codes, q0, topK = 1)
+      .collect()
+    assert(top.length == 1 && top.head.getLong(1) == 0L,
+      s"colliding external qid must keep corpus vec 0: ${top.toSeq}")
+  }
 }
