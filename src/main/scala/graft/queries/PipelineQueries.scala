@@ -611,22 +611,41 @@ object PipelineQueries extends QueryModule {
     * discipline applied to weighted selection). All arithmetic is integer
     * (running sum, integer division), so both engines agree bit-for-bit.
     *
-    * Scale shape: the running sum is a prefix sum — at cluster scale it is
-    * the classic two-pass form (per-partition totals, broadcast as offsets,
-    * then a map-side scan); the single-pass window here is the local[n]
-    * rendering of the same plan. One pass over (doc_id, n_chars) — the text
-    * never enters the operator.
+    * Scale shape: the running sum is a prefix sum computed in the
+    * genuinely distributed two-pass form (the q106 shard-rank move, with
+    * RANGE buckets because the cumulative order is doc_id, not a hash):
+    * an unpartitioned Window.orderBy would plan as Exchange
+    * SinglePartition and stream the whole corpus through ONE task, so
+    * instead doc_ids are cut into 256 ordered ranges (width from one tiny
+    * max(doc_id) aggregate, broadcast), pass 1 aggregates per-range
+    * n_chars totals (256 rows) into exclusive prefix offsets, and pass 2
+    * runs the running sum WITHIN each range (a 256-way partitioned
+    * window) and adds the broadcast offset. Range-then-offset equals the
+    * global doc_id order because the range IS a doc_id prefix. One pass
+    * over (doc_id, n_chars) — the text never enters the operator.
     */
   private val q94 = QueryDef(
     "q94_weighted_sample",
     (s, d) => {
-      val w = Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, d, "documents")
+      val docs = Tables(s, d, "documents")
         .select(col("doc_id"), col("n_chars"))
-        .withColumn("cw", sum(col("n_chars")).over(w))
-        .crossJoin(broadcast(Tables(s, d, "documents")
-          .agg(greatest(expr("sum(n_chars) div 100"), lit(1L)).as("step"))))
+      // one tiny broadcast row: the sampling step and the range width
+      val dims = docs.agg(
+        greatest(expr("sum(n_chars) div 100"), lit(1L)).as("step"),
+        (expr("max(doc_id) div 256") + 1).as("bw"))
+      val bucketed = docs.crossJoin(broadcast(dims))
+        .withColumn("bk", expr("doc_id div bw"))
+      // pass 1: 256 range totals -> exclusive prefix offsets (tiny)
+      val offs = bucketed.groupBy("bk").agg(sum("n_chars").as("bs"))
+        .withColumn("off", coalesce(sum("bs").over(
+          Window.orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bk", "off")
+      // pass 2: per-range running sum + broadcast offset = global prefix
+      val wb = Window.partitionBy("bk").orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bucketed.join(broadcast(offs), "bk")
+        .withColumn("cw", col("off") + sum(col("n_chars")).over(wb))
         .filter(expr("cw div step > (cw - n_chars) div step"))
         .select(col("doc_id"), col("n_chars"), col("cw"),
           expr("cw div step").as("bucket"))

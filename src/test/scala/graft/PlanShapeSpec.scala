@@ -141,11 +141,43 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
   }
 
-  test("q105 quality prune is one source-keyed window — no join, score " +
-    "computed map-side") {
+  test("q105 quality prune ranks in the two-pass form — every corpus-side " +
+    "window is sub-bucketed within the source, offsets broadcast back") {
     val p = plan("q105_quality_prune")
-    assert(!p.contains("Join"))
-    assert(p.contains("Window"), s"no window in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets/counts must broadcast-join in:\n$p")
+    // the rank window must partition on (source, qb), never source alone
+    assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, qb#".r
+      .findFirstIn(p).isDefined,
+      s"rank window not sub-bucketed by quality range in:\n$p")
+    assert(!"percent_rank\\(\\)".r.findFirstIn(p).isDefined,
+      s"partition-per-source percent_rank crept back in:\n$p")
+  }
+
+  test("q94 weighted sample computes its prefix sum in the two-pass form — " +
+    "the corpus window partitions on the doc_id range bucket, never " +
+    "Exchange SinglePartition over the corpus") {
+    val p = plan("q94_weighted_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"range offsets must broadcast-join in:\n$p")
+    // the running sum must be keyed on the range bucket (a partitioned
+    // window prints its partition column FIRST in windowspecdefinition;
+    // the unpartitioned form would lead with the sort spec "doc_id# ASC")
+    assert("sum\\(n_chars#\\d+L?\\) windowspecdefinition\\(bk#".r
+      .findFirstIn(p).isDefined,
+      s"running-sum window not bucket-partitioned in:\n$p")
+    assert(!"sum\\(n_chars#\\d+L?\\) windowspecdefinition\\(doc_id#".r
+      .findFirstIn(p).isDefined,
+      s"corpus-wide unpartitioned running sum crept back in:\n$p")
+  }
+
+  test("q109 bigram coherence scores through a broadcast affinity table — " +
+    "no COUNT window keyed on Zipfian tokens anywhere in the plan") {
+    val p = plan("q109_bigram_coherence")
+    assert(!p.contains("windowspecdefinition"),
+      s"token-keyed window crept back in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"affinity table must broadcast-join in:\n$p")
   }
 
   test("q107 PQ encoding broadcasts every codebook — the corpus side " +
