@@ -60,9 +60,16 @@ object VectorFunctions {
   /** Random-hyperplane LSH bucket id from `planes` sign bits. Vectors with
     * high cosine similarity land in the same bucket with high probability;
     * bucket count 2^planes bounds the per-bucket candidate set at scale.
+    *
+    * `table` selects an independent hyperplane set (plane ids
+    * table·planes … table·planes+planes−1): the OR-amplification
+    * primitive — L tables give per-pair hit probability 1−(1−r)^L while
+    * each table keeps its own equality-joinable bucket id. table=0 is
+    * the original single-table bucket.
     */
-  def lshBucket(v: Column, planes: Int, dims: Int): Column =
+  def lshBucket(v: Column, planes: Int, dims: Int, table: Int = 0): Column =
     (0 until planes).map { p =>
-      when(signProjection(v, p, dims) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(signProjection(v, table * planes + p, dims) > 0, lit(1L << p))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 }

@@ -751,6 +751,82 @@ object SimilarityQueries extends QueryModule {
          WHERE rn <= 5 ORDER BY query_id, rank"""
     })
 
+  /** Multi-table (OR-amplified) LSH ANN — the production fix for the
+    * single-table recall floor SCALING.md measures honestly for q37
+    * (7/125 @ 6 planes, single probe): L independent hyperplane tables
+    * (disjoint plane-id ranges, see lshBucket's `table` parameter), a
+    * candidate is any corpus vector sharing the query's bucket in ANY
+    * table, so per-pair hit probability amplifies to 1−(1−r)^L while
+    * every table keeps an equality-joinable bucket id. Candidates from
+    * several tables dedupe before the exact cosine re-rank.
+    *
+    * Scale shape: ONE corpus scan computes all L bucket ids; the L-way
+    * explode is map-local and feeds a broadcast join against the (tiny,
+    * also-L-exploded) query buckets — the corpus never shuffles; only
+    * the candidate set (bounded by L × bucket occupancy, each table's
+    * 2^planes dial) shuffles for the dedupe and per-query top-k. At the
+    * 100 TB target the L bucket ids are persisted columns beside the
+    * vectors (the q82 signature-index lifecycle), so amplification costs
+    * L small-int columns, not L corpus scans.
+    */
+  def lshMultiAnn(e: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      tables: Int = 4, planes: Int = 6, topK: Int = 5,
+      vdims: Int = dims): org.apache.spark.sql.DataFrame = {
+    def bucketed(in: org.apache.spark.sql.DataFrame,
+        idCol: String, vCol: String) =
+      in.select(col(idCol), col(vCol),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col(vCol), planes, vdims, t)): _*)))
+        .toDF(idCol, vCol, "tbl", "bucket")
+    val cand = bucketed(e, "vec_id", "v")
+      .join(broadcast(bucketed(queries, "qid", "qv")), Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .distinct() // a pair found by several tables scores identically
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        col("rank"), col("sim").as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q111 = QueryDef(
+    "q111_ann_lsh_multitable",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      lshMultiAnn(e, e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                  mbk AS (SELECT vec_id, p // 6 AS tbl,
+                            CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << (p % 6)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+                          FROM (SELECT vec_id, p,
+                                  list_sum(list_transform(range(1, 65),
+                                    i -> (CASE WHEN substring(md5(p || ':' || i), 1, 1) <= '7' THEN 1 ELSE -1 END)
+                                         * CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT))) AS proj
+                                FROM e, range(24) r(p)) t
+                          GROUP BY vec_id, p // 6),
+                  ev AS (SELECT e.vec_id, v, tbl, bucket
+                         FROM e JOIN mbk ON e.vec_id = mbk.vec_id),
+                  qs AS (SELECT vec_id AS qid, v AS qv, tbl, bucket
+                         FROM ev WHERE vec_id < 5),
+                  cand AS (SELECT DISTINCT qid, ev.vec_id AS nid,
+                                  ${cosSql("qv", "v")} AS sim
+                           FROM ev JOIN qs ON ev.tbl = qs.tbl
+                                          AND ev.bucket = qs.bucket
+                                          AND qid <> ev.vec_id)
+             SELECT qid AS query_id, nid AS neighbor_id, rn AS rank, sim AS cos_sim
+             FROM (SELECT qid, nid, sim,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, nid ASC) AS rn
+                   FROM cand) t
+             WHERE rn <= 5 ORDER BY query_id, rank"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108)
+    Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111)
 }

@@ -180,6 +180,15 @@ class PlanShapeSpec extends SparkSuite {
       s"affinity table must broadcast-join in:\n$p")
   }
 
+  test("q111 multi-table LSH joins corpus buckets against BROADCAST query " +
+    "buckets — the corpus never shuffles before the candidate set") {
+    val p = plan("q111_ann_lsh_multitable")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query buckets must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join in:\n$p")
+  }
+
   test("q107 PQ encoding broadcasts every codebook — the corpus side " +
     "never shuffles for the argmin, no cartesian anywhere") {
     val p = plan("q107_pq_fidelity")
