@@ -526,58 +526,143 @@ object SimilarityQueries extends QueryModule {
          FROM r GROUP BY label ORDER BY label"""
     })
 
-  /** A trained PQ index: per-subspace (subvector projection, codebook)
-    * pairs PLUS the geometry they were trained with — carried together so
-    * a search can never slice queries at a different subDim than the
-    * codebooks were built from (a mismatch would silently truncate the
-    * dot products instead of erroring).
+  /** A trained PQ index: the per-subspace codebooks PLUS the geometry
+    * they were trained with — carried together so an encode or search
+    * can never slice vectors at a different subDim than the codebooks
+    * were built from (a mismatch would silently truncate the dot
+    * products instead of erroring). This is exactly the unit
+    * [[pqSaveIndex]] persists and [[pqLoadIndex]] restores.
     */
   final case class PqIndex(
-      parts: Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)],
-      subspaces: Int, subDim: Int)
+      codebooks: Seq[org.apache.spark.sql.DataFrame],
+      subspaces: Int, subDim: Int) {
+
+    /** Deterministic identity of the trained codebooks (md5 over geometry
+      * and every codeword's exact bits, in (subspace, cid) order). Stamped
+      * onto every [[pqCodes]] row and checked by [[pqAdcSearch]]: codes
+      * persisted from a DIFFERENT training would otherwise join silently
+      * on cid and produce plausible-looking but wrong ADC distances.
+      * Collecting here is k×subspaces tiny rows; training already
+      * materialized them (kmeansCentroids checkpoints every iteration).
+      */
+    lazy val fingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(s"pq:$subspaces:$subDim".getBytes("UTF-8"))
+      codebooks.zipWithIndex.foreach { case (cents, sub) =>
+        md.update(s":$sub:".getBytes("UTF-8"))
+        cents.select(col("cid"), col("cv")).collect()
+          .sortBy(_.getInt(0))
+          .foreach { r =>
+            md.update(r.getInt(0).toString.getBytes("UTF-8"))
+            r.getSeq[Double](1).foreach { x =>
+              md.update(java.nio.ByteBuffer.allocate(8)
+                .putLong(java.lang.Double.doubleToLongBits(x)).array())
+            }
+          }
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
 
   /** PQ codebook training, the library surface: one exact-L2 k-means per
     * subspace over the sliced projections of `emb`(vec_id, …, v). In
-    * production this runs ONCE and the returned index is persisted to
-    * serve BOTH the fidelity report (q107) and ADC search (q108) —
-    * PqIndexSpec proves one training feeds both with results identical
-    * to the standalone queries (everything here is deterministic, so
-    * equality is exact).
+    * production this runs ONCE and the returned index is persisted
+    * ([[pqSaveIndex]]) to serve BOTH the fidelity report (q107) and ADC
+    * search (q108) — PqIndexSpec proves one training feeds both with
+    * results identical to the standalone queries (everything here is
+    * deterministic, so equality is exact).
     */
   def pqTrain(emb: org.apache.spark.sql.DataFrame, subspaces: Int = 4,
       subDim: Int = 16, k: Int = 8, iters: Int = 2): PqIndex =
     PqIndex((0 until subspaces).map { sub =>
-      val sv = emb.select(col("vec_id"),
-        expr(s"slice(v, ${sub * subDim + 1}, $subDim)").as("v"))
-      (sv, kmeansCentroids(sv, k, iters, byL2 = true))
+      kmeansCentroids(emb.select(col("vec_id"),
+        expr(s"slice(v, ${sub * subDim + 1}, $subDim)").as("v")),
+        k, iters, byL2 = true)
     }, subspaces, subDim)
 
-  /** The one encoder behind both persisted forms: the nearest-codeword
-    * row per (vec_id, subspace), projecting `out` ("cid" or "cv") — a
-    * tie-break or metric change lands here once, never in one form only.
+  /** The one encoder behind both persisted forms: slice `emb`(vec_id, v)
+    * into the index's subspaces (vector length validated against the
+    * geometry — a short array would silently slice to nothing) and keep
+    * the nearest-codeword row per (vec_id, subspace), projecting `out`
+    * ("cid" or "cv") — a tie-break or metric change lands here once,
+    * never in one form only. Taking the vectors as an argument (not
+    * storing them in the index) is what makes a LOADED index encode a
+    * fresh increment — the append half of the persisted lifecycle.
     */
-  private def pqEncode(index: PqIndex, out: String)
-      : org.apache.spark.sql.DataFrame =
-    index.parts.zipWithIndex.map { case ((sv, cents), sub) =>
+  private def pqEncode(index: PqIndex, emb: org.apache.spark.sql.DataFrame,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val dims = index.subspaces * index.subDim
+    val checked = emb.filter(
+      assert_true(size(col("v")) === lit(dims),
+        lit(s"pqEncode: vector length must be $dims")).isNull)
+    index.codebooks.zipWithIndex.map { case (cents, sub) =>
+      val sv = checked.select(col("vec_id"),
+        expr(s"slice(v, ${sub * index.subDim + 1}, ${index.subDim})").as("v"))
       nearestCentroid(sv, cents, byL2 = true)
         .select(col("vec_id"), lit(sub).as("sub"), col(out))
     }.reduce(_ unionAll _)
+  }
 
-  /** Encode every vector against the trained index, code-ID form: one row
-    * per (vec_id, subspace) carrying the nearest code id — the compressed
-    * representation an index PERSISTS, and the input ADC search consumes.
-    * The broadcast argmin is map-only over the corpus; at 4 subspaces × 8
-    * codes this is 12 bits per vector.
+  /** Encode `emb` against the trained index, code-ID form: one row per
+    * (vec_id, subspace) carrying the nearest code id plus the index
+    * fingerprint — the compressed representation an index PERSISTS, and
+    * the input ADC search consumes (which asserts the fingerprint). The
+    * broadcast argmin is map-only over the corpus; at 4 subspaces × 8
+    * codes this is 12 bits per vector (the constant fp column is
+    * dictionary-encoded to nothing in parquet).
     */
-  def pqCodes(index: PqIndex): org.apache.spark.sql.DataFrame =
-    pqEncode(index, "cid")
+  def pqCodes(index: PqIndex, emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pqEncode(index, emb, "cid").withColumn("fp", lit(index.fingerprint))
 
-  /** Encode every vector against the trained index, codeword form: the
-    * nearest codeword VECTOR per (vec_id, subspace) — what reconstruction
+  /** Encode `emb` against the trained index, codeword form: the nearest
+    * codeword VECTOR per (vec_id, subspace) — what reconstruction
     * (q107's fidelity report) consumes.
     */
-  def pqCodewords(index: PqIndex): org.apache.spark.sql.DataFrame =
-    pqEncode(index, "cv")
+  def pqCodewords(index: PqIndex, emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pqEncode(index, emb, "cv")
+
+  /** Persists a trained PQ index: codebooks + geometry + fingerprint at
+    * `path`/codebooks (k×subspaces tiny rows), the corpus codes at
+    * `path`/codes — the signature-index lifecycle (build once, search
+    * forever, append increments via [[pqCodes]] on a loaded index +
+    * parquet append) applied to ANN. PqIndexSpec proves the round-trip
+    * and that a loaded search reads ONLY the persisted codes.
+    */
+  def pqSaveIndex(index: PqIndex, codes: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    index.codebooks.zipWithIndex.map { case (cents, sub) =>
+      cents.select(lit(sub).as("sub"), col("cid"), col("cv"))
+    }.reduce(_ unionAll _)
+      .withColumn("subspaces", lit(index.subspaces))
+      .withColumn("sub_dim", lit(index.subDim))
+      .withColumn("fp", lit(index.fingerprint))
+      .coalesce(1) // k×subspaces rows — one footer beats 32
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Restores a persisted PQ index and its codes. The codebook relation
+    * is tiny and checkpointed on load; the fingerprint is RECOMPUTED
+    * from the loaded codewords and checked against the stored one, so a
+    * truncated or hand-edited codebook file fails here instead of
+    * skewing every subsequent distance.
+    */
+  def pqLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (PqIndex, org.apache.spark.sql.DataFrame) = {
+    val cb = spark.read.parquet(s"$path/codebooks").localCheckpoint(true)
+    val head = cb.select("subspaces", "sub_dim", "fp").head()
+    val index = PqIndex(
+      (0 until head.getInt(0)).map(sub =>
+        cb.filter(col("sub") === sub).select("cid", "cv")),
+      head.getInt(0), head.getInt(1))
+    require(index.fingerprint == head.getString(2),
+      s"pqLoadIndex: stored fingerprint ${head.getString(2)} does not match " +
+        s"recomputed ${index.fingerprint} — codebooks at $path/codebooks " +
+        "are corrupt or were overwritten by a different training")
+    (index, spark.read.parquet(s"$path/codes"))
+  }
 
   /** ADC search: `queries`(qid, qv) are EXTERNAL full-dimension exact
     * vectors (any source — they need not be corpus members); the corpus
@@ -602,17 +687,54 @@ object SimilarityQueries extends QueryModule {
     val checked = queries.filter(
       assert_true(size(col("qv")) === lit(dims),
         lit(s"pqAdcSearch: query vector length must be $dims")).isNull)
-    val scored = index.parts.zipWithIndex.map { case ((_, cents), sub) =>
-      val lut = checked
-        .select(col("qid"),
-          expr(s"slice(qv, ${sub * index.subDim + 1}, ${index.subDim})").as("qv"))
-        .crossJoin(broadcast(cents))
-        .select(col("qid"), col("cid"), l2(col("qv"), col("cv")).as("dd"))
-      codes.filter(col("sub") === sub).drop("sub")
-        .join(broadcast(lut), "cid")
+    val codesChecked = fpChecked(index, codes)
+    val scored = index.codebooks.zipWithIndex.map { case (cents, sub) =>
+      codesChecked.filter(col("sub") === sub).drop("sub")
+        .join(broadcast(adcLut(index, checked, cents, sub)), "cid")
         .select(col("qid"), col("vec_id"), lit(sub).as("sub"), col("dd"))
     }.reduce(_ unionAll _)
-    val nSub = index.subspaces
+    adcRank(scored, index.subspaces, topK, excludeSelfMatches)
+  }
+
+  /** Codes from a DIFFERENT training would join silently on colliding
+    * code ids and produce plausible-looking but wrong distances — so
+    * every search requires the [[pqCodes]] fingerprint column and checks
+    * it row-wise (a codegen'd literal compare, map-side; no extra pass
+    * over the codes).
+    */
+  private def fpChecked(index: PqIndex, codes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    require(codes.columns.contains("fp"),
+      "ADC search: codes must carry the index fingerprint column fp " +
+        "(encode with pqCodes, or load with pqLoadIndex)")
+    codes.filter(
+      assert_true(col("fp") === lit(index.fingerprint),
+        lit("ADC search: codes were encoded by a DIFFERENT index " +
+          "(fingerprint mismatch)")).isNull)
+      .drop("fp")
+  }
+
+  /** Per-query distance lookup table for one subspace: l2(query
+    * subvector, codeword) for every (qid, cid) — k×queries rows, always
+    * broadcast. Shared by flat ADC (q108) and IVF-PQ (q112).
+    */
+  private def adcLut(index: PqIndex, queries: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, sub: Int)
+      : org.apache.spark.sql.DataFrame =
+    queries
+      .select(col("qid"),
+        expr(s"slice(qv, ${sub * index.subDim + 1}, ${index.subDim})").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"), l2(col("qv"), col("cv")).as("dd"))
+
+  /** The deterministic ADC tail shared by q108 and q112: pivot the one
+    * row per (query, doc, subspace) into fixed-order columns (a single
+    * non-null value per sum — no FP reordering exists), sum d0+…+dn in
+    * column order, rank per query with the vec_id tiebreak.
+    */
+  private def adcRank(scored: org.apache.spark.sql.DataFrame, nSub: Int,
+      topK: Int, excludeSelfMatches: Boolean)
+      : org.apache.spark.sql.DataFrame = {
     val pivots = (0 until nSub).map(s =>
       sum(when(col("sub") === s, col("dd"))).as(s"d$s"))
     val adc = scored.groupBy("qid", "vec_id")
@@ -651,7 +773,7 @@ object SimilarityQueries extends QueryModule {
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      val coded = pqCodewords(pqTrain(emb))
+      val coded = pqCodewords(pqTrain(emb), emb)
       val recon = coded.groupBy("vec_id")
         .agg(sort_array(collect_list(struct(col("sub"), col("cv")))).as("a"))
         .select(col("vec_id"),
@@ -688,7 +810,8 @@ object SimilarityQueries extends QueryModule {
     })
 
   /** ADC search — the query-time half of an IVF-PQ index (q107 is the
-    * build-time half): queries stay exact, the corpus is only its PQ
+    * build-time half; q112 adds the IVF cell pruning that bounds the
+    * candidate set): queries stay exact, the corpus is only its PQ
     * codes, and distance is the sum over subspaces of l2(query-subvector,
     * codeword) read from a per-query lookup table (here 5 queries × 4
     * subspaces × 8 codes = 160 broadcast rows; production is the same
@@ -713,7 +836,7 @@ object SimilarityQueries extends QueryModule {
       val emb = Tables(s, d, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val index = pqTrain(emb)
-      pqAdcSearch(index, pqCodes(index),
+      pqAdcSearch(index, pqCodes(index, emb),
         emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("v").as("qv")),
         excludeSelfMatches = true) // queries ARE corpus members here
@@ -735,6 +858,129 @@ object SimilarityQueries extends QueryModule {
       val unions = (0 until 4).map(sub => s"SELECT * FROM s${sub}_part")
         .mkString("\nUNION ALL\n")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              $subCtes,
+              parts AS ($unions),
+              adc AS (SELECT qid, vec_id,
+                        SUM(CASE WHEN sub = 0 THEN dd END)
+                          + SUM(CASE WHEN sub = 1 THEN dd END)
+                          + SUM(CASE WHEN sub = 2 THEN dd END)
+                          + SUM(CASE WHEN sub = 3 THEN dd END) AS adc
+                      FROM parts GROUP BY qid, vec_id)
+         SELECT qid AS query_id, vec_id AS neighbor_id, rn AS rank, adc AS adc_dist
+         FROM (SELECT qid, vec_id, adc,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY adc ASC, vec_id ASC) AS rn
+               FROM adc WHERE qid <> vec_id) t
+         WHERE rn <= 5 ORDER BY query_id, rank"""
+    })
+
+  /** Trains the coarse (IVF) quantizer: the deterministic hash-seeded
+    * k-means of q62 plus the corpus cell assignment, returned as
+    * (centroids(cid, cv), cells(vec_id, cell)) — the two relations
+    * [[ivfPqSearch]] consumes. In production both persist (centroids
+    * beside the PQ codebooks, cells as the codes' partition key) and
+    * train once; this is the public surface for building them.
+    */
+  def ivfTrain(e: org.apache.spark.sql.DataFrame, k: Int = 8,
+      iters: Int = 3): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val cents = kmeansCentroids(e, k, iters)
+    (cents, nearestCentroid(e, cents)
+      .select(col("vec_id"), col("cid").as("cell")))
+  }
+
+  /** IVF-PQ search — the composition of the coarse quantizer (q62) with
+    * ADC scoring (q108), i.e. the actual shape of a production
+    * billion-vector index: the query probes its `nprobe` nearest coarse
+    * cells and ADC-scores ONLY the PQ codes of vectors assigned to those
+    * cells, closing flat ADC's "ranks every corpus code" caveat. `cells`
+    * is the materialized corpus assignment (vec_id → cell, from
+    * [[nearestCentroid]] over the same `cents` the queries probe);
+    * `codes` must carry [[pqCodes]]' fingerprint for `index`.
+    *
+    * Scale shape: coarse centroids and per-query LUTs broadcast; the
+    * candidate list is (queries × probed-cell occupancy)-sized and
+    * broadcast-joined into the codes — at the 100 TB target the codes
+    * are PARTITIONED by cell id (the q98 layout move), so probing reads
+    * only the probed cells' files instead of filtering a full scan; the
+    * one shuffle is the (qid, vec_id) regroup shared with q108.
+    * Production refinement not modeled here: encoding residuals
+    * (v − coarse centroid) instead of raw vectors tightens ADC at the
+    * same code budget — same plan shape, one extra subtraction before
+    * encode.
+    */
+  def ivfPqSearch(cells: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      index: PqIndex,
+      codes: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      nprobe: Int = 2, topK: Int = 5,
+      excludeSelfMatches: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val vdims = index.subspaces * index.subDim
+    val checked = queries.filter(
+      assert_true(size(col("qv")) === lit(vdims),
+        lit(s"ivfPqSearch: query vector length must be $vdims")).isNull)
+    val wq = Window.partitionBy("qid").orderBy(col("aff").desc, col("cid").asc)
+    val qcells = checked.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("aff"))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"))
+    val candidates = cells.join(broadcast(qcells), "cell")
+      .select(col("qid"), col("vec_id"))
+    val candCodes = fpChecked(index, codes)
+      .join(broadcast(candidates), "vec_id")
+    val scored = index.codebooks.zipWithIndex.map { case (cents2, sub) =>
+      candCodes.filter(col("sub") === sub).drop("sub")
+        .join(broadcast(adcLut(index, checked, cents2, sub)), Seq("qid", "cid"))
+        .select(col("qid"), col("vec_id"), lit(sub).as("sub"), col("dd"))
+    }.reduce(_ unionAll _)
+    adcRank(scored, index.subspaces, topK, excludeSelfMatches)
+  }
+
+  private val q112 = QueryDef(
+    "q112_ivf_pq_search",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val (cents, cells) = ivfTrain(e)
+      val index = pqTrain(e)
+      ivfPqSearch(cells, cents, index, pqCodes(index, e),
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv")),
+        excludeSelfMatches = true) // queries ARE corpus members here
+    },
+    Some {
+      val subCtes = (0 until 4).map { sub =>
+        val rel = s"s${sub}v"
+        val p = s"s${sub}_"
+        s"""$rel AS (SELECT vec_id, v[${sub * 16 + 1}:${sub * 16 + 16}] AS v FROM e),
+            ${kmeansSql(k = 8, iters = 2, p = p, rel = rel, byL2 = true)},
+            ${p}cd AS (${nearestSql(rel, s"${p}cents2", byL2 = true, "vec_id, cid")}),
+            ${p}lut AS (SELECT qid, cid, ${l2Sql("qv", "cv")} AS dd
+                        FROM (SELECT vec_id AS qid, v AS qv FROM $rel
+                              WHERE vec_id < 5) q
+                        CROSS JOIN ${p}cents2),
+            ${p}part AS (SELECT cand.qid, cand.vec_id, $sub AS sub, dd
+                         FROM cand
+                         JOIN ${p}cd ON cand.vec_id = ${p}cd.vec_id
+                         JOIN ${p}lut ON ${p}lut.qid = cand.qid
+                                     AND ${p}lut.cid = ${p}cd.cid)"""
+      }.mkString(",\n")
+      val unions = (0 until 4).map(sub => s"SELECT * FROM s${sub}_part")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ${kmeansSql()},
+              ranked AS (SELECT vec_id, v, cid, aff,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY aff DESC, cid ASC) AS crn
+                         FROM (SELECT e.vec_id, e.v, cid, ${cosSql("v", "cv")} AS aff
+                               FROM e CROSS JOIN cents3)),
+              cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE crn = 1),
+              qcells AS (SELECT vec_id AS qid, cid AS cell
+                         FROM ranked WHERE vec_id < 5 AND crn <= 2),
+              cand AS (SELECT qid, cells.vec_id
+                       FROM cells JOIN qcells ON cells.cell = qcells.cell),
               $subCtes,
               parts AS ($unions),
               adc AS (SELECT qid, vec_id,
@@ -828,5 +1074,5 @@ object SimilarityQueries extends QueryModule {
              WHERE rn <= 5 ORDER BY query_id, rank"""))
 
   override def defs: Seq[QueryDef] =
-    Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111)
+    Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112)
 }

@@ -189,6 +189,16 @@ class PlanShapeSpec extends SparkSuite {
       s"corpus-side shuffle join in:\n$p")
   }
 
+  test("q112 IVF-PQ probes through broadcast cells/LUTs/candidates — the " +
+    "code stream joins map-side, no cartesian, no corpus shuffle join") {
+    val p = plan("q112_ivf_pq_search")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidates/LUTs must broadcast in:\n$p")
+  }
+
   test("q107 PQ encoding broadcasts every codebook — the corpus side " +
     "never shuffles for the argmin, no cartesian anywhere") {
     val p = plan("q107_pq_fidelity")

@@ -20,7 +20,7 @@ class PqIndexSpec extends SparkSuite {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val index = SimilarityQueries.pqTrain(emb)
-    val codes = SimilarityQueries.pqCodes(index) // encoded ONCE, reused
+    val codes = SimilarityQueries.pqCodes(index, emb) // encoded ONCE, reused
 
     // search from the shared index + persisted codes == the standalone q108
     val queries = emb.filter(col("vec_id") < 5)
@@ -35,7 +35,7 @@ class PqIndexSpec extends SparkSuite {
 
     // the codeword encoder consumes the SAME index: one codeword per
     // (vector, subspace), and the code-id form agrees row-for-row
-    val cw = SimilarityQueries.pqCodewords(index)
+    val cw = SimilarityQueries.pqCodewords(index, emb)
     val n = emb.count()
     assert(cw.count() == 4 * n, "one codeword per (vector, subspace)")
     assert(codes.count() == 4 * n, "one code id per (vector, subspace)")
@@ -48,7 +48,7 @@ class PqIndexSpec extends SparkSuite {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val index = SimilarityQueries.pqTrain(emb)
-    val codes = SimilarityQueries.pqCodes(index)
+    val codes = SimilarityQueries.pqCodes(index, emb)
     // synthetic query: qid outside the corpus id space, constant vector
     val external = Seq((-1L, Array.fill(64)(0.1)))
       .toDF("qid", "qv")
@@ -65,7 +65,7 @@ class PqIndexSpec extends SparkSuite {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val index = SimilarityQueries.pqTrain(emb)
-    val codes = SimilarityQueries.pqCodes(index)
+    val codes = SimilarityQueries.pqCodes(index, emb)
     // query = corpus vector 0 itself, under the colliding qid 0. Its own
     // codes are the per-subspace argmin for this exact vector, so no code
     // combination scores lower and ties break to the lowest vec_id: rank 1
@@ -76,5 +76,70 @@ class PqIndexSpec extends SparkSuite {
       .collect()
     assert(top.length == 1 && top.head.getLong(1) == 0L,
       s"colliding external qid must keep corpus vec 0: ${top.toSeq}")
+  }
+
+  test("pqSaveIndex/pqLoadIndex round-trips: a search from the loaded " +
+    "index equals the in-memory search, and its plan reads ONLY the " +
+    "persisted codes plus the queries — never the embeddings") {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val trained = SimilarityQueries.pqTrain(emb)
+    val codes = SimilarityQueries.pqCodes(trained, emb)
+    val path = tmpDir("pqidx") + "/pq_index_store"
+    SimilarityQueries.pqSaveIndex(trained, codes, path)
+    val (loaded, loadedCodes) = SimilarityQueries.pqLoadIndex(spark, path)
+    assert(loaded.fingerprint == trained.fingerprint,
+      "round-trip must preserve the codebook fingerprint")
+    assert((loaded.subspaces, loaded.subDim)
+      == (trained.subspaces, trained.subDim))
+
+    // external query so the ONLY legitimate scans are codes + literal
+    val external = Seq((-1L, Array.fill(64)(0.1))).toDF("qid", "qv")
+      .select(col("qid"), col("qv").cast("array<double>").as("qv"))
+    val fromDisk = SimilarityQueries
+      .pqAdcSearch(loaded, loadedCodes, external, topK = 3)
+    val inMemory = SimilarityQueries
+      .pqAdcSearch(trained, codes, external, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(fromDisk.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sameElements(inMemory),
+      "loaded-index search must equal the in-memory search")
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_index_store"),
+      s"search plan must scan the persisted codes:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"search plan must NOT re-scan the embeddings:\n$plan")
+  }
+
+  test("codes encoded by a DIFFERENT training fail the fingerprint check " +
+    "instead of silently joining on colliding code ids") {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val indexA = SimilarityQueries.pqTrain(emb)
+    // same geometry, different training corpus -> different codebooks
+    val indexB = SimilarityQueries.pqTrain(
+      emb.filter(col("vec_id") >= 100), subspaces = 4, subDim = 16)
+    assert(indexA.fingerprint != indexB.fingerprint)
+    val codesB = SimilarityQueries.pqCodes(indexB, emb)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val ex = intercept[Exception] {
+      SimilarityQueries.pqAdcSearch(indexA, codesB, q, topK = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("fingerprint mismatch")),
+      s"expected the fingerprint assert, got: $ex")
+
+    // and codes with no fingerprint column at all are rejected up front
+    val bare = codesB.drop("fp")
+    val ex2 = intercept[IllegalArgumentException] {
+      SimilarityQueries.pqAdcSearch(indexA, bare, q, topK = 1)
+    }
+    assert(ex2.getMessage.contains("fp"))
   }
 }
