@@ -401,10 +401,14 @@ object SimilarityQueries extends QueryModule {
     * didn't anticipate — a dense boilerplate mode collapsing onto one
     * centroid — skips pair scoring entirely and is REPORTED as
     * capped=true (action: re-cluster it with a larger k or drop it
-    * wholesale) instead of silently going quadratic.
+    * wholesale) instead of silently going quadratic. The default (10⁴ ≈
+    * the targetCellSize the k guidance above aims for, ~5·10⁷ pairs)
+    * trips BEFORE a runaway cell stalls the job — a bound of 10⁵ would
+    * permit ~5·10⁹ cosine evaluations in one cell, far past pathological;
+    * callers with bigger appetites opt in explicitly.
     */
   def semanticDedup(e: org.apache.spark.sql.DataFrame, tau: Double = 0.3,
-      cellCap: Long = 100000L): org.apache.spark.sql.DataFrame = {
+      cellCap: Long = 10000L): org.apache.spark.sql.DataFrame = {
     val cents = kmeansCentroids(e)
     // materialized once: the assignment scan feeds FOUR consumers (sizes,
     // both sides of the dominance join, the final aggregate) — without
@@ -444,7 +448,7 @@ object SimilarityQueries extends QueryModule {
                     "vec_id, v, cid AS cell")}),
                   small AS (SELECT cells.* FROM cells
                             SEMI JOIN (SELECT cell FROM cells
-                                       GROUP BY cell HAVING COUNT(*) <= 100000) s
+                                       GROUP BY cell HAVING COUNT(*) <= 10000) s
                               ON cells.cell = s.cell),
                   dropped AS (SELECT DISTINCT a.vec_id
                               FROM small a JOIN small b
@@ -454,7 +458,7 @@ object SimilarityQueries extends QueryModule {
                     COUNT(*) AS n_members,
                     CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
                     COUNT(*) - CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-                    COUNT(*) > 100000 AS capped
+                    COUNT(*) > 10000 AS capped
              FROM cells LEFT JOIN dropped d ON cells.vec_id = d.vec_id
              GROUP BY cells.cell ORDER BY cell"""))
 

@@ -45,12 +45,18 @@ object CorpusStreams {
     * non-cheap expression referenced many times is not collapsed into its
     * consumers).
     */
-  def decontaminated(docs: DataFrame, bloom: Array[Byte], n: Int = 5): DataFrame =
+  def decontaminated(docs: DataFrame, bloom: Array[Byte], n: Int = 5): DataFrame = {
+    // the projection would silently overwrite-then-drop a caller column
+    // of the same name — fail loudly instead of destroying data
+    require(!docs.columns.contains("__graft_tk"),
+      "decontaminated: input already has a __graft_tk column — rename it; " +
+        "this name is reserved for the internal token projection")
     docs
       .withColumn("__graft_tk", TextFunctions.tokens(col("text")))
       .filter(!exists(shingleArray(col("__graft_tk"), n),
         g => BloomFunctions.mightContainLong(bloom, xxhash64(g))))
       .drop("__graft_tk")
+  }
 
   /** The streaming corpus-clean composite (q56 + q91 in-flight): quality
     * gate first (cheap per-row arithmetic prunes before the shingle

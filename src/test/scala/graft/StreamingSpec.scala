@@ -451,6 +451,18 @@ class StreamingSpec extends SparkSuite {
     assert(progress.stateOperators.isEmpty, "decontamination must be stateless")
   }
 
+  test("decontaminated fails fast when the input already carries the " +
+    "reserved __graft_tk column instead of silently destroying it") {
+    import spark.implicits._
+    import graft.streaming.CorpusStreams
+    val docs = Seq((1L, "some text", "caller data"))
+      .toDF("doc_id", "text", "__graft_tk")
+    val ex = intercept[IllegalArgumentException] {
+      CorpusStreams.decontaminated(docs, Array.fill(16)(0.toByte))
+    }
+    assert(ex.getMessage.contains("__graft_tk"))
+  }
+
   test("streaming corpus-clean composite gates quality before the bloom " +
     "probe") {
     import spark.implicits._
