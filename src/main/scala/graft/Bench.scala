@@ -45,14 +45,32 @@ object Bench {
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
       require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but matches no queries")
     }
+    // SPARK_GRAFT_RUNS=3 repeats the whole suite back-to-back in ONE
+    // warm JVM and reports per-query MEDIANS — the committed regression
+    // baseline uses this (single runs at sf0.1 drift ~10% with machine
+    // state; the median of 3 is stable to a few %). Unset (driver runs)
+    // = 1, byte-identical to the old behavior.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt
+    require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
     val failures = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => failures += name }
-      name -> (System.nanoTime() - t0) / 1e9
+    val perRun: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
+      named.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable =>
+          if (!failures.contains(name)) failures += name }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val results = named.map(_._1).map { name =>
+      name -> median(perRun.map(_.toMap.apply(name)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -64,9 +82,9 @@ object Bench {
     // is also written to BENCH_LOCAL.json as the committed regression
     // baseline.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(compact)
     println(full)
     println(compact)

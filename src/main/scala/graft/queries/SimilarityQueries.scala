@@ -893,6 +893,65 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_id"), col("cid").as("cell")))
   }
 
+  /** Deterministic identity of a coarse-centroid relation (md5 over every
+    * centroid's exact bits in cid order) — the [[PqIndex.fingerprint]]
+    * move for the IVF half: cells persisted from DIFFERENT centroids
+    * would prune the wrong candidates silently.
+    */
+  private def centsFingerprint(cents: org.apache.spark.sql.DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update("ivf:".getBytes("UTF-8"))
+    cents.select(col("cid"), col("cv")).collect()
+      .sortBy(_.getInt(0))
+      .foreach { r =>
+        md.update(r.getInt(0).toString.getBytes("UTF-8"))
+        r.getSeq[Double](1).foreach { x =>
+          md.update(java.nio.ByteBuffer.allocate(8)
+            .putLong(java.lang.Double.doubleToLongBits(x)).array())
+        }
+      }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Persists the coarse (IVF) half of an index: centroids at
+    * `path`/centroids (k tiny rows), the corpus cell assignment at
+    * `path`/cells — both stamped with the centroid fingerprint so a
+    * mixed store (cells from one training, centroids from another)
+    * fails at load instead of pruning the wrong cells. Together with
+    * [[pqSaveIndex]] this persists everything [[ivfPqSearch]] consumes.
+    */
+  def ivfSaveIndex(cents: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val fp = centsFingerprint(cents)
+    cents.select(col("cid"), col("cv")).withColumn("fp", lit(fp))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    cells.withColumn("fp", lit(fp))
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Restores a persisted coarse index as the (cents, cells) pair
+    * [[ivfPqSearch]] takes. The centroid fingerprint is recomputed from
+    * the loaded codewords and checked against BOTH stored stamps —
+    * corrupt centroids and mixed centroid/cell stores fail here.
+    */
+  def ivfLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids").localCheckpoint(true)
+    val storedFp = cents.select("fp").head().getString(0)
+    val bare = cents.select("cid", "cv")
+    val recomputed = centsFingerprint(bare)
+    require(recomputed == storedFp,
+      s"ivfLoadIndex: stored centroid fingerprint $storedFp does not match " +
+        s"recomputed $recomputed — centroids at $path/centroids are corrupt")
+    val cells = spark.read.parquet(s"$path/cells")
+    val cellsFp = cells.select("fp").head().getString(0)
+    require(cellsFp == storedFp,
+      s"ivfLoadIndex: cells at $path/cells were assigned by a different " +
+        s"centroid set ($cellsFp) than the stored centroids ($storedFp)")
+    (bare, cells.drop("fp"))
+  }
+
   /** IVF-PQ search — the composition of the coarse quantizer (q62) with
     * ADC scoring (q108), i.e. the actual shape of a production
     * billion-vector index: the query probes its `nprobe` nearest coarse

@@ -142,4 +142,48 @@ class PqIndexSpec extends SparkSuite {
     }
     assert(ex2.getMessage.contains("fp"))
   }
+
+  test("the FULL persisted ANN index: IVF centroids/cells and PQ " +
+    "codebooks/codes round-trip, and searching from the four loaded " +
+    "relations equals the in-memory IVF-PQ search") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val (cents, cells) = SimilarityQueries.ivfTrain(emb)
+    val index = SimilarityQueries.pqTrain(emb)
+    val codes = SimilarityQueries.pqCodes(index, emb)
+    val base = tmpDir("annidx")
+    SimilarityQueries.ivfSaveIndex(cents, cells, s"$base/ivf_store")
+    SimilarityQueries.pqSaveIndex(index, codes, s"$base/pq_store")
+    val (lCents, lCells) = SimilarityQueries.ivfLoadIndex(spark, s"$base/ivf_store")
+    val (lIndex, lCodes) = SimilarityQueries.pqLoadIndex(spark, s"$base/pq_store")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def run(cl: org.apache.spark.sql.DataFrame, ct: org.apache.spark.sql.DataFrame,
+        ix: SimilarityQueries.PqIndex, cd: org.apache.spark.sql.DataFrame) =
+      SimilarityQueries.ivfPqSearch(cl, ct, ix, cd, q, excludeSelfMatches = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(run(lCells, lCents, lIndex, lCodes)
+      .sameElements(run(cells, cents, index, codes)),
+      "search from the persisted index must equal the in-memory search")
+  }
+
+  test("a mixed IVF store — cells assigned by a different centroid " +
+    "training — fails at load instead of pruning the wrong cells") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val (centsA, cellsA) = SimilarityQueries.ivfTrain(emb)
+    val (centsB, cellsB) =
+      SimilarityQueries.ivfTrain(emb.filter(col("vec_id") >= 100))
+    val base = tmpDir("annidx-mixed")
+    SimilarityQueries.ivfSaveIndex(centsA, cellsA, s"$base/a")
+    SimilarityQueries.ivfSaveIndex(centsB, cellsB, s"$base/b")
+    // splice B's cells under A's centroids (preserving B's stamp)
+    spark.read.parquet(s"$base/b/cells")
+      .write.mode("overwrite").parquet(s"$base/a/cells")
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityQueries.ivfLoadIndex(spark, s"$base/a")
+    }
+    assert(ex.getMessage.contains("different centroid set"),
+      s"expected the mixed-store check, got: ${ex.getMessage}")
+  }
 }
