@@ -786,7 +786,145 @@ object PipelineQueries extends QueryModule {
                     CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
              FROM sh GROUP BY shard ORDER BY shard"""))
 
+  /** Shared mixture-weight fragment (q113/q115): per-source token mass and
+    * its temperature-scaled sampling weight at alpha = 0.5 — the standard
+    * move for upweighting small sources without letting one giant source
+    * dominate a training mix (weight_i = n_i^alpha / sum_j n_j^alpha).
+    *
+    * Cross-engine determinism: sqrt is IEEE correctly-rounded in both
+    * engines, so alpha is FIXED at 0.5 (a pow() would be libm-dependent —
+    * the q51/q92 ln() rationale); each sqrt is snapped to 4 decimals and
+    * the denominator is an exact DECIMAL sum (order-free), then a single
+    * double division — both engines see bit-identical operands.
+    */
+  private val mixSrcsSql =
+    s"""srcs AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+                        ${sqlDec("sqrt(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE))")} AS raw
+                 FROM documents GROUP BY source),
+        mixtot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot, SUM(raw) AS denom
+                   FROM srcs)"""
+
+  /** Per-source frame (source, n_tokens, raw DECIMAL(18,4)) — the Spark
+    * twin of the `srcs` CTE above.
+    */
+  private def mixSrcs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d, "documents").groupBy("source")
+      .agg(sum("n_chars").cast("long").as("n_tokens"))
+      .withColumn("raw", dec(sqrt(col("n_tokens").cast("double"))))
+
+  /** Temperature-scaled source mixing weights (alpha = 0.5): for every
+    * source its token mass, natural share, alpha-scaled sampling weight,
+    * the token allocation under a budget of half the corpus, and the
+    * implied epochs (allocation / mass — > 1 means the source is repeated,
+    * the standard signal that alpha is upsampling it). q110 reports what a
+    * mix LOOKS like; this op decides what the mix SHOULD be, and q115
+    * executes it.
+    *
+    * Scale shape: one corpus-scan aggregate with map-side combine down to
+    * #sources rows, then a 1-row total broadcast back over those rows —
+    * nothing corpus-sized past the first aggregate, no window, no skew
+    * exposure (the aggregate key is the source, and partial aggregation
+    * absorbs source imbalance on the map side).
+    */
+  private val q113 = QueryDef(
+    "q113_mixture_weights",
+    (s, d) => {
+      val srcs = mixSrcs(s, d)
+      val tots = srcs.agg(sum("n_tokens").as("tot"), sum("raw").as("denom"))
+      srcs.crossJoin(broadcast(tots))
+        .withColumn("share",
+          col("n_tokens").cast("double") / col("tot").cast("double"))
+        .withColumn("weight",
+          col("raw").cast("double") / col("denom").cast("double"))
+        .withColumn("target_tokens",
+          floor(col("weight") * expr("tot div 2").cast("double")).cast("long"))
+        .withColumn("epochs",
+          col("target_tokens").cast("double") / col("n_tokens").cast("double"))
+        .select("source", "n_tokens", "share", "weight", "target_tokens",
+          "epochs")
+        .orderBy("source")
+    },
+    Some(s"""WITH $mixSrcsSql
+             SELECT source, n_tokens,
+                    CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+                    CAST(raw AS DOUBLE) / CAST(denom AS DOUBLE) AS weight,
+                    CAST(FLOOR(CAST(raw AS DOUBLE) / CAST(denom AS DOUBLE)
+                      * CAST(tot // 2 AS DOUBLE)) AS BIGINT) AS target_tokens,
+                    CAST(FLOOR(CAST(raw AS DOUBLE) / CAST(denom AS DOUBLE)
+                      * CAST(tot // 2 AS DOUBLE)) AS BIGINT)
+                      / CAST(n_tokens AS DOUBLE) AS epochs
+             FROM srcs CROSS JOIN mixtot
+             ORDER BY source"""))
+
+  /** Mixture REALIZATION: the q113 weights executed as a deterministic
+    * per-source systematic PPS draw — each source gets k_i = max(1,
+    * floor(weight_i * 100)) draws, its documents are laid on a per-source
+    * cumulative n_chars axis in doc_id order, and one document is taken
+    * wherever the running mass crosses a multiple of step_i = mass_i /
+    * k_i. Zero randomness (the q94 discipline per source), so the
+    * realized mix is reproducible across runs, engines, and
+    * partitionings — this is the op that actually BUILDS the training
+    * mix q110 reports on.
+    *
+    * Scale shape: the per-source prefix sum composes q94's two-pass form
+    * with q105's per-group bucketing — doc_ids are cut into 256 global
+    * ranges, pass 1 aggregates per-(source, range) mass (#sources x 256
+    * tiny rows) into per-source exclusive offsets (a window over ranges
+    * WITHIN each source — #sources partitions of <= 256 rows), pass 2
+    * runs the running sum within each (source, range) cell and adds the
+    * broadcast offset. No partition ever holds more than one range of one
+    * source — a corpus-sized source never funnels through one task, which
+    * is exactly the q105 fix applied to weighted sampling.
+    */
+  private val q115 = QueryDef(
+    "q115_mixture_realization",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("source", "doc_id", "n_chars")
+      val srcs = mixSrcs(s, d)
+      val denom = srcs.agg(sum("raw").as("denom"))
+      val dims = srcs.crossJoin(broadcast(denom))
+        .withColumn("k_draws", greatest(
+          floor(col("raw").cast("double") / col("denom").cast("double")
+            * lit(100.0)).cast("long"), lit(1L)))
+        .withColumn("step", greatest(expr("n_tokens div k_draws"), lit(1L)))
+        .select("source", "step")
+      val bw = docs.agg((expr("max(doc_id) div 256") + 1).as("bw"))
+      val bucketed = docs.crossJoin(broadcast(bw))
+        .withColumn("bk", expr("doc_id div bw"))
+      // pass 1: per-(source, range) mass -> per-source exclusive offsets
+      val offs = bucketed.groupBy("source", "bk").agg(sum("n_chars").as("bs"))
+        .withColumn("off", coalesce(sum("bs").over(
+          Window.partitionBy("source").orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("source", "bk", "off")
+      // pass 2: in-cell running sum + broadcast offset = per-source prefix
+      val wb = Window.partitionBy("source", "bk").orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bucketed.join(broadcast(offs), Seq("source", "bk"))
+        .join(broadcast(dims), "source")
+        .withColumn("cw", col("off") + sum(col("n_chars")).over(wb))
+        .filter(expr("cw div step > (cw - n_chars) div step"))
+        .select(col("source"), col("doc_id"), col("n_chars"), col("cw"),
+          expr("cw div step").as("bucket"))
+        .orderBy("source", "doc_id")
+    },
+    Some(s"""WITH $mixSrcsSql,
+                  dims AS (SELECT source, n_tokens,
+                             GREATEST(CAST(FLOOR(CAST(raw AS DOUBLE)
+                               / CAST(denom AS DOUBLE) * 100.0) AS BIGINT), 1)
+                               AS k_draws
+                           FROM srcs CROSS JOIN mixtot),
+                  d2 AS (SELECT source, GREATEST(n_tokens // k_draws, 1) AS step
+                         FROM dims),
+                  w AS (SELECT d.source, doc_id, n_chars, step,
+                               CAST(SUM(n_chars) OVER (PARTITION BY d.source
+                                 ORDER BY doc_id) AS BIGINT) AS cw
+                        FROM documents d JOIN d2 ON d.source = d2.source)
+             SELECT source, doc_id, n_chars, cw, cw // step AS bucket
+             FROM w WHERE cw // step > (cw - n_chars) // step
+             ORDER BY source, doc_id"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67, q68, q69, q70,
-      q76, q77, q78, q79, q91, q94, q95, q106)
+      q76, q77, q78, q79, q91, q94, q95, q106, q113, q115)
 }

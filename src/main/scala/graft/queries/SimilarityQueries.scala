@@ -1136,6 +1136,115 @@ object SimilarityQueries extends QueryModule {
                    FROM cand) t
              WHERE rn <= 5 ORDER BY query_id, rank"""))
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector the top-5 most-cosine-similar vectors carrying a
+    * DIFFERENT label — the "looks like the positive but isn't" examples
+    * that make retrieval training data effective. Positives (same label)
+    * and the query itself are excluded by the label filter.
+    *
+    * Scale shape: the query side is broadcast (queries are few by
+    * definition); scoring is one corpus scan. The per-query top-k is
+    * computed in the distributed two-stage form — local top-5 within each
+    * (qid, vec_id-range) cell (256 ranges, so no partition exceeds one
+    * range of one query), then global top-5 per qid over the <= 5*256
+    * survivors — because a single `Window.partitionBy(qid)` would funnel
+    * corpus/#queries rows through one task (the q105 lesson). Two-stage
+    * pruning is EXACT under the (sim DESC, neg_id ASC) total order: every
+    * global top-5 row is a local top-5 row of its cell. At 100 TB the
+    * candidate generator is the ANN index (q111 multi-table LSH or q112
+    * IVF-PQ) rather than the brute scan; the mining shape is unchanged.
+    */
+  private val q114 = QueryDef(
+    "q114_hard_negatives",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("label").as("q_label"))
+      val bw = e.agg((expr("max(vec_id) div 256") + 1).as("bw"))
+      val cand = e.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("q_label"))
+        .select(col("qid"), col("q_label"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"), cosine(col("v"), col("qv")).as("sim"))
+        .crossJoin(broadcast(bw))
+        .withColumn("bk", expr("neg_id div bw"))
+      val wl = Window.partitionBy("qid", "bk")
+        .orderBy(col("sim").desc, col("neg_id").asc)
+      val wg = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("neg_id").asc)
+      cand.withColumn("lrn", row_number().over(wl)).filter(col("lrn") <= 5)
+        .withColumn("rank", row_number().over(wg)).filter(col("rank") <= 5)
+        .select("qid", "rank", "neg_id", "q_label", "neg_label", "sim")
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                        FROM embeddings),
+                  q AS (SELECT vec_id AS qid, v AS qv, label AS q_label
+                        FROM e WHERE vec_id < 10),
+                  cand AS (SELECT qid, q_label, e.vec_id AS neg_id,
+                             e.label AS neg_label, ${cosSql("v", "qv")} AS sim
+                           FROM e CROSS JOIN q WHERE e.label <> q.q_label),
+                  r AS (SELECT qid, q_label, neg_id, neg_label, sim,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, neg_id ASC) AS rank
+                        FROM cand)
+             SELECT qid, rank, neg_id, q_label, neg_label, sim
+             FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  /** Mutual-kNN graph construction: edges (a, b) where b is in a's cosine
+    * top-3 AND a is in b's top-3 — the symmetric neighbor graph that
+    * drives density-based semantic clustering and graph dedup (mutuality
+    * prunes the hub vectors that one-directional kNN over-connects). Each
+    * edge carries the similarity and both directed ranks. Demo-bounded to
+    * vec_id < 300 because all-pairs scoring is quadratic by nature; at
+    * scale the directed top-k lists come from the ANN index (q111/q112)
+    * and only the candidate-sized mutuality join below remains.
+    *
+    * Scale shape of what ships: one broadcast nested-loop score (the
+    * 300-vector side is broadcast), per-vector top-3 by window over the
+    * bounded candidate set, then the mutuality self-join — top-k-list
+    * sized (3N rows), joined on the reversed (a, b) key — and the a < b
+    * canonicalization halves the edge list.
+    */
+  private val q116 = QueryDef(
+    "q116_mutual_knn",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val b = e.select(col("vec_id").as("bid"), col("v").as("bv"))
+      val w = Window.partitionBy("aid").orderBy(col("sim").desc, col("bid").asc)
+      val top = e.select(col("vec_id").as("aid"), col("v"))
+        .crossJoin(broadcast(b))
+        .filter(col("aid") =!= col("bid"))
+        .select(col("aid"), col("bid"), cosine(col("v"), col("bv")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("aid", "bid", "sim", "rn")
+      val rev = top.select(col("aid").as("bid2"), col("bid").as("aid2"),
+        col("rn").as("rank_ba"))
+      top.join(rev, col("aid") === col("aid2") && col("bid") === col("bid2"))
+        .filter(col("aid") < col("bid"))
+        .select(col("aid").as("a"), col("bid").as("b"), col("sim"),
+          col("rn").as("rank_ab"), col("rank_ba"))
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings WHERE vec_id < 300),
+                  p AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+                          ${cosSql("a.v", "b.v")} AS sim
+                        FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+                  r AS (SELECT aid, bid, sim,
+                          ROW_NUMBER() OVER (PARTITION BY aid
+                            ORDER BY sim DESC, bid ASC) AS rn
+                        FROM p),
+                  t AS (SELECT aid, bid, sim, rn FROM r WHERE rn <= 3)
+             SELECT t1.aid AS a, t1.bid AS b, t1.sim AS sim,
+                    t1.rn AS rank_ab, t2.rn AS rank_ba
+             FROM t t1 JOIN t t2 ON t1.aid = t2.bid AND t1.bid = t2.aid
+             WHERE t1.aid < t1.bid ORDER BY a, b"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112)
+    Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112,
+      q114, q116)
 }

@@ -199,6 +199,50 @@ class PlanShapeSpec extends SparkSuite {
       s"candidates/LUTs must broadcast in:\n$p")
   }
 
+  test("q113 mixture weights is aggregates + a 1-row broadcast back — " +
+    "no window anywhere, nothing corpus-sized past the first aggregate") {
+    val p = plan("q113_mixture_weights")
+    assert(!p.contains("windowspecdefinition"),
+      s"unexpected window in a pure-aggregate plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals row must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q115 mixture realization runs its per-source prefix sum in the " +
+    "two-pass form — the running sum partitions on (source, range), " +
+    "never on source alone (a corpus-sized source = one task)") {
+    val p = plan("q115_mixture_realization")
+    assert("sum\\(n_chars#\\d+L?\\) windowspecdefinition\\(source#\\d+, bk#".r
+      .findFirstIn(p).isDefined,
+      s"running-sum window not (source, range)-partitioned in:\n$p")
+    assert("sum\\(n_chars#\\d+L?\\) windowspecdefinition\\(source#\\d+, doc_id#".r
+      .findFirstIn(p).isEmpty,
+      s"partition-per-source running sum crept back in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets/dims must broadcast-join in:\n$p")
+  }
+
+  test("q114 hard negatives prunes with a LOCAL (qid, range)-keyed top-k " +
+    "window before the per-query rank — no corpus/#queries partition, " +
+    "query side broadcast") {
+    val p = plan("q114_hard_negatives")
+    assert("row_number\\(\\) windowspecdefinition\\(qid#\\d+L?, bk#".r
+      .findFirstIn(p).isDefined,
+      s"local top-k window not (qid, range)-keyed in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast for the scoring scan in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q116 mutual-kNN scores over a broadcast candidate side and joins " +
+    "mutuality on (a, b) equality — no cartesian anywhere") {
+    val p = plan("q116_mutual_knn")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"candidate side must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q107 PQ encoding broadcasts every codebook — the corpus side " +
     "never shuffles for the argmin, no cartesian anywhere") {
     val p = plan("q107_pq_fidelity")
