@@ -285,6 +285,70 @@ object EventQueries extends QueryModule {
             FROM changes
             ORDER BY user_id, valid_from, event_id"""))
 
+  /** Per-user event-rate anomaly detection: flag (user, day) cells whose
+    * event count exceeds that user's own mean by 2.5 of the user's
+    * standard deviations — the self-normalized spike detector behind
+    * abuse monitoring and pipeline-health dashboards (a global threshold
+    * would drown quiet users under loud ones; q90's global z-score is the
+    * population form, this is the per-entity form).
+    *
+    * Cross-engine determinism: the window sums are pure integers (count,
+    * sum, sum-of-squares over BIGINT counts — exact in any order); mean /
+    * variance / sigma are then IEEE double arithmetic on bit-identical
+    * operands in the identical expression order, and sqrt is correctly
+    * rounded everywhere. GREATEST(var, 0) absorbs the tiny negative
+    * variance cancellation can produce.
+    *
+    * Scale shape: one hash shuffle to (user_id, day) — high-cardinality
+    * key, no skew exposure — then the per-user stats come from a window
+    * over the DAILY frame, whose partitions are bounded by the calendar
+    * (#days per user), not the corpus: no second shuffle of raw events,
+    * no join, nothing driver-side. Only anomalous cells are emitted.
+    */
+  private val q118 = QueryDef(
+    "q118_event_anomaly",
+    (s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("user_id")
+      val n = count(lit(1)).over(w).cast("double")
+      val sc = sum(col("n_events")).over(w).cast("double")
+      val sq = sum(col("n_events") * col("n_events")).over(w).cast("double")
+      val mean = sc / n
+      val sigma = sqrt(greatest((sq - sc * sc / n) / n, lit(0.0)))
+      daily.withColumn("user_mean", mean).withColumn("user_std", sigma)
+        .filter(col("user_std") > 0 &&
+          col("n_events").cast("double") >
+            col("user_mean") + lit(2.5) * col("user_std"))
+        .withColumn("z",
+          (col("n_events").cast("double") - col("user_mean")) / col("user_std"))
+        .select("user_id", "day", "n_events", "user_mean", "user_std", "z")
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+                                  COUNT(*) AS n_events
+                           FROM events GROUP BY user_id, day),
+                 st AS (SELECT user_id, day, n_events,
+                          CAST(CAST(COUNT(*) OVER (PARTITION BY user_id)
+                            AS BIGINT) AS DOUBLE) AS n,
+                          CAST(CAST(SUM(n_events) OVER (PARTITION BY user_id)
+                            AS BIGINT) AS DOUBLE) AS sc,
+                          CAST(CAST(SUM(n_events * n_events)
+                            OVER (PARTITION BY user_id)
+                            AS BIGINT) AS DOUBLE) AS sq
+                        FROM daily),
+                 s2 AS (SELECT user_id, day, n_events,
+                          sc / n AS user_mean,
+                          sqrt(GREATEST((sq - sc * sc / n) / n, 0.0)) AS user_std
+                        FROM st)
+            SELECT user_id, day, n_events, user_mean, user_std,
+                   (CAST(n_events AS DOUBLE) - user_mean) / user_std AS z
+            FROM s2
+            WHERE user_std > 0
+              AND CAST(n_events AS DOUBLE) > user_mean + 2.5 * user_std
+            ORDER BY user_id, day"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71, q83)
+    Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71, q83, q118)
 }

@@ -1207,44 +1207,94 @@ object SimilarityQueries extends QueryModule {
     * sized (3N rows), joined on the reversed (a, b) key — and the a < b
     * canonicalization halves the edge list.
     */
+  /** Mutual top-`k` cosine edges over `e`(vec_id, v): (a, b, sim,
+    * rank_ab, rank_ba) with a < b — the shared candidate generator for
+    * q116's edge list and q117's cluster labels.
+    */
+  private def mutualKnnEdges(e: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val b = e.select(col("vec_id").as("bid"), col("v").as("bv"))
+    val w = Window.partitionBy("aid").orderBy(col("sim").desc, col("bid").asc)
+    val top = e.select(col("vec_id").as("aid"), col("v"))
+      .crossJoin(broadcast(b))
+      .filter(col("aid") =!= col("bid"))
+      .select(col("aid"), col("bid"), cosine(col("v"), col("bv")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("aid", "bid", "sim", "rn")
+    val rev = top.select(col("aid").as("bid2"), col("bid").as("aid2"),
+      col("rn").as("rank_ba"))
+    top.join(rev, col("aid") === col("aid2") && col("bid") === col("bid2"))
+      .filter(col("aid") < col("bid"))
+      .select(col("aid").as("a"), col("bid").as("b"), col("sim"),
+        col("rn").as("rank_ab"), col("rank_ba"))
+  }
+
+  private def knnSubset(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d, "embeddings").filter(col("vec_id") < 300)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** Oracle twin of [[mutualKnnEdges]] at k = 3 over the vec_id < 300
+    * subset — a CTE chain ending in `m(a, b, sim, rank_ab, rank_ba)`.
+    */
+  private val mutualCteSql =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 300),
+        p AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+                ${cosSql("a.v", "b.v")} AS sim
+              FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+        r AS (SELECT aid, bid, sim,
+                ROW_NUMBER() OVER (PARTITION BY aid
+                  ORDER BY sim DESC, bid ASC) AS rn
+              FROM p),
+        t AS (SELECT aid, bid, sim, rn FROM r WHERE rn <= 3),
+        m AS (SELECT t1.aid AS a, t1.bid AS b, t1.sim AS sim,
+                     t1.rn AS rank_ab, t2.rn AS rank_ba
+              FROM t t1 JOIN t t2 ON t1.aid = t2.bid AND t1.bid = t2.aid
+              WHERE t1.aid < t1.bid)"""
+
   private val q116 = QueryDef(
     "q116_mutual_knn",
-    (s, d) => {
-      val e = Tables(s, d, "embeddings").filter(col("vec_id") < 300)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val b = e.select(col("vec_id").as("bid"), col("v").as("bv"))
-      val w = Window.partitionBy("aid").orderBy(col("sim").desc, col("bid").asc)
-      val top = e.select(col("vec_id").as("aid"), col("v"))
-        .crossJoin(broadcast(b))
-        .filter(col("aid") =!= col("bid"))
-        .select(col("aid"), col("bid"), cosine(col("v"), col("bv")).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select("aid", "bid", "sim", "rn")
-      val rev = top.select(col("aid").as("bid2"), col("bid").as("aid2"),
-        col("rn").as("rank_ba"))
-      top.join(rev, col("aid") === col("aid2") && col("bid") === col("bid2"))
-        .filter(col("aid") < col("bid"))
-        .select(col("aid").as("a"), col("bid").as("b"), col("sim"),
-          col("rn").as("rank_ab"), col("rank_ba"))
-        .orderBy("a", "b")
-    },
-    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                        FROM embeddings WHERE vec_id < 300),
-                  p AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
-                          ${cosSql("a.v", "b.v")} AS sim
-                        FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
-                  r AS (SELECT aid, bid, sim,
-                          ROW_NUMBER() OVER (PARTITION BY aid
-                            ORDER BY sim DESC, bid ASC) AS rn
-                        FROM p),
-                  t AS (SELECT aid, bid, sim, rn FROM r WHERE rn <= 3)
-             SELECT t1.aid AS a, t1.bid AS b, t1.sim AS sim,
-                    t1.rn AS rank_ab, t2.rn AS rank_ba
-             FROM t t1 JOIN t t2 ON t1.aid = t2.bid AND t1.bid = t2.aid
-             WHERE t1.aid < t1.bid ORDER BY a, b"""))
+    (s, d) => mutualKnnEdges(knnSubset(s, d), 3).orderBy("a", "b"),
+    Some(s"""WITH $mutualCteSql
+             SELECT a, b, sim, rank_ab, rank_ba FROM m ORDER BY a, b"""))
+
+  /** Semantic clusters: connected components over the q116 mutual-kNN
+    * edge set — the embedding-space twin of q74's MinHash dedup clusters
+    * (there: lexical near-dup components; here: semantic neighborhoods).
+    * Every vector that appears in a mutual edge is labeled with its
+    * component's minimum vec_id; isolated vectors carry no label, the
+    * q74 convention. Reuses [[DedupQueries.connectedComponents]] —
+    * hash-to-min over the edge list, O(log d) rounds, convergence
+    * checked by row-set checksum, loud failure on the iteration cap.
+    *
+    * Scale shape: the CC loop's state is edge-list-sized (mutual top-k
+    * caps degree at k, so |E| <= kN/2 — linear, never quadratic), and
+    * each round is two hash shuffles on vertex ids. The demo edge
+    * generator is q116's bounded brute force; at 100 TB the directed
+    * top-k lists come from the ANN index and the component loop is
+    * unchanged — exactly how q74 runs CC on bucket-star edges rather
+    * than all pairs.
+    */
+  private val q117 = QueryDef(
+    "q117_semantic_clusters",
+    (s, d) => DedupQueries.connectedComponents(
+        mutualKnnEdges(knnSubset(s, d), 3)
+          .select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id"),
+    Some(s"""WITH RECURSIVE $mutualCteSql,
+                  edges AS (SELECT a AS u, b AS v FROM m
+                            UNION ALL SELECT b, a FROM m),
+                  walk(u, v) AS (
+                    SELECT u, v FROM edges
+                    UNION
+                    SELECT w.u, e2.v FROM walk w JOIN edges e2 ON w.v = e2.u),
+                  cc AS (SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+                         FROM walk GROUP BY u)
+             SELECT vec_id, cluster_id FROM cc ORDER BY vec_id"""))
 
   override def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112,
-      q114, q116)
+      q114, q116, q117)
 }

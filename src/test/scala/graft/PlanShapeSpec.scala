@@ -243,6 +243,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q118 anomaly stats window runs over the DAILY aggregate keyed by " +
+    "user — no raw-event window, no join machinery at all") {
+    val p = plan("q118_event_anomaly")
+    assert("windowspecdefinition\\(user_id#".r.findFirstIn(p).isDefined,
+      s"per-user stats window missing in:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in a window-only plan:\n$p")
+    // the window input must be the (user, day) aggregate, not raw events:
+    // counts enter the window as n_events, never as per-event rows
+    assert("sum\\(n_events#".r.findFirstIn(p).isDefined,
+      s"window must aggregate daily counts in:\n$p")
+  }
+
   test("q107 PQ encoding broadcasts every codebook — the corpus side " +
     "never shuffles for the argmin, no cartesian anywhere") {
     val p = plan("q107_pq_fidelity")
