@@ -174,6 +174,21 @@ object Extract {
   def fromText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** XML source (Spark's built-in XML datasource, Spark 4+): one row per
+    * `rowTag` element. Pass a schema for production reads — inference
+    * scans the data twice, like CSV/JSON. XML files split per-file, not
+    * per-block (a row can span arbitrary byte ranges), so at scale shard
+    * the corpus into many files rather than one giant document.
+    */
+  def fromXml(spark: SparkSession, path: String, rowTag: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("rowTag", rowTag)
+    schema match {
+      case Some(s) => r.schema(s).xml(path)
+      case None => r.xml(path)
+    }
+  }
+
   /** O4 fetchall: materialize the full result on the driver. */
   def fetchAll(df: DataFrame): Seq[Row] = df.collect().toSeq
 

@@ -55,6 +55,20 @@ class SourcesSinksSpec extends SparkSuite {
     assert(back.orderBy("value").head().getString(0) == "first line")
   }
 
+  test("xml source reads one row per rowTag element, keeps UTF-8 and " +
+    "nested attributes") {
+    val p = tmpDir("xml-src")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p, "feed.xml"),
+      ("""<feed><doc id="1"><title>first</title><body>Öæ° text</body></doc>""" +
+        """<doc id="2"><title>second</title><body>plain</body></doc></feed>""")
+        .getBytes("UTF-8"))
+    val back = Extract.fromXml(spark, p, rowTag = "doc").orderBy("_id")
+    assert(back.count() == 2)
+    val first = back.head()
+    assert(first.getAs[Long]("_id") == 1L)
+    assert(first.getAs[String]("body") == "Öæ° text")
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with " +
     "different columns (nulls where absent)") {
     import spark.implicits._
