@@ -55,13 +55,14 @@ object Bench {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val perRun: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
+    val perRun: Seq[Seq[(String, Double, Boolean)]] = (1 to runs).map { _ =>
       named.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable =>
-          if (!failures.contains(name)) failures += name }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable =>
+            if (!failures.contains(name)) failures += name; false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
     def median(xs: Seq[Double]): Double = {
@@ -69,8 +70,14 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
+    // Medians are over SUCCESSFUL samples only: a query that fails fast
+    // in 2 of 3 runs must not report its time-to-failure as the median
+    // (the failed list + exit 1 already flag it; a 100%-failing query
+    // falls back to its failure times so the field is never empty).
     val results = named.map(_._1).map { name =>
-      name -> median(perRun.map(_.toMap.apply(name)))
+      val samples = perRun.map(_.find(_._1 == name).get)
+      val good = samples.filter(_._3).map(_._2)
+      name -> median(if (good.nonEmpty) good else samples.map(_._2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -804,13 +804,19 @@ object PipelineQueries extends QueryModule {
         mixtot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot, SUM(raw) AS denom
                    FROM srcs)"""
 
-  /** Per-source frame (source, n_tokens, raw DECIMAL(18,4)) — the Spark
-    * twin of the `srcs` CTE above.
+  /** Per-source frame (source, n_tokens, max_doc, raw DECIMAL(18,4)) —
+    * the Spark twin of the `srcs` CTE above (max_doc rides along so q115
+    * derives its range width without a second corpus scan). Eagerly
+    * checkpointed: #sources tiny rows, and every consumer (totals,
+    * weights, per-source dims) reuses the ONE corpus aggregate instead
+    * of re-scanning documents per subtree.
     */
   private def mixSrcs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables(s, d, "documents").groupBy("source")
-      .agg(sum("n_chars").cast("long").as("n_tokens"))
+      .agg(sum("n_chars").cast("long").as("n_tokens"),
+        max("doc_id").as("max_doc"))
       .withColumn("raw", dec(sqrt(col("n_tokens").cast("double"))))
+      .localCheckpoint(true)
 
   /** Temperature-scaled source mixing weights (alpha = 0.5): for every
     * source its token mass, natural share, alpha-scaled sampling weight,
@@ -888,7 +894,9 @@ object PipelineQueries extends QueryModule {
             * lit(100.0)).cast("long"), lit(1L)))
         .withColumn("step", greatest(expr("n_tokens div k_draws"), lit(1L)))
         .select("source", "step")
-      val bw = docs.agg((expr("max(doc_id) div 256") + 1).as("bw"))
+      // range width from the checkpointed per-source frame — no second
+      // corpus scan for one number
+      val bw = srcs.agg((expr("max(max_doc) div 256") + 1).as("bw"))
       val bucketed = docs.crossJoin(broadcast(bw))
         .withColumn("bk", expr("doc_id div bw"))
       // pass 1: per-(source, range) mass -> per-source exclusive offsets

@@ -656,7 +656,11 @@ object SimilarityQueries extends QueryModule {
   def pqLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : (PqIndex, org.apache.spark.sql.DataFrame) = {
     val cb = spark.read.parquet(s"$path/codebooks").localCheckpoint(true)
-    val head = cb.select("subspaces", "sub_dim", "fp").head()
+    val meta = cb.select("subspaces", "sub_dim", "fp").take(1)
+    require(meta.nonEmpty,
+      s"pqLoadIndex: codebook store at $path/codebooks is empty — " +
+        "interrupted save or wrong path")
+    val head = meta(0)
     val index = PqIndex(
       (0 until head.getInt(0)).map(sub =>
         cb.filter(col("sub") === sub).select("cid", "cv")),
@@ -938,17 +942,31 @@ object SimilarityQueries extends QueryModule {
   def ivfLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val cents = spark.read.parquet(s"$path/centroids").localCheckpoint(true)
-    val storedFp = cents.select("fp").head().getString(0)
+    val centFp = cents.select("fp").take(1)
+    require(centFp.nonEmpty,
+      s"ivfLoadIndex: centroid store at $path/centroids is empty — " +
+        "interrupted save or wrong path")
+    val storedFp = centFp(0).getString(0)
     val bare = cents.select("cid", "cv")
     val recomputed = centsFingerprint(bare)
     require(recomputed == storedFp,
       s"ivfLoadIndex: stored centroid fingerprint $storedFp does not match " +
         s"recomputed $recomputed — centroids at $path/centroids are corrupt")
     val cells = spark.read.parquet(s"$path/cells")
-    val cellsFp = cells.select("fp").head().getString(0)
-    require(cellsFp == storedFp,
+    // EVERY cell row must carry the centroid stamp: a store that mixes
+    // assignments from two trainings (e.g. a parquet APPEND of a
+    // retrained assignment onto an old store) must fail here, not prune
+    // the wrong cells — so the check is over the distinct fp set, never
+    // one sampled row. Distinct of a constant column is one map-combined
+    // aggregate, cheap at any corpus size.
+    val cellFps = cells.select("fp").distinct().collect().map(_.getString(0))
+    require(cellFps.nonEmpty,
+      s"ivfLoadIndex: cell store at $path/cells is empty — " +
+        "interrupted save or wrong path")
+    require(cellFps.sameElements(Array(storedFp)),
       s"ivfLoadIndex: cells at $path/cells were assigned by a different " +
-        s"centroid set ($cellsFp) than the stored centroids ($storedFp)")
+        s"centroid set (${cellFps.filterNot(_ == storedFp).mkString(", ")}) " +
+        s"than the stored centroids ($storedFp)")
     (bare, cells.drop("fp"))
   }
 
@@ -1077,20 +1095,27 @@ object SimilarityQueries extends QueryModule {
     * 100 TB target the L bucket ids are persisted columns beside the
     * vectors (the q82 signature-index lifecycle), so amplification costs
     * L small-int columns, not L corpus scans.
+    *
+    * `excludeSelfMatches` follows the [[pqAdcSearch]] contract: set it
+    * ONLY when queries are corpus members (q111 does) — an external qid
+    * that happens to collide with a corpus vec_id must not lose that
+    * corpus vector from its candidates.
     */
   def lshMultiAnn(e: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame,
       tables: Int = 4, planes: Int = 6, topK: Int = 5,
-      vdims: Int = dims): org.apache.spark.sql.DataFrame = {
+      vdims: Int = dims,
+      excludeSelfMatches: Boolean = false): org.apache.spark.sql.DataFrame = {
     def bucketed(in: org.apache.spark.sql.DataFrame,
         idCol: String, vCol: String) =
       in.select(col(idCol), col(vCol),
         posexplode(array((0 until tables).map(t =>
           lshBucket(col(vCol), planes, vdims, t)): _*)))
         .toDF(idCol, vCol, "tbl", "bucket")
-    val cand = bucketed(e, "vec_id", "v")
+    val hits = bucketed(e, "vec_id", "v")
       .join(broadcast(bucketed(queries, "qid", "qv")), Seq("tbl", "bucket"))
-      .filter(col("qid") =!= col("vec_id"))
+    val cand = (if (excludeSelfMatches) hits.filter(col("qid") =!= col("vec_id"))
+      else hits)
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qv"), col("v")).as("sim"))
       .distinct() // a pair found by several tables scores identically
@@ -1109,7 +1134,8 @@ object SimilarityQueries extends QueryModule {
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       lshMultiAnn(e, e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv")))
+        .select(col("vec_id").as("qid"), col("v").as("qv")),
+        excludeSelfMatches = true)
     },
     Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
                   mbk AS (SELECT vec_id, p // 6 AS tbl,

@@ -397,9 +397,13 @@ object TextQueries extends QueryModule {
     * vocabulary-sized aggregate gives the w1 marginals, and the integer
     * affinity is broadcast-joined back to the bigram stream — the score
     * becomes map-side. The corpus is scanned twice (table build + score),
-    * the standard trade against shuffling it; above broadcast memory the
-    * rejoin falls back to a salted shuffle join. Per-doc reduce is one
-    * doc_id shuffle.
+    * the standard trade against shuffling it. The broadcast() hint is the
+    * vocabulary-fits dial, and it is a HINT with no automatic fallback:
+    * above broadcast memory, drop the hint so the rejoin plans as a
+    * shuffle join on (w1, w2) — tolerable there because the two-column
+    * bigram key splinters each stopword head across its continuations
+    * and AQE's skew split handles the residual hot pairs. Per-doc reduce
+    * is one doc_id shuffle.
     */
   private val q109 = QueryDef(
     "q109_bigram_coherence",

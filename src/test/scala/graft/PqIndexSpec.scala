@@ -186,4 +186,45 @@ class PqIndexSpec extends SparkSuite {
     assert(ex.getMessage.contains("different centroid set"),
       s"expected the mixed-store check, got: ${ex.getMessage}")
   }
+
+  test("an APPENDED foreign cell assignment — not just an overwrite — " +
+    "fails the IVF load check (every row's stamp is validated, never " +
+    "one sampled row)") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val (centsA, cellsA) = SimilarityQueries.ivfTrain(emb)
+    val (centsB, cellsB) =
+      SimilarityQueries.ivfTrain(emb.filter(col("vec_id") >= 100))
+    val base = tmpDir("annidx-append")
+    SimilarityQueries.ivfSaveIndex(centsA, cellsA, s"$base/a")
+    SimilarityQueries.ivfSaveIndex(centsB, cellsB, s"$base/b")
+    // the append lifecycle gone wrong: B's assignment lands ON TOP of A's
+    spark.read.parquet(s"$base/b/cells")
+      .write.mode("append").parquet(s"$base/a/cells")
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityQueries.ivfLoadIndex(spark, s"$base/a")
+    }
+    assert(ex.getMessage.contains("different centroid set"),
+      s"expected the mixed-store check, got: ${ex.getMessage}")
+  }
+
+  test("lshMultiAnn's self-exclusion is opt-in: an external qid that " +
+    "collides with a corpus vec_id keeps that corpus vector as a " +
+    "candidate by default") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // external query whose id collides with corpus vec 0 AND whose vector
+    // IS corpus vec 0's — its nearest neighbor is exactly the collision
+    val external = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val kept = SimilarityQueries.lshMultiAnn(emb, external)
+      .filter(col("neighbor_id") === 0).count()
+    assert(kept == 1L,
+      "external qid 0 must keep corpus vec 0 (sim = 1.0) as a candidate")
+    val dropped = SimilarityQueries
+      .lshMultiAnn(emb, external, excludeSelfMatches = true)
+      .filter(col("neighbor_id") === 0).count()
+    assert(dropped == 0L,
+      "corpus-member queries (excludeSelfMatches = true) must drop the self pair")
+  }
 }
