@@ -1233,6 +1233,77 @@ object SimilarityQueries extends QueryModule {
     * sized (3N rows), joined on the reversed (a, b) key — and the a < b
     * canonicalization halves the edge list.
     */
+  /** Contrastive TRIPLET assembly — the training artifact q114's mining
+    * feeds: for each query vector, its best positive (most-similar SAME
+    * label, self excluded) crossed with its top-3 hard negatives
+    * (most-similar DIFFERENT label), each triplet carrying both
+    * similarities and the margin pos_sim − neg_sim (the quantity a
+    * triplet/InfoNCE loss pushes apart; near-zero or negative margins are
+    * the valuable hard triplets).
+    *
+    * Scale shape: ONE corpus scan scores both sides — candidates carry an
+    * is_pos flag and rank within (qid, is_pos) instead of scanning the
+    * corpus once for positives and again for negatives. The rank uses
+    * q114's exact two-stage form (local top-3 within (qid, is_pos,
+    * vec_id-range), then global over ≤ 3·256 survivors); the final
+    * pos × neg join is triplet-list-sized (queries × 3 rows).
+    */
+  private val q119 = QueryDef(
+    "q119_contrastive_triplets",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("label").as("q_label"))
+      val bw = e.agg((expr("max(vec_id) div 256") + 1).as("bw"))
+      val cand = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          (col("label") === col("q_label")).as("is_pos"),
+          cosine(col("v"), col("qv")).as("sim"))
+        .crossJoin(broadcast(bw))
+        .withColumn("bk", expr("cid div bw"))
+      val wl = Window.partitionBy("qid", "is_pos", "bk")
+        .orderBy(col("sim").desc, col("cid").asc)
+      val wg = Window.partitionBy("qid", "is_pos")
+        .orderBy(col("sim").desc, col("cid").asc)
+      val ranked = cand
+        .withColumn("lrn", row_number().over(wl)).filter(col("lrn") <= 3)
+        .withColumn("rn", row_number().over(wg)).filter(col("rn") <= 3)
+      val pos = ranked.filter(col("is_pos") && col("rn") === 1)
+        .select(col("qid"), col("cid").as("pos_id"), col("sim").as("pos_sim"))
+      val neg = ranked.filter(!col("is_pos"))
+        .select(col("qid"), col("cid").as("neg_id"), col("sim").as("neg_sim"),
+          col("rn").as("neg_rank"))
+      pos.join(neg, "qid")
+        .withColumn("margin", col("pos_sim") - col("neg_sim"))
+        .select("qid", "pos_id", "neg_id", "neg_rank", "pos_sim", "neg_sim",
+          "margin")
+        .orderBy("qid", "neg_rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                        FROM embeddings),
+                  q AS (SELECT vec_id AS qid, v AS qv, label AS q_label
+                        FROM e WHERE vec_id < 10),
+                  cand AS (SELECT qid, e.vec_id AS cid,
+                             (e.label = q.q_label) AS is_pos,
+                             ${cosSql("v", "qv")} AS sim
+                           FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+                  r AS (SELECT qid, cid, is_pos, sim,
+                          ROW_NUMBER() OVER (PARTITION BY qid, is_pos
+                            ORDER BY sim DESC, cid ASC) AS rn
+                        FROM cand),
+                  pos AS (SELECT qid, cid AS pos_id, sim AS pos_sim
+                          FROM r WHERE is_pos AND rn = 1),
+                  neg AS (SELECT qid, cid AS neg_id, sim AS neg_sim,
+                                 rn AS neg_rank
+                          FROM r WHERE NOT is_pos AND rn <= 3)
+             SELECT qid, pos_id, neg_id, neg_rank, pos_sim, neg_sim,
+                    pos_sim - neg_sim AS margin
+             FROM pos JOIN neg USING (qid)
+             ORDER BY qid, neg_rank"""))
+
   /** Mutual top-`k` cosine edges over `e`(vec_id, v): (a, b, sim,
     * rank_ab, rank_ba) with a < b — the shared candidate generator for
     * q116's edge list and q117's cluster labels.
@@ -1322,5 +1393,5 @@ object SimilarityQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112,
-      q114, q116, q117)
+      q114, q116, q117, q119)
 }

@@ -455,6 +455,64 @@ object TextQueries extends QueryModule {
              FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
              ORDER BY d.doc_id"""))
 
+  /** Curriculum schedule: the corpus cut into 10 training stages by
+    * GLOBAL quality rank (stage 0 = the highest-quality decile — the
+    * easy/clean warm-up slice; stage 9 = the tail), reported as the
+    * per-stage doc count, token mass, and quality bounds a curriculum
+    * dataloader consumes. Stage membership is exact and deterministic:
+    * stage = ((rank−1)·10) div n over the total (quality DESC, doc_id)
+    * order — integer arithmetic, no ntile, no randomness.
+    *
+    * Scale shape: q105's two-pass rank globalized — scores checkpoint
+    * once (regex scoring is the expensive map), pass 1 counts per
+    * quality-range bucket (1025 tiny rows → exclusive offsets in
+    * quality-DESC order), pass 2 ranks within each bucket and adds the
+    * broadcast offset; a global `Window.orderBy` would serialize the
+    * corpus through one task. The report is a 10-row aggregate.
+    */
+  private val q120 = QueryDef(
+    "q120_curriculum_stages",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val bucketed = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          qualityScore(col("text")).as("quality"))
+        .withColumn("qb", floor(col("quality") * lit(1024)).cast("long"))
+        .localCheckpoint(true)
+      val counts = bucketed.groupBy("qb").agg(count(lit(1)).as("c"))
+      val offs = counts
+        .withColumn("off", coalesce(sum("c").over(
+          W.orderBy(col("qb").desc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select("qb", "off")
+      val n = counts.agg(sum("c").as("n"))
+      val wb = W.partitionBy("qb")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      bucketed
+        .join(broadcast(offs), "qb")
+        .crossJoin(broadcast(n))
+        .withColumn("rank", col("off") + row_number().over(wb))
+        .withColumn("stage", expr("((rank - 1) * 10) div n"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("stage_tokens"),
+          min("quality").as("min_quality"),
+          max("quality").as("max_quality"))
+        .orderBy("stage")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, n_chars, $qualitySql AS quality
+                        FROM documents),
+                  r AS (SELECT doc_id, n_chars, quality,
+                          ROW_NUMBER() OVER (ORDER BY quality DESC,
+                            doc_id ASC) AS rank,
+                          COUNT(*) OVER () AS n
+                        FROM t)
+             SELECT ((rank - 1) * 10) // n AS stage, COUNT(*) AS n_docs,
+                    CAST(SUM(n_chars) AS BIGINT) AS stage_tokens,
+                    MIN(quality) AS min_quality, MAX(quality) AS max_quality
+             FROM r GROUP BY stage ORDER BY stage"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88, q104, q105, q109)
+    Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88, q104, q105, q109,
+      q120)
 }

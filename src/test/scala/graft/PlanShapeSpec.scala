@@ -255,6 +255,32 @@ class PlanShapeSpec extends SparkSuite {
       s"window must aggregate daily counts in:\n$p")
   }
 
+  test("q119 triplets score positives and negatives in ONE pass — the " +
+    "top-k window is (qid, is_pos, range)-keyed local first, query side " +
+    "broadcast, no cartesian") {
+    val p = plan("q119_contrastive_triplets")
+    assert("row_number\\(\\) windowspecdefinition\\(qid#\\d+L?, is_pos#".r
+      .findFirstIn(p).isDefined,
+      s"rank window not (qid, is_pos)-keyed in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast for the scoring scan in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q120 curriculum rank runs in the two-pass form — the corpus " +
+    "window partitions on the quality-range bucket, offsets broadcast, " +
+    "never Exchange SinglePartition over the corpus") {
+    val p = plan("q120_curriculum_stages")
+    assert("row_number\\(\\) windowspecdefinition\\(qb#".r
+      .findFirstIn(p).isDefined,
+      s"rank window not quality-range-bucketed in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets must broadcast-join in:\n$p")
+    assert(!"row_number\\(\\) windowspecdefinition\\(quality#".r
+      .findFirstIn(p).isDefined,
+      s"global unpartitioned rank crept back in:\n$p")
+  }
+
   test("q107 PQ encoding broadcasts every codebook — the corpus side " +
     "never shuffles for the argmin, no cartesian anywhere") {
     val p = plan("q107_pq_fidelity")
