@@ -349,6 +349,37 @@ object EventQueries extends QueryModule {
               AND CAST(n_events AS DOUBLE) > user_mean + 2.5 * user_std
             ORDER BY user_id, day"""))
 
+  /** k-anonymity audit over the quasi-identifier (event_type, day,
+    * value-decade): every group observable by fewer than k = 5 distinct
+    * users is a re-identification risk — the privacy-governance
+    * complement of q85's PII redaction (there: scrub direct identifiers;
+    * here: find indirect ones). The audit output is the risky-group list
+    * a release review suppresses or generalizes.
+    *
+    * Scale shape: one hash aggregate on the quasi-identifier (the
+    * distinct-user count shuffles (qid-tuple, user) pairs once); the
+    * group space is bounded by types × days × value-decades, orders of
+    * magnitude under the event count, and only sub-k groups are emitted.
+    * floor(value/10) is exact IEEE on both engines.
+    */
+  private val q122 = QueryDef(
+    "q122_k_anonymity",
+    (s, d) => Tables(s, d, "events")
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"),
+        floor(col("value") / lit(10.0)).cast("long").as("value_decade"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .filter(col("n_users") < 5)
+      .orderBy("event_type", "day", "value_decade"),
+    Some("""SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(FLOOR(value / 10.0) AS BIGINT) AS value_decade,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY event_type, day, value_decade
+            HAVING COUNT(DISTINCT user_id) < 5
+            ORDER BY event_type, day, value_decade"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71, q83, q118)
+    Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71, q83, q118, q122)
 }

@@ -512,7 +512,67 @@ object TextQueries extends QueryModule {
                     MIN(quality) AS min_quality, MAX(quality) AS max_quality
              FROM r GROUP BY stage ORDER BY stage"""))
 
+  /** Quality-distribution drift per source: the L1 (total-variation × 2)
+    * distance between each source's quality histogram (10 fixed bins)
+    * and the global histogram — the dataset-governance check that flags
+    * a source whose quality profile diverges from the corpus (a crawl
+    * gone bad, a source switching boilerplate style) before it skews a
+    * mix. PSI would need ln() (libm-dependent, the q51/q92 rationale);
+    * L1 over fixed bins carries the same signal deterministically.
+    *
+    * Scale shape: ONE corpus scan aggregates 11 conditional counts per
+    * source (map-side combine, #sources rows); the global histogram is
+    * that tiny frame re-aggregated to one broadcast row. The L1 sum is
+    * a FIXED-ORDER chain over the 10 bin columns (the q92/q108
+    * fixed-order-sum discipline — an aggregate over bin rows would sum
+    * doubles in engine-chosen order), so both engines match
+    * bit-for-bit. Nothing corpus-sized past the first aggregate.
+    */
+  private val q121 = QueryDef(
+    "q121_quality_drift",
+    (s, d) => {
+      val bins = 10
+      val qb = least(floor(qualityScore(col("text")) * lit(bins)).cast("long"),
+        lit((bins - 1).toLong))
+      val perSrc = Tables(s, d, "documents")
+        .select(col("source"), qb.as("qb"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          (0 until bins).map(b =>
+            sum(when(col("qb") === b, 1L).otherwise(0L)).as(s"c$b")): _*)
+      val glob = perSrc.agg(sum("n").as("gn"),
+        (0 until bins).map(b => sum(s"c$b").as(s"g$b")): _*)
+      val l1 = (0 until bins).map { b =>
+        abs(col(s"c$b").cast("double") / col("n").cast("double") -
+          col(s"g$b").cast("double") / col("gn").cast("double"))
+      }.reduce(_ + _)
+      perSrc.crossJoin(broadcast(glob))
+        .select(col("source"), col("n").as("n_docs"), l1.as("l1_drift"))
+        .orderBy("source")
+    },
+    Some {
+      val bins = 10
+      val qbSql = s"LEAST(CAST(FLOOR(($qualitySql) * $bins) AS BIGINT), ${bins - 1})"
+      val cDefs = (0 until bins).map(b =>
+        s"CAST(SUM(CASE WHEN qb = $b THEN 1 ELSE 0 END) AS BIGINT) AS c$b")
+        .mkString(", ")
+      val gDefs = (0 until bins).map(b =>
+        s"CAST(SUM(c$b) AS BIGINT) AS g$b").mkString(", ")
+      val l1Sql = (0 until bins).map(b =>
+        s"abs(CAST(c$b AS DOUBLE) / CAST(n AS DOUBLE) - " +
+          s"CAST(g$b AS DOUBLE) / CAST(gn AS DOUBLE))")
+        .mkString("\n                      + ")
+      s"""WITH t AS (SELECT source, $qbSql AS qb FROM documents),
+              per AS (SELECT source, COUNT(*) AS n, $cDefs
+                      FROM t GROUP BY source),
+              gtot AS (SELECT CAST(SUM(n) AS BIGINT) AS gn, $gDefs FROM per)
+          SELECT source, n AS n_docs,
+                 $l1Sql AS l1_drift
+          FROM per CROSS JOIN gtot
+          ORDER BY source"""
+    })
+
   override def defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88, q104, q105, q109,
-      q120)
+      q120, q121)
 }

@@ -281,6 +281,23 @@ class PlanShapeSpec extends SparkSuite {
       s"global unpartitioned rank crept back in:\n$p")
   }
 
+  test("q121 drift is aggregates + a 1-row broadcast histogram — no " +
+    "window, nothing corpus-sized past the per-source aggregate") {
+    val p = plan("q121_quality_drift")
+    assert(!p.contains("windowspecdefinition"),
+      s"unexpected window in a pure-aggregate plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"global histogram row must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q122 k-anonymity is ONE hash aggregate on the quasi-identifier — " +
+    "no join machinery, no window") {
+    val p = plan("q122_k_anonymity")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"unexpected window in:\n$p")
+  }
+
   test("q107 PQ encoding broadcasts every codebook — the corpus side " +
     "never shuffles for the argmin, no cartesian anywhere") {
     val p = plan("q107_pq_fidelity")
