@@ -1169,16 +1169,14 @@ object SimilarityQueries extends QueryModule {
     * and the query itself are excluded by the label filter.
     *
     * Scale shape: the query side is broadcast (queries are few by
-    * definition); scoring is one corpus scan. The per-query top-k is
-    * computed in the distributed two-stage form — local top-5 within each
-    * (qid, vec_id-range) cell (256 ranges, so no partition exceeds one
-    * range of one query), then global top-5 per qid over the <= 5*256
-    * survivors — because a single `Window.partitionBy(qid)` would funnel
-    * corpus/#queries rows through one task (the q105 lesson). Two-stage
-    * pruning is EXACT under the (sim DESC, neg_id ASC) total order: every
-    * global top-5 row is a local top-5 row of its cell. At 100 TB the
-    * candidate generator is the ANN index (q111 multi-table LSH or q112
-    * IVF-PQ) rather than the brute scan; the mining shape is unchanged.
+    * definition); scoring is one corpus scan. The per-query top-k runs
+    * through [[graft.operators.GroupTopK]] — the exact two-stage form
+    * (local top-5 within hash cells of each query's candidates, then
+    * global top-5 over the <= 5*256 survivors) — because a single
+    * `Window.partitionBy(qid)` would funnel corpus/#queries rows through
+    * one task (the q105 lesson). At 100 TB the candidate generator is
+    * the ANN index (q111 multi-table LSH or q112 IVF-PQ) rather than the
+    * brute scan; the mining shape is unchanged.
     */
   private val q114 = QueryDef(
     "q114_hard_negatives",
@@ -1188,19 +1186,12 @@ object SimilarityQueries extends QueryModule {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("label").as("q_label"))
-      val bw = e.agg((expr("max(vec_id) div 256") + 1).as("bw"))
       val cand = e.crossJoin(broadcast(q))
         .filter(col("label") =!= col("q_label"))
         .select(col("qid"), col("q_label"), col("vec_id").as("neg_id"),
           col("label").as("neg_label"), cosine(col("v"), col("qv")).as("sim"))
-        .crossJoin(broadcast(bw))
-        .withColumn("bk", expr("neg_id div bw"))
-      val wl = Window.partitionBy("qid", "bk")
-        .orderBy(col("sim").desc, col("neg_id").asc)
-      val wg = Window.partitionBy("qid")
-        .orderBy(col("sim").desc, col("neg_id").asc)
-      cand.withColumn("lrn", row_number().over(wl)).filter(col("lrn") <= 5)
-        .withColumn("rank", row_number().over(wg)).filter(col("rank") <= 5)
+      graft.operators.GroupTopK.topK(cand, Seq(col("qid")),
+          Seq(col("sim").desc, col("neg_id").asc), col("neg_id"), 5)
         .select("qid", "rank", "neg_id", "q_label", "neg_label", "sim")
         .orderBy("qid", "rank")
     },
@@ -1243,10 +1234,10 @@ object SimilarityQueries extends QueryModule {
     *
     * Scale shape: ONE corpus scan scores both sides — candidates carry an
     * is_pos flag and rank within (qid, is_pos) instead of scanning the
-    * corpus once for positives and again for negatives. The rank uses
-    * q114's exact two-stage form (local top-3 within (qid, is_pos,
-    * vec_id-range), then global over ≤ 3·256 survivors); the final
-    * pos × neg join is triplet-list-sized (queries × 3 rows).
+    * corpus once for positives and again for negatives. The rank runs
+    * through [[graft.operators.GroupTopK]] (exact two-stage top-3 per
+    * (qid, is_pos) group); the final pos × neg join is
+    * triplet-list-sized (queries × 3 rows).
     */
   private val q119 = QueryDef(
     "q119_contrastive_triplets",
@@ -1256,21 +1247,15 @@ object SimilarityQueries extends QueryModule {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("label").as("q_label"))
-      val bw = e.agg((expr("max(vec_id) div 256") + 1).as("bw"))
       val cand = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"),
           (col("label") === col("q_label")).as("is_pos"),
           cosine(col("v"), col("qv")).as("sim"))
-        .crossJoin(broadcast(bw))
-        .withColumn("bk", expr("cid div bw"))
-      val wl = Window.partitionBy("qid", "is_pos", "bk")
-        .orderBy(col("sim").desc, col("cid").asc)
-      val wg = Window.partitionBy("qid", "is_pos")
-        .orderBy(col("sim").desc, col("cid").asc)
-      val ranked = cand
-        .withColumn("lrn", row_number().over(wl)).filter(col("lrn") <= 3)
-        .withColumn("rn", row_number().over(wg)).filter(col("rn") <= 3)
+      val ranked = graft.operators.GroupTopK.topK(cand,
+        Seq(col("qid"), col("is_pos")),
+        Seq(col("sim").desc, col("cid").asc), col("cid"), 3,
+        rankName = "rn")
       val pos = ranked.filter(col("is_pos") && col("rn") === 1)
         .select(col("qid"), col("cid").as("pos_id"), col("sim").as("pos_sim"))
       val neg = ranked.filter(!col("is_pos"))

@@ -227,9 +227,9 @@ class PlanShapeSpec extends SparkSuite {
     "window before the per-query rank — no corpus/#queries partition, " +
     "query side broadcast") {
     val p = plan("q114_hard_negatives")
-    assert("row_number\\(\\) windowspecdefinition\\(qid#\\d+L?, bk#".r
+    assert("row_number\\(\\) windowspecdefinition\\(qid#\\d+L?, __graft_topk_bk#".r
       .findFirstIn(p).isDefined,
-      s"local top-k window not (qid, range)-keyed in:\n$p")
+      s"local top-k window not (qid, cell)-keyed in:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"query side must broadcast for the scoring scan in:\n$p")
     assert(!p.contains("CartesianProduct"))
