@@ -492,4 +492,47 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(1L), s"only the natural-text doc survives; got $kept")
   }
+
+  test("streaming rate anomalies: a spike day is flagged against the " +
+    "user's PRIOR days when it closes; quiet users and pre-baseline " +
+    "days stay silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(day: Int, hh: Int, mm: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hh%02d:$mm%02d:00")
+    var id = 0L
+    def evs(user: Long, day: Int, n: Int): Seq[EventStreams.Event] =
+      (0 until n).map { i =>
+        id += 1
+        EventStreams.Event(id, ts(day, 10, i), user, "click", 1.0)
+      }
+    val input = MemoryStream[EventStreams.Event](spark)
+    val q = EventStreams.rateAnomalies(input.toDS(), minPriorDays = 3)
+      .toDF().writeStream.format("memory").queryName("anom_t")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("anom-ckpt"))
+      .start()
+    try {
+      // user 1: three quiet days (2 events each), then a 10-event spike,
+      // then one event the day after — which CLOSES the spike day.
+      // user 2: uniform throughout — must never be flagged.
+      input.addData(evs(1L, 1, 2) ++ evs(1L, 2, 2) ++ evs(1L, 3, 2)
+        ++ evs(2L, 1, 2) ++ evs(2L, 2, 2) ++ evs(2L, 3, 2): _*)
+      q.processAllAvailable()
+      input.addData(evs(1L, 4, 10) ++ evs(2L, 4, 2): _*)
+      q.processAllAvailable()
+      // nothing emitted yet: day 4 is still open for both users
+      assert(spark.table("anom_t").isEmpty)
+      input.addData(evs(1L, 5, 1) ++ evs(2L, 5, 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anom_t")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 1, s"exactly the spike day: ${got.mkString(",")}")
+    val a = got.head
+    assert(a._1 == 1L && a._3 == 10L)
+    assert(a._4 == 2.0 && a._5 == 0.0,
+      s"baseline must be the three quiet days: $a")
+  }
 }
