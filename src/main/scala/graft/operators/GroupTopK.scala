@@ -39,8 +39,8 @@ object GroupTopK {
       rankName: String = "rank"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
-    require(!df.columns.contains(bkCol),
-      s"input already carries the reserved column $bkCol")
+    require(!df.columns.exists(_.startsWith("__graft_topk_")),
+      "input already carries a reserved __graft_topk_* column")
     require(!df.columns.contains(rankName),
       s"input already carries the rank column $rankName — pass a free name")
     val wl = Window.partitionBy(groupCols :+ col(bkCol): _*).orderBy(order: _*)

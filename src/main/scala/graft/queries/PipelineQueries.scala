@@ -750,16 +750,11 @@ object PipelineQueries extends QueryModule {
           tokenCount(col("text")).cast("long").as("n_tokens"),
           md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
         .withColumn("bk", substring(col("h"), 1, 2))
-      // pass 1: 256 bucket counts -> exclusive prefix offsets (tiny)
-      val offs = base.groupBy("bk").agg(count(lit(1)).as("c"))
-        .withColumn("off", coalesce(sum("c").over(
-          Window.orderBy("bk")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("bk", "off")
-      // pass 2: per-bucket rank + broadcast offset = global rank
-      val wb = Window.partitionBy("bk").orderBy(col("h"), col("doc_id"))
-      base.join(broadcast(offs), "bk")
-        .withColumn("rank", col("off") + row_number().over(wb))
+      // the two-pass global rank over the hash-prefix buckets is the
+      // shared operators.BucketedRank (bk IS h's prefix, so bucket
+      // order equals row order)
+      graft.operators.BucketedRank.rank(base, Seq.empty, "bk",
+          bucketAsc = true, Seq(col("h").asc, col("doc_id").asc))
         .withColumn("shard", ((col("rank") - 1) % 16).cast("long"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))

@@ -331,7 +331,6 @@ object TextQueries extends QueryModule {
   private val q105 = QueryDef(
     "q105_quality_prune",
     (s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
       // materialized once: the regex-heavy quality scoring feeds both
       // passes, and without the checkpoint each consumer re-scores the
       // corpus (the kmeansCentroids move — only (doc_id, source,
@@ -341,26 +340,14 @@ object TextQueries extends QueryModule {
           qualityScore(col("text")).as("quality"))
         .withColumn("qb", floor(col("quality") * lit(1024)).cast("long"))
         .localCheckpoint(true)
-      // pass 1: per-(source, quality-range) counts -> per-source
-      // exclusive offsets in quality-DESC order (tiny: sources x 1025);
-      // the per-source n is the same counts relation re-aggregated
-      // tiny (sources x 1025) — re-aggregating the materialized corpus
-      // twice beats a third checkpoint job (measured 2.15 -> 1.85 s)
-      val counts = bucketed.groupBy("source", "qb")
-        .agg(count(lit(1)).as("c"))
-      val offs = counts
-        .withColumn("off", coalesce(sum("c").over(
-          W.partitionBy("source").orderBy(col("qb").desc)
-            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-        .select("source", "qb", "off")
-      val ns = counts.groupBy("source").agg(sum("c").as("n"))
-      // pass 2: rank within (source, quality-range) + broadcast offset
-      val wb = W.partitionBy("source", "qb")
-        .orderBy(col("quality").desc, col("doc_id").asc)
-      bucketed
-        .join(broadcast(offs), Seq("source", "qb"))
+      // the two-pass rank (per-source exclusive offsets over quality
+      // ranges, rank within each (source, qb) cell) is the shared
+      // operators.BucketedRank; per-source n re-aggregates the tiny
+      // checkpointed frame
+      val ns = bucketed.groupBy("source").agg(count(lit(1)).as("n"))
+      graft.operators.BucketedRank.rank(bucketed, Seq("source"), "qb",
+          bucketAsc = false, Seq(col("quality").desc, col("doc_id").asc))
         .join(broadcast(ns), "source")
-        .withColumn("rank", col("off") + row_number().over(wb))
         .withColumn("pr", when(col("n") === 1, lit(0.0))
           .otherwise((col("rank") - 1).cast("double")
             / (col("n") - 1).cast("double")))
@@ -473,25 +460,15 @@ object TextQueries extends QueryModule {
   private val q120 = QueryDef(
     "q120_curriculum_stages",
     (s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
       val bucketed = Tables(s, d, "documents")
         .select(col("doc_id"), col("n_chars"),
           qualityScore(col("text")).as("quality"))
         .withColumn("qb", floor(col("quality") * lit(1024)).cast("long"))
         .localCheckpoint(true)
-      val counts = bucketed.groupBy("qb").agg(count(lit(1)).as("c"))
-      val offs = counts
-        .withColumn("off", coalesce(sum("c").over(
-          W.orderBy(col("qb").desc)
-            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-        .select("qb", "off")
-      val n = counts.agg(sum("c").as("n"))
-      val wb = W.partitionBy("qb")
-        .orderBy(col("quality").desc, col("doc_id").asc)
-      bucketed
-        .join(broadcast(offs), "qb")
+      val n = bucketed.agg(count(lit(1)).as("n"))
+      graft.operators.BucketedRank.rank(bucketed, Seq.empty, "qb",
+          bucketAsc = false, Seq(col("quality").desc, col("doc_id").asc))
         .crossJoin(broadcast(n))
-        .withColumn("rank", col("off") + row_number().over(wb))
         .withColumn("stage", expr("((rank - 1) * 10) div n"))
         .groupBy("stage")
         .agg(count(lit(1)).as("n_docs"),

@@ -198,17 +198,32 @@ object EventStreams {
     * into nothing: a production deployment fronts this with the q39
     * watermarked day aggregation so closures are watermark-driven;
     * within a batch, events are processed in event-time order.
+    *
+    * Day boundaries follow the SESSION TIMEZONE (captured on the driver
+    * at plan time), matching q118's date_trunc('DAY') — a UTC epoch-ms
+    * division would split days differently in any non-UTC session.
+    * One deliberate divergence from q118: a spike over a ZERO-variance
+    * baseline (c > mean, σ = 0) IS flagged here, while the batch report
+    * filters user_std > 0 (its z column is undefined at σ = 0) — a live
+    * monitor must flag a 5× spike over a perfectly steady baseline, and
+    * this operator emits the raw mean/σ, no division involved.
     */
   def rateAnomalies(events: Dataset[Event], minPriorDays: Int = 3,
       sigmas: Double = 2.5): Dataset[UserDayAnomaly] = {
     import events.sparkSession.implicits._
-    val dayMs = 86400000L
+    val noDay = Long.MinValue // impossible epoch day, unlike -1 (1969-12-31)
+    val zoneId = events.sparkSession.conf.get("spark.sql.session.timeZone")
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[UserRateState, UserDayAnomaly](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[UserRateState]) =>
+          val zone = java.time.ZoneId.of(zoneId)
+          def dayOf(t: Timestamp): Long =
+            t.toInstant.atZone(zone).toLocalDate.toEpochDay
+          def dayStart(d: Long): Timestamp = Timestamp.from(
+            java.time.LocalDate.ofEpochDay(d).atStartOfDay(zone).toInstant)
           var st = state.getOption
-            .getOrElse(UserRateState(userId, 0L, 0L, 0L, -1L, 0L))
+            .getOrElse(UserRateState(userId, 0L, 0L, 0L, noDay, 0L))
           val out = Seq.newBuilder[UserDayAnomaly]
           def close(): Unit = {
             val c = st.open_count
@@ -219,15 +234,14 @@ object EventStreams {
                 (st.sumsq.toDouble - st.sum.toDouble * st.sum.toDouble / n) / n
               val std = math.sqrt(math.max(variance, 0.0))
               if (c.toDouble > mean + sigmas * std)
-                out += UserDayAnomaly(userId,
-                  new Timestamp(st.open_day * dayMs), c, mean, std)
+                out += UserDayAnomaly(userId, dayStart(st.open_day), c, mean, std)
             }
             st = st.copy(n_days = st.n_days + 1, sum = st.sum + c,
-              sumsq = st.sumsq + c * c, open_day = -1L, open_count = 0L)
+              sumsq = st.sumsq + c * c, open_day = noDay, open_count = 0L)
           }
           batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val d = e.ts.getTime / dayMs
-            if (st.open_day < 0L) st = st.copy(open_day = d, open_count = 1L)
+            val d = dayOf(e.ts)
+            if (st.open_day == noDay) st = st.copy(open_day = d, open_count = 1L)
             else if (d == st.open_day)
               st = st.copy(open_count = st.open_count + 1L)
             else if (d > st.open_day) {

@@ -56,7 +56,7 @@ class GroupTopKSpec extends SparkSuite {
         Seq(col("c_nationkey")), Seq(col("c_custkey").asc),
         col("c_custkey"), 2)
     }
-    assert(ex.getMessage.contains("__graft_topk_bk"))
+    assert(ex.getMessage.contains("__graft_topk_"))
     val ex2 = intercept[IllegalArgumentException] {
       GroupTopK.topK(df.withColumn("rank", lit(1)),
         Seq(col("c_nationkey")), Seq(col("c_custkey").asc),

@@ -259,9 +259,11 @@ class PlanShapeSpec extends SparkSuite {
     "top-k window is (qid, is_pos, range)-keyed local first, query side " +
     "broadcast, no cartesian") {
     val p = plan("q119_contrastive_triplets")
-    assert("row_number\\(\\) windowspecdefinition\\(qid#\\d+L?, is_pos#".r
+    // pin the LOCAL cell-keyed stage specifically — the global
+    // (qid, is_pos) window alone would also match a qid-funnel regression
+    assert("row_number\\(\\) windowspecdefinition\\(qid#\\d+L?, is_pos#\\d+, __graft_topk_bk#".r
       .findFirstIn(p).isDefined,
-      s"rank window not (qid, is_pos)-keyed in:\n$p")
+      s"local top-k window not (qid, is_pos, cell)-keyed in:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"query side must broadcast for the scoring scan in:\n$p")
     assert(!p.contains("CartesianProduct"))
