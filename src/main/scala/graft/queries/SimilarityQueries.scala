@@ -339,22 +339,44 @@ object SimilarityQueries extends QueryModule {
     * scan is map-only — the standard embedding-quality report (tight
     * clusters → high min cosine) at any corpus size.
     */
+  /** Per-label centroid arrays from integer-quantized (1e-6) coordinate
+    * sums — exact in any aggregation order, so both engines agree — as
+    * (label, cv DOUBLE[]). Shared by q81 (intra-label stats) and q123
+    * (label-noise outliers); `labelCentCteSql` is the oracle twin.
+    */
+  private def labelCentroids(e: org.apache.spark.sql.DataFrame) = {
+    val ex = e.select(col("vec_id"), col("label"), posexplode(col("v")))
+      .toDF("vec_id", "label", "idx", "vv")
+      .select(col("vec_id"), col("label"), col("idx"),
+        floor(col("vv") * lit(1e6) + lit(0.5)).cast("long").as("q"))
+    ex.groupBy("label", "idx")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("idx"),
+        (col("sq").cast("double") / col("n").cast("double") / lit(1e6)).as("cvi"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("idx"), col("cvi")))).as("a"))
+      .select(col("label"), expr("transform(a, x -> x.cvi)").as("cv"))
+  }
+
+  private val labelCentCteSql =
+    s"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ex AS (SELECT vec_id, label,
+                 CAST(generate_subscripts(v, 1) AS INT) AS idx,
+                 CAST(floor(unnest(v) * 1e6 + 0.5) AS BIGINT) AS q
+               FROM e),
+        comp AS (SELECT label, idx,
+                   CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) / 1e6 AS cvi
+                 FROM ex GROUP BY label, idx),
+        cents AS (SELECT label, list(cvi ORDER BY idx) AS cv
+                  FROM comp GROUP BY label)"""
+
   private val q81 = QueryDef(
     "q81_label_centroid_stats",
     (s, d) => {
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      val ex = e.select(col("vec_id"), col("label"), posexplode(col("v")))
-        .toDF("vec_id", "label", "idx", "vv")
-        .select(col("vec_id"), col("label"), col("idx"),
-          floor(col("vv") * lit(1e6) + lit(0.5)).cast("long").as("q"))
-      val cents = ex.groupBy("label", "idx")
-        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
-        .select(col("label"), col("idx"),
-          (col("sq").cast("double") / col("n").cast("double") / lit(1e6)).as("cvi"))
-        .groupBy("label")
-        .agg(sort_array(collect_list(struct(col("idx"), col("cvi")))).as("a"))
-        .select(col("label"), expr("transform(a, x -> x.cvi)").as("cv"))
+      val cents = labelCentroids(e)
       e.join(broadcast(cents), "label")
         .select(col("label"), cosine(col("v"), col("cv")).as("cos"))
         .groupBy("label")
@@ -363,22 +385,49 @@ object SimilarityQueries extends QueryModule {
           max(col("cos")).as("max_intra_cos"))
         .orderBy("label")
     },
-    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-                  ex AS (SELECT vec_id, label,
-                           CAST(generate_subscripts(v, 1) AS INT) AS idx,
-                           CAST(floor(unnest(v) * 1e6 + 0.5) AS BIGINT) AS q
-                         FROM e),
-                  comp AS (SELECT label, idx,
-                             CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
-                               / CAST(COUNT(*) AS DOUBLE) / 1e6 AS cvi
-                           FROM ex GROUP BY label, idx),
-                  cents AS (SELECT label, list(cvi ORDER BY idx) AS cv
-                            FROM comp GROUP BY label)
+    Some(s"""WITH $labelCentCteSql
              SELECT e.label, COUNT(*) AS n_vecs,
                     MIN(${cosSql("v", "cv")}) AS min_intra_cos,
                     MAX(${cosSql("v", "cv")}) AS max_intra_cos
              FROM e JOIN cents ON e.label = cents.label
              GROUP BY e.label ORDER BY e.label"""))
+
+  /** Label-noise detection: for every label, the `k` member vectors
+    * LEAST cosine-similar to their own label centroid — the mislabeled-
+    * sample shortlist a training-data audit reviews (a vector far from
+    * its class center is either noise or a labeling error; curated
+    * datasets prune or re-queue these). Centroids are q81's exact
+    * integer-quantized means.
+    *
+    * Scale shape: centroids are #labels tiny rows, broadcast; scoring is
+    * map-side over one corpus scan; the per-label bottom-k runs through
+    * [[graft.operators.GroupTopK]] (ascending order — "top-k worst"),
+    * so a label owning most of the corpus still never funnels one task.
+    */
+  private val q123 = QueryDef(
+    "q123_label_outliers",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val scored = e.join(broadcast(labelCentroids(e)), "label")
+        .select(col("label"), col("vec_id"),
+          cosine(col("v"), col("cv")).as("cos_to_centroid"))
+      graft.operators.GroupTopK.topK(scored, Seq(col("label")),
+          Seq(col("cos_to_centroid").asc, col("vec_id").asc),
+          col("vec_id"), 3)
+        .select("label", "rank", "vec_id", "cos_to_centroid")
+        .orderBy("label", "rank")
+    },
+    Some(s"""WITH $labelCentCteSql,
+                  scored AS (SELECT e.label, vec_id,
+                               ${cosSql("v", "cv")} AS cos_to_centroid
+                             FROM e JOIN cents ON e.label = cents.label)
+             SELECT label, rank, vec_id, cos_to_centroid FROM (
+               SELECT label, vec_id, cos_to_centroid,
+                      ROW_NUMBER() OVER (PARTITION BY label
+                        ORDER BY cos_to_centroid ASC, vec_id ASC) AS rank
+               FROM scored) t
+             WHERE rank <= 3 ORDER BY label, rank"""))
 
   /** SemDeDup-style semantic deduplication (cluster-then-prune): vectors
     * are assigned to their nearest k-means cell (the q62 coarse quantizer,
@@ -1378,5 +1427,5 @@ object SimilarityQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112,
-      q114, q116, q117, q119)
+      q114, q116, q117, q119, q123)
 }

@@ -300,6 +300,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("windowspecdefinition"), s"unexpected window in:\n$p")
   }
 
+  test("q123 outliers broadcast the label centroids and bottom-k through " +
+    "the cell-keyed local window — a dominant label never funnels one task") {
+    val p = plan("q123_label_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast in:\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(label#\\d+, __graft_topk_bk#".r
+      .findFirstIn(p).isDefined,
+      s"local bottom-k window not (label, cell)-keyed in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q107 PQ encoding broadcasts every codebook — the corpus side " +
     "never shuffles for the argmin, no cartesian anywhere") {
     val p = plan("q107_pq_fidelity")
