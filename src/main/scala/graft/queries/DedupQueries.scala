@@ -623,6 +623,44 @@ object DedupQueries extends QueryModule {
              LEFT JOIN sz ON d.doc_id = sz.cluster_id
              ORDER BY d.doc_id"""))
 
+  /** Leakage-safe train/test split: the q66 salted-hash assignment applied
+    * to each document's NEAR-DUP GROUP representative instead of the
+    * document itself, so every member of a duplicate cluster lands on the
+    * same side. A per-document random or hash split leaks near-duplicates
+    * across the boundary — the test set then contains paraphrases of
+    * training documents and eval scores are inflated; splitting by the
+    * connected-component label (singletons are their own group) is the
+    * standard dedup-before-split discipline for training corpora.
+    *
+    * Scale shape: the component loop is q74's linear bucket-star CC; its
+    * label map is duplicate-population-sized (far smaller than the
+    * corpus), joined to the corpus on doc_id in one keyed shuffle; the
+    * hash assignment itself is map-only. Nothing here funnels one task.
+    */
+  private val q124 = QueryDef(
+    "q124_leakage_safe_split",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val labels = connectedComponents(lshBucketStars(docs))
+      docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+        .withColumn("split",
+          when(substring(md5(concat(lit("split:"),
+              col("group_id").cast("string"))), 1, 2) < "e6",
+            lit("train")).otherwise(lit("test")))
+        .select("doc_id", "group_id", "split")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $ccCteSql
+             SELECT d.doc_id,
+                    COALESCE(cc.cluster_id, d.doc_id) AS group_id,
+                    CASE WHEN substring(md5('split:' ||
+                           CAST(COALESCE(cc.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) < 'e6'
+                         THEN 'train' ELSE 'test' END AS split
+             FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+             ORDER BY d.doc_id"""))
+
   /** The incremental-dedup core shared by q82 and the persisted signature
     * index probe: given the EXISTING corpus's signatures and the
     * increment's signatures, returns the REJECT list — new docs whose best
@@ -1060,5 +1098,5 @@ object DedupQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99,
-      q103, q110)
+      q103, q110, q124)
 }

@@ -549,7 +549,60 @@ object TextQueries extends QueryModule {
           ORDER BY source"""
     })
 
+  /** Vocabulary coverage / OOV report: the deterministic top-1000 token
+    * vocabulary by global frequency (count DESC, token ASC — a total
+    * order, so the cut is reproducible in any engine), then each source's
+    * out-of-vocabulary token-occurrence rate. The tokenizer-design twin of
+    * q104's BPE pairs: a source with a high OOV rate against the planned
+    * vocabulary will fragment into long byte-level token sequences and
+    * deserves either vocab budget or exclusion.
+    *
+    * Scale shape: one corpus scan into a (source, token) counted
+    * aggregate — Zipf-head tokens are absorbed by map-side partial
+    * aggregation (the q109 lesson: hot keys are safe in aggregates,
+    * fatal in windows). The vocabulary is a top-k over the
+    * vocabulary-sized (Heaps' law) token rollup of that frame, and joins
+    * back BROADCAST onto the vocab×sources-sized aggregate — never the
+    * corpus token stream. The final rollup is #sources rows.
+    */
+  private val q125 = QueryDef(
+    "q125_vocab_oov",
+    (s, d) => {
+      val st = Tables(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val vocab = st.groupBy("tok").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(1000)
+        .select(col("tok"), lit(1).as("iv"))
+      st.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(sum("c").as("n_tokens"),
+          sum(when(col("iv").isNull, col("c")).otherwise(0L)).as("n_oov"))
+        .select(col("source"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_oov").cast("long").as("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+            .as("oov_rate"))
+        .orderBy("source")
+    },
+    Some(s"""WITH tok AS (SELECT source, unnest($tokSql) AS tok FROM documents),
+                  st AS (SELECT source, tok, COUNT(*) AS c FROM tok
+                         GROUP BY source, tok),
+                  vocab AS (SELECT tok, 1 AS iv FROM (
+                              SELECT tok, CAST(SUM(c) AS BIGINT) AS n
+                              FROM st GROUP BY tok
+                              ORDER BY n DESC, tok ASC LIMIT 1000)),
+                  j AS (SELECT st.source, st.c, vocab.iv
+                        FROM st LEFT JOIN vocab ON st.tok = vocab.tok)
+             SELECT source,
+                    CAST(SUM(c) AS BIGINT) AS n_tokens,
+                    CAST(SUM(CASE WHEN iv IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+                    CAST(SUM(CASE WHEN iv IS NULL THEN c ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM(c) AS DOUBLE) AS oov_rate
+             FROM j GROUP BY source ORDER BY source"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88, q104, q105, q109,
-      q120, q121)
+      q120, q121, q125)
 }

@@ -311,6 +311,29 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q124 leakage-safe split joins the (small) cluster-label map on a " +
+    "keyed join and assigns splits map-side — no window, no cartesian, " +
+    "no single-partition exchange") {
+    val p = plan("q124_leakage_safe_split")
+    assert(!p.contains("windowspecdefinition"),
+      s"unexpected window in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition funnel in:\n$p")
+  }
+
+  test("q125 OOV report aggregates the token stream (map-side combine " +
+    "absorbs Zipf heads) and broadcast-joins the top-k vocabulary — " +
+    "never a token-keyed window") {
+    val p = plan("q125_vocab_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary must broadcast in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-k must plan as per-partition heaps in:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"token-keyed window in:\n$p")
+  }
+
   test("q107 PQ encoding broadcasts every codebook — the corpus side " +
     "never shuffles for the argmin, no cartesian anywhere") {
     val p = plan("q107_pq_fidelity")
