@@ -22,8 +22,13 @@ import org.apache.spark.sql.functions._
   * sort key (`doc_id div 4096` for doc_id order, `floor(q*1024)` DESC
   * for quality-DESC order, a hash-string prefix for hash order). Hash
   * buckets (fine for [[GroupTopK]]) would be WRONG here: rank needs the
-  * bucket order to BE the row order. The prefix-SUM twin of this
-  * pattern (running sums instead of ranks) lives inline in q94/q115.
+  * bucket order to BE the row order. `bucketCol` must also be NON-NULL
+  * on every row — the offsets join is a null-unsafe equi-join, so a
+  * null bucket would silently drop its rows from the ranking; the
+  * operator fails loudly instead (coalesce the bucket expression to a
+  * sentinel range first if nulls are expected). The prefix-SUM twin of
+  * this pattern (running sums instead of ranks) lives inline in
+  * q94/q115.
   */
 object BucketedRank {
 
@@ -42,7 +47,17 @@ object BucketedRank {
       "input already carries a reserved __graft_rank_* column")
     val keys = groupCols :+ bucketCol
     val bOrd = if (bucketAsc) col(bucketCol).asc else col(bucketCol).desc
-    val counts = df.groupBy(keys.map(col): _*)
+    // a NULL bucket cannot take part in the offsets equi-join below —
+    // its rows would vanish from the ranking (counted in nothing,
+    // joined to nothing) while the naive window this operator replaces
+    // would have ranked them. Fail per-row and loudly instead; the
+    // check is a codegen'd map-side predicate, free at any scale.
+    val checked = df.filter(
+      assert_true(col(bucketCol).isNotNull,
+        lit(s"BucketedRank: NULL $bucketCol — null buckets would be " +
+          "silently dropped by the offsets join; coalesce the bucket " +
+          "expression to a sentinel range first")).isNull)
+    val counts = checked.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__graft_rank_c"))
     val offW = Window.partitionBy(groupCols.map(col): _*).orderBy(bOrd)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -51,7 +66,7 @@ object BucketedRank {
         coalesce(sum("__graft_rank_c").over(offW), lit(0L)))
       .select(keys.map(col) :+ col("__graft_rank_off"): _*)
     val wb = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.join(broadcast(offs), keys)
+    checked.join(broadcast(offs), keys)
       .withColumn(rankName, col("__graft_rank_off") + row_number().over(wb))
       .drop("__graft_rank_off")
   }

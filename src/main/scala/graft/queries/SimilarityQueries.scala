@@ -942,8 +942,14 @@ object SimilarityQueries extends QueryModule {
       iters: Int = 3): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
     val cents = kmeansCentroids(e, k, iters)
+    // provenance is stamped at ASSIGNMENT time (the pqCodes move): every
+    // cell row carries the fingerprint of the centroids that produced
+    // it, so a later mis-paired save (cells from training B, centroids
+    // from training A) is detectable instead of silently pruning the
+    // wrong cells.
     (cents, nearestCentroid(e, cents)
-      .select(col("vec_id"), col("cid").as("cell")))
+      .select(col("vec_id"), col("cid").as("cell"))
+      .withColumn("fp", lit(centsFingerprint(cents))))
   }
 
   /** Deterministic identity of a coarse-centroid relation (md5 over every
@@ -968,18 +974,29 @@ object SimilarityQueries extends QueryModule {
 
   /** Persists the coarse (IVF) half of an index: centroids at
     * `path`/centroids (k tiny rows), the corpus cell assignment at
-    * `path`/cells — both stamped with the centroid fingerprint so a
-    * mixed store (cells from one training, centroids from another)
-    * fails at load instead of pruning the wrong cells. Together with
+    * `path`/cells. The cells' provenance stamp — embedded by [[ivfTrain]]
+    * at assignment time — is VERIFIED against the centroids here, never
+    * re-stamped: a mis-paired save (cells assigned by a different
+    * training than the centroids being saved) fails at save, and a
+    * post-save file splice still fails at load. Together with
     * [[pqSaveIndex]] this persists everything [[ivfPqSearch]] consumes.
     */
   def ivfSaveIndex(cents: org.apache.spark.sql.DataFrame,
       cells: org.apache.spark.sql.DataFrame, path: String): Unit = {
     val fp = centsFingerprint(cents)
+    require(cells.columns.contains("fp"),
+      "ivfSaveIndex: cells carry no provenance stamp — assign them with " +
+        "ivfTrain so each row records which centroids produced it")
+    val stamps = cells.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(stamps.isEmpty || stamps == Seq(fp),
+      s"ivfSaveIndex: cells were assigned by a different centroid set " +
+        s"(${stamps.mkString(", ")}) than the centroids being saved ($fp) " +
+        "— a mis-paired store would silently prune the wrong cells")
     cents.select(col("cid"), col("cv")).withColumn("fp", lit(fp))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    cells.withColumn("fp", lit(fp))
+    cells.select("vec_id", "cell", "fp")
       .write.mode("overwrite").parquet(s"$path/cells")
   }
 
@@ -1016,7 +1033,9 @@ object SimilarityQueries extends QueryModule {
       s"ivfLoadIndex: cells at $path/cells were assigned by a different " +
         s"centroid set (${cellFps.filterNot(_ == storedFp).mkString(", ")}) " +
         s"than the stored centroids ($storedFp)")
-    (bare, cells.drop("fp"))
+    // the stamp stays on the returned cells: a load → save round-trip
+    // re-verifies it, and ivfPqSearch projects it away after its join
+    (bare, cells)
   }
 
   /** IVF-PQ search — the composition of the coarse quantizer (q62) with
@@ -1346,6 +1365,11 @@ object SimilarityQueries extends QueryModule {
       k: Int): org.apache.spark.sql.DataFrame = {
     val b = e.select(col("vec_id").as("bid"), col("v").as("bv"))
     val w = Window.partitionBy("aid").orderBy(col("sim").desc, col("bid").asc)
+    // materialize the ranked top-k ONCE: it feeds both sides of the
+    // mutuality self-join below, and without the checkpoint the
+    // scoring + window would execute twice (exchange reuse caches the
+    // scored exchange, not the window) — the q72 one-relation-many-
+    // consumers discipline.
     val top = e.select(col("vec_id").as("aid"), col("v"))
       .crossJoin(broadcast(b))
       .filter(col("aid") =!= col("bid"))
@@ -1353,6 +1377,7 @@ object SimilarityQueries extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("aid", "bid", "sim", "rn")
+      .localCheckpoint(true)
     val rev = top.select(col("aid").as("bid2"), col("bid").as("aid2"),
       col("rn").as("rank_ba"))
     top.join(rev, col("aid") === col("aid2") && col("bid") === col("bid2"))

@@ -58,4 +58,19 @@ class BucketedRankSpec extends SparkSuite {
     }
     assert(ex2.getMessage.contains("rank"))
   }
+
+  test("a NULL bucket fails loudly — the offsets equi-join would " +
+    "silently drop the row where the naive window would rank it") {
+    val withNull = base.withColumn("kb",
+      when(col("c_custkey") === 7L, lit(null)).otherwise(col("kb")))
+    val ex = intercept[Exception] {
+      BucketedRank.rank(withNull, Seq.empty, "kb",
+        bucketAsc = true, Seq(col("c_custkey").asc)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("BucketedRank: NULL")),
+      s"expected the null-bucket guard, got: ${messages(ex).mkString(" | ")}")
+  }
 }

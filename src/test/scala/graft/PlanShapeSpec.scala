@@ -235,11 +235,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q116 mutual-kNN scores over a broadcast candidate side and joins " +
-    "mutuality on (a, b) equality — no cartesian anywhere") {
+  test("q116 mutual-kNN materializes the ranked top-k ONCE (checkpoint " +
+    "feeds both sides of the mutuality join) and joins on (a, b) " +
+    "equality — no cartesian, no second scoring pass") {
     val p = plan("q116_mutual_knn")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"candidate side must broadcast in:\n$p")
+    // the broadcast-candidate scoring stage (BroadcastNestedLoopJoin +
+    // per-anchor window) runs inside the checkpoint materialization;
+    // the visible plan must start from the checkpointed RDD on BOTH
+    // join sides — that absence of scoring operators IS the assertion
+    // that the expensive stage executes once, not twice
+    assert(p.contains("Scan ExistingRDD"),
+      s"ranked top-k must be checkpointed in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("windowspecdefinition"),
+      s"scoring stage re-executes past the checkpoint in:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 

@@ -208,6 +208,29 @@ class PqIndexSpec extends SparkSuite {
       s"expected the mixed-store check, got: ${ex.getMessage}")
   }
 
+  test("a mis-paired SAVE — cells assigned by one training, centroids " +
+    "from another — fails at save time, before a self-consistent-looking " +
+    "store can exist") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val (centsA, _) = SimilarityQueries.ivfTrain(emb)
+    val (_, cellsB) =
+      SimilarityQueries.ivfTrain(emb.filter(col("vec_id") >= 100))
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityQueries.ivfSaveIndex(centsA, cellsB,
+        tmpDir("annidx-mispair") + "/store")
+    }
+    assert(ex.getMessage.contains("different centroid set"),
+      s"expected the mis-pair check, got: ${ex.getMessage}")
+    // and unstamped cells (not produced by ivfTrain) are refused outright
+    val ex2 = intercept[IllegalArgumentException] {
+      SimilarityQueries.ivfSaveIndex(centsA,
+        cellsB.drop("fp"), tmpDir("annidx-nostamp") + "/store")
+    }
+    assert(ex2.getMessage.contains("no provenance stamp"),
+      s"expected the missing-stamp check, got: ${ex2.getMessage}")
+  }
+
   test("lshMultiAnn's self-exclusion is opt-in: an external qid that " +
     "collides with a corpus vec_id keeps that corpus vector as a " +
     "candidate by default") {
