@@ -927,7 +927,83 @@ object PipelineQueries extends QueryModule {
              FROM w WHERE cw // step > (cw - n_chars) // step
              ORDER BY source, doc_id"""))
 
+  /** Capped epoch schedule under a data-constrained token budget: the
+    * training budget here is 2× the unique corpus (the regime where
+    * repeat schedules exist at all — the budget exceeds the data), each
+    * source's q113-weighted allocation is capped at 2.0 epochs
+    * (repeating a source many times yields diminishing returns, so
+    * data-constrained practice bounds repeats), and the capped sources'
+    * shortfall flows to the under-cap sources in ONE deterministic
+    * waterfall round, proportional to their mixture weight. Output is
+    * the per-source repeat plan a dataloader consumes: target vs capped
+    * allocation and the final epoch count. q113 decides the ideal mix;
+    * this op reconciles it with the cap that real data budgets hit.
+    *
+    * Scale shape: everything after mixSrcs' one corpus-scan aggregate
+    * operates on #sources rows — two 1-row broadcast totals (the
+    * weight denominator, then the waterfall's alloc sum + uncapped
+    * weight mass). Determinism: raw weights are 4-decimal DECIMALs with
+    * exact sums; the two divisions and the floor run on bit-identical
+    * operands in both engines (the q113 discipline).
+    */
+  private val q126 = QueryDef(
+    "q126_epoch_schedule",
+    (s, d) => {
+      val srcs = mixSrcs(s, d)
+      val tots = srcs.agg(sum("n_tokens").as("tot"), sum("raw").as("denom"))
+      val w = srcs.crossJoin(broadcast(tots))
+        .withColumn("budget", col("tot") * lit(2L))
+        .withColumn("target_tokens",
+          floor(col("raw").cast("double") / col("denom").cast("double")
+            * col("budget").cast("double")).cast("long"))
+        .withColumn("cap_tokens", col("n_tokens") * lit(2L))
+        .withColumn("capped", col("target_tokens") > col("cap_tokens"))
+        .withColumn("alloc1", least(col("target_tokens"), col("cap_tokens")))
+      val r = w.agg(sum("alloc1").as("asum"),
+        sum(when(!col("capped"), col("raw"))).as("raw_u"))
+      w.crossJoin(broadcast(r))
+        .withColumn("extra",
+          when(col("capped") || col("raw_u").isNull, lit(0L))
+            .otherwise(floor((col("budget") - col("asum")).cast("double")
+              * col("raw").cast("double") / col("raw_u").cast("double"))
+              .cast("long")))
+        .withColumn("alloc_tokens",
+          least(col("alloc1") + col("extra"), col("cap_tokens")))
+        .withColumn("final_epochs",
+          col("alloc_tokens").cast("double") / col("n_tokens").cast("double"))
+        .select("source", "n_tokens", "target_tokens", "capped",
+          "alloc_tokens", "final_epochs")
+        .orderBy("source")
+    },
+    Some(s"""WITH $mixSrcsSql,
+                  w AS (SELECT source, n_tokens, raw,
+                               tot * 2 AS budget,
+                               CAST(FLOOR(CAST(raw AS DOUBLE)
+                                 / CAST(denom AS DOUBLE)
+                                 * CAST(tot * 2 AS DOUBLE)) AS BIGINT)
+                                 AS target_tokens,
+                               n_tokens * 2 AS cap_tokens
+                        FROM srcs CROSS JOIN mixtot),
+                  w2 AS (SELECT *, target_tokens > cap_tokens AS capped,
+                                LEAST(target_tokens, cap_tokens) AS alloc1
+                         FROM w),
+                  r AS (SELECT CAST(SUM(alloc1) AS BIGINT) AS asum,
+                               SUM(CASE WHEN NOT capped THEN raw END) AS raw_u
+                        FROM w2),
+                  w3 AS (SELECT source, n_tokens, target_tokens, capped,
+                                LEAST(alloc1 + CASE
+                                    WHEN capped OR raw_u IS NULL THEN 0
+                                    ELSE CAST(FLOOR(CAST(budget - asum AS DOUBLE)
+                                      * CAST(raw AS DOUBLE)
+                                      / CAST(raw_u AS DOUBLE)) AS BIGINT) END,
+                                  cap_tokens) AS alloc_tokens
+                         FROM w2 CROSS JOIN r)
+             SELECT source, n_tokens, target_tokens, capped, alloc_tokens,
+                    CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                      AS final_epochs
+             FROM w3 ORDER BY source"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67, q68, q69, q70,
-      q76, q77, q78, q79, q91, q94, q95, q106, q113, q115)
+      q76, q77, q78, q79, q91, q94, q95, q106, q113, q115, q126)
 }

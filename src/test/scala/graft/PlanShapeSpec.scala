@@ -343,6 +343,15 @@ class PlanShapeSpec extends SparkSuite {
       s"token-keyed window in:\n$p")
   }
 
+  test("q126 epoch schedule is windowless past the one corpus aggregate — " +
+    "both totals broadcast onto the #sources frame, no cartesian") {
+    val p = plan("q126_epoch_schedule")
+    assert(!p.contains("windowspecdefinition"), s"unexpected window in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row totals must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q107 PQ encoding broadcasts every codebook — the corpus side " +
     "never shuffles for the argmin, no cartesian anywhere") {
     val p = plan("q107_pq_fidelity")
