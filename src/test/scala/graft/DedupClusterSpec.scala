@@ -128,4 +128,31 @@ class DedupClusterSpec extends SparkSuite {
     assert(plan.contains("LogicalRDD"), // the checkpoint boundary
       s"survivors must read the materialized labels, not recompute them:\n$plan")
   }
+
+  test("q124 exists for a reason: on real sf0.001 data the per-document " +
+    "q66 split DOES place members of one near-dup cluster on both sides, " +
+    "and the cluster-aware split never does") {
+    val dir = "/root/testdata/sf0.001"
+    val q124 = SparkEntry.queries("q124_leakage_safe_split")(spark, dir)
+      .localCheckpoint(true)
+    // the cluster-aware split is leak-free BY OUTPUT, not by construction
+    // trust: every group lands on exactly one side
+    val leaky124 = q124.groupBy("group_id")
+      .agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(leaky124 == 0L, "cluster-aware split leaked a group across sides")
+    // the same clusters under q66's per-document hash: at least one
+    // multi-doc cluster must straddle train/test on this corpus (if the
+    // data ever stops exhibiting the leak, the fixture — not the
+    // operator — needs revisiting, so fail loudly either way)
+    val q66 = SparkEntry.queries("q66_train_test_split")(spark, dir)
+    val leaky66 = q124.select("doc_id", "group_id")
+      .join(q66.select("doc_id", "split"), "doc_id")
+      .groupBy("group_id")
+      .agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(leaky66 > 0L,
+      "expected the per-document split to leak at least one near-dup " +
+        "cluster on sf0.001 — the fixture no longer demonstrates the leak")
+  }
 }
