@@ -419,19 +419,41 @@ object PipelineQueries extends QueryModule {
     * (bin = cum_before DIV 512) — the boundary-packing approximation whose
     * per-bin overflow is bounded by one document. Integer arithmetic only.
     *
-    * Scale note: the single global running sum is the small-data form; at
-    * 100 TB packing runs per partition with bin ids offset by a per-
-    * partition prefix (one pass to count partition totals, one map pass) —
-    * same arithmetic, no global sort.
+    * Scale shape: the prefix sum runs in the two-pass range-bucket form
+    * (the q94/q115 idiom — an unpartitioned Window.orderBy would plan as
+    * Exchange SinglePartition and stream the whole corpus through ONE
+    * task): doc_ids are cut into 256 ordered ranges (width from one tiny
+    * max(doc_id) aggregate, broadcast), pass 1 aggregates per-range token
+    * totals into exclusive prefix offsets (256 rows), pass 2 runs the
+    * EXCLUSIVE running sum within each range (a 256-way partitioned
+    * window) plus the broadcast offset — identical integer arithmetic to
+    * the global window because the range is a doc_id prefix. The regex
+    * token count is localCheckpointed once: both passes read the
+    * (doc_id, n_tokens) frame, and without the materialization the
+    * corpus-regex scan would execute twice.
     */
   private val q77 = QueryDef(
     "q77_sequence_packing",
     (s, d) => {
-      val w = Window.orderBy(col("doc_id"))
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .localCheckpoint(true)
+      val dims = toks.agg((expr("max(doc_id) div 256") + 1).as("bw"))
+      val bucketed = toks.crossJoin(broadcast(dims))
+        .withColumn("bk", expr("doc_id div bw"))
+      // pass 1: 256 range totals -> exclusive prefix offsets (tiny)
+      val offs = bucketed.groupBy("bk").agg(sum("n_tokens").as("bs"))
+        .withColumn("off", coalesce(sum("bs").over(
+          Window.orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bk", "off")
+      // pass 2: per-range EXCLUSIVE running sum + broadcast offset
+      val wb = Window.partitionBy("bk").orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      Tables(s, d, "documents")
-        .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
-        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      bucketed.join(broadcast(offs), "bk")
+        .withColumn("cum_before",
+          col("off") + coalesce(sum(col("n_tokens")).over(wb), lit(0L)))
         .select(col("doc_id"), col("n_tokens"),
           expr("cum_before div 512").as("bin_id"))
         .orderBy("doc_id")

@@ -104,14 +104,23 @@ object SearchQueries extends QueryModule {
                WHERE ${terms.indices.map(i => s"tf$i > 0").mkString(" OR ")})"""
   }
 
-  /** BM25 top-20 for the fixed query-term set. */
+  /** BM25 top-20 for the fixed query-term set.
+    *
+    * Scale shape: the top-20 is `orderBy(...).limit(20)` — Catalyst plans
+    * it as TakeOrderedAndProject (per-partition bounded heaps, parallel),
+    * never a global sort or a match-list-sized single-partition rank
+    * window (for common terms the match list is a large corpus
+    * fraction). The rank column is then a window over the 20 survivors —
+    * constant-sized regardless of corpus. Identical deterministic output
+    * to rank-then-filter because the order is total (score, doc_id).
+    */
   private val q92 = QueryDef(
     "q92_bm25_search",
     (s, d) => {
       val bm = bm25Scores(Tables(s, d, "documents"))
-      bm.withColumn("rank", row_number().over(
+      bm.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id").asc)))
-        .filter(col("rank") <= 20)
         .select("rank", "doc_id", "n_terms_hit", "score")
         .orderBy("rank")
     },
@@ -123,55 +132,68 @@ object SearchQueries extends QueryModule {
              WHERE rank <= 20 ORDER BY rank"""))
 
   /** Hybrid retrieval: BM25 rank fused with embedding-cosine rank by
-    * reciprocal-rank fusion, rrf = 1/(60+r_bm25) + 1/(60+r_cos). The dense
-    * side ranks every non-query vector against the query vector (vec_id 0,
-    * broadcast); the sparse side ranks BM25 matches. A document missing
-    * from one list contributes only the other list's term — the standard
-    * RRF convention.
+    * reciprocal-rank fusion, rrf = 1/(60+r_bm25) + 1/(60+r_cos), both
+    * sides genuine CANDIDATE lists: the sparse side is the BM25 top-30
+    * (TakeOrdered heap, the q92 move), the dense side is the top-30 from
+    * the q111 multi-table LSH ANN index — the composition a production
+    * retrieval stack actually runs (ANN candidates fused with keyword
+    * candidates), not a stand-in full-corpus exact rank. A document
+    * missing from one list contributes only the other list's term — the
+    * standard RRF convention. ANN recall vs the exact dense rank is the
+    * measured q111 table (SCALING.md).
     *
-    * Scale shape: both ranked lists are CANDIDATE lists (BM25 matches /
-    * ANN results), orders of magnitude smaller than the corpus — the
-    * full-corpus dense rank here stands in for an ANN top-k (q37/q62); the
-    * fusion join is candidate-sized. The global row_number windows rank
-    * those candidate lists, not the corpus.
+    * Scale shape: nothing corpus-sized is ever ranked on one task — the
+    * BM25 side bounds to 30 rows via TakeOrderedAndProject before its
+    * rank window, the dense side's per-query candidate set is bounded by
+    * L × bucket occupancy (lshMultiAnn's qid-partitioned window), and
+    * the fusion join and final rrf rank run over ≤ 60 rows.
     */
   private val q93 = QueryDef(
     "q93_hybrid_rrf",
     (s, d) => {
       val bm = bm25Scores(Tables(s, d, "documents"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(30)
         .select(col("doc_id"), row_number().over(
           Window.orderBy(col("score").desc, col("doc_id").asc)).as("bm25_rank"))
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      val vr = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .select(col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
-        .select(col("vec_id"), row_number().over(
-          Window.orderBy(col("sim").desc, col("vec_id").asc)).as("cos_rank"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val vr = SimilarityQueries.lshMultiAnn(e, q, topK = 30,
+          excludeSelfMatches = true)
+        .select(col("neighbor_id").as("vec_id"), col("rank").as("cos_rank"))
       bm.join(vr, col("doc_id") === col("vec_id"), "full_outer")
         .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
           col("bm25_rank"), col("cos_rank"))
         .withColumn("rrf",
           coalesce(lit(1.0) / (lit(60.0) + col("bm25_rank").cast("double")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(60.0) + col("cos_rank").cast("double")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("id").asc).limit(15)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("rrf").desc, col("id").asc)))
-        .filter(col("rank") <= 15)
         .select("rank", "id", "bm25_rank", "cos_rank", "rrf")
         .orderBy("rank")
     },
     Some(s"""WITH $bm25CteSql,
-                  br AS (SELECT doc_id,
-                           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
-                         FROM bm),
+                  br AS (SELECT doc_id, bm25_rank FROM (
+                           SELECT doc_id,
+                             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
+                           FROM bm) x WHERE bm25_rank <= 30),
                   e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-                  q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-                  vr AS (SELECT vec_id,
-                           ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS cos_rank
-                         FROM (SELECT vec_id,
-                                 list_dot_product(v, qv)
-                                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
-                               FROM e CROSS JOIN q WHERE vec_id <> 0)),
+                  mbk AS (${SimilarityQueries.multiBucketSql(4, 6)}),
+                  ev AS (SELECT e.vec_id, v, tbl, bucket
+                         FROM e JOIN mbk ON e.vec_id = mbk.vec_id),
+                  qs AS (SELECT vec_id AS qid, v AS qv, tbl, bucket
+                         FROM ev WHERE vec_id = 0),
+                  cand AS (SELECT DISTINCT qid, ev.vec_id AS nid,
+                                  ${SimilarityQueries.cosSqlShared("qv", "v")} AS sim
+                           FROM ev JOIN qs ON ev.tbl = qs.tbl
+                                          AND ev.bucket = qs.bucket
+                                          AND qid <> ev.vec_id),
+                  vr AS (SELECT nid AS vec_id, rn AS cos_rank FROM (
+                           SELECT nid, ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY sim DESC, nid ASC) AS rn
+                           FROM cand) y WHERE rn <= 30),
                   fused AS (SELECT COALESCE(br.doc_id, vr.vec_id) AS id,
                               bm25_rank, cos_rank,
                               COALESCE(1.0 / (60.0 + CAST(bm25_rank AS DOUBLE)), 0.0)

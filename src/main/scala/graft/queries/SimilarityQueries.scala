@@ -1196,6 +1196,29 @@ object SimilarityQueries extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** Oracle twin of the multi-table bucket assignment inside
+    * [[lshMultiAnn]]: one row per (vec_id, table) over relation
+    * `e`(vec_id, v) — global plane id p spans `tables × planes`, table =
+    * p DIV planes, bit = p MOD planes, signs from md5(p ':' i) exactly
+    * like lshBucket's `table` parameter. Shared by q111 and q93's dense
+    * candidate oracle so the two never drift.
+    */
+  private[queries] def multiBucketSql(tables: Int, planes: Int): String =
+    s"""SELECT vec_id, p // $planes AS tbl,
+          CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << (p % $planes)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        FROM (SELECT vec_id, p,
+                list_sum(list_transform(range(1, 65),
+                  i -> (CASE WHEN substring(md5(p || ':' || i), 1, 1) <= '7' THEN 1 ELSE -1 END)
+                       * CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT))) AS proj
+              FROM e, range(${tables * planes}) r(p)) t
+        GROUP BY vec_id, p // $planes"""
+
+  /** Shared oracle fragment: cosine between DOUBLE[] columns — exposed to
+    * sibling query modules (q93's fused dense side) so the expression
+    * stays bit-identical with [[cosSql]] here.
+    */
+  private[queries] def cosSqlShared(a: String, b: String): String = cosSql(a, b)
+
   private val q111 = QueryDef(
     "q111_ann_lsh_multitable",
     (s, d) => {
@@ -1206,14 +1229,7 @@ object SimilarityQueries extends QueryModule {
         excludeSelfMatches = true)
     },
     Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-                  mbk AS (SELECT vec_id, p // 6 AS tbl,
-                            CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << (p % 6)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-                          FROM (SELECT vec_id, p,
-                                  list_sum(list_transform(range(1, 65),
-                                    i -> (CASE WHEN substring(md5(p || ':' || i), 1, 1) <= '7' THEN 1 ELSE -1 END)
-                                         * CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT))) AS proj
-                                FROM e, range(24) r(p)) t
-                          GROUP BY vec_id, p // 6),
+                  mbk AS (${multiBucketSql(4, 6)}),
                   ev AS (SELECT e.vec_id, v, tbl, bucket
                          FROM e JOIN mbk ON e.vec_id = mbk.vec_id),
                   qs AS (SELECT vec_id AS qid, v AS qv, tbl, bucket

@@ -81,6 +81,30 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    // the top-20 must be a parallel bounded heap over the match list,
+    // with the rank window ABOVE it (20 rows), never a match-list-sized
+    // single-partition rank window (tree prints top-down: window line
+    // before TakeOrdered line = window consumes the limited output)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as per-partition heaps in:\n$p")
+    assert(p.indexOf("windowspecdefinition") <
+      p.indexOf("TakeOrderedAndProject"),
+      s"rank window must sit above the limit, not over the match list:\n$p")
+  }
+
+  test("q93 hybrid RRF fuses CANDIDATE lists — BM25 side bounded by a " +
+    "TakeOrdered heap, dense side from the LSH index (broadcast bucket " +
+    "join), never a corpus-sized unpartitioned rank window") {
+    val p = plan("q93_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"BM25/RRF top-k must plan as per-partition heaps in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"LSH query buckets must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the old full-corpus dense rank led its windowspec with the sim
+    // sort column (unpartitioned); lshMultiAnn's window is qid-keyed
+    assert("windowspecdefinition\\(sim#".r.findFirstIn(p).isEmpty,
+      s"corpus-sized unpartitioned dense rank crept back in:\n$p")
   }
 
   test("q95 contamination probe broadcasts the benchmark n-gram set — " +
@@ -169,6 +193,23 @@ class PlanShapeSpec extends SparkSuite {
     assert(!"sum\\(n_chars#\\d+L?\\) windowspecdefinition\\(doc_id#".r
       .findFirstIn(p).isDefined,
       s"corpus-wide unpartitioned running sum crept back in:\n$p")
+  }
+
+  test("q77 sequence packing computes its prefix sum in the two-pass " +
+    "form — the running sum partitions on the doc_id range bucket, " +
+    "never Exchange SinglePartition over the corpus") {
+    val p = plan("q77_sequence_packing")
+    assert(p.contains("BroadcastHashJoin"),
+      s"range offsets must broadcast-join in:\n$p")
+    assert("sum\\(n_tokens#\\d+L?\\) windowspecdefinition\\(bk#".r
+      .findFirstIn(p).isDefined,
+      s"running-sum window not bucket-partitioned in:\n$p")
+    assert("sum\\(n_tokens#\\d+L?\\) windowspecdefinition\\(doc_id#".r
+      .findFirstIn(p).isEmpty,
+      s"corpus-wide unpartitioned running sum crept back in:\n$p")
+    // the regex token count must be materialized once, not once per pass
+    assert(p.contains("Scan ExistingRDD"),
+      s"token counts must be checkpointed (computed once) in:\n$p")
   }
 
   test("q109 bigram coherence scores through a broadcast affinity table — " +
