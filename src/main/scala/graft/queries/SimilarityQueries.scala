@@ -939,15 +939,15 @@ object SimilarityQueries extends QueryModule {
     * train once; this is the public surface for building them.
     */
   def ivfTrain(e: org.apache.spark.sql.DataFrame, k: Int = 8,
-      iters: Int = 3): (org.apache.spark.sql.DataFrame,
+      iters: Int = 3, byL2: Boolean = false): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
-    val cents = kmeansCentroids(e, k, iters)
+    val cents = kmeansCentroids(e, k, iters, byL2)
     // provenance is stamped at ASSIGNMENT time (the pqCodes move): every
     // cell row carries the fingerprint of the centroids that produced
     // it, so a later mis-paired save (cells from training B, centroids
     // from training A) is detectable instead of silently pruning the
     // wrong cells.
-    (cents, nearestCentroid(e, cents)
+    (cents, nearestCentroid(e, cents, byL2)
       .select(col("vec_id"), col("cid").as("cell"))
       .withColumn("fp", lit(centsFingerprint(cents))))
   }
@@ -1195,6 +1195,184 @@ object SimilarityQueries extends QueryModule {
         col("rank"), col("sim").as("cos_sim"))
       .orderBy("query_id", "rank")
   }
+
+  /** Residual vectors for residual-encoded IVF-PQ: every corpus vector
+    * minus the coarse centroid of its cell, v − cv[cell] — the standard
+    * production refinement that q112's flat composition documents:
+    * within a cell the residuals span a far tighter ball than the raw
+    * vectors, so the SAME code budget quantizes them with much smaller
+    * error and ADC recall escapes the shared-codeword tie floor
+    * (measured in SCALING.md's code-budget table).
+    *
+    * Scale shape: `cells` joins `e` on vec_id — at the 100 TB target the
+    * cell id is a persisted column beside the vector (written at
+    * [[ivfTrain]] assignment time, the q98 layout move), so this join
+    * disappears into the scan; the centroid side is k rows, broadcast.
+    * The subtraction is one codegen'd zip_with, map-only. Elementwise
+    * a − b is a single exact FP op on both engines, so residuals (and
+    * everything trained on them) stay oracle-able bit-for-bit.
+    */
+  def ivfResiduals(e: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.join(cells.select("vec_id", "cell"), "vec_id")
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (x, y) => x - y).as("v"))
+
+  /** Per-(query, probed-cell) residual distance LUT for one subspace:
+    * l2(query-residual subvector, codeword) for every (qid, cell, cid) —
+    * queries × nprobe × k rows, always broadcast. The cell key is what
+    * distinguishes residual ADC from flat ADC's [[adcLut]]: the same
+    * query has a DIFFERENT residual (and so a different table) in each
+    * probed cell.
+    */
+  private def residualLut(index: PqIndex,
+      qres: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, sub: Int)
+      : org.apache.spark.sql.DataFrame =
+    qres
+      .select(col("qid"), col("cell"),
+        expr(s"slice(qrv, ${sub * index.subDim + 1}, ${index.subDim})").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("cell"), col("cid"), l2(col("qv"), col("cv")).as("dd"))
+
+  /** Residual-encoded IVF-PQ search — [[ivfPqSearch]] with the
+    * production encoding: `codes` are PQ codes of RESIDUALS (train with
+    * [[pqTrain]] over [[ivfResiduals]] output, encode the same), and the
+    * query's ADC tables are built from its per-cell residual qv − cv so
+    * code distances and query distances live in the same residual space.
+    * Everything else — nprobe cell pruning, broadcast LUTs, the one
+    * (qid, vec_id) regroup, fingerprint row-checks — is the q112 shape;
+    * the only structural delta is the LUT keyed by (qid, cell, cid)
+    * instead of (qid, cid). Exactness caveat inherited from ADC; recall
+    * vs the flat encoding at the same code budget is measured in
+    * SCALING.md (the entire point of the residual form).
+    */
+  def ivfPqSearchResidual(cells: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      index: PqIndex,
+      codes: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      nprobe: Int = 2, topK: Int = 5,
+      excludeSelfMatches: Boolean = false,
+      probeByL2: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val vdims = index.subspaces * index.subDim
+    val checked = queries.filter(
+      assert_true(size(col("qv")) === lit(vdims),
+        lit(s"ivfPqSearchResidual: query vector length must be $vdims")).isNull)
+    // probe metric mirrors the coarse quantizer's assignment metric
+    // (ivfTrain byL2): cosine cells probe by cosine, L2 cells by L2
+    val wq =
+      if (probeByL2)
+        Window.partitionBy("qid").orderBy(col("aff").asc, col("cid").asc)
+      else
+        Window.partitionBy("qid").orderBy(col("aff").desc, col("cid").asc)
+    val aff =
+      if (probeByL2) l2(col("qv"), col("cv")) else cosine(col("qv"), col("cv"))
+    val qres = checked.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"), col("cv"), aff.as("aff"))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"),
+        zip_with(col("qv"), col("cv"), (x, y) => x - y).as("qrv"))
+    val candidates = cells.select("vec_id", "cell")
+      .join(broadcast(qres.select("qid", "cell")), "cell")
+      .select(col("qid"), col("cell"), col("vec_id"))
+    val candCodes = fpChecked(index, codes)
+      .join(broadcast(candidates), "vec_id")
+    val scored = index.codebooks.zipWithIndex.map { case (cb, sub) =>
+      candCodes.filter(col("sub") === sub).drop("sub")
+        .join(broadcast(residualLut(index, qres, cb, sub)),
+          Seq("qid", "cell", "cid"))
+        .select(col("qid"), col("vec_id"), lit(sub).as("sub"), col("dd"))
+    }.reduce(_ unionAll _)
+    adcRank(scored, index.subspaces, topK, excludeSelfMatches)
+  }
+
+  /** q127 ships the residual pipeline at 32 coarse cells (vs q112's 8)
+    * because the residual gain tracks the variance the coarse quantizer
+    * explains: on this near-uniform unit-sphere corpus 8 cells explain
+    * 4.7% of ||v||² and residual ≈ flat, while 32 cells explain 10.4%
+    * and residual encoding doubles recall@5 at the 4×8 code budget
+    * (SCALING.md's residual table). Production corpora cluster far more
+    * (k ≈ √n cells), so the gap widens with scale.
+    */
+  private val q127 = QueryDef(
+    "q127_ivf_pq_residual",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val (cents, cells0) = ivfTrain(e, k = 32)
+      // the cell assignment feeds BOTH the residual computation and the
+      // candidate pruning; the residual frame feeds BOTH PQ training and
+      // encoding — materialize each once (the q72 one-relation-many-
+      // consumers discipline; without it the broadcast-argmax assignment
+      // would re-execute per consumer)
+      val cells = cells0.localCheckpoint(true)
+      val rv = ivfResiduals(e, cents, cells).select("vec_id", "v")
+        .localCheckpoint(true)
+      val index = pqTrain(rv)
+      ivfPqSearchResidual(cells, cents, index, pqCodes(index, rv),
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv")),
+        excludeSelfMatches = true) // queries ARE corpus members here
+    },
+    Some {
+      val subCtes = (0 until 4).map { sub =>
+        val rel = s"s${sub}v"
+        val p = s"s${sub}_"
+        val lo = sub * 16 + 1; val hi = sub * 16 + 16
+        s"""$rel AS (SELECT vec_id, v[$lo:$hi] AS v FROM rv),
+            ${kmeansSql(k = 8, iters = 2, p = p, rel = rel, byL2 = true)},
+            ${p}cd AS (${nearestSql(rel, s"${p}cents2", byL2 = true, "vec_id, cid")}),
+            ${p}lut AS (SELECT qid, cell, cid, ${l2Sql("qv", "cv")} AS dd
+                        FROM (SELECT qid, cell, qv[$lo:$hi] AS qv FROM qr) q
+                        CROSS JOIN ${p}cents2),
+            ${p}part AS (SELECT cand.qid, cand.vec_id, $sub AS sub, dd
+                         FROM cand
+                         JOIN ${p}cd ON cand.vec_id = ${p}cd.vec_id
+                         JOIN ${p}lut ON ${p}lut.qid = cand.qid
+                                     AND ${p}lut.cell = cand.cell
+                                     AND ${p}lut.cid = ${p}cd.cid)"""
+      }.mkString(",\n")
+      val unions = (0 until 4).map(sub => s"SELECT * FROM s${sub}_part")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ${kmeansSql(k = 32)},
+              ranked AS (SELECT vec_id, v, cid, aff,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY aff DESC, cid ASC) AS crn
+                         FROM (SELECT e.vec_id, e.v, cid, ${cosSql("v", "cv")} AS aff
+                               FROM e CROSS JOIN cents3)),
+              cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE crn = 1),
+              qcells AS (SELECT vec_id AS qid, cid AS cell
+                         FROM ranked WHERE vec_id < 5 AND crn <= 2),
+              rv AS (SELECT e.vec_id,
+                            list_transform(range(1, 65), i -> v[i] - cv[i]) AS v
+                     FROM e JOIN cells ON e.vec_id = cells.vec_id
+                            JOIN cents3 ON cells.cell = cents3.cid),
+              qr AS (SELECT qid, qcells.cell,
+                            list_transform(range(1, 65), i -> e.v[i] - cv[i]) AS qv
+                     FROM qcells JOIN e ON qcells.qid = e.vec_id
+                            JOIN cents3 ON qcells.cell = cents3.cid),
+              cand AS (SELECT qid, qcells.cell, cells.vec_id
+                       FROM cells JOIN qcells ON cells.cell = qcells.cell),
+              $subCtes,
+              parts AS ($unions),
+              adc AS (SELECT qid, vec_id,
+                        SUM(CASE WHEN sub = 0 THEN dd END)
+                          + SUM(CASE WHEN sub = 1 THEN dd END)
+                          + SUM(CASE WHEN sub = 2 THEN dd END)
+                          + SUM(CASE WHEN sub = 3 THEN dd END) AS adc
+                      FROM parts GROUP BY qid, vec_id)
+         SELECT qid AS query_id, vec_id AS neighbor_id, rn AS rank, adc AS adc_dist
+         FROM (SELECT qid, vec_id, adc,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY adc ASC, vec_id ASC) AS rn
+               FROM adc WHERE qid <> vec_id) t
+         WHERE rn <= 5 ORDER BY query_id, rank"""
+    })
 
   /** Oracle twin of the multi-table bucket assignment inside
     * [[lshMultiAnn]]: one row per (vec_id, table) over relation
@@ -1468,5 +1646,5 @@ object SimilarityQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112,
-      q114, q116, q117, q119, q123)
+      q114, q116, q117, q119, q123, q127)
 }

@@ -240,6 +240,17 @@ class PlanShapeSpec extends SparkSuite {
       s"candidates/LUTs must broadcast in:\n$p")
   }
 
+  test("q127 residual IVF-PQ keeps the q112 shape — broadcast cells/" +
+    "residual LUTs/candidates, code stream joins map-side, no cartesian, " +
+    "no corpus shuffle join") {
+    val p = plan("q127_ivf_pq_residual")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidates/LUTs must broadcast in:\n$p")
+  }
+
   test("q113 mixture weights is aggregates + a 1-row broadcast back — " +
     "no window anywhere, nothing corpus-sized past the first aggregate") {
     val p = plan("q113_mixture_weights")
