@@ -1559,11 +1559,6 @@ object SimilarityQueries extends QueryModule {
       k: Int): org.apache.spark.sql.DataFrame = {
     val b = e.select(col("vec_id").as("bid"), col("v").as("bv"))
     val w = Window.partitionBy("aid").orderBy(col("sim").desc, col("bid").asc)
-    // materialize the ranked top-k ONCE: it feeds both sides of the
-    // mutuality self-join below, and without the checkpoint the
-    // scoring + window would execute twice (exchange reuse caches the
-    // scored exchange, not the window) — the q72 one-relation-many-
-    // consumers discipline.
     val top = e.select(col("vec_id").as("aid"), col("v"))
       .crossJoin(broadcast(b))
       .filter(col("aid") =!= col("bid"))
@@ -1571,7 +1566,28 @@ object SimilarityQueries extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("aid", "bid", "sim", "rn")
-      .localCheckpoint(true)
+    mutualKnnEdgesFromCandidates(top)
+  }
+
+  /** The mutuality tail of mutual-kNN, decoupled from candidate
+    * generation: `directed`(aid, bid, sim, rn) is ANY per-anchor ranked
+    * top-k list — the bounded brute force above (q116), or at the 100 TB
+    * target the ANN index's output ([[lshMultiAnn]] / [[ivfPqSearch]]
+    * renamed query_id→aid, neighbor_id→bid, rank→rn) — and only the
+    * top-k-list-sized reversed-pair equality join runs here. This is the
+    * composition path the q116/q117 scaladocs promise: ANN candidates in,
+    * mutual edges out, connected components unchanged downstream
+    * (MutualKnnAnnSpec measures ANN-fed edge recall vs brute force).
+    *
+    * The input is materialized ONCE (localCheckpoint): it feeds both
+    * sides of the self-join, and without it the candidate generator —
+    * scoring scan or ANN probe — would execute twice (exchange reuse
+    * caches the scored exchange, not the window above it) — the q72
+    * one-relation-many-consumers discipline.
+    */
+  def mutualKnnEdgesFromCandidates(directed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val top = directed.select("aid", "bid", "sim", "rn").localCheckpoint(true)
     val rev = top.select(col("aid").as("bid2"), col("bid").as("aid2"),
       col("rn").as("rank_ba"))
     top.join(rev, col("aid") === col("aid2") && col("bid") === col("bid2"))
