@@ -721,6 +721,32 @@ object SimilarityQueries extends QueryModule {
     (index, spark.read.parquet(s"$path/codes"))
   }
 
+  /** The APPEND verb of the persisted-PQ lifecycle — build / probe /
+    * append, the q82 signature-index trilogy applied to ANN: encode a
+    * NEW batch with a LOADED (or otherwise in-hand) index and append its
+    * codes to the store, no retraining. The store's codebook fingerprint
+    * is checked against `index` FIRST: appending codes from a different
+    * training would poison every subsequent search silently (ADC joins
+    * on colliding code ids), and the row-wise stamp check at load would
+    * then reject the whole store — fail here, before the store is
+    * damaged. Appended codes carry the stamp [[pqCodes]] embeds, so
+    * load/search validation covers increments exactly like the original
+    * build.
+    */
+  def pqAppendCodes(index: PqIndex, emb: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    val spark = emb.sparkSession
+    val meta = spark.read.parquet(s"$path/codebooks").select("fp").take(1)
+    require(meta.nonEmpty,
+      s"pqAppendCodes: codebook store at $path/codebooks is empty — " +
+        "save the index first (pqSaveIndex)")
+    require(meta(0).getString(0) == index.fingerprint,
+      s"pqAppendCodes: index fingerprint ${index.fingerprint} does not " +
+        s"match the store's (${meta(0).getString(0)}) — appending codes " +
+        "from a different training would poison every search")
+    pqCodes(index, emb).write.mode("append").parquet(s"$path/codes")
+  }
+
   /** ADC search: `queries`(qid, qv) are EXTERNAL full-dimension exact
     * vectors (any source — they need not be corpus members); the corpus
     * side is only its persisted `codes` (from [[pqCodes]] — computed once,
@@ -942,14 +968,48 @@ object SimilarityQueries extends QueryModule {
       iters: Int = 3, byL2: Boolean = false): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
     val cents = kmeansCentroids(e, k, iters, byL2)
-    // provenance is stamped at ASSIGNMENT time (the pqCodes move): every
-    // cell row carries the fingerprint of the centroids that produced
-    // it, so a later mis-paired save (cells from training B, centroids
-    // from training A) is detectable instead of silently pruning the
-    // wrong cells.
-    (cents, nearestCentroid(e, cents, byL2)
+    (cents, ivfAssign(e, cents, byL2))
+  }
+
+  /** Cell assignment against an EXISTING coarse quantizer — the encode
+    * half [[ivfTrain]] runs at training time, exposed so an increment
+    * can be assigned by LOADED centroids without retraining. Provenance
+    * is stamped at ASSIGNMENT time (the pqCodes move): every cell row
+    * carries the fingerprint of the centroids that produced it, so a
+    * later mis-paired save (cells from training B, centroids from
+    * training A) is detectable instead of silently pruning the wrong
+    * cells.
+    */
+  def ivfAssign(e: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      byL2: Boolean = false): org.apache.spark.sql.DataFrame =
+    nearestCentroid(e, cents, byL2)
       .select(col("vec_id"), col("cid").as("cell"))
-      .withColumn("fp", lit(centsFingerprint(cents))))
+      .withColumn("fp", lit(centsFingerprint(cents)))
+
+  /** The IVF half of the append verb: assign a new batch with the
+    * store's own centroids and append the stamped cells. The centroid
+    * fingerprint must match the store FIRST — an increment assigned by
+    * different centroids would make every row-wise load check reject
+    * the whole store (by design: that is the splice the load check
+    * exists to catch), so the mistake fails here before the store is
+    * damaged.
+    */
+  def ivfAppendCells(cents: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame, path: String,
+      byL2: Boolean = false): Unit = {
+    val spark = e.sparkSession
+    val stored = spark.read.parquet(s"$path/centroids").select("fp").take(1)
+    require(stored.nonEmpty,
+      s"ivfAppendCells: centroid store at $path/centroids is empty — " +
+        "save the index first (ivfSaveIndex)")
+    val fp = centsFingerprint(cents.select("cid", "cv"))
+    require(stored(0).getString(0) == fp,
+      s"ivfAppendCells: centroids (fingerprint $fp) do not match the " +
+        s"store's (${stored(0).getString(0)}) — an increment assigned by " +
+        "different centroids would prune the wrong cells")
+    ivfAssign(e, cents.select("cid", "cv"), byL2)
+      .write.mode("append").parquet(s"$path/cells")
   }
 
   /** Deterministic identity of a coarse-centroid relation (md5 over every

@@ -231,6 +231,66 @@ class PqIndexSpec extends SparkSuite {
       s"expected the missing-stamp check, got: ${ex2.getMessage}")
   }
 
+  test("the APPEND verb: a new batch encoded/assigned with the LOADED " +
+    "index lands in both stores, the appended stores pass load " +
+    "validation, and search sees the increment") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val old = emb.filter(col("vec_id") >= 10)
+    val inc = emb.filter(col("vec_id") < 10)
+    val (cents, cells) = SimilarityQueries.ivfTrain(old)
+    val index = SimilarityQueries.pqTrain(old)
+    val base = tmpDir("annidx-appendverb")
+    SimilarityQueries.ivfSaveIndex(cents, cells, s"$base/ivf")
+    SimilarityQueries.pqSaveIndex(index,
+      SimilarityQueries.pqCodes(index, old), s"$base/pq")
+
+    // append the increment using ONLY loaded state (the production path)
+    val (lCents, _) = SimilarityQueries.ivfLoadIndex(spark, s"$base/ivf")
+    val (lIndex, _) = SimilarityQueries.pqLoadIndex(spark, s"$base/pq")
+    SimilarityQueries.pqAppendCodes(lIndex, inc, s"$base/pq")
+    SimilarityQueries.ivfAppendCells(lCents, inc, s"$base/ivf")
+
+    // appended stores reload cleanly (row-wise stamp checks included)
+    val (rCents, rCells) = SimilarityQueries.ivfLoadIndex(spark, s"$base/ivf")
+    val (rIndex, rCodes) = SimilarityQueries.pqLoadIndex(spark, s"$base/pq")
+    val n = emb.count()
+    assert(rCells.count() == n, "cells must cover old + increment")
+    assert(rCodes.count() == 4 * n, "codes must cover old + increment")
+
+    // search sees the increment: query = increment vector 0 itself; its
+    // own codes are the per-subspace argmin for this exact vector, so no
+    // code combination scores lower and ties break to the lowest vec_id
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val flatTop = SimilarityQueries.pqAdcSearch(rIndex, rCodes, q0, topK = 1)
+      .collect()
+    assert(flatTop.length == 1 && flatTop.head.getLong(1) == 0L,
+      s"flat ADC over the appended store must retrieve the increment: " +
+        s"${flatTop.toSeq}")
+    val ivfTop = SimilarityQueries
+      .ivfPqSearch(rCells, rCents, rIndex, rCodes, q0, topK = 1)
+      .collect()
+    assert(ivfTop.length == 1 && ivfTop.head.getLong(1) == 0L,
+      s"IVF-PQ over the appended store must retrieve the increment " +
+        s"(its cell is the query's nearest): ${ivfTop.toSeq}")
+
+    // a foreign index cannot append: fails BEFORE touching the store
+    val foreign = SimilarityQueries.pqTrain(emb.filter(col("vec_id") >= 100))
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityQueries.pqAppendCodes(foreign, inc, s"$base/pq")
+    }
+    assert(ex.getMessage.contains("different training"))
+    val (foreignCents, _) =
+      SimilarityQueries.ivfTrain(emb.filter(col("vec_id") >= 100))
+    val ex2 = intercept[IllegalArgumentException] {
+      SimilarityQueries.ivfAppendCells(foreignCents, inc, s"$base/ivf")
+    }
+    assert(ex2.getMessage.contains("different centroids"))
+    assert(SimilarityQueries.pqLoadIndex(spark, s"$base/pq")
+      ._2.count() == 4 * n, "failed appends must leave the store intact")
+  }
+
   test("lshMultiAnn's self-exclusion is opt-in: an external qid that " +
     "collides with a corpus vec_id keeps that corpus vector as a " +
     "candidate by default") {
