@@ -815,24 +815,32 @@ object PipelineQueries extends QueryModule {
     * double division — both engines see bit-identical operands.
     */
   private val mixSrcsSql =
-    s"""srcs AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+    s"""srcs AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
                         ${sqlDec("sqrt(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE))")} AS raw
                  FROM documents GROUP BY source),
-        mixtot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot, SUM(raw) AS denom
+        mixtot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot, SUM(raw) AS denom
                    FROM srcs)"""
 
-  /** Per-source frame (source, n_tokens, max_doc, raw DECIMAL(18,4)) —
+  /** Per-source frame (source, n_chars, max_doc, raw DECIMAL(18,4)) —
     * the Spark twin of the `srcs` CTE above (max_doc rides along so q115
     * derives its range width without a second corpus scan). Eagerly
     * checkpointed: #sources tiny rows, and every consumer (totals,
     * weights, per-source dims) reuses the ONE corpus aggregate instead
     * of re-scanning documents per subtree.
+    *
+    * Units: the mass column is CHARACTER mass (sum of the parquet
+    * n_chars column), named n_chars so it can never be misread as the
+    * tokenCount quantity q77/q106 compute. The *_tokens columns the mix
+    * queries derive from it are token BUDGETS under the chars-as-token-
+    * mass proxy (≈4 chars/token, constant across sources, so shares and
+    * weights are unaffected); swap in tokenCount here to make them exact
+    * at the cost of the regex scan.
     */
   private def mixSrcs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables(s, d, "documents").groupBy("source")
-      .agg(sum("n_chars").cast("long").as("n_tokens"),
+      .agg(sum("n_chars").cast("long").as("n_chars"),
         max("doc_id").as("max_doc"))
-      .withColumn("raw", dec(sqrt(col("n_tokens").cast("double"))))
+      .withColumn("raw", dec(sqrt(col("n_chars").cast("double"))))
       .localCheckpoint(true)
 
   /** Temperature-scaled source mixing weights (alpha = 0.5): for every
@@ -853,29 +861,29 @@ object PipelineQueries extends QueryModule {
     "q113_mixture_weights",
     (s, d) => {
       val srcs = mixSrcs(s, d)
-      val tots = srcs.agg(sum("n_tokens").as("tot"), sum("raw").as("denom"))
+      val tots = srcs.agg(sum("n_chars").as("tot"), sum("raw").as("denom"))
       srcs.crossJoin(broadcast(tots))
         .withColumn("share",
-          col("n_tokens").cast("double") / col("tot").cast("double"))
+          col("n_chars").cast("double") / col("tot").cast("double"))
         .withColumn("weight",
           col("raw").cast("double") / col("denom").cast("double"))
         .withColumn("target_tokens",
           floor(col("weight") * expr("tot div 2").cast("double")).cast("long"))
         .withColumn("epochs",
-          col("target_tokens").cast("double") / col("n_tokens").cast("double"))
-        .select("source", "n_tokens", "share", "weight", "target_tokens",
+          col("target_tokens").cast("double") / col("n_chars").cast("double"))
+        .select("source", "n_chars", "share", "weight", "target_tokens",
           "epochs")
         .orderBy("source")
     },
     Some(s"""WITH $mixSrcsSql
-             SELECT source, n_tokens,
-                    CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+             SELECT source, n_chars,
+                    CAST(n_chars AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
                     CAST(raw AS DOUBLE) / CAST(denom AS DOUBLE) AS weight,
                     CAST(FLOOR(CAST(raw AS DOUBLE) / CAST(denom AS DOUBLE)
                       * CAST(tot // 2 AS DOUBLE)) AS BIGINT) AS target_tokens,
                     CAST(FLOOR(CAST(raw AS DOUBLE) / CAST(denom AS DOUBLE)
                       * CAST(tot // 2 AS DOUBLE)) AS BIGINT)
-                      / CAST(n_tokens AS DOUBLE) AS epochs
+                      / CAST(n_chars AS DOUBLE) AS epochs
              FROM srcs CROSS JOIN mixtot
              ORDER BY source"""))
 
@@ -909,7 +917,7 @@ object PipelineQueries extends QueryModule {
         .withColumn("k_draws", greatest(
           floor(col("raw").cast("double") / col("denom").cast("double")
             * lit(100.0)).cast("long"), lit(1L)))
-        .withColumn("step", greatest(expr("n_tokens div k_draws"), lit(1L)))
+        .withColumn("step", greatest(expr("n_chars div k_draws"), lit(1L)))
         .select("source", "step")
       // range width from the checkpointed per-source frame — no second
       // corpus scan for one number
@@ -934,12 +942,12 @@ object PipelineQueries extends QueryModule {
         .orderBy("source", "doc_id")
     },
     Some(s"""WITH $mixSrcsSql,
-                  dims AS (SELECT source, n_tokens,
+                  dims AS (SELECT source, n_chars,
                              GREATEST(CAST(FLOOR(CAST(raw AS DOUBLE)
                                / CAST(denom AS DOUBLE) * 100.0) AS BIGINT), 1)
                                AS k_draws
                            FROM srcs CROSS JOIN mixtot),
-                  d2 AS (SELECT source, GREATEST(n_tokens // k_draws, 1) AS step
+                  d2 AS (SELECT source, GREATEST(n_chars // k_draws, 1) AS step
                          FROM dims),
                   w AS (SELECT d.source, doc_id, n_chars, step,
                                CAST(SUM(n_chars) OVER (PARTITION BY d.source
@@ -972,13 +980,13 @@ object PipelineQueries extends QueryModule {
     "q126_epoch_schedule",
     (s, d) => {
       val srcs = mixSrcs(s, d)
-      val tots = srcs.agg(sum("n_tokens").as("tot"), sum("raw").as("denom"))
+      val tots = srcs.agg(sum("n_chars").as("tot"), sum("raw").as("denom"))
       val w = srcs.crossJoin(broadcast(tots))
         .withColumn("budget", col("tot") * lit(2L))
         .withColumn("target_tokens",
           floor(col("raw").cast("double") / col("denom").cast("double")
             * col("budget").cast("double")).cast("long"))
-        .withColumn("cap_tokens", col("n_tokens") * lit(2L))
+        .withColumn("cap_tokens", col("n_chars") * lit(2L))
         .withColumn("capped", col("target_tokens") > col("cap_tokens"))
         .withColumn("alloc1", least(col("target_tokens"), col("cap_tokens")))
       val r = w.agg(sum("alloc1").as("asum"),
@@ -992,19 +1000,19 @@ object PipelineQueries extends QueryModule {
         .withColumn("alloc_tokens",
           least(col("alloc1") + col("extra"), col("cap_tokens")))
         .withColumn("final_epochs",
-          col("alloc_tokens").cast("double") / col("n_tokens").cast("double"))
-        .select("source", "n_tokens", "target_tokens", "capped",
+          col("alloc_tokens").cast("double") / col("n_chars").cast("double"))
+        .select("source", "n_chars", "target_tokens", "capped",
           "alloc_tokens", "final_epochs")
         .orderBy("source")
     },
     Some(s"""WITH $mixSrcsSql,
-                  w AS (SELECT source, n_tokens, raw,
+                  w AS (SELECT source, n_chars, raw,
                                tot * 2 AS budget,
                                CAST(FLOOR(CAST(raw AS DOUBLE)
                                  / CAST(denom AS DOUBLE)
                                  * CAST(tot * 2 AS DOUBLE)) AS BIGINT)
                                  AS target_tokens,
-                               n_tokens * 2 AS cap_tokens
+                               n_chars * 2 AS cap_tokens
                         FROM srcs CROSS JOIN mixtot),
                   w2 AS (SELECT *, target_tokens > cap_tokens AS capped,
                                 LEAST(target_tokens, cap_tokens) AS alloc1
@@ -1012,7 +1020,7 @@ object PipelineQueries extends QueryModule {
                   r AS (SELECT CAST(SUM(alloc1) AS BIGINT) AS asum,
                                SUM(CASE WHEN NOT capped THEN raw END) AS raw_u
                         FROM w2),
-                  w3 AS (SELECT source, n_tokens, target_tokens, capped,
+                  w3 AS (SELECT source, n_chars, target_tokens, capped,
                                 LEAST(alloc1 + CASE
                                     WHEN capped OR raw_u IS NULL THEN 0
                                     ELSE CAST(FLOOR(CAST(budget - asum AS DOUBLE)
@@ -1020,8 +1028,8 @@ object PipelineQueries extends QueryModule {
                                       / CAST(raw_u AS DOUBLE)) AS BIGINT) END,
                                   cap_tokens) AS alloc_tokens
                          FROM w2 CROSS JOIN r)
-             SELECT source, n_tokens, target_tokens, capped, alloc_tokens,
-                    CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             SELECT source, n_chars, target_tokens, capped, alloc_tokens,
+                    CAST(alloc_tokens AS DOUBLE) / CAST(n_chars AS DOUBLE)
                       AS final_epochs
              FROM w3 ORDER BY source"""))
 

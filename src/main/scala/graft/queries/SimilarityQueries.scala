@@ -1049,7 +1049,15 @@ object SimilarityQueries extends QueryModule {
         "ivfTrain so each row records which centroids produced it")
     val stamps = cells.select("fp").distinct().collect()
       .map(_.getString(0)).toSeq
-    require(stamps.isEmpty || stamps == Seq(fp),
+    // save/load symmetry: ivfLoadIndex rejects an empty cells store (it
+    // cannot tell "legitimately empty" from "interrupted save"), so an
+    // empty assignment must fail HERE, at save, with the real reason —
+    // not at the next load with a misleading corruption message
+    require(stamps.nonEmpty,
+      "ivfSaveIndex: refusing to persist an EMPTY cell assignment — " +
+        "assign the corpus with ivfTrain/ivfAssign first (an empty store " +
+        "would be rejected by ivfLoadIndex as interrupted)")
+    require(stamps == Seq(fp),
       s"ivfSaveIndex: cells were assigned by a different centroid set " +
         s"(${stamps.mkString(", ")}) than the centroids being saved ($fp) " +
         "— a mis-paired store would silently prune the wrong cells")

@@ -511,12 +511,17 @@ object TextQueries extends QueryModule {
       val bins = 10
       val qb = least(floor(qualityScore(col("text")) * lit(bins)).cast("long"),
         lit((bins - 1).toLong))
+      // materialized once (#sources tiny rows): the global histogram
+      // re-aggregates perSrc AND the probe side joins it — without the
+      // checkpoint the regex-heavy quality scan would appear twice in
+      // the plan (the q105/q120 one-relation-many-consumers discipline)
       val perSrc = Tables(s, d, "documents")
         .select(col("source"), qb.as("qb"))
         .groupBy("source")
         .agg(count(lit(1)).as("n"),
           (0 until bins).map(b =>
             sum(when(col("qb") === b, 1L).otherwise(0L)).as(s"c$b")): _*)
+        .localCheckpoint(true)
       val glob = perSrc.agg(sum("n").as("gn"),
         (0 until bins).map(b => sum(s"c$b").as(s"g$b")): _*)
       val l1 = (0 until bins).map { b =>
