@@ -744,7 +744,13 @@ object SimilarityQueries extends QueryModule {
       s"pqAppendCodes: index fingerprint ${index.fingerprint} does not " +
         s"match the store's (${meta(0).getString(0)}) — appending codes " +
         "from a different training would poison every search")
-    pqCodes(index, emb).write.mode("append").parquet(s"$path/codes")
+    // idempotent on vec_id: a retried append must not encode the same
+    // vectors twice — duplicate (vec_id, sub) rows would DOUBLE those
+    // vectors' summed ADC distances and silently demote them from every
+    // top-k. The probe reads one parquet column of the store.
+    val existing = spark.read.parquet(s"$path/codes").select("vec_id").distinct()
+    pqCodes(index, emb.join(existing, Seq("vec_id"), "left_anti"))
+      .write.mode("append").parquet(s"$path/codes")
   }
 
   /** ADC search: `queries`(qid, qv) are EXTERNAL full-dimension exact
@@ -985,7 +991,7 @@ object SimilarityQueries extends QueryModule {
       byL2: Boolean = false): org.apache.spark.sql.DataFrame =
     nearestCentroid(e, cents, byL2)
       .select(col("vec_id"), col("cid").as("cell"))
-      .withColumn("fp", lit(centsFingerprint(cents)))
+      .withColumn("fp", lit(centsFingerprint(cents, byL2)))
 
   /** The IVF half of the append verb: assign a new batch with the
     * store's own centroids and append the stamped cells. The centroid
@@ -1003,12 +1009,19 @@ object SimilarityQueries extends QueryModule {
     require(stored.nonEmpty,
       s"ivfAppendCells: centroid store at $path/centroids is empty — " +
         "save the index first (ivfSaveIndex)")
-    val fp = centsFingerprint(cents.select("cid", "cv"))
+    val fp = centsFingerprint(cents.select("cid", "cv"), byL2)
     require(stored(0).getString(0) == fp,
       s"ivfAppendCells: centroids (fingerprint $fp) do not match the " +
         s"store's (${stored(0).getString(0)}) — an increment assigned by " +
-        "different centroids would prune the wrong cells")
-    ivfAssign(e, cents.select("cid", "cv"), byL2)
+        "different centroids OR a different metric (the fingerprint's " +
+        "suffix) would prune the wrong cells")
+    // idempotent on vec_id (the Load.appendIfAbsent move): a retried
+    // append after a crash-after-write must not assign the same vectors
+    // twice — duplicate cell rows would double their candidate fan-out
+    // silently. The probe reads ONE parquet column of the store.
+    val existing = spark.read.parquet(s"$path/cells").select("vec_id").distinct()
+    ivfAssign(e.join(existing, Seq("vec_id"), "left_anti"),
+        cents.select("cid", "cv"), byL2)
       .write.mode("append").parquet(s"$path/cells")
   }
 
@@ -1017,9 +1030,17 @@ object SimilarityQueries extends QueryModule {
     * move for the IVF half: cells persisted from DIFFERENT centroids
     * would prune the wrong candidates silently.
     */
-  private def centsFingerprint(cents: org.apache.spark.sql.DataFrame): String = {
+  private def centsFingerprint(cents: org.apache.spark.sql.DataFrame,
+      byL2: Boolean): String = {
+    // the ASSIGNMENT METRIC is part of the index identity: the same
+    // centroid values assign different cells under cosine vs L2 on
+    // non-normalized vectors, so a metric-mismatched append or probe
+    // must fail the same provenance checks a foreign training does. The
+    // tag is hashed into the seed AND appended readably so save/load/
+    // append can recover the metric from a stamp without a side channel.
+    val tag = if (byL2) "l2" else "cos"
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update("ivf:".getBytes("UTF-8"))
+    md.update(s"ivf:$tag:".getBytes("UTF-8"))
     cents.select(col("cid"), col("cv")).collect()
       .sortBy(_.getInt(0))
       .foreach { r =>
@@ -1029,7 +1050,7 @@ object SimilarityQueries extends QueryModule {
             .putLong(java.lang.Double.doubleToLongBits(x)).array())
         }
       }
-    md.digest().map("%02x".format(_)).mkString
+    md.digest().map("%02x".format(_)).mkString + ":" + tag
   }
 
   /** Persists the coarse (IVF) half of an index: centroids at
@@ -1043,7 +1064,6 @@ object SimilarityQueries extends QueryModule {
     */
   def ivfSaveIndex(cents: org.apache.spark.sql.DataFrame,
       cells: org.apache.spark.sql.DataFrame, path: String): Unit = {
-    val fp = centsFingerprint(cents)
     require(cells.columns.contains("fp"),
       "ivfSaveIndex: cells carry no provenance stamp — assign them with " +
         "ivfTrain so each row records which centroids produced it")
@@ -1057,6 +1077,9 @@ object SimilarityQueries extends QueryModule {
       "ivfSaveIndex: refusing to persist an EMPTY cell assignment — " +
         "assign the corpus with ivfTrain/ivfAssign first (an empty store " +
         "would be rejected by ivfLoadIndex as interrupted)")
+    // recompute under the cells' own claimed metric (the stamp suffix):
+    // a forged suffix changes the hashed seed, so it cannot pass
+    val fp = centsFingerprint(cents, stamps.head.endsWith(":l2"))
     require(stamps == Seq(fp),
       s"ivfSaveIndex: cells were assigned by a different centroid set " +
         s"(${stamps.mkString(", ")}) than the centroids being saved ($fp) " +
@@ -1082,7 +1105,7 @@ object SimilarityQueries extends QueryModule {
         "interrupted save or wrong path")
     val storedFp = centFp(0).getString(0)
     val bare = cents.select("cid", "cv")
-    val recomputed = centsFingerprint(bare)
+    val recomputed = centsFingerprint(bare, storedFp.endsWith(":l2"))
     require(recomputed == storedFp,
       s"ivfLoadIndex: stored centroid fingerprint $storedFp does not match " +
         s"recomputed $recomputed — centroids at $path/centroids are corrupt")
@@ -1132,14 +1155,24 @@ object SimilarityQueries extends QueryModule {
       codes: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame,
       nprobe: Int = 2, topK: Int = 5,
-      excludeSelfMatches: Boolean = false): org.apache.spark.sql.DataFrame = {
+      excludeSelfMatches: Boolean = false,
+      probeByL2: Boolean = false): org.apache.spark.sql.DataFrame = {
     val vdims = index.subspaces * index.subDim
     val checked = queries.filter(
       assert_true(size(col("qv")) === lit(vdims),
         lit(s"ivfPqSearch: query vector length must be $vdims")).isNull)
-    val wq = Window.partitionBy("qid").orderBy(col("aff").desc, col("cid").asc)
+    // probe metric mirrors the coarse quantizer's assignment metric
+    // (ivfTrain byL2): an L2-assigned store probed by cosine would
+    // systematically miss the cells its vectors actually live in
+    val wq =
+      if (probeByL2)
+        Window.partitionBy("qid").orderBy(col("aff").asc, col("cid").asc)
+      else
+        Window.partitionBy("qid").orderBy(col("aff").desc, col("cid").asc)
+    val aff =
+      if (probeByL2) l2(col("qv"), col("cv")) else cosine(col("qv"), col("cv"))
     val qcells = checked.crossJoin(broadcast(cents))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("aff"))
+      .select(col("qid"), col("cid"), aff.as("aff"))
       .withColumn("crn", row_number().over(wq))
       .filter(col("crn") <= nprobe)
       .select(col("qid"), col("cid").as("cell"))
@@ -1344,6 +1377,11 @@ object SimilarityQueries extends QueryModule {
       .filter(col("crn") <= nprobe)
       .select(col("qid"), col("cid").as("cell"),
         zip_with(col("qv"), col("cv"), (x, y) => x - y).as("qrv"))
+      // queries×nprobe tiny rows feeding FIVE consumers (candidates + one
+      // LUT per subspace, each its own broadcast exchange embedding this
+      // subplan — the slices differ, so exchange reuse cannot dedupe):
+      // materialize once, the q72 discipline
+      .localCheckpoint(true)
     val candidates = cells.select("vec_id", "cell")
       .join(broadcast(qres.select("qid", "cell")), "cell")
       .select(col("qid"), col("cell"), col("vec_id"))

@@ -289,6 +289,38 @@ class PqIndexSpec extends SparkSuite {
     assert(ex2.getMessage.contains("different centroids"))
     assert(SimilarityQueries.pqLoadIndex(spark, s"$base/pq")
       ._2.count() == 4 * n, "failed appends must leave the store intact")
+
+    // a RETRIED append of the same batch (crash after the write, rerun
+    // of the job) is a no-op — duplicate (vec_id, sub) rows would double
+    // those vectors' summed ADC distances and silently demote them
+    SimilarityQueries.pqAppendCodes(lIndex, inc, s"$base/pq")
+    SimilarityQueries.ivfAppendCells(lCents, inc, s"$base/ivf")
+    assert(SimilarityQueries.pqLoadIndex(spark, s"$base/pq")._2.count() == 4 * n,
+      "re-appending an already-stored batch must not duplicate codes")
+    assert(SimilarityQueries.ivfLoadIndex(spark, s"$base/ivf")._2.count() == n,
+      "re-appending an already-stored batch must not duplicate cells")
+  }
+
+  test("the assignment metric is part of the IVF index identity: an " +
+    "L2-assigned store round-trips, but a cosine append onto it fails " +
+    "the provenance gate") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val old = emb.filter(col("vec_id") >= 5)
+    val (cents, cells) = SimilarityQueries.ivfTrain(old, byL2 = true)
+    val base = tmpDir("annidx-metric")
+    SimilarityQueries.ivfSaveIndex(cents, cells, s"$base/ivf")
+    val (lCents, lCells) = SimilarityQueries.ivfLoadIndex(spark, s"$base/ivf")
+    assert(lCells.count() == old.count(), "L2 store must round-trip")
+    val inc = emb.filter(col("vec_id") < 5)
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityQueries.ivfAppendCells(lCents, inc, s"$base/ivf") // cosine!
+    }
+    assert(ex.getMessage.contains("different metric"),
+      s"metric mismatch must fail the gate, got: ${ex.getMessage}")
+    SimilarityQueries.ivfAppendCells(lCents, inc, s"$base/ivf", byL2 = true)
+    assert(SimilarityQueries.ivfLoadIndex(spark, s"$base/ivf")
+      ._2.count() == emb.count(), "same-metric append must land")
   }
 
   test("lshMultiAnn's self-exclusion is opt-in: an external qid that " +
