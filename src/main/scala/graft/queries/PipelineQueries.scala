@@ -1033,7 +1033,91 @@ object PipelineQueries extends QueryModule {
                       AS final_epochs
              FROM w3 ORDER BY source"""))
 
+  /** Domain-matched data selection — the DSIR shape (data selection via
+    * importance resampling): estimate token distributions for a small
+    * TARGET domain (source = 'src0', standing in for the benchmark/
+    * fine-tuning corpus) and for the RAW pool, weight every raw document
+    * by how target-like its tokens are, and take a per-source quota of
+    * the highest-importance documents. The paper's weight is the
+    * log-product of per-feature likelihood ratios; this ships the
+    * ln-free twin — the arithmetic mean of per-token ratios
+    * p_t(tok)/p_r(tok) = (ct+1)(Nr+V+1) / ((cr+1)(Nt+V+1)) — for the
+    * q51/q92 reason (libm ln would break the hash gate). Numerator and
+    * denominator are exact BIGINT products (bounded by N·N, far under
+    * 2^63), so each ratio is ONE correctly-rounded IEEE division,
+    * snapped to 4 decimals and DECIMAL-averaged per document.
+    *
+    * Scale design: both "models" are bounded artifacts — the top-V raw
+    * vocabulary with raw AND target counts on it (one TakeOrdered, one
+    * broadcast join to attach target counts) plus a 1-row totals frame —
+    * broadcast to a single scoring scan of the corpus (broadcast-hash
+    * join + map-side partial agg, the q129 shape). The selection quota
+    * runs through the exact two-stage [[graft.operators.GroupTopK]], so
+    * no per-source window ever sees a corpus-sized partition.
+    */
+  private val q130 = QueryDef(
+    "q130_dsir_selection",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val v = 2000
+      val rawTok = docs.select(explode(tokens(col("text"))).as("tok"))
+      val tgtTok = docs.filter(col("source") === "src0")
+        .select(explode(tokens(col("text"))).as("tok"))
+      val rawVocab = rawTok.groupBy("tok").agg(count(lit(1)).as("cr"))
+        .orderBy(col("cr").desc, col("tok").asc).limit(v)
+      val tgtCnt = tgtTok.groupBy("tok").agg(count(lit(1)).as("ct"))
+      val vocab = rawVocab.join(broadcast(tgtCnt), Seq("tok"), "left")
+        .select(col("tok"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      val totals = rawTok.agg(count(lit(1)).as("nr"))
+        .crossJoin(tgtTok.agg(count(lit(1)).as("nt")))
+      val scored = docs.select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("tok"))
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("ratio",
+          ((coalesce(col("ct"), lit(0L)) + lit(1L)) *
+            (col("nr") + lit(v + 1))).cast("double") /
+            ((coalesce(col("cr"), lit(0L)) + lit(1L)) *
+              (col("nt") + lit(v + 1))).cast("double"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_toks"), davg(col("ratio")).as("importance"))
+      graft.operators.GroupTopK.topK(scored, Seq(col("source")),
+          Seq(col("importance").desc, col("doc_id").asc), col("doc_id"), 5)
+        .select("source", "rank", "doc_id", "n_toks", "importance")
+        .orderBy("source", "rank")
+    },
+    Some(s"""WITH rawtok AS (SELECT doc_id, source, unnest($tokSql) AS tok
+                             FROM documents),
+                  tgttok AS (SELECT unnest($tokSql) AS tok FROM documents
+                             WHERE source = 'src0'),
+                  rawvocab AS (SELECT tok, COUNT(*) AS cr FROM rawtok
+                               GROUP BY tok
+                               ORDER BY COUNT(*) DESC, tok ASC LIMIT 2000),
+                  tgtcnt AS (SELECT tok, COUNT(*) AS ct FROM tgttok
+                             GROUP BY tok),
+                  vocab AS (SELECT tok, cr,
+                              CAST(COALESCE(ct, 0) AS BIGINT) AS ct
+                            FROM rawvocab LEFT JOIN tgtcnt USING (tok)),
+                  tot AS (SELECT (SELECT COUNT(*) FROM rawtok) AS nr,
+                                 (SELECT COUNT(*) FROM tgttok) AS nt),
+                  scored AS (SELECT doc_id, source, COUNT(*) AS n_toks,
+                               ${sqlDavg("ratio")} AS importance
+                             FROM (SELECT doc_id, source,
+                                     CAST((COALESCE(ct, 0) + 1)
+                                       * (nr + 2001) AS DOUBLE)
+                                     / CAST((COALESCE(cr, 0) + 1)
+                                       * (nt + 2001) AS DOUBLE) AS ratio
+                                   FROM rawtok LEFT JOIN vocab USING (tok)
+                                        CROSS JOIN tot) t
+                             GROUP BY doc_id, source)
+             SELECT source, rank, doc_id, n_toks, importance FROM (
+               SELECT source, doc_id, n_toks, importance,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY importance DESC, doc_id ASC) AS rank
+               FROM scored) r
+             WHERE rank <= 5 ORDER BY source, rank"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67, q68, q69, q70,
-      q76, q77, q78, q79, q91, q94, q95, q106, q113, q115, q126)
+      q76, q77, q78, q79, q91, q94, q95, q106, q113, q115, q126, q130)
 }

@@ -1766,7 +1766,147 @@ object SimilarityQueries extends QueryModule {
                          FROM walk GROUP BY u)
              SELECT vec_id, cluster_id FROM cc ORDER BY vec_id"""))
 
+  /** One 32-bit lane of the binary sign quantization: bit j of the lane
+    * is `v[lo + j] > 0`. Two positive 32-bit lanes instead of one 64-bit
+    * word because `1 << 63` crosses the BIGINT sign bit, and signed
+    * shift/overflow edge semantics are exactly the kind of cross-engine
+    * detail the hash gate exists to catch — both lanes stay below 2^32,
+    * exactly representable everywhere, at the cost of one extra
+    * bit_count per comparison.
+    */
+  private def signLane(lo: Int): Column =
+    expr(s"aggregate(sequence($lo, ${lo + 31}), 0L, " +
+      s"(acc, i) -> acc + IF(element_at(v, i + 1) > 0D, " +
+      s"shiftleft(1L, i - $lo), 0L))")
+
+  private def signLaneSql(lo: Int): String =
+    s"CAST(list_sum(list_transform(range(0, 32), i -> " +
+      s"CASE WHEN v[i + 1 + $lo] > 0 THEN (1::BIGINT << i) ELSE 0 END)) " +
+      "AS BIGINT)"
+
+  /** Binary-quantized ANN: sign-bit embeddings + Hamming pre-filter +
+    * exact-cosine rerank. Each 64-dim vector compresses 64× to two packed
+    * sign lanes ([[signLane]]); candidate generation scans 16 bytes per
+    * vector with xor+popcount (both codegen'd integer ops) instead of 512
+    * bytes of doubles, keeps the Hamming top-25 per query via the exact
+    * two-stage [[graft.operators.GroupTopK]], and only the 25 survivors
+    * pay the full-precision cosine for the final top-5.
+    *
+    * Scale design: queries are broadcast, the corpus scan is map-only
+    * (packing + xor/popcount are all integer codegen — the scan is
+    * bandwidth-bound on 16-byte rows, the whole point of binary
+    * quantization), and nothing corpus-sized shuffles: the only exchanges
+    * are GroupTopK's bounded survivor sets. The packed lanes are
+    * integers, so Hamming distances hash-match DuckDB exactly with no
+    * float discipline needed; only the 125-row rerank touches doubles.
+    */
+  private val q128 = QueryDef(
+    "q128_hamming_ann",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val packed = e.select(col("vec_id"), col("v"),
+        signLane(0).as("w0"), signLane(32).as("w1"))
+      val q = packed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("w0").as("qw0"), col("w1").as("qw1"))
+      val ham = packed.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("v"), col("qv"),
+          expr("CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS INT)")
+            .as("hamming"))
+      val cand = graft.operators.GroupTopK.topK(ham, Seq(col("qid")),
+        Seq(col("hamming").asc, col("vec_id").asc), col("vec_id"), 25,
+        rankName = "hrank")
+      // the rerank window is candidate-sized (<= 25 rows per query by
+      // construction), never corpus-sized — safe to partition on qid alone
+      val wr = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      cand.withColumn("cos_sim", cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("hamming"), col("cos_sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+                  packed AS (SELECT vec_id, v, ${signLaneSql(0)} AS w0,
+                               ${signLaneSql(32)} AS w1 FROM e),
+                  q AS (SELECT vec_id AS qid, v AS qv, w0 AS qw0, w1 AS qw1
+                        FROM packed WHERE vec_id < 5),
+                  ham AS (SELECT qid, vec_id, v, qv,
+                            CAST(bit_count(xor(w0, qw0))
+                              + bit_count(xor(w1, qw1)) AS INTEGER) AS hamming
+                          FROM packed CROSS JOIN q WHERE vec_id <> qid),
+                  cand AS (SELECT qid, vec_id, v, qv, hamming FROM (
+                             SELECT qid, vec_id, v, qv, hamming,
+                               ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY hamming ASC, vec_id ASC) AS hrank
+                             FROM ham) h WHERE hrank <= 25)
+             SELECT qid AS query_id, vec_id AS neighbor_id, rank, hamming,
+                    cos_sim
+             FROM (SELECT qid, vec_id, hamming,
+                     ${cosSql("qv", "v")} AS cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY ${cosSql("qv", "v")} DESC, vec_id ASC) AS rank
+                   FROM cand) r
+             WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Diversity-balanced subset selection — semantic stratified sampling:
+    * assign every vector to a coarse quantizer cell (the q62/q101
+    * k-means), then draw an EQUAL per-cell quota in deterministic
+    * hash order. Metadata-stratified sampling (q67) balances over
+    * sources; this balances over the embedding space itself, so the
+    * sample covers sparse semantic regions instead of reproducing the
+    * corpus's density skew — the cluster-balanced selection step used
+    * to diversify fine-tuning and eval subsets. The md5 hash order
+    * within a cell is a uniform deterministic draw (the q67 move
+    * applied inside quantizer cells).
+    *
+    * Scale design: cell assignment is one broadcast-centroid scan
+    * (map-only); the per-cell quota runs through the exact two-stage
+    * [[graft.operators.GroupTopK]] because a cell is corpus/k sized —
+    * partitioning a rank window on the cell alone would funnel whole
+    * cells through single tasks (the q105 lesson). Cell sizes come from
+    * an 8-row aggregate broadcast back onto the quota rows, never from
+    * a count window over cell-sized partitions.
+    */
+  private val q131 = QueryDef(
+    "q131_diverse_sample",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val cents = kmeansCentroids(e)
+      val cells = nearestCentroid(e, cents)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val sizes = cells.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+      graft.operators.GroupTopK.topK(
+          cells.withColumn("h",
+            md5(concat(lit("divs:"), col("vec_id").cast("string")))),
+          Seq(col("cell")), Seq(col("h").asc, col("vec_id").asc),
+          col("vec_id"), 10)
+        .join(broadcast(sizes), "cell")
+        .select("cell", "rank", "vec_id", "n_cell")
+        .orderBy("cell", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+                  ${kmeansSql()},
+                  cells AS (${nearestSql("e", "cents3", byL2 = false,
+                    "vec_id, cid AS cell")}),
+                  sizes AS (SELECT cell, COUNT(*) AS n_cell FROM cells
+                            GROUP BY cell),
+                  hashed AS (SELECT cell, vec_id,
+                               md5('divs:' || CAST(vec_id AS VARCHAR)) AS h
+                             FROM cells)
+             SELECT cell, rank, vec_id, n_cell FROM (
+               SELECT cell, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY cell
+                        ORDER BY h ASC, vec_id ASC) AS rank
+               FROM hashed) r JOIN sizes USING (cell)
+             WHERE rank <= 10 ORDER BY cell, rank"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112,
-      q114, q116, q117, q119, q123, q127)
+      q114, q116, q117, q119, q123, q127, q128, q131)
 }

@@ -607,7 +607,74 @@ object TextQueries extends QueryModule {
                       / CAST(SUM(c) AS DOUBLE) AS oov_rate
              FROM j GROUP BY source ORDER BY source"""))
 
+  /** Statistical-LM fluency filter (the CCNet/KenLM perplexity-filter
+    * shape): train a unigram LM on the in-domain slice (lang = 'en'),
+    * score EVERY document by how improbable its tokens are under that
+    * model, and flag high-OOV documents for removal. The classic score
+    * is mean log-probability (perplexity); this ships the ln-free twin —
+    * the arithmetic mean of per-token INVERSE probability
+    * (N + V + 1) / (cnt + 1) — because ln() bit-patterns are
+    * libm-dependent and would break the hash gate (the q51/q92
+    * rationale). Same ranking intent: fluent in-domain text scores low,
+    * out-of-domain and rare-token text scores high, OOV tokens dominate
+    * exactly as unk-penalties do in the real filter. Each ratio is ONE
+    * IEEE division of exact integers (correctly rounded, bit-identical
+    * across engines), snapped to 4 decimals and summed as DECIMAL.
+    *
+    * Scale design: the trained artifact is the top-V vocabulary —
+    * TakeOrdered (parallel, the q92 move), bounded at V=2000, broadcast.
+    * The scoring pass is one corpus scan: explode, broadcast-hash-join
+    * the vocab, per-doc aggregate with map-side partials (a document's
+    * tokens never leave their input partition before partial agg). The
+    * train-side count is a vocabulary-keyed shuffle with partial
+    * aggregation absorbing the Zipf head (the q109 argument). No
+    * windows anywhere.
+    */
+  private val q129 = QueryDef(
+    "q129_lm_fluency_score",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val v = 2000
+      val trainTok = docs.filter(col("lang") === "en")
+        .select(explode(tokens(col("text"))).as("tok"))
+      val vocab = trainTok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(v)
+      val totals = trainTok.agg(count(lit(1)).as("n_train"))
+      docs.select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("tok"))
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("ratio",
+          (col("n_train") + lit(v + 1)).cast("double") /
+            (coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double"))
+        .withColumn("oov", when(col("cnt").isNull, 1L).otherwise(0L))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_toks"), sum(col("oov")).as("n_oov"),
+          Exact.davg(col("ratio")).as("improb"))
+        .withColumn("keep", col("n_oov") * lit(5) <= col("n_toks"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS tok
+                          FROM documents),
+                  ttok AS (SELECT unnest($tokSql) AS tok FROM documents
+                           WHERE lang = 'en'),
+                  cnts AS (SELECT tok, COUNT(*) AS cnt FROM ttok GROUP BY tok),
+                  vocab AS (SELECT tok, cnt FROM cnts
+                            ORDER BY cnt DESC, tok ASC LIMIT 2000),
+                  tot AS (SELECT COUNT(*) AS n_train FROM ttok),
+                  scored AS (SELECT doc_id, lang,
+                               CAST(n_train + 2001 AS DOUBLE)
+                                 / CAST(COALESCE(cnt, 0) + 1 AS DOUBLE) AS ratio,
+                               CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS oov
+                             FROM tok LEFT JOIN vocab USING (tok)
+                                      CROSS JOIN tot)
+             SELECT doc_id, lang, COUNT(*) AS n_toks,
+                    CAST(SUM(oov) AS BIGINT) AS n_oov,
+                    ${Exact.sqlDavg("ratio")} AS improb,
+                    (5 * SUM(oov) <= COUNT(*)) AS keep
+             FROM scored GROUP BY doc_id, lang ORDER BY doc_id"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88, q104, q105, q109,
-      q120, q121, q125)
+      q120, q121, q125, q129)
 }

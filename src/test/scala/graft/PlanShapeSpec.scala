@@ -411,4 +411,61 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"codebooks must broadcast in:\n$p")
   }
+
+  test("q128 Hamming ANN scans packed sign lanes map-side (queries " +
+    "broadcast), prunes with the LOCAL (qid, cell)-keyed top-k window, " +
+    "no cartesian, no corpus shuffle join") {
+    val p = plan("q128_hamming_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"packed query side must broadcast in:\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(qid#\\d+L?, __graft_topk_bk#".r
+      .findFirstIn(p).isDefined,
+      s"Hamming top-25 not two-stage (qid, cell)-keyed in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffle join in:\n$p")
+  }
+
+  test("q129 LM fluency scoring is windowless: vocab via TakeOrdered, " +
+    "vocab + totals broadcast onto ONE corpus scan, per-doc agg with " +
+    "map-side partials") {
+    val p = plan("q129_lm_fluency_score")
+    assert(!p.contains("windowspecdefinition"), s"unexpected window in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-V must plan as per-partition heaps in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary must broadcast onto the scoring scan in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffle join in:\n$p")
+  }
+
+  test("q130 DSIR selection broadcasts both distribution artifacts onto " +
+    "one scoring scan and takes the per-source quota through the LOCAL " +
+    "(source, cell)-keyed top-k — no corpus-sized source partition") {
+    val p = plan("q130_dsir_selection")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"raw vocab top-V must plan as per-partition heaps in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab must broadcast onto the scoring scan in:\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, __graft_topk_bk#".r
+      .findFirstIn(p).isDefined,
+      s"selection quota not two-stage (source, cell)-keyed in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffle join in:\n$p")
+  }
+
+  test("q131 diverse sample assigns cells against broadcast centroids, " +
+    "draws the quota through the LOCAL (cell, bucket)-keyed top-k, and " +
+    "broadcast-joins the 8-row cell sizes — no count window over cells") {
+    val p = plan("q131_diverse_sample")
+    assert("row_number\\(\\) windowspecdefinition\\(cell#\\d+, __graft_topk_bk#".r
+      .findFirstIn(p).isDefined,
+      s"per-cell quota not two-stage (cell, bucket)-keyed in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell sizes must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the count must come from an aggregate, never count(...) OVER (cell)
+    assert(!"count\\(1\\) windowspecdefinition\\(cell#".r
+      .findFirstIn(p).isDefined,
+      s"cell-sized count window in:\n$p")
+  }
 }
