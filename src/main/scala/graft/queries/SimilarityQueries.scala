@@ -1852,6 +1852,132 @@ object SimilarityQueries extends QueryModule {
                    FROM cand) r
              WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Identity of the binary sign-code packing. Unlike PQ/IVF there are
+    * no trained parameters — the packing is a fixed rule — so the
+    * fingerprint stamps the packing SPEC (dimensions, lane layout, sign
+    * rule). What it guards is therefore not foreign TRAINING but foreign
+    * FORMAT: a store written by a different spec version, or a PQ/IVF
+    * store path passed to [[binLoadIndex]] by mistake, fails the same
+    * loud way a mis-trained PQ store does.
+    */
+  private val binFingerprint = s"bin:dims=$dims:lanes=2:lane_bits=32:sign=gt0"
+
+  /** Packed sign codes for `emb`(vec_id, v): two 32-bit lanes per vector
+    * ([[signLane]] — 16 bytes instead of 512) plus the spec stamp. The
+    * persisted representation of the binary ANN family (q128), and the
+    * input [[binHammingSearch]] consumes. Vector length is validated on
+    * the scan: a short array would silently pack missing dimensions as
+    * zero bits.
+    */
+  def binCodes(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    emb.filter(
+        assert_true(size(col("v")) === lit(dims),
+          lit(s"binCodes: vector length must be $dims")).isNull)
+      .select(col("vec_id"), signLane(0).as("w0"), signLane(32).as("w1"))
+      .withColumn("fp", lit(binFingerprint))
+
+  /** Persists the packed sign codes at `path`/codes with a 1-row spec
+    * relation at `path`/meta — build once, search forever, append
+    * increments: the q82/PQ/IVF store lifecycle applied to the binary
+    * family.
+    */
+  def binSaveIndex(codes: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    require(codes.columns.contains("fp"),
+      "binSaveIndex: codes carry no spec stamp — pack them with binCodes")
+    val stamps = codes.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+    require(stamps.nonEmpty,
+      "binSaveIndex: refusing to persist an EMPTY code set — pack the " +
+        "corpus with binCodes first (an empty store would be rejected " +
+        "by binLoadIndex as interrupted)")
+    require(stamps == Seq(binFingerprint),
+      s"binSaveIndex: codes were packed under a different spec " +
+        s"(${stamps.mkString(", ")}) than this library's " +
+        s"($binFingerprint) — a layout change between pack and save " +
+        "would corrupt every Hamming distance")
+    codes.sparkSession.range(1).select(lit(binFingerprint).as("fp"),
+        lit(dims).as("dims"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Restores a persisted binary index: the spec row is checked against
+    * this library's packing spec (version/layout skew fails here, not as
+    * silently wrong distances), and every code row's stamp is checked
+    * like the IVF cells — a store spliced together from two spec
+    * versions fails loudly.
+    */
+  def binLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").select("fp").take(1)
+    require(meta.nonEmpty,
+      s"binLoadIndex: meta store at $path/meta is empty — interrupted " +
+        "save or wrong path")
+    require(meta(0).getString(0) == binFingerprint,
+      s"binLoadIndex: stored packing spec ${meta(0).getString(0)} does " +
+        s"not match this library's ($binFingerprint) — the store was " +
+        "written by a different layout; repack instead of searching it")
+    val codes = spark.read.parquet(s"$path/codes")
+    val stamps = codes.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(stamps == Seq(binFingerprint),
+      s"binLoadIndex: code rows carry spec stamps ${stamps.mkString(", ")} " +
+        s"— the store at $path/codes mixes packings or is corrupt")
+    codes
+  }
+
+  /** The APPEND verb of the binary-store lifecycle: pack a new batch and
+    * append, idempotent on vec_id (the retried-append guard the PQ/IVF
+    * stores carry — duplicate code rows would surface the same vector
+    * twice in every candidate list).
+    */
+  def binAppendCodes(emb: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").select("fp").take(1)
+    require(meta.nonEmpty,
+      s"binAppendCodes: meta store at $path/meta is empty — save the " +
+        "index first (binSaveIndex)")
+    require(meta(0).getString(0) == binFingerprint,
+      s"binAppendCodes: stored packing spec ${meta(0).getString(0)} does " +
+        s"not match this library's ($binFingerprint) — an increment " +
+        "packed under a different layout would corrupt every distance")
+    val existing = spark.read.parquet(s"$path/codes").select("vec_id").distinct()
+    binCodes(emb.join(existing, Seq("vec_id"), "left_anti"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Hamming candidate search over PERSISTED sign codes: `queries`
+    * (qid, qv) are external full-dimension vectors, packed on the fly
+    * and broadcast; the corpus side is ONLY its 16-byte code rows — the
+    * raw vectors never rescan (the ADC move applied to the binary
+    * family). Returns the exact Hamming top-`topR` per query via
+    * [[graft.operators.GroupTopK]] with the rank as `hrank`; the caller
+    * reranks the survivors against full-precision vectors exactly as
+    * q128 does inline (recall@5 == candidate recall — the rerank is
+    * lossless past this stage, so topR is the only recall knob;
+    * measured sweep in SCALING.md). `excludeSelfMatches` only when
+    * queries are corpus members.
+    */
+  def binHammingSearch(codes: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      topR: Int = 25,
+      excludeSelfMatches: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val packedQ = binCodes(queries.select(col("qid").as("vec_id"),
+        col("qv").as("v")))
+      .select(col("vec_id").as("qid"), col("w0").as("qw0"),
+        col("w1").as("qw1"))
+    val pairs = codes.select("vec_id", "w0", "w1")
+      .join(broadcast(packedQ),
+        if (excludeSelfMatches) col("vec_id") =!= col("qid") else lit(true))
+      .select(col("qid"), col("vec_id"),
+        expr("CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS INT)")
+          .as("hamming"))
+    graft.operators.GroupTopK.topK(pairs, Seq(col("qid")),
+      Seq(col("hamming").asc, col("vec_id").asc), col("vec_id"), topR,
+      rankName = "hrank")
+  }
+
   /** Diversity-balanced subset selection — semantic stratified sampling:
     * assign every vector to a coarse quantizer cell (the q62/q101
     * k-means), then draw an EQUAL per-cell quota in deterministic
