@@ -29,8 +29,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup: touch every table (footer reads, codegen, JIT) outside timing.
+    // A failed warmup is swallowed (the per-query timings still carry the
+    // real errors) but NEVER silently: an unreadable table poisons every
+    // query that touches it, and this line is what makes the bench tail
+    // self-explaining when that happens.
     Tables.names.foreach { t =>
-      try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
+      try Tables(spark, sfDir, t).count() catch {
+        case e: Throwable =>
+          System.err.println(s"WARMUP-FAILED table=$t: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.next()}")
+      }
     }
 
     // dev aid: SPARK_GRAFT_ONLY=q74_x,q75_y restricts the run to named

@@ -18,23 +18,20 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The events schema as stored (ts is INT64 nanos in the parquet). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-based streaming source over an events parquet directory; converts
-    * the nano timestamp exactly to a micros TimestampType column.
+  /** File-based streaming source over an events parquet directory. A stream
+    * source needs an explicit schema, but the PHYSICAL `ts` type varies by
+    * testdata generation (INT64 nanos → LongType under the legacy conf,
+    * TIMESTAMP_NTZ micros, or plain TIMESTAMP — see `Tables.normalizeTs`), so
+    * the schema is sniffed from the footers already in `dir` (a footer-only
+    * batch read, no data scan) and the same normalization as the batch
+    * reader is applied. Batch and stream twins therefore agree byte-for-byte
+    * on `ts` whatever generation wrote the files.
     */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val physical: StructType = spark.read.parquet(dir).schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(physical).parquet(dir))
   }
 
   /** Tumbling/sliding window counts with a watermark: late data beyond

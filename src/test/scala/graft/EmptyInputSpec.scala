@@ -8,9 +8,10 @@ package graft
 class EmptyInputSpec extends SparkSuite {
 
   /** Mirror of the testdata layout with every table's RAW file schema and
-    * no rows (events keeps its INT64 ts — Tables applies the timestamp
-    * conversion on read, so the empty file must look like the source file,
-    * not like the converted DataFrame).
+    * no rows (events keeps whatever physical ts type this testdata
+    * generation carries — Tables.normalizeTs dispatches on the read schema,
+    * so the empty file must look like the source file, not like the
+    * normalized DataFrame).
     */
   private lazy val emptyDir: String = {
     val src = "/root/testdata/sf0.001"

@@ -419,15 +419,15 @@ class StreamingSpec extends SparkSuite {
     val ckpt = tmpDir("restart-ckpt")
     val outDir = tmpDir("restart-out")
 
-    // stage the corpus as two parquet files in the RAW schema (long nanos);
-    // restore the session conf afterwards so later tests in the shared
-    // session see the default again (no test-order coupling)
+    // stage the corpus as two parquet files in whatever PHYSICAL ts type
+    // this testdata generation carries — readStream sniffs and normalizes,
+    // so staging must not force a schema; restore the session conf
+    // afterwards so later tests see the default again (no order coupling)
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val nanosPrev = spark.conf.getOption(nanosKey)
     spark.conf.set(nanosKey, "true")
     try {
-    val all = spark.read.schema(EventStreams.rawSchema)
-      .parquet(s"$dir/events.parquet")
+    val all = spark.read.parquet(s"$dir/events.parquet")
     def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = tmpDir(s"restart-stage-$name")
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
