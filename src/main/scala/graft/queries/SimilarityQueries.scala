@@ -1396,6 +1396,124 @@ object SimilarityQueries extends QueryModule {
     adcRank(scored, index.subspaces, topK, excludeSelfMatches)
   }
 
+  /** Persists the COMPOSED residual IVF-PQ index — the production form
+    * of q127. The halves reuse the existing stores verbatim
+    * (`path`/ivf from [[ivfSaveIndex]], `path`/pq from [[pqSaveIndex]] —
+    * codebooks and codes in RESIDUAL space), plus a 1-row `path`/meta
+    * stamping the PAIRING: the centroid fingerprint, the PQ fingerprint,
+    * and md5 over both under the "residual" tag. Each half already
+    * rejects in-family corruption on load; the composed stamp catches
+    * the CROSS-family splice — e.g. `path`/pq overwritten with a
+    * flat-encoded store of identical geometry, which passes the PQ
+    * half's own checks and would then silently score raw-space codes
+    * against residual-space query LUTs. Without this verb the persisted
+    * index was the flat 5/125-recall one while the in-session pipeline
+    * (q127) was the residual 11/125 one — the store now carries the
+    * production encoding.
+    */
+  def residualSaveIndex(cents: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame,
+      index: PqIndex, codes: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    ivfSaveIndex(cents, cells, s"$path/ivf")
+    pqSaveIndex(index, codes, s"$path/pq")
+    val spark = cents.sparkSession
+    // the saved centroid stamp (metric tag included) is the half's own
+    // identity — read it back rather than recomputing, so meta can never
+    // disagree with what was actually written
+    val centsFp = spark.read.parquet(s"$path/ivf/centroids")
+      .select("fp").take(1)(0).getString(0)
+    val s2 = spark
+    import s2.implicits._
+    Seq((centsFp, index.fingerprint,
+        composedResidualFp(centsFp, index.fingerprint), "residual"))
+      .toDF("cents_fp", "pq_fp", "composed_fp", "encoding")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The pairing identity of a composed residual store: both halves'
+    * fingerprints hashed under the residual tag. Swapping EITHER half
+    * for a same-shaped foreign (or flat-trained) one changes it.
+    */
+  private def composedResidualFp(centsFp: String, pqFp: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"residual:$centsFp:$pqFp".getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Restores a composed residual store as the four relations
+    * [[ivfPqSearchResidual]] takes: (cents, cells, index, residual
+    * codes). Both halves run their own load validation (centroid/
+    * codebook fingerprints recomputed from loaded values, row-wise cell
+    * stamps), then the meta pairing is verified against the RELOADED
+    * halves — a store whose pq/ tree was overwritten by a flat encoding
+    * of the same geometry fails here, before any distance is computed.
+    */
+  def residualLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         PqIndex, org.apache.spark.sql.DataFrame) = {
+    val meta = spark.read.parquet(s"$path/meta").take(1)
+    require(meta.nonEmpty,
+      s"residualLoadIndex: meta store at $path/meta is empty — " +
+        "interrupted save or wrong path")
+    val m = meta(0)
+    val (cents, cells) = ivfLoadIndex(spark, s"$path/ivf")
+    val (index, codes) = pqLoadIndex(spark, s"$path/pq")
+    val centsFp = spark.read.parquet(s"$path/ivf/centroids")
+      .select("fp").take(1)(0).getString(0)
+    val pairing = composedResidualFp(centsFp, index.fingerprint)
+    require(m.getAs[String]("composed_fp") == pairing &&
+        m.getAs[String]("cents_fp") == centsFp &&
+        m.getAs[String]("pq_fp") == index.fingerprint,
+      s"residualLoadIndex: store halves at $path do not match the " +
+        s"composed stamp (meta ${m.getAs[String]("composed_fp")}, " +
+        s"recomputed $pairing) — one half was overwritten by a " +
+        "different training (a flat-encoded pq/ tree scores raw-space " +
+        "codes against residual-space query LUTs, silently)")
+    (cents, cells, index, codes)
+  }
+
+  /** The APPEND verb of the composed residual lifecycle: assign the new
+    * batch with the store's own centroids, subtract, encode the
+    * RESIDUALS with the store's own codebooks, and append both halves.
+    * The composed meta pairing is checked FIRST (a foreign index or
+    * centroid set fails before the store is touched); per-half
+    * idempotence probes then make a retried append a no-op. Codes land
+    * before cells: a crash between the writes leaves the increment
+    * invisible (candidates come from cells) rather than candidates
+    * without codes, and the retry completes both halves.
+    */
+  def residualAppendVectors(cents: org.apache.spark.sql.DataFrame,
+      index: PqIndex, e: org.apache.spark.sql.DataFrame,
+      path: String, byL2: Boolean = false): Unit = {
+    val spark = e.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").take(1)
+    require(meta.nonEmpty,
+      s"residualAppendVectors: meta store at $path/meta is empty — " +
+        "save the composed index first (residualSaveIndex)")
+    val m = meta(0)
+    val centsFp = centsFingerprint(cents.select("cid", "cv"), byL2)
+    require(m.getAs[String]("cents_fp") == centsFp &&
+        m.getAs[String]("pq_fp") == index.fingerprint,
+      s"residualAppendVectors: in-hand halves (cents $centsFp, pq " +
+        s"${index.fingerprint}) do not match the store's pairing " +
+        s"(${m.getAs[String]("cents_fp")}, ${m.getAs[String]("pq_fp")}) — " +
+        "an increment encoded in a different residual space would " +
+        "poison every search")
+    // residuals of ONLY the not-yet-stored increment (the half verbs
+    // re-probe for idempotence; this pre-filter just avoids computing
+    // residuals for vectors already encoded)
+    val inc = e.join(
+      spark.read.parquet(s"$path/pq/codes").select("vec_id").distinct(),
+      Seq("vec_id"), "left_anti")
+    val rv = ivfResiduals(inc, cents,
+        ivfAssign(inc, cents.select("cid", "cv"), byL2))
+      .select("vec_id", "v")
+    pqAppendCodes(index, rv, s"$path/pq")
+    ivfAppendCells(cents, e, s"$path/ivf", byL2)
+  }
+
   /** q127 ships the residual pipeline at 32 coarse cells (vs q112's 8)
     * because the residual gain tracks the variance the coarse quantizer
     * explains: on this near-uniform unit-sphere corpus 8 cells explain
@@ -1685,15 +1803,34 @@ object SimilarityQueries extends QueryModule {
     * mutual edges out, connected components unchanged downstream
     * (MutualKnnAnnSpec measures ANN-fed edge recall vs brute force).
     *
+    * `minSim` is the similarity floor of the composed production
+    * pipeline (candidates → sim floor → mutuality → CC). ANN-fed mutual
+    * edges are NOT a subset of the brute-force mutual graph: when the
+    * index misses an anchor's true top-k, the sparser candidate list
+    * promotes lower-similarity pairs into rank <= k on BOTH sides, and
+    * those spurious edges would bridge unrelated CC components
+    * downstream (measured in SCALING.md: 166–232 spurious edges on the
+    * 200-vector subset). True mutual edges sit high in similarity, so a
+    * floor kills the spurious tail with little true-edge loss
+    * (MutualKnnAnnSpec measures both sides of that trade). The default
+    * keeps the floor off — the brute-force oracle path (q116) must see
+    * every edge.
+    *
     * The input is materialized ONCE (localCheckpoint): it feeds both
     * sides of the self-join, and without it the candidate generator —
     * scoring scan or ANN probe — would execute twice (exchange reuse
     * caches the scored exchange, not the window above it) — the q72
-    * one-relation-many-consumers discipline.
+    * one-relation-many-consumers discipline. The floor is applied
+    * BEFORE the materialization and the self-join, so the checkpointed
+    * relation and both join sides shrink with it.
     */
-  def mutualKnnEdgesFromCandidates(directed: org.apache.spark.sql.DataFrame)
+  def mutualKnnEdgesFromCandidates(directed: org.apache.spark.sql.DataFrame,
+      minSim: Double = Double.NegativeInfinity)
       : org.apache.spark.sql.DataFrame = {
-    val top = directed.select("aid", "bid", "sim", "rn").localCheckpoint(true)
+    val floored =
+      if (minSim == Double.NegativeInfinity) directed
+      else directed.filter(col("sim") >= minSim)
+    val top = floored.select("aid", "bid", "sim", "rn").localCheckpoint(true)
     val rev = top.select(col("aid").as("bid2"), col("bid").as("aid2"),
       col("rn").as("rank_ba"))
     top.join(rev, col("aid") === col("aid2") && col("bid") === col("bid2"))
@@ -2032,7 +2169,155 @@ object SimilarityQueries extends QueryModule {
                FROM hashed) r JOIN sizes USING (cell)
              WHERE rank <= 10 ORDER BY cell, rank"""))
 
+  /** The composed curation pipeline — fluency gate (q129) → DSIR
+    * domain-matched quota (q130) → diversity-balanced draw (q131) as ONE
+    * query, proving the three selection stages compose on a single scan
+    * topology (CorpusPipelineSpec establishes the same for the dedup
+    * family). A real pretraining curation run chains exactly these
+    * stages; composing them per-stage-materialized would re-tokenize the
+    * corpus once per gate.
+    *
+    * Scale shape: all trained artifacts stay bounded and broadcast —
+    * the fluency vocabulary (top-V TakeOrdered), the DSIR raw/target
+    * vocabulary, the 1-row totals frame, the k coarse centroids. BOTH
+    * token statistics (fluency improbability, DSIR importance) come off
+    * the SAME exploded-token scoring scan with map-side partial
+    * aggregation — the corpus is tokenized ONCE for both gates, the
+    * whole point of the composition. The per-source quota and the
+    * per-cell draw run through the exact two-stage
+    * [[graft.operators.GroupTopK]]; the cell assignment joins the
+    * bounded survivor set INTO the cells relation broadcast, so nothing
+    * corpus-sized ever shuffles on a low-cardinality key.
+    */
+  private val q132 = QueryDef(
+    "q132_curation_pipeline",
+    (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val docs = Tables(s, d, "documents")
+      val v = 2000
+      val toks = tokens(col("text"))
+      // bounded artifacts (TakeOrdered / tiny aggregates, all broadcast)
+      val trainTok = docs.filter(col("lang") === "en")
+        .select(explode(toks).as("tok"))
+      val fVocab = trainTok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(v)
+      val rawTok = docs.select(explode(toks).as("tok"))
+      val tgtTok = docs.filter(col("source") === "src0")
+        .select(explode(toks).as("tok"))
+      val dVocab = rawTok.groupBy("tok").agg(count(lit(1)).as("cr"))
+        .orderBy(col("cr").desc, col("tok").asc).limit(v)
+        .join(broadcast(tgtTok.groupBy("tok").agg(count(lit(1)).as("ct"))),
+          Seq("tok"), "left")
+        .select(col("tok"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      val totals = trainTok.agg(count(lit(1)).as("n_train"))
+        .crossJoin(rawTok.agg(count(lit(1)).as("nr")))
+        .crossJoin(tgtTok.agg(count(lit(1)).as("nt")))
+      // ONE corpus tokenization scoring BOTH gates (ratio expressions
+      // verbatim from q129/q130 so the stats stay hash-identical)
+      val scored = docs.select(col("doc_id"), col("source"),
+          explode(toks).as("tok"))
+        .join(broadcast(fVocab), Seq("tok"), "left")
+        .join(broadcast(dVocab), Seq("tok"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("fratio",
+          (col("n_train") + lit(v + 1)).cast("double") /
+            (coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double"))
+        .withColumn("oov", when(col("cnt").isNull, 1L).otherwise(0L))
+        .withColumn("dratio",
+          ((coalesce(col("ct"), lit(0L)) + lit(1L)) *
+            (col("nr") + lit(v + 1))).cast("double") /
+            ((coalesce(col("cr"), lit(0L)) + lit(1L)) *
+              (col("nt") + lit(v + 1))).cast("double"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_toks"), sum(col("oov")).as("n_oov"),
+          Exact.davg(col("fratio")).as("improb"),
+          Exact.davg(col("dratio")).as("importance"))
+      // stage 1 — fluency gate (q129's keep predicate)
+      val fluent = scored.filter(col("n_oov") * lit(5) <= col("n_toks"))
+      // stage 2 — DSIR per-source quota over the GATED survivors
+      val quota = graft.operators.GroupTopK.topK(fluent, Seq(col("source")),
+          Seq(col("importance").desc, col("doc_id").asc), col("doc_id"), 10)
+        .select("doc_id", "source", "improb", "importance")
+      // stage 3 — diversity-balanced draw over the survivors' embeddings
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val cells = nearestCentroid(e, kmeansCentroids(e))
+        .select(col("vec_id"), col("cid").as("cell"))
+      val surv = cells.join(broadcast(quota),
+          col("vec_id") === col("doc_id"))
+        .select(col("cell"), col("doc_id"), col("source"), col("improb"),
+          col("importance"))
+      graft.operators.GroupTopK.topK(
+          surv.withColumn("h",
+            md5(concat(lit("cur:"), col("doc_id").cast("string")))),
+          Seq(col("cell")), Seq(col("h").asc, col("doc_id").asc),
+          col("doc_id"), 5)
+        .select("cell", "rank", "doc_id", "source", "improb", "importance")
+        .orderBy("cell", "rank")
+    },
+    Some {
+      val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+      s"""WITH rawtok AS (SELECT doc_id, source, unnest($tokSql) AS tok
+                          FROM documents),
+               ttok AS (SELECT unnest($tokSql) AS tok FROM documents
+                        WHERE lang = 'en'),
+               tgttok AS (SELECT unnest($tokSql) AS tok FROM documents
+                          WHERE source = 'src0'),
+               fvocab AS (SELECT tok, cnt FROM (
+                            SELECT tok, COUNT(*) AS cnt FROM ttok
+                            GROUP BY tok
+                            ORDER BY cnt DESC, tok ASC LIMIT 2000)),
+               dvocab AS (SELECT tok, cr,
+                            CAST(COALESCE(ct, 0) AS BIGINT) AS ct
+                          FROM (SELECT tok, COUNT(*) AS cr FROM rawtok
+                                GROUP BY tok
+                                ORDER BY COUNT(*) DESC, tok ASC LIMIT 2000) rv
+                          LEFT JOIN (SELECT tok, COUNT(*) AS ct FROM tgttok
+                                     GROUP BY tok) tc USING (tok)),
+               tot AS (SELECT (SELECT COUNT(*) FROM ttok) AS n_train,
+                              (SELECT COUNT(*) FROM rawtok) AS nr,
+                              (SELECT COUNT(*) FROM tgttok) AS nt),
+               scored AS (SELECT doc_id, source, COUNT(*) AS n_toks,
+                            CAST(SUM(oov) AS BIGINT) AS n_oov,
+                            ${Exact.sqlDavg("fratio")} AS improb,
+                            ${Exact.sqlDavg("dratio")} AS importance
+                          FROM (SELECT doc_id, source,
+                                  CAST(n_train + 2001 AS DOUBLE)
+                                    / CAST(COALESCE(cnt, 0) + 1 AS DOUBLE)
+                                    AS fratio,
+                                  CASE WHEN cnt IS NULL THEN 1 ELSE 0 END
+                                    AS oov,
+                                  CAST((COALESCE(ct, 0) + 1) * (nr + 2001)
+                                    AS DOUBLE)
+                                    / CAST((COALESCE(cr, 0) + 1) * (nt + 2001)
+                                      AS DOUBLE) AS dratio
+                                FROM rawtok LEFT JOIN fvocab USING (tok)
+                                     LEFT JOIN dvocab USING (tok)
+                                     CROSS JOIN tot) t
+                          GROUP BY doc_id, source),
+               fluent AS (SELECT * FROM scored WHERE 5 * n_oov <= n_toks),
+               quota AS (SELECT doc_id, source, improb, importance FROM (
+                           SELECT doc_id, source, improb, importance,
+                             ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY importance DESC, doc_id ASC) AS rnk
+                           FROM fluent) q WHERE rnk <= 10),
+               e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+               ${kmeansSql()},
+               cells AS (${nearestSql("e", "cents3", byL2 = false,
+                 "vec_id, cid AS cell")}),
+               surv AS (SELECT cell, doc_id, source, improb, importance,
+                          md5('cur:' || CAST(doc_id AS VARCHAR)) AS h
+                        FROM quota JOIN cells ON quota.doc_id = cells.vec_id)
+          SELECT cell, rank, doc_id, source, improb, importance FROM (
+            SELECT cell, doc_id, source, improb, importance,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                     ORDER BY h ASC, doc_id ASC) AS rank
+            FROM surv) r
+          WHERE rank <= 5 ORDER BY cell, rank"""
+    })
+
   override def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112,
-      q114, q116, q117, q119, q123, q127, q128, q131)
+      q114, q116, q117, q119, q123, q127, q128, q131, q132)
 }

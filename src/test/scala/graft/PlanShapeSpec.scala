@@ -453,6 +453,38 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffle join in:\n$p")
   }
 
+  test("q132 composed curation tokenizes the corpus ONCE for both gates " +
+    "(one documents scan feeds the fluency + DSIR statistics), quotas " +
+    "through LOCAL two-stage top-k on both keys, no corpus shuffle join") {
+    val p = plan("q132_curation_pipeline")
+    // the composition's point: ONE exploded-token scoring scan serves
+    // both gates. The documents table is also read by the bounded
+    // artifact builders (vocab tops / totals), so detect the fused scan
+    // by its aggregate signature: BOTH gates' statistics (the fluency
+    // fratio and the DSIR dratio) must be computed by the SAME partial
+    // aggregate operator — and no second scoring aggregate may exist
+    val scoringLines = p.linesIterator
+      .filter(l => l.contains("partial_") &&
+        (l.contains("fratio") || l.contains("dratio"))).toSeq
+    assert(scoringLines.nonEmpty, s"no scoring aggregate found in:\n$p")
+    assert(scoringLines.forall(l =>
+        l.contains("fratio") && l.contains("dratio")),
+      s"fluency and DSIR stats split across scans — gates re-tokenize " +
+        s"the corpus:\n${scoringLines.mkString("\n")}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-V must plan as per-partition heaps in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"artifacts must broadcast onto the scoring scan in:\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, __graft_topk_bk#".r
+      .findFirstIn(p).isDefined,
+      s"DSIR quota not two-stage (source, bucket)-keyed in:\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(cell#\\d+, __graft_topk_bk#".r
+      .findFirstIn(p).isDefined,
+      s"diversity draw not two-stage (cell, bucket)-keyed in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffle join in:\n$p")
+  }
+
   test("q131 diverse sample assigns cells against broadcast centroids, " +
     "draws the quota through the LOCAL (cell, bucket)-keyed top-k, and " +
     "broadcast-joins the 8-row cell sizes — no count window over cells") {

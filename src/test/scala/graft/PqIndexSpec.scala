@@ -342,4 +342,120 @@ class PqIndexSpec extends SparkSuite {
     assert(dropped == 0L,
       "corpus-member queries (excludeSelfMatches = true) must drop the self pair")
   }
+
+  test("the COMPOSED residual store: save/load round-trips and a search " +
+    "from the four loaded relations equals the in-session q127 exactly") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // train exactly as q127 does (32 coarse cells, residual-space PQ)
+    val (cents, cells0) = SimilarityQueries.ivfTrain(emb, k = 32)
+    val cells = cells0.localCheckpoint(true)
+    val rv = SimilarityQueries.ivfResiduals(emb, cents, cells)
+      .select("vec_id", "v").localCheckpoint(true)
+    val index = SimilarityQueries.pqTrain(rv)
+    val base = tmpDir("annidx-residual") + "/store"
+    SimilarityQueries.residualSaveIndex(cents, cells, index,
+      SimilarityQueries.pqCodes(index, rv), base)
+    val (lCents, lCells, lIndex, lCodes) =
+      SimilarityQueries.residualLoadIndex(spark, base)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val fromStore = SimilarityQueries
+      .ivfPqSearchResidual(lCells, lCents, lIndex, lCodes, q,
+        excludeSelfMatches = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val inSession = SparkEntry.queries("q127_ivf_pq_residual")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(fromStore.sameElements(inSession),
+      "the persisted residual index must reproduce q127 exactly — " +
+        "otherwise production serves the flat encoding the residual " +
+        "pipeline exists to beat")
+  }
+
+  test("a flat pq/ tree spliced into a residual store — same geometry, " +
+    "raw-space training — fails the composed pairing at load") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val (cents, cells0) = SimilarityQueries.ivfTrain(emb)
+    val cells = cells0.localCheckpoint(true)
+    val rv = SimilarityQueries.ivfResiduals(emb, cents, cells)
+      .select("vec_id", "v").localCheckpoint(true)
+    val index = SimilarityQueries.pqTrain(rv)
+    val base = tmpDir("annidx-splice") + "/store"
+    SimilarityQueries.residualSaveIndex(cents, cells, index,
+      SimilarityQueries.pqCodes(index, rv), base)
+    // the splice: a FLAT-trained store of identical geometry overwrites
+    // pq/ — it passes pqLoadIndex's own checks (it is self-consistent)
+    val flat = SimilarityQueries.pqTrain(emb)
+    SimilarityQueries.pqSaveIndex(flat,
+      SimilarityQueries.pqCodes(flat, emb), s"$base/pq")
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityQueries.residualLoadIndex(spark, base)
+    }
+    assert(ex.getMessage.contains("composed stamp"),
+      s"expected the composed-pairing check, got: ${ex.getMessage}")
+  }
+
+  test("the composed residual APPEND verb: an increment assigned, " +
+    "subtracted, and encoded with the LOADED halves lands in both " +
+    "stores; foreign halves fail before the store is touched; a " +
+    "retried append is a no-op") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val old = emb.filter(col("vec_id") >= 10)
+    val inc = emb.filter(col("vec_id") < 10)
+    val (cents, cells0) = SimilarityQueries.ivfTrain(old)
+    val cells = cells0.localCheckpoint(true)
+    val rv = SimilarityQueries.ivfResiduals(old, cents, cells)
+      .select("vec_id", "v").localCheckpoint(true)
+    val index = SimilarityQueries.pqTrain(rv)
+    val base = tmpDir("annidx-res-append") + "/store"
+    SimilarityQueries.residualSaveIndex(cents, cells, index,
+      SimilarityQueries.pqCodes(index, rv), base)
+
+    val (lCents, _, lIndex, _) = SimilarityQueries.residualLoadIndex(spark, base)
+    SimilarityQueries.residualAppendVectors(lCents, lIndex, inc, base)
+
+    val (rCents, rCells, rIndex, rCodes) =
+      SimilarityQueries.residualLoadIndex(spark, base)
+    val n = emb.count()
+    assert(rCells.count() == n, "cells must cover old + increment")
+    assert(rCodes.count() == 4 * n, "codes must cover old + increment")
+
+    // search sees the increment: vector 0 queries itself; in residual
+    // space its own codes are the per-subspace argmin for its exact
+    // residual, so no code combination scores lower, ties to lowest id
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val top = SimilarityQueries
+      .ivfPqSearchResidual(rCells, rCents, rIndex, rCodes, q0, topK = 1)
+      .collect()
+    assert(top.length == 1 && top.head.getLong(1) == 0L,
+      s"residual search over the appended store must retrieve the " +
+        s"increment: ${top.toSeq}")
+
+    // foreign halves fail the pairing gate before any write
+    val (fCents, fCells0) =
+      SimilarityQueries.ivfTrain(emb.filter(col("vec_id") >= 100))
+    val fCells = fCells0.localCheckpoint(true)
+    val fRv = SimilarityQueries
+      .ivfResiduals(emb.filter(col("vec_id") >= 100), fCents, fCells)
+      .select("vec_id", "v")
+    val foreign = SimilarityQueries.pqTrain(fRv)
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityQueries.residualAppendVectors(fCents, foreign, inc, base)
+    }
+    assert(ex.getMessage.contains("pairing"),
+      s"expected the pairing gate, got: ${ex.getMessage}")
+    assert(SimilarityQueries.residualLoadIndex(spark, base)._4.count() == 4 * n,
+      "a failed append must leave the store intact")
+
+    // retried append of the same batch (crash-after-write rerun): no-op
+    SimilarityQueries.residualAppendVectors(lCents, lIndex, inc, base)
+    val (_, cells2, _, codes2) = SimilarityQueries.residualLoadIndex(spark, base)
+    assert(cells2.count() == n && codes2.count() == 4 * n,
+      "re-appending an already-stored batch must not duplicate rows")
+  }
 }
