@@ -1297,6 +1297,161 @@ object SimilarityQueries extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** Spec identity of an LSH bucket store. Unlike PQ/IVF there is no
+    * TRAINING to fingerprint — the hyperplanes are derived
+    * deterministically from md5 of the global plane id (VectorFunctions
+    * .signProjection) — so the stamp pins the GEOMETRY and projection
+    * convention: a store bucketed under different (tables, planes, dims)
+    * or by a changed projection would equality-join the wrong candidate
+    * sets silently. The bin-family lesson (format identity, not training
+    * identity) applied to the fourth index family.
+    */
+  private def lshFingerprint(tables: Int, planes: Int, vdims: Int): String =
+    s"lsh:dims=$vdims:tables=$tables:planes=$planes:proj=md5-sign-q1e6"
+
+  /** Multi-table bucket assignment in persistable form: one row per
+    * (vec_id, table) carrying the small-int bucket id plus the spec
+    * stamp — the relation [[lshMultiAnn]] computes on the fly, exposed
+    * so it can be built ONCE and persisted beside the vectors (the q98
+    * layout move; at 100 TB the bucket columns are a few bytes against
+    * a 256-byte vector, and candidate generation then reads only them).
+    */
+  def lshBuckets(emb: org.apache.spark.sql.DataFrame,
+      tables: Int = 4, planes: Int = 6, vdims: Int = dims)
+      : org.apache.spark.sql.DataFrame =
+    emb.filter(
+        assert_true(size(col("v")) === lit(vdims),
+          lit(s"lshBuckets: vector length must be $vdims")).isNull)
+      .select(col("vec_id"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col("v"), planes, vdims, t)): _*)))
+      .toDF("vec_id", "tbl", "bucket")
+      .withColumn("fp", lit(lshFingerprint(tables, planes, vdims)))
+
+  /** Persists a multi-table LSH bucket assignment at `path`/buckets with
+    * a 1-row geometry relation at `path`/meta — build once, search
+    * forever, append increments: the store lifecycle of the other three
+    * index families applied to LSH. The stamp is verified against the
+    * declared geometry BEFORE anything is written (a mis-declared save
+    * would poison every candidate join).
+    */
+  def lshSaveIndex(buckets: org.apache.spark.sql.DataFrame,
+      tables: Int, planes: Int, path: String, vdims: Int = dims): Unit = {
+    require(buckets.columns.contains("fp"),
+      "lshSaveIndex: buckets carry no spec stamp — build them with lshBuckets")
+    val fp = lshFingerprint(tables, planes, vdims)
+    val stamps = buckets.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(stamps.nonEmpty,
+      "lshSaveIndex: refusing to persist an EMPTY bucket assignment — " +
+        "bucket the corpus with lshBuckets first (an empty store would " +
+        "be rejected by lshLoadIndex as interrupted)")
+    require(stamps == Seq(fp),
+      s"lshSaveIndex: buckets were built under a different spec " +
+        s"(${stamps.mkString(", ")}) than the declared geometry ($fp) — " +
+        "a mis-declared store would equality-join the wrong candidates")
+    buckets.sparkSession.range(1).select(lit(fp).as("fp"),
+        lit(tables).as("tables"), lit(planes).as("planes"),
+        lit(vdims).as("dims"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    buckets.select("vec_id", "tbl", "bucket", "fp")
+      .write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
+  /** Restores a persisted LSH index as (buckets, tables, planes). The
+    * meta stamp is recomputed from the stored geometry and checked, and
+    * every bucket row's stamp is checked against it (the IVF cells
+    * move) — a store spliced from two geometries fails loudly instead
+    * of joining wrong candidate sets.
+    */
+  def lshLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (org.apache.spark.sql.DataFrame, Int, Int) = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("fp", "tables", "planes", "dims").take(1)
+    require(meta.nonEmpty,
+      s"lshLoadIndex: meta store at $path/meta is empty — interrupted " +
+        "save or wrong path")
+    val m = meta(0)
+    val (fp, tables, planes, vd) =
+      (m.getString(0), m.getInt(1), m.getInt(2), m.getInt(3))
+    require(fp == lshFingerprint(tables, planes, vd),
+      s"lshLoadIndex: stored stamp $fp does not match its own declared " +
+        s"geometry (tables=$tables, planes=$planes, dims=$vd) — the " +
+        "meta row is corrupt or hand-edited")
+    val buckets = spark.read.parquet(s"$path/buckets")
+    val stamps = buckets.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(stamps == Seq(fp),
+      s"lshLoadIndex: bucket rows carry stamps ${stamps.mkString(", ")} " +
+        s"— the store at $path/buckets mixes geometries or is corrupt")
+    (buckets, tables, planes)
+  }
+
+  /** The APPEND verb of the LSH-store lifecycle: bucket a new batch
+    * under the STORE'S OWN geometry (read from meta, so the caller
+    * cannot drift it) and append, idempotent on vec_id — the same
+    * retried-append guard as the other three families.
+    */
+  def lshAppendBuckets(emb: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    val spark = emb.sparkSession
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("tables", "planes", "dims").take(1)
+    require(meta.nonEmpty,
+      s"lshAppendBuckets: meta store at $path/meta is empty — save the " +
+        "index first (lshSaveIndex)")
+    val m = meta(0)
+    val existing = spark.read.parquet(s"$path/buckets")
+      .select("vec_id").distinct()
+    lshBuckets(emb.join(existing, Seq("vec_id"), "left_anti"),
+        m.getInt(0), m.getInt(1), m.getInt(2))
+      .write.mode("append").parquet(s"$path/buckets")
+  }
+
+  /** ANN search from a PERSISTED bucket store: candidates come from the
+    * stored (tbl, bucket) equality join — the corpus is never
+    * re-bucketed — and only the candidate set (queries × bucket
+    * occupancy, broadcast) joins back into the vector relation for the
+    * exact cosine rerank. Results are identical to [[lshMultiAnn]] at
+    * the same geometry (the bucket function is deterministic), proven
+    * in LshIndexSpec against q111. Bucket rows are stamp-checked
+    * row-wise (the fpChecked move): a foreign-geometry store fails at
+    * the first row, not as silently-wrong candidates.
+    */
+  def lshSearchIndex(buckets: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      tables: Int = 4, planes: Int = 6, topK: Int = 5, vdims: Int = dims,
+      excludeSelfMatches: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val fp = lshFingerprint(tables, planes, vdims)
+    require(buckets.columns.contains("fp"),
+      "lshSearchIndex: buckets must carry the spec stamp column fp " +
+        "(build with lshBuckets, or load with lshLoadIndex)")
+    val checked = buckets.filter(
+      assert_true(col("fp") === lit(fp),
+        concat(lit("lshSearchIndex: bucket stamp "), col("fp"),
+          lit(s" does not match the declared geometry ($fp)"))).isNull)
+    val qb = queries.select(col("qid"), col("qv"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col("qv"), planes, vdims, t)): _*)))
+      .toDF("qid", "qv", "tbl", "bucket")
+    val hits = checked.select("vec_id", "tbl", "bucket")
+      .join(broadcast(qb), Seq("tbl", "bucket"))
+    val cand = (if (excludeSelfMatches) hits.filter(col("qid") =!= col("vec_id"))
+      else hits)
+      .select("qid", "vec_id").distinct()
+    val scored = e.join(broadcast(cand), "vec_id")
+      .join(broadcast(queries.select(col("qid"), col("qv"))), "qid")
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qv"), col("v")).as("sim"))
+    graft.operators.GroupTopK.topK(scored, Seq(col("qid")),
+        Seq(col("sim").desc, col("nid").asc), col("nid"), topK,
+        rankName = "rank")
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        col("rank"), col("sim").as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Residual vectors for residual-encoded IVF-PQ: every corpus vector
     * minus the coarse centroid of its cell, v − cv[cell] — the standard
     * production refinement that q112's flat composition documents:

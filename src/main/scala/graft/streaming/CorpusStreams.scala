@@ -67,4 +67,57 @@ object CorpusStreams {
     decontaminated(
       docs.filter(TextFunctions.qualityScore(col("text")) >= minQuality),
       bloom, n)
+
+  /** Streaming EMBEDDING near-dup gate — the bloom-bitset move applied
+    * to vectors: drop an incoming row whose 64-bit sign code sits within
+    * `maxHamming` of ANY static-corpus code. The corpus representation
+    * embedded in the filter is the q128 packed form (two 32-bit lanes,
+    * 16 bytes/vector), shipped as two parallel array literals, so the
+    * probe is ONE per-row expression — no stream-static join, no state,
+    * no watermark, exactly like [[decontaminated]]'s bitset.
+    *
+    * Size honesty (the q91 trade restated for vectors): an embedded
+    * code table is the right shape while 16·n bytes broadcasts — fine
+    * to ~10M corpus vectors (~160 MB plan literal is already past
+    * comfortable; chunk the corpus into several gates before that).
+    * Past that, the batch q38/q128 path with a persisted index is the
+    * tool; a crawl front-end gates against the RECENT corpus sketch,
+    * not the whole lake. Sign-code Hamming is a recall-bounded proxy
+    * for cosine (measured in SCALING.md: Hamming top-25 carries 56%
+    * of exact top-5 at 64 bits) — the gate trades exactness for a
+    * stateless bounded-cost probe, and the batch dedup behind it stays
+    * exact.
+    *
+    * `v` must be the `dims`-length double array column; the packed
+    * lanes are computed per row by the same [[graft.queries
+    * .SimilarityQueries.binCodes]] convention (bit j of lane = v[j]>0),
+    * so a gate built from a persisted bin store's codes probes
+    * consistently.
+    */
+  def embeddingNearDupGate(rows: DataFrame, corpusW0: Seq[Long],
+      corpusW1: Seq[Long], maxHamming: Int, vCol: String = "v"): DataFrame = {
+    require(corpusW0.length == corpusW1.length,
+      "embeddingNearDupGate: lane arrays must be parallel (same length)")
+    require(rows.columns.contains(vCol),
+      s"embeddingNearDupGate: input has no '$vCol' column")
+    def lane(lo: Int): Column =
+      expr(s"aggregate(sequence($lo, ${lo + 31}), 0L, " +
+        s"(acc, i) -> acc + IF(element_at($vCol, i + 1) > 0D, " +
+        s"shiftleft(1L, i - $lo), 0L))")
+    val reserved = Seq("__graft_w0", "__graft_w1")
+    require(!reserved.exists(rows.columns.contains),
+      "embeddingNearDupGate: input already has a __graft_w0/__graft_w1 " +
+        "column — rename it; these names are reserved for the packed lanes")
+    rows
+      // lanes bound as projected columns so the 64-term aggregate runs
+      // once per row, not once per corpus code (the __graft_tk rationale)
+      .withColumn("__graft_w0", lane(0))
+      .withColumn("__graft_w1", lane(32))
+      .filter(!exists(
+        arrays_zip(typedLit(corpusW0).as("w0"), typedLit(corpusW1).as("w1")),
+        c => (bit_count(col("__graft_w0").bitwiseXOR(c.getField("w0"))) +
+          bit_count(col("__graft_w1").bitwiseXOR(c.getField("w1"))))
+          <= lit(maxHamming)))
+      .drop("__graft_w0", "__graft_w1")
+  }
 }

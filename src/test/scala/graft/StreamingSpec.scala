@@ -514,6 +514,67 @@ class StreamingSpec extends SparkSuite {
     assert(progress.stateOperators.isEmpty, "decontamination must be stateless")
   }
 
+  test("streaming embedding near-dup gate: an incoming vector whose sign " +
+    "code sits within the Hamming radius of the static corpus codes is " +
+    "dropped in-flight — stateless plan, agrees with the batch packing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.asDouble
+    import graft.queries.SimilarityQueries
+    import graft.streaming.CorpusStreams
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val lanes = SimilarityQueries.binCodes(corpus)
+      .select("w0", "w1").collect()
+    val w0s = lanes.map(_.getLong(0)).toSeq
+    val w1s = lanes.map(_.getLong(1)).toSeq
+    val radius = 5
+
+    // probes: fresh vectors (vec_id < 20) plus an exact copy of a corpus
+    // vector under a new id — the copy's Hamming distance is 0, so the
+    // gate MUST drop it whatever the corpus geometry
+    val dupRow = corpus.filter(col("vec_id") === 100)
+      .select(lit(-100L).as("vec_id"), col("v"))
+    val probes = emb.filter(col("vec_id") < 20).unionAll(dupRow)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+    // batch ground truth under the SAME packing convention
+    val probeDf = probes.toSeq.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val pc = SimilarityQueries.binCodes(probeDf).select("vec_id", "w0", "w1")
+    val cc = SimilarityQueries.binCodes(corpus)
+      .select(col("w0").as("cw0"), col("w1").as("cw1"))
+    val droppedExpected = pc.crossJoin(cc)
+      .filter(expr(s"bit_count(w0 ^ cw0) + bit_count(w1 ^ cw1) <= $radius"))
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    val keptExpected = probes.map(_._1).toSet -- droppedExpected
+    assert(droppedExpected.contains(-100L), "the exact copy must be dropped")
+
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val gated = CorpusStreams.embeddingNearDupGate(
+      input.toDF().toDF("vec_id", "v"), w0s, w1s, radius)
+    val q = gated.writeStream.format("memory").queryName("neardup_gate_t")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("neardup-gate-ckpt"))
+      .start()
+    try {
+      input.addData(probes.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("neardup_gate_t").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == keptExpected,
+      s"stream gate disagrees with batch packing: kept $kept, " +
+        s"expected $keptExpected")
+    val progress = q.lastProgress
+    assert(progress != null, "no progress recorded — cannot verify statelessness")
+    assert(progress.stateOperators.isEmpty,
+      "the near-dup gate must be stateless")
+  }
+
   test("decontaminated fails fast when the input already carries the " +
     "reserved __graft_tk column instead of silently destroying it") {
     import spark.implicits._
