@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 
-import graft.functions.{DotProductExpr, HexSignMaskExpr, NormalizeTextExpr, ZOrderExpr}
+import graft.functions.{DotProductExpr, HexSignMaskExpr, ImageHeaderExpr, NormalizeTextExpr, ZOrderExpr}
 
 /** SparkSessionExtensions entry point — the library-deployment packaging of
   * graft's native expressions: add
@@ -72,5 +72,11 @@ object GraftExtensions {
         "graft_zorder(x, y) - 16-bit Z-order (Morton) interleave of two 8-bit bucketed coordinates"),
       (exprs: Seq[Expression]) => {
         arity("graft_zorder", 2, exprs); ZOrderExpr(exprs(0), exprs(1), 8)
+      }),
+    (FunctionIdentifier("graft_image_header"),
+      info(classOf[ImageHeaderExpr], "graft_image_header",
+        "graft_image_header(payload) - struct<format,width,height> parsed from PNG/JPEG/GIF container bytes; NULL if unrecognized"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_image_header", 1, exprs); ImageHeaderExpr(exprs(0))
       }))
 }

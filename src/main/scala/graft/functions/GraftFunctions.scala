@@ -20,4 +20,7 @@ object GraftFunctions {
   /** Column-API twins (same expressions, no registration needed). */
   def graftDot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
   def graftCosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
+  def graftImageHeader(payload: Column): Column =
+    GraftColumnBridge.column(
+      ImageHeaderExpr(GraftColumnBridge.expression(payload)))
 }

@@ -80,6 +80,20 @@ object Multimodal {
       }
   }
 
+  /** REAL container-header metadata for an image payload column — the
+    * non-stubbed half of the decode story: PNG/JPEG/GIF carry their pixel
+    * dimensions in the container header, so format/width/height parse
+    * from the first bytes with no codec (see
+    * [[graft.functions.ImageHeaderExpr]]). Unrecognized or corrupt
+    * payloads yield a NULL struct, never an error — crawl data lies about
+    * its content type routinely. This is the filter a curation pipeline
+    * runs BEFORE the expensive decode: drop icons, cap megapixels,
+    * partition by aspect ratio, all from header bytes.
+    */
+  def imageHeader(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("image_header",
+      graft.functions.GraftFunctions.graftImageHeader(col(payloadCol)))
+
   /** Frame-sample offsets for a byte stream chunked at `frameSize`: every
     * `stride`-th frame start — the video-frame-sampling access pattern as
     * pure column arithmetic (no decode needed to plan the read). Empty

@@ -459,6 +459,65 @@ object DedupQueries extends QueryModule {
              WHERE ${jaccardEstSql("sa", "sb")} >= 0.5
              ORDER BY doc_a, doc_b"""))
 
+  /** Cross-source near-duplicate matrix — WHICH sources share copied
+    * content, the data-governance rollup of the near-dup pipeline: q72's
+    * signature-scored pairs (est ≥ 0.5) joined to each side's source and
+    * aggregated into an unordered source × source matrix with pair count
+    * and mean estimated Jaccard. A licensing/provenance audit reads this
+    * to find syndication (src A republishes src B) and self-duplication
+    * (the diagonal); the mixture weights (q113) and novelty matrix
+    * (q103) answer adjacent questions from token overlap rather than
+    * document identity.
+    *
+    * Scale shape: everything upstream is the q32/q72 machinery (one
+    * materialized signature relation, hot-bucket-capped band joins);
+    * downstream is a pair-population join against the 2-column
+    * (doc_id, source) projection and a #source²-bounded aggregate —
+    * nothing new shuffles at corpus scale. The source columns are
+    * least/greatest-normalized so the matrix is triangular regardless
+    * of doc_id ordering within a pair.
+    */
+  private val q133 = QueryDef(
+    "q133_source_copy_matrix",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sig = minhashSigs(docs).localCheckpoint(true)
+      val pairs = lshCandidatePairsFromSigs(sig)
+      val scored = pairs
+        .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          jaccardEstimate("sa", "sb").as("est"))
+        .filter(col("est") >= 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      scored
+        .join(src.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(src.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .select(least(col("ca.source"), col("cb.source")).as("source_a"),
+          greatest(col("ca.source"), col("cb.source")).as("source_b"),
+          col("est"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"), Exact.davg(col("est")).as("mean_est"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""WITH $lshPairsCteSql,
+                  est AS (SELECT * FROM (
+                            SELECT doc_a, doc_b,
+                                   ${jaccardEstSql("sa", "sb")} AS est
+                            FROM pairs
+                            JOIN sig sa ON doc_a = sa.doc_id
+                            JOIN sig sb ON doc_b = sb.doc_id) t
+                          WHERE est >= 0.5),
+                  m AS (SELECT LEAST(ca.source, cb.source) AS source_a,
+                               GREATEST(ca.source, cb.source) AS source_b,
+                               est
+                        FROM est JOIN documents ca ON est.doc_a = ca.doc_id
+                                 JOIN documents cb ON est.doc_b = cb.doc_id)
+             SELECT source_a, source_b, COUNT(*) AS n_pairs,
+                    ${Exact.sqlDavg("est")} AS mean_est
+             FROM m GROUP BY source_a, source_b
+             ORDER BY source_a, source_b"""))
+
   /** Oracle CTE chain extending the candidate graph to converged connected
     * components: `cc(doc_id, cluster_id)` with cluster_id = min doc_id
     * reachable. The closure runs over `pairs_all` — pairs from the UNCAPPED
@@ -660,6 +719,92 @@ object DedupQueries extends QueryModule {
                          THEN 'train' ELSE 'test' END AS split
              FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
              ORDER BY d.doc_id"""))
+
+  /** Split-leakage audit — q124's reason to exist, quantified: score the
+    * near-dup pairs (q72's est ≥ 0.5) under BOTH split strategies — the
+    * naive per-document hash (q66) and the cluster-aware group hash
+    * (q124) — and count pairs whose members land in DIFFERENT splits.
+    * Cross-split near-dup pairs are evaluation leakage (the model sees
+    * the test document's near-copy in training). The cluster-aware row
+    * is provably zero: every LSH candidate pair shares a band bucket,
+    * so both members sit in the same uncapped-CC component and inherit
+    * ONE group hash — the audit turns that proof into a monitored
+    * number, and turns the naive strategy's leakage into a visible one.
+    *
+    * Scale shape: the scored-pair relation is materialized once and
+    * joined twice against 2-column split assignments (map-only hash for
+    * naive; q74's linear CC labels for cluster-aware); each audit is a
+    * 1-row aggregate. Nothing beyond the existing q72/q74 machinery
+    * shuffles.
+    */
+  private val q134 = QueryDef(
+    "q134_split_leakage_audit",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sig = minhashSigs(docs).localCheckpoint(true)
+      val scored = lshCandidatePairsFromSigs(sig)
+        .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          jaccardEstimate("sa", "sb").as("est"))
+        .filter(col("est") >= 0.5)
+        .localCheckpoint(true) // pair-population-sized, feeds both audits
+      def splitOf(key: org.apache.spark.sql.Column) =
+        when(substring(md5(concat(lit("split:"), key.cast("string"))), 1, 2)
+          < "e6", lit("train")).otherwise(lit("test"))
+      val naive = docs.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+      val labels = connectedComponents(lshBucketStars(docs))
+      val safe = docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"))
+      def audit(assign: org.apache.spark.sql.DataFrame, name: String) =
+        scored
+          .join(assign.as("pa"), col("doc_a") === col("pa.doc_id"))
+          .join(assign.as("pb"), col("doc_b") === col("pb.doc_id"))
+          .agg(count(lit(1)).as("n_neardup_pairs"),
+            sum(when(col("pa.split") =!= col("pb.split"), 1L).otherwise(0L))
+              .as("n_cross_split"))
+          .select(lit(name).as("strategy"), col("n_neardup_pairs"),
+            col("n_cross_split").cast("long").as("n_cross_split"))
+      audit(naive, "per_doc_hash").unionAll(audit(safe, "cluster_aware"))
+        .orderBy("strategy")
+    },
+    Some(s"""WITH RECURSIVE $ccCteSql,
+                  est AS (SELECT * FROM (
+                            SELECT doc_a, doc_b,
+                                   ${jaccardEstSql("sa", "sb")} AS est
+                            FROM pairs
+                            JOIN sig sa ON doc_a = sa.doc_id
+                            JOIN sig sb ON doc_b = sb.doc_id) t
+                          WHERE est >= 0.5),
+                  naive AS (SELECT doc_id,
+                              CASE WHEN substring(md5('split:' ||
+                                     CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                                   THEN 'train' ELSE 'test' END AS split
+                            FROM documents),
+                  safe AS (SELECT d.doc_id,
+                             CASE WHEN substring(md5('split:' ||
+                                    CAST(COALESCE(cc.cluster_id, d.doc_id)
+                                      AS VARCHAR)), 1, 2) < 'e6'
+                                  THEN 'train' ELSE 'test' END AS split
+                           FROM documents d
+                           LEFT JOIN cc ON d.doc_id = cc.doc_id),
+                  a1 AS (SELECT 'per_doc_hash' AS strategy,
+                                COUNT(*) AS n_neardup_pairs,
+                                CAST(SUM(CASE WHEN pa.split <> pb.split
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                                  AS n_cross_split
+                         FROM est JOIN naive pa ON est.doc_a = pa.doc_id
+                                  JOIN naive pb ON est.doc_b = pb.doc_id),
+                  a2 AS (SELECT 'cluster_aware' AS strategy,
+                                COUNT(*) AS n_neardup_pairs,
+                                CAST(SUM(CASE WHEN pa.split <> pb.split
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                                  AS n_cross_split
+                         FROM est JOIN safe pa ON est.doc_a = pa.doc_id
+                                  JOIN safe pb ON est.doc_b = pb.doc_id)
+             SELECT * FROM a1 UNION ALL SELECT * FROM a2
+             ORDER BY strategy"""))
 
   /** The incremental-dedup core shared by q82 and the persisted signature
     * index probe: given the EXISTING corpus's signatures and the
@@ -1097,6 +1242,6 @@ object DedupQueries extends QueryModule {
              ORDER BY per.source"""))
 
   override def defs: Seq[QueryDef] =
-    Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99,
+    Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
       q103, q110, q124)
 }

@@ -27,17 +27,20 @@ class EmptyInputSpec extends SparkSuite {
   }
 
   /** Global aggregates (no GROUP BY) correctly emit ONE summary row even on
-    * empty input — (0, 0, null) — exactly as SQL semantics demand.
+    * empty input — (0, 0, null) — exactly as SQL semantics demand. q134
+    * unions TWO global audit aggregates (one per split strategy), so its
+    * empty-corpus report is two zero-count rows.
     */
-  private val globalAggregates = Set("q71_funnel_conversion",
-    "q99_lsh_precision_recall", "q100_dataset_card")
+  private val globalAggregates = Map("q71_funnel_conversion" -> 1L,
+    "q99_lsh_precision_recall" -> 1L, "q100_dataset_card" -> 1L,
+    "q134_split_leakage_audit" -> 2L)
 
   test("every registered query executes on empty tables and returns 0 rows " +
     "(global aggregates: their single summary row)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
-        val expected = if (globalAggregates(name)) 1L else 0L
+        val expected = globalAggregates.getOrElse(name, 0L)
         if (n == expected) None
         else Some(s"$name returned $n rows on empty input (expected $expected)")
       } catch {
