@@ -630,30 +630,38 @@ object TextQueries extends QueryModule {
     * aggregation absorbing the Zipf head (the q109 argument). No
     * windows anywhere.
     */
+  /** The q129 scoring subplan, shared with the tercile bucketing (q135):
+    * per-document (doc_id, lang, n_toks, n_oov, improb) under the
+    * en-trained top-V unigram LM. Documents with ZERO tokens produce no
+    * exploded rows and are absent from the result — a tokenless payload
+    * has no fluency to score.
+    */
+  private def fluencyScored(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val v = 2000
+    val trainTok = docs.filter(col("lang") === "en")
+      .select(explode(tokens(col("text"))).as("tok"))
+    val vocab = trainTok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(v)
+    val totals = trainTok.agg(count(lit(1)).as("n_train"))
+    docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("ratio",
+        (col("n_train") + lit(v + 1)).cast("double") /
+          (coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double"))
+      .withColumn("oov", when(col("cnt").isNull, 1L).otherwise(0L))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"), sum(col("oov")).as("n_oov"),
+        Exact.davg(col("ratio")).as("improb"))
+  }
+
   private val q129 = QueryDef(
     "q129_lm_fluency_score",
-    (s, d) => {
-      val docs = Tables(s, d, "documents")
-      val v = 2000
-      val trainTok = docs.filter(col("lang") === "en")
-        .select(explode(tokens(col("text"))).as("tok"))
-      val vocab = trainTok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok").asc).limit(v)
-      val totals = trainTok.agg(count(lit(1)).as("n_train"))
-      docs.select(col("doc_id"), col("lang"),
-          explode(tokens(col("text"))).as("tok"))
-        .join(broadcast(vocab), Seq("tok"), "left")
-        .crossJoin(broadcast(totals))
-        .withColumn("ratio",
-          (col("n_train") + lit(v + 1)).cast("double") /
-            (coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double"))
-        .withColumn("oov", when(col("cnt").isNull, 1L).otherwise(0L))
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_toks"), sum(col("oov")).as("n_oov"),
-          Exact.davg(col("ratio")).as("improb"))
-        .withColumn("keep", col("n_oov") * lit(5) <= col("n_toks"))
-        .orderBy("doc_id")
-    },
+    (s, d) => fluencyScored(Tables(s, d, "documents"))
+      .withColumn("keep", col("n_oov") * lit(5) <= col("n_toks"))
+      .orderBy("doc_id"),
     Some(s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS tok
                           FROM documents),
                   ttok AS (SELECT unnest($tokSql) AS tok FROM documents
@@ -674,7 +682,91 @@ object TextQueries extends QueryModule {
                     (5 * SUM(oov) <= COUNT(*)) AS keep
              FROM scored GROUP BY doc_id, lang ORDER BY doc_id"""))
 
+  /** CCNet-style per-source fluency terciles: rank every scored document
+    * within its source by LM improbability (q129's score — low = fluent)
+    * and cut each source into exact thirds — head/middle/tail, the
+    * bucketing CCNet uses per language to keep the fluent head, sample
+    * the middle, and drop the tail. The report is (source, bucket,
+    * count, score range) — the calibration table a curation run reads
+    * to set per-domain thresholds instead of one global cutoff (a
+    * global cutoff keeps the easy domains whole and guts the hard
+    * ones; per-source terciles adapt automatically).
+    *
+    * Exactness: tercile assignment is INTEGER rank arithmetic —
+    * (3·(rank−1)) div n — not interpolated quantiles, so there is no
+    * cross-engine floating-point boundary to disagree on; ranks agree
+    * because the order (improb, doc_id) is deterministic and improb is
+    * hash-identical to the oracle's (q129's gate). Scale: the rank runs
+    * through the exact two-pass [[graft.operators.BucketedRank]] on
+    * improb-range buckets — a rank window partitioned on source alone
+    * would funnel whole sources through single tasks (the q105 trap);
+    * per-source sizes are a #sources-row broadcast; the report is
+    * #sources×3 rows.
+    */
+  private val q135 = QueryDef(
+    "q135_ccnet_buckets",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      // the regex/LM scoring feeds both rank passes — materialize once,
+      // 3 small columns only (the q105 move)
+      val base = fluencyScored(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(col("doc_id"), col("source"), col("improb"))
+        .withColumn("ib", floor(col("improb") * lit(16)).cast("long"))
+        .localCheckpoint(true)
+      val ns = base.groupBy("source").agg(count(lit(1)).as("n"))
+      graft.operators.BucketedRank.rank(base, Seq("source"), "ib",
+          bucketAsc = true, Seq(col("improb").asc, col("doc_id").asc))
+        .join(broadcast(ns), "source")
+        .withColumn("bucket", expr("(3 * (rank - 1)) div n"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("improb")).as("min_improb"),
+          max(col("improb")).as("max_improb"))
+        .withColumn("bucket_name",
+          when(col("bucket") === 0, lit("head"))
+            .when(col("bucket") === 1, lit("middle"))
+            .otherwise(lit("tail")))
+        .select("source", "bucket", "bucket_name", "n_docs",
+          "min_improb", "max_improb")
+        .orderBy("source", "bucket")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS tok
+                          FROM documents),
+                  ttok AS (SELECT unnest($tokSql) AS tok FROM documents
+                           WHERE lang = 'en'),
+                  cnts AS (SELECT tok, COUNT(*) AS cnt FROM ttok GROUP BY tok),
+                  vocab AS (SELECT tok, cnt FROM cnts
+                            ORDER BY cnt DESC, tok ASC LIMIT 2000),
+                  tot AS (SELECT COUNT(*) AS n_train FROM ttok),
+                  scored AS (SELECT doc_id,
+                               ${Exact.sqlDavg("ratio")} AS improb
+                             FROM (SELECT doc_id,
+                                     CAST(n_train + 2001 AS DOUBLE)
+                                       / CAST(COALESCE(cnt, 0) + 1 AS DOUBLE)
+                                       AS ratio
+                                   FROM tok LEFT JOIN vocab USING (tok)
+                                        CROSS JOIN tot) t
+                             GROUP BY doc_id),
+                  j AS (SELECT s.doc_id, d.source, s.improb
+                        FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+                  r AS (SELECT doc_id, source, improb,
+                          ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY improb ASC, doc_id ASC) AS rnk,
+                          COUNT(*) OVER (PARTITION BY source) AS n
+                        FROM j),
+                  b AS (SELECT source, (3 * (rnk - 1)) // n AS bucket, improb
+                        FROM r)
+             SELECT source, bucket,
+                    CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                         ELSE 'tail' END AS bucket_name,
+                    COUNT(*) AS n_docs,
+                    MIN(improb) AS min_improb,
+                    MAX(improb) AS max_improb
+             FROM b GROUP BY source, bucket
+             ORDER BY source, bucket"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88, q104, q105, q109,
-      q120, q121, q125, q129)
+      q120, q121, q125, q129, q135)
 }

@@ -485,6 +485,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffle join in:\n$p")
   }
 
+  test("q133/q134 governance rollups stay on the bounded dedup machinery: " +
+    "no cartesian anywhere, hot-bucket prune is a broadcast anti-join") {
+    for (name <- Seq("q133_source_copy_matrix", "q134_split_leakage_audit")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name must broadcast the hot-bucket/source side:\n$p")
+    }
+  }
+
+  test("q135 CCNet terciles rank through the two-pass bucketed rank — " +
+    "no rank window partitioned on source alone, sizes broadcast") {
+    val p = plan("q135_ccnet_buckets")
+    // BucketedRank's pass-2 window is keyed (source, ib-range) — a bare
+    // (source)-partitioned row_number would funnel whole sources
+    assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, ib#".r
+      .findFirstIn(p).isDefined,
+      s"tercile rank not two-pass (source, range)-keyed in:\n$p")
+    assert(!"row_number\\(\\) windowspecdefinition\\(source#\\d+, improb#".r
+      .findFirstIn(p).isDefined,
+      s"rank window partitioned on source alone in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source sizes must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q131 diverse sample assigns cells against broadcast centroids, " +
     "draws the quota through the LOCAL (cell, bucket)-keyed top-k, and " +
     "broadcast-joins the 8-row cell sizes — no count window over cells") {
