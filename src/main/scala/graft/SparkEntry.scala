@@ -13,7 +13,7 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     CoreQueries, RelationalQueries, TextQueries, DedupQueries,
     SimilarityQueries, EventQueries, MiscQueries, PipelineQueries,
-    SearchQueries)
+    SearchQueries, QuantQueries)
 
   private lazy val all: Seq[QueryDef] = {
     val defs = modules.flatMap(_.defs)

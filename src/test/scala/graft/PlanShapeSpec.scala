@@ -526,4 +526,20 @@ class PlanShapeSpec extends SparkSuite {
       .findFirstIn(p).isDefined,
       s"cell-sized count window in:\n$p")
   }
+
+  test("q136 SQ8 ADC search scans byte codes map-side (queries + params " +
+    "broadcast), prunes with the LOCAL (qid, cell)-keyed top-k, reranks " +
+    "via broadcast of the bounded candidates — no cartesian, no corpus " +
+    "shuffle join") {
+    val p = plan("q136_sq8_adc_search")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"broadcast query frame must drive the code scan in:\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(qid#\\d+L?, __graft_topk_bk#".r
+      .findFirstIn(p).isDefined,
+      s"ADC top-25 not two-stage (qid, cell)-keyed in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounded candidate set must broadcast into the rerank join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffle join in:\n$p")
+  }
 }
