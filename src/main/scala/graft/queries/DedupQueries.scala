@@ -1241,7 +1241,77 @@ object DedupQueries extends QueryModule {
              FROM per LEFT JOIN mx ON per.source = mx.source
              ORDER BY per.source"""))
 
+  /** Right-to-be-forgotten cascade over the deduped corpus: given a
+    * deletion set (a withdrawn data provider, a DSAR list), produce the
+    * post-deletion survivor corpus WITHOUT recomputing the dedup
+    * pipeline. The subtlety a naive "filter the survivors" misses: when
+    * a duplicate cluster's SURVIVOR is deleted, its remaining members
+    * must not vanish with it — the cluster re-elects the minimum
+    * remaining member (flagged `promoted`), and each survivor's
+    * absorbed-copy count is recomputed over the remaining membership.
+    * Every row of the forgotten set disappears; every retained document
+    * survives exactly once.
+    *
+    * `labels` is the SAME (doc_id, cluster_id) relation q74/q75 consume
+    * — materialized once in production (DedupClusterSpec's discipline);
+    * deletion is one pass over the EXISTING label map, never a re-run of
+    * LSH/CC. Scale shape: the label map is duplicate-population-sized;
+    * re-election is one keyed aggregate on cluster_id; the corpus is
+    * touched only by two anti joins (deletion set + demoted members,
+    * both small and broadcast) and the rep join — nothing corpus-sized
+    * shuffles beyond the one keyed join q75 already pays.
+    */
+  def deletionCascade(docs: org.apache.spark.sql.DataFrame,
+      del: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rl = labels.join(del, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    val nr = rl.groupBy("cluster_id")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+    val demoted = rl.join(nr, "cluster_id")
+      .filter(col("doc_id") =!= col("rep")).select("doc_id")
+    docs.join(del, Seq("doc_id"), "left_anti")
+      .join(demoted, Seq("doc_id"), "left_anti")
+      .join(nr.select(col("rep").as("doc_id"), col("cluster_id"), col("n")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        (coalesce(col("n"), lit(1L)) - 1L).cast("long").as("n_dupes_removed"),
+        coalesce(col("doc_id") =!= col("cluster_id"), lit(false))
+          .as("promoted"))
+  }
+
+  /** q138: the cascade under a realistic deletion set — one data
+    * provider (source src2) withdraws consent. Composes the q74 label
+    * map with [[deletionCascade]]; the oracle replays the same
+    * re-election over the recursive-CTE closure.
+    */
+  private val q138 = QueryDef(
+    "q138_deletion_cascade",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val del = docs.filter(col("source") === "src2").select("doc_id")
+      deletionCascade(docs, del,
+          connectedComponents(lshBucketStars(docs)))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $ccCteSql,
+                  del AS (SELECT doc_id FROM documents WHERE source = 'src2'),
+                  rl AS (SELECT cc.doc_id, cc.cluster_id FROM cc
+                         ANTI JOIN del ON cc.doc_id = del.doc_id),
+                  nr AS (SELECT cluster_id, MIN(doc_id) AS rep, COUNT(*) AS n
+                         FROM rl GROUP BY cluster_id),
+                  demoted AS (SELECT rl.doc_id FROM rl
+                              JOIN nr ON rl.cluster_id = nr.cluster_id
+                              WHERE rl.doc_id <> nr.rep)
+             SELECT d.doc_id, d.source,
+                    CAST(COALESCE(nr.n, 1) - 1 AS BIGINT) AS n_dupes_removed,
+                    COALESCE(d.doc_id <> nr.cluster_id, FALSE) AS promoted
+             FROM documents d
+             ANTI JOIN del ON d.doc_id = del.doc_id
+             ANTI JOIN demoted ON d.doc_id = demoted.doc_id
+             LEFT JOIN nr ON d.doc_id = nr.rep
+             ORDER BY d.doc_id"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
-      q103, q110, q124)
+      q103, q110, q124, q138)
 }

@@ -113,7 +113,10 @@ object QuantQueries extends QueryModule {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(s"sq8:dims=$dims:levels=${levels + 1}:".getBytes("UTF-8"))
     Seq(rows(0).getSeq[Double](0), rows(0).getSeq[Double](1)).foreach { arr =>
-      require(arr.length == dims,
+      // length 0 is the empty-corpus degenerate (nothing to encode, and
+      // sqSaveIndex refuses empty stores anyway); any OTHER length is a
+      // layout mismatch that would silently mis-decode every distance
+      require(arr.length == dims || arr.isEmpty,
         s"sqFingerprint: parameter arrays must have $dims entries, got ${arr.length}")
       arr.foreach { x =>
         md.update(java.nio.ByteBuffer.allocate(8)
@@ -160,6 +163,13 @@ object QuantQueries extends QueryModule {
         lit(dims).as("dims"), lit(levels + 1).as("levels"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     codes.write.mode("overwrite").parquet(s"$path/codes")
+    // a full save is the compaction point: the new code set is the
+    // authoritative corpus, so pending tombstones (already excluded from
+    // any properly-rebuilt code set) are cleared rather than masking the
+    // fresh store
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tomb.getFileSystem(codes.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(tomb)) fs.delete(tomb, true)
   }
 
   /** Restore a persisted SQ8 index as (params, codes). The stored
@@ -186,7 +196,36 @@ object QuantQueries extends QueryModule {
     require(stamps == Seq(recomputed),
       s"sqLoadIndex: code rows carry stamps ${stamps.mkString(", ")} — the " +
         s"store at $path/codes mixes trainings or is corrupt")
-    (params, codes)
+    // tombstones mask deleted vectors at load, so EVERY consumer of a
+    // loaded store honors deletions without its own bookkeeping
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tomb.getFileSystem(spark.sessionState.newHadoopConf())
+    val masked =
+      if (fs.exists(tomb))
+        codes.join(spark.read.parquet(s"$path/tombstones")
+          .select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      else codes
+    (params, masked)
+  }
+
+  /** The DELETE verb of the store lifecycle (the q138 cascade's index
+    * half): record `ids`(vec_id) as tombstones — [[sqLoadIndex]] masks
+    * them from every subsequent search. Deletion is a small append, not
+    * a store rewrite (at 100 TB rewriting the code store per DSAR batch
+    * is the non-starter; the mask is tombstone-list-sized and compacts
+    * at the next full save). Idempotent: re-deleting is a no-op at read
+    * (distinct), and deletion is STICKY — a tombstoned vec_id stays
+    * masked even if re-appended, because forgetting must survive a
+    * replayed ingest; re-admission requires an explicit new save.
+    */
+  def sqDeleteVectors(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").select("fp").take(1)
+    require(meta.nonEmpty,
+      s"sqDeleteVectors: meta store at $path/meta is empty — nothing to " +
+        "delete from (interrupted save or wrong path)")
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
   }
 
   /** The APPEND verb: encode a new batch under the STORE's parameters and
@@ -287,5 +326,322 @@ object QuantQueries extends QueryModule {
                    FROM cand JOIN e USING (vec_id)) r
              WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  override def defs: Seq[QueryDef] = Seq(q136)
+  // ------------------------------------------------------------------
+  // Distributed PCA — the rotation/whitening half of the quantization
+  // family (OPQ's first step: rotate so subspace variances balance).
+  // ------------------------------------------------------------------
+
+  private val pcaIters = 30
+
+  /** Integer-exact centered Gram statistics over `e`(vec_id, v): the
+    * upper-triangle second-moment sums, the per-dimension first-moment
+    * sums, and the row count. Components are quantized to 1e-6 longs
+    * (the [[graft.functions.VectorFunctions]] LSH move) so every sum is
+    * EXACT INTEGER arithmetic — order-insensitive under any partitioning
+    * and bit-identical on any engine, where a float Gram would drift
+    * with reduction order and poison the eigen iteration downstream.
+    *
+    * Scale shape: ONE corpus scan explodes each row into its 2,080
+    * upper-triangle products; map-side partial aggregation folds every
+    * partition to <= 2,080 rows before the shuffle, so the exchange is
+    * O(partitions · dims²) regardless of corpus size. Long overflow
+    * bounds the training set at ~9·10^6 unit-norm vectors (|q| <= 1e6 →
+    * |q_i·q_j| <= 1e12, sum < 2^63): at 100 TB the rotation trains on a
+    * deterministic uniform sample under that bound — the standard OPQ
+    * practice (rotations are estimated from ~10^5–10^6 vectors) — and
+    * applies map-only to everything.
+    */
+  def pcaGramStats(e: DataFrame): (Array[Array[Long]], Array[Long], Long) = {
+    val q = e.select(col("vec_id"),
+      expr("transform(v, x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))")
+        .as("qv"))
+    val pairs = q.select(col("qv"),
+        explode(expr(
+          s"""flatten(transform(sequence(1, $dims), i ->
+                transform(sequence(i, $dims), j ->
+                  named_struct('i', i, 'j', j))))""")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        expr("element_at(qv, p.i) * element_at(qv, p.j)").as("prod"))
+    val gRows = pairs.groupBy("i", "j").agg(sum("prod").as("s")).collect()
+    val g = Array.ofDim[Long](dims, dims)
+    gRows.foreach { r =>
+      g(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2)
+    }
+    val mRows = q.select(posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum("x").as("m")).collect()
+    val m = Array.ofDim[Long](dims)
+    mRows.foreach(r => m(r.getInt(0)) = r.getLong(1))
+    (g, m, e.count())
+  }
+
+  /** Sequential left-fold dot — the Scala twin of DuckDB's
+    * list_dot_product (verified bit-identical empirically; every float
+    * reduction in the eigen iteration goes through this ONE fold so the
+    * order can never drift between the two engines).
+    */
+  private def sdot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Deterministic pseudo-random start vector for component `c`: the md5
+    * coin from the LSH hyperplanes (engine-portable), scaled to unit
+    * norm (64 components of ±1/8).
+    */
+  private def pcaInit(c: Int): Array[Double] =
+    Array.tabulate(dims) { i0 =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pca$c:${i0 + 1}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) <= '7') 0.125 else -0.125
+    }
+
+  /** Top-`k` eigenpairs of the centered covariance by power iteration
+    * with deflation, plus the trace. The covariance is the 64×64 = 2,080-
+    * long-sum artifact of [[pcaGramStats]] — k-sized, so the iteration
+    * itself is a driver-side loop on a fixed matrix (the centroid-
+    * materialization discipline), with every reduction through [[sdot]].
+    * Fixed `iters` rather than a convergence test: a tolerance check
+    * would make the ORACLE's unrolled iteration count data-dependent.
+    */
+  def pcaTopComponents(e: DataFrame, k: Int, iters: Int = pcaIters)
+      : (Seq[(Double, Array[Double])], Double) = {
+    val (cov, _, n) = pcaCovarianceAndMean(e)
+    if (n == 0) return (Seq.empty, 0.0) // no corpus, no spectrum
+    val trace = sdot(Array.tabulate(dims)(i => cov(i)(i)),
+      Array.fill(dims)(1.0))
+    var g = cov.map(_.clone())
+    val out = (0 until k).map { c =>
+      var x = pcaInit(c)
+      (0 until iters).foreach { _ =>
+        val y = Array.tabulate(dims)(i => sdot(g(i), x))
+        val nrm = math.sqrt(sdot(y, y))
+        x = y.map(_ / nrm)
+      }
+      val y = Array.tabulate(dims)(i => sdot(g(i), x))
+      val lam = sdot(x, y)
+      val xf = x
+      g = Array.tabulate(dims, dims)((i, j) => g(i)(j) - lam * xf(i) * xf(j))
+      (lam, xf)
+    }
+    (out, trace)
+  }
+
+  /** Principal-axis projection ("PCA scores"): each vector centered on
+    * the corpus mean and projected onto the `comps` eigenvectors —
+    * map-only against the broadcast (pc, u) frame, the application half
+    * that runs over everything the training sample stood in for. With
+    * `whiten` each score divides by sqrt(eigenvalue), equalizing
+    * component variances (the whitening used before cosine-metric
+    * re-indexing).
+    */
+  def pcaProject(e: DataFrame, comps: Seq[(Double, Array[Double])],
+      mean: Array[Double], whiten: Boolean = false): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cf = comps.zipWithIndex
+      .map { case ((lam, u), i) => (i + 1, lam, u.toSeq) }
+      .toDF("pc", "lam", "u")
+    val mu = array(mean.toIndexedSeq.map(lit): _*)
+    e.withColumn("mu", mu)
+      .withColumn("vc", expr("zip_with(v, mu, (a, b) -> a - b)"))
+      .crossJoin(broadcast(cf))
+      .select(col("vec_id"), col("pc"),
+        (if (whiten) dot(col("vc"), col("u")) / sqrt(col("lam"))
+         else dot(col("vc"), col("u"))).as("score"))
+  }
+
+  /** The corpus mean vector (exact integer first moments / n). */
+  def pcaMean(e: DataFrame): Array[Double] = {
+    val (_, msum, n) = pcaGramStats(e)
+    msum.map(_.toDouble / 1000000.0 / n.toDouble)
+  }
+
+  /** Centered covariance + mean as driver-side arrays (the k-sized
+    * artifact [[pcaTopComponents]] and the Jacobi path share).
+    */
+  def pcaCovarianceAndMean(e: DataFrame)
+      : (Array[Array[Double]], Array[Double], Long) = {
+    val (gsum, msum, n) = pcaGramStats(e)
+    val nd = n.toDouble
+    val cov = Array.tabulate(dims, dims) { (i, j) =>
+      val s = if (i <= j) gsum(i)(j) else gsum(j)(i)
+      s.toDouble / 1000000000000.0 / nd -
+        (msum(i).toDouble / 1000000.0 / nd) *
+        (msum(j).toDouble / 1000000.0 / nd)
+    }
+    (cov, msum.map(_.toDouble / 1000000.0 / nd), n)
+  }
+
+  /** Full eigendecomposition of a symmetric matrix by cyclic Jacobi
+    * rotations — the driver-side path when the WHOLE basis is needed
+    * (the OPQ-style rotation below), where power iteration's deflation
+    * error would compound over 64 near-degenerate components. Returns
+    * (eigenvalues, eigenvectors-as-rows) sorted by eigenvalue
+    * descending. Driver-side on the 64×64 artifact by design — same
+    * class as the centroid materializations; nothing corpus-sized.
+    */
+  def jacobiEigen(a0: Array[Array[Double]], sweeps: Int = 12)
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    (0 until sweeps).foreach { _ =>
+      for (p <- 0 until n - 1; q <- p + 1 until n) {
+        val apq = a(p)(q)
+        if (math.abs(apq) > 1e-15) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          (0 until n).foreach { i =>
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          (0 until n).foreach { i =>
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+          }
+          (0 until n).foreach { i =>
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+    }
+    val order = (0 until n).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => Array.tabulate(n)(r => v(r)(i))).toArray)
+  }
+
+  /** OPQ-lite rotation: center on the corpus mean and rotate into the
+    * eigenbasis with VARIANCE-BALANCED subspace allocation — output
+    * position 16·s + t carries eigen-direction 4·t + s, so each of the 4
+    * PQ subspaces receives every 4th direction in variance order and the
+    * subspace variances equalize (the OPQ insight: PQ spends its code
+    * budget per subspace, so packing all high-variance directions into
+    * one subspace wastes the others' budgets). The rotation is
+    * orthogonal — L2 distances are preserved exactly up to float
+    * round-off — so a PQ index built on the rotated frame answers
+    * original-space queries once they pass through the same rotation.
+    *
+    * Map-only: the 64×64 rotation matrix rides the plan as a literal —
+    * no join, no shuffle; the one scan does 64 sequential-fold dots per
+    * row. This is the application half; the basis trains on a bounded
+    * sample ([[pcaGramStats]]'s overflow-bound discipline).
+    */
+  def opqRotate(e: DataFrame, basis: Array[Array[Double]],
+      mean: Array[Double], subspaces: Int = 4): DataFrame = {
+    require(basis.length == dims,
+      s"opqRotate: need the full $dims-direction basis, got ${basis.length}")
+    val subDim = dims / subspaces
+    val perm = Array.tabulate(dims) { k =>
+      val s = k / subDim; val t = k % subDim
+      subspaces * t + s
+    }
+    val rm = array(perm.toIndexedSeq.map(k =>
+      array(basis(k).toIndexedSeq.map(lit): _*)): _*)
+    val mu = array(mean.toIndexedSeq.map(lit): _*)
+    e.withColumn("mu", mu).withColumn("rm", rm)
+      .withColumn("vc", expr("zip_with(v, mu, (a, b) -> a - b)"))
+      .select(col("vec_id"),
+        expr(s"""transform(sequence(1, $dims), k ->
+            aggregate(sequence(1, $dims), 0D, (acc, i) ->
+              acc + element_at(element_at(rm, k), i) * element_at(vc, i)))""")
+          .as("v"))
+  }
+
+  /** Distributed PCA: top-4 principal components of the embedding
+    * corpus — eigenvalue and explained-variance ratio per component, by
+    * power iteration with deflation over the integer-exact centered
+    * Gram. The oracle twin unrolls the SAME 30 iterations per component
+    * as materialized CTEs over the SAME quantized sums, so eigenvalues
+    * match bit-for-bit (prototype-verified) — convergence quality is
+    * irrelevant to the equivalence, only to the downstream use.
+    */
+  private val q137 = QueryDef(
+    "q137_pca_power_iteration",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val (comps, trace) = pcaTopComponents(e, k = 4)
+      import s.implicits._
+      comps.zipWithIndex
+        .map { case ((lam, _), i) => (i + 1, lam, lam / trace) }
+        .toDF("pc", "eigenvalue", "evr")
+        .orderBy("pc")
+    },
+    Some(pcaOracleSql(4)))
+
+  /** Generated oracle for [[q137]]: quantized integer Gram + unrolled
+    * power iteration (every iteration CTE MATERIALIZED — a plain CTE
+    * would re-inline the whole chain exponentially).
+    */
+  private def pcaOracleSql(k: Int): String = {
+    val d1 = dims + 1
+    val pre =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+            q AS (SELECT vec_id, list_transform(range(1, $d1), i ->
+                    CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT)) AS qv
+                  FROM e),
+            n AS (SELECT COUNT(*) AS n FROM e),
+            pairs AS (SELECT r1.i AS i, r2.j AS j
+                      FROM range(1, $d1) r1(i), range(1, $d1) r2(j)
+                      WHERE r1.i <= r2.j),
+            gsum AS (SELECT i, j, SUM(qv[i] * qv[j]) AS s
+                     FROM q CROSS JOIN pairs GROUP BY i, j),
+            msum AS (SELECT i, SUM(qv[i]) AS m
+                     FROM q CROSS JOIN range(1, $d1) r(i) GROUP BY i),
+            cmat AS (SELECT g.i, g.j,
+                       CAST(g.s AS DOUBLE) / 1000000000000.0 / n.n
+                         - (CAST(mi.m AS DOUBLE) / 1000000.0 / n.n)
+                           * (CAST(mj.m AS DOUBLE) / 1000000.0 / n.n) AS c
+                     FROM gsum g JOIN msum mi ON g.i = mi.i
+                          JOIN msum mj ON g.j = mj.i CROSS JOIN n),
+            cfull AS (SELECT i, j, c FROM cmat
+                      UNION ALL SELECT j, i, c FROM cmat WHERE i < j),
+            g0 AS (SELECT list(l ORDER BY i) AS g FROM
+                     (SELECT i, list(c ORDER BY j) AS l FROM cfull
+                      GROUP BY i) t),
+            tr AS (SELECT list_dot_product(
+                     list_transform(range(1, $d1), i -> g[i][i]),
+                     list_transform(range(1, $d1), i -> 1.0)) AS trace
+                   FROM g0)"""
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until k).foreach { c =>
+      val gin = if (c == 0) "g0" else s"g$c"
+      ctes += s"""x${c}_0 AS MATERIALIZED (SELECT list_transform(
+          range(1, $d1), i ->
+            CASE WHEN substring(md5('pca$c:' || CAST(i AS VARCHAR)), 1, 1)
+                   <= '7' THEN 0.125 ELSE -0.125 END) AS x)"""
+      (0 until pcaIters).foreach { it =>
+        ctes += s"""y${c}_$it AS MATERIALIZED (SELECT list_transform(
+            range(1, $d1), i -> list_dot_product(g[i], x)) AS y
+            FROM $gin, x${c}_$it)"""
+        ctes += s"""x${c}_${it + 1} AS MATERIALIZED (SELECT list_transform(
+            y, t -> t / sqrt(list_dot_product(y, y))) AS x FROM y${c}_$it)"""
+      }
+      ctes += s"""lam$c AS MATERIALIZED (SELECT list_dot_product(x,
+          list_transform(range(1, $d1), i -> list_dot_product(g[i], x)))
+          AS lam FROM $gin, x${c}_$pcaIters)"""
+      ctes += s"""g${c + 1} AS MATERIALIZED (SELECT list_transform(
+          range(1, $d1), i -> list_transform(range(1, $d1), j ->
+            g[i][j] - lam * x[i] * x[j])) AS g
+          FROM $gin, x${c}_$pcaIters, lam$c)"""
+      results += s"""SELECT ${c + 1} AS pc, lam AS eigenvalue,
+          lam / trace AS evr FROM lam$c, tr"""
+    }
+    pre + ",\n" + ctes.mkString(",\n") + "\n" +
+      results.mkString(" UNION ALL ") + " ORDER BY pc"
+  }
+
+  override def defs: Seq[QueryDef] = Seq(q136, q137)
 }
