@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The shared DELETE half of every persisted index family's lifecycle
+  * (SQ8, PQ, IVF, residual, binary, LSH) — the q138 right-to-be-forgotten
+  * cascade applied to ANN stores.
+  *
+  * Design: deletion is a tombstone APPEND under the store root, masked
+  * out at LOAD — every consumer of a loaded store honors deletions with
+  * zero per-verb bookkeeping, and the store itself is never rewritten
+  * (at 100 TB rewriting a code store per DSAR batch is the non-starter;
+  * the mask is tombstone-list-sized and broadcast into the anti join).
+  * Deletion is STICKY: the append verbs probe the RAW store for
+  * idempotence, so a replayed ingest of a forgotten vector neither
+  * duplicates rows nor resurrects it — forgetting survives ingest
+  * replay, the IdempotentSink rationale applied to un-ingestion. A full
+  * save is the compaction and re-admission point: the fresh code set is
+  * authoritative, so pending tombstones are cleared.
+  */
+object IndexTombstones {
+
+  private def tomb(path: String) = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+
+  private def fs(spark: SparkSession, path: String) =
+    tomb(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Record `ids`(vec_id) as deleted under the store at `path`. Callers
+    * validate store existence/provenance first (each family's delete
+    * verb does); re-deleting is a no-op at read time (distinct).
+    */
+  def append(ids: DataFrame, path: String): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Mask tombstoned vec_ids out of a store relation at load. */
+  def mask(rows: DataFrame, path: String): DataFrame = {
+    val spark = rows.sparkSession
+    if (fs(spark, path).exists(tomb(path)))
+      rows.join(spark.read.parquet(s"$path/tombstones")
+        .select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+    else rows
+  }
+
+  /** Drop the tombstone set — called by every family's full-save verb
+    * (the compaction point).
+    */
+  def clear(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    if (f.exists(tomb(path))) f.delete(tomb(path), true)
+  }
+}

@@ -167,9 +167,7 @@ object QuantQueries extends QueryModule {
     // authoritative corpus, so pending tombstones (already excluded from
     // any properly-rebuilt code set) are cleared rather than masking the
     // fresh store
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = tomb.getFileSystem(codes.sparkSession.sessionState.newHadoopConf())
-    if (fs.exists(tomb)) fs.delete(tomb, true)
+    graft.operators.IndexTombstones.clear(codes.sparkSession, path)
   }
 
   /** Restore a persisted SQ8 index as (params, codes). The stored
@@ -198,14 +196,7 @@ object QuantQueries extends QueryModule {
         s"store at $path/codes mixes trainings or is corrupt")
     // tombstones mask deleted vectors at load, so EVERY consumer of a
     // loaded store honors deletions without its own bookkeeping
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = tomb.getFileSystem(spark.sessionState.newHadoopConf())
-    val masked =
-      if (fs.exists(tomb))
-        codes.join(spark.read.parquet(s"$path/tombstones")
-          .select("vec_id").distinct(), Seq("vec_id"), "left_anti")
-      else codes
-    (params, masked)
+    (params, graft.operators.IndexTombstones.mask(codes, path))
   }
 
   /** The DELETE verb of the store lifecycle (the q138 cascade's index
@@ -224,8 +215,7 @@ object QuantQueries extends QueryModule {
     require(meta.nonEmpty,
       s"sqDeleteVectors: meta store at $path/meta is empty — nothing to " +
         "delete from (interrupted save or wrong path)")
-    ids.select(col("vec_id").cast("long").as("vec_id"))
-      .write.mode("append").parquet(s"$path/tombstones")
+    graft.operators.IndexTombstones.append(ids, path)
   }
 
   /** The APPEND verb: encode a new batch under the STORE's parameters and

@@ -694,6 +694,20 @@ object SimilarityQueries extends QueryModule {
       .coalesce(1) // k×subspaces rows — one footer beats 32
       .write.mode("overwrite").parquet(s"$path/codebooks")
     codes.write.mode("overwrite").parquet(s"$path/codes")
+    // a full save is the tombstone compaction + re-admission point
+    graft.operators.IndexTombstones.clear(codes.sparkSession, path)
+  }
+
+  /** DELETE verb of the PQ-store lifecycle: tombstone `ids`(vec_id) —
+    * masked out of every subsequent [[pqLoadIndex]], sticky across a
+    * replayed [[pqAppendCodes]] (see [[graft.operators.IndexTombstones]]).
+    */
+  def pqDeleteVectors(ids: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    require(ids.sparkSession.read.parquet(s"$path/codebooks")
+        .select("fp").take(1).nonEmpty,
+      s"pqDeleteVectors: codebook store at $path/codebooks is empty — " +
+        "nothing to delete from")
+    graft.operators.IndexTombstones.append(ids, path)
   }
 
   /** Restores a persisted PQ index and its codes. The codebook relation
@@ -718,7 +732,8 @@ object SimilarityQueries extends QueryModule {
       s"pqLoadIndex: stored fingerprint ${head.getString(2)} does not match " +
         s"recomputed ${index.fingerprint} — codebooks at $path/codebooks " +
         "are corrupt or were overwritten by a different training")
-    (index, spark.read.parquet(s"$path/codes"))
+    (index, graft.operators.IndexTombstones.mask(
+      spark.read.parquet(s"$path/codes"), path))
   }
 
   /** The APPEND verb of the persisted-PQ lifecycle — build / probe /
@@ -1089,6 +1104,21 @@ object SimilarityQueries extends QueryModule {
       .write.mode("overwrite").parquet(s"$path/centroids")
     cells.select("vec_id", "cell", "fp")
       .write.mode("overwrite").parquet(s"$path/cells")
+    // a full save is the tombstone compaction + re-admission point
+    graft.operators.IndexTombstones.clear(cells.sparkSession, path)
+  }
+
+  /** DELETE verb of the IVF-store lifecycle: tombstone `ids`(vec_id) —
+    * their cell rows are masked out of every subsequent [[ivfLoadIndex]],
+    * so deleted vectors never appear in a probed candidate list; sticky
+    * across a replayed [[ivfAppendCells]].
+    */
+  def ivfDeleteVectors(ids: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    require(ids.sparkSession.read.parquet(s"$path/centroids")
+        .select("fp").take(1).nonEmpty,
+      s"ivfDeleteVectors: centroid store at $path/centroids is empty — " +
+        "nothing to delete from")
+    graft.operators.IndexTombstones.append(ids, path)
   }
 
   /** Restores a persisted coarse index as the (cents, cells) pair
@@ -1126,7 +1156,7 @@ object SimilarityQueries extends QueryModule {
         s"than the stored centroids ($storedFp)")
     // the stamp stays on the returned cells: a load → save round-trip
     // re-verifies it, and ivfPqSearch projects it away after its join
-    (bare, cells)
+    (bare, graft.operators.IndexTombstones.mask(cells, path))
   }
 
   /** IVF-PQ search — the composition of the coarse quantizer (q62) with
@@ -1356,6 +1386,21 @@ object SimilarityQueries extends QueryModule {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     buckets.select("vec_id", "tbl", "bucket", "fp")
       .write.mode("overwrite").parquet(s"$path/buckets")
+    // a full save is the tombstone compaction + re-admission point
+    graft.operators.IndexTombstones.clear(buckets.sparkSession, path)
+  }
+
+  /** DELETE verb of the LSH-store lifecycle: tombstone `ids`(vec_id) —
+    * ALL of a vector's bucket rows (one per table) are masked out of
+    * every subsequent [[lshLoadIndex]]; sticky across a replayed
+    * [[lshAppendBuckets]].
+    */
+  def lshDeleteVectors(ids: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    require(ids.sparkSession.read.parquet(s"$path/meta")
+        .select("fp").take(1).nonEmpty,
+      s"lshDeleteVectors: meta store at $path/meta is empty — nothing " +
+        "to delete from")
+    graft.operators.IndexTombstones.append(ids, path)
   }
 
   /** Restores a persisted LSH index as (buckets, tables, planes). The
@@ -1384,7 +1429,7 @@ object SimilarityQueries extends QueryModule {
     require(stamps == Seq(fp),
       s"lshLoadIndex: bucket rows carry stamps ${stamps.mkString(", ")} " +
         s"— the store at $path/buckets mixes geometries or is corrupt")
-    (buckets, tables, planes)
+    (graft.operators.IndexTombstones.mask(buckets, path), tables, planes)
   }
 
   /** The APPEND verb of the LSH-store lifecycle: bucket a new batch
@@ -1585,6 +1630,23 @@ object SimilarityQueries extends QueryModule {
       .toDF("cents_fp", "pq_fp", "composed_fp", "encoding")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** DELETE verb of the composed residual lifecycle: tombstone
+    * `ids`(vec_id) in BOTH halves — the ivf/ cells (candidate
+    * generation) and the pq/ codes (scoring) — so a forgotten vector
+    * neither surfaces as a candidate nor carries dormant codes that a
+    * half-store reuse could resurrect. Masked by [[residualLoadIndex]]
+    * through the half loads; sticky across [[residualAppendVectors]]
+    * (its idempotence probes read the raw stores).
+    */
+  def residualDeleteVectors(ids: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    require(ids.sparkSession.read.parquet(s"$path/meta").take(1).nonEmpty,
+      s"residualDeleteVectors: meta store at $path/meta is empty — " +
+        "nothing to delete from")
+    graft.operators.IndexTombstones.append(ids, s"$path/ivf")
+    graft.operators.IndexTombstones.append(ids, s"$path/pq")
   }
 
   /** The pairing identity of a composed residual store: both halves'
@@ -2192,6 +2254,20 @@ object SimilarityQueries extends QueryModule {
         lit(dims).as("dims"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     codes.write.mode("overwrite").parquet(s"$path/codes")
+    // a full save is the tombstone compaction + re-admission point
+    graft.operators.IndexTombstones.clear(codes.sparkSession, path)
+  }
+
+  /** DELETE verb of the binary-store lifecycle: tombstone `ids`(vec_id),
+    * masked out of every subsequent [[binLoadIndex]]; sticky across a
+    * replayed [[binAppendCodes]].
+    */
+  def binDeleteVectors(ids: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    require(ids.sparkSession.read.parquet(s"$path/meta")
+        .select("fp").take(1).nonEmpty,
+      s"binDeleteVectors: meta store at $path/meta is empty — nothing " +
+        "to delete from")
+    graft.operators.IndexTombstones.append(ids, path)
   }
 
   /** Restores a persisted binary index: the spec row is checked against
@@ -2216,7 +2292,7 @@ object SimilarityQueries extends QueryModule {
     require(stamps == Seq(binFingerprint),
       s"binLoadIndex: code rows carry spec stamps ${stamps.mkString(", ")} " +
         s"— the store at $path/codes mixes packings or is corrupt")
-    codes
+    graft.operators.IndexTombstones.mask(codes, path)
   }
 
   /** The APPEND verb of the binary-store lifecycle: pack a new batch and

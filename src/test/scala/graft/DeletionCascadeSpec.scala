@@ -113,4 +113,66 @@ class DeletionCascadeSpec extends SparkSuite {
     assert(lc3.filter(col("vec_id") === victim).count() == 1,
       "a fresh save must clear tombstones")
   }
+
+  test("every index family carries the DELETE verb: a tombstoned vector " +
+    "is masked from PQ, IVF, binary, LSH and composed-residual loads") {
+    import graft.queries.SimilarityQueries
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .localCheckpoint(true)
+    val victim = 7L
+    val base = tmpDir("tomb-matrix")
+
+    // PQ
+    val pq = SimilarityQueries.pqTrain(emb)
+    SimilarityQueries.pqSaveIndex(pq, SimilarityQueries.pqCodes(pq, emb),
+      s"$base/pq")
+    SimilarityQueries.pqDeleteVectors(Seq(victim).toDF("vec_id"), s"$base/pq")
+    assert(SimilarityQueries.pqLoadIndex(spark, s"$base/pq")._2
+      .filter(col("vec_id") === victim).count() == 0, "pq mask failed")
+
+    // IVF
+    val (cents, cells) = SimilarityQueries.ivfTrain(emb, k = 4)
+    SimilarityQueries.ivfSaveIndex(cents, cells, s"$base/ivf")
+    SimilarityQueries.ivfDeleteVectors(Seq(victim).toDF("vec_id"), s"$base/ivf")
+    assert(SimilarityQueries.ivfLoadIndex(spark, s"$base/ivf")._2
+      .filter(col("vec_id") === victim).count() == 0, "ivf mask failed")
+
+    // binary
+    SimilarityQueries.binSaveIndex(SimilarityQueries.binCodes(emb),
+      s"$base/bin")
+    SimilarityQueries.binDeleteVectors(Seq(victim).toDF("vec_id"), s"$base/bin")
+    assert(SimilarityQueries.binLoadIndex(spark, s"$base/bin")
+      .filter(col("vec_id") === victim).count() == 0, "bin mask failed")
+
+    // LSH (all of the vector's per-table bucket rows must go)
+    SimilarityQueries.lshSaveIndex(SimilarityQueries.lshBuckets(emb),
+      4, 6, s"$base/lsh")
+    SimilarityQueries.lshDeleteVectors(Seq(victim).toDF("vec_id"), s"$base/lsh")
+    assert(SimilarityQueries.lshLoadIndex(spark, s"$base/lsh")._1
+      .filter(col("vec_id") === victim).count() == 0, "lsh mask failed")
+
+    // composed residual: BOTH halves masked
+    val cellsCk = cells.localCheckpoint(true)
+    val rv = SimilarityQueries.ivfResiduals(emb, cents, cellsCk)
+      .select("vec_id", "v").localCheckpoint(true)
+    val rIndex = SimilarityQueries.pqTrain(rv)
+    SimilarityQueries.residualSaveIndex(cents, cellsCk, rIndex,
+      SimilarityQueries.pqCodes(rIndex, rv), s"$base/res")
+    SimilarityQueries.residualDeleteVectors(Seq(victim).toDF("vec_id"),
+      s"$base/res")
+    val (_, rCells, _, rCodes) =
+      SimilarityQueries.residualLoadIndex(spark, s"$base/res")
+    assert(rCells.filter(col("vec_id") === victim).count() == 0,
+      "residual ivf-half mask failed")
+    assert(rCodes.filter(col("vec_id") === victim).count() == 0,
+      "residual pq-half mask failed")
+
+    // a fresh save clears each family's tombstones (spot-check on PQ)
+    SimilarityQueries.pqSaveIndex(pq, SimilarityQueries.pqCodes(pq, emb),
+      s"$base/pq")
+    assert(SimilarityQueries.pqLoadIndex(spark, s"$base/pq")._2
+      .filter(col("vec_id") === victim).count() > 0,
+      "a fresh pq save must clear tombstones")
+  }
 }
