@@ -110,6 +110,14 @@ object Bench {
         java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
       catch { case _: Throwable => () } // read-only cwd must not fail the bench
     }
+    // a FAILED run is exactly when structured data matters most (the
+    // round-7 ADVICE): persist the full JSON under a name that can never
+    // be mistaken for the clean committed baseline
+    if (only.isEmpty && failures.nonEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL_FAILED.json"), full + "\n")
+      catch { case _: Throwable => () }
+    }
     spark.stop()
     // A failed query must fail the round loudly, not deflate the total.
     if (failures.nonEmpty) sys.exit(1)

@@ -216,8 +216,16 @@ object DedupQueries extends QueryModule {
     * scale; pair generation (q32/q72) still exists for pair SCORING,
     * where each candidate must be looked at individually.
     */
-  def lshBucketStars(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bands = lshBands(documents)
+  def lshBucketStars(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lshBucketStarsFromSigs(minhashSigs(documents))
+
+  /** [[lshBucketStars]] from an ALREADY MATERIALIZED signature relation
+    * (the persisted-index / incremental-maintenance entry point — the
+    * old corpus's text is never re-read).
+    */
+  def lshBucketStarsFromSigs(sig: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = bandsFromSigs(sig)
     val mins = bands.groupBy("band", "key").agg(min("doc_id").as("doc_a"))
     bands.join(mins, Seq("band", "key"))
       .filter(col("doc_id") =!= col("doc_a"))
@@ -1241,6 +1249,99 @@ object DedupQueries extends QueryModule {
              FROM per LEFT JOIN mx ON per.source = mx.source
              ORDER BY per.source"""))
 
+  /** Incremental CLUSTER maintenance — the missing third of the
+    * production ingest path (q82 rejects/admits an increment,
+    * [[appendSignatureIndex]] grows the index; this keeps the q74
+    * CLUSTER LABELS current without re-running CC on the old corpus).
+    *
+    * Why increment-sized work suffices: bucket membership is
+    * deterministic on content, so the increment only changes buckets it
+    * touches — and within any ONE bucket the old members were already a
+    * clique in the old graph, hence share ONE old cluster label. The
+    * merge graph therefore needs only (per touched bucket) the new
+    * member ids plus each old member's cluster REPRESENTATIVE
+    * (label; a previously-unpaired old doc is its own representative) —
+    * components over those nodes merge exactly like the full graph
+    * would, including the new-doc-bridges-two-old-clusters case, and
+    * the component minimum equals the full recompute's label because an
+    * old representative IS its cluster's minimum. q139's oracle is the
+    * FULL-corpus transitive closure — the equivalence is checked, not
+    * assumed.
+    *
+    * Scale shape: new-side signatures from the increment's text; the
+    * old side is touched ONLY via an equality join of its (persisted-
+    * index-derived) band rows against the increment's touched-bucket
+    * set — never an old×old pass; the component loop runs on a graph
+    * bounded by the increment's bucket membership; the final relabel
+    * joins the (touched-cluster-sized) representative map back onto
+    * the label relation. At 100 TB the daily increment's cluster merge
+    * costs the increment, not the corpus.
+    */
+  def incrementalClusters(oldSig: org.apache.spark.sql.DataFrame,
+      oldLabels: org.apache.spark.sql.DataFrame,
+      newDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val newSig = minhashSigs(newDocs).localCheckpoint(true)
+    val newBands = bandsFromSigs(newSig).localCheckpoint(true)
+    val touched = newBands.select("band", "key").distinct()
+    // old band rows in touched buckets, collapsed to cluster representatives
+    val oldTouched = bandsFromSigs(oldSig)
+      .join(touched, Seq("band", "key"))
+      .join(oldLabels, Seq("doc_id"), "left")
+      .select(col("band"), col("key"),
+        coalesce(col("cluster_id"), col("doc_id")).as("node"))
+    val nodes = oldTouched.unionByName(
+      newBands.select(col("band"), col("key"), col("doc_id").as("node")))
+    val mins = nodes.groupBy("band", "key").agg(min("node").as("a"))
+    val edges = nodes.join(mins, Seq("band", "key"))
+      .filter(col("node") =!= col("a"))
+      .select(col("a").as("doc_a"), col("node").as("doc_b"))
+      .distinct()
+    // components over the increment-sized merge graph; rm maps every
+    // participating node (new doc, old representative, old singleton)
+    // to its post-merge label
+    val rm = connectedComponents(edges)
+      .select(col("doc_id").as("node"), col("cluster_id").as("new_label"))
+      .localCheckpoint(true)
+    // old docs: relabel through their representative (untouched clusters
+    // miss the join and keep their label)
+    val oldUpd = oldLabels.join(rm, oldLabels("cluster_id") === rm("node"),
+        "left")
+      .select(oldLabels("doc_id"),
+        coalesce(col("new_label"), oldLabels("cluster_id")).as("cluster_id"))
+    // previously-unpaired old docs pulled into a cluster by the increment
+    val oldSingles = bandsFromSigs(oldSig)
+      .join(touched, Seq("band", "key"))
+      .join(oldLabels, Seq("doc_id"), "left_anti")
+      .select("doc_id").distinct()
+      .join(rm, col("doc_id") === rm("node"))
+      .select(col("doc_id"), col("new_label").as("cluster_id"))
+    // new docs that landed in a shared bucket (unpaired new docs stay
+    // unlabeled — the q74 convention)
+    val newLab = rm.join(newSig.select(col("doc_id")),
+        rm("node") === col("doc_id"))
+      .select(col("doc_id"), col("new_label").as("cluster_id"))
+    oldUpd.unionByName(oldSingles).unionByName(newLab)
+  }
+
+  /** q139: one source partition stands in for "today's crawl" — the old
+    * corpus's labels are bootstrapped once (in production they are the
+    * PERSISTED label map), the increment is merged incrementally, and
+    * the oracle is the FULL-corpus transitive closure: the incremental
+    * path must reproduce the from-scratch clustering exactly.
+    */
+  private val q139 = QueryDef(
+    "q139_incremental_clusters",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val inc = docs.filter(col("source") === "src19")
+      val oldSig = minhashSigs(docs.filter(col("source") =!= "src19"))
+        .localCheckpoint(true)
+      val oldLabels = connectedComponents(lshBucketStarsFromSigs(oldSig))
+      incrementalClusters(oldSig, oldLabels, inc).orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $ccCteSql
+             SELECT doc_id, cluster_id FROM cc ORDER BY doc_id"""))
+
   /** Right-to-be-forgotten cascade over the deduped corpus: given a
     * deletion set (a withdrawn data provider, a DSAR list), produce the
     * post-deletion survivor corpus WITHOUT recomputing the dedup
@@ -1313,5 +1414,5 @@ object DedupQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
-      q103, q110, q124, q138)
+      q103, q110, q124, q138, q139)
 }
