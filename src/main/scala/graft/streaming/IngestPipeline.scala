@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.queries.DedupQueries
+
+/** The streaming form of the full incremental-ingest lifecycle — the
+  * composition of q82's probe, the persisted signature index, and q139's
+  * cluster-label merge, run per micro-batch: every arriving document is
+  * checked against the EXISTING corpus (reject near-dups), admitted
+  * documents land in the corpus store, the signature index grows, and
+  * the q74 cluster-label map stays current — all with increment-bounded
+  * work per batch (the crawl-ingest loop a production corpus runs
+  * continuously).
+  *
+  * Exactly-once discipline: foreachBatch may REPLAY a batch after a
+  * crash, so instead of an epoch ledger (the IdempotentSink form for
+  * sinks we can't make idempotent) every write here is IDEMPOTENT BY
+  * CONSTRUCTION and the replayed batch converges to the same state in
+  * any crash prefix:
+  *  - the admitted-corpus append anti-joins the store on doc_id
+  *    (re-admitting an already-landed doc is a no-op);
+  *  - the label overwrite is a pure function of (index, labels,
+  *    admitted) and [[DedupQueries.incrementalClusters]] of an
+  *    empty/already-merged increment is the identity;
+  *  - the index append anti-joins the index on doc_id (the
+  *    appendSignatureIndex idempotence probe).
+  * A crashed-and-replayed batch therefore re-runs some reads but never
+  * duplicates a row, double-merges a label, or loses an admission —
+  * asserted by running the same batch through the core twice in
+  * IncrementalIngestSpec.
+  */
+object IngestPipeline {
+
+  /** One micro-batch of the ingest loop (exposed for direct testing and
+    * for batch-mode backfills — the foreachBatch wrapper below just
+    * binds the paths). `batch` must carry (doc_id, text); extra columns
+    * ride along into the admitted store. In-batch near-dups (two new
+    * docs duplicating each other) are both admitted and land in ONE
+    * cluster — rejection is against the EXISTING corpus (q82
+    * semantics); the label map records the in-batch relation.
+    *
+    * Crash-replay safety: the INDEX is the commit marker. A doc that
+    * reached step 4 self-matches the probe on replay (jaccard 1.0) and
+    * is skipped wholesale; a doc that didn't is re-processed, with each
+    * step idempotent — the admitted append anti-joins the store, the
+    * label merge first drops the increment's own (possibly partially
+    * merged) rows and re-merges against representatives that are stable
+    * under partial merges (a half-updated old label is still its
+    * cluster's post-merge minimum), and the index append anti-joins the
+    * index. Every crash prefix converges to the same final state.
+    */
+  def ingestBatch(batch: DataFrame, indexPath: String, labelsPath: String,
+      admittedPath: String, threshold: Double = 0.5): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint(true)
+    if (b.isEmpty) return
+    // 1. probe: near-dups of the EXISTING corpus are rejected (their
+    //    best match and score are in the probe output; a DLQ write could
+    //    hang off it — the admitted side is what this pipeline owns)
+    val rejects = DedupQueries.probeSignatureIndex(spark, b, indexPath,
+      threshold = threshold)
+    val admitted = b.join(rejects.select(col("new_id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    // the index is the commit marker: docs already in it finished a
+    // previous (possibly crashed-after-commit) run of this very batch
+    val oldSig = spark.read.parquet(indexPath).localCheckpoint(true)
+    val pending = admitted.join(oldSig.select("doc_id"), Seq("doc_id"),
+      "left_anti").localCheckpoint(true)
+    if (pending.isEmpty) return
+    // 2. admitted corpus rows — idempotent on doc_id
+    val fs = new org.apache.hadoop.fs.Path(admittedPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val novel =
+      if (fs.exists(new org.apache.hadoop.fs.Path(admittedPath)))
+        pending.join(spark.read.parquet(admittedPath).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else pending
+    novel.write.mode("append").parquet(admittedPath)
+    // 3. cluster-label merge against the pre-commit index snapshot.
+    //    The stored labels may already carry a PARTIAL merge of this
+    //    increment (crash between 3 and 4): drop the increment's own
+    //    rows and re-merge — old-doc labels updated by the partial
+    //    merge are still valid representatives, so the re-merge lands
+    //    on the same fixpoint. Eagerly materialized before the
+    //    overwrite so the read never races its own target.
+    val labelsBase = spark.read.parquet(labelsPath)
+      .join(pending.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val merged = DedupQueries
+      .incrementalClusters(oldSig, labelsBase, pending)
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(labelsPath)
+    // 4. index growth — the commit: from here on, replays skip the doc
+    DedupQueries.appendSignatureIndex(pending, indexPath)
+  }
+
+  /** Bootstrap the persisted state from an initial corpus (possibly
+    * empty): signature index + cluster-label map. Run once before the
+    * stream starts.
+    */
+  def bootstrap(initial: DataFrame, indexPath: String,
+      labelsPath: String): Unit = {
+    DedupQueries.buildSignatureIndex(initial, indexPath)
+    DedupQueries.connectedComponents(DedupQueries.lshBucketStars(initial))
+      .write.mode("overwrite").parquet(labelsPath)
+  }
+
+  /** Start the streaming ingest: each micro-batch of `docs` (doc_id,
+    * text, …) runs [[ingestBatch]]. State lives in the three parquet
+    * stores; the checkpoint only tracks source offsets, so a restart
+    * resumes from the last unprocessed batch and any replayed batch
+    * converges (see the idempotence contract above).
+    */
+  def start(docs: DataFrame, indexPath: String, labelsPath: String,
+      admittedPath: String, checkpoint: String,
+      threshold: Double = 0.5, queryName: String = "graft_ingest")
+      : StreamingQuery =
+    docs.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, indexPath, labelsPath, admittedPath, threshold)
+      }
+      .start()
+}
