@@ -1358,9 +1358,11 @@ object DedupQueries extends QueryModule {
     * deletion is one pass over the EXISTING label map, never a re-run of
     * LSH/CC. Scale shape: the label map is duplicate-population-sized;
     * re-election is one keyed aggregate on cluster_id; the corpus is
-    * touched only by two anti joins (deletion set + demoted members,
-    * both small and broadcast) and the rep join — nothing corpus-sized
-    * shuffles beyond the one keyed join q75 already pays.
+    * touched by the BROADCAST deletion-set anti join plus keyed joins
+    * against the demoted/rep relations — those are duplicate-population-
+    * sized (potentially a large corpus fraction), so they deliberately
+    * stay keyed shuffles rather than broadcasts; nothing beyond the
+    * joins q75 already pays.
     */
   def deletionCascade(docs: org.apache.spark.sql.DataFrame,
       del: org.apache.spark.sql.DataFrame,

@@ -527,6 +527,25 @@ class PlanShapeSpec extends SparkSuite {
       s"cell-sized count window in:\n$p")
   }
 
+  test("q138 deletion cascade broadcasts the deletion set into its anti " +
+    "join; the demoted/rep joins stay KEYED (they are duplicate-" +
+    "population-sized — a forced broadcast would be the scale bug); " +
+    "no cartesian") {
+    val p = plan("q138_deletion_cascade")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin \\[doc_id#\\d+L?\\], \\[doc_id#\\d+L?\\], LeftAnti".r
+      .findFirstIn(p).isDefined,
+      s"the deletion set must broadcast into the corpus anti join in:\n$p")
+  }
+
+  test("q139 incremental merge keeps the relabel tail keyed-join-shaped " +
+    "— no cartesian anywhere in the composed plan") {
+    val p = plan("q139_incremental_clusters")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Union"),
+      s"old/singleton/new label arms must union in:\n$p")
+  }
+
   test("q136 SQ8 ADC search scans byte codes map-side (queries + params " +
     "broadcast), prunes with the LOCAL (qid, cell)-keyed top-k, reranks " +
     "via broadcast of the bounded candidates — no cartesian, no corpus " +
