@@ -766,7 +766,108 @@ object TextQueries extends QueryModule {
              FROM b GROUP BY source, bucket
              ORDER BY source, bucket"""))
 
+  // ------------------------------------------------------------------
+  // Feature-hashed document embeddings (the hashing trick): text →
+  // fixed-dimension vectors INSIDE the engine, closing the
+  // text → embedding → ANN loop without an external model.
+  // ------------------------------------------------------------------
+
+  private val fhDims = 64
+
+  /** Per-token hash coordinates from md5 (the engine-portable
+    * pseudo-randomness every hashed structure here uses): dimension from
+    * the first two hex digits mod dims, sign a fair coin on the third —
+    * the signed hashing trick (Weinberger et al.), whose sign bit makes
+    * collision noise mean-zero instead of additive.
+    */
+  private val fhHexpos = "'0123456789abcdef'"
+  private def fhDimExpr(tok: String) =
+    s"""pmod(16 * (instr($fhHexpos, substring(md5(concat('fh:', $tok)), 1, 1)) - 1)
+           + (instr($fhHexpos, substring(md5(concat('fh:', $tok)), 2, 1)) - 1), $fhDims)"""
+  private def fhSignExpr(tok: String) =
+    s"IF(substring(md5(concat('fh:', $tok)), 3, 1) <= '7', 1L, -1L)"
+  private def fhDimSql(tok: String) =
+    s"""((16 * (strpos($fhHexpos, substring(md5('fh:' || $tok), 1, 1)) - 1)
+           + (strpos($fhHexpos, substring(md5('fh:' || $tok), 2, 1)) - 1)) % $fhDims)"""
+  private def fhSignSql(tok: String) =
+    s"CASE WHEN substring(md5('fh:' || $tok), 3, 1) <= '7' THEN 1 ELSE -1 END"
+
+  /** Sparse hashed features: (doc_id, dim, val) with val = Σ sign(g)·tf
+    * over the document's BIGRAM shingles — EXACT integer arithmetic end
+    * to end (signs are ±1, shingle frequencies are counts), so the
+    * vectors hash-match any engine with no float discipline at all.
+    *
+    * Bigrams, not unigrams, deliberately: on a shared-vocabulary corpus
+    * unigram profiles give every random pair a high cosine baseline
+    * (measured at sf0.001: near-dup mean 0.99 but random-pair mean
+    * 0.60), while bigram profiles collapse the baseline to noise
+    * (0.98 vs 0.05) — the same reason the MinHash dedup (q31) shingles
+    * bigrams. The hashed space therefore RANKS like the near-dup
+    * relation it feeds.
+    *
+    * Scale shape: one tokenize scan (the token array bound once, the
+    * CorpusStreams projection rationale), a (doc, shingle) count with
+    * map-side partials, a map-only hash projection, and a (doc, dim)
+    * sum — ≤ dims rows per document out. No vocabulary artifact, no
+    * training, no OOV: the hash IS the vocabulary, which is the entire
+    * point of the trick at crawl scale (a top-V vocabulary needs a
+    * corpus pass and drops the tail; the hash needs neither).
+    */
+  def hashedFeatures(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(expr(
+        """IF(size(tk) >= 2,
+             transform(sequence(1, size(tk) - 1), i ->
+               concat(element_at(tk, i), ' ', element_at(tk, i + 1))),
+             array())""")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), expr(fhDimExpr("tok")).as("dim"),
+        (expr(fhSignExpr("tok")) * col("tf")).as("contrib"))
+      .groupBy("doc_id", "dim").agg(sum("contrib").as("val"))
+      .filter(col("val") =!= 0L)
+
+  /** Dense hashed embeddings: (doc_id, v: array<double> of [[fhDims]]) —
+    * the zero-filled form the similarity/quantization family consumes
+    * (cosine, LSH, SQ8, binary codes all take (vec_id, v)). Exact
+    * integers widened to double, so downstream dot products follow the
+    * established sequential-fold determinism.
+    */
+  def hashedEmbeddings(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    hashedFeatures(docs)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("val"))))
+        .as("m"))
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(0, ${fhDims - 1}), d ->
+            CAST(coalesce(element_at(m, d), 0L) AS DOUBLE))""").as("v"))
+
+  /** q140: the sparse hashed features of the first 20 documents — the
+    * text-native embedding generator, oracled exactly (all-integer).
+    */
+  private val q140 = QueryDef(
+    "q140_feature_hashing",
+    (s, d) => hashedFeatures(
+        Tables(s, d, "documents").filter(col("doc_id") < 20))
+      .orderBy("doc_id", "dim"),
+    Some(s"""WITH tk AS (SELECT doc_id, $tokSql AS tk
+                         FROM documents WHERE doc_id < 20),
+                  tok AS (SELECT doc_id, unnest(
+                            CASE WHEN len(tk) >= 2
+                                 THEN list_transform(range(len(tk) - 1),
+                                        i -> tk[i+1] || ' ' || tk[i+2])
+                                 ELSE []::VARCHAR[] END) AS tok FROM tk),
+                  tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+                         FROM tok GROUP BY doc_id, tok),
+                  proj AS (SELECT doc_id, ${fhDimSql("tok")} AS dim,
+                             ${fhSignSql("tok")} * tf AS contrib FROM tf)
+             SELECT doc_id, dim, CAST(SUM(contrib) AS BIGINT) AS val
+             FROM proj GROUP BY doc_id, dim
+             HAVING SUM(contrib) <> 0
+             ORDER BY doc_id, dim"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88, q104, q105, q109,
-      q120, q121, q125, q129, q135)
+      q120, q121, q125, q129, q135, q140)
 }
