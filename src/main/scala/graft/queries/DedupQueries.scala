@@ -1249,6 +1249,113 @@ object DedupQueries extends QueryModule {
              FROM per LEFT JOIN mx ON per.source = mx.source
              ORDER BY per.source"""))
 
+  /** Integer-exact PageRank over an undirected pair graph — the
+    * centrality signal behind PR-canonical survivor selection (q141).
+    * All arithmetic is LONG integer: ranks live at a 1e9 fixed-point
+    * scale, each node's outgoing share is `r div deg`, and the damped
+    * update is `teleport + (85 · Σ shares) div 100` — floor division
+    * and exact long sums everywhere, so the ranks are bit-identical on
+    * any engine and any partitioning (a float PageRank's sums would
+    * drift with reduction order, the q137 covariance argument applied
+    * to graph iteration). Dangling mass: none by construction (every
+    * node of an undirected edge list has degree ≥ 1).
+    *
+    * Scale shape: per iteration one keyed join (ranks→degrees), one
+    * edge-keyed join and one keyed sum — all linear in |E|, O(iters)
+    * rounds, state checkpointed per round exactly like the CC loop.
+    * Fixed iteration count (default 10) rather than convergence: the
+    * oracle unrolls the SAME depth (the q137 rationale).
+    */
+  def pagerank(pairs: org.apache.spark.sql.DataFrame,
+      iters: Int = 10): org.apache.spark.sql.DataFrame = {
+    val scale = 1000000000L
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.withColumn("r", lit(0L)) // empty graph, empty ranks
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val teleport = (15L * scale) / (100L * n)
+    var r = nodes.withColumn("r", lit(scale / n)).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val sh = r.join(deg, col("doc_id") === col("u"))
+        .select(col("u"), expr("r div d").as("s"))
+      val inflow = edges.join(sh, "u").groupBy("v")
+        .agg(sum("s").as("inflow"))
+      r = nodes.join(inflow, col("doc_id") === col("v"), "left")
+        .select(col("doc_id"),
+          (lit(teleport) + expr("(85 * coalesce(inflow, 0L)) div 100"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+
+  /** q141: PR-canonical survivor selection — for every near-dup cluster
+    * the member with the highest PageRank over the CAPPED candidate-pair
+    * graph (the q32 bucket-cap bounds the quadratic; clusters whose
+    * every pair fell to the cap simply contribute no scored member).
+    * Min-id survivor election (q75) is arbitrary; the PR-canonical
+    * member is the copy most connected within its duplicate
+    * neighborhood — the version the most other copies resemble, which
+    * is the principled pick when copies differ by truncation or
+    * boilerplate. Signatures are materialized ONCE for both the pair
+    * graph and the cluster labels.
+    */
+  private val q141 = QueryDef(
+    "q141_pagerank_canonical",
+    (s, d) => {
+      val sig = minhashSigs(Tables(s, d, "documents")).localCheckpoint(true)
+      val pr = pagerank(lshCandidatePairsFromSigs(sig))
+      val labels = connectedComponents(lshBucketStarsFromSigs(sig))
+      labels.join(pr, "doc_id")
+        .groupBy("cluster_id")
+        .agg(max(struct(col("r").as("r"), negate(col("doc_id")).as("nid")))
+          .as("best"), count(lit(1)).as("n_scored"))
+        .select(col("cluster_id"), negate(col("best.nid")).as("canonical_id"),
+          col("best.r").as("pr_scaled"), col("n_scored"))
+        .orderBy("cluster_id")
+    },
+    Some {
+      val iterCtes = (0 until 10).map { k =>
+        s"""sh$k AS MATERIALIZED (SELECT u, r // d AS s
+              FROM r$k JOIN deg ON r$k.doc_id = deg.u),
+            r${k + 1} AS MATERIALIZED (SELECT nodes.doc_id,
+                tele + (85 * COALESCE(SUM(s), 0)) // 100 AS r
+              FROM nodes CROSS JOIN tl
+              LEFT JOIN (SELECT v, s FROM pedges JOIN sh$k
+                         ON pedges.u = sh$k.u) inf
+                ON nodes.doc_id = inf.v
+              GROUP BY nodes.doc_id, tele)"""
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $ccCteSql,
+              pedges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                         UNION ALL SELECT doc_b, doc_a FROM pairs),
+              nodes AS (SELECT DISTINCT u AS doc_id FROM pedges),
+              nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+              deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+                      FROM pedges GROUP BY u),
+              tl AS (SELECT (15 * CAST(1000000000 AS BIGINT)) // (100 * n)
+                       AS tele FROM nn),
+              r0 AS MATERIALIZED (SELECT doc_id, 1000000000 // n AS r
+                                  FROM nodes CROSS JOIN nn),
+              $iterCtes,
+              pr AS (SELECT doc_id, CAST(r AS BIGINT) AS r FROM r10),
+              scored AS (SELECT cc.doc_id, cc.cluster_id, pr.r
+                         FROM cc JOIN pr ON cc.doc_id = pr.doc_id)
+         SELECT cluster_id, doc_id AS canonical_id, r AS pr_scaled, n_scored
+         FROM (SELECT cluster_id, doc_id, r,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY r DESC, doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS n_scored
+               FROM scored) t
+         WHERE rn = 1 ORDER BY cluster_id"""
+    })
+
   /** Incremental CLUSTER maintenance — the missing third of the
     * production ingest path (q82 rejects/admits an increment,
     * [[appendSignatureIndex]] grows the index; this keeps the q74
@@ -1416,5 +1523,5 @@ object DedupQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
-      q103, q110, q124, q138, q139)
+      q103, q110, q124, q138, q139, q141)
 }
