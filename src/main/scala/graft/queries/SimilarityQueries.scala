@@ -2056,6 +2056,61 @@ object SimilarityQueries extends QueryModule {
         col("rn").as("rank_ab"), col("rank_ba"))
   }
 
+  /** Label propagation over an undirected edge list — semi-supervised
+    * pseudo-labeling: seed nodes keep their true label; every other
+    * node takes the MAJORITY label among its already-labeled neighbors
+    * each round (ties broken by minimum label id), for `iters`
+    * synchronous rounds. The label-expansion step of a semi-supervised
+    * training-data pipeline: a small human-labeled seed set fans out
+    * over the semantic neighborhood graph and unreachable nodes stay
+    * honestly unlabeled.
+    *
+    * Determinism: votes are integer counts and the argmax tiebreak is
+    * total, so the labeling is bit-identical on any engine — no float
+    * affinity weights by design (a weighted vote would reintroduce the
+    * reduction-order drift the integer disciplines here exist to kill).
+    * Fixed round count, mirrored unrolled in the oracle (the q137/q141
+    * rationale). Scale shape per round: one edge-keyed join against the
+    * current labeling, one (node, label) count with map-side partials,
+    * one argmax — linear in |E|, state checkpointed like the CC loop.
+    *
+    * `seeds`(vec_id, lab): the fixed labels. `edges`(a, b): undirected.
+    * Returns (vec_id, lab, src) for every node that ENDS labeled, src ∈
+    * {seed, propagated}.
+    */
+  def labelPropagation(nodes: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame,
+      seeds: org.apache.spark.sql.DataFrame,
+      iters: Int = 5): org.apache.spark.sql.DataFrame = {
+    val dedges = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val seed = seeds.select(col("vec_id"), col("lab").as("seed_lab"))
+      .localCheckpoint(true)
+    var state = nodes.join(seed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("seed_lab").as("lab"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val votes = dedges
+        .join(state.filter(col("lab").isNotNull)
+          .select(col("vec_id").as("src"), col("lab")), "src")
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+      val pick = votes.groupBy("dst")
+        .agg(max(struct(col("c"), negate(col("lab")).as("nl"))).as("best"))
+        .select(col("dst").as("vec_id"), negate(col("best.nl")).as("vote"))
+      state = state.join(pick, Seq("vec_id"), "left")
+        .join(seed, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("seed_lab"), col("vote"), col("lab")).as("lab"))
+        .localCheckpoint(true)
+    }
+    state.filter(col("lab").isNotNull)
+      .join(seed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("lab"),
+        when(col("seed_lab").isNotNull, lit("seed"))
+          .otherwise(lit("propagated")).as("src"))
+  }
+
   private def knnSubset(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables(s, d, "embeddings").filter(col("vec_id") < 300)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -2078,6 +2133,57 @@ object SimilarityQueries extends QueryModule {
                      t1.rn AS rank_ab, t2.rn AS rank_ba
               FROM t t1 JOIN t t2 ON t1.aid = t2.bid AND t1.bid = t2.aid
               WHERE t1.aid < t1.bid)"""
+
+  /** q142: label propagation over the q116 mutual-kNN graph — every 5th
+    * vector keeps its true label as the seed set (a 20% labeled corpus)
+    * and the rest inherit by iterated neighbor majority. The oracle
+    * unrolls the same 5 synchronous rounds over the shared mutual-graph
+    * CTE, so graph and votes cannot drift between engines.
+    */
+  private val q142 = QueryDef(
+    "q142_label_propagation",
+    (s, d) => {
+      val e = knnSubset(s, d)
+      val lbl = Tables(s, d, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("label"))
+      labelPropagation(
+          e.select("vec_id"),
+          mutualKnnEdges(e, 3).select("a", "b"),
+          lbl.filter(col("vec_id") % 5 === 0)
+            .select(col("vec_id"), col("label").as("lab")))
+        .orderBy("vec_id")
+    },
+    Some {
+      val rounds = (0 until 5).map { k =>
+        s"""v$k AS MATERIALIZED (SELECT dst, lab, COUNT(*) AS c
+              FROM dedges JOIN s$k ON dedges.src = s$k.vec_id
+              WHERE s$k.lab IS NOT NULL GROUP BY dst, lab),
+            p$k AS MATERIALIZED (SELECT dst AS vec_id, lab AS vote FROM (
+                SELECT dst, lab, ROW_NUMBER() OVER (PARTITION BY dst
+                  ORDER BY c DESC, lab ASC) AS rn FROM v$k) t
+              WHERE rn = 1),
+            s${k + 1} AS MATERIALIZED (SELECT s$k.vec_id,
+                COALESCE(seeds.seed_lab, p$k.vote, s$k.lab) AS lab
+              FROM s$k LEFT JOIN p$k ON s$k.vec_id = p$k.vec_id
+              LEFT JOIN seeds ON s$k.vec_id = seeds.vec_id)"""
+      }.mkString(",\n")
+      s"""WITH $mutualCteSql,
+              nodes AS (SELECT vec_id FROM e),
+              lbl AS (SELECT vec_id, label FROM embeddings
+                      WHERE vec_id < 300),
+              seeds AS (SELECT vec_id, label AS seed_lab FROM lbl
+                        WHERE vec_id % 5 = 0),
+              dedges AS (SELECT a AS src, b AS dst FROM m
+                         UNION ALL SELECT b, a FROM m),
+              s0 AS MATERIALIZED (SELECT nodes.vec_id, seed_lab AS lab
+                FROM nodes LEFT JOIN seeds ON nodes.vec_id = seeds.vec_id),
+              $rounds
+         SELECT s5.vec_id, s5.lab,
+                CASE WHEN seeds.vec_id IS NOT NULL THEN 'seed'
+                     ELSE 'propagated' END AS src
+         FROM s5 LEFT JOIN seeds ON s5.vec_id = seeds.vec_id
+         WHERE s5.lab IS NOT NULL ORDER BY s5.vec_id"""
+    })
 
   private val q116 = QueryDef(
     "q116_mutual_knn",
@@ -2549,6 +2655,6 @@ object SimilarityQueries extends QueryModule {
     })
 
   override def defs: Seq[QueryDef] =
-    Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112,
+    Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112, q142,
       q114, q116, q117, q119, q123, q127, q128, q131, q132)
 }
