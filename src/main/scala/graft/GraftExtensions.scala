@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 
-import graft.functions.{DotProductExpr, HexSignMaskExpr, ImageHeaderExpr, NormalizeTextExpr, ZOrderExpr}
+import graft.functions.{DotProductExpr, HexSignMaskExpr, ImageHeaderExpr, MediaHeaderExpr, NormalizeTextExpr, ZOrderExpr}
 
 /** SparkSessionExtensions entry point — the library-deployment packaging of
   * graft's native expressions: add
@@ -78,5 +78,11 @@ object GraftExtensions {
         "graft_image_header(payload) - struct<format,width,height> parsed from PNG/JPEG/GIF container bytes; NULL if unrecognized"),
       (exprs: Seq[Expression]) => {
         arity("graft_image_header", 1, exprs); ImageHeaderExpr(exprs(0))
+      }),
+    (FunctionIdentifier("graft_media_header"),
+      info(classOf[MediaHeaderExpr], "graft_media_header",
+        "graft_media_header(payload) - struct<format,duration_ms,channels,sample_rate> parsed from WAV/MP4 container bytes; NULL if unrecognized"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_media_header", 1, exprs); MediaHeaderExpr(exprs(0))
       }))
 }

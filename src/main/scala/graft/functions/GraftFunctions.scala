@@ -23,4 +23,7 @@ object GraftFunctions {
   def graftImageHeader(payload: Column): Column =
     GraftColumnBridge.column(
       ImageHeaderExpr(GraftColumnBridge.expression(payload)))
+  def graftMediaHeader(payload: Column): Column =
+    GraftColumnBridge.column(
+      MediaHeaderExpr(GraftColumnBridge.expression(payload)))
 }

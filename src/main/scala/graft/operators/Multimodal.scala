@@ -94,6 +94,16 @@ object Multimodal {
     df.withColumn("image_header",
       graft.functions.GraftFunctions.graftImageHeader(col(payloadCol)))
 
+  /** Audio/video twin of [[imageHeader]]: WAV/MP4 container metadata
+    * (duration, channels, sample rate) from header bytes — the
+    * pre-decode filter for time-based media (drop sub-second clips, cap
+    * hours, partition by sample rate). See
+    * [[graft.functions.MediaHeaderExpr]].
+    */
+  def mediaHeader(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("media_header",
+      graft.functions.GraftFunctions.graftMediaHeader(col(payloadCol)))
+
   /** Frame-sample offsets for a byte stream chunked at `frameSize`: every
     * `stride`-th frame start — the video-frame-sampling access pattern as
     * pure column arithmetic (no decode needed to plan the read). Empty
