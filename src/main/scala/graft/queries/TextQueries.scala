@@ -767,6 +767,146 @@ object TextQueries extends QueryModule {
              ORDER BY source, bucket"""))
 
   // ------------------------------------------------------------------
+  // BPE tokenizer: q104 counts the FIRST merge round; this is the rest
+  // of the tokenizer — a trained merge SEQUENCE and the corpus encoder.
+  // ------------------------------------------------------------------
+
+  /** Classic BPE training over a word-count table: start from character
+    * sequences, repeatedly merge the most frequent adjacent token pair
+    * (count-weighted by word frequency; ties broken by lexicographic
+    * (a, b) — a total order, so the merge sequence is deterministic on
+    * any engine), re-tokenizing the vocabulary after each merge.
+    * Driver-side on the word-count artifact by design — the vocabulary
+    * is the k-sized trained object here (the PCA covariance argument);
+    * at 100 TB train on the top-V words (Zipf makes the tail
+    * irrelevant to merge counts) and the encoder below still covers
+    * every word. Returns the ordered merge list.
+    */
+  def bpeTrain(wordCounts: Seq[(String, Long)],
+      merges: Int): Seq[(String, String)] = {
+    var state: Map[String, Vector[String]] =
+      wordCounts.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+    val wc = wordCounts.toMap
+    val out = Vector.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < merges && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (w, toks) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = (toks(i), toks(i + 1))
+          pc(p) = pc.getOrElse(p, 0L) + wc(w)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val bn = pc.values.max
+        val best = pc.collect { case (p, n) if n == bn => p }.toSeq.min
+        out += best
+        state = state.map { case (w, toks) =>
+          // greedy left fold (the one canonical apply — mirrored by the
+          // SQL string fold and the encoder expression)
+          val outToks = scala.collection.mutable.ArrayBuffer.empty[String]
+          toks.foreach { t =>
+            if (outToks.nonEmpty && outToks.last == best._1 && t == best._2)
+              outToks(outToks.length - 1) = best._1 + best._2
+            else outToks += t
+          }
+          w -> outToks.toVector
+        }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The per-merge apply as a codegen'd expression over a token-array
+    * column `tk`: the SAME greedy left fold as [[bpeTrain]] and the
+    * DuckDB twin, carried through a '|'-delimited string accumulator
+    * (tokens are [a-z0-9]+, so the delimiter can never occur in one).
+    */
+  private def bpeFoldExpr(a: String, b: String): String =
+    s"""filter(split(aggregate(tk, '|', (acc, t) ->
+          IF(t = '$b' AND acc LIKE '%|$a|',
+             concat(substring(acc, 1, length(acc) - ${a.length + 1}),
+               '$a$b', '|'),
+             concat(acc, t, '|'))), '[|]'), x -> x <> '')"""
+
+  /** Distributed BPE encoding of a word relation `words`(w, …): apply
+    * the trained merges IN ORDER as map-only array folds — no UDF, no
+    * shuffle; the relation is vocabulary-sized (encode DISTINCT words,
+    * broadcast-join the result back onto the token stream — the
+    * standard corpus-encode shape, since Zipf means the distinct-word
+    * relation is orders of magnitude smaller than the token stream).
+    * Checkpoints every few merges to bound codegen depth.
+    */
+  def bpeEncodeWords(words: org.apache.spark.sql.DataFrame,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    var st = words.withColumn("tk",
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      st = st.withColumn("tk", expr(bpeFoldExpr(a, b)))
+      if (i % 6 == 5) st = st.localCheckpoint(true)
+    }
+    st
+  }
+
+  /** q143: the trained tokenizer applied to the vocabulary — the 20 most
+    * frequent multi-character words with their BPE segmentations under a
+    * 12-merge vocabulary. The oracle retrains the SAME merge sequence as
+    * 12 unrolled SQL rounds (pair counts → deterministic argmax → string-
+    * fold apply) and must land on identical segmentations — training AND
+    * encoding are both checked.
+    */
+  private val q143 = QueryDef(
+    "q143_bpe_encode",
+    (s, d) => {
+      val words = Tables(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wn"))
+        .localCheckpoint(true)
+      val wc = words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val merges = bpeTrain(wc, 12)
+      bpeEncodeWords(words, merges)
+        .filter(length(col("w")) >= 2)
+        .orderBy(col("wn").desc, col("w").asc)
+        .limit(20)
+        .select(col("w"), concat_ws(" ", col("tk")).as("encoded"),
+          size(col("tk")).as("n_tokens"))
+    },
+    Some {
+      val rounds = (0 until 12).map { k =>
+        s"""pc$k AS MATERIALIZED (
+              SELECT tk[CAST(i AS INT)] AS a, tk[CAST(i + 1 AS INT)] AS b,
+                     SUM(wn) AS n
+              FROM v$k, unnest(range(1, len(tk))) r(i) GROUP BY 1, 2),
+            bm$k AS MATERIALIZED (SELECT a, b FROM pc$k
+              ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+            v${k + 1} AS MATERIALIZED (SELECT w, wn,
+              list_filter(string_split(list_reduce(list_prepend('|', tk),
+                (acc, t) -> CASE WHEN t = bm$k.b
+                       AND acc LIKE '%|' || bm$k.a || '|'
+                    THEN substring(acc, 1,
+                           length(acc) - length(bm$k.a) - 1)
+                         || bm$k.a || bm$k.b || '|'
+                    ELSE acc || t || '|' END), '|'), x -> x <> '') AS tk
+              FROM v$k, bm$k)"""
+      }.mkString(",\n")
+      s"""WITH wd AS (SELECT unnest($tokSql) AS w FROM documents),
+              words AS (SELECT w, COUNT(*) AS wn FROM wd GROUP BY w),
+              v0 AS MATERIALIZED (SELECT w, wn,
+                list_transform(range(1, len(w) + 1),
+                  i -> substring(w, CAST(i AS INT), 1)) AS tk FROM words),
+              $rounds
+         SELECT w, array_to_string(tk, ' ') AS encoded,
+                CAST(len(tk) AS INT) AS n_tokens
+         FROM v12 WHERE len(w) >= 2
+         ORDER BY wn DESC, w LIMIT 20"""
+    })
+
+  // ------------------------------------------------------------------
   // Feature-hashed document embeddings (the hashing trick): text →
   // fixed-dimension vectors INSIDE the engine, closing the
   // text → embedding → ANN loop without an external model.
@@ -869,5 +1009,5 @@ object TextQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88, q104, q105, q109,
-      q120, q121, q125, q129, q135, q140)
+      q120, q121, q125, q129, q135, q140, q143)
 }

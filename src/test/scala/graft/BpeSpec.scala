@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.TextQueries
+
+/** The BPE tokenizer (train + encode): hand-checkable merge sequences,
+  * greedy-fold semantics on the overlap edge case, lossless
+  * segmentation, and coverage of unseen words — the contracts that make
+  * it a tokenizer rather than a hash.
+  */
+class BpeSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("training learns the classic merge sequence on a hand-computed " +
+    "corpus and ties break lexicographically") {
+    // "aaab" x3: pairs (a,a)=6, (a,b)=3 -> first merge (a,a);
+    // then (aa,a)=3, (a,b)=3 -> tie breaks to ('a','b') lexicographically
+    val merges = TextQueries.bpeTrain(Seq(("aaab", 3L)), 2)
+    assert(merges == Seq(("a", "a"), ("a", "b")),
+      s"unexpected merge sequence: $merges")
+  }
+
+  test("the greedy left fold handles overlapping pairs exactly: 'aaa' " +
+    "under merge (a,a) becomes [aa, a] in trainer AND encoder") {
+    val merges = Seq(("a", "a"))
+    val enc = TextQueries.bpeEncodeWords(Seq("aaa", "aaaa").toDF("w"), merges)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    assert(enc("aaa") == List("aa", "a"), s"overlap fold wrong: $enc")
+    assert(enc("aaaa") == List("aa", "aa"), s"overlap fold wrong: $enc")
+  }
+
+  test("segmentation is lossless and covers words unseen in training " +
+    "(char fallback + applicable merges)") {
+    val words = Seq(("lower", 5L), ("lowest", 3L), ("newest", 2L))
+    val merges = TextQueries.bpeTrain(words, 6)
+    val enc = TextQueries.bpeEncodeWords(
+        Seq("lower", "lowest", "newest", "slowest", "zq").toDF("w"), merges)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    enc.foreach { case (w, toks) =>
+      assert(toks.mkString == w, s"lossy segmentation of $w: $toks")
+    }
+    // the trained 'est'/'west'-ish merges apply inside the UNSEEN word
+    assert(enc("slowest").length < "slowest".length,
+      s"no trained merge applied to an unseen word: ${enc("slowest")}")
+    assert(enc("zq") == List("z", "q"),
+      s"fully-unseen word must fall back to chars: ${enc("zq")}")
+  }
+
+  test("q143 output is internally consistent: encoded tokens rebuild " +
+    "the word and n_tokens matches") {
+    val got = SparkEntry.queries("q143_bpe_encode")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(got.length > 10)
+    got.foreach { r =>
+      val (w, enc, n) = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(enc.split(" ").mkString == w, s"lossy: $w -> $enc")
+      assert(enc.split(" ").length == n, s"count mismatch: $w -> $enc ($n)")
+    }
+    // 12 merges must compress the BULK of the frequent vocabulary (not
+    // necessarily every word — merge budget allocates by pair count)
+    val compressed = got.count(r => r.getInt(2) < r.getString(0).length)
+    assert(compressed * 2 >= got.length,
+      s"only $compressed of ${got.length} frequent words compressed")
+  }
+}
