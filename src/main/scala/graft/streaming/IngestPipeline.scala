@@ -107,6 +107,48 @@ object IngestPipeline {
       .write.mode("overwrite").parquet(labelsPath)
   }
 
+  /** The FORGET verb of the ingest lifecycle (the q138 cascade shipped
+    * as one call, not a spec recipe): given `del`(doc_id), rewrite the
+    * admitted corpus without the forgotten rows, re-elect the cluster
+    * labels through [[DedupQueries.deletionCascade]]'s re-election (a
+    * forgotten survivor's cluster keeps its remaining members), and
+    * rewrite the signature index without the forgotten signatures — so
+    * the NEXT ingest batch can re-admit a document whose only prior
+    * copy was forgotten (leaving the signature would silently reject
+    * it forever, an over-forgetting bug). ANN stores over derived
+    * embeddings are deleted separately via their families' tombstone
+    * verbs (`sqDeleteVectors` etc.) — they key on vec_id, which only
+    * the caller can map to doc_id.
+    *
+    * Order matters for crash safety: labels first (recomputable from
+    * index+labels, idempotent), then index, then the corpus store —
+    * a crash mid-way leaves the forgotten docs at worst still in the
+    * corpus file (re-run to finish) and never resurrects them in
+    * search/dedup state.
+    */
+  def forget(spark: SparkSession, del: DataFrame, indexPath: String,
+      labelsPath: String, admittedPath: String): Unit = {
+    val ids = del.select("doc_id").localCheckpoint(true)
+    // 1. labels: re-election over the EXISTING label map
+    val labels = spark.read.parquet(labelsPath).localCheckpoint(true)
+    val rl = labels.join(ids, Seq("doc_id"), "left_anti")
+    val nr = rl.groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("rep"))
+    val relabeled = rl.join(nr, "cluster_id")
+      .select(col("doc_id"), col("rep").as("cluster_id"))
+      .localCheckpoint(true)
+    relabeled.write.mode("overwrite").parquet(labelsPath)
+    // 2. signature index: drop the forgotten signatures so a future
+    //    re-submission is judged on the REMAINING corpus only
+    val sig = spark.read.parquet(indexPath)
+      .join(ids, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    sig.write.mode("overwrite").parquet(indexPath)
+    // 3. corpus store
+    val kept = spark.read.parquet(admittedPath)
+      .join(ids, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(admittedPath)
+  }
+
   /** Start the streaming ingest: each micro-batch of `docs` (doc_id,
     * text, …) runs [[ingestBatch]]. State lives in the three parquet
     * stores; the checkpoint only tracks source offsets, so a restart

@@ -117,4 +117,37 @@ class IncrementalIngestSpec extends SparkSuite {
       .map(_.getLong(0)).toSet == Set(10L, 12L))
     assert(spark.read.parquet(idx2).count() == cleanIndexed)
   }
+
+  test("the forget verb: labels re-elect, the corpus and index shed the " +
+    "forgotten rows, and a document whose ONLY copies were forgotten is " +
+    "re-admitted (no over-forgetting)") {
+    val base = tmpDir("ingest-forget")
+    val (idx, lab, adm) = (s"$base/idx", s"$base/lab", s"$base/adm")
+    IngestPipeline.bootstrap(initial, idx, lab)
+    initial.write.mode("overwrite").parquet(adm)
+
+    // forget the {1,2} cluster's SURVIVOR: remaining member re-elects
+    IngestPipeline.forget(spark, Seq(1L).toDF("doc_id"), idx, lab, adm)
+    val l1 = labelsOf(lab)
+    assert(l1 == Map(2L -> 2L, 3L -> 3L, 4L -> 3L),
+      s"labels after forgetting the survivor: $l1")
+    assert(spark.read.parquet(adm).count() == 4)
+    // a new copy of A is STILL rejected — doc 2 remains in the corpus
+    IngestPipeline.ingestBatch(Seq((11L, tA)).toDF("doc_id", "text"),
+      idx, lab, adm)
+    assert(!spark.read.parquet(adm).collect().map(_.getLong(0))
+      .contains(11L), "near-dup of a REMAINING doc must stay rejected")
+
+    // forget BOTH B copies: the content has no remaining copy, so a
+    // fresh submission must be admitted — keeping the forgotten
+    // signatures would silently reject it forever
+    IngestPipeline.forget(spark, Seq(3L, 4L).toDF("doc_id"), idx, lab, adm)
+    IngestPipeline.ingestBatch(Seq((12L, tB)).toDF("doc_id", "text"),
+      idx, lab, adm)
+    val docs = spark.read.parquet(adm).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(docs.contains(12L),
+      s"a fully-forgotten content's fresh copy must be re-admitted: $docs")
+    assert(!docs.contains(3L) && !docs.contains(4L))
+  }
 }
