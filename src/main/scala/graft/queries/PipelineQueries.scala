@@ -432,32 +432,41 @@ object PipelineQueries extends QueryModule {
     * (doc_id, n_tokens) frame, and without the materialization the
     * corpus-regex scan would execute twice.
     */
+  /** The two-pass fixed-budget packer shared by q77 (regex-token
+    * counts) and q144 (true BPE counts): `toks`(doc_id, n_tokens) →
+    * (doc_id, n_tokens, bin_id) with 512-token bins off an exclusive
+    * doc_id-ordered prefix sum — pass 1 aggregates 256 range totals
+    * into broadcast offsets, pass 2 runs the per-range window, so the
+    * corpus never funnels one partition (the q94/q106 form).
+    */
+  private def packByTokens(toks0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = toks0.localCheckpoint(true)
+    val dims = toks.agg((expr("max(doc_id) div 256") + 1).as("bw"))
+    val bucketed = toks.crossJoin(broadcast(dims))
+      .withColumn("bk", expr("doc_id div bw"))
+    // pass 1: 256 range totals -> exclusive prefix offsets (tiny)
+    val offs = bucketed.groupBy("bk").agg(sum("n_tokens").as("bs"))
+      .withColumn("off", coalesce(sum("bs").over(
+        Window.orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bk", "off")
+    // pass 2: per-range EXCLUSIVE running sum + broadcast offset
+    val wb = Window.partitionBy("bk").orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offs), "bk")
+      .withColumn("cum_before",
+        col("off") + coalesce(sum(col("n_tokens")).over(wb), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("cum_before div 512").as("bin_id"))
+      .orderBy("doc_id")
+  }
+
   private val q77 = QueryDef(
     "q77_sequence_packing",
-    (s, d) => {
-      val toks = Tables(s, d, "documents")
-        .select(col("doc_id"),
-          tokenCount(col("text")).cast("long").as("n_tokens"))
-        .localCheckpoint(true)
-      val dims = toks.agg((expr("max(doc_id) div 256") + 1).as("bw"))
-      val bucketed = toks.crossJoin(broadcast(dims))
-        .withColumn("bk", expr("doc_id div bw"))
-      // pass 1: 256 range totals -> exclusive prefix offsets (tiny)
-      val offs = bucketed.groupBy("bk").agg(sum("n_tokens").as("bs"))
-        .withColumn("off", coalesce(sum("bs").over(
-          Window.orderBy("bk")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("bk", "off")
-      // pass 2: per-range EXCLUSIVE running sum + broadcast offset
-      val wb = Window.partitionBy("bk").orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      bucketed.join(broadcast(offs), "bk")
-        .withColumn("cum_before",
-          col("off") + coalesce(sum(col("n_tokens")).over(wb), lit(0L)))
-        .select(col("doc_id"), col("n_tokens"),
-          expr("cum_before div 512").as("bin_id"))
-        .orderBy("doc_id")
-    },
+    (s, d) => packByTokens(Tables(s, d, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))),
     Some(s"""SELECT doc_id, n_tokens,
                     CAST(COALESCE(cum_before, 0) AS BIGINT) // 512 AS bin_id
              FROM (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens,
@@ -465,6 +474,82 @@ object PipelineQueries extends QueryModule {
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
                    FROM documents) t
              ORDER BY doc_id"""))
+
+  /** q144: sequence packing under the TRUE token budget — q143's trained
+    * BPE tokenizer supplies per-document token counts (each document's
+    * count is the sum of its words' BPE segment lengths, via the
+    * broadcast DISTINCT-word encoding — the corpus token stream is never
+    * re-encoded per word occurrence) and the q77 two-pass packer bins
+    * them. The regex-token proxy q77 packs by OVER-counts short merges
+    * and UNDER-counts long words; packing a real context window needs
+    * the tokenizer's own arithmetic, which is exactly what changes
+    * between q77 and this query (same packer, same oracle shape, true
+    * counts).
+    */
+  private val q144 = QueryDef(
+    "q144_bpe_packing",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val words = docs.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wn"))
+        .localCheckpoint(true)
+      val merges = TextQueries.bpeTrain(
+        words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, 12)
+      val wordLens = TextQueries.bpeEncodeWords(words, merges)
+        .select(col("w"), size(col("tk")).cast("long").as("wt"))
+        .localCheckpoint(true)
+      val counts = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("w"))
+        .join(broadcast(wordLens), "w")
+        .groupBy("doc_id").agg(sum("wt").as("n_tokens"))
+      packByTokens(docs.select("doc_id")
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L))
+          .as("n_tokens")))
+    },
+    Some {
+      // the q143 training rounds, verbatim (shared shape), feeding the
+      // per-doc count + the q77 packing window
+      val rounds = (0 until 12).map { k =>
+        s"""pc$k AS MATERIALIZED (
+              SELECT tk[CAST(i AS INT)] AS a, tk[CAST(i + 1 AS INT)] AS b,
+                     SUM(wn) AS n
+              FROM v$k, unnest(range(1, len(tk))) r(i) GROUP BY 1, 2),
+            bm$k AS MATERIALIZED (SELECT a, b FROM pc$k
+              ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+            v${k + 1} AS MATERIALIZED (SELECT w, wn,
+              list_filter(string_split(list_reduce(list_prepend('|', tk),
+                (acc, t) -> CASE WHEN t = bm$k.b
+                       AND acc LIKE '%|' || bm$k.a || '|'
+                    THEN substring(acc, 1,
+                           length(acc) - length(bm$k.a) - 1)
+                         || bm$k.a || bm$k.b || '|'
+                    ELSE acc || t || '|' END), '|'), x -> x <> '') AS tk
+              FROM v$k, bm$k)"""
+      }.mkString(",\n")
+      s"""WITH wd AS (SELECT unnest($tokSql) AS w FROM documents),
+              words AS (SELECT w, COUNT(*) AS wn FROM wd GROUP BY w),
+              v0 AS MATERIALIZED (SELECT w, wn,
+                list_transform(range(1, len(w) + 1),
+                  i -> substring(w, CAST(i AS INT), 1)) AS tk FROM words),
+              $rounds,
+              wl AS (SELECT w, CAST(len(tk) AS BIGINT) AS wt FROM v12),
+              dt AS (SELECT doc_id, unnest($tokSql) AS w FROM documents),
+              cnt AS (SELECT d.doc_id,
+                        CAST(COALESCE(SUM(wl.wt), 0) AS BIGINT) AS n_tokens
+                      FROM documents d
+                      LEFT JOIN dt ON d.doc_id = dt.doc_id
+                      LEFT JOIN wl ON dt.w = wl.w
+                      GROUP BY d.doc_id)
+         SELECT doc_id, n_tokens,
+                CAST(COALESCE(cum_before, 0) AS BIGINT) // 512 AS bin_id
+         FROM (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS cum_before
+               FROM cnt) t
+         ORDER BY doc_id"""
+    })
 
   /** Deterministic domain mixing: downsample each source to an equal token
     * budget (total_tokens DIV n_sources) with hash-order selection — the
@@ -1119,5 +1204,5 @@ object PipelineQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67, q68, q69, q70,
-      q76, q77, q78, q79, q91, q94, q95, q106, q113, q115, q126, q130)
+      q76, q77, q78, q79, q91, q94, q95, q106, q113, q115, q126, q130, q144)
 }
