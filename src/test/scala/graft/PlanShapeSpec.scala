@@ -546,6 +546,18 @@ class PlanShapeSpec extends SparkSuite {
       s"old/singleton/new label arms must union in:\n$p")
   }
 
+  test("q144 BPE packing keeps the q77 two-pass shape — the running sum " +
+    "partitions on the doc_id range bucket, never Exchange " +
+    "SinglePartition over the corpus; word lengths broadcast") {
+    val p = plan("q144_bpe_packing")
+    assert("windowspecdefinition\\(bk#\\d+L?, doc_id#".r
+      .findFirstIn(p).isDefined,
+      s"running sum not bucket-partitioned in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"word-length encoding must broadcast onto the token stream in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q136 SQ8 ADC search scans byte codes map-side (queries + params " +
     "broadcast), prunes with the LOCAL (qid, cell)-keyed top-k, reranks " +
     "via broadcast of the bounded candidates — no cartesian, no corpus " +
