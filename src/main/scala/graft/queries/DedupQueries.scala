@@ -1521,7 +1521,135 @@ object DedupQueries extends QueryModule {
              LEFT JOIN nr ON d.doc_id = nr.rep
              ORDER BY d.doc_id"""))
 
+  /** Quality-aware survivor election (the FineWeb/Dolma refinement of q75):
+    * within each near-dup cluster keep the HIGHEST-QUALITY copy, not the
+    * lowest doc_id — near-dup groups routinely mix a clean original with
+    * boilerplate-wrapped mirrors, and min-id election keeps whichever was
+    * crawled first. One row per duplicate cluster: the elected survivor,
+    * its quality, the min-id survivor's quality (what q75 would have kept),
+    * and the member count — so the report doubles as the measured value of
+    * quality election (q_elected − q_minid ≥ 0 by construction).
+    *
+    * Scale shape: the label map is dup-population-sized (far smaller than
+    * the corpus) and joins the corpus once, keyed on doc_id; the quality
+    * score is map-side codegen. Election is GroupTopK(k=1) — exact
+    * two-stage, so a boilerplate mega-cluster (the hot-bucket scenario the
+    * cluster path deliberately does NOT cap) never funnels one task the
+    * way a plain cluster-keyed row_number would. The min-id survivor needs
+    * no second election: cluster_id IS the component minimum.
+    */
+  private val q145 = QueryDef(
+    "q145_quality_survivor_election",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val labels = connectedComponents(lshBucketStars(docs))
+      val members = labels
+        .join(docs.select(col("doc_id"), qualityScore(col("text")).as("quality")),
+          Seq("doc_id"))
+      val elected = graft.operators.GroupTopK
+        .topK(members, Seq(col("cluster_id")),
+          Seq(col("quality").desc, col("doc_id").asc), tie = col("doc_id"), k = 1)
+        .select(col("cluster_id"), col("doc_id").as("survivor_doc_id"),
+          col("quality").as("q_elected"))
+      val minid = members.filter(col("doc_id") === col("cluster_id"))
+        .select(col("cluster_id"), col("quality").as("q_minid"))
+      val sizes = members.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      elected.join(minid, "cluster_id").join(sizes, "cluster_id")
+        .select("cluster_id", "survivor_doc_id", "n_members", "q_elected", "q_minid")
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE $ccCteSql,
+                  members AS (
+                    SELECT cc.doc_id, cc.cluster_id,
+                           ${PipelineQueries.qualitySql} AS quality
+                    FROM cc JOIN documents ON cc.doc_id = documents.doc_id),
+                  elected AS (
+                    SELECT cluster_id, doc_id AS survivor_doc_id,
+                           quality AS q_elected,
+                           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                             ORDER BY quality DESC, doc_id ASC) AS rn
+                    FROM members),
+                  minid AS (SELECT cluster_id, quality AS q_minid FROM members
+                            WHERE doc_id = cluster_id),
+                  sz AS (SELECT cluster_id, COUNT(*) AS n_members
+                         FROM members GROUP BY cluster_id)
+             SELECT e.cluster_id, e.survivor_doc_id, sz.n_members,
+                    e.q_elected, m.q_minid
+             FROM elected e
+             JOIN minid m ON e.cluster_id = m.cluster_id
+             JOIN sz ON e.cluster_id = sz.cluster_id
+             WHERE e.rn = 1
+             ORDER BY e.cluster_id"""))
+
+  /** Dedup operating curve — the tuning artifact for picking a similarity
+    * cutoff: from ONE signature-scored candidate-pair pass (q72's
+    * machinery, threshold-free), the pair count and affected-document
+    * count at each candidate threshold {0.5..0.9}. An operator reads this
+    * before committing a 100 TB dedup run: it is the difference between
+    * "0.8 removes 2% of the corpus" and finding that out after the run.
+    *
+    * Scale shape: scoring is the capped q72 band join (pair-population-
+    * sized, never all-pairs); the sweep explodes each scored pair into at
+    * most |thresholds| rows (5× the pair population, NOT the corpus) and
+    * aggregates to a 5-row report; the distinct-doc count shuffles
+    * (threshold, doc) pairs, again pair-population-bounded. Thresholds
+    * with zero survivors still report (left join from the threshold axis).
+    */
+  private val q146 = QueryDef(
+    "q146_dedup_threshold_curve",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sig = minhashSigs(docs).localCheckpoint(true)
+      val pairs = lshCandidatePairsFromSigs(sig)
+      val scored = pairs
+        .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          jaccardEstimate("sa", "sb").as("est"))
+      val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      val swept = scored
+        .select(col("doc_a"), col("doc_b"), col("est"),
+          explode(array(ts.map(lit): _*)).as("threshold"))
+        .filter(col("est") >= col("threshold"))
+      val np = swept.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+      val nd = swept.select(col("threshold"), col("doc_a").as("doc"))
+        .union(swept.select(col("threshold"), col("doc_b").as("doc")))
+        .distinct()
+        .groupBy("threshold").agg(count(lit(1)).as("n_docs_affected"))
+      val axis = docs.sparkSession.range(1)
+        .select(explode(array(ts.map(lit): _*)).as("threshold"))
+      axis.join(np, Seq("threshold"), "left").join(nd, Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
+        .orderBy("threshold")
+    },
+    Some(s"""WITH $lshPairsCteSql,
+                  est AS (SELECT doc_a, doc_b,
+                            ${jaccardEstSql("sa", "sb")} AS est
+                          FROM pairs
+                          JOIN sig sa ON doc_a = sa.doc_id
+                          JOIN sig sb ON doc_b = sb.doc_id),
+                  th(threshold) AS (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)),
+                  pe AS (SELECT th.threshold, est.doc_a, est.doc_b
+                         FROM est JOIN th ON est.est >= th.threshold),
+                  np AS (SELECT threshold, COUNT(*) AS n_pairs
+                         FROM pe GROUP BY threshold),
+                  nd AS (SELECT threshold, COUNT(*) AS n_docs_affected FROM (
+                           SELECT DISTINCT threshold, doc FROM (
+                             SELECT threshold, doc_a AS doc FROM pe
+                             UNION ALL
+                             SELECT threshold, doc_b AS doc FROM pe))
+                         GROUP BY threshold)
+             SELECT th.threshold,
+                    CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+                    CAST(COALESCE(nd.n_docs_affected, 0) AS BIGINT) AS n_docs_affected
+             FROM th
+             LEFT JOIN np ON th.threshold = np.threshold
+             LEFT JOIN nd ON th.threshold = nd.threshold
+             ORDER BY th.threshold"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
-      q103, q110, q124, q138, q139, q141)
+      q103, q110, q124, q138, q139, q141, q145, q146)
 }

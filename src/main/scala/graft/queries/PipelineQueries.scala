@@ -32,7 +32,9 @@ object PipelineQueries extends QueryModule {
   private val enHits = hitsSql(Seq("the", "a", "of", "and", "to", "in", "is"))
   private val stopRatioSql =
     s"(CAST($enHits AS DOUBLE) / CAST(GREATEST($nTokSql, 1) AS DOUBLE))"
-  private val qualitySql =
+  // shared with DedupQueries.q145 so the election oracle can't drift from
+  // the Spark-side qualityScore twin
+  private[queries] val qualitySql =
     s"""LEAST(CAST($nTokSql AS DOUBLE) / 50.0, 1.0) * 0.4
         + (1.0 - $punctSql) * 0.3
         + LEAST($stopRatioSql * 5.0, 1.0) * 0.3"""
