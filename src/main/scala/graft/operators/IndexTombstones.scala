@@ -35,12 +35,21 @@ object IndexTombstones {
       .write.mode("append").parquet(s"$path/tombstones")
 
   /** Mask tombstoned vec_ids out of a store relation at load. */
-  def mask(rows: DataFrame, path: String): DataFrame = {
+  def mask(rows: DataFrame, path: String): DataFrame =
+    maskOn(rows, path, Seq("vec_id"))
+
+  /** [[mask]] generalized to relations that reference a vector id under
+    * several columns (a GRAPH store: a deleted node must vanish both as
+    * an anchor and as someone else's neighbor) — one anti join per id
+    * column, each against the same broadcast-sized tombstone set.
+    */
+  def maskOn(rows: DataFrame, path: String, idCols: Seq[String]): DataFrame = {
     val spark = rows.sparkSession
-    if (fs(spark, path).exists(tomb(path)))
-      rows.join(spark.read.parquet(s"$path/tombstones")
-        .select("vec_id").distinct(), Seq("vec_id"), "left_anti")
-    else rows
+    if (fs(spark, path).exists(tomb(path))) {
+      val t = spark.read.parquet(s"$path/tombstones").select("vec_id").distinct()
+      idCols.foldLeft(rows)((r, c) =>
+        r.join(t.select(col("vec_id").as(c)), Seq(c), "left_anti"))
+    } else rows
   }
 
   /** Drop the tombstone set — called by every family's full-save verb

@@ -1997,17 +1997,179 @@ object SimilarityQueries extends QueryModule {
     * q116's edge list and q117's cluster labels.
     */
   private def mutualKnnEdges(e: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    mutualKnnEdgesFromCandidates(bruteTopLists(e, k))
+
+  /** Per-node brute-force cosine top-`k` lists (aid, bid, sim, rn) over a
+    * BOUNDED `e`(vec_id, v) — the demo candidate generator behind q116's
+    * mutual graph and the content a [[knnSaveLists]] store persists at
+    * demo scale. The broadcast cross join is quadratic by nature: at
+    * corpus scale the directed lists come from an ANN index
+    * ([[lshMultiAnn]] / [[binHammingSearch]] output renamed to
+    * aid/bid/rn), which is the entire point of decoupling list
+    * generation from [[mutualKnnEdgesFromCandidates]] and the store.
+    */
+  def bruteTopLists(e: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
     val b = e.select(col("vec_id").as("bid"), col("v").as("bv"))
     val w = Window.partitionBy("aid").orderBy(col("sim").desc, col("bid").asc)
-    val top = e.select(col("vec_id").as("aid"), col("v"))
+    e.select(col("vec_id").as("aid"), col("v"))
       .crossJoin(broadcast(b))
       .filter(col("aid") =!= col("bid"))
       .select(col("aid"), col("bid"), cosine(col("v"), col("bv")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("aid", "bid", "sim", "rn")
-    mutualKnnEdgesFromCandidates(top)
+  }
+
+  /** Spec identity of a persisted kNN candidate-list store. Like the
+    * LSH/bin families the stamp pins FORMAT + PROVENANCE, not training:
+    * `k` (the list depth every consumer's bounds reasoning relies on)
+    * and the free-form `generator` tag naming what produced the lists
+    * (`brute-cos`, `lsh:4x6`, `bin:R25`, ...). Mixing lists from two
+    * generators in one store would silently change candidate semantics
+    * — the stamp makes a splice fail at load instead.
+    */
+  private def knnFingerprint(k: Int, generator: String): String = {
+    require(generator.nonEmpty && !generator.contains(":"),
+      s"knn generator tag must be non-empty and ':'-free, got '$generator'")
+    s"knn:k=$k:gen=$generator"
+  }
+
+  /** Persists per-node ranked candidate lists (aid, bid, sim, rn) as the
+    * SEVENTH store family — the graph artifact. The mutual-kNN edge set,
+    * semantic clusters (q117), label propagation (q142) and graph-
+    * expanded search (q147) all DERIVE from these lists with list-sized
+    * joins, so the expensive part — candidate generation over the corpus
+    * — is computed once and persisted, and every graph consumer replays
+    * only the cheap tail. Layout: `path`/meta (1 row: fp, k, generator) +
+    * `path`/lists (stamped rows).
+    *
+    * Append semantics are stated honestly: [[knnAppendLists]] adds NEW
+    * anchors' lists; EXISTING anchors' lists are not revisited, so after
+    * appends an old node's list may miss newer near neighbors until the
+    * next full save — the standard staleness of incrementally-maintained
+    * ANN graphs. Derived mutual edges remain correct FOR THE STORED
+    * LISTS (mutuality needs both directions, so a stale side simply
+    * yields no edge, never a wrong one).
+    */
+  def knnSaveLists(directed: org.apache.spark.sql.DataFrame, k: Int,
+      generator: String, path: String): Unit = {
+    val need = Set("aid", "bid", "sim", "rn")
+    require(need.subsetOf(directed.columns.toSet),
+      s"knnSaveLists: lists must carry $need, got ${directed.columns.toSet}")
+    val fp = knnFingerprint(k, generator)
+    val stat = directed.agg(count(lit(1)).as("n"), max("rn").as("mx")).take(1)(0)
+    require(stat.getLong(0) > 0,
+      "knnSaveLists: refusing to persist an EMPTY list store — generate " +
+        "candidates first (an empty store would be rejected at load as " +
+        "interrupted)")
+    require(stat.getInt(1) <= k,
+      s"knnSaveLists: lists carry rank ${stat.getInt(1)} > declared k=$k — " +
+        "a consumer's degree-bound reasoning (|E| <= kN) would be wrong")
+    directed.sparkSession.range(1).select(lit(fp).as("fp"), lit(k).as("k"),
+        lit(generator).as("generator"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    directed.select("aid", "bid", "sim", "rn").withColumn("fp", lit(fp))
+      .write.mode("overwrite").parquet(s"$path/lists")
+    graft.operators.IndexTombstones.clear(directed.sparkSession, path)
+  }
+
+  /** Restores (lists, k) from a persisted kNN-list store. The meta stamp
+    * is recomputed from the stored (k, generator) and checked, every
+    * list row's stamp is checked against it, and tombstoned nodes are
+    * masked out of BOTH columns — a forgotten vector vanishes as an
+    * anchor and as everyone's neighbor, so no derived edge can resurrect
+    * it.
+    */
+  def knnLoadLists(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("fp", "k", "generator").take(1)
+    require(meta.nonEmpty,
+      s"knnLoadLists: meta store at $path/meta is empty — interrupted " +
+        "save or wrong path")
+    val (fp, k, gen) = (meta(0).getString(0), meta(0).getInt(1),
+      meta(0).getString(2))
+    require(fp == knnFingerprint(k, gen),
+      s"knnLoadLists: stored stamp $fp does not match its own declared " +
+        s"(k=$k, generator=$gen) — the meta row is corrupt or hand-edited")
+    val lists = spark.read.parquet(s"$path/lists")
+    val stamps = lists.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(stamps == Seq(fp),
+      s"knnLoadLists: list rows carry stamps ${stamps.mkString(", ")} — " +
+        s"the store at $path/lists mixes generators or is corrupt")
+    (graft.operators.IndexTombstones.maskOn(lists, path, Seq("aid", "bid")),
+      k)
+  }
+
+  /** APPEND verb: add NEW anchors' ranked lists under the store's own
+    * stamp, idempotent on aid (a replayed append of the same anchors is
+    * a no-op — the raw store is probed, so deletion stays sticky). The
+    * increment's ranks are bounds-checked against the store's k; its
+    * aid set must be disjoint from the store's (existing anchors' lists
+    * are immutable between full saves — see [[knnSaveLists]] staleness
+    * note).
+    */
+  def knnAppendLists(increment: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    val spark = increment.sparkSession
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("fp", "k").take(1)
+    require(meta.nonEmpty,
+      s"knnAppendLists: meta store at $path/meta is empty — save the " +
+        "store first (knnSaveLists)")
+    val (fp, k) = (meta(0).getString(0), meta(0).getInt(1))
+    val stat = increment.agg(count(lit(1)).as("n"), max("rn").as("mx")).take(1)(0)
+    if (stat.getLong(0) == 0) return
+    require(stat.getInt(1) <= k,
+      s"knnAppendLists: increment carries rank ${stat.getInt(1)} > the " +
+        s"store's k=$k")
+    val existing = spark.read.parquet(s"$path/lists")
+      .select("aid").distinct()
+    increment.select("aid", "bid", "sim", "rn")
+      .join(existing, Seq("aid"), "left_anti")
+      .withColumn("fp", lit(fp))
+      .write.mode("append").parquet(s"$path/lists")
+  }
+
+  /** DELETE verb: tombstone `ids`(vec_id) — masked out of both list
+    * columns at every subsequent load; sticky across replayed appends.
+    */
+  def knnDeleteNodes(ids: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    require(ids.sparkSession.read.parquet(s"$path/meta")
+        .select("fp").take(1).nonEmpty,
+      s"knnDeleteNodes: meta store at $path/meta is empty — nothing to " +
+        "delete from")
+    graft.operators.IndexTombstones.append(ids, path)
+  }
+
+  /** One-hop graph expansion of an ANN candidate set — the NSW/HNSW
+    * move at one hop, distributed-friendly: a query's candidates pull in
+    * their stored kNN neighbors ("a neighbor of my near neighbor is
+    * probably near"), recovering true neighbors the base probe missed
+    * without re-scanning the corpus. `base`(qid, vec_id) is any ANN
+    * output; `lists`(aid, bid, ...) is the graph store. Output:
+    * distinct (qid, vec_id), the expanded candidate set for an exact
+    * rerank.
+    *
+    * Scale shape: the expansion join is candidate-set-sized against the
+    * (aid)-keyed lists — |base| × out-degree ≤ |base| × k rows, never
+    * corpus-shaped; the distinct is over the same bound. Self-matches
+    * are dropped (a query's own list would otherwise re-inject it).
+    */
+  def graphExpandCandidates(base: org.apache.spark.sql.DataFrame,
+      lists: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = base.select(col("qid"), col("vec_id"))
+    b.union(
+        b.join(lists.select(col("aid").as("vec_id"), col("bid")),
+            Seq("vec_id"))
+          .select(col("qid"), col("bid").as("vec_id")))
+      .filter(col("vec_id") =!= col("qid"))
+      .distinct()
   }
 
   /** The mutuality tail of mutual-kNN, decoupled from candidate
@@ -2654,7 +2816,110 @@ object SimilarityQueries extends QueryModule {
           WHERE rank <= 5 ORDER BY cell, rank"""
     })
 
+  /** Graph-expanded ANN search — the NSW/HNSW refinement at one hop,
+    * composed from two persisted artifacts: a cheap base probe (q128's
+    * Hamming candidates, here deliberately shallow at R = 8) expanded
+    * through the kNN-list store ([[graphExpandCandidates]]: each
+    * candidate pulls in its stored top-3 neighbors), then ONE exact
+    * rerank over the expanded set. The expansion recovers true
+    * neighbors the shallow probe missed — "a neighbor of my near
+    * neighbor is probably near" — at list-join cost instead of a deeper
+    * corpus scan; `via` marks which survivors only the graph found (the
+    * per-row provenance of the recall gain, measured against brute truth
+    * in KnnStoreSpec).
+    *
+    * Scale shape: base candidates are the q128 machinery (broadcast
+    * queries, 16-byte integer scan, two-stage GroupTopK); the expansion
+    * join is |base| × out-degree ≤ 8·3 extra rows per query against the
+    * (aid)-keyed lists — never corpus-shaped; the rerank window sees ≤
+    * 32 rows per query. The demo graph is [[bruteTopLists]] on the
+    * bounded vec_id < 300 subset; in production the lists come from
+    * [[knnLoadLists]] and the composition is unchanged.
+    */
+  private val q147 = QueryDef(
+    "q147_graph_expanded_ann",
+    (s, d) => {
+      val e = knnSubset(s, d)
+      val packed = e.select(col("vec_id"), col("v"),
+        signLane(0).as("w0"), signLane(32).as("w1"))
+      val q = packed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("w0").as("qw0"), col("w1").as("qw1"))
+      val ham = packed.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr("CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS INT)")
+            .as("hamming"))
+      val base = graft.operators.GroupTopK.topK(ham, Seq(col("qid")),
+          Seq(col("hamming").asc, col("vec_id").asc), col("vec_id"), 8,
+          rankName = "hrank")
+        .select("qid", "vec_id").localCheckpoint(true)
+      val lists = bruteTopLists(e, 3)
+      val expanded = graphExpandCandidates(base, lists)
+      val rr = expanded
+        .join(e, Seq("vec_id"))
+        .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+        .join(base.withColumn("in_base", lit(true)),
+          Seq("qid", "vec_id"), "left")
+        .select(col("qid"), col("vec_id"),
+          cosine(col("qv"), col("v")).as("cos_sim"),
+          when(col("in_base").isNotNull, lit("base")).otherwise(lit("graph"))
+            .as("via"))
+      // candidate-bounded window (<= 32 rows per query by construction)
+      val wr = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      rr.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("cos_sim"), col("via"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings WHERE vec_id < 300),
+                  packed AS (SELECT vec_id, v, ${signLaneSql(0)} AS w0,
+                               ${signLaneSql(32)} AS w1 FROM e),
+                  q AS (SELECT vec_id AS qid, v AS qv, w0 AS qw0, w1 AS qw1
+                        FROM packed WHERE vec_id < 5),
+                  ham AS (SELECT qid, vec_id,
+                            CAST(bit_count(xor(w0, qw0))
+                              + bit_count(xor(w1, qw1)) AS INTEGER) AS hamming
+                          FROM packed CROSS JOIN q WHERE vec_id <> qid),
+                  base AS (SELECT qid, vec_id FROM (
+                             SELECT qid, vec_id,
+                               ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY hamming ASC, vec_id ASC) AS hrank
+                             FROM ham) h WHERE hrank <= 8),
+                  p AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+                          ${cosSql("a.v", "b.v")} AS sim
+                        FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+                  t AS (SELECT aid, bid FROM (
+                          SELECT aid, bid,
+                            ROW_NUMBER() OVER (PARTITION BY aid
+                              ORDER BY sim DESC, bid ASC) AS rn
+                          FROM p) r WHERE rn <= 3),
+                  expd AS (SELECT DISTINCT qid, vec_id FROM (
+                             SELECT qid, vec_id FROM base
+                             UNION ALL
+                             SELECT base.qid, t.bid AS vec_id
+                             FROM base JOIN t ON base.vec_id = t.aid) u
+                           WHERE vec_id <> qid),
+                  rr AS (SELECT expd.qid, expd.vec_id,
+                           ${cosSql("q.qv", "e.v")} AS cos_sim,
+                           CASE WHEN base.vec_id IS NOT NULL THEN 'base'
+                                ELSE 'graph' END AS via
+                         FROM expd
+                         JOIN e ON expd.vec_id = e.vec_id
+                         JOIN q ON expd.qid = q.qid
+                         LEFT JOIN base ON expd.qid = base.qid
+                           AND expd.vec_id = base.vec_id)
+             SELECT qid AS query_id, vec_id AS neighbor_id, rank, cos_sim,
+                    via
+             FROM (SELECT qid, vec_id, cos_sim, via,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos_sim DESC, vec_id ASC) AS rank
+                   FROM rr) r
+             WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112, q142,
-      q114, q116, q117, q119, q123, q127, q128, q131, q132)
+      q114, q116, q117, q119, q123, q127, q128, q131, q132, q147)
 }

@@ -573,4 +573,38 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("SortMergeJoin"), s"corpus shuffle join in:\n$p")
   }
+
+  test("q145 quality election runs through the two-stage GroupTopK — a " +
+    "boilerplate mega-cluster never funnels one task through a plain " +
+    "cluster-keyed window") {
+    val p = plan("q145_quality_survivor_election")
+    assert("row_number\\(\\) windowspecdefinition\\(cluster_id#\\d+L?, __graft_topk_bk#".r
+      .findFirstIn(p).isDefined,
+      s"election not two-stage (cluster, cell)-keyed in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q147 graph expansion: expansion is an EQUALITY join on the list " +
+    "anchor (candidate-set-sized), no cartesian anywhere downstream of " +
+    "the checkpointed base probe") {
+    // the base probe is eagerly checkpointed (it feeds three consumers),
+    // so its GroupTopK windows live in the checkpoint job, not this plan —
+    // that shape is locked by the q128/q136 tests on the same machinery;
+    // here we lock the tail the checkpoint feeds
+    val p = plan("q147_graph_expanded_ann")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the expansion must equality-join candidates to list anchors in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      s"base candidates must come from the checkpointed relation in:\n$p")
+  }
+
+  test("q146 threshold curve keeps the capped band-join pair machinery — " +
+    "the sweep explodes pairs, never the corpus, and no join degenerates " +
+    "to a cartesian") {
+    val p = plan("q146_dedup_threshold_curve")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"threshold sweep must stay an explode + filter, not a loop join:\n$p")
+  }
 }
