@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.queries.SimilarityQueries
+
+/** The ANN-side twin of [[IngestPipeline]]: a continuously-arriving
+  * embedding stream is near-dup-gated against the persisted binary code
+  * store, admitted vectors land in the vector store, and the code store
+  * grows — per micro-batch, with increment-bounded work plus ONE scan of
+  * the 16-byte code store for the gate (the store-backed form of
+  * [[CorpusStreams.embeddingNearDupGate]], which instead freezes the
+  * codes into the filter expression and is honestly bounded to ~10M
+  * vectors; this form has no such bound because the codes stay a scanned
+  * relation).
+  *
+  * Exactly-once: foreachBatch may replay a batch, so every write is
+  * idempotent and the CODE STORE is the commit marker —
+  *  - a vector that reached step 3 is skipped wholesale on replay (its
+  *    vec_id is in the raw code store);
+  *  - the vector-store append anti-joins on vec_id;
+  *  - [[SimilarityQueries.binAppendCodes]] anti-joins the raw store.
+  * Any crash prefix converges to the final state (VectorIngestSpec runs
+  * the same batch through the core twice and diffs).
+  *
+  * FORGET here is a REWRITE of both stores (the [[IngestPipeline.forget]]
+  * discipline), NOT a tombstone: tombstones ([[SimilarityQueries
+  * .binDeleteVectors]]) are the cheap DSAR path for search-time masking,
+  * but they deliberately leave the raw code rows in place — and the
+  * append verb's idempotence probe reads the RAW store, so a tombstoned
+  * vec_id would be silently skipped on re-submission FOREVER (the
+  * over-forgetting bug the signature-side forget fixed, now on the
+  * vector side; VectorIngestSpec pins both behaviors side by side).
+  * Re-admission after a tombstone-only delete requires the next full
+  * save (the documented compaction point).
+  */
+object VectorIngestPipeline {
+
+  /** Bootstrap the two stores from an initial vector corpus (must be
+    * non-empty — the binary store refuses empty saves). Run once before
+    * the stream starts. `initial`: (vec_id, v: array&lt;double&gt;).
+    */
+  def bootstrap(initial: DataFrame, indexPath: String,
+      vecPath: String): Unit = {
+    SimilarityQueries.binSaveIndex(SimilarityQueries.binCodes(initial),
+      indexPath)
+    initial.write.mode("overwrite").parquet(vecPath)
+  }
+
+  /** One micro-batch: gate → admit → commit. `batch`(vec_id, v).
+    *
+    * The gate: an arriving vector whose Hamming distance to ANY stored
+    * (un-tombstoned) code is <= `radius` is rejected — the crawl
+    * front-end near-dup semantics of q82 applied in sign-code space
+    * (radius 0 = exact sign-pattern duplicates only). In-batch near-dups
+    * are both admitted (rejection is against the EXISTING corpus, the
+    * q82 convention). One scan of the code store per batch, the small
+    * batch broadcast against it; nothing corpus-sized shuffles.
+    */
+  def ingestBatch(batch: DataFrame, indexPath: String, vecPath: String,
+      radius: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint(true)
+    if (b.isEmpty) return
+    // 1. near-dup gate against the LOADED (tombstone-masked) store: a
+    //    forgotten vector must not reject its own fresh copy
+    val stored = SimilarityQueries.binLoadIndex(spark, indexPath)
+    val newCodes = SimilarityQueries.binCodes(b)
+      .select(col("vec_id").as("nid"), col("w0").as("nw0"),
+        col("w1").as("nw1"))
+    val rejected = stored
+      .join(broadcast(newCodes), col("vec_id") =!= col("nid"))
+      .filter(expr("bit_count(w0 ^ nw0) + bit_count(w1 ^ nw1)")
+        <= lit(radius))
+      .select(col("nid").as("vec_id")).distinct()
+    val admitted = b.join(rejected, Seq("vec_id"), "left_anti")
+    // 2. commit marker: the RAW code store — vec_ids already there
+    //    finished a previous (possibly crashed-after-commit) run
+    val pending = admitted.join(
+        spark.read.parquet(s"$indexPath/codes").select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    if (pending.isEmpty) return
+    // 3. vector store — idempotent on vec_id
+    val novel = pending.join(
+      spark.read.parquet(vecPath).select("vec_id"), Seq("vec_id"),
+      "left_anti")
+    novel.write.mode("append").parquet(vecPath)
+    // 4. code growth — the commit: from here on, replays skip the vector
+    SimilarityQueries.binAppendCodes(pending, indexPath)
+  }
+
+  /** The FORGET verb: rewrite both stores without `del`(vec_id), so the
+    * next batch can RE-ADMIT a vector whose only prior copy was
+    * forgotten. Tombstones for OTHER ids are preserved (they mask
+    * vectors deleted cheaply via [[SimilarityQueries.binDeleteVectors]]
+    * and still awaiting compaction); tombstones for the rewritten ids
+    * are dropped, or the re-admitted copy would load masked.
+    *
+    * Order: codes first (the gate + commit marker — once the code is
+    * gone, the vector can neither reject a resubmission nor be skipped
+    * by the marker), then the vector store; a crash between the two
+    * leaves at worst an orphan vector row that the next forget of the
+    * same ids clears, and never a resurrected search result.
+    */
+  def forget(spark: SparkSession, del: DataFrame, indexPath: String,
+      vecPath: String): Unit = {
+    val ids = del.select("vec_id").localCheckpoint(true)
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .join(ids, Seq("vec_id"), "left_anti").localCheckpoint(true)
+    codes.write.mode("overwrite").parquet(s"$indexPath/codes")
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(tombPath)) {
+      val rest = spark.read.parquet(s"$indexPath/tombstones")
+        .join(ids, Seq("vec_id"), "left_anti").localCheckpoint(true)
+      if (rest.isEmpty) fs.delete(tombPath, true)
+      else rest.write.mode("overwrite").parquet(s"$indexPath/tombstones")
+    }
+    val kept = spark.read.parquet(vecPath)
+      .join(ids, Seq("vec_id"), "left_anti").localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(vecPath)
+  }
+
+  /** Start the streaming ingest: each micro-batch of `vectors`
+    * (vec_id, v) runs [[ingestBatch]]. State lives in the two stores;
+    * the checkpoint tracks source offsets only, so restarts resume and
+    * replays converge.
+    */
+  def start(vectors: DataFrame, indexPath: String, vecPath: String,
+      checkpoint: String, radius: Int = 0,
+      queryName: String = "graft_vector_ingest"): StreamingQuery =
+    vectors.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, indexPath, vecPath, radius)
+      }
+      .start()
+}
