@@ -380,6 +380,53 @@ object EventQueries extends QueryModule {
             HAVING COUNT(DISTINCT user_id) < 5
             ORDER BY event_type, day, value_decade"""))
 
+  /** Purged temporal train/test split (the time-series twin of q124's
+    * cluster-aware content split): train strictly before the embargo,
+    * test strictly after the cutoff, and the two embargo days BETWEEN
+    * them dropped entirely. A plain temporal cut leaks whenever features
+    * are computed over trailing windows — a training event at 23:59 of
+    * the last train day contributes to rolling aggregates that cross
+    * into the test period, so the model trains on information adjacent
+    * to what it is evaluated on; the embargo must cover the longest
+    * feature window (2 days here, matching the repo's widest rolling
+    * frame). The report is the audit: per split, event/user counts and
+    * the first/last day — train's last day < test's first day minus the
+    * gap, visible in the output rather than asserted in prose.
+    *
+    * Scale shape: one scan, map-only split tagging, a 3-row aggregate
+    * with map-side partials (countDistinct shuffles (split, user) pairs,
+    * user-cardinality-bounded). Nothing else moves.
+    */
+  private val q150 = QueryDef(
+    "q150_purged_temporal_split",
+    (s, d) => {
+      val embargoStart = to_timestamp(lit("2024-01-20 00:00:00"))
+      val testStart = to_timestamp(lit("2024-01-22 00:00:00"))
+      Tables(s, d, "events")
+        .select(col("ts"), col("user_id"),
+          when(col("ts") < embargoStart, lit("1_train"))
+            .when(col("ts") < testStart, lit("2_purged"))
+            .otherwise(lit("3_test")).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          date_trunc("day", min(col("ts"))).as("first_day"),
+          date_trunc("day", max(col("ts"))).as("last_day"))
+        .orderBy("split")
+    },
+    Some("""SELECT split, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   date_trunc('day', MIN(ts)) AS first_day,
+                   date_trunc('day', MAX(ts)) AS last_day
+            FROM (SELECT ts, user_id,
+                    CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+                           THEN '1_train'
+                         WHEN ts < TIMESTAMP '2024-01-22 00:00:00'
+                           THEN '2_purged'
+                         ELSE '3_test' END AS split
+                  FROM events) t
+            GROUP BY split ORDER BY split"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71, q83, q118, q122)
+    Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71, q83, q118, q122, q150)
 }

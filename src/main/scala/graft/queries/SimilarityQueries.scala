@@ -2919,7 +2919,167 @@ object SimilarityQueries extends QueryModule {
                    FROM rr) r
              WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Binary-ANN recall audit — q99's measure-before-you-trust discipline
+    * applied to the vector index: candidate recall of the Hamming top-25
+    * against brute-cosine top-5 ground truth, as ONE summary row an
+    * operator reads before pointing a retrieval pipeline at the code
+    * store (the rerank is lossless past the candidate stage, so
+    * candidate recall IS search recall — the q128 scaladoc's claim,
+    * here monitored as a query). Truth is quadratic by nature, so both
+    * sides run over the bounded vec_id < 300 subset with 10 query
+    * vectors — the production form samples queries the same way.
+    */
+  private val q148 = QueryDef(
+    "q148_bin_recall_audit",
+    (s, d) => {
+      val e = knnSubset(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+      val wt = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      val truth = scored.withColumn("rn", row_number().over(wt))
+        .filter(col("rn") <= 5).select("qid", "vec_id")
+      val packed = e.select(col("vec_id"), signLane(0).as("w0"),
+        signLane(32).as("w1"))
+      val pq = packed.join(q.select("qid"), col("vec_id") === col("qid"))
+        .select(col("qid"), col("w0").as("qw0"), col("w1").as("qw1"))
+      val ham = packed.join(broadcast(pq), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr("CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS INT)")
+            .as("hamming"))
+      val cand = graft.operators.GroupTopK.topK(ham, Seq(col("qid")),
+          Seq(col("hamming").asc, col("vec_id").asc), col("vec_id"), 25,
+          rankName = "hrank")
+        .select("qid", "vec_id")
+      cand.withColumn("in_cand", lit(1L))
+        .join(truth.withColumn("in_truth", lit(1L)),
+          Seq("qid", "vec_id"), "full_outer")
+        .agg(coalesce(sum(coalesce(col("in_cand"), lit(0L))), lit(0L))
+            .as("n_candidates"),
+          coalesce(sum(coalesce(col("in_truth"), lit(0L))), lit(0L))
+            .as("n_truth"),
+          coalesce(sum(when(col("in_cand").isNotNull
+            && col("in_truth").isNotNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_hit"))
+        .select(col("n_candidates"), col("n_truth"), col("n_hit"),
+          (col("n_hit").cast("double") /
+            greatest(col("n_truth"), lit(1L)).cast("double")).as("recall"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings WHERE vec_id < 300),
+                  q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+                  truth AS (SELECT qid, vec_id FROM (
+                              SELECT qid, e.vec_id,
+                                ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ${cosSql("qv", "v")} DESC,
+                                           e.vec_id ASC) AS rn
+                              FROM e CROSS JOIN q WHERE e.vec_id <> qid) t
+                            WHERE rn <= 5),
+                  packed AS (SELECT vec_id, ${signLaneSql(0)} AS w0,
+                               ${signLaneSql(32)} AS w1 FROM e),
+                  pq AS (SELECT qid, w0 AS qw0, w1 AS qw1
+                         FROM packed JOIN q ON packed.vec_id = q.qid),
+                  cand AS (SELECT qid, vec_id FROM (
+                             SELECT pq.qid, packed.vec_id,
+                               ROW_NUMBER() OVER (PARTITION BY pq.qid
+                                 ORDER BY bit_count(xor(w0, qw0))
+                                   + bit_count(xor(w1, qw1)) ASC,
+                                   packed.vec_id ASC) AS hrank
+                             FROM packed CROSS JOIN pq
+                             WHERE packed.vec_id <> pq.qid) h
+                           WHERE hrank <= 25),
+                  m AS (SELECT
+                          (SELECT COUNT(*) FROM cand) AS n_candidates,
+                          (SELECT COUNT(*) FROM truth) AS n_truth,
+                          (SELECT COUNT(*) FROM cand JOIN truth
+                             ON cand.qid = truth.qid
+                             AND cand.vec_id = truth.vec_id) AS n_hit)
+             SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+                    CAST(n_truth AS BIGINT) AS n_truth,
+                    CAST(n_hit AS BIGINT) AS n_hit,
+                    CAST(n_hit AS DOUBLE)
+                      / CAST(GREATEST(n_truth, 1) AS DOUBLE) AS recall
+             FROM m"""))
+
+  /** Cluster-assignment quality audit over the k-means cells every
+    * coarse-quantized consumer shares (IVF probing, SemDeDup cells,
+    * diversity strata): per cell, how COHESIVE its members are (mean
+    * cosine to the own centroid) and how AMBIGUOUS its boundary is
+    * (mean margin to the runner-up centroid; members with margin <
+    * 0.05 counted as boundary vectors). A crowded/overlapping cell pair
+    * shows up as low margins and a fat boundary count — the signal to
+    * raise k or nprobe BEFORE recall degrades silently (q148 measures
+    * the symptom; this measures the cause). Means are integer-exact
+    * (floor ×1e6 BIGINT sums, one final division — the q110/q137
+    * discipline, since cosines are not 4-decimal-exact).
+    *
+    * Scale shape: centroids broadcast (8 rows); per-vector affinities
+    * are a map-side 8-row fold; own/runner-up extraction is a bounded
+    * window over 8 rows per vector; the report is one #cells-row
+    * aggregate with map-side partials. Nothing corpus-sized shuffles.
+    */
+  private val q149 = QueryDef(
+    "q149_cluster_quality",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val cents = kmeansCentroids(e)
+      val aff = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          cosine(col("v"), col("cv")).as("aff"))
+      val wa = Window.partitionBy("vec_id")
+        .orderBy(col("aff").desc, col("cid").asc)
+      val ranked = aff.withColumn("crn", row_number().over(wa))
+        .filter(col("crn") <= 2)
+      val own = ranked.filter(col("crn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"), col("aff").as("a"))
+      val runner = ranked.filter(col("crn") === 2)
+        .select(col("vec_id"), col("aff").as("b"))
+      own.join(runner, "vec_id")
+        .select(col("cell"),
+          floor(col("a") * lit(1e6)).cast("long").as("qa"),
+          floor((col("a") - col("b")) * lit(1e6)).cast("long").as("qm"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          sum("qa").as("sa"), sum("qm").as("sm"),
+          sum(when(col("qm") < 50000L, 1L).otherwise(0L)).as("n_boundary"))
+        .select(col("cell"), col("n"),
+          (col("sa").cast("double") / col("n").cast("double") / lit(1e6))
+            .as("mean_cohesion"),
+          (col("sm").cast("double") / col("n").cast("double") / lit(1e6))
+            .as("mean_margin"),
+          col("n_boundary"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+                  ${kmeansSql()},
+                  aff AS (SELECT vec_id, cid, ${cosSql("v", "cv")} AS aff
+                          FROM e CROSS JOIN cents3),
+                  ranked AS (SELECT vec_id, cid, aff,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY aff DESC, cid ASC) AS crn
+                             FROM aff),
+                  own AS (SELECT vec_id, cid AS cell, aff AS a
+                          FROM ranked WHERE crn = 1),
+                  runner AS (SELECT vec_id, aff AS b
+                             FROM ranked WHERE crn = 2),
+                  j AS (SELECT cell,
+                          CAST(floor(a * 1e6) AS BIGINT) AS qa,
+                          CAST(floor((a - b) * 1e6) AS BIGINT) AS qm
+                        FROM own JOIN runner ON own.vec_id = runner.vec_id)
+             SELECT cell, COUNT(*) AS n,
+                    CAST(SUM(qa) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+                      AS mean_cohesion,
+                    CAST(SUM(qm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+                      AS mean_margin,
+                    CAST(SUM(CASE WHEN qm < 50000 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_boundary
+             FROM j GROUP BY cell ORDER BY cell"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112, q142,
-      q114, q116, q117, q119, q123, q127, q128, q131, q132, q147)
+      q114, q116, q117, q119, q123, q127, q128, q131, q132, q147, q148,
+      q149)
 }

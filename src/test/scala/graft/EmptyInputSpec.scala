@@ -29,11 +29,15 @@ class EmptyInputSpec extends SparkSuite {
   /** Global aggregates (no GROUP BY) correctly emit ONE summary row even on
     * empty input — (0, 0, null) — exactly as SQL semantics demand. q134
     * unions TWO global audit aggregates (one per split strategy), so its
-    * empty-corpus report is two zero-count rows.
+    * empty-corpus report is two zero-count rows; q146 reports from a fixed
+    * 5-row threshold axis (zero-survivor thresholds still report — the
+    * left-join-from-axis design), so its empty-corpus curve is five
+    * all-zero rows.
     */
   private val globalAggregates = Map("q71_funnel_conversion" -> 1L,
     "q99_lsh_precision_recall" -> 1L, "q100_dataset_card" -> 1L,
-    "q134_split_leakage_audit" -> 2L)
+    "q134_split_leakage_audit" -> 2L, "q146_dedup_threshold_curve" -> 5L,
+    "q148_bin_recall_audit" -> 1L)
 
   test("every registered query executes on empty tables and returns 0 rows " +
     "(global aggregates: their single summary row)") {
