@@ -3032,11 +3032,14 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("aff").desc, col("cid").asc)
       val ranked = aff.withColumn("crn", row_number().over(wa))
         .filter(col("crn") <= 2)
-      val own = ranked.filter(col("crn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"), col("aff").as("a"))
-      val runner = ranked.filter(col("crn") === 2)
-        .select(col("vec_id"), col("aff").as("b"))
-      own.join(runner, "vec_id")
+      // own-cell and runner-up in ONE conditional aggregation — an
+      // own/runner self-join would evaluate the affinity scan twice and
+      // plan a corpus-sized shuffle join (caught by the plan lock)
+      val per = ranked.groupBy("vec_id").agg(
+        max(when(col("crn") === 1, col("cid"))).as("cell"),
+        max(when(col("crn") === 1, col("aff"))).as("a"),
+        max(when(col("crn") === 2, col("aff"))).as("b"))
+      per
         .select(col("cell"),
           floor(col("a") * lit(1e6)).cast("long").as("qa"),
           floor((col("a") - col("b")) * lit(1e6)).cast("long").as("qm"))

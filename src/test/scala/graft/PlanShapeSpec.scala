@@ -599,6 +599,27 @@ class PlanShapeSpec extends SparkSuite {
       s"base candidates must come from the checkpointed relation in:\n$p")
   }
 
+  test("q149 cluster quality is broadcast-only: centroids broadcast into " +
+    "ONE affinity scan, own/runner via conditional aggregation — no " +
+    "corpus shuffle join, no second evaluation of the scan") {
+    val p = plan("q149_cluster_quality")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast into the scan in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shuffle join in:\n$p")
+    assert("windowspecdefinition\\(vec_id".r.findAllIn(p).size == 1,
+      s"the ranked affinity scan must be evaluated exactly once in:\n$p")
+  }
+
+  test("q150 purged split is one scan + map-only tagging + a 3-row " +
+    "aggregate — no join, no window") {
+    val p = plan("q150_purged_temporal_split")
+    assert(!p.contains("Join"), s"the split needs no join at all:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"the split needs no window at all:\n$p")
+  }
+
   test("q146 threshold curve keeps the capped band-join pair machinery — " +
     "the sweep explodes pairs, never the corpus, and no join degenerates " +
     "to a cartesian") {
