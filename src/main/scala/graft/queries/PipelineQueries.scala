@@ -1204,7 +1204,114 @@ object PipelineQueries extends QueryModule {
                FROM scored) r
              WHERE rank <= 5 ORDER BY source, rank"""))
 
+  /** Corpus funnel — the per-stage attrition dashboard every data team
+    * builds over its curation pipeline, as one registered query: the
+    * training universe (q66's train split) gated in sequence by quality
+    * (q56's bar), exact dedup (keep-first on the content hash), and
+    * benchmark decontamination (q79's 5-shingle eval-overlap sweep),
+    * reporting surviving documents AND tokens per stage. The funnel is
+    * how "we filtered aggressively" becomes a number — and how a broken
+    * gate (a stage suddenly dropping 90%) is caught before training.
+    *
+    * Scale shape: ONE tokenization scan computes every per-doc gate
+    * input (quality, content hash, token count) and is materialized once
+    * for the four stage aggregates (1 row each); the dedup stage is the
+    * q56 content-hash window (post-gate survivors only); the
+    * decontamination stage explodes shingles for DEDUP SURVIVORS only
+    * and probes the broadcast eval-shingle set map-side. Nothing else
+    * shuffles.
+    */
+  private val q151 = QueryDef(
+    "q151_corpus_funnel",
+    (s, d) => {
+      val base = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
+            1, 2).as("h2"),
+          qualityScore(col("text")).as("quality"),
+          contentHash(col("text")).as("content_hash"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .localCheckpoint(true)
+      val s0 = base.filter(col("h2") < "e6")
+      val s1 = s0.filter(col("quality") >= 0.5)
+      val w = Window.partitionBy("content_hash").orderBy(col("doc_id").asc)
+      val s2 = s1.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .localCheckpoint(true) // feeds the shingle probe AND two aggregates
+      val sh = s2
+        .withColumn("tk", tokens(col("text")))
+        .withColumn("sh", explode(expr(
+          "CASE WHEN size(tk) >= 5 THEN array_distinct(transform(" +
+            "sequence(1, size(tk) - 4), i -> concat_ws(' ', slice(tk, i, 5))))" +
+            " ELSE array() END")))
+        .select("doc_id", "sh")
+      val evalSh = base.filter(col("h2") >= "e6")
+        .withColumn("tk", tokens(col("text")))
+        .withColumn("sh", explode(expr(
+          "CASE WHEN size(tk) >= 5 THEN array_distinct(transform(" +
+            "sequence(1, size(tk) - 4), i -> concat_ws(' ', slice(tk, i, 5))))" +
+            " ELSE array() END")))
+        .select("sh").distinct()
+      val contaminated = sh.join(broadcast(evalSh), "sh")
+        .select("doc_id").distinct()
+      val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+      def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+            coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage(s0, "0_train_universe")
+        .unionAll(stage(s1, "1_quality_gate"))
+        .unionAll(stage(s2, "2_exact_dedup"))
+        .unionAll(stage(s3, "3_decontaminated"))
+        .orderBy("stage")
+    },
+    Some(s"""WITH base AS (SELECT doc_id, text,
+                             substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
+                             $qualitySql AS quality,
+                             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+                             CAST($nTokSql AS BIGINT) AS n_tokens,
+                             $tokSql AS tk
+                           FROM documents),
+                  s0 AS (SELECT * FROM base WHERE h2 < 'e6'),
+                  s1 AS (SELECT * FROM s0 WHERE quality >= 0.5),
+                  s2 AS (SELECT * FROM (
+                           SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash
+                             ORDER BY doc_id ASC) AS rn
+                           FROM s1) t WHERE rn = 1),
+                  sh AS (SELECT DISTINCT doc_id, s FROM (
+                           SELECT doc_id, unnest(list_distinct(
+                             CASE WHEN len(tk) >= 5
+                                  THEN list_transform(range(len(tk) - 4),
+                                         i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                                              || ' ' || tk[i+4] || ' ' || tk[i+5])
+                                  ELSE []::VARCHAR[] END)) AS s
+                           FROM s2) x),
+                  ev AS (SELECT DISTINCT s FROM (
+                           SELECT unnest(list_distinct(
+                             CASE WHEN len(tk) >= 5
+                                  THEN list_transform(range(len(tk) - 4),
+                                         i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                                              || ' ' || tk[i+4] || ' ' || tk[i+5])
+                                  ELSE []::VARCHAR[] END)) AS s
+                           FROM base WHERE h2 >= 'e6') y),
+                  cont AS (SELECT DISTINCT doc_id FROM sh JOIN ev ON sh.s = ev.s),
+                  s3 AS (SELECT * FROM s2 ANTI JOIN cont ON s2.doc_id = cont.doc_id)
+             SELECT stage, n_docs, n_tokens FROM (
+               SELECT '0_train_universe' AS stage, COUNT(*) AS n_docs,
+                      COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) AS n_tokens FROM s0
+               UNION ALL
+               SELECT '1_quality_gate', COUNT(*),
+                      COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM s1
+               UNION ALL
+               SELECT '2_exact_dedup', COUNT(*),
+                      COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM s2
+               UNION ALL
+               SELECT '3_decontaminated', COUNT(*),
+                      COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM s3) f
+             ORDER BY stage"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67, q68, q69, q70,
-      q76, q77, q78, q79, q91, q94, q95, q106, q113, q115, q126, q130, q144)
+      q76, q77, q78, q79, q91, q94, q95, q106, q113, q115, q126, q130, q144,
+      q151)
 }

@@ -37,7 +37,7 @@ class EmptyInputSpec extends SparkSuite {
   private val globalAggregates = Map("q71_funnel_conversion" -> 1L,
     "q99_lsh_precision_recall" -> 1L, "q100_dataset_card" -> 1L,
     "q134_split_leakage_audit" -> 2L, "q146_dedup_threshold_curve" -> 5L,
-    "q148_bin_recall_audit" -> 1L)
+    "q148_bin_recall_audit" -> 1L, "q151_corpus_funnel" -> 4L)
 
   test("every registered query executes on empty tables and returns 0 rows " +
     "(global aggregates: their single summary row)") {

@@ -620,6 +620,14 @@ class PlanShapeSpec extends SparkSuite {
       s"the split needs no window at all:\n$p")
   }
 
+  test("q151 corpus funnel probes decontamination through a broadcast of " +
+    "the eval shingle set and never degenerates to a cartesian") {
+    val p = plan("q151_corpus_funnel")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast into the probe in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q146 threshold curve keeps the capped band-join pair machinery — " +
     "the sweep explodes pairs, never the corpus, and no join degenerates " +
     "to a cartesian") {
