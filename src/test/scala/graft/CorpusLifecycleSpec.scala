@@ -90,4 +90,71 @@ class CorpusLifecycleSpec extends SparkSuite {
     assert(hits.filter(col("vec_id").isInCollection(delIds)).count() == 0,
       "a search surfaced a forgotten vector")
   }
+
+  test("bimodal forget: the deletion propagates through the round-8 " +
+    "vector-side artifacts too — vector store, binary code store, " +
+    "persisted kNN lists (both columns), derived mutual edges, and " +
+    "graph-expanded candidates") {
+    import graft.queries.{SimilarityQueries, TextQueries}
+    import graft.streaming.VectorIngestPipeline
+    val base = tmpDir("lifecycle-bimodal")
+    val (idx, vp, knn) = (s"$base/bin", s"$base/vec", s"$base/knn")
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val emb = TextQueries.hashedEmbeddings(docs)
+      .select(col("doc_id").as("vec_id"), col("v"))
+      .localCheckpoint(true)
+
+    // INGEST the embedding corpus in two batches
+    VectorIngestPipeline.bootstrap(emb.filter(col("vec_id") < 250), idx, vp)
+    VectorIngestPipeline.ingestBatch(emb.filter(col("vec_id") >= 250),
+      idx, vp)
+    val admitted = spark.read.parquet(vp).localCheckpoint(true)
+    // hashed embeddings of near-identical texts share sign patterns, so
+    // some of the second batch is gated — that is the pipeline working
+    assert(admitted.count() > 300)
+
+    // DERIVE the graph artifact from the admitted vectors
+    SimilarityQueries.knnSaveLists(
+      SimilarityQueries.bruteTopLists(admitted, 3), 3, "brute-cos", knn)
+
+    // FORGET the vectors of source src3
+    val del = docs.filter(col("source") === "src3")
+      .select(col("doc_id").as("vec_id"))
+      .join(admitted.select("vec_id"), Seq("vec_id"))
+      .localCheckpoint(true)
+    val delIds = del.collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty)
+    VectorIngestPipeline.forget(spark, del, idx, vp)
+    SimilarityQueries.knnDeleteNodes(del, knn)
+
+    // VERIFY propagation through every artifact
+    assert(spark.read.parquet(vp)
+      .filter(col("vec_id").isInCollection(delIds)).count() == 0,
+      "forgotten vectors still in the vector store")
+    assert(SimilarityQueries.binLoadIndex(spark, idx)
+      .filter(col("vec_id").isInCollection(delIds)).count() == 0,
+      "forgotten vectors still load from the binary store")
+    val (lists, _) = SimilarityQueries.knnLoadLists(spark, knn)
+    assert(lists.filter(col("aid").isInCollection(delIds)
+      || col("bid").isInCollection(delIds)).count() == 0,
+      "forgotten vectors still referenced by the kNN lists")
+    val edges = SimilarityQueries.mutualKnnEdgesFromCandidates(
+      lists.select("aid", "bid", "sim", "rn"))
+    assert(edges.filter(col("a").isInCollection(delIds)
+      || col("b").isInCollection(delIds)).count() == 0,
+      "a forgotten vector resurfaced in the derived mutual graph")
+    // graph-expanded candidates from a surviving query never surface a
+    // forgotten vector either
+    val survivor = admitted.join(del, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id").limit(1)
+    val baseCand = SimilarityQueries.binHammingSearch(
+        SimilarityQueries.binLoadIndex(spark, idx),
+        survivor.select(col("vec_id").as("qid"), col("v").as("qv")),
+        topR = 10, excludeSelfMatches = true)
+      .select("qid", "vec_id")
+    val expanded = SimilarityQueries.graphExpandCandidates(baseCand, lists)
+    assert(expanded.count() > 0, "the masked stores must still serve")
+    assert(expanded.filter(col("vec_id").isInCollection(delIds)).count() == 0,
+      "graph expansion resurfaced a forgotten vector")
+  }
 }
