@@ -205,5 +205,86 @@ object SearchQueries extends QueryModule {
                FROM fused) t
              WHERE rank <= 15 ORDER BY rank"""))
 
-  override def defs: Seq[QueryDef] = Seq(q92, q93)
+  /** RAG context assembly — the serving step after retrieval: the BM25
+    * top-20 (q92's ranking verbatim) greedily packed into a 200-token
+    * context window in rank order, reported as a per-candidate manifest
+    * (rank, token cost, running total, included?). The drop-tail rule is
+    * the standard greedy context builder: a candidate whose tokens would
+    * overflow the budget is excluded but later (cheaper) candidates may
+    * still fit — budget arithmetic is exact integers, so the manifest is
+    * engine-exact. A pipeline reads this to know exactly WHICH retrieved
+    * documents the generator saw and what each cost — the provenance a
+    * RAG eval needs when attributing an answer to its context.
+    *
+    * Scale shape: everything after q92's TakeOrdered heap is
+    * 20-row-bounded — the text join probes the corpus with the broadcast
+    * candidate set (map-side), and the running sum + greedy flags are a
+    * window over <= 20 rows. The greedy "skip the overflowing doc,
+    * consider the next" rule needs iterated prefix sums in general; over
+    * a rank-ordered candidate LIST it is the one-pass rule "include iff
+    * my tokens fit the budget minus what prior INCLUDED docs consumed",
+    * computed here as a 20-element aggregate fold (exact, bounded, the
+    * SQL twin folds the same list in the same order).
+    */
+  private val q152 = QueryDef(
+    "q152_rag_context_pack",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val bm = bm25Scores(docs)
+      val top = bm.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+      val costed = top
+        .join(docs.select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens")), Seq("doc_id"))
+      // greedy fold over the rank-ordered 20-element list: running total
+      // counts INCLUDED docs only (an overflowing doc is skipped, later
+      // cheaper docs may still fit) — aggregate() is a sequential fold,
+      // exact and bounded
+      val packed = costed
+        .withColumn("all20", collect_list(struct(col("rank"), col("n_tokens")))
+          .over(Window.orderBy(lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("cum_included",
+          expr("""aggregate(
+                    filter(array_sort(all20), x -> x.rank <= rank),
+                    0L,
+                    (acc, x) -> IF(acc + x.n_tokens <= 200L, acc + x.n_tokens, acc))"""))
+        .withColumn("included",
+          expr("""aggregate(
+                    filter(array_sort(all20), x -> x.rank < rank),
+                    0L,
+                    (acc, x) -> IF(acc + x.n_tokens <= 200L, acc + x.n_tokens, acc))""")
+            + col("n_tokens") <= lit(200L))
+        .select(col("rank"), col("doc_id"), col("n_tokens"),
+          col("cum_included").as("cum_tokens"), col("included"))
+      packed.orderBy("rank")
+    },
+    Some(s"""WITH $bm25CteSql,
+                  top AS (SELECT doc_id, n_terms_hit, score,
+                            ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+                          FROM bm ORDER BY score DESC, doc_id ASC LIMIT 20),
+                  costed AS (SELECT rank, top.doc_id,
+                               CAST(len($tokSql) AS BIGINT) AS n_tokens
+                             FROM top JOIN documents ON top.doc_id = documents.doc_id),
+                  lst AS (SELECT list(struct_pack(rank := rank,
+                                                  n_tokens := n_tokens)
+                                      ORDER BY rank) AS all20
+                          FROM costed)
+             SELECT rank, doc_id, n_tokens,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(list_filter(all20, x -> x.rank <= rank),
+                                     x -> x.n_tokens)),
+                      (acc, t) -> CASE WHEN acc + t <= 200 THEN acc + t
+                                       ELSE acc END) AS cum_tokens,
+                    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(list_filter(all20, x -> x.rank < rank),
+                                      x -> x.n_tokens)),
+                       (acc, t) -> CASE WHEN acc + t <= 200 THEN acc + t
+                                        ELSE acc END) + n_tokens) <= 200
+                      AS included
+             FROM costed CROSS JOIN lst
+             ORDER BY rank"""))
+
+  override def defs: Seq[QueryDef] = Seq(q92, q93, q152)
 }
