@@ -1310,8 +1310,48 @@ object PipelineQueries extends QueryModule {
                       COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM s3) f
              ORDER BY stage"""))
 
+  /** Reproducible training-order manifest: every document's position in
+    * every epoch, from a SEEDED deterministic shuffle (md5 of
+    * epoch:doc_id) — the artifact that makes a training run replayable
+    * and resumable: two runs see byte-identical data order, "resume from
+    * step S of epoch e" is a filter on this relation, and a data-order
+    * ablation (does epoch-2 order matter?) is a join. rand()-shuffled
+    * loaders can do none of that. Per-epoch reshuffle falls out of the
+    * seed: the hash changes with the epoch component, so each epoch is
+    * an independent uniform permutation.
+    *
+    * Scale shape: the manifest is corpus × epochs rows of three small
+    * columns; positions come from the exact two-pass
+    * [[graft.operators.BucketedRank]] on (epoch, hash-prefix range)
+    * cells — no epoch-sized single-task sort window (the q105 trap, per
+    * epoch). The oracle ranks with a plain per-epoch window; same
+    * values, different physics.
+    */
+  private val q153 = QueryDef(
+    "q153_epoch_order_manifest",
+    (s, d) => {
+      val keyed = Tables(s, d, "documents").select(col("doc_id"))
+        .withColumn("epoch", explode(sequence(lit(0), lit(2))))
+        .withColumn("h", md5(concat(lit("order:"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))))
+        .withColumn("bk", substring(col("h"), 1, 2))
+      graft.operators.BucketedRank.rank(keyed, Seq("epoch"), "bk",
+          bucketAsc = true, order = Seq(col("h").asc, col("doc_id").asc),
+          rankName = "step")
+        .select("epoch", "step", "doc_id")
+        .orderBy("epoch", "step")
+    },
+    Some("""SELECT CAST(epoch AS INTEGER) AS epoch, step, doc_id FROM (
+              SELECT epoch, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY epoch
+                       ORDER BY md5('order:' || CAST(epoch AS VARCHAR)
+                         || ':' || CAST(doc_id AS VARCHAR)) ASC,
+                         doc_id ASC) AS step
+              FROM documents, range(3) r(epoch)) t
+            ORDER BY epoch, step"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q63, q66, q67, q68, q69, q70,
       q76, q77, q78, q79, q91, q94, q95, q106, q113, q115, q126, q130, q144,
-      q151)
+      q151, q153)
 }

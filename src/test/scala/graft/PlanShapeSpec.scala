@@ -628,6 +628,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q153 epoch manifest ranks through the two-pass bucketed rank — " +
+    "the in-cell window partitions on (epoch, hash-prefix bucket), never " +
+    "an epoch-sized or global single partition") {
+    val p = plan("q153_epoch_order_manifest")
+    assert("row_number\\(\\) windowspecdefinition\\(epoch#\\d+, bk#".r
+      .findFirstIn(p).isDefined,
+      s"rank not (epoch, bucket)-celled in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition funnel in:\n$p")
+  }
+
   test("q146 threshold curve keeps the capped band-join pair machinery — " +
     "the sweep explodes pairs, never the corpus, and no join degenerates " +
     "to a cartesian") {
