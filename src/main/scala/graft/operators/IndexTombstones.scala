@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** The shared DELETE half of every persisted index family's lifecycle
-  * (SQ8, PQ, IVF, residual, binary, LSH) — the q138 right-to-be-forgotten
+  * (SQ8, PQ, IVF, residual, binary, LSH, kNN lists) — the q138 right-to-be-forgotten
   * cascade applied to ANN stores.
   *
   * Design: deletion is a tombstone APPEND under the store root, masked

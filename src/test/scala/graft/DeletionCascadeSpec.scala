@@ -115,7 +115,8 @@ class DeletionCascadeSpec extends SparkSuite {
   }
 
   test("every index family carries the DELETE verb: a tombstoned vector " +
-    "is masked from PQ, IVF, binary, LSH and composed-residual loads") {
+    "is masked from PQ, IVF, binary, LSH, composed-residual and " +
+    "kNN-list loads") {
     import graft.queries.SimilarityQueries
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -167,6 +168,17 @@ class DeletionCascadeSpec extends SparkSuite {
       "residual ivf-half mask failed")
     assert(rCodes.filter(col("vec_id") === victim).count() == 0,
       "residual pq-half mask failed")
+
+    // kNN lists (the graph family: the victim must vanish from BOTH
+    // columns — as an anchor and as anyone's neighbor)
+    val bounded = emb.filter(col("vec_id") < 100)
+    SimilarityQueries.knnSaveLists(
+      SimilarityQueries.bruteTopLists(bounded, 3), 3, "brute-cos",
+      s"$base/knn")
+    SimilarityQueries.knnDeleteNodes(Seq(victim).toDF("vec_id"), s"$base/knn")
+    assert(SimilarityQueries.knnLoadLists(spark, s"$base/knn")._1
+      .filter(col("aid") === victim || col("bid") === victim).count() == 0,
+      "knn mask failed")
 
     // a fresh save clears each family's tombstones (spot-check on PQ)
     SimilarityQueries.pqSaveIndex(pq, SimilarityQueries.pqCodes(pq, emb),
