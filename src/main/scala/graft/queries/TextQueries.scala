@@ -783,12 +783,37 @@ object TextQueries extends QueryModule {
     * every word. Returns the ordered merge list.
     */
   def bpeTrain(wordCounts: Seq[(String, Long)],
-      merges: Int): Seq[(String, String)] = {
+      merges: Int): Seq[(String, String)] =
+    bpeTrainFrom(wordCounts, Seq.empty, merges)
+
+  /** [[bpeTrain]] CONTINUED from an existing merge sequence: the initial
+    * merges are replayed onto the fresh character state (the same greedy
+    * fold the encoder uses), then training proceeds for `extra` more
+    * rounds. Deterministic continuation: training 8 merges then 4 more
+    * equals training 12 straight (BpeSpec pins this), which is what
+    * makes a PERSISTED tokenizer extensible instead of frozen.
+    * Returns initial ++ new merges.
+    */
+  def bpeTrainFrom(wordCounts: Seq[(String, Long)],
+      initial: Seq[(String, String)], extra: Int): Seq[(String, String)] = {
     var state: Map[String, Vector[String]] =
       wordCounts.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+    initial.foreach { case (a, b) =>
+      state = state.map { case (w, toks) =>
+        val outToks = scala.collection.mutable.ArrayBuffer.empty[String]
+        toks.foreach { t =>
+          if (outToks.nonEmpty && outToks.last == a && t == b)
+            outToks(outToks.length - 1) = a + b
+          else outToks += t
+        }
+        w -> outToks.toVector
+      }
+    }
     val wc = wordCounts.toMap
     val out = Vector.newBuilder[(String, String)]
-    var k = 0
+    out ++= initial
+    val merges = initial.length + extra
+    var k = initial.length
     var done = false
     while (k < merges && !done) {
       val pc = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -820,6 +845,82 @@ object TextQueries extends QueryModule {
       }
     }
     out.result()
+  }
+
+  /** Spec identity of a trained merge sequence: length + content hash.
+    * A tokenizer is THE most dangerous artifact to silently swap — every
+    * token id downstream (packed sequences, token budgets, vocab
+    * statistics) changes meaning — so the stamp covers the full ordered
+    * merge list, and [[bpeLoadTokenizer]] recomputes it from the loaded
+    * rows: a hand-edited, truncated, or spliced store fails at load, the
+    * index-family discipline applied to the tokenizer.
+    */
+  def bpeFingerprint(merges: Seq[(String, String)]): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(merges.map { case (a, b) => a + " " + b }.mkString("")
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"bpe:merges=${merges.length}:$h"
+  }
+
+  /** Persists a trained merge sequence at `path`/meta + `path`/merges
+    * (ord, a, b, fp). The tokenizer joins the persisted-artifact
+    * lifecycle because production NEVER retrains per job: train once on
+    * the word-count artifact, save, and every encoder (batch q143/q144
+    * shapes, streaming token gates) loads the same bytes.
+    */
+  def bpeSaveTokenizer(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    require(merges.nonEmpty,
+      "bpeSaveTokenizer: refusing to persist an EMPTY merge sequence — " +
+        "train first (an empty store would be rejected at load as " +
+        "interrupted)")
+    val fp = bpeFingerprint(merges)
+    import spark.implicits._
+    spark.range(1).select(lit(fp).as("fp"),
+        lit(merges.length).as("n_merges"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b, fp) }
+      .toDF("ord", "a", "b", "fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+  }
+
+  /** Restores a merge sequence. The stamp is RECOMPUTED from the loaded
+    * ordered rows and checked against meta — any corruption of content,
+    * order, or length fails loudly instead of silently re-tokenizing
+    * the corpus differently.
+    */
+  def bpeLoadTokenizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("fp", "n_merges").take(1)
+    require(meta.nonEmpty,
+      s"bpeLoadTokenizer: meta store at $path/meta is empty — " +
+        "interrupted save or wrong path")
+    val (fp, n) = (meta(0).getString(0), meta(0).getInt(1))
+    val rows = spark.read.parquet(s"$path/merges")
+      .orderBy("ord").collect()
+    val merges = rows.map(r => (r.getString(1), r.getString(2))).toSeq
+    require(merges.length == n,
+      s"bpeLoadTokenizer: store carries ${merges.length} merges, meta " +
+        s"declares $n — truncated or spliced store")
+    require(bpeFingerprint(merges) == fp,
+      s"bpeLoadTokenizer: recomputed fingerprint does not match the " +
+        s"stored stamp $fp — the merge rows at $path/merges were " +
+        "altered; re-save from a trusted training run")
+    merges
+  }
+
+  /** The EXTEND verb of the tokenizer lifecycle: load, continue training
+    * on (possibly newer) word counts, save back — the vocabulary-growth
+    * path that preserves every existing token id (old merges keep their
+    * positions; new merges only append), so already-encoded corpora
+    * remain valid.
+    */
+  def bpeExtendTokenizer(spark: org.apache.spark.sql.SparkSession,
+      wordCounts: Seq[(String, Long)], extra: Int, path: String): Unit = {
+    val merges = bpeLoadTokenizer(spark, path)
+    bpeSaveTokenizer(spark, bpeTrainFrom(wordCounts, merges, extra), path)
   }
 
   /** The per-merge apply as a codegen'd expression over a token-array

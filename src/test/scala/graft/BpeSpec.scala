@@ -63,4 +63,45 @@ class BpeSpec extends SparkSuite {
     assert(compressed * 2 >= got.length,
       s"only $compressed of ${got.length} frequent words compressed")
   }
+
+  test("tokenizer lifecycle: save → load round-trips the merge sequence, " +
+    "a tampered store fails the recomputed fingerprint, continued " +
+    "training equals straight training, and extend preserves prefixes") {
+    val wc = Seq(("aaab", 5L), ("abab", 3L), ("baaa", 2L), ("bbab", 1L))
+    val merges = TextQueries.bpeTrain(wc, 6)
+    val base = tmpDir("bpe-store")
+
+    TextQueries.bpeSaveTokenizer(spark, merges, s"$base/tok")
+    assert(TextQueries.bpeLoadTokenizer(spark, s"$base/tok") == merges)
+
+    // continued training is the same as training straight through
+    val first4 = merges.take(4)
+    assert(TextQueries.bpeTrainFrom(wc, first4, 2) == merges,
+      "continuation must land on the straight-through merge sequence")
+
+    // extend: loaded prefix preserved, new merges appended
+    TextQueries.bpeSaveTokenizer(spark, first4, s"$base/tok2")
+    TextQueries.bpeExtendTokenizer(spark, wc, 2, s"$base/tok2")
+    assert(TextQueries.bpeLoadTokenizer(spark, s"$base/tok2") == merges,
+      "extend must preserve existing positions and append the new tail")
+
+    // tamper: swap one merge row's content — the recomputed stamp
+    // catches it even though meta is untouched
+    import spark.implicits._
+    val fp = TextQueries.bpeFingerprint(merges)
+    val bad = merges.zipWithIndex.map { case ((a, b), i) =>
+      if (i == 2) (i, a + "x", b, fp) else (i, a, b, fp) }
+    bad.toDF("ord", "a", "b", "fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/tok/merges")
+    val ex = intercept[IllegalArgumentException] {
+      TextQueries.bpeLoadTokenizer(spark, s"$base/tok")
+    }
+    assert(ex.getMessage.contains("fingerprint"),
+      s"expected the stamp check, got: ${ex.getMessage}")
+
+    // empty save refused
+    intercept[IllegalArgumentException] {
+      TextQueries.bpeSaveTokenizer(spark, Seq.empty, s"$base/empty")
+    }
+  }
 }
