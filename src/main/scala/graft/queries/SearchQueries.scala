@@ -286,5 +286,104 @@ object SearchQueries extends QueryModule {
              FROM costed CROSS JOIN lst
              ORDER BY rank"""))
 
-  override def defs: Seq[QueryDef] = Seq(q92, q93, q152)
+  /** MMR (maximal marginal relevance) diversification of retrieval
+    * results — the redundancy cut between ranking and context assembly:
+    * from the BM25 top-8, iteratively select 4 documents maximizing
+    * λ·relevance − (1−λ)·max-cosine-to-already-selected (λ = 0.7), so
+    * the context holds four DIFFERENT relevant documents instead of the
+    * four most-relevant near-duplicates of one source. The classic
+    * Carbonell–Goldstein greedy, exactly unrolled: 4 selection rounds
+    * over an 8-candidate set, every argmax total-ordered (mmr DESC,
+    * doc_id ASC), relevance and cosine both bit-identical cross-engine
+    * (the q92/q36 disciplines), so the oracle lands on the same picks.
+    *
+    * Scale shape: everything after the TakeOrdered top-8 is bounded —
+    * the candidate×candidate cosine table is 8×8 via a broadcast self
+    * join on the candidate ids, each selection round is a ≤8-row
+    * aggregate + a 1-row TakeOrdered, and the output is 4 rows. The
+    * candidate count (not the corpus) is the only cost dial.
+    */
+  private val q154 = QueryDef(
+    "q154_mmr_diversify",
+    (s, d) => {
+      val lam = 0.7
+      val docs = Tables(s, d, "documents")
+      val cand = bm25Scores(docs)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(8)
+        .select(col("doc_id"), col("score").as("rel"))
+        .join(Tables(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"), asDouble(col("embedding")).as("v")),
+          Seq("doc_id"))
+        .localCheckpoint(true) // 8 rows; feeds the sim table + every round
+      val sims = cand.select(col("doc_id").as("da"), col("v").as("va"))
+        .join(broadcast(cand.select(col("doc_id").as("db"), col("v").as("vb"))),
+          col("da") =!= col("db"))
+        .select(col("da"), col("db"), cosine(col("va"), col("vb")).as("sim"))
+        .localCheckpoint(true)
+      var selected = cand.limit(0)
+        .select(col("doc_id"), col("rel"), lit(0.0).as("max_sim_prior"),
+          lit(0.0).as("mmr"), lit(0).as("sel_rank"))
+      (1 to 4).foreach { k =>
+        val remaining = cand.join(selected.select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        val msim = remaining
+          .join(sims, col("doc_id") === col("da"), "left")
+          .join(selected.select(col("doc_id").as("sid")),
+            col("db") === col("sid"), "left")
+          .groupBy(col("doc_id"), col("rel"))
+          .agg(coalesce(max(when(col("sid").isNotNull, col("sim"))), lit(0.0))
+            .as("max_sim_prior"))
+        val pick = msim
+          .withColumn("mmr", lit(lam) * col("rel")
+            - lit(1.0 - lam) * col("max_sim_prior"))
+          .orderBy(col("mmr").desc, col("doc_id").asc).limit(1)
+          .withColumn("sel_rank", lit(k))
+          .select("doc_id", "rel", "max_sim_prior", "mmr", "sel_rank")
+        selected = selected.unionByName(pick).localCheckpoint(true)
+      }
+      selected.select(col("sel_rank"), col("doc_id"), col("rel"),
+          col("max_sim_prior"), col("mmr"))
+        .orderBy("sel_rank")
+    },
+    Some {
+      val rounds = (1 to 4).map { k =>
+        val prev = s"sel${k - 1}"
+        s"""m$k AS MATERIALIZED (
+              SELECT c.doc_id, c.rel,
+                     COALESCE(MAX(CASE WHEN p.doc_id IS NOT NULL
+                                       THEN sims.sim END), 0.0)
+                       AS max_sim_prior
+              FROM cand c
+              LEFT JOIN sims ON c.doc_id = sims.da
+              LEFT JOIN $prev p ON sims.db = p.doc_id
+              WHERE c.doc_id NOT IN (SELECT doc_id FROM $prev)
+              GROUP BY c.doc_id, c.rel),
+            pick$k AS MATERIALIZED (
+              SELECT doc_id, rel, max_sim_prior,
+                     0.7 * rel - 0.3 * max_sim_prior AS mmr, $k AS sel_rank
+              FROM m$k
+              ORDER BY 0.7 * rel - 0.3 * max_sim_prior DESC, doc_id ASC
+              LIMIT 1),
+            sel$k AS MATERIALIZED (
+              SELECT * FROM $prev UNION ALL SELECT * FROM pick$k)"""
+      }.mkString(",\n")
+      s"""WITH $bm25CteSql,
+              top8 AS (SELECT doc_id, score AS rel FROM bm
+                       ORDER BY score DESC, doc_id ASC LIMIT 8),
+              cand AS (SELECT top8.doc_id, rel,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM top8 JOIN embeddings
+                         ON top8.doc_id = embeddings.vec_id),
+              sims AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                              ${SimilarityQueries.cosSqlShared("a.v", "b.v")} AS sim
+                       FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+              sel0 AS (SELECT doc_id, rel, 0.0 AS max_sim_prior,
+                              0.0 AS mmr, 0 AS sel_rank
+                       FROM cand WHERE FALSE),
+              $rounds
+         SELECT sel_rank, doc_id, rel, max_sim_prior, mmr
+         FROM sel4 ORDER BY sel_rank"""
+    })
+
+  override def defs: Seq[QueryDef] = Seq(q92, q93, q152, q154)
 }

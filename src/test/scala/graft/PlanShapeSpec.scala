@@ -639,6 +639,17 @@ class PlanShapeSpec extends SparkSuite {
       s"single-partition funnel in:\n$p")
   }
 
+  test("q154 MMR's visible plan is exactly the 4-row checkpointed " +
+    "selection — every selection round ran as a bounded checkpoint job " +
+    "(the q147 caveat), nothing corpus-shaped survives to the tail") {
+    val p = plan("q154_mmr_diversify")
+    assert(p.contains("Scan ExistingRDD"),
+      s"selection must come from the checkpointed rounds in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("FileScan") && !p.contains("parquet"),
+      s"the output tail must not rescan any table in:\n$p")
+  }
+
   test("q146 threshold curve keeps the capped band-join pair machinery — " +
     "the sweep explodes pairs, never the corpus, and no join degenerates " +
     "to a cartesian") {
