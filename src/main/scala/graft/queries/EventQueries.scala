@@ -427,6 +427,87 @@ object EventQueries extends QueryModule {
                   FROM events) t
             GROUP BY split ORDER BY split"""))
 
+  /** Incremental SCD2 maintenance: apply a CDC batch to a PERSISTED
+    * interval table (q83's output shape) without rebuilding history —
+    * the q139 incremental-clusters discipline applied to the warehouse
+    * history table. Closed intervals of untouched keys pass through
+    * with zero per-row work (one anti join against the batch-bounded
+    * key set); for touched keys, the OPEN interval is re-seeded as a
+    * pseudo-event and the q83 state-change collapse re-runs over
+    * (seed + batch) only — batch-bounded, never history-sized. Replay
+    * safe: an already-applied change collapses against the open state
+    * it created (same type → no new interval).
+    *
+    * `current` must predate every batch event (the CDC contract: the
+    * history table is as-of the last watermark) — a batch event OLDER
+    * than a key's open interval would need retro-splitting, which SCD2
+    * CDC appliers reject upstream.
+    */
+  def scd2Apply(current: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val touched = batch.select("user_id").distinct()
+    val untouched = current.join(broadcast(touched), Seq("user_id"), "left_anti")
+    val curTouched = current.join(broadcast(touched), Seq("user_id"))
+    val closed = curTouched.filter(col("valid_to").isNotNull)
+      .select("event_id", "user_id", "event_type", "valid_from", "valid_to")
+    val seed = curTouched.filter(col("valid_to").isNull)
+      .select(col("event_id"), col("user_id"),
+        col("valid_from").as("ts"), col("event_type"))
+    val stream = seed.unionByName(
+      batch.select("event_id", "user_id", "ts", "event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val reopened = stream
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"))
+    untouched.select("event_id", "user_id", "event_type",
+        "valid_from", "valid_to")
+      .unionByName(closed).unionByName(reopened)
+  }
+
+  /** q155: the incremental path proven against the full rebuild — the
+    * history table is bootstrapped from the pre-cutoff stream (in
+    * production it is the PERSISTED artifact), the post-cutoff events
+    * arrive as the CDC batch, and the ORACLE is q83's from-scratch
+    * construction over the full stream: incremental apply must
+    * reproduce the complete rebuild exactly, row for row.
+    */
+  private val q155 = QueryDef(
+    "q155_scd2_apply",
+    (s, d) => {
+      val cutoff = to_timestamp(lit("2024-01-22 00:00:00"))
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val current = ev.filter(col("ts") < cutoff)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"))
+        .localCheckpoint(true) // the persisted history artifact stand-in
+      scd2Apply(current, ev.filter(col("ts") >= cutoff))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+    Some("""WITH changes AS (
+              SELECT event_id, user_id, ts, event_type
+              FROM (SELECT event_id, user_id, ts, event_type,
+                           LAG(event_type, 1) OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC) AS prev_type
+                    FROM events) t
+              WHERE prev_type IS NULL OR prev_type <> event_type)
+            SELECT event_id, user_id, event_type,
+                   ts AS valid_from,
+                   LEAD(ts, 1) OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC) AS valid_to
+            FROM changes
+            ORDER BY user_id, valid_from, event_id"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71, q83, q118, q122, q150)
+    Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71, q83, q118, q122, q150,
+      q155)
 }
