@@ -1108,7 +1108,142 @@ object TextQueries extends QueryModule {
              HAVING SUM(contrib) <> 0
              ORDER BY doc_id, dim"""))
 
+  /** Late-interaction retrieval (ColBERT's MaxSim shape, model-free):
+    * documents are cut into 16-token chunks, every chunk gets its own
+    * hashed bigram vector, and a document's score against the query is
+    * the MAXIMUM over its chunks' cosines — so a long document wins on
+    * its best PASSAGE, where one whole-document vector (q140/q93's
+    * dense side) averages the relevant passage away. The query is doc
+    * 0's whole-text vector; output is the top-10 with the winning chunk
+    * — per-passage provenance the whole-doc form cannot give.
+    *
+    * Exactness: everything up to the final division is INTEGER — the
+    * hashed contribs are signed counts, so chunk·query dots and both
+    * norms are exact BIGINT sums in any order; cosine is then one IEEE
+    * division/sqrt on bit-identical operands. No float aggregation
+    * discipline needed anywhere (the q140 rationale carried through
+    * scoring). Max over chunk cosines is order-insensitive.
+    *
+    * Scale shape: sparse all the way — no 64-wide dense arrays: chunk
+    * vectors stay (doc, chunk, dim, val) rows (≤ bigrams per chunk),
+    * the query side is broadcast (≤ dims rows), the dot is one keyed
+    * join on dim with map-side partial sums, and per-doc MaxSim + the
+    * top-10 are bounded aggregates. Chunking explodes the token array
+    * map-side (one scan).
+    */
+  private val q156 = QueryDef(
+    "q156_maxsim_retrieval",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val chunkToks = docs
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), posexplode(expr(
+          """IF(size(tk) < 2, array(),
+               transform(sequence(0, CAST(ceil(size(tk) / 16.0) AS INT) - 1),
+                         c -> slice(tk, c * 16 + 1, 16)))""")))
+        .toDF("doc_id", "chunk", "ctk")
+        .filter(size(col("ctk")) >= 2)
+      val chunkSparse = chunkToks
+        .select(col("doc_id"), col("chunk"), explode(expr(
+          """transform(sequence(1, size(ctk) - 1), i ->
+               concat(element_at(ctk, i), ' ', element_at(ctk, i + 1)))"""))
+          .as("tok"))
+        .groupBy("doc_id", "chunk", "tok").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), col("chunk"),
+          expr(fhDimExpr("tok")).as("dim"),
+          (expr(fhSignExpr("tok")) * col("tf")).as("contrib"))
+        .groupBy("doc_id", "chunk", "dim").agg(sum("contrib").as("val"))
+        .filter(col("val") =!= 0L)
+        .localCheckpoint(true) // feeds the dot join AND the norm aggregate
+      val qSparse = hashedFeatures(docs.filter(col("doc_id") === 0))
+        .select(col("dim"), col("val").as("qval"))
+      val qq = qSparse.agg(sum(col("qval") * col("qval")).as("qq"))
+      val dots = chunkSparse.join(broadcast(qSparse), Seq("dim"))
+        .groupBy("doc_id", "chunk")
+        .agg(sum(col("val") * col("qval")).as("dot"))
+      val norms = chunkSparse.groupBy("doc_id", "chunk")
+        .agg(sum(col("val") * col("val")).as("cc"))
+      val scored = norms.join(dots, Seq("doc_id", "chunk"), "left")
+        .crossJoin(broadcast(qq))
+        .filter(col("doc_id") =!= 0L)
+        .select(col("doc_id"), col("chunk"),
+          (coalesce(col("dot"), lit(0L)).cast("double") /
+            (sqrt(col("cc").cast("double")) * sqrt(col("qq").cast("double"))))
+            .as("sim"))
+      val perDoc = scored.groupBy("doc_id")
+        .agg(max(struct(col("sim").as("sim"), negate(col("chunk")).as("nc")))
+          .as("best"))
+        .select(col("doc_id"), negate(col("best.nc")).as("best_chunk"),
+          col("best.sim").as("maxsim"))
+      perDoc.orderBy(col("maxsim").desc, col("doc_id").asc).limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("maxsim").desc, col("doc_id").asc)))
+        .select("rank", "doc_id", "best_chunk", "maxsim")
+        .orderBy("rank")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  ch AS (SELECT doc_id, CAST(c AS INT) AS chunk,
+                           list_slice(tk, c * 16 + 1, c * 16 + 16) AS ctk
+                         FROM tk, unnest(CASE WHEN len(tk) >= 2
+                                 THEN range(CAST(ceil(len(tk) / 16.0) AS BIGINT))
+                                 ELSE []::BIGINT[] END) u(c)),
+                  chv AS (SELECT doc_id, chunk, ctk FROM ch
+                          WHERE len(ctk) >= 2),
+                  tok AS (SELECT doc_id, chunk, unnest(
+                            list_transform(range(len(ctk) - 1),
+                              i -> ctk[i+1] || ' ' || ctk[i+2])) AS tok
+                          FROM chv),
+                  tf AS (SELECT doc_id, chunk, tok, COUNT(*) AS tf
+                         FROM tok GROUP BY doc_id, chunk, tok),
+                  sp AS (SELECT doc_id, chunk, dim,
+                           CAST(SUM(contrib) AS BIGINT) AS val FROM (
+                             SELECT doc_id, chunk, ${fhDimSql("tok")} AS dim,
+                                    ${fhSignSql("tok")} * tf AS contrib
+                             FROM tf) p
+                         GROUP BY doc_id, chunk, dim
+                         HAVING SUM(contrib) <> 0),
+                  qtk AS (SELECT doc_id, tk FROM tk WHERE doc_id = 0),
+                  qtok AS (SELECT unnest(list_transform(range(len(tk) - 1),
+                             i -> tk[i+1] || ' ' || tk[i+2])) AS tok
+                           FROM qtk),
+                  qtf AS (SELECT tok, COUNT(*) AS tf FROM qtok GROUP BY tok),
+                  qsp AS (SELECT dim, CAST(SUM(contrib) AS BIGINT) AS qval
+                          FROM (SELECT ${fhDimSql("tok")} AS dim,
+                                       ${fhSignSql("tok")} * tf AS contrib
+                                FROM qtf) p
+                          GROUP BY dim HAVING SUM(contrib) <> 0),
+                  qq AS (SELECT CAST(SUM(qval * qval) AS BIGINT) AS qq
+                         FROM qsp),
+                  dots AS (SELECT doc_id, chunk,
+                             CAST(SUM(val * qval) AS BIGINT) AS dot
+                           FROM sp JOIN qsp USING (dim)
+                           GROUP BY doc_id, chunk),
+                  norms AS (SELECT doc_id, chunk,
+                              CAST(SUM(val * val) AS BIGINT) AS cc
+                            FROM sp GROUP BY doc_id, chunk),
+                  scored AS (SELECT norms.doc_id, norms.chunk,
+                               CAST(COALESCE(dot, 0) AS DOUBLE)
+                                 / (sqrt(CAST(cc AS DOUBLE))
+                                    * sqrt(CAST(qq AS DOUBLE))) AS sim
+                             FROM norms
+                             LEFT JOIN dots ON norms.doc_id = dots.doc_id
+                               AND norms.chunk = dots.chunk
+                             CROSS JOIN qq
+                             WHERE norms.doc_id <> 0),
+                  per AS (SELECT doc_id, chunk AS best_chunk, sim AS maxsim
+                          FROM (SELECT doc_id, chunk, sim,
+                                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY sim DESC, chunk ASC) AS rn
+                                FROM scored) t WHERE rn = 1)
+             SELECT rank, doc_id, best_chunk, maxsim FROM (
+               SELECT doc_id, best_chunk, maxsim,
+                      ROW_NUMBER() OVER (ORDER BY maxsim DESC, doc_id ASC)
+                        AS rank
+               FROM per) r
+             WHERE rank <= 10 ORDER BY rank"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q51, q80, q85, q86, q88, q104, q105, q109,
-      q120, q121, q125, q129, q135, q140, q143)
+      q120, q121, q125, q129, q135, q140, q143, q156)
 }
