@@ -75,7 +75,9 @@ object SearchQueries extends QueryModule {
     * Spark single-scan shape: per-row tf/dl from the token list, one
     * stats row, map-side scoring.
     */
-  private val bm25CteSql = {
+  private val bm25CteSql = bm25CteSqlFrom("documents")
+
+  private def bm25CteSqlFrom(rel: String): String = {
     val tfDefs = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(tk, x -> x = '$t')) AS tf$i"
     }.mkString(",\n                  ")
@@ -93,7 +95,7 @@ object SearchQueries extends QueryModule {
           ELSE 0.0 END)"""
     s"""base AS (SELECT doc_id, len(tk) AS dl,
                   $tfDefs
-                FROM (SELECT doc_id, $tokSql AS tk FROM documents) t0),
+                FROM (SELECT doc_id, $tokSql AS tk FROM $rel) t0),
         stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot,
                   $dfDefs
                   FROM base),
@@ -307,7 +309,10 @@ object SearchQueries extends QueryModule {
     "q154_mmr_diversify",
     (s, d) => {
       val lam = 0.7
-      val docs = Tables(s, d, "documents")
+      // the demo ranks over the embedded sub-corpus (the synthetic
+      // embeddings table is 500 vectors at every SF) — otherwise the
+      // candidate→vector join starves the selection as documents grow
+      val docs = Tables(s, d, "documents").filter(col("doc_id") < 500)
       val cand = bm25Scores(docs)
         .orderBy(col("score").desc, col("doc_id").asc).limit(8)
         .select(col("doc_id"), col("score").as("rel"))
@@ -367,7 +372,7 @@ object SearchQueries extends QueryModule {
             sel$k AS MATERIALIZED (
               SELECT * FROM $prev UNION ALL SELECT * FROM pick$k)"""
       }.mkString(",\n")
-      s"""WITH $bm25CteSql,
+      s"""WITH ${bm25CteSqlFrom("(SELECT * FROM documents WHERE doc_id < 500)")},
               top8 AS (SELECT doc_id, score AS rel FROM bm
                        ORDER BY score DESC, doc_id ASC LIMIT 8),
               cand AS (SELECT top8.doc_id, rel,
