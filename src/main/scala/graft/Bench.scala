@@ -52,12 +52,14 @@ object Bench {
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
       require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but matches no queries")
     }
-    // SPARK_GRAFT_RUNS=3 repeats the whole suite back-to-back in ONE
-    // warm JVM and reports per-query MEDIANS — the committed regression
-    // baseline uses this (single runs at sf0.1 drift ~10% with machine
-    // state; the median of 3 is stable to a few %). Unset (driver runs)
-    // = 1, byte-identical to the old behavior.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt
+    // SPARK_GRAFT_RUNS repeats the whole suite back-to-back in ONE warm
+    // JVM and reports per-query MEDIANS. The DEFAULT is 3: single runs
+    // at sf0.1 drift ~10% with machine state and round-8's driver run
+    // had 10 queries >2x their medians (q111 8.3x) purely from box
+    // weather — a single-run artifact cannot distinguish a plan
+    // regression from interference, so the official number is a median
+    // too. SPARK_GRAFT_RUNS=1 restores the quick single pass for dev.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -81,13 +83,23 @@ object Bench {
     // in 2 of 3 runs must not report its time-to-failure as the median
     // (the failed list + exit 1 already flag it; a 100%-failing query
     // falls back to its failure times so the field is never empty).
-    val results = named.map(_._1).map { name =>
-      val samples = perRun.map(_.find(_._1 == name).get)
+    val samplesByName = named.map(_._1).map { name =>
+      name -> perRun.map(_.find(_._1 == name).get)
+    }
+    val results = samplesByName.map { case (name, samples) =>
       val good = samples.filter(_._3).map(_._2)
       name -> median(if (good.nonEmpty) good else samples.map(_._2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-query [min,max] over the run samples: the artifact itself shows
+    // whether a large median came from a consistently slow plan (tight
+    // spread) or one interfered-with sample (wide spread) — the judgment
+    // round 8 could not make from a single-run number.
+    val spread = samplesByName.map { case (name, samples) =>
+      val ts = samples.map(_._2)
+      "\"" + name + "\":[" + ts.min + "," + ts.max + "]"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The compact total line prints FIRST (head-truncation safety) and again
@@ -98,7 +110,7 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}"""
     println(compact)
     println(full)
     println(compact)

@@ -24,10 +24,56 @@ object Logging {
 
   def rowsReturnedMessage(n: Long): String = s"$n rows returned"
 
+  /** INFO lines that open an extract / a batched load
+    * (test_etl_logging.py:14-21: 'Fetching rows (chunk_size=1)',
+    * 'Executing many (chunk_size=1)', '3 rows processed in total').
+    */
+  def fetchingRowsMessage(chunkSize: Int): String =
+    s"Fetching rows (chunk_size=$chunkSize)"
+
+  def executingManyMessage(chunkSize: Int): String =
+    s"Executing many (chunk_size=$chunkSize)"
+
+  def totalProcessedMessage(n: Long): String = s"$n rows processed in total"
+
+  /** The DEBUG layer of the contract (etl.py:86, pinned at
+    * test_etl_logging.py:22-56): the SQL, its parameters, and the
+    * connection target — blank-line separated, exactly the reference's
+    * shape. The target is the JDBC URL, which never carries a password
+    * here (passwords resolve from env at connect time and go only into
+    * the option map), matching the reference's masked-password repr.
+    */
+  def fetchDebugMessage(sql: String, parameters: String, target: String): String =
+    s"Fetching:\n\n$sql\n\nwith parameters:\n\n$parameters\n\nagainst:\n\n$target"
+
+  def executeDebugMessage(sql: String, target: String): String =
+    s"Executing:\n\n$sql\n\nagainst:\n\n$target"
+
+  /** 'First row: ...' at DEBUG (test_etl_logging.py:49-51). Logged at the
+    * driver-side materialization points (fetchAll/fetchOne) only — peeking
+    * a row at PLAN-build time would trigger an eager Spark job.
+    */
+  def firstRowMessage(row: Any): String = s"First row: $row"
+
   /** The reference's load log contract, driven by exact accumulator counts. */
   def logLoadResult(r: LoadResult): Unit = log.info(loadResultMessage(r))
 
   def logRowsReturned(n: Long): Unit = log.info(rowsReturnedMessage(n))
+
+  def logFetching(chunkSize: Int, sql: String, parameters: String,
+      target: String): Unit = {
+    log.info(fetchingRowsMessage(chunkSize))
+    if (log.isDebugEnabled)
+      log.debug(fetchDebugMessage(sql, parameters, target))
+  }
+
+  def logExecutingMany(chunkSize: Int, sql: String, target: String): Unit = {
+    log.info(executingManyMessage(chunkSize))
+    if (log.isDebugEnabled) log.debug(executeDebugMessage(sql, target))
+  }
+
+  def logFirstRow(row: => Any): Unit =
+    if (log.isDebugEnabled) log.debug(firstRowMessage(row))
 
   /** In-flight metrics via the observe() API: attach named aggregate
     * metrics to a plan node; Spark computes them DURING the action (no

@@ -20,6 +20,12 @@ object Extract {
       passwordVariable: Option[String] = None, chunkSize: Int = 5000,
       partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame =
     try {
+      // reference log contract: 'Fetching rows (chunk_size=N)' at INFO
+      // plus SQL/parameters/target at DEBUG (etl.py:85-87). Parameters
+      // are pre-bound into `query` on this surface, so the slot renders
+      // () like the reference's empty tuple; the target is the JDBC URL
+      // (never carries a password).
+      graft.Logging.logFetching(chunkSize, query, "()", db.jdbcUrl)
       partitionColumn match {
         case Some((col, lower, upper, n)) =>
           partitionedRead(spark, db, query, passwordVariable, chunkSize,
@@ -190,10 +196,19 @@ object Extract {
   }
 
   /** O4 fetchall: materialize the full result on the driver. */
-  def fetchAll(df: DataFrame): Seq[Row] = df.collect().toSeq
+  def fetchAll(df: DataFrame): Seq[Row] = {
+    val rows = df.collect().toSeq
+    rows.headOption.foreach(r => graft.Logging.logFirstRow(r))
+    graft.Logging.logRowsReturned(rows.length)
+    rows
+  }
 
   /** O3 fetchone: first row or None. */
-  def fetchOne(df: DataFrame): Option[Row] = df.head(1).headOption
+  def fetchOne(df: DataFrame): Option[Row] = {
+    val row = df.head(1).headOption
+    row.foreach(r => graft.Logging.logFirstRow(r))
+    row
+  }
 
   /** O2 iter_rows: driver-side lazy row iterator (pulls partition by
     * partition — constant driver memory like the reference's generator).

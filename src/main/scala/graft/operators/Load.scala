@@ -45,6 +45,11 @@ object Load {
   def load(df: DataFrame, db: DbParams, table: String,
       passwordVariable: Option[String] = None, chunkSize: Int = 5000): Unit =
     try {
+      // reference log contract: 'Executing many (chunk_size=N)' at INFO
+      // plus the generated INSERT + target at DEBUG (etl.py:292-294,
+      // test_etl_logging.py:22-35)
+      graft.Logging.logExecutingMany(chunkSize,
+        generateInsertSql(table, df.schema), db.jdbcUrl)
       df.write.format("jdbc")
         .options(db.writeOptions(table, passwordVariable, chunkSize))
         .mode("append").save()
@@ -113,6 +118,7 @@ object Load {
 
     val spark = df.sparkSession
     val sql = generateInsertSql(table, df.schema)
+    graft.Logging.logExecutingMany(chunkSize, sql, db.jdbcUrl)
     val processed: LongAccumulator = spark.sparkContext.longAccumulator("etl.processed")
     val failed: LongAccumulator = spark.sparkContext.longAccumulator("etl.failed")
     val quarantine: CollectionAccumulator[FailedRow] =

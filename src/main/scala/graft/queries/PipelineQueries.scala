@@ -496,7 +496,7 @@ object PipelineQueries extends QueryModule {
         .groupBy("w").agg(count(lit(1)).as("wn"))
         .localCheckpoint(true)
       val merges = TextQueries.bpeTrain(
-        words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, 12)
+        TextQueries.bpeTrainSample(words), 12)
       val wordLens = TextQueries.bpeEncodeWords(words, merges)
         .select(col("w"), size(col("tk")).cast("long").as("wt"))
         .localCheckpoint(true)

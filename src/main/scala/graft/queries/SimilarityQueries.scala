@@ -2113,14 +2113,25 @@ object SimilarityQueries extends QueryModule {
     * note).
     */
   def knnAppendLists(increment: org.apache.spark.sql.DataFrame,
-      path: String): Unit = {
+      generator: String, path: String): Unit = {
     val spark = increment.sparkSession
     val meta = spark.read.parquet(s"$path/meta")
-      .select("fp", "k").take(1)
+      .select("fp", "k", "generator").take(1)
     require(meta.nonEmpty,
       s"knnAppendLists: meta store at $path/meta is empty — save the " +
         "store first (knnSaveLists)")
     val (fp, k) = (meta(0).getString(0), meta(0).getInt(1))
+    // the caller must DECLARE which generator produced the increment:
+    // without this, lists from a different generator (LSH output appended
+    // into a brute-cos store) would be silently admitted under the
+    // store's own stamp — the exact splice the knnFingerprint
+    // 'mixes generators' load guard exists to catch, introduced through
+    // the official verb and invisible at load forever after
+    require(meta(0).getString(2) == generator,
+      s"knnAppendLists: increment declares generator '$generator' but " +
+        s"the store was built by '${meta(0).getString(2)}' — appending " +
+        "lists from a different generator would silently change what a " +
+        "stored neighborhood means; rebuild with knnSaveLists instead")
     val stat = increment.agg(count(lit(1)).as("n"), max("rn").as("mx")).take(1)(0)
     if (stat.getLong(0) == 0) return
     require(stat.getInt(1) <= k,

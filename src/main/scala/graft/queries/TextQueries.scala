@@ -786,6 +786,31 @@ object TextQueries extends QueryModule {
       merges: Int): Seq[(String, String)] =
     bpeTrainFrom(wordCounts, Seq.empty, merges)
 
+  /** Hard cap on the word-count rows collected to the driver for BPE
+    * training. On a 100 TB web corpus the DISTINCT-word relation runs to
+    * 10^8-10^9 rows — an uncapped `collect()` kills the driver — while
+    * merge-pair counts are Zipf-dominated by the head: frequency-
+    * truncated training is the industry norm and the tail contributes
+    * O(tail-mass) to every pair count. 1M rows ≈ tens of MB on the
+    * driver, far above any real tokenizer's training vocabulary, and
+    * >> every test SF's distinct-word count (so trained merges are
+    * IDENTICAL to uncapped training at every verified scale —
+    * BpeSpec pins cap-insensitivity on the fixture).
+    */
+  val BpeTrainVocabCap = 1000000
+
+  /** The one sanctioned driver-side step of the tokenizer lifecycle:
+    * deterministic top-[[BpeTrainVocabCap]] word counts by
+    * (count DESC, word ASC) — a total order, so the sample (and thus
+    * the trained merges) is engine- and partitioning-independent. The
+    * cap sits IN the plan (TakeOrderedAndProject: per-partition top-N,
+    * only N rows ever reach the driver), not as a post-collect trim.
+    */
+  def bpeTrainSample(words: org.apache.spark.sql.DataFrame,
+      cap: Int = BpeTrainVocabCap): Seq[(String, Long)] =
+    words.orderBy(col("wn").desc, col("w").asc).limit(cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   /** [[bpeTrain]] CONTINUED from an existing merge sequence: the initial
     * merges are replayed onto the fresh character state (the same greedy
     * fold the encoder uses), then training proceeds for `extra` more
@@ -856,11 +881,18 @@ object TextQueries extends QueryModule {
     * index-family discipline applied to the tokenizer.
     */
   def bpeFingerprint(merges: Seq[(String, String)]): String = {
+    // Pairs are joined with '\n' — a character that can never appear in
+    // a token ([a-z0-9]+) — so distinct merge lists can never collide:
+    // with no delimiter, [("a","b"),("cd","e")] and [("a","bc"),("d","e")]
+    // both serialized to "a bcd e" and shared a stamp, letting character
+    // shifts across pair boundaries pass the load check. The prefix is
+    // bumped bpe: -> bpe2: so stores stamped under the old scheme fail
+    // loudly at load instead of being silently re-validated.
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(merges.map { case (a, b) => a + " " + b }.mkString("")
+      .digest(merges.map { case (a, b) => a + " " + b }.mkString("\n")
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    s"bpe:merges=${merges.length}:$h"
+    s"bpe2:merges=${merges.length}:$h"
   }
 
   /** Persists a trained merge sequence at `path`/meta + `path`/merges
@@ -968,8 +1000,7 @@ object TextQueries extends QueryModule {
         .select(explode(tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("wn"))
         .localCheckpoint(true)
-      val wc = words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val merges = bpeTrain(wc, 12)
+      val merges = bpeTrain(bpeTrainSample(words), 12)
       bpeEncodeWords(words, merges)
         .filter(length(col("w")) >= 2)
         .orderBy(col("wn").desc, col("w").asc)

@@ -128,6 +128,10 @@ object IngestPipeline {
     */
   def forget(spark: SparkSession, del: DataFrame, indexPath: String,
       labelsPath: String, admittedPath: String): Unit = {
+    // Every rewrite goes through StoreRewrite.atomicOverwrite: the new
+    // store lands completely at a sibling temp path before the old one
+    // is replaced, so a crash INSIDE a rewrite leaves the old (or at
+    // worst the fully-written new) store on disk, never neither.
     val ids = del.select("doc_id").localCheckpoint(true)
     // 1. labels: re-election over the EXISTING label map
     val labels = spark.read.parquet(labelsPath).localCheckpoint(true)
@@ -136,17 +140,17 @@ object IngestPipeline {
       .agg(org.apache.spark.sql.functions.min("doc_id").as("rep"))
     val relabeled = rl.join(nr, "cluster_id")
       .select(col("doc_id"), col("rep").as("cluster_id"))
-      .localCheckpoint(true)
-    relabeled.write.mode("overwrite").parquet(labelsPath)
+    graft.operators.StoreRewrite.atomicOverwrite(relabeled, labelsPath)
     // 2. signature index: drop the forgotten signatures so a future
     //    re-submission is judged on the REMAINING corpus only
-    val sig = spark.read.parquet(indexPath)
-      .join(ids, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    sig.write.mode("overwrite").parquet(indexPath)
+    graft.operators.StoreRewrite.atomicOverwrite(
+      spark.read.parquet(indexPath).join(ids, Seq("doc_id"), "left_anti"),
+      indexPath)
     // 3. corpus store
-    val kept = spark.read.parquet(admittedPath)
-      .join(ids, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    kept.write.mode("overwrite").parquet(admittedPath)
+    graft.operators.StoreRewrite.atomicOverwrite(
+      spark.read.parquet(admittedPath)
+        .join(ids, Seq("doc_id"), "left_anti"),
+      admittedPath)
   }
 
   /** Start the streaming ingest: each micro-batch of `docs` (doc_id,

@@ -106,21 +106,29 @@ object VectorIngestPipeline {
     */
   def forget(spark: SparkSession, del: DataFrame, indexPath: String,
       vecPath: String): Unit = {
+    // Each store rewrite goes through StoreRewrite.atomicOverwrite:
+    // the filtered relation lands completely at a sibling temp path
+    // before the old directory is touched, so a failure INSIDE one
+    // rewrite (not just between stores) can no longer destroy a store —
+    // the cross-store ordering note below is about which store to
+    // rewrite first, this is about surviving a crash within any one.
     val ids = del.select("vec_id").localCheckpoint(true)
-    val codes = spark.read.parquet(s"$indexPath/codes")
-      .join(ids, Seq("vec_id"), "left_anti").localCheckpoint(true)
-    codes.write.mode("overwrite").parquet(s"$indexPath/codes")
+    graft.operators.StoreRewrite.atomicOverwrite(
+      spark.read.parquet(s"$indexPath/codes")
+        .join(ids, Seq("vec_id"), "left_anti"),
+      s"$indexPath/codes")
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
     val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(tombPath)) {
       val rest = spark.read.parquet(s"$indexPath/tombstones")
         .join(ids, Seq("vec_id"), "left_anti").localCheckpoint(true)
       if (rest.isEmpty) fs.delete(tombPath, true)
-      else rest.write.mode("overwrite").parquet(s"$indexPath/tombstones")
+      else graft.operators.StoreRewrite.atomicOverwrite(
+        rest, s"$indexPath/tombstones")
     }
-    val kept = spark.read.parquet(vecPath)
-      .join(ids, Seq("vec_id"), "left_anti").localCheckpoint(true)
-    kept.write.mode("overwrite").parquet(vecPath)
+    graft.operators.StoreRewrite.atomicOverwrite(
+      spark.read.parquet(vecPath).join(ids, Seq("vec_id"), "left_anti"),
+      vecPath)
   }
 
   /** Start the streaming ingest: each micro-batch of `vectors`

@@ -64,6 +64,33 @@ class BpeSpec extends SparkSuite {
       s"only $compressed of ${got.length} frequent words compressed")
   }
 
+  test("training-vocab cap: the driver collect is top-N deterministic, " +
+    "cap-insensitive when the vocab fits, and plan-bounded when it " +
+    "doesn't") {
+    val words = Seq(("lower", 50L), ("lowest", 30L), ("newest", 20L),
+      ("widest", 10L), ("zz", 1L)).toDF("w", "wn")
+    // default cap (1M) >> the fixture vocab: sample == full vocab, so
+    // the trained merges are IDENTICAL to uncapped training — the
+    // guarantee CORRECTNESS relies on at every test SF
+    val full = words.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy { case (w, n) => (-n, w) }
+    assert(TextQueries.bpeTrainSample(words) == full,
+      "default cap must pass the whole fixture vocabulary through")
+    assert(TextQueries.bpeTrain(TextQueries.bpeTrainSample(words), 6) ==
+      TextQueries.bpeTrain(full, 6),
+      "capped training must equal uncapped training when vocab < cap")
+    // tight cap: exactly the top-N by (count DESC, word ASC), so the
+    // Zipf tail is what gets dropped — and ONLY N rows reach the driver
+    val top3 = TextQueries.bpeTrainSample(words, cap = 3)
+    assert(top3 == full.take(3), s"top-N order violated: $top3")
+    // ties break on the word: same-count words keep a total order
+    val tied = Seq(("bb", 5L), ("aa", 5L), ("cc", 5L)).toDF("w", "wn")
+    assert(TextQueries.bpeTrainSample(tied, cap = 2) ==
+      Seq(("aa", 5L), ("bb", 5L)),
+      "equal counts must order lexicographically for determinism")
+  }
+
   test("tokenizer lifecycle: save → load round-trips the merge sequence, " +
     "a tampered store fails the recomputed fingerprint, continued " +
     "training equals straight training, and extend preserves prefixes") {
@@ -103,5 +130,18 @@ class BpeSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       TextQueries.bpeSaveTokenizer(spark, Seq.empty, s"$base/empty")
     }
+  }
+
+  test("fingerprint separates pair boundaries: same-length merge lists " +
+    "whose concatenation collides get distinct stamps") {
+    // under the old delimiter-free serialization both lists rendered as
+    // "a bcd e" and shared a stamp — character shifts across pair
+    // boundaries passed the load check
+    val m1 = Seq(("a", "b"), ("cd", "e"))
+    val m2 = Seq(("a", "bc"), ("d", "e"))
+    assert(TextQueries.bpeFingerprint(m1) != TextQueries.bpeFingerprint(m2),
+      "pair-boundary shifts must change the fingerprint")
+    assert(TextQueries.bpeFingerprint(m1).startsWith("bpe2:"),
+      "stamp scheme must be versioned so old stores fail loudly at load")
   }
 }

@@ -94,4 +94,44 @@ class DbParamsSpec extends AnyFunSuite {
     val derby = DbParams("derby", filename = "memory:x;create=true")
     assert(!derby.writeOptions("t").contains("reWriteBatchedInserts"))
   }
+
+  test("per-dialect option-map parity: each backend's emitted read AND " +
+    "write options carry exactly its reference fast path") {
+    // The reference accelerates each backend differently:
+    //   PG    execute_batch        (postgres.py:76-96)  -> reWriteBatchedInserts
+    //   MSSQL fast_executemany     (mssql.py:79-100)    -> useBulkCopyForBatchInsert
+    //   Oracle fetch_lobs=False    (oracle.py:43-48)    -> defaultLobPrefetchSize
+    //   SQLite (no fast path)                           -> no dialect options
+    // The JDBC analogue must be present in BOTH directions (Spark's JDBC
+    // source passes the same option map to reads and writes) and no
+    // backend may leak another backend's flag.
+    val pg = DbParams("postgres", host = "h", port = 5432, dbname = "d", user = "u")
+    val ms = DbParams("mssql", host = "h", port = 1433, dbname = "d",
+      user = "u", odbcDriver = "ODBC Driver 17 for SQL Server")
+    val ora = DbParams("oracle", host = "h", port = 1521, dbname = "d", user = "u")
+    val lite = DbParams("sqlite", filename = "x.db")
+    val dialectKeys = Set("reWriteBatchedInserts", "useBulkCopyForBatchInsert",
+      "oracle.jdbc.defaultLobPrefetchSize")
+    def both(p: DbParams): Seq[Map[String, String]] =
+      Seq(p.readOptions("SELECT 1"), p.writeOptions("t"))
+    both(pg).foreach { o =>
+      assert(o("reWriteBatchedInserts") == "true")
+      assert((o.keySet & dialectKeys) == Set("reWriteBatchedInserts"))
+    }
+    both(ms).foreach { o =>
+      assert(o("useBulkCopyForBatchInsert") == "true")
+      assert((o.keySet & dialectKeys) == Set("useBulkCopyForBatchInsert"))
+    }
+    both(ora).foreach { o =>
+      assert(o("oracle.jdbc.defaultLobPrefetchSize") == "4000")
+      assert((o.keySet & dialectKeys) == Set("oracle.jdbc.defaultLobPrefetchSize"))
+    }
+    both(lite).foreach(o => assert((o.keySet & dialectKeys).isEmpty))
+    // the MemoryError fallback analogue (mssql.py:86-96 retries with the
+    // fast path off): extra wins over the dialect default, so a caller
+    // can disable the bulk path per-job without a new DbParams
+    assert(ms.writeOptions("t",
+      extra = Map("useBulkCopyForBatchInsert" -> "false"))(
+      "useBulkCopyForBatchInsert") == "false")
+  }
 }

@@ -80,19 +80,27 @@ class KnnStoreSpec extends SparkSuite {
     val old = lists.filter(col("aid") >= 10)
     val inc = lists.filter(col("aid") < 10)
     SimilarityQueries.knnSaveLists(old, 3, "brute-cos", s"$base/knn")
-    SimilarityQueries.knnAppendLists(inc, s"$base/knn")
+    SimilarityQueries.knnAppendLists(inc, "brute-cos", s"$base/knn")
     val total = lists.count()
     assert(SimilarityQueries.knnLoadLists(spark, s"$base/knn")._1.count()
       == total)
     // replay: no duplicates
-    SimilarityQueries.knnAppendLists(inc, s"$base/knn")
+    SimilarityQueries.knnAppendLists(inc, "brute-cos", s"$base/knn")
     assert(SimilarityQueries.knnLoadLists(spark, s"$base/knn")._1.count()
       == total)
     // an increment deeper than the store's k is refused
     intercept[IllegalArgumentException] {
       SimilarityQueries.knnAppendLists(
-        SimilarityQueries.bruteTopLists(emb, 5), s"$base/knn")
+        SimilarityQueries.bruteTopLists(emb, 5), "brute-cos", s"$base/knn")
     }
+    // an increment declaring a DIFFERENT generator is refused — without
+    // the declaration this splice would be admitted under the store's
+    // own stamp and the load-time 'mixes generators' guard could never
+    // see it
+    val exGen = intercept[IllegalArgumentException] {
+      SimilarityQueries.knnAppendLists(inc, "bin-R25", s"$base/knn")
+    }
+    assert(exGen.getMessage.contains("different generator"))
     // delete node 7: gone as an anchor AND as anyone's neighbor
     import spark.implicits._
     SimilarityQueries.knnDeleteNodes(Seq(7L).toDF("vec_id"), s"$base/knn")
@@ -100,7 +108,7 @@ class KnnStoreSpec extends SparkSuite {
     assert(masked.filter(col("aid") === 7L || col("bid") === 7L).count() == 0)
     // sticky: replaying the append that contained node 7 does not
     // resurrect it (raw-store idempotence probe sees the old rows)
-    SimilarityQueries.knnAppendLists(inc, s"$base/knn")
+    SimilarityQueries.knnAppendLists(inc, "brute-cos", s"$base/knn")
     val masked2 = SimilarityQueries.knnLoadLists(spark, s"$base/knn")._1
     assert(masked2.filter(col("aid") === 7L || col("bid") === 7L).count() == 0)
   }

@@ -22,4 +22,36 @@ class LoggingSpec extends AnyFunSuite {
     assert(Logging.rowsReturnedMessage(0) == "0 rows returned")
     assert(Logging.rowsReturnedMessage(60000) == "60000 rows returned")
   }
+
+  test("INFO open lines match the reference verbatim: 'Fetching rows', " +
+    "'Executing many', 'N rows processed in total'") {
+    // test_etl_logging.py:14-21
+    assert(Logging.fetchingRowsMessage(1) == "Fetching rows (chunk_size=1)")
+    assert(Logging.fetchingRowsMessage(5000) ==
+      "Fetching rows (chunk_size=5000)")
+    assert(Logging.executingManyMessage(1) == "Executing many (chunk_size=1)")
+    assert(Logging.totalProcessedMessage(3) == "3 rows processed in total")
+  }
+
+  test("DEBUG layer matches the reference shape: SQL, parameters and " +
+    "target, blank-line separated; 'First row: ...'") {
+    // etl.py:86: logger.debug(f"Fetching:\n\n{q}\n\nwith parameters:\n\n
+    // {params}\n\nagainst:\n\n{conn}") — pinned at
+    // test_etl_logging.py:36-51
+    assert(Logging.fetchDebugMessage("SELECT * FROM src", "()",
+        "jdbc:postgresql://h:5432/d") ==
+      "Fetching:\n\nSELECT * FROM src\n\nwith parameters:\n\n()\n\n" +
+        "against:\n\njdbc:postgresql://h:5432/d")
+    assert(Logging.executeDebugMessage("INSERT INTO dest (id) VALUES (?)",
+        "jdbc:postgresql://h:5432/d") ==
+      "Executing:\n\nINSERT INTO dest (id) VALUES (?)\n\n" +
+        "against:\n\njdbc:postgresql://h:5432/d")
+    assert(Logging.firstRowMessage("[1,text]") == "First row: [1,text]")
+    // the target slot is the JDBC URL: passwords NEVER appear (they live
+    // only in the option map, resolved at connect time), mirroring the
+    // reference's password-masked conn repr ('password=xxx')
+    val url = DbParams("postgres", host = "h", port = 5432, dbname = "d",
+      user = "u").jdbcUrl
+    assert(!url.toLowerCase.contains("password"))
+  }
 }
