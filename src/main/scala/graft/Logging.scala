@@ -75,6 +75,8 @@ object Logging {
   def logFirstRow(row: => Any): Unit =
     if (log.isDebugEnabled) log.debug(firstRowMessage(row))
 
+  def logTotalProcessed(n: Long): Unit = log.info(totalProcessedMessage(n))
+
   /** In-flight metrics via the observe() API: attach named aggregate
     * metrics to a plan node; Spark computes them DURING the action (no
     * second pass over the data, unlike a separate count()) and exposes them

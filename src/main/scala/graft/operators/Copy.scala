@@ -20,8 +20,14 @@ object Copy {
   def copyRows(src: DataFrame, db: DbParams, table: String,
       transform: DataFrame => DataFrame = identity,
       passwordVariable: Option[String] = None,
-      chunkSize: Int = 5000): LoadResult =
-    Load.loadWithErrorChannel(transform(src), db, table, passwordVariable, chunkSize)
+      chunkSize: Int = 5000): LoadResult = {
+    val r = Load.loadWithErrorChannel(transform(src), db, table,
+      passwordVariable, chunkSize)
+    // the reference closes every copy with 'N rows processed in total'
+    // (etl.py:327-328, pinned at test_etl_logging.py:21)
+    graft.Logging.logTotalProcessed(r.processed)
+    r
+  }
 
   /** O8 copy_table_rows: whole-table copy by validated name. */
   def copyTableRows(spark: SparkSession, srcDb: DbParams, destDb: DbParams,

@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{QuantQueries, SimilarityQueries}
+
+/** One façade over the seven persisted vector-index families
+  * (SQ8 / PQ / IVF / residual IVF-PQ / binary-sign / LSH / kNN-lists):
+  * family selection from the MEASURED compression ladder, and the
+  * save / load / append / delete / search lifecycle routed through each
+  * family's own fingerprint-stamped, tombstone-masked verbs.
+  *
+  * What the façade adds over calling the families directly:
+  *
+  *   - **selection as an API**: [[select]] turns the SCALING.md ladder
+  *     (bytes/vec vs measured recall@5) into a routing decision — give it
+  *     a storage budget and a recall floor, get the family that meets
+  *     both most cheaply;
+  *   - **a family marker in the store**: [[build]] stamps `path`/family
+  *     with the family name, and every façade verb re-reads it — so an
+  *     SQ8 store handed to a caller expecting PQ fails at open with the
+  *     stored vs declared names, instead of whichever in-family
+  *     fingerprint error the wrong verb happens to hit first (or, for
+  *     look-alike layouts, no error at all);
+  *   - **uniform search shape**: every query-vector family returns
+  *     (query_id, neighbor_id, rank, score) with rank 1..k, whatever its
+  *     native metric (ADC L2, Hamming, cosine), so downstream reranks
+  *     and evaluations are family-independent.
+  *
+  * The underlying verbs are unchanged and remain the full-control
+  * surface; the façade never reimplements training, encoding, or
+  * scoring. Scale shapes are therefore inherited: candidates shuffle,
+  * the corpus does not; small sides broadcast; all stores share the
+  * [[IndexTombstones]] deletion discipline.
+  */
+object VectorIndex {
+
+  /** One rung of the measured compression ladder (SCALING.md round-8
+    * table; recall@5 on the 5-query harness, bytes per 64-dim vector).
+    */
+  final case class Rung(family: String, bytesPerVec: Double,
+      recallAt5: Double)
+
+  /** Descending-cost order. "exact" is the no-index brute path (not a
+    * persisted family); binary's 0.56 is the shallow R=25 probe — the
+    * R=100 probe reaches 0.84 at the same store (the probe is a query-
+    * time knob, so the LADDER carries the conservative number).
+    * LSH and kNN-lists are deliberately absent: LSH stores exact
+    * vectors' bucket ids (a candidate generator, not a compression
+    * rung) and kNN-lists is a neighbor graph, not a query-vector index.
+    */
+  val ladder: Seq[Rung] = Seq(
+    Rung("exact", 512, 1.00),
+    Rung("sq8", 64, 1.00),
+    Rung("bin", 16, 0.56),
+    Rung("residual", 5, 0.088),
+    Rung("pq", 4, 0.04))
+
+  /** The cheapest (fewest bytes/vec) rung meeting BOTH the storage
+    * budget and the recall floor. Deterministic; throws with the full
+    * ladder when the constraints are unsatisfiable (e.g. 4 bytes/vec at
+    * recall 0.9 — no measured family delivers that).
+    */
+  def select(maxBytesPerVec: Double, minRecallAt5: Double): String = {
+    val fits = ladder.filter(r =>
+      r.bytesPerVec <= maxBytesPerVec && r.recallAt5 >= minRecallAt5)
+    require(fits.nonEmpty,
+      s"VectorIndex.select: no family fits <= $maxBytesPerVec bytes/vec " +
+        s"at recall@5 >= $minRecallAt5; the measured ladder is " +
+        ladder.map(r => s"${r.family}(${r.bytesPerVec}B, ${r.recallAt5})")
+          .mkString(", "))
+    fits.minBy(_.bytesPerVec).family
+  }
+
+  val Families: Set[String] =
+    Set("sq8", "pq", "ivf", "residual", "bin", "lsh", "knn")
+
+  /** The family a store at `path` was built as (from the façade marker).
+    * Stores saved via the raw family verbs carry no marker — build (or
+    * re-save) through the façade to join the routed lifecycle.
+    */
+  def family(spark: SparkSession, path: String): String = {
+    val rows =
+      try spark.read.parquet(s"$path/family").select("family").take(1)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"VectorIndex: no family marker at $path/family — not a " +
+            "façade-built store (build it with VectorIndex.build, or " +
+            "use the family's own verbs directly)", e)
+      }
+    require(rows.nonEmpty,
+      s"VectorIndex: family marker at $path/family is empty — " +
+        "interrupted build or wrong path")
+    rows(0).getString(0)
+  }
+
+  /** Open = verify the caller's declared family against the stored
+    * marker. Every façade verb calls this; it exists publicly so code
+    * that is ABOUT to hand the path to family-specific logic can fail
+    * fast with the stored/declared pair.
+    */
+  def open(spark: SparkSession, path: String, declared: String): Unit = {
+    val stored = family(spark, path)
+    require(stored == declared,
+      s"VectorIndex: store at $path was built as family '$stored' but " +
+        s"the caller declared '$declared' — routing it through the " +
+        "wrong family's verbs would fail late (or, for look-alike " +
+        "layouts, search wrongly)")
+  }
+
+  private def writeMarker(spark: SparkSession, path: String,
+      fam: String): Unit =
+    spark.range(1).select(lit(fam).as("family"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/family")
+
+  /** Train + encode + persist `e`(vec_id, v) as `fam` at `path`, and
+    * stamp the family marker. Training defaults are each family's query
+    * defaults (q136/q108/q62/q127/q128/q111/q116 shapes).
+    */
+  def build(e: DataFrame, fam: String, path: String): Unit = {
+    val spark = e.sparkSession
+    fam match {
+      case "sq8" =>
+        val params = QuantQueries.sqTrain(e).localCheckpoint(true)
+        QuantQueries.sqSaveIndex(params, QuantQueries.sqCodes(params, e), path)
+      case "pq" =>
+        val idx = SimilarityQueries.pqTrain(e)
+        SimilarityQueries.pqSaveIndex(idx,
+          SimilarityQueries.pqCodes(idx, e), path)
+      case "ivf" =>
+        val (cents, cells) = SimilarityQueries.ivfTrain(e)
+        SimilarityQueries.ivfSaveIndex(cents.localCheckpoint(true),
+          cells, path)
+      case "residual" =>
+        // q127 composition: coarse cells, PQ trained on RESIDUALS
+        val (cents0, cells) = SimilarityQueries.ivfTrain(e, k = 8)
+        val cents = cents0.localCheckpoint(true)
+        val rv = SimilarityQueries.ivfResiduals(e, cents, cells)
+          .select("vec_id", "v").localCheckpoint(true)
+        val idx = SimilarityQueries.pqTrain(rv)
+        SimilarityQueries.residualSaveIndex(cents, cells, idx,
+          SimilarityQueries.pqCodes(idx, rv), path)
+      case "bin" =>
+        SimilarityQueries.binSaveIndex(SimilarityQueries.binCodes(e), path)
+      case "lsh" =>
+        SimilarityQueries.lshSaveIndex(
+          SimilarityQueries.lshBuckets(e), 4, 6, path)
+      case "knn" =>
+        SimilarityQueries.knnSaveLists(
+          SimilarityQueries.bruteTopLists(e, 3), 3, "brute-cos", path)
+      case other => throw new IllegalArgumentException(
+        s"VectorIndex.build: unknown family '$other' (one of " +
+          s"${Families.toSeq.sorted.mkString(", ")})")
+    }
+    writeMarker(spark, path, fam)
+  }
+
+  /** Uniform ANN search: top-`k` neighbors of `queries`(qid, qv) from
+    * the store at `path`, routed by the stored family marker, as
+    * (query_id, neighbor_id, rank, score). `score` is the family's
+    * native metric — ADC L2 for sq8/pq/residual (lower = nearer),
+    * Hamming for bin (lower = nearer), cosine for lsh/ivf (higher =
+    * nearer) — rank 1..k is already ordered nearest-first for all of
+    * them. `e`(vec_id, v) supplies exact vectors to the families whose
+    * stores hold candidates rather than codes (lsh, ivf); code families
+    * ignore it (their searches read ONLY the persisted store).
+    */
+  def search(e: DataFrame, queries: DataFrame, path: String,
+      k: Int = 5): DataFrame = {
+    val spark = queries.sparkSession
+    family(spark, path) match {
+      case "sq8" =>
+        val (params, codes) = QuantQueries.sqLoadIndex(spark, path)
+        QuantQueries.sqAdcSearch(params, codes, queries, topR = k)
+          .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+            col("arank").as("rank"), col("adc_dist").as("score"))
+      case "pq" =>
+        val (idx, codes) = SimilarityQueries.pqLoadIndex(spark, path)
+        SimilarityQueries.pqAdcSearch(idx, codes, queries, topK = k)
+          .withColumnRenamed("adc_dist", "score")
+      case "residual" =>
+        val (cents, cells, idx, codes) =
+          SimilarityQueries.residualLoadIndex(spark, path)
+        SimilarityQueries.ivfPqSearchResidual(cells, cents, idx, codes,
+            queries, topK = k)
+          .withColumnRenamed("adc_dist", "score")
+      case "bin" =>
+        val codes = SimilarityQueries.binLoadIndex(spark, path)
+        SimilarityQueries.binHammingSearch(codes, queries, topR = k)
+          .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+            col("hrank").as("rank"), col("hamming").cast("double").as("score"))
+      case "lsh" =>
+        val (buckets, tables, planes) =
+          SimilarityQueries.lshLoadIndex(spark, path)
+        SimilarityQueries.lshSearchIndex(buckets, e, queries,
+            tables, planes, topK = k)
+          .withColumnRenamed("cos_sim", "score")
+      case "ivf" =>
+        // IVF-flat: nearest coarse cell per query (broadcast centroid
+        // argmin), exact cosine over ONLY that cell's members — the
+        // candidate set is cell-sized, the corpus never shuffles
+        val (cents, cells) = SimilarityQueries.ivfLoadIndex(spark, path)
+        val qCell = queries.crossJoin(broadcast(
+            cents.select(col("cid"), col("cv"))))
+          .select(col("qid"), col("qv"), col("cid").as("cell"),
+            expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D," +
+              " (a, x) -> a + x)").as("dot"))
+        val probed = GroupTopK.topK(qCell, Seq(col("qid")),
+            Seq(col("dot").desc, col("cell").asc), col("cell"), 1,
+            rankName = "crank")
+          .select("qid", "qv", "cell")
+        val cand = cells.select("vec_id", "cell")
+          .join(broadcast(probed), "cell")
+        val scored = e.join(cand, "vec_id")
+          .select(col("qid"), col("vec_id"),
+            expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D," +
+                " (a, x) -> a + x) / (sqrt(aggregate(transform(qv," +
+                " x -> x * x), 0D, (a, x) -> a + x)) *" +
+                " sqrt(aggregate(transform(v, x -> x * x), 0D," +
+                " (a, x) -> a + x)))")
+              .as("score"))
+        GroupTopK.topK(scored, Seq(col("qid")),
+            Seq(col("score").desc, col("vec_id").asc), col("vec_id"), k)
+          .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+            col("rank"), col("score"))
+      case "knn" => throw new IllegalArgumentException(
+        "VectorIndex.search: 'knn' is a neighbor-GRAPH store, not a " +
+          "query-vector index — expand an ANN candidate set through it " +
+          "with SimilarityQueries.graphExpandCandidates")
+    }
+  }
+
+  /** Append `e`(vec_id, v) to the store, routed by family — each
+    * family's own idempotent, fingerprint-guarded append verb.
+    */
+  def append(e: DataFrame, path: String): Unit = {
+    val spark = e.sparkSession
+    family(spark, path) match {
+      case "sq8" => QuantQueries.sqAppendCodes(e, path)
+      case "pq" =>
+        val (idx, _) = SimilarityQueries.pqLoadIndex(spark, path)
+        SimilarityQueries.pqAppendCodes(idx, e, path)
+      case "ivf" =>
+        val (cents, _) = SimilarityQueries.ivfLoadIndex(spark, path)
+        SimilarityQueries.ivfAppendCells(cents, e, path)
+      case "residual" =>
+        val (cents, _, idx, _) =
+          SimilarityQueries.residualLoadIndex(spark, path)
+        SimilarityQueries.residualAppendVectors(cents, idx, e, path)
+      case "bin" => SimilarityQueries.binAppendCodes(e, path)
+      case "lsh" => SimilarityQueries.lshAppendBuckets(e, path)
+      case "knn" => throw new IllegalArgumentException(
+        "VectorIndex.append: kNN-list increments are ranked LISTS, not " +
+          "vectors — generate them against the full corpus and append " +
+          "with SimilarityQueries.knnAppendLists (generator-declared)")
+    }
+  }
+
+  /** Tombstone `ids`(vec_id) out of the store, routed by family. Masked
+    * at every subsequent load/search; compacted at the next full build.
+    */
+  def delete(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    family(spark, path) match {
+      case "sq8" => QuantQueries.sqDeleteVectors(ids, path)
+      case "pq" => SimilarityQueries.pqDeleteVectors(ids, path)
+      case "ivf" => SimilarityQueries.ivfDeleteVectors(ids, path)
+      case "residual" => SimilarityQueries.residualDeleteVectors(ids, path)
+      case "bin" => SimilarityQueries.binDeleteVectors(ids, path)
+      case "lsh" => SimilarityQueries.lshDeleteVectors(ids, path)
+      case "knn" => SimilarityQueries.knnDeleteNodes(ids, path)
+    }
+  }
+}

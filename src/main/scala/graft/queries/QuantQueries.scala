@@ -633,5 +633,68 @@ object QuantQueries extends QueryModule {
       results.mkString(" UNION ALL ") + " ORDER BY pc"
   }
 
-  override def defs: Seq[QueryDef] = Seq(q136, q137)
+  /** q157: the compression ladder as a ROUTING decision, end to end —
+    * [[graft.operators.VectorIndex.select]] picks the family for a
+    * 64-byte/vec budget at the full measured recall floor (→ SQ8, the
+    * near-free 8×), [[graft.operators.VectorIndex.build]] persists the
+    * corpus under that family with the façade's family marker, and
+    * [[graft.operators.VectorIndex.search]] routes the 5 query vectors
+    * through the STORED marker (not the caller's knowledge) to the
+    * family's own ADC search. The oracle recomputes the routed family's
+    * exact arithmetic — the routing layer must add nothing and lose
+    * nothing vs calling the family directly (VectorIndexSpec pins the
+    * equality against the native verb; this query pins it against the
+    * independent engine).
+    *
+    * Scale shape: identical to q136's (train = one min/max scan,
+    * encode map-only, search scans only the 64-byte codes with
+    * broadcast queries) — the façade delegates, never re-plans.
+    */
+  private val q157 = QueryDef(
+    "q157_vector_index_route",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      if (e.isEmpty)
+        // empty corpus: the store families refuse to PERSIST an empty
+        // index (interrupted-save ambiguity), so the routed pipeline
+        // degrades to its empty result before the build
+        e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"),
+          lit(1).as("rank"), lit(0.0).as("score")).limit(0)
+      else {
+        val fam = graft.operators.VectorIndex.select(
+          maxBytesPerVec = 64, minRecallAt5 = 0.99)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-route").toString + "/idx"
+        graft.operators.VectorIndex.build(e, fam, path)
+        graft.operators.VectorIndex.search(e, q, path, k = 5)
+          .orderBy("query_id", "rank")
+      }
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+                  pd AS (SELECT i, MIN(v[i]) AS mni, MAX(v[i]) AS mxi
+                         FROM e CROSS JOIN range(1, ${dims + 1}) r(i)
+                         GROUP BY i),
+                  params AS (SELECT list(mni ORDER BY i) AS mn,
+                                    list(mxi ORDER BY i) AS mx FROM pd),
+                  codes AS (SELECT vec_id, ${encodeSql("v")} AS code
+                            FROM e CROSS JOIN params),
+                  q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+                  scored AS (SELECT qid, vec_id,
+                               list_dot_product(d, d) AS adc_dist
+                             FROM (SELECT qid, vec_id, $diffSql AS d
+                                   FROM codes CROSS JOIN q CROSS JOIN params) t)
+             SELECT qid AS query_id, vec_id AS neighbor_id, rank,
+                    adc_dist AS score
+             FROM (SELECT qid, vec_id, adc_dist,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY adc_dist ASC, vec_id ASC) AS rank
+                   FROM scored) r
+             WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  override def defs: Seq[QueryDef] = Seq(q136, q137, q157)
 }

@@ -2145,6 +2145,76 @@ object SimilarityQueries extends QueryModule {
       .write.mode("append").parquet(s"$path/lists")
   }
 
+  /** RE-KNIT verb: repair the append staleness [[knnSaveLists]]
+    * documents — after [[knnAppendLists]] adds new anchors, EXISTING
+    * anchors' stored lists still predate the new nodes and may miss
+    * nearer neighbors. A full rebuild rescans |corpus|² pairs; re-knit
+    * exploits that the true top-k over (old ∪ new) is exactly the
+    * top-k of (stored top-k over old) ∪ (sims to the new nodes) — so
+    * only the stale-anchor × new-batch sims are computed (linear in
+    * corpus × batch, batch side broadcast), merged with the stored
+    * lists, and re-ranked. KnnStoreSpec proves byte-equality with the
+    * full rebuild, the q139/q155 incremental-equals-full discipline.
+    *
+    * Only `brute-cos` stores re-knit: the merge argument above needs
+    * the stored lists to be EXACT top-k (an ANN-generated store's lists
+    * may already miss old neighbors, so merging preserves — not
+    * repairs — that approximation); ANN stores refresh through their
+    * own generator instead.
+    *
+    * `newIds`(vec_id) names the appended batch; `e`(vec_id, v) is the
+    * full corpus vector relation (the store holds no vectors). The
+    * lists store is rewritten through [[graft.operators.StoreRewrite]]
+    * (crash-durable); meta is untouched (same k, generator, stamp).
+    * Idempotent: candidates dedupe on (aid, bid), so a replayed re-knit
+    * of the same batch rewrites identical rows.
+    */
+  def knnReknit(e: org.apache.spark.sql.DataFrame,
+      newIds: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val spark = e.sparkSession
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("fp", "k", "generator").take(1)
+    require(meta.nonEmpty,
+      s"knnReknit: meta store at $path/meta is empty — save the store " +
+        "first (knnSaveLists)")
+    val (fp, k, gen) =
+      (meta(0).getString(0), meta(0).getInt(1), meta(0).getString(2))
+    require(gen == "brute-cos",
+      s"knnReknit: store was generated by '$gen' — the stored-list merge " +
+        "is exact only over exact lists; refresh ANN-generated stores " +
+        "through their own generator and knnSaveLists")
+    val ids = newIds.select("vec_id").localCheckpoint(true)
+    val lists = spark.read.parquet(s"$path/lists")
+    val aidsNew = ids.withColumnRenamed("vec_id", "aid")
+    // stale anchors: stored before this batch existed
+    val stale = lists.select("aid").distinct()
+      .join(aidsNew, Seq("aid"), "left_anti")
+    // batch-sized vector side, broadcast against the stale anchors
+    val nv = e.join(ids, Seq("vec_id"))
+      .select(col("vec_id").as("bid"), col("v").as("bv"))
+    val freshSims = e.select(col("vec_id").as("aid"), col("v"))
+      .join(stale, Seq("aid"))
+      .join(broadcast(nv), col("aid") =!= col("bid"))
+      .select(col("aid"), col("bid"), cosine(col("v"), col("bv")).as("sim"))
+    val staleRows = lists.join(stale, Seq("aid"))
+      .select("aid", "bid", "sim")
+    // dedupe (a replayed re-knit's stored lists already contain the new
+    // nodes; both sides compute the same cosine on the same operands,
+    // so max == either copy)
+    val cand = staleRows.unionAll(freshSims)
+      .groupBy("aid", "bid").agg(max("sim").as("sim"))
+    val merged = graft.operators.GroupTopK.topK(cand, Seq(col("aid")),
+        Seq(col("sim").desc, col("bid").asc), col("bid"), k,
+        rankName = "rn")
+      .select("aid", "bid", "sim", "rn")
+    val keptNew = lists.join(aidsNew, Seq("aid"), "left_semi")
+      .select("aid", "bid", "sim", "rn")
+    graft.operators.StoreRewrite.atomicOverwrite(
+      keptNew.unionAll(merged).withColumn("fp", lit(fp))
+        .select("aid", "bid", "sim", "rn", "fp"),
+      s"$path/lists")
+  }
+
   /** DELETE verb: tombstone `ids`(vec_id) — masked out of both list
     * columns at every subsequent load; sticky across replayed appends.
     */
@@ -2181,6 +2251,65 @@ object SimilarityQueries extends QueryModule {
           .select(col("qid"), col("bid").as("vec_id")))
       .filter(col("vec_id") =!= col("qid"))
       .distinct()
+  }
+
+  /** Multi-hop expansion of an ANN candidate set through the stored
+    * kNN-list graph — [[graphExpandCandidates]] iterated with a BEAM:
+    * each hop pulls the current frontier's stored neighbors, scores the
+    * NEW ones exactly against the query (candidate-bounded, queries
+    * broadcast), and keeps only the top-`beam` per query as the next
+    * frontier. This is NSW/HNSW best-first search in distributed form:
+    * without the cap, hop h touches up to |base|·k^h vertices (the
+    * closure explodes); with it, every hop's join is ≤ |queries|·beam·k
+    * rows regardless of depth, so depth buys recall at FLAT per-hop
+    * cost. Returns the visited set (qid, vec_id, sim, hop) — hop 0 =
+    * the base probe's candidates, hop h = first discovered at hop h —
+    * ready for the exact top-k rerank (sim is already the exact cosine).
+    *
+    * Scale shape per hop: one (vec_id)-keyed join against the lists
+    * (frontier-sized), one anti-join against the visited set (visited ≤
+    * |queries|·(base + hops·beam) rows — list-sized, never corpus-
+    * sized), one exact [[graft.operators.GroupTopK]] over ≤ beam·k
+    * candidates per query. The frontier is checkpointed per hop (the CC
+    * loop discipline) so the plan does not deepen with hops.
+    */
+  def graphExpandMultiHop(base: org.apache.spark.sql.DataFrame,
+      lists: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      hops: Int = 2, beam: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    require(beam >= 1, s"beam must be >= 1, got $beam")
+    val q = queries.select(col("qid"), col("qv")).localCheckpoint(true)
+    val edges = lists.select(col("aid").as("vec_id"), col("bid"))
+    // hop 0: the base candidates, scored exactly (the rerank needs sims
+    // for every visited row anyway, and the frontier order is by sim)
+    var visited = base.select("qid", "vec_id")
+      .join(e, "vec_id").join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("v")).as("sim"), lit(0).as("hop"))
+      .localCheckpoint(true)
+    var frontier = visited.select("qid", "vec_id")
+    (1 to hops).foreach { h =>
+      val nbrs = frontier
+        .join(edges, Seq("vec_id"))
+        .select(col("qid"), col("bid").as("vec_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .distinct()
+        .join(visited.select("qid", "vec_id"), Seq("qid", "vec_id"),
+          "left_anti")
+      val scored = nbrs.join(e, "vec_id").join(broadcast(q), "qid")
+        .select(col("qid"), col("vec_id"),
+          cosine(col("qv"), col("v")).as("sim"))
+      val kept = graft.operators.GroupTopK.topK(scored, Seq(col("qid")),
+          Seq(col("sim").desc, col("vec_id").asc), col("vec_id"), beam,
+          rankName = "brank")
+        .select(col("qid"), col("vec_id"), col("sim"), lit(h).as("hop"))
+        .localCheckpoint(true)
+      visited = visited.unionAll(kept).localCheckpoint(true)
+      frontier = kept.select("qid", "vec_id")
+    }
+    visited
   }
 
   /** The mutuality tail of mutual-kNN, decoupled from candidate
@@ -3092,8 +3221,113 @@ object SimilarityQueries extends QueryModule {
                       AS BIGINT) AS n_boundary
              FROM j GROUP BY cell ORDER BY cell"""))
 
+  /** q158: q147's graph expansion taken to depth — a SHALLOWER Hamming
+    * probe (top-4 vs q147's top-8) beam-expanded TWO hops through the
+    * stored kNN lists ([[graphExpandMultiHop]], beam 8). The point the
+    * query pins: depth recovers what probe width gave up — half the
+    * probe candidates, yet the 2-hop frontier reaches neighbors the
+    * 1-hop expansion of the wider probe misses (the measured curve is
+    * in KnnStoreSpec; this query pins the exact arithmetic against the
+    * engine twin). `hop` says where each survivor was first discovered
+    * — the beam's provenance, the multi-hop analogue of q147's `via`.
+    *
+    * Scale: every hop is frontier×k then beam-capped — depth never
+    * compounds the join size (the closure explosion the cap exists to
+    * prevent); the final rerank window is ≤ 4+2·8 rows per query.
+    */
+  private val q158 = QueryDef(
+    "q158_multihop_ann",
+    (s, d) => {
+      val e = knnSubset(s, d)
+      val packed = e.select(col("vec_id"), col("v"),
+        signLane(0).as("w0"), signLane(32).as("w1"))
+      val q = packed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("w0").as("qw0"), col("w1").as("qw1"))
+      val ham = packed.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr("CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS INT)")
+            .as("hamming"))
+      val base = graft.operators.GroupTopK.topK(ham, Seq(col("qid")),
+          Seq(col("hamming").asc, col("vec_id").asc), col("vec_id"), 4,
+          rankName = "hrank")
+        .select("qid", "vec_id")
+      val visited = graphExpandMultiHop(base, bruteTopLists(e, 3), e,
+        q.select("qid", "qv"), hops = 2, beam = 8)
+      // candidate-bounded window (<= 20 rows per query by construction)
+      val wr = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      visited.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("sim").as("cos_sim"), col("hop"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings WHERE vec_id < 300),
+                  packed AS (SELECT vec_id, v, ${signLaneSql(0)} AS w0,
+                               ${signLaneSql(32)} AS w1 FROM e),
+                  q AS (SELECT vec_id AS qid, v AS qv, w0 AS qw0, w1 AS qw1
+                        FROM packed WHERE vec_id < 5),
+                  ham AS (SELECT qid, vec_id,
+                            CAST(bit_count(xor(w0, qw0))
+                              + bit_count(xor(w1, qw1)) AS INTEGER) AS hamming
+                          FROM packed CROSS JOIN q WHERE vec_id <> qid),
+                  base AS (SELECT qid, vec_id FROM (
+                             SELECT qid, vec_id,
+                               ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY hamming ASC, vec_id ASC) AS hrank
+                             FROM ham) h WHERE hrank <= 4),
+                  p AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+                          ${cosSql("a.v", "b.v")} AS sim
+                        FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+                  t AS (SELECT aid, bid FROM (
+                          SELECT aid, bid,
+                            ROW_NUMBER() OVER (PARTITION BY aid
+                              ORDER BY sim DESC, bid ASC) AS rn
+                          FROM p) r WHERE rn <= 3),
+                  v0 AS (SELECT base.qid, base.vec_id,
+                           ${cosSql("q.qv", "e.v")} AS sim, 0 AS hop
+                         FROM base JOIN e ON base.vec_id = e.vec_id
+                         JOIN q ON base.qid = q.qid),
+                  n1 AS (SELECT v0.qid, t.bid AS vec_id
+                         FROM v0 JOIN t ON v0.vec_id = t.aid
+                         WHERE t.bid <> v0.qid
+                         EXCEPT SELECT qid, vec_id FROM v0),
+                  s1 AS (SELECT n1.qid, n1.vec_id,
+                           ${cosSql("q.qv", "e.v")} AS sim
+                         FROM n1 JOIN e ON n1.vec_id = e.vec_id
+                         JOIN q ON n1.qid = q.qid),
+                  k1 AS (SELECT qid, vec_id, sim, 1 AS hop FROM (
+                           SELECT qid, vec_id, sim,
+                             ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, vec_id ASC) AS br
+                           FROM s1) b WHERE br <= 8),
+                  v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM k1),
+                  n2 AS (SELECT k1.qid, t.bid AS vec_id
+                         FROM k1 JOIN t ON k1.vec_id = t.aid
+                         WHERE t.bid <> k1.qid
+                         EXCEPT SELECT qid, vec_id FROM v1),
+                  s2 AS (SELECT n2.qid, n2.vec_id,
+                           ${cosSql("q.qv", "e.v")} AS sim
+                         FROM n2 JOIN e ON n2.vec_id = e.vec_id
+                         JOIN q ON n2.qid = q.qid),
+                  k2 AS (SELECT qid, vec_id, sim, 2 AS hop FROM (
+                           SELECT qid, vec_id, sim,
+                             ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, vec_id ASC) AS br
+                           FROM s2) b WHERE br <= 8),
+                  v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM k2)
+             SELECT qid AS query_id, vec_id AS neighbor_id, rank,
+                    sim AS cos_sim, hop
+             FROM (SELECT qid, vec_id, sim, hop,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, vec_id ASC) AS rank
+                   FROM v2) r
+             WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112, q142,
       q114, q116, q117, q119, q123, q127, q128, q131, q132, q147, q148,
-      q149)
+      q149, q158)
 }

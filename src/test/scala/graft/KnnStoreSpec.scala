@@ -185,4 +185,110 @@ class KnnStoreSpec extends SparkSuite {
         r.getAs[Long]("neighbor_id")))),
       "no graph-sourced survivor is a true neighbor — expansion vacuous")
   }
+
+  test("incremental re-knit equals the full rebuild exactly, is " +
+    "idempotent on replay, and refuses non-exact generators") {
+    val base = tmpDir("knnstore-reknit")
+    val eOld = emb.filter(col("vec_id") >= 60)
+    val newIds = emb.filter(col("vec_id") < 60).select("vec_id")
+    // day 0: store over the old corpus only
+    SimilarityQueries.knnSaveLists(
+      SimilarityQueries.bruteTopLists(eOld, 3), 3, "brute-cos", s"$base/knn")
+    // append: the new anchors' lists, computed against the FULL corpus
+    SimilarityQueries.knnAppendLists(
+      SimilarityQueries.bruteTopLists(emb, 3)
+        .join(newIds.withColumnRenamed("vec_id", "aid"), Seq("aid"),
+          "left_semi"),
+      "brute-cos", s"$base/knn")
+    // old anchors are now STALE (their lists predate the new nodes);
+    // re-knit repairs them from stored lists + new-batch sims only
+    SimilarityQueries.knnReknit(emb, newIds, s"$base/knn")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val full = SimilarityQueries.bruteTopLists(emb, 3)
+      .select("aid", "bid", "sim", "rn").collect().map(key).sorted
+    def loaded() = SimilarityQueries.knnLoadLists(spark, s"$base/knn")._1
+      .select("aid", "bid", "sim", "rn").collect().map(key).sorted
+    assert(loaded().sameElements(full),
+      "re-knit store must equal the full |corpus|^2 rebuild exactly")
+    // replayed re-knit: a no-op (candidates dedupe on (aid, bid))
+    SimilarityQueries.knnReknit(emb, newIds, s"$base/knn")
+    assert(loaded().sameElements(full), "replayed re-knit must be a no-op")
+    // a non-exact generator cannot be re-knit (the merge argument needs
+    // exact stored lists)
+    SimilarityQueries.knnSaveLists(
+      SimilarityQueries.bruteTopLists(eOld, 3), 3, "lsh-b4", s"$base/ann")
+    val exGen = intercept[IllegalArgumentException] {
+      SimilarityQueries.knnReknit(emb, newIds, s"$base/ann")
+    }
+    assert(exGen.getMessage.contains("'lsh-b4'"),
+      s"re-knit must refuse an ANN-generated store: ${exGen.getMessage}")
+  }
+
+  test("multi-hop beam expansion: the recall-vs-candidates curve is " +
+    "monotone in depth from a SHALLOW probe, and the visited set is " +
+    "beam-bounded per hop") {
+    import org.apache.spark.sql.expressions.Window
+    // truth: brute cosine top-5 per query (self excluded)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val truth = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("qv"), col("v")).as("s"))
+    val wt = Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id").asc)
+    val truthSet = truth.withColumn("rn", row_number().over(wt))
+      .filter(col("rn") <= 5).select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // a shallow Hamming probe (top-4) as the base, like q158
+    val packed = emb.select(col("vec_id"), col("v"),
+      expr("aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+        "IF(element_at(v, i + 1) > 0D, shiftleft(1L, i), 0L))").as("w0"),
+      expr("aggregate(sequence(32, 63), 0L, (acc, i) -> acc + " +
+        "IF(element_at(v, i + 1) > 0D, shiftleft(1L, i - 32), 0L))").as("w1"))
+    val qp = packed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+    val ham = packed.join(broadcast(qp), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS INT)")
+          .as("hamming"))
+    val base = graft.operators.GroupTopK.topK(ham, Seq(col("qid")),
+        Seq(col("hamming").asc, col("vec_id").asc), col("vec_id"), 4,
+        rankName = "hrank")
+      .select("qid", "vec_id")
+
+    def recallAt(hops: Int): (Double, Long) = {
+      val visited = SimilarityQueries.graphExpandMultiHop(
+        base, lists, emb, q, hops = hops, beam = 8)
+      val wr = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val top = visited.withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 5).select("qid", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ((top & truthSet).size.toDouble / truthSet.size, visited.count())
+    }
+    val (r1, n1) = recallAt(1)
+    val (r2, n2) = recallAt(2)
+    val (r3, n3) = recallAt(3)
+    // base-only recall (hop 0 candidates reranked)
+    val wb = Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id").asc)
+    val baseTop = base.join(truth, Seq("qid", "vec_id"))
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= 5).select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r0 = (baseTop & truthSet).size.toDouble / truthSet.size
+    info(f"recall@5 curve: probe=$r0%.3f 1hop=$r1%.3f ($n1 cand) " +
+      f"2hop=$r2%.3f ($n2 cand) 3hop=$r3%.3f ($n3 cand)")
+    assert(r1 >= r0 && r2 >= r1 && r3 >= r2,
+      s"recall must be monotone in depth: $r0 -> $r1 -> $r2 -> $r3")
+    assert(r2 > r0,
+      s"two hops from the shallow probe must lift recall: $r0 -> $r2")
+    // beam bound: visited <= |q| * (4 + hops*beam)
+    Seq((1, n1), (2, n2), (3, n3)).foreach { case (h, n) =>
+      assert(n <= 5L * (4 + h * 8),
+        s"hop-$h visited set $n exceeds the beam bound ${5 * (4 + h * 8)}")
+    }
+  }
 }
