@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 
-import graft.functions.{DotProductExpr, HexSignMaskExpr, ImageHeaderExpr, MediaHeaderExpr, NormalizeTextExpr, ZOrderExpr}
+import graft.functions.{DotProductExpr, HexSignMaskExpr, ImageHeaderExpr, LuhnCheckExpr, MediaHeaderExpr, NormalizeTextExpr, ZOrderExpr}
 
 /** SparkSessionExtensions entry point — the library-deployment packaging of
   * graft's native expressions: add
@@ -84,5 +84,11 @@ object GraftExtensions {
         "graft_media_header(payload) - struct<format,duration_ms,channels,sample_rate> parsed from WAV/MP4 container bytes; NULL if unrecognized"),
       (exprs: Seq[Expression]) => {
         arity("graft_media_header", 1, exprs); MediaHeaderExpr(exprs(0))
+      }),
+    (FunctionIdentifier("graft_luhn_check"),
+      info(classOf[LuhnCheckExpr], "graft_luhn_check",
+        "graft_luhn_check(s) - true iff s is a non-empty all-digit string with a valid Luhn (mod-10) checksum"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_luhn_check", 1, exprs); LuhnCheckExpr(exprs(0))
       }))
 }

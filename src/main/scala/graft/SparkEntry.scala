@@ -13,7 +13,7 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     CoreQueries, RelationalQueries, TextQueries, DedupQueries,
     SimilarityQueries, EventQueries, MiscQueries, PipelineQueries,
-    SearchQueries, QuantQueries)
+    SearchQueries, QuantQueries, GovernanceQueries)
 
   private lazy val all: Seq[QueryDef] = {
     val defs = modules.flatMap(_.defs)

@@ -26,4 +26,7 @@ object GraftFunctions {
   def graftMediaHeader(payload: Column): Column =
     GraftColumnBridge.column(
       MediaHeaderExpr(GraftColumnBridge.expression(payload)))
+  def graftLuhnCheck(digits: Column): Column =
+    GraftColumnBridge.column(
+      LuhnCheckExpr(GraftColumnBridge.expression(digits)))
 }

@@ -507,7 +507,58 @@ object EventQueries extends QueryModule {
             FROM changes
             ORDER BY user_id, valid_from, event_id"""))
 
+  /** q159: point-in-interval (range) join with NO equality key — "which
+    * surge windows does each event fall in". Surge windows are derived
+    * from the data itself: per event type, the top-4 events by
+    * (value DESC, event_id ASC) each open a ±90-minute window; windows
+    * overlap and are unaligned, so no natural join key exists. The join
+    * runs through [[graft.operators.IntervalJoin]] — fixed 3-hour time
+    * buckets turn the non-equi predicate into ONE hash equality join
+    * (each window covers ≤ 2 buckets, each event maps to 1) — never a
+    * nested-loop/cartesian scan of points × windows. At this SF the 20
+    * windows broadcast and the event side never shuffles; at 10⁶ windows
+    * the same plan becomes a bucket-keyed shuffle join, which is the
+    * point of the operator. The oracle states the predicate naively
+    * (ts >= ws AND ts < we) — semantics pinned, shape free.
+    */
+  private val q159 = QueryDef(
+    "q159_interval_join",
+    (s, d) => {
+      val ev = Tables(s, d, "events")
+      val peaks = graft.operators.GroupTopK.topK(
+          ev.select(col("event_type").as("window_type"),
+            col("event_id").as("peak_id"), col("ts").as("peak_ts"),
+            col("value")),
+          Seq(col("window_type")),
+          Seq(col("value").desc, col("peak_id").asc),
+          col("peak_id"), k = 4)
+        .select(col("window_type"), col("peak_id"),
+          (col("peak_ts") - expr("INTERVAL 90 MINUTES")).as("ws"),
+          (col("peak_ts") + expr("INTERVAL 90 MINUTES")).as("we"))
+      graft.operators.IntervalJoin.join(
+          ev.select(col("event_id"), col("ts"), col("event_type"), col("value")),
+          "ts", peaks, "ws", "we", bucketSeconds = 3 * 3600)
+        .groupBy("window_type", "peak_id", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("window_type", "peak_id", "event_type")
+    },
+    Some(s"""WITH ranked AS (
+               SELECT event_type AS window_type, event_id AS peak_id, ts AS peak_ts,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY value DESC, event_id ASC) AS rk
+               FROM events),
+             win AS (
+               SELECT window_type, peak_id,
+                      peak_ts - INTERVAL 90 MINUTE AS ws,
+                      peak_ts + INTERVAL 90 MINUTE AS we
+               FROM ranked WHERE rk <= 4)
+             SELECT w.window_type, w.peak_id, e.event_type,
+                    COUNT(*) AS n, ${sqlDsum("e.value")} AS total_value
+             FROM win w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+             GROUP BY w.window_type, w.peak_id, e.event_type
+             ORDER BY w.window_type, w.peak_id, e.event_type"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71, q83, q118, q122, q150,
-      q155)
+      q155, q159)
 }
