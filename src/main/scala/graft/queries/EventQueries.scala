@@ -558,7 +558,51 @@ object EventQueries extends QueryModule {
              GROUP BY w.window_type, w.peak_id, e.event_type
              ORDER BY w.window_type, w.peak_id, e.event_type"""))
 
+  /** q164: EXACT rolling 7-day distinct users per day — the metric
+    * every engagement dashboard wants and the one a naive plan cannot
+    * deliver at scale: `COUNT(DISTINCT user) OVER (RANGE 6 PRECEDING)`
+    * is unsupported (distinct in a window), and the day × trailing-week
+    * self-join reprocesses every event 7×. The scale-correct shape used
+    * here: dedup to (user, day) presence (the same one shuffle any DAU
+    * query pays), then per user turn consecutive seen-days into
+    * DISJOINT contribution intervals [day, min(day+6, next_seen−1)] —
+    * a user seen on day d is "active" for the 7 windows d..d+6, minus
+    * the overlap the next sighting already covers. Each presence row
+    * explodes into ≤ 7 day rows and each user hits each day AT MOST
+    * ONCE (intervals are disjoint by construction), so the final
+    * per-day aggregate is a plain COUNT(*) — no distinct, no 7× event
+    * reprocess, no window over the corpus. The per-user lead() window
+    * partitions on user_id with calendar-bounded partitions. The
+    * oracle states the semantics naively (days × presence BETWEEN
+    * join + COUNT DISTINCT) — shape free, values pinned.
+    */
+  private val q164 = QueryDef(
+    "q164_rolling_distinct_users",
+    (s, d) => {
+      val ud = Tables(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val contrib = ud
+        .withColumn("next_day", lead(col("day"), 1).over(w))
+        .withColumn("until",
+          when(col("next_day").isNull, date_add(col("day"), 6))
+            .otherwise(least(date_add(col("day"), 6),
+              date_sub(col("next_day"), 1))))
+        .withColumn("d", explode(expr("sequence(day, until)")))
+        .select("user_id", "d")
+      val days = ud.select(col("day").as("d")).distinct()
+      contrib.join(days, "d")
+        .groupBy("d").agg(count(lit(1)).as("n_users_7d"))
+        .orderBy("d")
+    },
+    Some("""WITH ud AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+            days AS (SELECT DISTINCT day AS d FROM ud)
+            SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
+            FROM days JOIN ud ON ud.day BETWEEN d - 6 AND d
+            GROUP BY d ORDER BY d"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71, q83, q118, q122, q150,
-      q155, q159)
+      q155, q159, q164)
 }

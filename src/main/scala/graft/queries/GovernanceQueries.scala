@@ -1,19 +1,25 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
 
 /** Data-governance operators over the corpus/warehouse tables: PII
   * detection + redaction (the scrub pass every training-data pipeline
-  * runs before release) and snapshot diffing (what changed between two
-  * corpus versions). The synthetic testdata carries no organic PII, so
-  * the PII queries audit a deterministic "contact line" derived from
-  * customer keys — the detectors' cross-engine semantics (regex classes,
-  * Luhn arithmetic) are pinned against DuckDB on non-trivial input, and
-  * PiiSpec proves the detection/redaction behavior on adversarial
-  * fixtures (mixed valid/invalid Luhn, embedded digit runs).
+  * runs before release), snapshot diffing (what changed between two
+  * corpus versions), and declarative data-quality auditing. q85 already
+  * scrubs the name column with generic shape patterns; q160/q161 are
+  * the deeper half of that surface — a per-class AUDIT with a Luhn
+  * validity gate (card-shaped vs card-valid, the false-positive
+  * separator q85's patterns cannot express) and a typed-placeholder
+  * scrub over content where every class genuinely fires. The synthetic
+  * testdata carries no organic PII, so the PII queries audit a
+  * deterministic "contact line" derived from customer keys — the
+  * detectors' cross-engine semantics (regex classes, Luhn arithmetic)
+  * are pinned against DuckDB on non-trivial input, and PiiSpec proves
+  * the detection/redaction behavior on adversarial fixtures (mixed
+  * valid/invalid Luhn, embedded digit runs).
   */
 object GovernanceQueries extends QueryModule {
 
@@ -195,5 +201,156 @@ object GovernanceQueries extends QueryModule {
             FROM p FULL OUTER JOIN c USING (doc_id)
             GROUP BY 1, 2 ORDER BY source, status"""))
 
-  override def defs: Seq[QueryDef] = Seq(q160, q161, q162)
+  /** q165: declarative data-quality audit (constraint-suite shape): a
+    * fixed battery of expectations over the warehouse tables — null
+    * checks, domain ranges, accepted value sets, key uniqueness, and
+    * lineitem→orders referential integrity — evaluated into one
+    * (table, constraint, n_checked, n_violations, passed) report.
+    * The battery mixes constraints that hold on this data with
+    * genuinely TIGHTER business rules (quantity ≤ 45, status ∈ {F,O})
+    * so both outcomes appear with nonzero counts — an audit that can
+    * only say "pass" tests nothing.
+    *
+    * Scale shape: ONE scan per table — every per-row constraint folds
+    * into the same conditional aggregate (map-side combine to one
+    * row), then unpivots to report rows; uniqueness rides the same
+    * aggregate as count − count(distinct key); the FK check is the
+    * only join — a left anti on the key, the standard orphan scan.
+    * Nothing corpus-sized shuffles except that one keyed anti join;
+    * the report is 8 rows however big the tables are.
+    */
+  private val q165 = QueryDef(
+    "q165_data_quality_audit",
+    (s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val ord = Tables(s, d, "orders")
+      def report(rows: DataFrame) = rows.select(
+        col("table_name"), col("constraint"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0L).as("passed"))
+      val liAgg = li.agg(
+          count(lit(1)).as("n_checked"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_null"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("v_range"),
+          sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("v_bulk"),
+          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+            .otherwise(0L)).as("v_flag"))
+        .select(explode(array(
+          struct(lit("lineitem").as("table_name"),
+            lit("l_orderkey_not_null").as("constraint"),
+            col("n_checked"), col("v_null").as("n_violations")),
+          struct(lit("lineitem").as("table_name"),
+            lit("l_quantity_in_1_50").as("constraint"),
+            col("n_checked"), col("v_range").as("n_violations")),
+          struct(lit("lineitem").as("table_name"),
+            lit("l_quantity_max_45_rule").as("constraint"),
+            col("n_checked"), col("v_bulk").as("n_violations")),
+          struct(lit("lineitem").as("table_name"),
+            lit("l_returnflag_in_A_N_R").as("constraint"),
+            col("n_checked"), col("v_flag").as("n_violations")))).as("r"))
+        .select("r.*")
+      val ordAgg = ord.agg(
+          count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"),
+          sum(when(!col("o_orderstatus").isin("F", "O"), 1L).otherwise(0L))
+            .as("v_status"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_price"))
+        .select(explode(array(
+          struct(lit("orders").as("table_name"),
+            lit("o_orderkey_unique").as("constraint"),
+            col("n_checked"), col("v_dup").as("n_violations")),
+          struct(lit("orders").as("table_name"),
+            lit("o_orderstatus_in_F_O_rule").as("constraint"),
+            col("n_checked"), col("v_status").as("n_violations")),
+          struct(lit("orders").as("table_name"),
+            lit("o_totalprice_positive").as("constraint"),
+            col("n_checked"), col("v_price").as("n_violations")))).as("r"))
+        .select("r.*")
+      val fk = li.select(col("l_orderkey"))
+        .join(ord.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .crossJoin(li.agg(count(lit(1)).as("n_checked")))
+        .select(lit("lineitem").as("table_name"),
+          lit("l_orderkey_fk_orders").as("constraint"),
+          col("n_checked"), col("n_orphans").as("n_violations"))
+      report(liAgg.unionByName(ordAgg).unionByName(fk))
+        .orderBy("table_name", "constraint")
+    },
+    Some("""WITH li AS (
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+                     CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+                     CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS v_bulk,
+                     CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_flag
+              FROM lineitem),
+            ord AS (
+              SELECT COUNT(*) AS n,
+                     COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup,
+                     CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+                     CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+              FROM orders),
+            fk AS (
+              SELECT (SELECT COUNT(*) FROM lineitem) AS n,
+                     COUNT(*) AS v FROM lineitem l
+              LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey IS NULL),
+            rows_ AS (
+              SELECT 'lineitem' AS table_name, 'l_orderkey_not_null' AS "constraint", n AS n_checked, v_null AS n_violations FROM li
+              UNION ALL SELECT 'lineitem', 'l_quantity_in_1_50', n, v_range FROM li
+              UNION ALL SELECT 'lineitem', 'l_quantity_max_45_rule', n, v_bulk FROM li
+              UNION ALL SELECT 'lineitem', 'l_returnflag_in_A_N_R', n, v_flag FROM li
+              UNION ALL SELECT 'orders', 'o_orderkey_unique', n, v_dup FROM ord
+              UNION ALL SELECT 'orders', 'o_orderstatus_in_F_O_rule', n, v_status FROM ord
+              UNION ALL SELECT 'orders', 'o_totalprice_positive', n, v_price FROM ord
+              UNION ALL SELECT 'lineitem', 'l_orderkey_fk_orders', n, v FROM fk)
+            SELECT table_name, "constraint", n_checked, n_violations,
+                   n_violations = 0 AS passed
+            FROM rows_ ORDER BY table_name, "constraint" """))
+
+  /** q166: snapshot diff → CDC apply ROUNDTRIP — the proof that q162's
+    * diff is not just a report but a complete, applyable changeset:
+    * extract (upsert/delete) operations from diff(prev, curr), apply
+    * them to prev (the q97 CDC-merge shape: one broadcast-or-keyed
+    * anti join for touched keys, union the upserts), and emit the
+    * reconstructed corpus as (doc_id, source, digest). The ORACLE is
+    * the current corpus read directly — reconstruction must reproduce
+    * it row for row, so any error in the diff extraction OR the apply
+    * logic fails the gate; the invariant IS the compare.
+    *
+    * Scale shape: the extraction is q162's single digest outer join;
+    * the apply is one anti join on the batch-bounded touched-key set
+    * plus a union — at 100 TB the changeset (not the corpus) is the
+    * cost dial, the q139/q155 incremental discipline on the corpus
+    * store itself.
+    */
+  private val q166 = QueryDef(
+    "q166_diff_apply_roundtrip",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val prev = docs.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 31 === 0, upper(col("text"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 101 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      val p = prev.select(col("doc_id"), md5(col("text")).as("p_hash"))
+      val c = docs.select(col("doc_id"), col("text").as("c_text"),
+        col("source").as("c_source"), md5(col("text")).as("c_hash"))
+      val diff = p.join(c, Seq("doc_id"), "full_outer")
+      val upserts = diff
+        .filter(col("c_hash").isNotNull &&
+          (col("p_hash").isNull || col("p_hash") =!= col("c_hash")))
+        .select(col("doc_id"), col("c_text").as("text"),
+          col("c_source").as("source"))
+      val deletes = diff.filter(col("c_hash").isNull).select("doc_id")
+      val touched = upserts.select("doc_id").unionByName(deletes)
+      val applied = prev.join(touched, Seq("doc_id"), "left_anti")
+        .unionByName(upserts)
+      applied.select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source, md5(text) AS digest
+            FROM documents ORDER BY doc_id"""))
+
+  override def defs: Seq[QueryDef] = Seq(q160, q161, q162, q165, q166)
 }

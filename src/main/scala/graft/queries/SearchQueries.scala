@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -53,6 +53,18 @@ object SearchQueries extends QueryModule {
       sum(col("dl")).as("tot") +:
         queryTerms.indices.map(i =>
           sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    base.filter(queryTerms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select(bm25Projection(queryTerms): _*)
+  }
+
+  /** The ONE implementation of the scoring projection, shared by the
+    * in-query scorer above and the persisted-index search below — the
+    * two paths must stay bit-identical (double addition order is part
+    * of the contract), so the expression tree exists exactly once.
+    * Expects columns: doc_id, dl, tf0..tfN, n_docs, tot, df0..dfN.
+    */
+  private def bm25Projection(queryTerms: Seq[String]): Seq[Column] = {
     val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
     def termScore(i: Int) = {
       val idf = (col("n_docs").cast("double") - col(s"df$i").cast("double") + lit(0.5)) /
@@ -62,12 +74,10 @@ object SearchQueries extends QueryModule {
         (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
       when(col(s"tf$i") > 0, idf * norm).otherwise(lit(0.0))
     }
-    base.filter(queryTerms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        queryTerms.indices.map(i => (col(s"tf$i") > 0).cast("int"))
-          .reduce(_ + _).as("n_terms_hit"),
-        queryTerms.indices.map(termScore).reduce(_ + _).as("score"))
+    Seq(col("doc_id"),
+      queryTerms.indices.map(i => (col(s"tf$i") > 0).cast("int"))
+        .reduce(_ + _).as("n_terms_hit"),
+      queryTerms.indices.map(termScore).reduce(_ + _).as("score"))
   }
 
   /** Shared oracle CTE chain ending in `bm(doc_id, n_terms_hit, score)` —
@@ -390,5 +400,389 @@ object SearchQueries extends QueryModule {
          FROM sel4 ORDER BY sel_rank"""
     })
 
-  override def defs: Seq[QueryDef] = Seq(q92, q93, q152, q154)
+  // ------------------------------------------------------------------
+  // Persisted inverted (BM25) text index — the EIGHTH store family:
+  // the text-retrieval twin of the seven vector stores. Build once,
+  // search forever off the postings alone; append increments; delete
+  // via the shared tombstone mask. At 100 TB the corpus is tokenized
+  // ONCE at build; every query after that touches only the postings of
+  // its own terms (predicate pushdown on the term column; at cluster
+  // scale the postings store is written bucketed by term so a query
+  // reads a few buckets, not the corpus).
+  //
+  // Store layout under <path>/:
+  //   meta/      1 row: tokenizer tag, corpus stats, content stamps
+  //   postings/  (term, doc_id, tf)
+  //   docstats/  (doc_id, dl)   [dl = 0 rows kept: they count in avgdl]
+  //   tombstones/ (shared IndexTombstones doc-id mask)
+  //
+  // Provenance: no per-row stamp — instead an ORDER-INSENSITIVE content
+  // stamp (n, Σdl, Σ decimal(xxhash64(doc_id, dl))) computed over
+  // docstats AND recomputed from postings (dl := Σtf per doc), both
+  // checked against meta at load. This is strictly stronger than a
+  // per-row fingerprint: a spliced, truncated, or foreign postings set
+  // cannot reproduce the docstats stamp, and the postings↔docstats
+  // PAIRING itself is verified (the failure mode a per-row stamp
+  // misses). The stamp is additive, so append updates meta in O(1)
+  // driver arithmetic from the increment's stamp alone.
+  // ------------------------------------------------------------------
+
+  private val tokTag = "ti1:tok=[a-z0-9]+:k1=1.2:b=0.75"
+
+  private val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** (n_docs, Σdl, Σhash) over a (doc_id, dl) relation — the content
+    * stamp. The hash sum is decimal(38,0): a plain long sum of 2⁶³-range
+    * hashes overflows (and throws under ANSI) after a handful of rows.
+    */
+  private def presenceStamp(pairs: DataFrame): (Long, Long, java.math.BigInteger) = {
+    val r = pairs.agg(
+      count(lit(1)),
+      coalesce(sum(col("dl").cast("long")), lit(0L)),
+      coalesce(sum(xxhash64(col("doc_id"), col("dl").cast("long")).cast(dec38)),
+        lit(0L).cast(dec38))).head()
+    (r.getLong(0), r.getLong(1), r.getDecimal(2).toBigInteger)
+  }
+
+  private def stampFingerprint(n: Long, tot: Long, h: java.math.BigInteger): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"$tokTag:n=$n:tot=$tot:h=$h".getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Reconstruct (doc_id, dl) from postings (dl = Σtf) — covers exactly
+    * the docs that HAVE postings, so it is compared against the dl>0
+    * slice of docstats (a zero-token doc legitimately has no posting).
+    */
+  private def postingsPresence(postings: DataFrame): DataFrame =
+    postings.groupBy("doc_id").agg(sum(col("tf").cast("long")).as("dl"))
+
+  /** Tokenize the corpus into the two index relations:
+    * postings(term, doc_id, tf) + docstats(doc_id, dl). The corpus text
+    * is read twice here (once per relation); a production 100 TB build
+    * persists the tokenized scan (or builds docstats from the postings
+    * shuffle plus the zero-token remainder) — the harness keeps the
+    * declarative form.
+    */
+  def textIndexBuild(docs: DataFrame): (DataFrame, DataFrame) = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val docstats = base.select(col("doc_id"), size(col("tk")).as("dl"))
+    val postings = base.select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).cast("int").as("tf"))
+    (postings, docstats)
+  }
+
+  /** Persist the index. Refuses an empty corpus (an empty store is
+    * indistinguishable from an interrupted save) and refuses a
+    * postings/docstats pair that don't describe the same corpus — a
+    * mis-paired save would pass every later load check and search
+    * wrongly forever.
+    */
+  def textIndexSave(postings: DataFrame, docstats: DataFrame, path: String): Unit = {
+    val (n, tot, h) = presenceStamp(docstats)
+    require(n > 0,
+      "textIndexSave: refusing to persist an EMPTY index — tokenize a " +
+        "non-empty corpus first (an empty store would be rejected at load " +
+        "as interrupted)")
+    val (np, totp, hp) = presenceStamp(postingsPresence(postings))
+    val (nz, totz, hz) = presenceStamp(docstats.filter(col("dl") > 0))
+    require((np, totp, hp) == (nz, totz, hz),
+      s"textIndexSave: postings describe ($np docs, $totp tokens) but " +
+        s"docstats' dl>0 slice says ($nz docs, $totz tokens) — the two " +
+        "relations are not the same corpus")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    postings.write.mode("overwrite").parquet(s"$path/postings")
+    docstats.write.mode("overwrite").parquet(s"$path/docstats")
+    Seq((tokTag, n, tot, h.toString, np, totp, hp.toString,
+        stampFingerprint(n, tot, h)))
+      .toDF("tag", "n_docs", "tot_dl", "h_all", "n_pos", "tot_pos", "h_pos", "fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // full save = compaction point: fresh stores are authoritative
+    graft.operators.IndexTombstones.clear(spark, path)
+  }
+
+  /** Restore (postings, docstats), tombstone-masked. EVERY stamp is
+    * recomputed from the stored rows and checked against meta — a
+    * truncated write, a spliced postings set, a foreign docstats file,
+    * or a hand-edited meta row all fail HERE, not as wrong scores.
+    */
+  def textIndexLoad(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1,
+      s"textIndexLoad: meta store at $path/meta has ${metaRows.length} rows — " +
+        "interrupted save or wrong path")
+    val m = metaRows(0)
+    require(m.getAs[String]("tag") == tokTag,
+      s"textIndexLoad: store was built under tokenizer '${m.getAs[String]("tag")}' " +
+        s"but this library tokenizes '$tokTag' — scores would silently disagree")
+    val fpStored = m.getAs[String]("fp")
+    val docstats = spark.read.parquet(s"$path/docstats")
+    val postings = spark.read.parquet(s"$path/postings")
+    val (n, tot, h) = presenceStamp(docstats)
+    require(stampFingerprint(n, tot, h) == fpStored &&
+      n == m.getAs[Long]("n_docs") && tot == m.getAs[Long]("tot_dl") &&
+      h.toString == m.getAs[String]("h_all"),
+      s"textIndexLoad: docstats at $path do not reproduce the meta stamp " +
+        "(truncated/foreign/edited store)")
+    val (np, totp, hp) = presenceStamp(postingsPresence(postings))
+    require(np == m.getAs[Long]("n_pos") && totp == m.getAs[Long]("tot_pos") &&
+      hp.toString == m.getAs[String]("h_pos"),
+      s"textIndexLoad: postings at $path do not reproduce the meta stamp — " +
+        "the postings/docstats pairing is broken (splice or partial append)")
+    (graft.operators.IndexTombstones.maskOn(postings, path, Seq("doc_id")),
+      graft.operators.IndexTombstones.maskOn(docstats, path, Seq("doc_id")))
+  }
+
+  /** APPEND an increment of new documents. Idempotent: already-indexed
+    * doc_ids (probed against the RAW docstats, so tombstoned docs stay
+    * deleted — forgetting survives ingest replay) are dropped before
+    * tokenization. Meta is updated by ADDING the increment's stamp
+    * (O(increment) work + one atomic 1-row rewrite); postings, then
+    * docstats, then meta — a crash between the three leaves a store
+    * that FAILS AT LOAD (the pairing stamps cannot match), never one
+    * that searches wrongly; recovery is a rebuild.
+    */
+  def textIndexAppend(docsInc: DataFrame, path: String): Unit = {
+    val spark = docsInc.sparkSession
+    import spark.implicits._
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1, s"textIndexAppend: no index at $path")
+    val m = metaRows(0)
+    require(m.getAs[String]("tag") == tokTag,
+      s"textIndexAppend: store tokenizer '${m.getAs[String]("tag")}' != '$tokTag'")
+    val rawIds = spark.read.parquet(s"$path/docstats").select("doc_id")
+    val fresh = docsInc.join(rawIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // increment-sized; read 4× below
+    val (p2, d2) = textIndexBuild(fresh)
+    val (ni, toti, hi) = presenceStamp(d2)
+    if (ni == 0) return // pure replay: nothing new, stores untouched
+    val (npi, totpi, hpi) = presenceStamp(postingsPresence(p2))
+    p2.write.mode("append").parquet(s"$path/postings")
+    d2.write.mode("append").parquet(s"$path/docstats")
+    val meta2 = Seq((tokTag,
+        m.getAs[Long]("n_docs") + ni, m.getAs[Long]("tot_dl") + toti,
+        new java.math.BigInteger(m.getAs[String]("h_all")).add(hi).toString,
+        m.getAs[Long]("n_pos") + npi, m.getAs[Long]("tot_pos") + totpi,
+        new java.math.BigInteger(m.getAs[String]("h_pos")).add(hpi).toString,
+        stampFingerprint(m.getAs[Long]("n_docs") + ni,
+          m.getAs[Long]("tot_dl") + toti,
+          new java.math.BigInteger(m.getAs[String]("h_all")).add(hi))))
+      .toDF("tag", "n_docs", "tot_dl", "h_all", "n_pos", "tot_pos", "h_pos", "fp")
+      .coalesce(1)
+    graft.operators.StoreRewrite.atomicOverwrite(meta2, s"$path/meta")
+  }
+
+  /** DELETE documents: a tombstone append under the store, masked out
+    * of BOTH relations at load (and the deleted docs leave the BM25
+    * statistics too — searches behave as if the corpus never held
+    * them). Sticky across replayed appends; a fresh save re-admits.
+    */
+  def textIndexDelete(ids: DataFrame, path: String): Unit =
+    graft.operators.IndexTombstones.append(
+      ids.select(col("doc_id").cast("long").as("vec_id")), path)
+
+  /** BM25 search off the PERSISTED index alone: postings are filtered
+    * to the query terms (pushed into the parquet scan — the plan reads
+    * term-matching row groups, and at cluster scale term-bucketed
+    * files), pivoted to the q92 tf-column shape, joined to docstats
+    * for lengths, and scored by the SAME shared projection as the
+    * in-query scorer — bit-identical results by construction. Corpus
+    * statistics come from the masked docstats (deleted docs vanish
+    * from idf/avgdl, not just from results). The corpus text is never
+    * touched.
+    */
+  def textIndexSearch(spark: SparkSession, path: String,
+      queryTerms: Seq[String] = terms): DataFrame = {
+    val (postings, docstats) = textIndexLoad(spark, path)
+    val matched = postings.filter(col("term").isin(queryTerms: _*))
+    val pivoted = matched.groupBy("doc_id").agg(
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        coalesce(max(when(col("term") === lit(t), col("tf"))), lit(0)).as(s"tf$i")
+      }.head,
+      queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        coalesce(max(when(col("term") === lit(t), col("tf"))), lit(0)).as(s"tf$i")
+      }: _*)
+      .join(docstats, "doc_id")
+    val corpusStats = docstats.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val termStats = pivoted.agg(
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")).head,
+      queryTerms.indices.drop(1).map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    pivoted.crossJoin(broadcast(corpusStats)).crossJoin(broadcast(termStats))
+      .select(bm25Projection(queryTerms): _*)
+  }
+
+  /** Per-term champion lists: the top-m postings of each term by the
+    * term's EXACT BM25 contribution (idf × tf-norm — fully computable
+    * at INDEX time, since df/avgdl are corpus statistics the index
+    * already holds). The classic impact-ordered-index move: a query's
+    * candidate set becomes ≤ m·|terms| docs however common the terms,
+    * and the postings store can be physically laid out impact-ordered
+    * so the top-m are the FIRST rows of each term's run. Champion
+    * selection through the exact two-stage GroupTopK — a stopword's
+    * corpus-sized posting list never funnels one window task.
+    */
+  def textIndexChampions(spark: SparkSession, path: String, m: Int): DataFrame = {
+    val (postings, docstats) = textIndexLoad(spark, path)
+    championsOf(postings, docstats, m)
+  }
+
+  private def championsOf(postings: DataFrame, docstats: DataFrame,
+      m: Int): DataFrame = {
+    val corpus = docstats.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val tdf = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = postings.join(docstats, "doc_id")
+      .join(tdf, "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("norm",
+        (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") /
+              (col("tot").cast("double") / col("n_docs").cast("double"))))))
+      .withColumn("tscore", col("idf") * col("norm"))
+    graft.operators.GroupTopK.topK(
+      scored.select("term", "doc_id", "tscore"),
+      Seq(col("term")), Seq(col("tscore").desc, col("doc_id").asc),
+      col("doc_id"), m)
+  }
+
+  /** Champion-pruned BM25 search: candidates = the union of the query
+    * terms' champion lists (≤ m·|terms| docs), then EXACT scoring of
+    * the candidates — tf pivot restricted by doc_id (so every matched
+    * term of a candidate still counts), statistics from the FULL
+    * matched postings and docstats (so idf/avgdl are the true corpus
+    * values). Scores of returned docs are therefore BIT-exact vs the
+    * unpruned search; only the candidate SET is approximate (a doc
+    * mediocre in every term but good in sum can be missed) — the
+    * recall is measured in TextIndexSpec, the q148 discipline.
+    */
+  def textIndexChampionSearch(spark: SparkSession, path: String,
+      queryTerms: Seq[String] = terms, m: Int = 50): DataFrame = {
+    val (postings, docstats) = textIndexLoad(spark, path)
+    val matched = postings.filter(col("term").isin(queryTerms: _*))
+    val cands = championsOf(matched, docstats, m).select("doc_id").distinct()
+    val pivoted = matched.join(cands, "doc_id")
+      .groupBy("doc_id").agg(
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          coalesce(max(when(col("term") === lit(t), col("tf"))), lit(0)).as(s"tf$i")
+        }.head,
+        queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+          coalesce(max(when(col("term") === lit(t), col("tf"))), lit(0)).as(s"tf$i")
+        }: _*)
+      .join(docstats, "doc_id")
+    val corpusStats = docstats.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val termStats = matched.agg(
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === lit(t), 1L).otherwise(0L)).as(s"df$i")
+      }.head,
+      queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        sum(when(col("term") === lit(t), 1L).otherwise(0L)).as(s"df$i")
+      }: _*)
+    pivoted.crossJoin(broadcast(corpusStats)).crossJoin(broadcast(termStats))
+      .select(bm25Projection(queryTerms): _*)
+  }
+
+  /** q163: the q92 ranking served from the persisted inverted index —
+    * build/save/load/search in-query (the q157 pattern), with the
+    * ORACLE being q92's independent from-scratch SQL: the index path
+    * must lose nothing and add nothing vs scoring the corpus directly.
+    * TextIndexSpec carries the lifecycle (append/delete/splice/tamper).
+    */
+  private val q163 = QueryDef(
+    "q163_bm25_indexed",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      if (docs.isEmpty)
+        docs.select(lit(1).as("rank"), col("doc_id"),
+          lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
+      else {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ti").toString + "/idx"
+        val (p, ds) = textIndexBuild(docs)
+        textIndexSave(p, ds, path)
+        val bm = textIndexSearch(s, path)
+        bm.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("rank", "doc_id", "n_terms_hit", "score")
+          .orderBy("rank")
+      }
+    },
+    Some(s"""WITH $bm25CteSql
+             SELECT rank, doc_id, n_terms_hit, score FROM (
+               SELECT doc_id, n_terms_hit, score,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+               FROM bm) t
+             WHERE rank <= 20 ORDER BY rank"""))
+
+  /** The oracle twin of the champion selection: per term, the top-m
+    * doc_ids by the exact per-term contribution (same arithmetic, same
+    * association as the Spark side), UNION'd (distinct) — the SQL
+    * statement of "impact-ordered index head".
+    */
+  private def championCteSql(m: Int): String = {
+    def ts(i: Int) =
+      s"""(((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+            / (CAST(df$i AS DOUBLE) + 0.5))
+          * ((CAST(tf$i AS DOUBLE) * 2.2)
+             / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75
+                  * (CAST(dl AS DOUBLE)
+                     / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"""
+    val unions = terms.indices.map { i =>
+      s"""SELECT doc_id FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY ${ts(i)} DESC, doc_id ASC) AS r
+            FROM base CROSS JOIN stats WHERE tf$i > 0) c$i
+          WHERE r <= $m"""
+    }.mkString("\n UNION \n")
+    s"cham AS ($unions)"
+  }
+
+  /** q167: champion-pruned BM25 (impact-ordered index search) — the
+    * candidate set is the union of the query terms' top-50 champion
+    * lists instead of EVERY matching doc; candidate scores stay exact
+    * (TextIndexSpec pins score-equality and measures the recall).
+    * Scale point: for stopword-grade terms the unpruned match set is a
+    * large corpus fraction; champions bound the scoring set at
+    * m·|terms| REGARDLESS of df, and an impact-ordered physical layout
+    * makes the champion read the first rows of each term's run. The
+    * oracle reproduces selection AND scoring independently.
+    */
+  private val q167 = QueryDef(
+    "q167_bm25_champion",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      if (docs.isEmpty)
+        docs.select(lit(1).as("rank"), col("doc_id"),
+          lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
+      else {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ti").toString + "/idx"
+        val (p, ds) = textIndexBuild(docs)
+        textIndexSave(p, ds, path)
+        val bm = textIndexChampionSearch(s, path, terms, m = 50)
+        bm.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("rank", "doc_id", "n_terms_hit", "score")
+          .orderBy("rank")
+      }
+    },
+    Some(s"""WITH $bm25CteSql,
+             ${championCteSql(50)}
+             SELECT rank, doc_id, n_terms_hit, score FROM (
+               SELECT bm.doc_id, n_terms_hit, score,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, bm.doc_id ASC) AS rank
+               FROM bm JOIN cham ON bm.doc_id = cham.doc_id) t
+             WHERE rank <= 20 ORDER BY rank"""))
+
+  override def defs: Seq[QueryDef] = Seq(q92, q93, q152, q154, q163, q167)
 }

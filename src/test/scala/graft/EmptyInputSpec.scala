@@ -37,7 +37,11 @@ class EmptyInputSpec extends SparkSuite {
   private val globalAggregates = Map("q71_funnel_conversion" -> 1L,
     "q99_lsh_precision_recall" -> 1L, "q100_dataset_card" -> 1L,
     "q134_split_leakage_audit" -> 2L, "q146_dedup_threshold_curve" -> 5L,
-    "q148_bin_recall_audit" -> 1L, "q151_corpus_funnel" -> 4L)
+    "q148_bin_recall_audit" -> 1L, "q151_corpus_funnel" -> 4L,
+    // q165 is a FIXED constraint battery (the q146 fixed-axis design):
+    // an empty warehouse still reports all 8 constraints, each with
+    // n_checked = 0 violations = 0 — "nothing to check" is itself a pass
+    "q165_data_quality_audit" -> 8L)
 
   test("every registered query executes on empty tables and returns 0 rows " +
     "(global aggregates: their single summary row)") {
