@@ -534,6 +534,24 @@ object SearchQueries extends QueryModule {
       graft.operators.IndexTombstones.maskOn(docstats, path, Seq("doc_id")))
   }
 
+  /** O(1) crash-intent marker: the mutating verbs create `_inflight`
+    * before their first store write and clear it after their last, so
+    * the ingest loop can ask "did the previous run die mid-write?"
+    * without the O(store) consistency scans [[textIndexRecover]] needs
+    * — at 100 TB, re-deriving the postings presence before EVERY
+    * micro-batch would dwarf the appends themselves.
+    */
+  def textIndexInflight(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_inflight")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def setInflight(spark: SparkSession, path: String, on: Boolean): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_inflight")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (on) fs.create(p, true).close() else if (fs.exists(p)) fs.delete(p, false)
+  }
+
   /** APPEND an increment of new documents. Idempotent: already-indexed
     * doc_ids (probed against the RAW docstats, so tombstoned docs stay
     * deleted — forgetting survives ingest replay) are dropped before
@@ -541,7 +559,9 @@ object SearchQueries extends QueryModule {
     * (O(increment) work + one atomic 1-row rewrite); postings, then
     * docstats, then meta — a crash between the three leaves a store
     * that FAILS AT LOAD (the pairing stamps cannot match), never one
-    * that searches wrongly; recovery is a rebuild.
+    * that searches wrongly, and [[textIndexRecover]] repairs it. The
+    * `_inflight` marker brackets the writes so the loop knows whether
+    * a recover pass is even needed.
     */
   def textIndexAppend(docsInc: DataFrame, path: String): Unit = {
     val spark = docsInc.sparkSession
@@ -558,6 +578,7 @@ object SearchQueries extends QueryModule {
     val (ni, toti, hi) = presenceStamp(d2)
     if (ni == 0) return // pure replay: nothing new, stores untouched
     val (npi, totpi, hpi) = presenceStamp(postingsPresence(p2))
+    setInflight(spark, path, on = true)
     p2.write.mode("append").parquet(s"$path/postings")
     d2.write.mode("append").parquet(s"$path/docstats")
     val meta2 = Seq((tokTag,
@@ -571,6 +592,7 @@ object SearchQueries extends QueryModule {
       .toDF("tag", "n_docs", "tot_dl", "h_all", "n_pos", "tot_pos", "h_pos", "fp")
       .coalesce(1)
     graft.operators.StoreRewrite.atomicOverwrite(meta2, s"$path/meta")
+    setInflight(spark, path, on = false)
   }
 
   /** DELETE documents: a tombstone append under the store, masked out
@@ -581,6 +603,124 @@ object SearchQueries extends QueryModule {
   def textIndexDelete(ids: DataFrame, path: String): Unit =
     graft.operators.IndexTombstones.append(
       ids.select(col("doc_id").cast("long").as("vec_id")), path)
+
+  /** FORGET documents — the right-to-be-forgotten verb, distinct from
+    * [[textIndexDelete]] exactly as in the vector families: delete is a
+    * STICKY tombstone (cheap, survives replayed appends, content never
+    * re-admits), forget is PHYSICAL removal after which a fresh copy of
+    * the same document re-admits. Both relations are rewritten through
+    * the crash-durable StoreRewrite; the meta stamps are recomputed
+    * from the rewritten stores (forget is rare — the O(store) recompute
+    * buys a self-consistent meta rather than subtraction bookkeeping);
+    * tombstones are cleared last (the fresh stores are authoritative).
+    * A crash between the two store rewrites leaves a store that FAILS
+    * AT LOAD (pairing stamps), the append contract's failure mode.
+    */
+  def textIndexForget(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val del = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    // refuse BEFORE touching the stores — an all-forgotten index would
+    // already have destroyed both relations by the time an after-the-
+    // fact check fired
+    val remaining = spark.read.parquet(s"$path/docstats")
+      .join(del, Seq("doc_id"), "left_anti").count()
+    require(remaining > 0,
+      "textIndexForget: forgetting the ENTIRE corpus leaves an empty " +
+        "store — delete the index directory instead")
+    setInflight(spark, path, on = true)
+    graft.operators.StoreRewrite.atomicOverwrite(
+      spark.read.parquet(s"$path/postings").join(del, Seq("doc_id"), "left_anti"),
+      s"$path/postings")
+    graft.operators.StoreRewrite.atomicOverwrite(
+      spark.read.parquet(s"$path/docstats").join(del, Seq("doc_id"), "left_anti"),
+      s"$path/docstats")
+    val docstats = spark.read.parquet(s"$path/docstats")
+    val postings = spark.read.parquet(s"$path/postings")
+    val (n, tot, h) = presenceStamp(docstats)
+    val (np, totp, hp) = presenceStamp(postingsPresence(postings))
+    graft.operators.StoreRewrite.atomicOverwrite(
+      Seq((tokTag, n, tot, h.toString, np, totp, hp.toString,
+          stampFingerprint(n, tot, h)))
+        .toDF("tag", "n_docs", "tot_dl", "h_all", "n_pos", "tot_pos", "h_pos", "fp")
+        .coalesce(1),
+      s"$path/meta")
+    graft.operators.IndexTombstones.clear(spark, path)
+    setInflight(spark, path, on = false)
+  }
+
+  /** Repair the store from a crash inside [[textIndexAppend]] or
+    * [[textIndexForget]] — the recovery half of the streaming ingest
+    * loop (TextIngest runs it before every batch). The two verbs'
+    * write orders give every single-crash state a UNIQUE signature:
+    *
+    *  - postings carry docs absent from docstats → append crashed
+    *    between its two store writes (postings land first). Repair:
+    *    roll the orphan postings back — the store returns to the
+    *    pre-append state and the replayed batch re-admits cleanly.
+    *  - dl>0 docstats docs absent from postings → forget crashed
+    *    between its two rewrites (postings shed first). Repair:
+    *    finish the shed. (A mid-forget crash on a dl=0 doc is
+    *    invisible here — the store is already consistent; re-running
+    *    the forget completes the intent.)
+    *  - stores mutually consistent but meta stale → append crashed
+    *    after docstats, before the meta rewrite. Repair: recompute
+    *    meta from the stores.
+    *
+    * Both directions inconsistent at once is not a single-crash state
+    * and fails loudly (rebuild). Returns what it did, for logs.
+    */
+  def textIndexRecover(spark: SparkSession, path: String): String = {
+    Seq("postings", "docstats", "meta").foreach(s =>
+      graft.operators.StoreRewrite.recover(spark, s"$path/$s"))
+    import spark.implicits._
+    val docstats = spark.read.parquet(s"$path/docstats")
+    val postings = spark.read.parquet(s"$path/postings")
+    val dsLive = docstats.filter(col("dl") > 0).select("doc_id")
+    val pDocs = postings.select("doc_id").distinct()
+    val extraP = pDocs.join(docstats.select("doc_id"), Seq("doc_id"), "left_anti").count()
+    val extraD = dsLive.join(pDocs, Seq("doc_id"), "left_anti").count()
+    require(extraP == 0 || extraD == 0,
+      s"textIndexRecover: postings carry $extraP unknown docs AND docstats " +
+        s"carry $extraD unposted docs — not a single-crash state; rebuild " +
+        "the index from the corpus")
+    var action = "none"
+    if (extraP > 0) {
+      graft.operators.StoreRewrite.atomicOverwrite(
+        postings.join(docstats.select("doc_id"), Seq("doc_id"), "left_semi"),
+        s"$path/postings")
+      action = "append-rollback"
+    } else if (extraD > 0) {
+      graft.operators.StoreRewrite.atomicOverwrite(
+        docstats.join(pDocs, Seq("doc_id"), "left_semi")
+          .unionByName(docstats.filter(col("dl") === 0)),
+        s"$path/docstats")
+      action = "forget-finish"
+    }
+    val ds2 = spark.read.parquet(s"$path/docstats")
+    val p2 = spark.read.parquet(s"$path/postings")
+    val (n, tot, h) = presenceStamp(ds2)
+    require(n > 0, s"textIndexRecover: store at $path is empty after repair")
+    val (np, totp, hp) = presenceStamp(postingsPresence(p2))
+    val m = spark.read.parquet(s"$path/meta").collect()
+    val metaOk = m.length == 1 &&
+      m(0).getAs[Long]("n_docs") == n && m(0).getAs[Long]("tot_dl") == tot &&
+      m(0).getAs[String]("h_all") == h.toString &&
+      m(0).getAs[Long]("n_pos") == np && m(0).getAs[Long]("tot_pos") == totp &&
+      m(0).getAs[String]("h_pos") == hp.toString
+    if (!metaOk) {
+      graft.operators.StoreRewrite.atomicOverwrite(
+        Seq((tokTag, n, tot, h.toString, np, totp, hp.toString,
+            stampFingerprint(n, tot, h)))
+          .toDF("tag", "n_docs", "tot_dl", "h_all", "n_pos", "tot_pos", "h_pos", "fp")
+          .coalesce(1),
+        s"$path/meta")
+      action = if (action == "none") "meta" else s"$action+meta"
+    }
+    setInflight(spark, path, on = false)
+    action
+  }
 
   /** BM25 search off the PERSISTED index alone: postings are filtered
     * to the query terms (pushed into the parquet scan — the plan reads

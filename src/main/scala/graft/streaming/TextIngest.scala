@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.queries.SearchQueries
+
+/** Streaming ingest loop for the persisted inverted (BM25) text index —
+  * the 8th store family's twin of [[IngestPipeline]]/[[VectorIngestPipeline]]:
+  * documents arrive as a stream, each micro-batch appends to the index,
+  * and search serves off the store at any moment.
+  *
+  * Exactly-once discipline, in this family's own terms: the append verb
+  * is already idempotent (the raw-docstats anti-join probe drops
+  * already-indexed doc_ids, so a REPLAYED batch is a no-op), and every
+  * possible crash point inside an append has a unique on-disk signature
+  * that [[SearchQueries.textIndexRecover]] repairs — run here before
+  * every batch, exactly like StoreRewrite.recover's
+  * heal-at-the-next-write design. A crash prefix therefore converges:
+  * recover rolls a half-applied append back (or finishes its meta), and
+  * the replay re-applies it whole. No epoch ledger is needed because
+  * the store itself is the commit marker (docstats membership).
+  */
+object TextIngest {
+
+  /** Build and persist the initial index (run once, before the stream).
+    * The corpus may not be empty — the family refuses empty stores.
+    */
+  def bootstrap(initial: DataFrame, path: String): Unit = {
+    val (p, ds) = SearchQueries.textIndexBuild(initial)
+    SearchQueries.textIndexSave(p, ds, path)
+  }
+
+  /** One micro-batch: heal crash residue IF the `_inflight` intent
+    * marker says the previous mutation died mid-write (an O(1) file
+    * probe — running recover's O(store) consistency scans before every
+    * batch would dwarf the appends at scale), then append. Exposed for
+    * direct testing and batch-mode backfills.
+    */
+  def ingestBatch(batch: DataFrame, path: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    if (SearchQueries.textIndexInflight(spark, path))
+      SearchQueries.textIndexRecover(spark, path)
+    SearchQueries.textIndexAppend(batch.select("doc_id", "text"), path)
+  }
+
+  /** Bind the loop to a document stream (doc_id, text, ...). */
+  def start(docs: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, _: Long) => ingestBatch(b, path))
+      .start()
+}

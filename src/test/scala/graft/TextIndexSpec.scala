@@ -109,6 +109,31 @@ class TextIndexSpec extends SparkSuite {
       e4.getMessage.contains("postings"))
   }
 
+  test("forget vs delete: forget physically removes (statistics move, " +
+    "crash-durable rewrite) and a re-submitted copy RE-ADMITS — the " +
+    "contrast to delete's sticky tombstone; forgetting everything refuses") {
+    import spark.implicits._
+    val path = freshPath()
+    val (p, ds) = textIndexBuild(docs)
+    textIndexSave(p, ds, path)
+    val victim = asTuples(textIndexSearch(spark, path)).head._1
+    textIndexForget(Seq(victim).toDF("doc_id"), path)
+    val after = asTuples(textIndexSearch(spark, path))
+    assert(!after.exists(_._1 == victim))
+    assert(after == asTuples(bm25Scores(docs.filter(col("doc_id") =!= victim))))
+    // the forgotten doc's fresh copy re-admits (delete would refuse)
+    textIndexAppend(docs.filter(col("doc_id") === victim), path)
+    assert(asTuples(textIndexSearch(spark, path)).exists(_._1 == victim))
+    assert(asTuples(textIndexSearch(spark, path)) ==
+      asTuples(bm25Scores(docs)))
+    // refusal: forgetting the whole corpus is index deletion, not forget
+    val all = docs.select("doc_id")
+    val e = intercept[IllegalArgumentException] {
+      textIndexForget(all, path)
+    }
+    assert(e.getMessage.contains("ENTIRE"))
+  }
+
   test("champion search: an unbounded m reproduces the unpruned search " +
     "EXACTLY; a pruned m returns a subset whose scores are bit-equal; " +
     "the measured recall of the aggressive prune is pinned") {

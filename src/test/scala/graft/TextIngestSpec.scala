@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.SearchQueries._
+import graft.streaming.TextIngest
+
+/** The text-index streaming ingest loop: incremental ingest equals the
+  * from-scratch build, replays are no-ops, and every single-crash state
+  * inside an append or forget is repaired by textIndexRecover with the
+  * action named — the 8th family's exactly-once story.
+  */
+class TextIngestSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame = Tables(spark, dir, "documents")
+
+  private def asTuples(df: DataFrame): Seq[(Long, Int, Double)] =
+    df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("graft-tingest").toString + "/idx"
+
+  test("streaming e2e: bootstrap + two micro-batches equals the " +
+    "from-scratch build of the whole corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = freshPath()
+    TextIngest.bootstrap(docs.filter(col("doc_id") % 3 === 0), path)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = TextIngest.start(input.toDF().toDF("doc_id", "text"), path,
+      tmpDir("tingest-ckpt"))
+    try {
+      val rest = docs.filter(col("doc_id") % 3 =!= 0)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val (b1, b2) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val full = freshPath()
+    val (p, ds) = textIndexBuild(docs)
+    textIndexSave(p, ds, full)
+    assert(asTuples(textIndexSearch(spark, path)) ==
+      asTuples(textIndexSearch(spark, full)))
+  }
+
+  test("replayed batch is a no-op; a crash between the append's two " +
+    "store writes is rolled back by recover and the replay lands whole") {
+    val path = freshPath()
+    TextIngest.bootstrap(docs.filter(col("doc_id") % 2 === 0), path)
+    val inc = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text")
+    TextIngest.ingestBatch(inc, path)
+    val want = asTuples(textIndexSearch(spark, path))
+    // replay: already-indexed docs are dropped by the probe
+    TextIngest.ingestBatch(inc, path)
+    assert(asTuples(textIndexSearch(spark, path)) == want)
+
+    // a clean batch leaves no intent marker behind
+    assert(!textIndexInflight(spark, path))
+
+    // crash simulation on a fresh store: postings of an increment land,
+    // docstats never do, and the _inflight marker is still on disk (a
+    // real crash leaves it — the verbs clear it only after their last
+    // write). The NEXT ingestBatch must self-heal (marker -> recover ->
+    // rollback) and then apply the batch whole.
+    val path2 = freshPath()
+    TextIngest.bootstrap(docs.filter(col("doc_id") % 2 === 0), path2)
+    val (pInc, _) = textIndexBuild(inc)
+    pInc.write.mode("append").parquet(s"$path2/postings")
+    assert(new java.io.File(s"$path2/_inflight").createNewFile())
+    intercept[IllegalArgumentException] { textIndexLoad(spark, path2) }
+    TextIngest.ingestBatch(inc, path2)
+    assert(asTuples(textIndexSearch(spark, path2)) == want)
+    assert(!textIndexInflight(spark, path2))
+  }
+
+  test("a crash after docstats but before the meta rewrite is healed " +
+    "as a meta recompute; a crash inside forget finishes the shed") {
+    val path = freshPath()
+    TextIngest.bootstrap(docs.filter(col("doc_id") % 2 === 0), path)
+    val inc = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text")
+    // append's two store writes landed, meta didn't
+    val (pInc, dInc) = textIndexBuild(inc)
+    pInc.write.mode("append").parquet(s"$path/postings")
+    dInc.write.mode("append").parquet(s"$path/docstats")
+    intercept[IllegalArgumentException] { textIndexLoad(spark, path) }
+    assert(textIndexRecover(spark, path) == "meta")
+    val full = freshPath()
+    val (pf, df_) = textIndexBuild(docs)
+    textIndexSave(pf, df_, full)
+    assert(asTuples(textIndexSearch(spark, path)) ==
+      asTuples(textIndexSearch(spark, full)))
+    // replay after the heal: no-op
+    TextIngest.ingestBatch(inc, path)
+    assert(asTuples(textIndexSearch(spark, path)) ==
+      asTuples(textIndexSearch(spark, full)))
+
+    // forget crash: postings shed, docstats not — recover finishes
+    val victim = asTuples(textIndexSearch(spark, path)).head._1
+    val shed = spark.read.parquet(s"$path/postings")
+      .filter(col("doc_id") =!= victim).localCheckpoint(true)
+    graft.operators.StoreRewrite.atomicOverwrite(shed, s"$path/postings")
+    intercept[IllegalArgumentException] { textIndexLoad(spark, path) }
+    assert(textIndexRecover(spark, path) == "forget-finish+meta")
+    assert(asTuples(textIndexSearch(spark, path)) ==
+      asTuples(bm25Scores(docs.filter(col("doc_id") =!= victim))))
+  }
+
+  test("a store broken in BOTH directions is not a single-crash state " +
+    "and recover refuses with a rebuild message") {
+    import spark.implicits._
+    val path = freshPath()
+    TextIngest.bootstrap(docs.filter(col("doc_id") % 2 === 0), path)
+    // orphan postings (append residue) AND an unposted docstats row
+    // (forget residue) at once
+    val (pInc, _) = textIndexBuild(
+      docs.filter(col("doc_id") % 2 =!= 0).limit(3))
+    pInc.write.mode("append").parquet(s"$path/postings")
+    Seq((999999999L, 7)).toDF("doc_id", "dl")
+      .write.mode("append").parquet(s"$path/docstats")
+    val e = intercept[IllegalArgumentException] {
+      textIndexRecover(spark, path)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+}
