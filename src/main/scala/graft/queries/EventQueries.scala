@@ -602,7 +602,58 @@ object EventQueries extends QueryModule {
             FROM days JOIN ud ON ud.day BETWEEN d - 6 AND d
             GROUP BY d ORDER BY d"""))
 
+  /** q169: per-event-type daily-volume TREND (least-squares slope +
+    * intercept over the day index) — the "is this metric growing?"
+    * query every ops dashboard runs. The regression is closed-form
+    * from five sums (n, Σx, Σy, Σxy, Σx²), so the plan is: one
+    * (type, day) count shuffle, then ONE map-combined aggregate to
+    * #types rows — no window, no per-type iteration, nothing driver-
+    * side. Cross-engine exactness: all five sums are INTEGER (exact,
+    * order-insensitive); slope is numerator/denominator as one IEEE
+    * division of two exactly-computed longs, and the intercept reuses
+    * slope with an identically-parenthesized expression — bit-equal
+    * on both engines.
+    */
+  private val q169 = QueryDef(
+    "q169_daily_trend",
+    (s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x", datediff(col("day"), to_date(lit("2024-01-01"))).cast("long"))
+      val sums = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      sums.select(col("event_type"), col("n").as("n_days"),
+          slope.as("slope"),
+          ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("n").cast("double")).as("intercept"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+              FROM events GROUP BY 1, 2),
+            sums AS (
+              SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(datediff('day', DATE '2024-01-01', day)) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(datediff('day', DATE '2024-01-01', day) * y) AS BIGINT) AS sxy,
+                     CAST(SUM(datediff('day', DATE '2024-01-01', day)
+                              * datediff('day', DATE '2024-01-01', day)) AS BIGINT) AS sxx
+              FROM daily GROUP BY event_type)
+            SELECT event_type, n AS n_days,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                   (CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) AS intercept
+            FROM sums ORDER BY event_type"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q39, q40, q41, q42, q50, q55, q64, q65, q71, q83, q118, q122, q150,
-      q155, q159, q164)
+      q155, q159, q164, q169)
 }

@@ -924,5 +924,48 @@ object SearchQueries extends QueryModule {
                FROM bm JOIN cham ON bm.doc_id = cham.doc_id) t
              WHERE rank <= 20 ORDER BY rank"""))
 
-  override def defs: Seq[QueryDef] = Seq(q92, q93, q152, q154, q163, q167)
+  /** q168: exact phrase search ("data line") — the adjacency query a
+    * bag-of-words index cannot answer. Within a document a phrase is a
+    * positional-adjacency scan of the token array, so the right plan is
+    * MAP-ONLY: a codegen'd higher-order filter over the positions,
+    * zero shuffle before the #sources-row aggregate — at 100 TB this
+    * is one pass, and the cross-doc variant (phrase search served from
+    * a store) is the same arithmetic over a persisted POSITIONAL
+    * postings relation (term, doc_id, pos) with a (doc_id, pos+1)
+    * equality self-join of the two terms' postings — candidates-sized,
+    * never corpus-sized. The oracle mirrors the per-position scan with
+    * DuckDB list lambdas; the sequence is guarded (size ≥ 2) because
+    * Spark's sequence(1, 0) would DESCEND and negative element_at
+    * indexes read from the array's tail.
+    */
+  private val q168 = QueryDef(
+    "q168_phrase_search",
+    (s, d) => {
+      val tk = tokens(col("text"))
+      val idx = sequence(lit(1), size(tk) - 1)
+      val occ = when(size(tk) >= 2,
+        size(filter(idx, i =>
+          element_at(tk, i.cast("int")) === "data" &&
+            element_at(tk, (i + lit(1)).cast("int")) === "line")))
+        .otherwise(lit(0))
+      Tables(s, d, "documents")
+        .select(col("source"), occ.as("occ"))
+        .groupBy("source")
+        .agg(sum(when(col("occ") > 0, 1L).otherwise(0L)).as("n_docs_phrase"),
+          sum(col("occ")).cast("long").as("n_occurrences"))
+        .orderBy("source")
+    },
+    Some("""WITH tk AS (SELECT doc_id, source,
+                               regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                        FROM documents),
+            hits AS (SELECT source,
+                            len(list_filter(range(1, len(t)),
+                                i -> t[i] = 'data' AND t[i+1] = 'line')) AS occ
+                     FROM tk)
+            SELECT source,
+                   CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_phrase,
+                   CAST(SUM(occ) AS BIGINT) AS n_occurrences
+            FROM hits GROUP BY source ORDER BY source"""))
+
+  override def defs: Seq[QueryDef] = Seq(q92, q93, q152, q154, q163, q167, q168)
 }
