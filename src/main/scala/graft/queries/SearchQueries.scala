@@ -924,6 +924,40 @@ object SearchQueries extends QueryModule {
                FROM bm JOIN cham ON bm.doc_id = cham.doc_id) t
              WHERE rank <= 20 ORDER BY rank"""))
 
+  /** The cross-doc / store-served phrase matcher q168's scaladoc
+    * promises, for phrases of ANY length: given a positional postings
+    * relation (term, doc_id, pos) — in production a persisted store
+    * beside the tf postings — an n-word phrase is a chain of n−1
+    * EQUALITY self-joins on (doc_id, pos + offset). Every join input
+    * is pre-filtered to ONE term's postings (tiny next to the corpus;
+    * term-pushed when the relation is a parquet store), so the work is
+    * candidates-sized at any corpus size — never a token-stream scan
+    * per query, which is exactly what the in-doc map-side form (q168)
+    * must do. Output: (doc_id, pos) of each phrase START, one row per
+    * occurrence. PhraseSpec proves equality with the map-side count.
+    */
+  def phraseMatches(positions: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatches: empty phrase")
+    val first = positions.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(
+        positions.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+  }
+
+  /** Positional postings from a corpus — the build-side of the phrase
+    * store: one posexplode + nothing else (no aggregate: positions are
+    * already unique per (doc_id, pos)). Persisting this beside the tf
+    * postings is the standard index trade: ~token-stream-sized storage
+    * buys candidates-sized phrase queries.
+    */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos"))
+
   /** q168: exact phrase search ("data line") — the adjacency query a
     * bag-of-words index cannot answer. Within a document a phrase is a
     * positional-adjacency scan of the token array, so the right plan is
