@@ -59,4 +59,24 @@ object IndexTombstones {
     val f = fs(spark, path)
     if (f.exists(tomb(path))) f.delete(tomb(path), true)
   }
+
+  /** Remove ONLY `ids`(vec_id) from the tombstone set — the FORGET
+    * verbs' tombstone semantics: the forgotten ids' physical rows are
+    * gone (so their tombstones must go, or a re-submitted copy would
+    * silently never re-admit), but every OTHER deletion's rows are
+    * still physically present in the rewritten stores — clearing the
+    * whole set there would resurrect them. Only a full SAVE (where the
+    * caller supplies the complete authoritative corpus) may clear.
+    */
+  def remove(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    val f = fs(spark, path)
+    if (f.exists(tomb(path))) {
+      val rest = spark.read.parquet(s"$path/tombstones")
+        .join(ids.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      if (rest.isEmpty) f.delete(tomb(path), true)
+      else StoreRewrite.atomicOverwrite(rest, s"$path/tombstones")
+    }
+  }
 }

@@ -198,16 +198,24 @@ object VectorIndex {
           .withColumnRenamed("cos_sim", "score")
       case "ivf" =>
         // IVF-flat: nearest coarse cell per query (broadcast centroid
-        // argmin), exact cosine over ONLY that cell's members — the
-        // candidate set is cell-sized, the corpus never shuffles
+        // argmax), exact cosine over ONLY that cell's members — the
+        // candidate set is cell-sized, the corpus never shuffles.
+        // The probe metric MUST be the store's assignment metric
+        // (cosine — ivfAssign's byL2=false default): k-means centroids
+        // have unequal norms, so an argmax over raw dot products picks
+        // a different cell than argmax cosine and systematically
+        // misses the cells the query's true neighbors were assigned to
         val (cents, cells) = SimilarityQueries.ivfLoadIndex(spark, path)
         val qCell = queries.crossJoin(broadcast(
             cents.select(col("cid"), col("cv"))))
           .select(col("qid"), col("qv"), col("cid").as("cell"),
             expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D," +
-              " (a, x) -> a + x)").as("dot"))
+                " (a, x) -> a + x) / (sqrt(aggregate(transform(qv," +
+                " x -> x * x), 0D, (a, x) -> a + x)) *" +
+                " sqrt(aggregate(transform(cv, x -> x * x), 0D," +
+                " (a, x) -> a + x)))").as("aff"))
         val probed = GroupTopK.topK(qCell, Seq(col("qid")),
-            Seq(col("dot").desc, col("cell").asc), col("cell"), 1,
+            Seq(col("aff").desc, col("cell").asc), col("cell"), 1,
             rankName = "crank")
           .select("qid", "qv", "cell")
         val cand = cells.select("vec_id", "cell")

@@ -579,8 +579,12 @@ object EventQueries extends QueryModule {
   private val q164 = QueryDef(
     "q164_rolling_distinct_users",
     (s, d) => {
+      // (user, day) presence feeds BOTH the contribution explode and
+      // the day axis — materialize once or the events scan + dedup
+      // shuffle (the query's dominant cost) runs twice
       val ud = Tables(s, d, "events")
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint(true)
       val w = Window.partitionBy("user_id").orderBy("day")
       val contrib = ud
         .withColumn("next_day", lead(col("day"), 1).over(w))

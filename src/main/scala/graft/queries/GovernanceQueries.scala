@@ -227,7 +227,11 @@ object GovernanceQueries extends QueryModule {
       def report(rows: DataFrame) = rows.select(
         col("table_name"), col("constraint"), col("n_checked"),
         col("n_violations"), (col("n_violations") === 0L).as("passed"))
-      val liAgg = li.agg(
+      // the 1-row conditional aggregate feeds the 4-row unpivot AND the
+      // FK branch's n_checked — materialized so lineitem is scanned
+      // once for the per-row rules (the FK anti join is the table's
+      // only other pass)
+      val liStats = li.agg(
           count(lit(1)).as("n_checked"),
           sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_null"),
           sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
@@ -235,6 +239,8 @@ object GovernanceQueries extends QueryModule {
           sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("v_bulk"),
           sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
             .otherwise(0L)).as("v_flag"))
+        .localCheckpoint(true)
+      val liAgg = liStats
         .select(explode(array(
           struct(lit("lineitem").as("table_name"),
             lit("l_orderkey_not_null").as("constraint"),
@@ -270,7 +276,7 @@ object GovernanceQueries extends QueryModule {
         .join(ord.select(col("o_orderkey").as("l_orderkey")),
           Seq("l_orderkey"), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
-        .crossJoin(li.agg(count(lit(1)).as("n_checked")))
+        .crossJoin(liStats.select("n_checked"))
         .select(lit("lineitem").as("table_name"),
           lit("l_orderkey_fk_orders").as("constraint"),
           col("n_checked"), col("n_orphans").as("n_violations"))

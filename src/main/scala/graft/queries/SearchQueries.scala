@@ -612,9 +612,13 @@ object SearchQueries extends QueryModule {
     * the crash-durable StoreRewrite; the meta stamps are recomputed
     * from the rewritten stores (forget is rare — the O(store) recompute
     * buys a self-consistent meta rather than subtraction bookkeeping);
-    * tombstones are cleared last (the fresh stores are authoritative).
-    * A crash between the two store rewrites leaves a store that FAILS
-    * AT LOAD (pairing stamps), the append contract's failure mode.
+    * the forgotten ids' OWN tombstones are removed last (their rows are
+    * physically gone, so keeping the tombstone would silently block
+    * re-admission forever) while every OTHER tombstone survives — the
+    * rewritten stores still carry those docs' rows, so clearing the
+    * whole set would resurrect previously deleted content. A crash
+    * between the two store rewrites leaves a store that FAILS AT LOAD
+    * (pairing stamps), the append contract's failure mode.
     */
   def textIndexForget(ids: DataFrame, path: String): Unit = {
     val spark = ids.sparkSession
@@ -646,7 +650,8 @@ object SearchQueries extends QueryModule {
         .toDF("tag", "n_docs", "tot_dl", "h_all", "n_pos", "tot_pos", "h_pos", "fp")
         .coalesce(1),
       s"$path/meta")
-    graft.operators.IndexTombstones.clear(spark, path)
+    graft.operators.IndexTombstones.remove(
+      del.select(col("doc_id").as("vec_id")), path)
     setInflight(spark, path, on = false)
   }
 
@@ -699,6 +704,34 @@ object SearchQueries extends QueryModule {
       action = "forget-finish"
     }
     val ds2 = spark.read.parquet(s"$path/docstats")
+    // doc-id SET equality is not enough before re-stamping meta: a
+    // doubled store (the same increment's rows appended twice by a
+    // direct textIndexAppend retry after a crash) has consistent doc
+    // sets but 2× tf/dl — blessing it with a recomputed meta would
+    // convert a loudly-failing store into one that scores wrongly
+    // forever. Docstats cannot double through any verb (the append
+    // probe reads it first), so duplicate doc_ids there are a foreign
+    // write: rebuild. Doubled postings ARE reachable and are exact
+    // row duplicates of a relation unique on (term, doc_id), so
+    // distinct() is a provably lossless repair; a dl mismatch that
+    // distinct() cannot close is a genuine splice: rebuild.
+    require(ds2.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+      s"textIndexRecover: docstats at $path carry duplicate doc_ids — " +
+        "not a state any verb produces; rebuild the index from the corpus")
+    def dlMismatch(p: DataFrame): Long =
+      postingsPresence(p).withColumnRenamed("dl", "pdl")
+        .join(ds2.filter(col("dl") > 0), "doc_id")
+        .filter(col("pdl") =!= col("dl")).count()
+    if (dlMismatch(spark.read.parquet(s"$path/postings")) > 0) {
+      val deduped = spark.read.parquet(s"$path/postings")
+        .distinct().localCheckpoint(true)
+      require(dlMismatch(deduped) == 0,
+        s"textIndexRecover: per-doc token counts at $path disagree between " +
+          "postings and docstats even after duplicate-row removal — a " +
+          "genuine splice; rebuild the index from the corpus")
+      graft.operators.StoreRewrite.atomicOverwrite(deduped, s"$path/postings")
+      action = if (action == "none") "postings-dedup" else s"$action+postings-dedup"
+    }
     val p2 = spark.read.parquet(s"$path/postings")
     val (n, tot, h) = presenceStamp(ds2)
     require(n > 0, s"textIndexRecover: store at $path is empty after repair")

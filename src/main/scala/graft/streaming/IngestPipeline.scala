@@ -54,6 +54,13 @@ object IngestPipeline {
   def ingestBatch(batch: DataFrame, indexPath: String, labelsPath: String,
       admittedPath: String, threshold: Double = 0.5): Unit = {
     val spark = batch.sparkSession
+    // finish any rewrite a prior FORGET crashed inside of BEFORE the
+    // reads below — StoreRewrite.recover only runs at the start of a
+    // rewrite of the same path, and a crashed-rename store (target
+    // absent, full data at the sibling tmp) would otherwise fail the
+    // parquet read here and wedge the pipeline until a manual recover
+    Seq(indexPath, labelsPath, admittedPath)
+      .foreach(p => graft.operators.StoreRewrite.recover(spark, p))
     val b = batch.localCheckpoint(true)
     if (b.isEmpty) return
     // 1. probe: near-dups of the EXISTING corpus are rejected (their
@@ -131,7 +138,12 @@ object IngestPipeline {
     // Every rewrite goes through StoreRewrite.atomicOverwrite: the new
     // store lands completely at a sibling temp path before the old one
     // is replaced, so a crash INSIDE a rewrite leaves the old (or at
-    // worst the fully-written new) store on disk, never neither.
+    // worst the fully-written new) store on disk, never neither. But
+    // the READS below run before any rewrite, so a PRIOR forget's
+    // crashed rename (target gone, data at the tmp) must be finished
+    // here first — atomicOverwrite's own recover comes too late.
+    Seq(labelsPath, indexPath, admittedPath)
+      .foreach(p => graft.operators.StoreRewrite.recover(spark, p))
     val ids = del.select("doc_id").localCheckpoint(true)
     // 1. labels: re-election over the EXISTING label map
     val labels = spark.read.parquet(labelsPath).localCheckpoint(true)

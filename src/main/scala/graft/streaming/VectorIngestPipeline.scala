@@ -61,6 +61,11 @@ object VectorIngestPipeline {
   def ingestBatch(batch: DataFrame, indexPath: String, vecPath: String,
       radius: Int = 0): Unit = {
     val spark = batch.sparkSession
+    // finish any rewrite a prior FORGET crashed inside of before the
+    // store reads below (the crashed-rename state would fail the read
+    // and wedge the loop; atomicOverwrite's own recover runs too late)
+    Seq(s"$indexPath/codes", s"$indexPath/tombstones", vecPath)
+      .foreach(p => graft.operators.StoreRewrite.recover(spark, p))
     val b = batch.localCheckpoint(true)
     if (b.isEmpty) return
     // 1. near-dup gate against the LOADED (tombstone-masked) store: a
@@ -112,6 +117,10 @@ object VectorIngestPipeline {
     // rewrite (not just between stores) can no longer destroy a store —
     // the cross-store ordering note below is about which store to
     // rewrite first, this is about surviving a crash within any one.
+    // A PRIOR forget's crashed rename is finished before the reads —
+    // atomicOverwrite's built-in recover runs after its input was read.
+    Seq(s"$indexPath/codes", s"$indexPath/tombstones", vecPath)
+      .foreach(p => graft.operators.StoreRewrite.recover(spark, p))
     val ids = del.select("vec_id").localCheckpoint(true)
     graft.operators.StoreRewrite.atomicOverwrite(
       spark.read.parquet(s"$indexPath/codes")

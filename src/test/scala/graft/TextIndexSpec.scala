@@ -134,6 +134,29 @@ class TextIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("ENTIRE"))
   }
 
+  test("forget removes ONLY its own ids' tombstones: an earlier delete " +
+    "survives a later forget — its rows are still physically present, " +
+    "so clearing the whole set would resurrect deleted content") {
+    import spark.implicits._
+    val path = freshPath()
+    val (p, ds) = textIndexBuild(docs)
+    textIndexSave(p, ds, path)
+    val top = asTuples(textIndexSearch(spark, path)).map(_._1)
+    val (deleted, forgotten) = (top.head, top(1))
+    textIndexDelete(Seq(deleted).toDF("doc_id"), path)
+    textIndexForget(Seq(forgotten).toDF("doc_id"), path)
+    val after = asTuples(textIndexSearch(spark, path))
+    assert(!after.exists(_._1 == forgotten))
+    assert(!after.exists(_._1 == deleted),
+      "forget resurrected a previously deleted doc by clearing its tombstone")
+    assert(after == asTuples(bm25Scores(
+      docs.filter(col("doc_id") =!= deleted && col("doc_id") =!= forgotten))))
+    // the delete stays sticky, the forget re-admits — per-verb semantics
+    textIndexAppend(docs.filter(col("doc_id").isin(deleted, forgotten)), path)
+    val replayed = asTuples(textIndexSearch(spark, path))
+    assert(replayed.exists(_._1 == forgotten) && !replayed.exists(_._1 == deleted))
+  }
+
   test("champion search: an unbounded m reproduces the unpruned search " +
     "EXACTLY; a pruned m returns a subset whose scores are bit-equal; " +
     "the measured recall of the aggressive prune is pinned") {

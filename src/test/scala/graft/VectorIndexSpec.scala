@@ -127,4 +127,27 @@ class VectorIndexSpec extends SparkSuite {
       assert(out.agg(max("rank")).take(1)(0).getInt(0) <= 3, s"$fam rank cap")
     }
   }
+
+  test("ivf search probes by the store's ASSIGNMENT metric (cosine): a " +
+    "corpus vector used as its own query must land in its own cell and " +
+    "return itself at rank 1 — a raw-dot probe picks a different cell " +
+    "for unequal-norm centroids and loses the self-match") {
+    val base = tmpDir("vidx-ivfmetric")
+    VectorIndex.build(emb, "ivf", s"$base/ivf")
+    // every corpus vector queried against the index: the self-match is
+    // exact cosine 1.0 inside the query's own assigned cell, so rank 1
+    // unless the probe routed to a different cell than the assignment
+    val allQ = emb.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val top1 = VectorIndex.search(emb, allQ, s"$base/ivf", k = 1)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    val missed = top1.filter { case (q, n) => q != n }
+    assert(missed.isEmpty,
+      s"${missed.length}/${top1.length} self-queries did not find " +
+        s"themselves — probe metric diverges from the assignment metric " +
+        s"(first: ${missed.take(3).mkString(", ")})")
+    assert(top1.length == emb.count(),
+      "every self-query must return at least its own vector")
+  }
 }
