@@ -628,8 +628,13 @@ object EventQueries extends QueryModule {
       val sums = daily.groupBy("event_type").agg(
         count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-      val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      // a single-distinct-day group has denominator 0: 0/0 is NaN on
+      // Spark but renders differently across engines — an undefined
+      // slope is NULL on both sides (the oracle's NULLIF), never NaN
+      val denom = col("n") * col("sxx") - col("sx") * col("sx")
+      val slope = when(denom =!= 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          denom.cast("double"))
       sums.select(col("event_type"), col("n").as("n_days"),
           slope.as("slope"),
           ((col("sy").cast("double") - slope * col("sx").cast("double")) /
@@ -649,10 +654,10 @@ object EventQueries extends QueryModule {
               FROM daily GROUP BY event_type)
             SELECT event_type, n AS n_days,
                    CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                     / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS slope,
                    (CAST(sy AS DOUBLE)
                       - (CAST(n * sxy - sx * sy AS DOUBLE)
-                           / CAST(n * sxx - sx * sx AS DOUBLE))
+                           / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0))
                         * CAST(sx AS DOUBLE))
                      / CAST(n AS DOUBLE) AS intercept
             FROM sums ORDER BY event_type"""))

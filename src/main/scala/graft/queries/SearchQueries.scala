@@ -472,11 +472,44 @@ object SearchQueries extends QueryModule {
     (postings, docstats)
   }
 
+  /** The 1-row meta relation in its one schema — every writer (save,
+    * append, forget, recover) goes through here so a column added to the
+    * stamp set cannot silently diverge between verbs.
+    */
+  private def metaDf(spark: SparkSession, n: Long, tot: Long,
+      h: java.math.BigInteger, np: Long, totp: Long,
+      hp: java.math.BigInteger): DataFrame = {
+    import spark.implicits._
+    Seq((tokTag, n, tot, h.toString, np, totp, hp.toString,
+        stampFingerprint(n, tot, h)))
+      .toDF("tag", "n_docs", "tot_dl", "h_all", "n_pos", "tot_pos", "h_pos", "fp")
+      .coalesce(1)
+  }
+
+  /** Recompute meta from the stored relations and rewrite it atomically —
+    * the shared tail of forget and recover (both rare verbs, so the
+    * O(store) restamp buys a self-consistent meta over subtraction
+    * bookkeeping).
+    */
+  private def restampMeta(spark: SparkSession, path: String): Unit = {
+    val (n, tot, h) = presenceStamp(spark.read.parquet(s"$path/docstats"))
+    val (np, totp, hp) = presenceStamp(
+      postingsPresence(spark.read.parquet(s"$path/postings")))
+    graft.operators.StoreRewrite.atomicOverwrite(
+      metaDf(spark, n, tot, h, np, totp, hp), s"$path/meta")
+  }
+
   /** Persist the index. Refuses an empty corpus (an empty store is
     * indistinguishable from an interrupted save) and refuses a
     * postings/docstats pair that don't describe the same corpus — a
     * mis-paired save would pass every later load check and search
-    * wrongly forever.
+    * wrongly forever. Every write goes through the crash-durable
+    * [[graft.operators.StoreRewrite.atomicOverwrite]]: a re-save OVER a
+    * live store that dies mid-write leaves the old relation intact (a
+    * plain overwrite deletes the target before the new files commit —
+    * the store would be destroyed with no recovery path). A crash
+    * BETWEEN the three writes leaves a mixed-generation store that
+    * fails at load via the pairing stamps — loud, never wrong scores.
     */
   def textIndexSave(postings: DataFrame, docstats: DataFrame, path: String): Unit = {
     val (n, tot, h) = presenceStamp(docstats)
@@ -491,13 +524,10 @@ object SearchQueries extends QueryModule {
         s"docstats' dl>0 slice says ($nz docs, $totz tokens) — the two " +
         "relations are not the same corpus")
     val spark = postings.sparkSession
-    import spark.implicits._
-    postings.write.mode("overwrite").parquet(s"$path/postings")
-    docstats.write.mode("overwrite").parquet(s"$path/docstats")
-    Seq((tokTag, n, tot, h.toString, np, totp, hp.toString,
-        stampFingerprint(n, tot, h)))
-      .toDF("tag", "n_docs", "tot_dl", "h_all", "n_pos", "tot_pos", "h_pos", "fp")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.operators.StoreRewrite.atomicOverwrite(postings, s"$path/postings")
+    graft.operators.StoreRewrite.atomicOverwrite(docstats, s"$path/docstats")
+    graft.operators.StoreRewrite.atomicOverwrite(
+      metaDf(spark, n, tot, h, np, totp, hp), s"$path/meta")
     // full save = compaction point: fresh stores are authoritative
     graft.operators.IndexTombstones.clear(spark, path)
   }
@@ -565,7 +595,6 @@ object SearchQueries extends QueryModule {
     */
   def textIndexAppend(docsInc: DataFrame, path: String): Unit = {
     val spark = docsInc.sparkSession
-    import spark.implicits._
     val metaRows = spark.read.parquet(s"$path/meta").collect()
     require(metaRows.length == 1, s"textIndexAppend: no index at $path")
     val m = metaRows(0)
@@ -581,17 +610,13 @@ object SearchQueries extends QueryModule {
     setInflight(spark, path, on = true)
     p2.write.mode("append").parquet(s"$path/postings")
     d2.write.mode("append").parquet(s"$path/docstats")
-    val meta2 = Seq((tokTag,
+    graft.operators.StoreRewrite.atomicOverwrite(
+      metaDf(spark,
         m.getAs[Long]("n_docs") + ni, m.getAs[Long]("tot_dl") + toti,
-        new java.math.BigInteger(m.getAs[String]("h_all")).add(hi).toString,
+        new java.math.BigInteger(m.getAs[String]("h_all")).add(hi),
         m.getAs[Long]("n_pos") + npi, m.getAs[Long]("tot_pos") + totpi,
-        new java.math.BigInteger(m.getAs[String]("h_pos")).add(hpi).toString,
-        stampFingerprint(m.getAs[Long]("n_docs") + ni,
-          m.getAs[Long]("tot_dl") + toti,
-          new java.math.BigInteger(m.getAs[String]("h_all")).add(hi))))
-      .toDF("tag", "n_docs", "tot_dl", "h_all", "n_pos", "tot_pos", "h_pos", "fp")
-      .coalesce(1)
-    graft.operators.StoreRewrite.atomicOverwrite(meta2, s"$path/meta")
+        new java.math.BigInteger(m.getAs[String]("h_pos")).add(hpi)),
+      s"$path/meta")
     setInflight(spark, path, on = false)
   }
 
@@ -619,10 +644,19 @@ object SearchQueries extends QueryModule {
     * whole set would resurrect previously deleted content. A crash
     * between the two store rewrites leaves a store that FAILS AT LOAD
     * (pairing stamps), the append contract's failure mode.
+    *
+    * The forget's id set is persisted FIRST (`_forget_intent`, itself a
+    * crash-durable write) and removed only after the last step: a crash
+    * ANYWHERE inside the verb — including after the meta rewrite, when
+    * the stores are already mutually consistent and no pairing stamp
+    * fires — leaves the intent on disk, and [[textIndexRecover]] replays
+    * the whole forget from it (every step is idempotent). Without the
+    * intent, that late-crash state is invisible: a previously
+    * deleted-then-forgotten doc would keep its stale tombstone and a
+    * re-submitted copy would silently never re-admit.
     */
   def textIndexForget(ids: DataFrame, path: String): Unit = {
     val spark = ids.sparkSession
-    import spark.implicits._
     val del = ids.select(col("doc_id").cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
     // refuse BEFORE touching the stores — an all-forgotten index would
@@ -633,25 +667,30 @@ object SearchQueries extends QueryModule {
     require(remaining > 0,
       "textIndexForget: forgetting the ENTIRE corpus leaves an empty " +
         "store — delete the index directory instead")
+    graft.operators.StoreRewrite.atomicOverwrite(del, s"$path/_forget_intent")
     setInflight(spark, path, on = true)
+    completeForget(spark, path, del)
+  }
+
+  /** The forget's store mutations, shared verbatim by the verb and by
+    * [[textIndexRecover]]'s intent replay — idempotent end to end:
+    * shedding already-absent rows is a no-op, the meta restamp is
+    * deterministic, and tombstone removal of absent ids does nothing.
+    */
+  private def completeForget(spark: SparkSession, path: String,
+      del: DataFrame): Unit = {
     graft.operators.StoreRewrite.atomicOverwrite(
       spark.read.parquet(s"$path/postings").join(del, Seq("doc_id"), "left_anti"),
       s"$path/postings")
     graft.operators.StoreRewrite.atomicOverwrite(
       spark.read.parquet(s"$path/docstats").join(del, Seq("doc_id"), "left_anti"),
       s"$path/docstats")
-    val docstats = spark.read.parquet(s"$path/docstats")
-    val postings = spark.read.parquet(s"$path/postings")
-    val (n, tot, h) = presenceStamp(docstats)
-    val (np, totp, hp) = presenceStamp(postingsPresence(postings))
-    graft.operators.StoreRewrite.atomicOverwrite(
-      Seq((tokTag, n, tot, h.toString, np, totp, hp.toString,
-          stampFingerprint(n, tot, h)))
-        .toDF("tag", "n_docs", "tot_dl", "h_all", "n_pos", "tot_pos", "h_pos", "fp")
-        .coalesce(1),
-      s"$path/meta")
+    restampMeta(spark, path)
     graft.operators.IndexTombstones.remove(
       del.select(col("doc_id").as("vec_id")), path)
+    val ip = new org.apache.hadoop.fs.Path(s"$path/_forget_intent")
+    val fs = ip.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(ip)) fs.delete(ip, true)
     setInflight(spark, path, on = false)
   }
 
@@ -675,11 +714,24 @@ object SearchQueries extends QueryModule {
     *
     * Both directions inconsistent at once is not a single-crash state
     * and fails loudly (rebuild). Returns what it did, for logs.
+    *
+    * A persisted `_forget_intent` short-circuits the signature analysis:
+    * the crashed verb is KNOWN to be a forget of exactly those ids, so
+    * recover replays it wholesale (idempotent) — this is the only way to
+    * heal the late-forget crash whose store state is fully consistent
+    * (crash after the meta rewrite, before tombstone removal): no stamp
+    * fires there, but the stale tombstones would silently block
+    * re-admission forever.
     */
   def textIndexRecover(spark: SparkSession, path: String): String = {
-    Seq("postings", "docstats", "meta").foreach(s =>
+    Seq("postings", "docstats", "meta", "_forget_intent").foreach(s =>
       graft.operators.StoreRewrite.recover(spark, s"$path/$s"))
-    import spark.implicits._
+    val ip = new org.apache.hadoop.fs.Path(s"$path/_forget_intent")
+    if (ip.getFileSystem(spark.sessionState.newHadoopConf()).exists(ip)) {
+      val del = spark.read.parquet(ip.toString).localCheckpoint(true)
+      completeForget(spark, path, del)
+      return "forget-replay"
+    }
     val docstats = spark.read.parquet(s"$path/docstats")
     val postings = spark.read.parquet(s"$path/postings")
     val dsLive = docstats.filter(col("dl") > 0).select("doc_id")
@@ -744,11 +796,7 @@ object SearchQueries extends QueryModule {
       m(0).getAs[String]("h_pos") == hp.toString
     if (!metaOk) {
       graft.operators.StoreRewrite.atomicOverwrite(
-        Seq((tokTag, n, tot, h.toString, np, totp, hp.toString,
-            stampFingerprint(n, tot, h)))
-          .toDF("tag", "n_docs", "tot_dl", "h_all", "n_pos", "tot_pos", "h_pos", "fp")
-          .coalesce(1),
-        s"$path/meta")
+        metaDf(spark, n, tot, h, np, totp, hp), s"$path/meta")
       action = if (action == "none") "meta" else s"$action+meta"
     }
     setInflight(spark, path, on = false)
@@ -863,6 +911,29 @@ object SearchQueries extends QueryModule {
       .select(bm25Projection(queryTerms): _*)
   }
 
+  /** Build a throwaway on-disk index from `docs`, run `search` against
+    * it, EAGERLY materialize the (bounded) result, and delete the store
+    * before returning — the in-query harness pattern of q163/q167. The
+    * eager localCheckpoint is what licenses the delete: the returned
+    * plan reads Spark-managed blocks, not the parquet we just removed.
+    * Without the delete, every execution (bench runs each query n=3)
+    * leaked a corpus-sized temp index. Driver-local temp is correct for
+    * this HARNESS path only — the session runs local-mode; a cluster
+    * deployment persists through the lifecycle verbs to a shared path.
+    */
+  private def withThrowawayIndex(docs: DataFrame)(
+      search: String => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-ti")
+    val path = root.toString + "/idx"
+    val (p, ds) = textIndexBuild(docs)
+    textIndexSave(p, ds, path)
+    val res = search(path).localCheckpoint(true)
+    val hp = new org.apache.hadoop.fs.Path(root.toString)
+    hp.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+      .delete(hp, true)
+    res
+  }
+
   /** q163: the q92 ranking served from the persisted inverted index —
     * build/save/load/search in-query (the q157 pattern), with the
     * ORACLE being q92's independent from-scratch SQL: the index path
@@ -877,13 +948,10 @@ object SearchQueries extends QueryModule {
         docs.select(lit(1).as("rank"), col("doc_id"),
           lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
       else {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-ti").toString + "/idx"
-        val (p, ds) = textIndexBuild(docs)
-        textIndexSave(p, ds, path)
-        val bm = textIndexSearch(s, path)
-        bm.orderBy(col("score").desc, col("doc_id").asc).limit(20)
-          .withColumn("rank", row_number().over(
+        val top = withThrowawayIndex(docs)(path =>
+          textIndexSearch(s, path)
+            .orderBy(col("score").desc, col("doc_id").asc).limit(20))
+        top.withColumn("rank", row_number().over(
             Window.orderBy(col("score").desc, col("doc_id").asc)))
           .select("rank", "doc_id", "n_terms_hit", "score")
           .orderBy("rank")
@@ -937,13 +1005,10 @@ object SearchQueries extends QueryModule {
         docs.select(lit(1).as("rank"), col("doc_id"),
           lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
       else {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-ti").toString + "/idx"
-        val (p, ds) = textIndexBuild(docs)
-        textIndexSave(p, ds, path)
-        val bm = textIndexChampionSearch(s, path, terms, m = 50)
-        bm.orderBy(col("score").desc, col("doc_id").asc).limit(20)
-          .withColumn("rank", row_number().over(
+        val top = withThrowawayIndex(docs)(path =>
+          textIndexChampionSearch(s, path, terms, m = 50)
+            .orderBy(col("score").desc, col("doc_id").asc).limit(20))
+        top.withColumn("rank", row_number().over(
             Window.orderBy(col("score").desc, col("doc_id").asc)))
           .select("rank", "doc_id", "n_terms_hit", "score")
           .orderBy("rank")

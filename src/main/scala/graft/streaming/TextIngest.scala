@@ -33,14 +33,18 @@ object TextIngest {
   /** One micro-batch: heal crash residue IF the `_inflight` intent
     * marker says the previous mutation died mid-write (an O(1) file
     * probe — running recover's O(store) consistency scans before every
-    * batch would dwarf the appends at scale), then append. Exposed for
-    * direct testing and batch-mode backfills.
+    * batch would dwarf the appends at scale), then append. The heal
+    * runs BEFORE the empty-batch early return: after a crash, the
+    * store must become loadable on the NEXT batch regardless of its
+    * size — an empty-batch run that skipped recovery would leave
+    * searches failing across any run of empty micro-batches. Exposed
+    * for direct testing and batch-mode backfills.
     */
   def ingestBatch(batch: DataFrame, path: String): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
     if (SearchQueries.textIndexInflight(spark, path))
       SearchQueries.textIndexRecover(spark, path)
+    if (batch.isEmpty) return
     SearchQueries.textIndexAppend(batch.select("doc_id", "text"), path)
   }
 

@@ -108,6 +108,55 @@ class TextIngestSpec extends SparkSuite {
       asTuples(bm25Scores(docs.filter(col("doc_id") =!= victim))))
   }
 
+  test("a forget that crashes at ANY point — even the late state where " +
+    "the stores are already consistent and only the tombstone removal " +
+    "is pending — is replayed wholesale from the persisted intent; an " +
+    "unrelated earlier delete survives the replay") {
+    import spark.implicits._
+    val path = freshPath()
+    TextIngest.bootstrap(docs, path)
+    val top = asTuples(textIndexSearch(spark, path)).map(_._1)
+    val (deleted, forgotten) = (top.head, top(1))
+    textIndexDelete(Seq(deleted).toDF("doc_id"), path)
+    textIndexDelete(Seq(forgotten).toDF("doc_id"), path)
+    // crash at the forget's FIRST possible point: intent + inflight are
+    // on disk, the stores untouched — without the intent this state (and
+    // every later one, including after the meta rewrite when no pairing
+    // stamp fires) would recover as "none" and strand the tombstone
+    graft.operators.StoreRewrite.atomicOverwrite(
+      Seq(forgotten).toDF("doc_id"), s"$path/_forget_intent")
+    assert(new java.io.File(s"$path/_inflight").createNewFile())
+    assert(textIndexRecover(spark, path) == "forget-replay")
+    assert(!textIndexInflight(spark, path))
+    assert(!new java.io.File(s"$path/_forget_intent").exists())
+    val after = asTuples(textIndexSearch(spark, path))
+    assert(after == asTuples(bm25Scores(
+      docs.filter(col("doc_id") =!= deleted && col("doc_id") =!= forgotten))))
+    // the replayed forget removed ONLY its own tombstone: the forgotten
+    // doc re-admits, the earlier delete stays sticky
+    TextIngest.ingestBatch(
+      docs.filter(col("doc_id").isin(deleted, forgotten))
+        .select("doc_id", "text"), path)
+    val readd = asTuples(textIndexSearch(spark, path))
+    assert(readd.exists(_._1 == forgotten) && !readd.exists(_._1 == deleted))
+  }
+
+  test("an EMPTY micro-batch still heals crash residue: the store is " +
+    "loadable again without waiting for a non-empty batch") {
+    val path = freshPath()
+    TextIngest.bootstrap(docs.filter(col("doc_id") % 2 === 0), path)
+    val inc = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text")
+    val (pInc, _) = textIndexBuild(inc)
+    pInc.write.mode("append").parquet(s"$path/postings")
+    assert(new java.io.File(s"$path/_inflight").createNewFile())
+    intercept[IllegalArgumentException] { textIndexLoad(spark, path) }
+    TextIngest.ingestBatch(inc.limit(0), path)
+    assert(!textIndexInflight(spark, path))
+    textIndexLoad(spark, path) // loads clean again
+    assert(asTuples(textIndexSearch(spark, path)) ==
+      asTuples(bm25Scores(docs.filter(col("doc_id") % 2 === 0))))
+  }
+
   test("a store broken in BOTH directions is not a single-crash state " +
     "and recover refuses with a rebuild message") {
     import spark.implicits._
