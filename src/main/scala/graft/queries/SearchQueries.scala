@@ -457,6 +457,29 @@ object SearchQueries extends QueryModule {
   private def postingsPresence(postings: DataFrame): DataFrame =
     postings.groupBy("doc_id").agg(sum(col("tf").cast("long")).as("dl"))
 
+  /** Reconstruct (doc_id, dl) from POSITIONAL postings (dl = row count:
+    * every token occupies exactly one position) — by construction equal
+    * to [[postingsPresence]] over the same corpus, so the positions
+    * relation is verified against the SAME meta stamp (n_pos, tot_pos,
+    * h_pos) as the tf postings: no new meta fields, and a spliced or
+    * truncated positions store cannot reproduce it.
+    */
+  private def positionsPresence(positions: DataFrame): DataFrame =
+    positions.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+
+  /** Does the store at `path` carry the positional relation? Directory
+    * probe — the positions store is an OPT-IN layer of the text index
+    * (≈ token-stream-sized: the standard index trade where persisting
+    * positions buys candidates-sized phrase queries), and every
+    * mutating verb maintains it exactly when present. The stamps
+    * protect CONTENT; directory presence, like the store root itself,
+    * is the deployment's to protect.
+    */
+  def textIndexHasPositions(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/positions")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Tokenize the corpus into the two index relations:
     * postings(term, doc_id, tf) + docstats(doc_id, dl). The corpus text
     * is read twice here (once per relation); a production 100 TB build
@@ -510,8 +533,19 @@ object SearchQueries extends QueryModule {
     * the store would be destroyed with no recovery path). A crash
     * BETWEEN the three writes leaves a mixed-generation store that
     * fails at load via the pairing stamps — loud, never wrong scores.
+    *
+    * `positions` opts the store into the POSITIONAL layer (the 9th
+    * store family's relation: (term, doc_id, pos), built by
+    * [[positionalPostings]]) — phrase queries then serve term-pushed
+    * from disk instead of re-tokenizing the corpus. A mis-paired
+    * positions relation refuses here (its per-doc row counts must
+    * reproduce the postings' token counts exactly); a save WITHOUT
+    * positions removes any stale positions relation (full save is
+    * authoritative — a leftover positions store would silently answer
+    * phrase queries from a previous corpus).
     */
-  def textIndexSave(postings: DataFrame, docstats: DataFrame, path: String): Unit = {
+  def textIndexSave(postings: DataFrame, docstats: DataFrame, path: String,
+      positions: Option[DataFrame] = None): Unit = {
     val (n, tot, h) = presenceStamp(docstats)
     require(n > 0,
       "textIndexSave: refusing to persist an EMPTY index — tokenize a " +
@@ -523,9 +557,24 @@ object SearchQueries extends QueryModule {
       s"textIndexSave: postings describe ($np docs, $totp tokens) but " +
         s"docstats' dl>0 slice says ($nz docs, $totz tokens) — the two " +
         "relations are not the same corpus")
+    positions.foreach { pos =>
+      val (nq, totq, hq) = presenceStamp(positionsPresence(pos))
+      require((nq, totq, hq) == (np, totp, hp),
+        s"textIndexSave: positions describe ($nq docs, $totq tokens) but " +
+          s"the postings say ($np docs, $totp tokens) — the positional " +
+          "relation is not the same corpus")
+    }
     val spark = postings.sparkSession
     graft.operators.StoreRewrite.atomicOverwrite(postings, s"$path/postings")
     graft.operators.StoreRewrite.atomicOverwrite(docstats, s"$path/docstats")
+    positions match {
+      case Some(pos) =>
+        graft.operators.StoreRewrite.atomicOverwrite(pos, s"$path/positions")
+      case None =>
+        val pp = new org.apache.hadoop.fs.Path(s"$path/positions")
+        val fs = pp.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(pp)) fs.delete(pp, true)
+    }
     graft.operators.StoreRewrite.atomicOverwrite(
       metaDf(spark, n, tot, h, np, totp, hp), s"$path/meta")
     // full save = compaction point: fresh stores are authoritative
@@ -562,6 +611,36 @@ object SearchQueries extends QueryModule {
         "the postings/docstats pairing is broken (splice or partial append)")
     (graft.operators.IndexTombstones.maskOn(postings, path, Seq("doc_id")),
       graft.operators.IndexTombstones.maskOn(docstats, path, Seq("doc_id")))
+  }
+
+  /** Restore the positional relation (term, doc_id, pos), tombstone-
+    * masked. Verified against the SAME meta stamp as the tf postings
+    * (positions-per-doc == tokens-per-doc by construction), so a
+    * truncated, spliced, or foreign positions store fails HERE — and a
+    * store that was never saved with positions fails with the opt-in
+    * hint rather than a bare missing-path read error.
+    */
+  def textIndexLoadPositions(spark: SparkSession, path: String): DataFrame = {
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1,
+      s"textIndexLoadPositions: meta store at $path/meta has " +
+        s"${metaRows.length} rows — interrupted save or wrong path")
+    val m = metaRows(0)
+    require(m.getAs[String]("tag") == tokTag,
+      s"textIndexLoadPositions: store tokenizer '${m.getAs[String]("tag")}'" +
+        s" != '$tokTag' — positions would not match this tokenization")
+    require(textIndexHasPositions(spark, path),
+      s"textIndexPhrase: the index at $path carries NO positional " +
+        "relation — save it with positions (textIndexSave(..., " +
+        "positions = Some(positionalPostings(docs)))) to serve phrase " +
+        "queries from the store")
+    val positions = spark.read.parquet(s"$path/positions")
+    val (nq, totq, hq) = presenceStamp(positionsPresence(positions))
+    require(nq == m.getAs[Long]("n_pos") && totq == m.getAs[Long]("tot_pos") &&
+      hq.toString == m.getAs[String]("h_pos"),
+      s"textIndexLoadPositions: positions at $path do not reproduce the " +
+        "meta stamp (truncated/foreign/edited positions store)")
+    graft.operators.IndexTombstones.maskOn(positions, path, Seq("doc_id"))
   }
 
   /** O(1) crash-intent marker: the mutating verbs create `_inflight`
@@ -608,6 +687,11 @@ object SearchQueries extends QueryModule {
     if (ni == 0) return // pure replay: nothing new, stores untouched
     val (npi, totpi, hpi) = presenceStamp(postingsPresence(p2))
     setInflight(spark, path, on = true)
+    // positions land FIRST: a crash after them leaves position rows for
+    // docs absent from docstats — the same orphan signature as a
+    // half-applied postings append, shed by the same recover rule
+    if (textIndexHasPositions(spark, path))
+      positionalPostings(fresh).write.mode("append").parquet(s"$path/positions")
     p2.write.mode("append").parquet(s"$path/postings")
     d2.write.mode("append").parquet(s"$path/docstats")
     graft.operators.StoreRewrite.atomicOverwrite(
@@ -679,6 +763,11 @@ object SearchQueries extends QueryModule {
     */
   private def completeForget(spark: SparkSession, path: String,
       del: DataFrame): Unit = {
+    if (textIndexHasPositions(spark, path))
+      graft.operators.StoreRewrite.atomicOverwrite(
+        spark.read.parquet(s"$path/positions")
+          .join(del, Seq("doc_id"), "left_anti"),
+        s"$path/positions")
     graft.operators.StoreRewrite.atomicOverwrite(
       spark.read.parquet(s"$path/postings").join(del, Seq("doc_id"), "left_anti"),
       s"$path/postings")
@@ -724,8 +813,8 @@ object SearchQueries extends QueryModule {
     * re-admission forever.
     */
   def textIndexRecover(spark: SparkSession, path: String): String = {
-    Seq("postings", "docstats", "meta", "_forget_intent").foreach(s =>
-      graft.operators.StoreRewrite.recover(spark, s"$path/$s"))
+    Seq("postings", "docstats", "meta", "positions", "_forget_intent")
+      .foreach(s => graft.operators.StoreRewrite.recover(spark, s"$path/$s"))
     val ip = new org.apache.hadoop.fs.Path(s"$path/_forget_intent")
     if (ip.getFileSystem(spark.sessionState.newHadoopConf()).exists(ip)) {
       val del = spark.read.parquet(ip.toString).localCheckpoint(true)
@@ -783,6 +872,38 @@ object SearchQueries extends QueryModule {
           "genuine splice; rebuild the index from the corpus")
       graft.operators.StoreRewrite.atomicOverwrite(deduped, s"$path/postings")
       action = if (action == "none") "postings-dedup" else s"$action+postings-dedup"
+    }
+    if (textIndexHasPositions(spark, path)) {
+      // the positional layer repairs by the same two rules: docs unknown
+      // to docstats are a half-applied append's residue (positions land
+      // FIRST in the append order, so they can be orphaned alone) — shed;
+      // a doubled direct-append retry is exact row duplicates of a
+      // relation unique on (term, doc_id, pos) — distinct() is lossless;
+      // any remaining stamp disagreement is a genuine splice: rebuild
+      val orphans = spark.read.parquet(s"$path/positions")
+        .select("doc_id").distinct()
+        .join(ds2.select("doc_id"), Seq("doc_id"), "left_anti").count()
+      if (orphans > 0) {
+        graft.operators.StoreRewrite.atomicOverwrite(
+          spark.read.parquet(s"$path/positions")
+            .join(ds2.select("doc_id"), Seq("doc_id"), "left_semi"),
+          s"$path/positions")
+        action = if (action == "none") "positions-rollback"
+          else s"$action+positions-rollback"
+      }
+      def posStamp(p: DataFrame) = presenceStamp(positionsPresence(p))
+      val want = presenceStamp(ds2.filter(col("dl") > 0))
+      if (posStamp(spark.read.parquet(s"$path/positions")) != want) {
+        val deduped = spark.read.parquet(s"$path/positions")
+          .distinct().localCheckpoint(true)
+        require(posStamp(deduped) == want,
+          s"textIndexRecover: positions at $path disagree with docstats " +
+            "even after duplicate-row removal — a genuine splice; rebuild " +
+            "the index from the corpus")
+        graft.operators.StoreRewrite.atomicOverwrite(deduped, s"$path/positions")
+        action = if (action == "none") "positions-dedup"
+          else s"$action+positions-dedup"
+      }
     }
     val p2 = spark.read.parquet(s"$path/postings")
     val (n, tot, h) = presenceStamp(ds2)
@@ -921,12 +1042,14 @@ object SearchQueries extends QueryModule {
     * this HARNESS path only — the session runs local-mode; a cluster
     * deployment persists through the lifecycle verbs to a shared path.
     */
-  private def withThrowawayIndex(docs: DataFrame)(
+  private def withThrowawayIndex(docs: DataFrame,
+      withPositions: Boolean = false)(
       search: String => DataFrame): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-ti")
     val path = root.toString + "/idx"
     val (p, ds) = textIndexBuild(docs)
-    textIndexSave(p, ds, path)
+    textIndexSave(p, ds, path,
+      if (withPositions) Some(positionalPostings(docs)) else None)
     val res = search(path).localCheckpoint(true)
     val hp = new org.apache.hadoop.fs.Path(root.toString)
     hp.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
@@ -1056,6 +1179,19 @@ object SearchQueries extends QueryModule {
     docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
       .select(col("term"), col("doc_id"), col("pos"))
 
+  /** Phrase search served ENTIRELY from the persisted index — the 9th
+    * store family's query path: load the positional relation (stamp-
+    * verified, tombstone-masked) and run the [[phraseMatches]] equality-
+    * join chain over it. Each term's filter pushes into the positions
+    * parquet scan (plan-asserted in PhraseSpec), so an n-word phrase
+    * reads n term-slices of the store — candidates-sized work at any
+    * corpus size, the corpus text never touched. Output: (doc_id, pos)
+    * of each phrase start.
+    */
+  def textIndexPhraseSearch(spark: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame =
+    phraseMatches(textIndexLoadPositions(spark, path), phrase)
+
   /** q168: exact phrase search ("data line") — the adjacency query a
     * bag-of-words index cannot answer. Within a document a phrase is a
     * positional-adjacency scan of the token array, so the right plan is
@@ -1099,5 +1235,38 @@ object SearchQueries extends QueryModule {
                    CAST(SUM(occ) AS BIGINT) AS n_occurrences
             FROM hits GROUP BY source ORDER BY source"""))
 
-  override def defs: Seq[QueryDef] = Seq(q92, q93, q152, q154, q163, q167, q168)
+  /** q170: q168's phrase search served from the PERSISTED positional
+    * store — build/save with positions in-query (the q163 pattern),
+    * then the match set comes from [[textIndexPhraseSearch]]: n−1
+    * equality joins over term-pushed slices of the positions relation,
+    * the corpus text never re-tokenized. The ORACLE is q168's SQL
+    * verbatim — the store-served path must lose nothing and add
+    * nothing vs the map-side scan. The only corpus-sized read after
+    * the build is the 2-column (doc_id, source) projection the
+    * per-source report needs; the MATCHING itself is store-sized.
+    * PhraseSpec carries the lifecycle (append/delete/forget/splice).
+    */
+  private val q170 = QueryDef(
+    "q170_phrase_indexed",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      if (docs.isEmpty)
+        docs.select(col("source"), lit(0L).as("n_docs_phrase"),
+          lit(0L).as("n_occurrences")).limit(0)
+      else {
+        val occ = withThrowawayIndex(docs, withPositions = true)(path =>
+          textIndexPhraseSearch(s, path, Seq("data", "line"))
+            .groupBy("doc_id").agg(count(lit(1)).as("occ")))
+        docs.select(col("doc_id"), col("source"))
+          .join(occ, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(sum(when(col("occ") > 0, 1L).otherwise(0L)).as("n_docs_phrase"),
+            coalesce(sum(col("occ")), lit(0L)).cast("long").as("n_occurrences"))
+          .orderBy("source")
+      }
+    },
+    q168.oracle)
+
+  override def defs: Seq[QueryDef] =
+    Seq(q92, q93, q152, q154, q163, q167, q168, q170)
 }

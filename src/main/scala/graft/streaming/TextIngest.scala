@@ -24,10 +24,16 @@ object TextIngest {
 
   /** Build and persist the initial index (run once, before the stream).
     * The corpus may not be empty — the family refuses empty stores.
+    * `withPositions` opts the store into the positional relation; the
+    * ingest loop then maintains it per micro-batch automatically (the
+    * append verb probes the store, not a flag).
     */
-  def bootstrap(initial: DataFrame, path: String): Unit = {
+  def bootstrap(initial: DataFrame, path: String,
+      withPositions: Boolean = false): Unit = {
     val (p, ds) = SearchQueries.textIndexBuild(initial)
-    SearchQueries.textIndexSave(p, ds, path)
+    SearchQueries.textIndexSave(p, ds, path,
+      if (withPositions) Some(SearchQueries.positionalPostings(initial))
+      else None)
   }
 
   /** One micro-batch: heal crash residue IF the `_inflight` intent

@@ -54,4 +54,110 @@ class PhraseSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"non-equality join in:\n$plan")
   }
+
+  // ---- the PERSISTED positional store (9th family) ----
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("graft-phrase").toString + "/idx"
+
+  private def saveWithPositions(d: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    val (p, ds) = textIndexBuild(d)
+    textIndexSave(p, ds, path, Some(positionalPostings(d)))
+  }
+
+  private def starts(df: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+    df.select("doc_id", "pos").as[(Long, Int)].collect().toSet
+
+  private val phrase = Seq("data", "line")
+
+  test("store-served phrase search equals the in-memory join chain; " +
+    "half-save + append equals the full save (the positions relation " +
+    "is maintained by the SAME append verb)") {
+    val full = freshPath(); val half = freshPath()
+    saveWithPositions(docs, full)
+    assert(starts(textIndexPhraseSearch(spark, full, phrase)) ==
+      starts(phraseMatches(pos, phrase)))
+    saveWithPositions(docs.filter(col("doc_id") % 2 === 0), half)
+    textIndexAppend(docs.filter(col("doc_id") % 2 =!= 0), half)
+    assert(starts(textIndexPhraseSearch(spark, half, phrase)) ==
+      starts(textIndexPhraseSearch(spark, full, phrase)))
+    // replayed append: no-op, store still loads and matches
+    textIndexAppend(docs, half)
+    assert(starts(textIndexPhraseSearch(spark, half, phrase)) ==
+      starts(textIndexPhraseSearch(spark, full, phrase)))
+  }
+
+  test("delete masks a doc's phrase matches (sticky); forget removes " +
+    "them physically and a fresh copy re-admits") {
+    import spark.implicits._
+    val path = freshPath()
+    saveWithPositions(docs, path)
+    val all = starts(textIndexPhraseSearch(spark, path, phrase))
+    val victim = all.head._1
+    textIndexDelete(Seq(victim).toDF("doc_id"), path)
+    assert(starts(textIndexPhraseSearch(spark, path, phrase)) ==
+      all.filterNot(_._1 == victim))
+    // sticky across a replayed append
+    textIndexAppend(docs.filter(col("doc_id") === victim), path)
+    assert(!starts(textIndexPhraseSearch(spark, path, phrase))
+      .exists(_._1 == victim))
+    // forget on a second doc: physical removal, then re-admission
+    val v2 = all.map(_._1).filterNot(_ == victim).head
+    textIndexForget(Seq(v2).toDF("doc_id"), path)
+    assert(!starts(textIndexPhraseSearch(spark, path, phrase))
+      .exists(_._1 == v2))
+    textIndexAppend(docs.filter(col("doc_id") === v2), path)
+    assert(starts(textIndexPhraseSearch(spark, path, phrase)) ==
+      all.filterNot(_._1 == victim))
+  }
+
+  test("a store saved WITHOUT positions refuses phrase search with the " +
+    "opt-in hint; a re-save without positions removes the stale " +
+    "positional relation; a mis-paired positions relation refuses at " +
+    "save; a truncated one fails at load") {
+    val path = freshPath()
+    val (p, ds) = textIndexBuild(docs)
+    textIndexSave(p, ds, path)
+    val e1 = intercept[IllegalArgumentException] {
+      textIndexPhraseSearch(spark, path, phrase)
+    }
+    assert(e1.getMessage.contains("NO positional"))
+    // opt in, then re-save without: the stale relation must NOT survive
+    // to answer phrase queries from a superseded corpus
+    saveWithPositions(docs, path)
+    textIndexPhraseSearch(spark, path, phrase).count()
+    textIndexSave(p, ds, path)
+    assert(intercept[IllegalArgumentException] {
+      textIndexPhraseSearch(spark, path, phrase)
+    }.getMessage.contains("NO positional"))
+    // mis-paired: positions from a different corpus
+    val e2 = intercept[IllegalArgumentException] {
+      textIndexSave(p, ds, path,
+        Some(positionalPostings(docs.filter(col("doc_id") < 100))))
+    }
+    assert(e2.getMessage.contains("positional relation is not the same"))
+    // truncated positions fail the stamp at load
+    saveWithPositions(docs, path)
+    val truncated = spark.read.parquet(s"$path/positions")
+      .filter(col("doc_id") % 3 =!= 0).localCheckpoint(true)
+    truncated.write.mode("overwrite").parquet(s"$path/positions")
+    val e3 = intercept[IllegalArgumentException] {
+      textIndexPhraseSearch(spark, path, phrase).count()
+    }
+    assert(e3.getMessage.contains("positions"))
+  }
+
+  test("the store-served chain pushes each term into the positions " +
+    "scan and stays equality-join-only") {
+    val path = freshPath()
+    saveWithPositions(docs, path)
+    val plan = textIndexPhraseSearch(spark, path, phrase)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(term), EqualTo(term,data)") ||
+      plan.contains("EqualTo(term,data)"),
+      s"term filter not pushed into the positions scan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equality join in:\n$plan")
+  }
 }

@@ -157,6 +157,42 @@ class TextIngestSpec extends SparkSuite {
       asTuples(bm25Scores(docs.filter(col("doc_id") % 2 === 0))))
   }
 
+  test("positions parity: a bootstrap with positions is maintained per " +
+    "micro-batch by the SAME loop; a crash that orphans a half-appended " +
+    "positions relation (positions land first) is rolled back and the " +
+    "replay converges — store-served phrase results equal the " +
+    "from-scratch build throughout") {
+    import spark.implicits._
+    val phrase = Seq("data", "line")
+    def phraseSet(path: String): Set[(Long, Int)] =
+      textIndexPhraseSearch(spark, path, phrase)
+        .select("doc_id", "pos").as[(Long, Int)].collect().toSet
+    val full = freshPath()
+    TextIngest.bootstrap(docs, full, withPositions = true)
+    // incremental ingest equals the full build
+    val path = freshPath()
+    TextIngest.bootstrap(docs.filter(col("doc_id") % 2 === 0), path,
+      withPositions = true)
+    val inc = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text")
+    TextIngest.ingestBatch(inc, path)
+    assert(phraseSet(path) == phraseSet(full))
+    // crash: the increment's POSITIONS land, postings/docstats never do
+    val path2 = freshPath()
+    TextIngest.bootstrap(docs.filter(col("doc_id") % 2 === 0), path2,
+      withPositions = true)
+    positionalPostings(inc).write.mode("append").parquet(s"$path2/positions")
+    assert(new java.io.File(s"$path2/_inflight").createNewFile())
+    intercept[IllegalArgumentException] {
+      textIndexPhraseSearch(spark, path2, phrase).count()
+    }
+    TextIngest.ingestBatch(inc, path2)
+    assert(phraseSet(path2) == phraseSet(full))
+    assert(!textIndexInflight(spark, path2))
+    // and the BM25 side never diverged either
+    assert(asTuples(textIndexSearch(spark, path2)) ==
+      asTuples(textIndexSearch(spark, full)))
+  }
+
   test("a store broken in BOTH directions is not a single-crash state " +
     "and recover refuses with a rebuild message") {
     import spark.implicits._
