@@ -101,6 +101,26 @@ object QuantQueries extends QueryModule {
           qv[i] - (mn[i] + CAST(code[i] AS DOUBLE)
             * ((mx[i] - mn[i]) / $levels.0)))"""
 
+  /** The SQ8 train→encode→ADC chain as oracle CTEs ending in
+    * scored(qid, vec_id, adc_dist) — the exact arithmetic of q136/q157's
+    * oracles, factored for oracles composed OUTSIDE this module (q171's
+    * hybrid fusion) so the engine-side scoring has ONE SQL twin.
+    */
+  private[queries] def sq8AdcOracleCtes(queryPred: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        pd AS (SELECT i, MIN(v[i]) AS mni, MAX(v[i]) AS mxi
+               FROM e CROSS JOIN range(1, ${dims + 1}) r(i)
+               GROUP BY i),
+        params AS (SELECT list(mni ORDER BY i) AS mn,
+                          list(mxi ORDER BY i) AS mx FROM pd),
+        codes AS (SELECT vec_id, ${encodeSql("v")} AS code
+                  FROM e CROSS JOIN params),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE $queryPred),
+        scored AS (SELECT qid, vec_id, list_dot_product(d, d) AS adc_dist
+                   FROM (SELECT qid, vec_id, $diffSql AS d
+                         FROM codes CROSS JOIN q CROSS JOIN params) t)"""
+
   /** Identity of a trained SQ8 parameter set: md5 over the exact bit
     * patterns of both arrays under the family/layout tag. The same
     * provenance gate the PQ/IVF/binary stores carry — codes encoded

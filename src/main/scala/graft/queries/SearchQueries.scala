@@ -577,8 +577,14 @@ object SearchQueries extends QueryModule {
     }
     graft.operators.StoreRewrite.atomicOverwrite(
       metaDf(spark, n, tot, h, np, totp, hp), s"$path/meta")
-    // full save = compaction point: fresh stores are authoritative
+    // full save = compaction point: fresh stores are authoritative —
+    // pending tombstones AND the derived champions relation (elected
+    // from the superseded corpus) are both dropped; re-run
+    // textIndexChampionsSave after a full save
     graft.operators.IndexTombstones.clear(spark, path)
+    val cp = new org.apache.hadoop.fs.Path(championsPath(path))
+    val cfs = cp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (cfs.exists(cp)) cfs.delete(cp, true)
   }
 
   /** Restore (postings, docstats), tombstone-masked. EVERY stamp is
@@ -701,6 +707,16 @@ object SearchQueries extends QueryModule {
         m.getAs[Long]("n_pos") + npi, m.getAs[Long]("tot_pos") + totpi,
         new java.math.BigInteger(m.getAs[String]("h_pos")).add(hpi)),
       s"$path/meta")
+    // champions maintenance LAST (derived data): re-elect only the
+    // increment's terms. A crash before this rewrite leaves the lists
+    // merely STALE for those terms — candidate-set approximation only,
+    // scores stay exact — and since a replayed batch returns early
+    // above, staleness persists until the next real append or a fresh
+    // textIndexChampionsSave; never a wrong score, so recover does not
+    // track champions.
+    if (hasChampions(spark, path))
+      reelectChampions(spark, path,
+        p2.select("term").distinct().localCheckpoint(true), None)
     setInflight(spark, path, on = false)
   }
 
@@ -775,6 +791,17 @@ object SearchQueries extends QueryModule {
       spark.read.parquet(s"$path/docstats").join(del, Seq("doc_id"), "left_anti"),
       s"$path/docstats")
     restampMeta(spark, path)
+    // champion lists that referenced a forgotten doc: shed the rows and
+    // re-elect exactly those terms from the rewritten stores (derived
+    // data, so a crash here only leaves lists short/stale — scores stay
+    // exact; a replay whose champions were already shed re-elects
+    // nothing and the next append or championsSave refreshes)
+    if (hasChampions(spark, path)) {
+      val touched = spark.read.parquet(championsPath(path))
+        .join(del, Seq("doc_id"), "left_semi")
+        .select("term").distinct().localCheckpoint(true)
+      reelectChampions(spark, path, touched, Some(del))
+    }
     graft.operators.IndexTombstones.remove(
       del.select(col("doc_id").as("vec_id")), path)
     val ip = new org.apache.hadoop.fs.Path(s"$path/_forget_intent")
@@ -972,6 +999,61 @@ object SearchQueries extends QueryModule {
     championsOf(postings, docstats, m)
   }
 
+  private def championsPath(path: String) = s"$path/champions"
+
+  private def hasChampions(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(championsPath(path))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Elect and PERSIST the per-term champion lists at `path`/champions
+    * (term, doc_id, tscore, rank, m) — the impact-ordered index heads
+    * materialized at INDEX time, so [[textIndexChampionSearch]] reads
+    * candidate sets straight off the store head instead of aggregating
+    * the full postings per query (the stopword-killer was recomputed per
+    * query before this verb existed). Election runs over the MASKED
+    * store (a deleted doc is never a champion) with the exact per-term
+    * impact arithmetic the in-query path uses — stored vs recomputed is
+    * spec-pinned equal. [[textIndexAppend]] keeps the lists fresh by
+    * re-electing ONLY the increment's terms (the knnReknit discipline);
+    * untouched terms keep lists elected under the pre-append avgdl —
+    * candidate-set staleness only, scores stay exact (spec-measured).
+    * A full [[textIndexSave]] removes the champions relation (fresh
+    * saves are authoritative); re-run this verb after one.
+    */
+  def textIndexChampionsSave(spark: SparkSession, path: String, m: Int): Unit = {
+    require(m >= 1, s"textIndexChampionsSave: m must be >= 1, got $m")
+    val (postings, docstats) = textIndexLoad(spark, path)
+    graft.operators.StoreRewrite.atomicOverwrite(
+      championsOf(postings, docstats, m).withColumn("m", lit(m)),
+      championsPath(path))
+  }
+
+  /** Re-elect `touchedTerms`' champion lists from the CURRENT stores
+    * and splice them over the persisted relation — the shared tail of
+    * the append and forget maintenance paths. One postings scan per
+    * mutation (broadcast term-slice join; term-bucketed files prune it
+    * at cluster scale), never one per query.
+    */
+  private def reelectChampions(spark: SparkSession, path: String,
+      touchedTerms: DataFrame, dropDocs: Option[DataFrame]): Unit = {
+    val champs0 = spark.read.parquet(championsPath(path))
+    val mStored = champs0.select("m").head.getInt(0)
+    val posts = graft.operators.IndexTombstones.maskOn(
+      spark.read.parquet(s"$path/postings"), path, Seq("doc_id"))
+    val stats = graft.operators.IndexTombstones.maskOn(
+      spark.read.parquet(s"$path/docstats"), path, Seq("doc_id"))
+    val slice = posts.join(broadcast(touchedTerms.select("term")), Seq("term"))
+    val fresh = championsOf(slice, stats, mStored).withColumn("m", lit(mStored))
+    val kept0 = champs0.join(touchedTerms.select("term"), Seq("term"), "left_anti")
+    val kept = dropDocs.fold(kept0)(d =>
+      kept0.join(d.select("doc_id"), Seq("doc_id"), "left_anti"))
+    graft.operators.StoreRewrite.atomicOverwrite(
+      kept.select("term", "doc_id", "tscore", "rank", "m")
+        .unionByName(fresh.select("term", "doc_id", "tscore", "rank", "m")),
+      championsPath(path))
+  }
+
   private def championsOf(postings: DataFrame, docstats: DataFrame,
       m: Int): DataFrame = {
     val corpus = docstats.agg(
@@ -1009,7 +1091,19 @@ object SearchQueries extends QueryModule {
       queryTerms: Seq[String] = terms, m: Int = 50): DataFrame = {
     val (postings, docstats) = textIndexLoad(spark, path)
     val matched = postings.filter(col("term").isin(queryTerms: _*))
-    val cands = championsOf(matched, docstats, m).select("doc_id").distinct()
+    // candidate set from the PERSISTED champion lists when the store
+    // carries them at sufficient depth (term filter + rank cut pushed
+    // into the champions scan — the per-query postings aggregation this
+    // verb used to run exists only as the fallback for stores without
+    // the relation or for a deeper m than was elected); tombstones are
+    // masked so a deleted doc never re-enters via a stale list
+    val cands =
+      (if (hasChampions(spark, path) &&
+          spark.read.parquet(championsPath(path)).select("m").head.getInt(0) >= m)
+        graft.operators.IndexTombstones.maskOn(
+            spark.read.parquet(championsPath(path)), path, Seq("doc_id"))
+          .filter(col("term").isin(queryTerms: _*) && col("rank") <= m)
+      else championsOf(matched, docstats, m)).select("doc_id").distinct()
     val pivoted = matched.join(cands, "doc_id")
       .groupBy("doc_id").agg(
         queryTerms.zipWithIndex.map { case (t, i) =>
@@ -1043,13 +1137,15 @@ object SearchQueries extends QueryModule {
     * deployment persists through the lifecycle verbs to a shared path.
     */
   private def withThrowawayIndex(docs: DataFrame,
-      withPositions: Boolean = false)(
+      withPositions: Boolean = false, championM: Option[Int] = None)(
       search: String => DataFrame): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-ti")
     val path = root.toString + "/idx"
     val (p, ds) = textIndexBuild(docs)
     textIndexSave(p, ds, path,
       if (withPositions) Some(positionalPostings(docs)) else None)
+    championM.foreach(m =>
+      textIndexChampionsSave(docs.sparkSession, path, m))
     val res = search(path).localCheckpoint(true)
     val hp = new org.apache.hadoop.fs.Path(root.toString)
     hp.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
@@ -1114,11 +1210,15 @@ object SearchQueries extends QueryModule {
     * candidate set is the union of the query terms' top-50 champion
     * lists instead of EVERY matching doc; candidate scores stay exact
     * (TextIndexSpec pins score-equality and measures the recall).
-    * Scale point: for stopword-grade terms the unpruned match set is a
-    * large corpus fraction; champions bound the scoring set at
-    * m·|terms| REGARDLESS of df, and an impact-ordered physical layout
-    * makes the champion read the first rows of each term's run. The
-    * oracle reproduces selection AND scoring independently.
+    * Since r10 the champion lists are PERSISTED at index time
+    * (textIndexChampionsSave) and the search reads candidates off the
+    * store head — no per-query postings aggregation (plan-asserted in
+    * TextIndexSpec). Scale point: for stopword-grade terms the
+    * unpruned match set is a large corpus fraction; champions bound
+    * the scoring set at m·|terms| REGARDLESS of df, and an
+    * impact-ordered physical layout makes the champion read the first
+    * rows of each term's run. The oracle reproduces selection AND
+    * scoring independently.
     */
   private val q167 = QueryDef(
     "q167_bm25_champion",
@@ -1128,7 +1228,7 @@ object SearchQueries extends QueryModule {
         docs.select(lit(1).as("rank"), col("doc_id"),
           lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
       else {
-        val top = withThrowawayIndex(docs)(path =>
+        val top = withThrowawayIndex(docs, championM = Some(50))(path =>
           textIndexChampionSearch(s, path, terms, m = 50)
             .orderBy(col("score").desc, col("doc_id").asc).limit(20))
         top.withColumn("rank", row_number().over(
@@ -1267,6 +1367,82 @@ object SearchQueries extends QueryModule {
     },
     q168.oracle)
 
+  /** q171: hybrid retrieval served from TWO persisted stores — the q93
+    * composition with both candidate generators store-backed: the
+    * sparse side is the BM25 top-30 off the inverted index (the q163
+    * path), the dense side the SQ8-ADC top-30 routed through the
+    * VectorIndex façade (the q157 path — a code store whose search
+    * reads ONLY the persisted params+codes, no corpus vectors at query
+    * time). RRF fusion over ≤ 60 rows exactly as q93; a document
+    * missing from one list contributes only the other list's term. The
+    * oracle recomputes BOTH sides from scratch (q92's scorer + q136's
+    * ADC arithmetic) — the two stores must add nothing and lose
+    * nothing vs direct computation — and HybridStoreSpec plan-asserts
+    * the composed search touches no corpus file, only the two stores.
+    */
+  private val q171 = QueryDef(
+    "q171_hybrid_stores",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      if (docs.isEmpty || e.isEmpty)
+        docs.select(lit(1).as("rank"), col("doc_id").as("id"),
+          lit(1).as("bm25_rank"), lit(1).as("adc_rank"),
+          lit(0.0).as("rrf")).limit(0)
+      else {
+        val bm = withThrowawayIndex(docs)(path =>
+          textIndexSearch(s, path)
+            .orderBy(col("score").desc, col("doc_id").asc).limit(30))
+          .select(col("doc_id"), row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc))
+            .as("bm25_rank"))
+        val root = java.nio.file.Files.createTempDirectory("graft-hyb")
+        val vpath = root.toString + "/idx"
+        graft.operators.VectorIndex.build(e, "sq8", vpath)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val vr = graft.operators.VectorIndex.search(e, q, vpath, k = 30)
+          .select(col("neighbor_id").as("vec_id"), col("rank").as("adc_rank"))
+          .localCheckpoint(true) // eager: frees the throwaway store
+        val hp = new org.apache.hadoop.fs.Path(root.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        bm.join(vr, col("doc_id") === col("vec_id"), "full_outer")
+          .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+            col("bm25_rank"), col("adc_rank"))
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60.0) + col("bm25_rank").cast("double")),
+              lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("adc_rank").cast("double")),
+                lit(0.0)))
+          .orderBy(col("rrf").desc, col("id").asc).limit(15)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("rrf").desc, col("id").asc)))
+          .select("rank", "id", "bm25_rank", "adc_rank", "rrf")
+          .orderBy("rank")
+      }
+    },
+    Some(s"""WITH $bm25CteSql,
+                  br AS (SELECT doc_id, bm25_rank FROM (
+                           SELECT doc_id,
+                             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
+                           FROM bm) x WHERE bm25_rank <= 30),
+                  ${QuantQueries.sq8AdcOracleCtes("vec_id = 0")},
+                  vr AS (SELECT vec_id, rn AS adc_rank FROM (
+                           SELECT vec_id, ROW_NUMBER() OVER (
+                             ORDER BY adc_dist ASC, vec_id ASC) AS rn
+                           FROM scored) y WHERE rn <= 30),
+                  fused AS (SELECT COALESCE(br.doc_id, vr.vec_id) AS id,
+                              bm25_rank, adc_rank,
+                              COALESCE(1.0 / (60.0 + CAST(bm25_rank AS DOUBLE)), 0.0)
+                                + COALESCE(1.0 / (60.0 + CAST(adc_rank AS DOUBLE)), 0.0) AS rrf
+                            FROM br FULL OUTER JOIN vr ON br.doc_id = vr.vec_id)
+             SELECT rank, id, bm25_rank, adc_rank, rrf FROM (
+               SELECT id, bm25_rank, adc_rank, rrf,
+                      ROW_NUMBER() OVER (ORDER BY rrf DESC, id ASC) AS rank
+               FROM fused) t
+             WHERE rank <= 15 ORDER BY rank"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q92, q93, q152, q154, q163, q167, q168, q170)
+    Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171)
 }

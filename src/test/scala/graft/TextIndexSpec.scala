@@ -188,6 +188,86 @@ class TextIndexSpec extends SparkSuite {
       s"champion recall@10 at m=25 collapsed to $r25 — selection broke")
   }
 
+  test("persisted champions: stored lists equal the in-query election; " +
+    "the search reads candidates off the store (plan-asserted) and " +
+    "returns EXACTLY the recomputed-champion results; a deeper m than " +
+    "elected falls back to recomputation") {
+    val path = freshPath()
+    val (p, ds) = textIndexBuild(docs)
+    textIndexSave(p, ds, path)
+    val want = asTuples(textIndexChampionSearch(spark, path, m = 25))
+    val champsFresh = textIndexChampions(spark, path, 25)
+      .orderBy("term", "rank").collect().toSeq
+    textIndexChampionsSave(spark, path, 25)
+    val champsStored = spark.read.parquet(s"$path/champions")
+      .drop("m").orderBy("term", "rank").collect().toSeq
+    assert(champsStored == champsFresh)
+    // served from the store: same rows, and the plan scans champions/
+    // instead of aggregating the postings per query
+    val served = textIndexChampionSearch(spark, path, m = 25)
+    assert(asTuples(served) == want)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("champions"),
+      s"champion search did not read the persisted lists:\n$plan")
+    // deeper m than elected: recomputation fallback, still exact
+    assert(asTuples(textIndexChampionSearch(spark, path, m = 1000000)) ==
+      asTuples(textIndexSearch(spark, path)))
+  }
+
+  test("append re-elects ONLY the increment's terms (stored lists for " +
+    "them equal a fresh election over the grown corpus); a full save " +
+    "drops the champions relation; forget sheds a forgotten doc's " +
+    "champion rows and re-elects its terms") {
+    import spark.implicits._
+    val path = freshPath()
+    val (p1, d1) = textIndexBuild(docs.filter(col("doc_id") % 2 === 0))
+    textIndexSave(p1, d1, path)
+    textIndexChampionsSave(spark, path, 10)
+    textIndexAppend(docs.filter(col("doc_id") % 2 =!= 0), path)
+    val stored = spark.read.parquet(s"$path/champions")
+    // every query term appears in the increment (they are corpus-common),
+    // so their lists must equal a from-scratch election over the FULL
+    // corpus — the staleness window is only terms the increment lacks
+    val fresh = textIndexChampions(spark, path, 10)
+    val queryTerms = Seq("spark", "window", "hash")
+    val sSel = stored.filter(col("term").isin(queryTerms: _*))
+      .select("term", "doc_id", "tscore", "rank")
+      .orderBy("term", "rank").collect().toSeq
+    val fSel = fresh.filter(col("term").isin(queryTerms: _*))
+      .orderBy("term", "rank").collect().toSeq
+    assert(sSel == fSel,
+      "appended terms' stored champions diverge from a fresh election")
+    // and the championed search over the grown store matches the scorer
+    val exact = asTuples(textIndexSearch(spark, path)).map(t => t._1 -> t).toMap
+    asTuples(textIndexChampionSearch(spark, path, m = 10))
+      .foreach(t => assert(exact(t._1) == t))
+    // forget: the victim's champion rows vanish, and exactly the terms
+    // that LISTED it are re-elected (fresh tscores under the shrunken
+    // corpus); other terms keep their pre-forget lists — the documented
+    // staleness window (candidate-set only, scores always exact)
+    val victim = asTuples(textIndexChampionSearch(spark, path, m = 10)).head._1
+    val victimTerms = spark.read.parquet(s"$path/champions")
+      .filter(col("doc_id") === victim)
+      .select("term").distinct().as[String].collect().toSeq
+    assert(victimTerms.nonEmpty)
+    textIndexForget(Seq(victim).toDF("doc_id"), path)
+    val after = spark.read.parquet(s"$path/champions")
+    assert(after.filter(col("doc_id") === victim).isEmpty,
+      "forgotten doc still listed as a champion")
+    val fSel2 = textIndexChampions(spark, path, 10)
+      .filter(col("term").isin(victimTerms: _*))
+      .orderBy("term", "rank").collect().toSeq
+    val sSel2 = after.filter(col("term").isin(victimTerms: _*))
+      .select("term", "doc_id", "tscore", "rank")
+      .orderBy("term", "rank").collect().toSeq
+    assert(sSel2 == fSel2,
+      "forget left the victim's terms' champion lists stale")
+    // full save = champions dropped (fresh corpus is authoritative)
+    val (p2, d2) = textIndexBuild(docs)
+    textIndexSave(p2, d2, path)
+    assert(!new java.io.File(s"$path/champions").exists())
+  }
+
   test("search pushes the query terms into the postings scan — the plan " +
     "reads term-matching row groups, not the whole postings store") {
     val path = freshPath()
