@@ -34,6 +34,11 @@ object Logging {
   def executingManyMessage(chunkSize: Int): String =
     s"Executing many (chunk_size=$chunkSize)"
 
+  /** O10 execute's INFO open line — 'Executing query', exactly
+    * (test_etl_logging.py:92 INFO_EXECUTE).
+    */
+  val executingQueryMessage: String = "Executing query"
+
   def totalProcessedMessage(n: Long): String = s"$n rows processed in total"
 
   /** The DEBUG layer of the contract (etl.py:86, pinned at
@@ -48,6 +53,16 @@ object Logging {
 
   def executeDebugMessage(sql: String, target: String): String =
     s"Executing:\n\n$sql\n\nagainst:\n\n$target"
+
+  /** execute's DEBUG layer — unlike executemany's (above, no parameter
+    * section: test_etl_logging.py:24-35), single-statement execute logs
+    * its bound parameters (etl.py:446, pinned at test_etl_logging.py:
+    * 93-104: 'Executing:\n\n<sql>\n\nwith parameters:\n\n()\n\n
+    * against:\n\n<conn>').
+    */
+  def executeQueryDebugMessage(sql: String, parameters: String,
+      target: String): String =
+    s"Executing:\n\n$sql\n\nwith parameters:\n\n$parameters\n\nagainst:\n\n$target"
 
   /** 'First row: ...' at DEBUG (test_etl_logging.py:49-51). Logged at the
     * driver-side materialization points (fetchAll/fetchOne) only — peeking
@@ -70,6 +85,13 @@ object Logging {
   def logExecutingMany(chunkSize: Int, sql: String, target: String): Unit = {
     log.info(executingManyMessage(chunkSize))
     if (log.isDebugEnabled) log.debug(executeDebugMessage(sql, target))
+  }
+
+  def logExecutingQuery(sql: String, parameters: String,
+      target: String): Unit = {
+    log.info(executingQueryMessage)
+    if (log.isDebugEnabled)
+      log.debug(executeQueryDebugMessage(sql, parameters, target))
   }
 
   def logFirstRow(row: => Any): Unit =

@@ -37,41 +37,61 @@ import graft.queries.{QuantQueries, SimilarityQueries}
 object VectorIndex {
 
   /** One rung of the measured compression ladder (SCALING.md round-8
-    * table; recall@5 on the 5-query harness, bytes per 64-dim vector).
+    * table + the round-8/round-10 knob sweeps; recall@5 on the 5-query
+    * harness, bytes per 64-dim vector). `knob` names the query-time or
+    * build-time setting that produces the measured recall at that
+    * store size — the SAME store can appear on several rungs (binary at
+    * R=25 vs R=100; residual at different codebook widths/probes), so a
+    * caller can ask for "16 B/vec at 0.8 recall" without knowing which
+    * probe dial delivers it.
     */
-  final case class Rung(family: String, bytesPerVec: Double,
+  final case class Rung(family: String, knob: String, bytesPerVec: Double,
       recallAt5: Double)
 
-  /** Descending-cost order. "exact" is the no-index brute path (not a
-    * persisted family); binary's 0.56 is the shallow R=25 probe — the
-    * R=100 probe reaches 0.84 at the same store (the probe is a query-
-    * time knob, so the LADDER carries the conservative number).
-    * LSH and kNN-lists are deliberately absent: LSH stores exact
-    * vectors' bucket ids (a candidate generator, not a compression
-    * rung) and kNN-lists is a neighbor graph, not a query-vector index.
+  /** Descending-cost order; within one (family, bytes) the CHEAPER knob
+    * first, so a tie on bytes resolves to the shallower probe when both
+    * meet the floor. "exact" is the no-index brute path (not a
+    * persisted family). LSH and kNN-lists are deliberately absent: LSH
+    * stores exact vectors' bucket ids (a candidate generator, not a
+    * compression rung) and kNN-lists is a neighbor graph, not a
+    * query-vector index. Measurements: SCALING.md — bin R=25/R=100 on
+    * the same 16 B store; residual 32 cells at 4×8 (11/125) and the
+    * larger 4×64 codebook at probe 2 (16/125) and 4 (18/125).
     */
   val ladder: Seq[Rung] = Seq(
-    Rung("exact", 512, 1.00),
-    Rung("sq8", 64, 1.00),
-    Rung("bin", 16, 0.56),
-    Rung("residual", 5, 0.088),
-    Rung("pq", 4, 0.04))
+    Rung("exact", "", 512, 1.00),
+    Rung("sq8", "adc+rerank25", 64, 1.00),
+    Rung("bin", "R=25", 16, 0.56),
+    Rung("bin", "R=100", 16, 0.84),
+    Rung("residual", "cells=32,pq=4x8,probe=2", 5, 0.088),
+    Rung("residual", "cells=32,pq=4x64,probe=2", 5, 0.128),
+    Rung("residual", "cells=32,pq=4x64,probe=4", 5, 0.144),
+    Rung("pq", "4x8", 4, 0.04))
 
   /** The cheapest (fewest bytes/vec) rung meeting BOTH the storage
-    * budget and the recall floor. Deterministic; throws with the full
-    * ladder when the constraints are unsatisfiable (e.g. 4 bytes/vec at
-    * recall 0.9 — no measured family delivers that).
+    * budget and the recall floor, ties resolved to the earliest (=
+    * cheapest-knob) row. Returns the full rung so the caller learns
+    * the knob alongside the family. Throws with the full ladder when
+    * the constraints are unsatisfiable.
     */
-  def select(maxBytesPerVec: Double, minRecallAt5: Double): String = {
+  def selectRung(maxBytesPerVec: Double, minRecallAt5: Double): Rung = {
     val fits = ladder.filter(r =>
       r.bytesPerVec <= maxBytesPerVec && r.recallAt5 >= minRecallAt5)
     require(fits.nonEmpty,
       s"VectorIndex.select: no family fits <= $maxBytesPerVec bytes/vec " +
         s"at recall@5 >= $minRecallAt5; the measured ladder is " +
-        ladder.map(r => s"${r.family}(${r.bytesPerVec}B, ${r.recallAt5})")
+        ladder.map(r =>
+          s"${r.family}${if (r.knob.isEmpty) "" else s"[${r.knob}]"}" +
+            s"(${r.bytesPerVec}B, ${r.recallAt5})")
           .mkString(", "))
-    fits.minBy(_.bytesPerVec).family
+    fits.minBy(_.bytesPerVec) // minBy keeps the FIRST minimal row on ties
   }
+
+  /** [[selectRung]] reduced to the family name — the routing surface
+    * [[build]] consumes (q157's path).
+    */
+  def select(maxBytesPerVec: Double, minRecallAt5: Double): String =
+    selectRung(maxBytesPerVec, minRecallAt5).family
 
   val Families: Set[String] =
     Set("sq8", "pq", "ivf", "residual", "bin", "lsh", "knn")

@@ -2170,7 +2170,8 @@ object SimilarityQueries extends QueryModule {
     * of the same batch rewrites identical rows.
     */
   def knnReknit(e: org.apache.spark.sql.DataFrame,
-      newIds: org.apache.spark.sql.DataFrame, path: String): Unit = {
+      newIds: org.apache.spark.sql.DataFrame, path: String,
+      maxBatch: Int = 100000): Unit = {
     val spark = e.sparkSession
     val meta = spark.read.parquet(s"$path/meta")
       .select("fp", "k", "generator").take(1)
@@ -2181,9 +2182,21 @@ object SimilarityQueries extends QueryModule {
       (meta(0).getString(0), meta(0).getInt(1), meta(0).getString(2))
     require(gen == "brute-cos",
       s"knnReknit: store was generated by '$gen' — the stored-list merge " +
-        "is exact only over exact lists; refresh ANN-generated stores " +
-        "through their own generator and knnSaveLists")
+        "is exact only over exact lists; ANN-generated stores refresh " +
+        "through their own generator (knnRefreshAnn)")
     val ids = newIds.select("vec_id").localCheckpoint(true)
+    // the batch side is BROADCAST against every stale anchor below —
+    // sized for an incremental append, not a corpus. Re-knitting after
+    // a corpus-scale append would silently materialize stale × batch
+    // work approaching |corpus|²; fail loudly with the right tool
+    val nBatch = ids.count()
+    require(nBatch <= maxBatch,
+      s"knnReknit: the appended batch carries $nBatch vectors " +
+        s"(> maxBatch=$maxBatch) — re-knit broadcasts the batch against " +
+        "every stale anchor, the wrong shape after a corpus-scale " +
+        "append; rebuild with knnSaveLists(bruteTopLists(...)) instead, " +
+        "or raise maxBatch deliberately if the broadcast is truly " +
+        "affordable")
     val lists = spark.read.parquet(s"$path/lists")
     val aidsNew = ids.withColumnRenamed("vec_id", "aid")
     // stale anchors: stored before this batch existed
@@ -2204,6 +2217,103 @@ object SimilarityQueries extends QueryModule {
     val cand = staleRows.unionAll(freshSims)
       .groupBy("aid", "bid").agg(max("sim").as("sim"))
     val merged = graft.operators.GroupTopK.topK(cand, Seq(col("aid")),
+        Seq(col("sim").desc, col("bid").asc), col("bid"), k,
+        rankName = "rn")
+      .select("aid", "bid", "sim", "rn")
+    val keptNew = lists.join(aidsNew, Seq("aid"), "left_semi")
+      .select("aid", "bid", "sim", "rn")
+    graft.operators.StoreRewrite.atomicOverwrite(
+      keptNew.unionAll(merged).withColumn("fp", lit(fp))
+        .select("aid", "bid", "sim", "rn", "fp"),
+      s"$path/lists")
+  }
+
+  /** Directed per-anchor ANN top-k lists over the full corpus through
+    * the multi-table LSH generator — the ANN twin of [[bruteTopLists]]
+    * and the canonical content of a `lsh-multi-<T>x<P>` list store
+    * ([[knnRefreshAnn]] parses that tag to re-probe with the same
+    * geometry). Anchor roles: every corpus vector queries the index
+    * once; candidates are bucket collisions in any of the T tables,
+    * reranked by exact cosine to the directed top-k.
+    */
+  def lshTopLists(e: org.apache.spark.sql.DataFrame, k: Int,
+      tables: Int = 4, planes: Int = 6): org.apache.spark.sql.DataFrame =
+    lshMultiAnn(e, e.select(col("vec_id").as("qid"), col("v").as("qv")),
+        tables, planes, topK = k, excludeSelfMatches = true)
+      .select(col("query_id").as("aid"), col("neighbor_id").as("bid"),
+        col("cos_sim").as("sim"), col("rank").as("rn"))
+
+  /** Generator-side REFRESH for ANN-built list stores — the maintenance
+    * verb [[knnReknit]] deliberately refuses (its exact-merge argument
+    * needs exact stored lists). The same merge IS exact at the
+    * candidate-set level, though: an LSH anchor's full-regeneration
+    * list is top-k(candidates among old ∪ candidates among new), any
+    * old candidate in that top-k already sat in the stored top-k, and
+    * bucket collision is a per-pair deterministic predicate — so
+    * merging the STORED lists with the stale-anchor × new-batch bucket
+    * collisions and re-ranking reproduces the full regeneration
+    * BYTE-EQUAL (KnnStoreSpec pins it), at stale × collision cost with
+    * only the batch's bucket rows broadcast. Routed by the stored
+    * generator tag (`lsh-multi-<T>x<P>` — same geometry re-probed);
+    * brute-cos stores re-knit exactly instead.
+    */
+  def knnRefreshAnn(e: org.apache.spark.sql.DataFrame,
+      newIds: org.apache.spark.sql.DataFrame, path: String,
+      maxBatch: Int = 100000): Unit = {
+    val spark = e.sparkSession
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("fp", "k", "generator").take(1)
+    require(meta.nonEmpty,
+      s"knnRefreshAnn: meta store at $path/meta is empty — save the " +
+        "store first (knnSaveLists)")
+    val (fp, k, gen) =
+      (meta(0).getString(0), meta(0).getInt(1), meta(0).getString(2))
+    val lshGen = "^lsh-multi-(\\d+)x(\\d+)$".r
+    val (tables, planes) = gen match {
+      case lshGen(t, p) => (t.toInt, p.toInt)
+      case other => throw new IllegalArgumentException(
+        s"knnRefreshAnn: store generator '$other' has no routed " +
+          "refresh — brute-cos stores re-knit exactly (knnReknit); " +
+          "rebuild other generators' stores with knnSaveLists")
+    }
+    val ids = newIds.select("vec_id").localCheckpoint(true)
+    val nBatch = ids.count()
+    if (nBatch == 0) return
+    require(nBatch <= maxBatch,
+      s"knnRefreshAnn: the appended batch carries $nBatch vectors " +
+        s"(> maxBatch=$maxBatch) — the batch's bucket rows are " +
+        "broadcast; rebuild with knnSaveLists(lshTopLists(...)) after " +
+        "a corpus-scale append")
+    val lists = spark.read.parquet(s"$path/lists")
+    val aidsNew = ids.withColumnRenamed("vec_id", "aid")
+    // stale = every CORPUS anchor outside the batch — derived from the
+    // vector relation, not the stored anchor set: an anchor whose old
+    // candidate set was EMPTY has no stored rows at all, yet may gain
+    // its first neighbors from the batch
+    val stale = e.select(col("vec_id").as("aid"))
+      .join(aidsNew, Seq("aid"), "left_anti")
+    def bucketed(in: org.apache.spark.sql.DataFrame,
+        idCol: String, vCol: String) =
+      in.select(col(idCol), col(vCol),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col(vCol), planes, dims, t)): _*)))
+        .toDF(idCol, vCol, "tbl", "bucket")
+    val staleVecs = e.select(col("vec_id").as("aid"), col("v"))
+      .join(stale, Seq("aid"))
+    val nv = e.join(ids, Seq("vec_id"))
+      .select(col("vec_id").as("bid"), col("v").as("bv"))
+    // stale anchors' NEW candidates: bucket collisions with the batch
+    // in any table (aid ≠ bid holds structurally: the sets are disjoint)
+    val cands = bucketed(staleVecs, "aid", "v")
+      .join(broadcast(bucketed(nv, "bid", "bv")), Seq("tbl", "bucket"))
+      .select(col("aid"), col("bid"), cosine(col("v"), col("bv")).as("sim"))
+      .distinct()
+    val staleRows = lists.join(stale, Seq("aid")).select("aid", "bid", "sim")
+    // a replayed refresh re-finds pairs already in the stored lists;
+    // both sides compute the same cosine on the same operands
+    val merged0 = staleRows.unionAll(cands)
+      .groupBy("aid", "bid").agg(max("sim").as("sim"))
+    val merged = graft.operators.GroupTopK.topK(merged0, Seq(col("aid")),
         Seq(col("sim").desc, col("bid").asc), col("bid"), k,
         rankName = "rn")
       .select("aid", "bid", "sim", "rn")

@@ -69,6 +69,46 @@ class IntervalJoinSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("a HOT bucket (one bucket holding ~all points) is ordinary key " +
+    "skew: AQE's skew-join split engages on the bucketed equality join, " +
+    "as the operator's scaladoc claims, and pairs stay exact") {
+    // 150k points inside ONE hour-bucket + a thin tail over 50 others
+    val hot = spark.range(150000)
+      .select(col("id").as("point_id"),
+        to_timestamp(lit("2024-03-01 10:00:00")).as("ts"))
+    val tail = spark.range(50)
+      .select((col("id") + 150000L).as("point_id"),
+        (to_timestamp(lit("2024-03-01 12:00:00"))
+          + expr("make_interval(0, 0, 0, 0, CAST(id AS INT), 0, 0)")).as("ts"))
+    val pts = hot.unionByName(tail)
+    val ivs = Seq(
+      (1L, Timestamp.valueOf("2024-03-01 09:30:00"),
+        Timestamp.valueOf("2024-03-01 10:30:00")),   // covers the hot bucket
+      (2L, Timestamp.valueOf("2024-03-01 20:00:00"),
+        Timestamp.valueOf("2024-03-01 22:00:00"))).toDF("win_id", "ws", "we")
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the SMJ path
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536")
+    val prior = conf.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = IntervalJoin.join(pts, "ts", ivs, "ws", "we", 3600L)
+      // exact pairs first — executed on THIS DataFrame (count() would
+      // plan a separate query and leave this one's adaptive plan
+      // unfinalized): the hot interval catches all 150k hot points, the
+      // other window its 2 tail points
+      assert(joined.collect().length == 150000 + 2)
+      // then the plan evidence: the finalized adaptive plan carries the
+      // skew-split marker on the join/read of the hot side
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE skew split did not engage on the hot bucket:\n$plan")
+    } finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("an interval spanning more buckets than the cap fails loudly " +
     "instead of exploding the plan") {
     val iv = Seq((1L, ts(0), ts(10 * 24 * 60))).toDF("win_id", "ws", "we")

@@ -223,6 +223,59 @@ class KnnStoreSpec extends SparkSuite {
     }
     assert(exGen.getMessage.contains("'lsh-b4'"),
       s"re-knit must refuse an ANN-generated store: ${exGen.getMessage}")
+    // a corpus-scale "batch" trips the broadcast bound loudly instead of
+    // materializing stale × batch work silently
+    val exBig = intercept[IllegalArgumentException] {
+      SimilarityQueries.knnReknit(emb, newIds, s"$base/knn", maxBatch = 10)
+    }
+    assert(exBig.getMessage.contains("maxBatch") &&
+      exBig.getMessage.contains("knnSaveLists"),
+      s"oversized re-knit batch must fail with guidance: ${exBig.getMessage}")
+  }
+
+  test("ANN-store refresh: re-probing stale anchors against the batch's " +
+    "bucket collisions reproduces the full LSH regeneration BYTE-EQUAL; " +
+    "replay is a no-op; brute-cos stores are routed to knnReknit; an " +
+    "oversized batch trips the broadcast bound") {
+    val base = tmpDir("knnstore-refresh")
+    val eOld = emb.filter(col("vec_id") >= 60)
+    val newIds = emb.filter(col("vec_id") < 60).select("vec_id")
+    val gen = "lsh-multi-4x6"
+    // day 0: ANN lists over the old corpus only
+    SimilarityQueries.knnSaveLists(
+      SimilarityQueries.lshTopLists(eOld, 3), 3, gen, s"$base/ann")
+    // append: new anchors' lists generated against the FULL corpus
+    SimilarityQueries.knnAppendLists(
+      SimilarityQueries.lshTopLists(emb, 3)
+        .join(newIds.withColumnRenamed("vec_id", "aid"), Seq("aid"),
+          "left_semi"),
+      gen, s"$base/ann")
+    SimilarityQueries.knnRefreshAnn(emb, newIds, s"$base/ann")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val full = SimilarityQueries.lshTopLists(emb, 3)
+      .select("aid", "bid", "sim", "rn").collect().map(key).sorted
+    def loaded() = SimilarityQueries.knnLoadLists(spark, s"$base/ann")._1
+      .select("aid", "bid", "sim", "rn").collect().map(key).sorted
+    assert(loaded().sameElements(full),
+      "refreshed ANN store must equal the full regeneration exactly")
+    SimilarityQueries.knnRefreshAnn(emb, newIds, s"$base/ann")
+    assert(loaded().sameElements(full), "replayed refresh must be a no-op")
+    // routing: a brute store refreshes through knnReknit, not here
+    SimilarityQueries.knnSaveLists(
+      SimilarityQueries.bruteTopLists(eOld, 3), 3, "brute-cos",
+      s"$base/brute")
+    val exBrute = intercept[IllegalArgumentException] {
+      SimilarityQueries.knnRefreshAnn(emb, newIds, s"$base/brute")
+    }
+    assert(exBrute.getMessage.contains("knnReknit"),
+      s"brute store must be routed to knnReknit: ${exBrute.getMessage}")
+    val exBig = intercept[IllegalArgumentException] {
+      SimilarityQueries.knnRefreshAnn(emb, newIds, s"$base/ann",
+        maxBatch = 10)
+    }
+    assert(exBig.getMessage.contains("maxBatch"),
+      s"oversized refresh batch must fail loudly: ${exBig.getMessage}")
   }
 
   test("multi-hop beam expansion: the recall-vs-candidates curve is " +

@@ -31,6 +31,23 @@ class LoggingSpec extends AnyFunSuite {
       "Fetching rows (chunk_size=5000)")
     assert(Logging.executingManyMessage(1) == "Executing many (chunk_size=1)")
     assert(Logging.totalProcessedMessage(3) == "3 rows processed in total")
+    // test_etl_logging.py:92: INFO_EXECUTE = ['Executing query']
+    assert(Logging.executingQueryMessage == "Executing query")
+  }
+
+  test("execute's DEBUG layer carries the parameter section the " +
+    "executemany variant omits — both shapes pinned verbatim against " +
+    "test_etl_logging.py:24-35 (no params) and :93-104 (with params)") {
+    assert(Logging.executeQueryDebugMessage("SELECT 1 AS result;", "()",
+        "jdbc:postgresql://h:5432/d") ==
+      "Executing:\n\nSELECT 1 AS result;\n\nwith parameters:\n\n()\n\n" +
+        "against:\n\njdbc:postgresql://h:5432/d")
+    // the executemany debug line has NO parameter section — the two
+    // shapes must not drift into each other
+    assert(Logging.executeDebugMessage("SELECT 1 AS result;",
+        "jdbc:postgresql://h:5432/d") ==
+      "Executing:\n\nSELECT 1 AS result;\n\n" +
+        "against:\n\njdbc:postgresql://h:5432/d")
   }
 
   test("DEBUG layer matches the reference shape: SQL, parameters and " +

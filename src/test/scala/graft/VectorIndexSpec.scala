@@ -41,6 +41,24 @@ class VectorIndexSpec extends SparkSuite {
     assert(ex.getMessage.contains("ladder"))
   }
 
+  test("selectRung carries the KNOB that delivers the recall: the same " +
+    "16 B binary store answers 0.5 at the shallow probe and 0.8 only at " +
+    "R=100; residual's larger codebook rungs route without the caller " +
+    "knowing the probe dial") {
+    // '16 B/vec at 0.8 recall' — same store, deeper probe
+    val deep = VectorIndex.selectRung(16, 0.8)
+    assert(deep.family == "bin" && deep.knob == "R=100")
+    // the modest floor resolves the bytes tie to the CHEAPER probe
+    val shallow = VectorIndex.selectRung(16, 0.5)
+    assert(shallow.family == "bin" && shallow.knob == "R=25")
+    // residual at 5 B: the recall floor walks the codebook/probe rungs
+    assert(VectorIndex.selectRung(5, 0.05).knob == "cells=32,pq=4x8,probe=2")
+    assert(VectorIndex.selectRung(5, 0.10).knob == "cells=32,pq=4x64,probe=2")
+    assert(VectorIndex.selectRung(5, 0.14).knob == "cells=32,pq=4x64,probe=4")
+    // select stays the family-only surface build consumes
+    assert(VectorIndex.select(16, 0.8) == "bin")
+  }
+
   test("build stamps the family marker; open verifies it; a mis-declared " +
     "family and a marker-less store both fail loudly") {
     val base = tmpDir("vidx-marker")
