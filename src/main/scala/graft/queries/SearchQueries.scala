@@ -1269,6 +1269,51 @@ object SearchQueries extends QueryModule {
     }
   }
 
+  /** Proximity (NEAR) matching over a positional postings relation:
+    * anchor positions of `termA` that have an occurrence of `termB`
+    * within `window` tokens (|posA − posB| ≤ window), one row per
+    * qualifying ANCHOR position — the slop-query half of the
+    * positional family (phrase = exact adjacency; NEAR = bounded
+    * distance, the standard retrieval operator a bag-of-words index
+    * cannot answer).
+    *
+    * Scale shape: the naive per-doc position join is quadratic for
+    * common terms; instead positions are bucketed by `pos div window`
+    * (integer div — the IntervalJoin discipline) and the anchor side
+    * explodes into its bucket ± 1, so the pairing is ONE hash equality
+    * semi-join on (doc_id, bucket) with the exact |Δpos| predicate
+    * inside — every B within `window` of an A sits in one of A's three
+    * buckets, each exploded A row meets a given bucket at most once,
+    * and the LEFT SEMI keeps anchor rows (not pairs), so a term with
+    * many nearby matches costs one surviving row. Both inputs are
+    * single-term slices (term-pushed when the relation is the
+    * persisted store). The final distinct dedupes anchors matched in
+    * several of their three buckets.
+    */
+  def proximityMatches(positions: DataFrame, termA: String, termB: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"proximityMatches: window must be >= 1, got $window")
+    require(termA != termB,
+      "proximityMatches: termA == termB — every anchor matches itself at " +
+        "distance 0; a same-term repetition query is a phrase/adjacency " +
+        "question (phraseMatches)")
+    // integer div, never double division (the IntervalJoin boundary
+    // lesson); pos >= 0 so truncating div == floor
+    val a = positions.filter(col("term") === termA)
+      .select(col("doc_id"), col("pos"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("off"))
+      .select(col("doc_id"), col("pos"),
+        (expr(s"pos div $window") + col("off")).as("bk"))
+    val b = positions.filter(col("term") === termB)
+      .select(col("doc_id"), col("pos").as("pos_b"),
+        expr(s"pos div $window").as("bk"))
+    a.join(b,
+        a("doc_id") === b("doc_id") && a("bk") === b("bk") &&
+          abs(a("pos") - b("pos_b")) <= window,
+        "left_semi")
+      .select(col("doc_id"), col("pos")).distinct()
+  }
+
   /** Positional postings from a corpus — the build-side of the phrase
     * store: one posexplode + nothing else (no aggregate: positions are
     * already unique per (doc_id, pos)). Persisting this beside the tf
@@ -1291,6 +1336,17 @@ object SearchQueries extends QueryModule {
   def textIndexPhraseSearch(spark: SparkSession, path: String,
       phrase: Seq[String]): DataFrame =
     phraseMatches(textIndexLoadPositions(spark, path), phrase)
+
+  /** Proximity search served from the persisted positional store — the
+    * NEAR twin of [[textIndexPhraseSearch]]: two term-pushed slices of
+    * the positions relation through the banded semi-join of
+    * [[proximityMatches]]. Output: (doc_id, pos) of each qualifying
+    * anchor (`termA`) position.
+    */
+  def textIndexProximitySearch(spark: SparkSession, path: String,
+      termA: String, termB: String, window: Int): DataFrame =
+    proximityMatches(textIndexLoadPositions(spark, path), termA, termB,
+      window)
 
   /** q168: exact phrase search ("data line") — the adjacency query a
     * bag-of-words index cannot answer. Within a document a phrase is a
@@ -1366,6 +1422,54 @@ object SearchQueries extends QueryModule {
       }
     },
     q168.oracle)
+
+  /** q172: proximity (NEAR) search served from the positional store —
+    * "'data' within 5 tokens of 'merge'", the slop query that completes
+    * the positional family (q168/q170 = exact adjacency; this = bounded
+    * distance). The match set comes from [[textIndexProximitySearch]]:
+    * two term-pushed slices of the persisted positions relation through
+    * a window-banded equality SEMI-join (never a per-doc quadratic
+    * position join — common terms would make that a corpus-scale
+    * cross product per document). The oracle recomputes the semantics
+    * independently as a per-document nested positional scan (DuckDB
+    * list lambdas), all-integer — no float rounding surface. Reported
+    * per source over ALL docs (q168's report shape).
+    */
+  private val q172 = QueryDef(
+    "q172_proximity_search",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      if (docs.isEmpty)
+        docs.select(col("source"), lit(0L).as("n_docs_near"),
+          lit(0L).as("n_anchor_positions")).limit(0)
+      else {
+        val occ = withThrowawayIndex(docs, withPositions = true)(path =>
+          textIndexProximitySearch(s, path, "data", "merge", 5)
+            .groupBy("doc_id").agg(count(lit(1)).as("occ")))
+        docs.select(col("doc_id"), col("source"))
+          .join(occ, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(sum(when(col("occ") > 0, 1L).otherwise(0L)).as("n_docs_near"),
+            coalesce(sum(col("occ")), lit(0L)).cast("long")
+              .as("n_anchor_positions"))
+          .orderBy("source")
+      }
+    },
+    Some("""WITH tk AS (SELECT doc_id, source,
+                               regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                        FROM documents),
+            hits AS (SELECT source,
+                            len(list_filter(range(1, len(t) + 1),
+                                i -> t[i] = 'data' AND
+                                  len(list_filter(
+                                    range(greatest(1, i - 5),
+                                          least(len(t), i + 5) + 1),
+                                    j -> t[j] = 'merge')) > 0)) AS occ
+                     FROM tk)
+            SELECT source,
+                   CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_near,
+                   CAST(SUM(occ) AS BIGINT) AS n_anchor_positions
+            FROM hits GROUP BY source ORDER BY source"""))
 
   /** q171: hybrid retrieval served from TWO persisted stores — the q93
     * composition with both candidate generators store-backed: the
@@ -1444,5 +1548,5 @@ object SearchQueries extends QueryModule {
              WHERE rank <= 15 ORDER BY rank"""))
 
   override def defs: Seq[QueryDef] =
-    Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171)
+    Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171, q172)
 }

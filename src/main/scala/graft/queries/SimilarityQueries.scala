@@ -2286,11 +2286,16 @@ object SimilarityQueries extends QueryModule {
         "a corpus-scale append")
     val lists = spark.read.parquet(s"$path/lists")
     val aidsNew = ids.withColumnRenamed("vec_id", "aid")
-    // stale = every CORPUS anchor outside the batch — derived from the
-    // vector relation, not the stored anchor set: an anchor whose old
-    // candidate set was EMPTY has no stored rows at all, yet may gain
-    // its first neighbors from the batch
+    // stale = every anchor outside the batch, from the vector relation
+    // UNION the stored anchor set: the vector side alone would miss
+    // nothing in a correct call, but (a) an anchor whose old candidate
+    // set was EMPTY has no stored rows yet may gain its first
+    // neighbors from the batch (vector side catches it), and (b) a
+    // caller passing a PARTIAL corpus must not silently DROP stored
+    // anchors absent from it — their lists pass through unrefreshed
+    // (no vectors to probe) rather than vanish
     val stale = e.select(col("vec_id").as("aid"))
+      .unionByName(lists.select("aid")).distinct()
       .join(aidsNew, Seq("aid"), "left_anti")
     def bucketed(in: org.apache.spark.sql.DataFrame,
         idCol: String, vCol: String) =

@@ -276,6 +276,14 @@ class KnnStoreSpec extends SparkSuite {
     }
     assert(exBig.getMessage.contains("maxBatch"),
       s"oversized refresh batch must fail loudly: ${exBig.getMessage}")
+    // a PARTIAL vector relation must not silently DROP stored anchors
+    // absent from it: their lists pass through unrefreshed (the batch
+    // vectors stay present, so the probe machinery still runs)
+    val dropped = emb.filter(col("vec_id") < 60 || col("vec_id") >= 200)
+    val before = loaded()
+    SimilarityQueries.knnRefreshAnn(dropped, newIds, s"$base/ann")
+    assert(loaded().sameElements(before),
+      "refresh with a partial corpus dropped or changed stored lists")
   }
 
   test("multi-hop beam expansion: the recall-vs-candidates curve is " +

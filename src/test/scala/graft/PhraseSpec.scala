@@ -148,6 +148,58 @@ class PhraseSpec extends SparkSuite {
     assert(e3.getMessage.contains("positions"))
   }
 
+  test("proximity matching equals the naive per-doc position scan at " +
+    "several windows, the window boundary is exact (distance == w " +
+    "matches, w+1 does not), and same-term queries refuse") {
+    import spark.implicits._
+    def naiveNear(a: String, b: String, w: Int): Set[(Long, Int)] = {
+      val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .as[(Long, Seq[String])].collect()
+      toks.flatMap { case (id, tk) =>
+        tk.indices.filter(i => tk(i) == a &&
+          tk.indices.exists(j => tk(j) == b && math.abs(i - j) <= w))
+          .map(i => (id, i))
+      }.toSet
+    }
+    for (w <- Seq(1, 5, 20)) {
+      val got = proximityMatches(pos, "data", "merge", w)
+        .as[(Long, Int)].collect().toSet
+      assert(got == naiveNear("data", "merge", w), s"window $w mismatch")
+      assert(got.nonEmpty, s"window $w never matches — pick another fixture")
+    }
+    // boundary exactness on a hand-built relation: b at distance w and
+    // w+1 from the anchor — only the former qualifies
+    val hand = Seq(("x", 10L, 0), ("y", 10L, 5), ("y", 10L, 6))
+      .toDF("term", "doc_id", "pos")
+    assert(proximityMatches(hand, "x", "y", 5)
+      .as[(Long, Int)].collect().toSet == Set((10L, 0)))
+    assert(proximityMatches(hand, "x", "y", 6)
+      .as[(Long, Int)].collect().toSet == Set((10L, 0)))
+    assert(proximityMatches(hand, "x", "y", 4).count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      proximityMatches(pos, "data", "data", 5)
+    }
+    assert(e.getMessage.contains("termA == termB"))
+  }
+
+  test("store-served proximity equals the in-memory form, is term-pushed " +
+    "into the positions scan, and plans as a SEMI join — one surviving " +
+    "row per anchor however many nearby matches") {
+    val path = freshPath()
+    saveWithPositions(docs, path)
+    val fromStore = textIndexProximitySearch(spark, path, "data", "merge", 5)
+    assert(starts(fromStore) ==
+      starts(proximityMatches(pos, "data", "merge", 5)))
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"proximity did not plan as semi:\n$plan")
+    assert(plan.contains("EqualTo(term,data)") &&
+      plan.contains("EqualTo(term,merge)"),
+      s"term filters not pushed into the positions scan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equality join in:\n$plan")
+  }
+
   test("the store-served chain pushes each term into the positions " +
     "scan and stays equality-join-only") {
     val path = freshPath()
