@@ -193,6 +193,37 @@ class TextIngestSpec extends SparkSuite {
       asTuples(textIndexSearch(spark, full)))
   }
 
+  test("a DOUBLED append (direct textIndexAppend retried after a crash " +
+    "between its postings and docstats writes) is healed by lossless " +
+    "duplicate-row removal on BOTH the postings and positions relations " +
+    "— the store converges to the clean incremental state") {
+    import spark.implicits._
+    val phrase = Seq("data", "line")
+    val clean = freshPath(); val path = freshPath()
+    TextIngest.bootstrap(docs, clean, withPositions = true)
+    TextIngest.bootstrap(docs.filter(col("doc_id") % 2 === 0), path,
+      withPositions = true)
+    val inc = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text")
+    // crash after positions+postings, before docstats...
+    val (pInc, _) = textIndexBuild(inc)
+    positionalPostings(inc).write.mode("append").parquet(s"$path/positions")
+    pInc.write.mode("append").parquet(s"$path/postings")
+    // ...then the caller retries the append DIRECTLY (not via the ingest
+    // loop): the probe reads docstats (which lacks the increment), so
+    // the whole increment lands a SECOND time
+    textIndexAppend(inc, path)
+    intercept[IllegalArgumentException] { textIndexLoad(spark, path) }
+    val action = textIndexRecover(spark, path)
+    assert(action.contains("postings-dedup") &&
+      action.contains("positions-dedup"), s"unexpected repair: $action")
+    assert(asTuples(textIndexSearch(spark, path)) ==
+      asTuples(textIndexSearch(spark, clean)))
+    def phraseSet(p: String): Set[(Long, Int)] =
+      textIndexPhraseSearch(spark, p, phrase)
+        .select("doc_id", "pos").as[(Long, Int)].collect().toSet
+    assert(phraseSet(path) == phraseSet(clean))
+  }
+
   test("a store broken in BOTH directions is not a single-crash state " +
     "and recover refuses with a rebuild message") {
     import spark.implicits._
