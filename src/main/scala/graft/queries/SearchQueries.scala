@@ -565,11 +565,27 @@ object SearchQueries extends QueryModule {
           "relation is not the same corpus")
     }
     val spark = postings.sparkSession
-    graft.operators.StoreRewrite.atomicOverwrite(postings, s"$path/postings")
+    // physical layout: range-cluster the term-keyed relations on
+    // (term, doc_id) and sort within files, so every file carries a
+    // contiguous term range and parquet min/max stats let a term-pushed
+    // query SKIP whole files/row groups — the "term-bucketed files at
+    // cluster scale" the query-path scaladocs rely on, made real at
+    // save time. Range partitioning (not hash) keeps a stopword's run
+    // split across at most adjacent files instead of funneling one
+    // writer; the content stamps are order-insensitive, so layout is
+    // free to change. Appends write unclustered increments — their
+    // files still carry stats; the next full save re-clusters.
+    graft.operators.StoreRewrite.atomicOverwrite(
+      postings.repartitionByRange(col("term"), col("doc_id"))
+        .sortWithinPartitions("term", "doc_id"),
+      s"$path/postings")
     graft.operators.StoreRewrite.atomicOverwrite(docstats, s"$path/docstats")
     positions match {
       case Some(pos) =>
-        graft.operators.StoreRewrite.atomicOverwrite(pos, s"$path/positions")
+        graft.operators.StoreRewrite.atomicOverwrite(
+          pos.repartitionByRange(col("term"), col("doc_id"), col("pos"))
+            .sortWithinPartitions("term", "doc_id", "pos"),
+          s"$path/positions")
       case None =>
         val pp = new org.apache.hadoop.fs.Path(s"$path/positions")
         val fs = pp.getFileSystem(spark.sessionState.newHadoopConf())
