@@ -193,6 +193,29 @@ class TextIngestSpec extends SparkSuite {
       asTuples(textIndexSearch(spark, full)))
   }
 
+  test("champions parity: the ingest loop maintains the champions layer " +
+    "per micro-batch — batch terms' stored lists equal a fresh election " +
+    "over the grown corpus, and the champion search stays exact") {
+    val path = freshPath()
+    TextIngest.bootstrap(docs.filter(col("doc_id") % 2 === 0), path)
+    textIndexChampionsSave(spark, path, 10)
+    TextIngest.ingestBatch(
+      docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text"), path)
+    val queryTerms = Seq("spark", "window", "hash")
+    val stored = spark.read.parquet(s"$path/champions")
+      .filter(col("term").isin(queryTerms: _*))
+      .select("term", "doc_id", "tscore", "rank")
+      .orderBy("term", "rank").collect().toSeq
+    val fresh = textIndexChampions(spark, path, 10)
+      .filter(col("term").isin(queryTerms: _*))
+      .orderBy("term", "rank").collect().toSeq
+    assert(stored == fresh,
+      "streamed batch left the batch terms' champion lists stale")
+    val exact = asTuples(textIndexSearch(spark, path)).map(t => t._1 -> t).toMap
+    asTuples(textIndexChampionSearch(spark, path, m = 10))
+      .foreach(t => assert(exact(t._1) == t))
+  }
+
   test("a DOUBLED append (direct textIndexAppend retried after a crash " +
     "between its postings and docstats writes) is healed by lossless " +
     "duplicate-row removal on BOTH the postings and positions relations " +
