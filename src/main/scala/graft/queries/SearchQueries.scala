@@ -652,7 +652,7 @@ object SearchQueries extends QueryModule {
       s"textIndexLoadPositions: store tokenizer '${m.getAs[String]("tag")}'" +
         s" != '$tokTag' — positions would not match this tokenization")
     require(textIndexHasPositions(spark, path),
-      s"textIndexPhrase: the index at $path carries NO positional " +
+      s"textIndexLoadPositions: the index at $path carries NO positional " +
         "relation — save it with positions (textIndexSave(..., " +
         "positions = Some(positionalPostings(docs)))) to serve phrase " +
         "queries from the store")
