@@ -967,6 +967,75 @@ object SearchQueries extends QueryModule {
     action
   }
 
+  /** COMPACT the store's physical layout — the maintenance verb that
+    * restores what a fresh [[textIndexSave]] provides WITHOUT touching
+    * the corpus. After a run of appends the term-keyed relations hold
+    * one unclustered file group per increment (append writes its
+    * increment as-is; only a full save re-clusters), so term-pushed
+    * queries progressively stop skipping files and small files
+    * accumulate — and at 100 TB the save route is unaffordable, since
+    * it re-tokenizes the corpus just to restore layout. Compaction
+    * reads ONLY the index itself: postings (and positions, when
+    * present) are rewritten range-clustered on (term, …) exactly as
+    * save lays them out, docstats' increment files are merged
+    * doc-clustered (the append probe and stat joins then prune by
+    * doc_id min/max), and the champion lists are re-elected in full,
+    * clearing the append path's documented per-term staleness.
+    *
+    * Content is IDENTICAL before and after: tombstoned rows are kept
+    * (delete stays sticky — physical removal remains [[textIndexForget]]'s
+    * job) and the content stamps are order-insensitive, so meta needs
+    * no rewrite. That is what makes the verb crash-safe with NO
+    * inflight marker or intent file: each rewrite goes through the
+    * crash-durable StoreRewrite, and every intermediate state — any
+    * prefix of the steps applied — is a fully consistent, loadable,
+    * identically-scoring store (spec-pinned per prefix). A crashed
+    * compact needs no recovery; re-running it finishes the layout.
+    * Refuses a store with an interrupted MUTATION (`_inflight`):
+    * compacting crash debris would re-cluster garbage — run
+    * [[textIndexRecover]] first.
+    */
+  def textIndexCompact(spark: SparkSession, path: String): Unit = {
+    require(!textIndexInflight(spark, path),
+      s"textIndexCompact: the store at $path has an interrupted mutation " +
+        "(_inflight marker) — run textIndexRecover before compacting")
+    textIndexLoad(spark, path) // stamp verification only: never bless debris
+    compactSteps(spark, path).foreach(_._2())
+  }
+
+  /** The compact's rewrites as named steps, in order — factored so the
+    * spec can execute every crash PREFIX and prove each one loads and
+    * scores identically (the claim that licenses compact's marker-free
+    * design). Champions last: the only derived relation.
+    */
+  private[graft] def compactSteps(spark: SparkSession,
+      path: String): Seq[(String, () => Unit)] = {
+    val positions =
+      if (textIndexHasPositions(spark, path))
+        Seq("positions" -> (() => graft.operators.StoreRewrite.atomicOverwrite(
+          spark.read.parquet(s"$path/positions")
+            .repartitionByRange(col("term"), col("doc_id"), col("pos"))
+            .sortWithinPartitions("term", "doc_id", "pos"),
+          s"$path/positions")))
+      else Seq.empty
+    val champions =
+      if (hasChampions(spark, path))
+        Seq("champions" -> (() => textIndexChampionsSave(spark, path,
+          spark.read.parquet(championsPath(path)).select("m").head.getInt(0))))
+      else Seq.empty
+    positions ++ Seq(
+      "postings" -> (() => graft.operators.StoreRewrite.atomicOverwrite(
+        spark.read.parquet(s"$path/postings")
+          .repartitionByRange(col("term"), col("doc_id"))
+          .sortWithinPartitions("term", "doc_id"),
+        s"$path/postings")),
+      "docstats" -> (() => graft.operators.StoreRewrite.atomicOverwrite(
+        spark.read.parquet(s"$path/docstats")
+          .repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+        s"$path/docstats"))) ++ champions
+  }
+
   /** BM25 search off the PERSISTED index alone: postings are filtered
     * to the query terms (pushed into the parquet scan — the plan reads
     * term-matching row groups, and at cluster scale term-bucketed
@@ -1563,6 +1632,53 @@ object SearchQueries extends QueryModule {
                FROM fused) t
              WHERE rank <= 15 ORDER BY rank"""))
 
+  /** q173: the FULL maintained-store lifecycle under one oracle —
+    * save a third of the corpus, append the other two thirds as
+    * increments (the additive-stamp path), tombstone-delete a slice,
+    * COMPACT (layout rewrite from the index alone — no corpus), then
+    * search. The oracle is the from-scratch BM25 over exactly the
+    * surviving corpus: the lifecycle must add nothing and lose
+    * nothing vs building fresh on the reduced corpus — the statistics
+    * (idf/avgdl) must move with the delete, the append arithmetic
+    * must be exact, and compaction must be a pure layout change.
+    * q163 gates save→search; this gates append→delete→compact.
+    */
+  private val q173 = QueryDef(
+    "q173_bm25_compacted",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      if (docs.isEmpty)
+        docs.select(lit(1).as("rank"), col("doc_id"),
+          lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
+      else {
+        val h = pmod(col("doc_id").cast("long"), lit(3L))
+        val base = docs.filter(h === 0)
+        // a tiny corpus may leave the first slice empty (save refuses
+        // an empty store): seed with everything, appends become no-ops
+        val seed = if (base.isEmpty) docs else base
+        val top = withThrowawayIndex(seed) { path =>
+          textIndexAppend(docs.filter(h === 1), path)
+          textIndexAppend(docs.filter(h === 2), path)
+          textIndexDelete(
+            docs.filter(pmod(col("doc_id").cast("long"), lit(7L)) === 3)
+              .select("doc_id"), path)
+          textIndexCompact(s, path)
+          textIndexSearch(s, path)
+            .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        }
+        top.withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("rank", "doc_id", "n_terms_hit", "score")
+          .orderBy("rank")
+      }
+    },
+    Some(s"""WITH ${bm25CteSqlFrom("(SELECT * FROM documents WHERE doc_id % 7 <> 3)")}
+             SELECT rank, doc_id, n_terms_hit, score FROM (
+               SELECT doc_id, n_terms_hit, score,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+               FROM bm) t
+             WHERE rank <= 20 ORDER BY rank"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171, q172)
+    Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171, q172, q173)
 }

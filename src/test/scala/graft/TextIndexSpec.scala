@@ -268,6 +268,109 @@ class TextIndexSpec extends SparkSuite {
     assert(!new java.io.File(s"$path/champions").exists())
   }
 
+  test("compact: a multi-append store's search and phrase results " +
+    "BIT-equal pre/post; the tombstone survives (delete stays sticky " +
+    "through compaction); champions equal a fresh full election after") {
+    import spark.implicits._
+    val path = freshPath()
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val (p1, d1) = textIndexBuild(half)
+    textIndexSave(p1, d1, path, Some(positionalPostings(half)))
+    textIndexChampionsSave(spark, path, 10)
+    textIndexAppend(docs.filter(col("doc_id") % 2 =!= 0), path)
+    val victim = asTuples(textIndexSearch(spark, path)).head._1
+    textIndexDelete(Seq(victim).toDF("doc_id"), path)
+    val searchBefore = asTuples(textIndexSearch(spark, path))
+    val phraseBefore = textIndexPhraseSearch(spark, path, Seq("data", "line"))
+      .orderBy("doc_id", "pos").collect().toSeq
+    textIndexCompact(spark, path)
+    assert(asTuples(textIndexSearch(spark, path)) == searchBefore)
+    assert(textIndexPhraseSearch(spark, path, Seq("data", "line"))
+      .orderBy("doc_id", "pos").collect().toSeq == phraseBefore)
+    // sticky: compaction kept the tombstone, so a replayed append of the
+    // deleted doc still cannot resurrect it
+    textIndexAppend(docs.filter(col("doc_id") === victim), path)
+    assert(!asTuples(textIndexSearch(spark, path)).exists(_._1 == victim))
+    // compaction cleared the append-staleness window: stored champion
+    // lists equal a from-scratch election over the compacted store
+    val stored = spark.read.parquet(s"$path/champions")
+      .select("term", "doc_id", "tscore", "rank")
+      .orderBy("term", "rank").collect().toSeq
+    val fresh = textIndexChampions(spark, path, 10)
+      .orderBy("term", "rank").collect().toSeq
+    assert(stored == fresh,
+      "compacted champions diverge from a fresh full election")
+  }
+
+  test("compact restores the range-clustered layout: appends leave " +
+    "postings files with overlapping term ranges; after compact every " +
+    "file holds a disjoint range") {
+    val path = freshPath()
+    val (p1, d1) = textIndexBuild(docs.filter(col("doc_id") % 2 === 0))
+    textIndexSave(p1, d1, path)
+    textIndexAppend(docs.filter(col("doc_id") % 2 =!= 0), path)
+    def ranges(): Seq[(String, String)] =
+      new java.io.File(s"$path/postings").listFiles.toSeq
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .flatMap { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("term"), max("term")).head
+          if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
+        }
+    // sorted by low bound, ANY overlapping pair implies an overlapping
+    // ADJACENT pair, so the adjacent scan is a sound zero-overlap check
+    def overlaps(rs: Seq[(String, String)]): Int =
+      rs.sortBy(_._1).sliding(2).count {
+        case Seq(a, b) => b._1 <= a._2
+        case _ => false
+      }
+    assert(overlaps(ranges()) > 0,
+      "append unexpectedly produced a term-clustered layout — the " +
+        "compaction premise (increments are unclustered) no longer holds")
+    textIndexCompact(spark, path)
+    assert(overlaps(ranges()) == 0,
+      "compacted postings files still hold overlapping term ranges")
+  }
+
+  test("every crash PREFIX of a compact is a consistent, loadable, " +
+    "identically-scoring store — the license for its marker-free design") {
+    import spark.implicits._
+    for (k <- 1 to 3) {
+      val path = freshPath()
+      val half = docs.filter(col("doc_id") % 2 === 0)
+      val (p1, d1) = textIndexBuild(half)
+      textIndexSave(p1, d1, path, Some(positionalPostings(half)))
+      textIndexChampionsSave(spark, path, 10)
+      textIndexAppend(docs.filter(col("doc_id") % 2 =!= 0), path)
+      textIndexDelete(Seq(asTuples(textIndexSearch(spark, path)).head._1)
+        .toDF("doc_id"), path)
+      val before = asTuples(textIndexSearch(spark, path))
+      val steps = graft.queries.SearchQueries.compactSteps(spark, path)
+      assert(steps.map(_._1) ==
+        Seq("positions", "postings", "docstats", "champions"))
+      steps.take(k).foreach(_._2())
+      // every stamp still verifies and the scores are untouched
+      assert(asTuples(textIndexSearch(spark, path)) == before)
+      textIndexLoadPositions(spark, path).head
+    }
+  }
+
+  test("compact refuses an interrupted store (_inflight); a clean store " +
+    "without positions or champions compacts and scores unchanged") {
+    val path = freshPath()
+    val (p, ds) = textIndexBuild(docs)
+    textIndexSave(p, ds, path)
+    val ip = new org.apache.hadoop.fs.Path(s"$path/_inflight")
+    val fs = ip.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(ip, true).close()
+    val e = intercept[IllegalArgumentException](textIndexCompact(spark, path))
+    assert(e.getMessage.contains("textIndexRecover"))
+    fs.delete(ip, false)
+    textIndexCompact(spark, path)
+    assert(asTuples(textIndexSearch(spark, path)) == asTuples(bm25Scores(docs)))
+  }
+
   test("search pushes the query terms into the postings scan — the plan " +
     "reads term-matching row groups, not the whole postings store") {
     val path = freshPath()
