@@ -1049,6 +1049,16 @@ object SearchQueries extends QueryModule {
   def textIndexSearch(spark: SparkSession, path: String,
       queryTerms: Seq[String] = terms): DataFrame = {
     val (postings, docstats) = textIndexLoad(spark, path)
+    scoreIndexed(postings, docstats, queryTerms)
+  }
+
+  /** The index-served scoring body, shared by the single-store search
+    * above and the sharded federation below — the two must stay
+    * bit-identical (same pivot, same stats aggregates, same shared
+    * projection), so the plan exists exactly once.
+    */
+  private def scoreIndexed(postings: DataFrame, docstats: DataFrame,
+      queryTerms: Seq[String]): DataFrame = {
     val matched = postings.filter(col("term").isin(queryTerms: _*))
     val pivoted = matched.groupBy("doc_id").agg(
       queryTerms.zipWithIndex.map { case (t, i) =>
@@ -1233,6 +1243,23 @@ object SearchQueries extends QueryModule {
       textIndexChampionsSave(docs.sparkSession, path, m))
     val res = search(path).localCheckpoint(true)
     val hp = new org.apache.hadoop.fs.Path(root.toString)
+    hp.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+      .delete(hp, true)
+    res
+  }
+
+  /** The sharded twin of [[withThrowawayIndex]]: build once, save as
+    * `n` shard stores, run `search` against the root, eagerly
+    * materialize the (bounded) result, delete the whole tree.
+    */
+  private def withThrowawayShards(docs: DataFrame, n: Int)(
+      search: String => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tis")
+    val root = tmp.toString + "/idx"
+    val (p, ds) = textIndexBuild(docs)
+    textIndexSaveSharded(p, ds, root, n)
+    val res = search(root).localCheckpoint(true)
+    val hp = new org.apache.hadoop.fs.Path(tmp.toString)
     hp.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
       .delete(hp, true)
     res
@@ -1432,6 +1459,166 @@ object SearchQueries extends QueryModule {
       termA: String, termB: String, window: Int): DataFrame =
     proximityMatches(textIndexLoadPositions(spark, path), termA, termB,
       window)
+
+  // ------------------------------------------------------------------
+  // Sharded (federated) index — the 100 TB shape of the store family.
+  // A monolithic store stops being maintainable long before 100 TB:
+  // every forget/compact rewrites the whole postings relation, and a
+  // single build must tokenize the full corpus in one job. Sharding by
+  // doc hash bounds every maintenance verb at 1/n of the corpus and
+  // lets shards build/append/compact INDEPENDENTLY (per-source, per-day
+  // ingest), while search federates them with EXACT global statistics —
+  // BM25's idf/avgdl are corpus-level, so scoring each shard against
+  // its own statistics would rank wrongly across shards (the classic
+  // distributed-IR mistake). Here df/N/avgdl come from the UNION of the
+  // shard stores (counts and sums of longs — order-insensitive, so
+  // federation is exact, not approximate), and the result is spec-pinned
+  // BIT-equal to a monolithic index over the same corpus.
+  // ------------------------------------------------------------------
+
+  private def shardPath(root: String, i: Int) = s"$root/shard-$i"
+  private def routerPath(root: String) = s"$root/router"
+
+  /** The routing column: which shard owns a doc_id. Deterministic pure
+    * hash (xxhash64, the engine's standard), so routing needs no lookup
+    * table and any writer routes identically forever.
+    */
+  private def shardOf(n: Int): Column =
+    pmod(xxhash64(col("doc_id").cast("long")), lit(n.toLong))
+
+  /** Read the router (shard count) of a sharded index, verifying the
+    * tokenizer tag. The router is written LAST by [[textIndexSaveSharded]]
+    * — it is the store's commit marker, so its absence means an
+    * interrupted (or never-run) sharded save and every verb refuses
+    * loudly here instead of federating a partial shard set silently.
+    */
+  def textIndexShardCount(spark: SparkSession, root: String): Int = {
+    val rp = new org.apache.hadoop.fs.Path(routerPath(root))
+    require(rp.getFileSystem(spark.sessionState.newHadoopConf()).exists(rp),
+      s"textIndexShardCount: no router at $root — not a sharded index, or " +
+        "an interrupted textIndexSaveSharded (the router is written last); " +
+        "re-run the sharded save")
+    val r = spark.read.parquet(routerPath(root)).collect()
+    require(r.length == 1,
+      s"textIndexShardCount: router at $root has ${r.length} rows — " +
+        "corrupt sharded store")
+    require(r(0).getAs[String]("tag") == tokTag,
+      s"textIndexShardCount: sharded store tokenizer '${r(0).getAs[String]("tag")}'" +
+        s" != '$tokTag' — scores would silently disagree")
+    r(0).getAs[Int]("n_shards")
+  }
+
+  /** Persist the index as `nShards` INDEPENDENT stores under `root`
+    * (shard-0 … shard-{n−1}), routed by doc hash, plus a 1-row router
+    * relation written LAST as the commit marker. Each shard is a full
+    * first-class store — its own meta stamps, tombstones, champions,
+    * optional positions — so the ENTIRE single-store verb surface
+    * (append/delete/forget/recover/compact/ingest) applies per shard,
+    * and a maintenance job touches 1/n of the corpus. The input
+    * relations are tokenized ONCE (checkpointed here; a production
+    * build persists them — the build-once discipline) and each shard's
+    * save reads only its hash slice. Refuses a shard that would be
+    * EMPTY (textIndexSave's empty-store rule): use fewer shards for a
+    * tiny corpus. A crash mid-save leaves no router — every later verb
+    * refuses — and re-running the save completes it (each shard write
+    * is the atomic single-store save).
+    */
+  def textIndexSaveSharded(postings: DataFrame, docstats: DataFrame,
+      root: String, nShards: Int,
+      positions: Option[DataFrame] = None): Unit = {
+    require(nShards >= 1, s"textIndexSaveSharded: nShards must be >= 1, got $nShards")
+    val spark = postings.sparkSession
+    val d = docstats.withColumn("_sh", shardOf(nShards)).localCheckpoint(true)
+    val present = d.select("_sh").distinct().collect().map(_.getLong(0)).toSet
+    val empty = (0L until nShards.toLong).filterNot(present)
+    require(empty.isEmpty,
+      s"textIndexSaveSharded: shard(s) ${empty.mkString(",")} of $nShards " +
+        "would be EMPTY for this corpus (an empty store is refused at " +
+        "save) — use fewer shards")
+    val p = postings.withColumn("_sh", shardOf(nShards)).localCheckpoint(true)
+    val pos = positions.map(_.withColumn("_sh", shardOf(nShards))
+      .localCheckpoint(true))
+    (0 until nShards).foreach { i =>
+      textIndexSave(
+        p.filter(col("_sh") === i).drop("_sh"),
+        d.filter(col("_sh") === i).drop("_sh"),
+        shardPath(root, i),
+        pos.map(_.filter(col("_sh") === i).drop("_sh")))
+    }
+    import spark.implicits._
+    graft.operators.StoreRewrite.atomicOverwrite(
+      Seq((nShards, tokTag)).toDF("n_shards", "tag").coalesce(1),
+      routerPath(root))
+  }
+
+  /** APPEND an increment across the shards: route each new doc to its
+    * hash shard and run the single-store append there — idempotence
+    * (left-anti probe), tombstone stickiness, the crash signatures and
+    * `_inflight` discipline, and champions maintenance all ride the
+    * per-shard verb unchanged. The increment is checkpointed once
+    * (read by every shard's slice); per-shard work is
+    * O(increment-slice), and shards could append in PARALLEL jobs —
+    * the harness loops for determinism.
+    */
+  def textIndexAppendSharded(docsInc: DataFrame, root: String): Unit = {
+    val spark = docsInc.sparkSession
+    val n = textIndexShardCount(spark, root)
+    val inc = docsInc.withColumn("_sh", shardOf(n)).localCheckpoint(true)
+    (0 until n).foreach { i =>
+      textIndexAppend(inc.filter(col("_sh") === i).drop("_sh"),
+        shardPath(root, i))
+    }
+  }
+
+  /** DELETE documents across the shards: tombstones are routed to the
+    * owning shard (the hash that placed the doc places its tombstone),
+    * so each shard's mask stays 1/n-sized instead of every shard
+    * carrying the full deletion set.
+    */
+  def textIndexDeleteSharded(ids: DataFrame, root: String): Unit = {
+    val spark = ids.sparkSession
+    val n = textIndexShardCount(spark, root)
+    val del = ids.select(col("doc_id")).withColumn("_sh", shardOf(n))
+      .localCheckpoint(true)
+    (0 until n).foreach { i =>
+      val slice = del.filter(col("_sh") === i).drop("_sh")
+      // skip untouched shards: an empty tombstone append would still
+      // create the relation, growing every shard's mask read for nothing
+      if (!slice.isEmpty) textIndexDelete(slice, shardPath(root, i))
+    }
+  }
+
+  /** Federated BM25 search: every shard's (stamp-verified, tombstone-
+    * masked) postings slice is term-pushed INDEPENDENTLY — n parallel
+    * store scans, no cross-shard exchange to assemble the inputs (union
+    * is a plan concat, not a shuffle) — and the union feeds the ONE
+    * shared scoring body, so corpus statistics (N, avgdl, per-term df)
+    * are computed over the whole federation: counts and sums of longs,
+    * order-insensitive, hence EXACT. Bit-equal to the monolithic index
+    * over the same corpus (spec-pinned): sharding is a storage layout,
+    * never a semantics change. Per-query cost: |terms| pushed slices ×
+    * n shards + the candidates-sized pivot — the corpus never scans.
+    */
+  def textIndexSearchSharded(spark: SparkSession, root: String,
+      queryTerms: Seq[String] = terms): DataFrame = {
+    val shards = (0 until textIndexShardCount(spark, root))
+      .map(i => textIndexLoad(spark, shardPath(root, i)))
+    scoreIndexed(shards.map(_._1).reduce(_ unionByName _),
+      shards.map(_._2).reduce(_ unionByName _), queryTerms)
+  }
+
+  /** Federated phrase search: a phrase lives entirely inside one
+    * document, and shards partition documents — so the federation is
+    * the UNION of per-shard store-served matches, each shard's join
+    * chain running against its own term-pushed positions slices
+    * (joins never cross shards; equality with the monolithic store
+    * follows from doc-disjointness and is spec-pinned).
+    */
+  def textIndexPhraseSearchSharded(spark: SparkSession, root: String,
+      phrase: Seq[String]): DataFrame =
+    (0 until textIndexShardCount(spark, root))
+      .map(i => textIndexPhraseSearch(spark, shardPath(root, i), phrase))
+      .reduce(_ unionByName _)
 
   /** q168: exact phrase search ("data line") — the adjacency query a
     * bag-of-words index cannot answer. Within a document a phrase is a
@@ -1679,6 +1866,52 @@ object SearchQueries extends QueryModule {
                FROM bm) t
              WHERE rank <= 20 ORDER BY rank"""))
 
+  /** q174: the SHARDED store family under the q173 lifecycle oracle —
+    * save a third of the corpus as THREE hash-routed shard stores,
+    * append the other two thirds through the shard router, delete a
+    * slice (tombstones routed to their owning shards), then run the
+    * FEDERATED search. The oracle is the from-scratch BM25 over the
+    * surviving corpus: federation with exact global statistics must
+    * rank identically to never having sharded at all — idf/avgdl/df
+    * computed across the union of the shard stores, per-shard appends
+    * and tombstone masks composing to exactly the monolithic result.
+    */
+  private val q174 = QueryDef(
+    "q174_bm25_sharded",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      if (docs.isEmpty)
+        docs.select(lit(1).as("rank"), col("doc_id"),
+          lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
+      else {
+        val h = pmod(col("doc_id").cast("long"), lit(3L))
+        val base = docs.filter(h === 0)
+        // tiny-corpus guard, the q173 rule: seed with everything if the
+        // first slice is empty; the appends then replay to no-ops
+        val seed = if (base.isEmpty) docs else base
+        val top = withThrowawayShards(seed, 3) { root =>
+          textIndexAppendSharded(docs.filter(h === 1), root)
+          textIndexAppendSharded(docs.filter(h === 2), root)
+          textIndexDeleteSharded(
+            docs.filter(pmod(col("doc_id").cast("long"), lit(5L)) === 2)
+              .select("doc_id"), root)
+          textIndexSearchSharded(s, root)
+            .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        }
+        top.withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("rank", "doc_id", "n_terms_hit", "score")
+          .orderBy("rank")
+      }
+    },
+    Some(s"""WITH ${bm25CteSqlFrom("(SELECT * FROM documents WHERE doc_id % 5 <> 2)")}
+             SELECT rank, doc_id, n_terms_hit, score FROM (
+               SELECT doc_id, n_terms_hit, score,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+               FROM bm) t
+             WHERE rank <= 20 ORDER BY rank"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171, q172, q173)
+    Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171, q172, q173,
+      q174)
 }
