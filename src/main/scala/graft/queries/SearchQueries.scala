@@ -1620,6 +1620,56 @@ object SearchQueries extends QueryModule {
       .map(i => textIndexPhraseSearch(spark, shardPath(root, i), phrase))
       .reduce(_ unionByName _)
 
+  /** FORGET documents across the shards — physical removal routed to
+    * the owning shards, each running the single-store crash-durable
+    * forget (intent file, restamp, tombstone cleanup) independently.
+    * The single-store refusal to forget an ENTIRE corpus applies per
+    * shard: a forget that would empty one shard refuses there — at
+    * that point the right verb is re-sharding to fewer shards.
+    */
+  def textIndexForgetSharded(ids: DataFrame, root: String): Unit = {
+    val spark = ids.sparkSession
+    val n = textIndexShardCount(spark, root)
+    val del = ids.select(col("doc_id")).withColumn("_sh", shardOf(n))
+      .localCheckpoint(true)
+    (0 until n).foreach { i =>
+      val slice = del.filter(col("_sh") === i).drop("_sh")
+      if (!slice.isEmpty) textIndexForget(slice, shardPath(root, i))
+    }
+  }
+
+  /** COMPACT every shard store — n INDEPENDENT bounded layout jobs
+    * (each 1/n of the corpus; a production scheduler runs them in
+    * parallel, or staggers them across maintenance windows — the
+    * monolithic store forces one corpus-sized rewrite). Per-shard
+    * crash discipline is the single-store compact's: every prefix of
+    * every shard's steps is consistent, so a crashed sharded compact
+    * re-runs to completion with no recovery.
+    */
+  def textIndexCompactSharded(spark: SparkSession, root: String): Unit =
+    (0 until textIndexShardCount(spark, root))
+      .foreach(i => textIndexCompact(spark, shardPath(root, i)))
+
+  /** Recover every shard store, returning the per-shard repair actions
+    * (index = shard number, the single-store action vocabulary). Shards
+    * crash independently — one interrupted shard must not block the
+    * others' ingest — so the loop heals them all in one pass.
+    */
+  def textIndexRecoverSharded(spark: SparkSession, root: String): Seq[String] =
+    (0 until textIndexShardCount(spark, root))
+      .map(i => textIndexRecover(spark, shardPath(root, i)))
+
+  /** True when ANY shard carries an interrupted-mutation marker. */
+  def textIndexInflightSharded(spark: SparkSession, root: String): Boolean =
+    (0 until textIndexShardCount(spark, root))
+      .exists(i => textIndexInflight(spark, shardPath(root, i)))
+
+  /** Expose a shard's store path — for per-shard maintenance (a
+    * production deployment compacts/ingests shards from separate
+    * jobs) and for the specs' crash-injection.
+    */
+  def textIndexShardStorePath(root: String, i: Int): String = shardPath(root, i)
+
   /** q168: exact phrase search ("data line") — the adjacency query a
     * bag-of-words index cannot answer. Within a document a phrase is a
     * positional-adjacency scan of the token array, so the right plan is

@@ -60,4 +60,40 @@ object TextIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: DataFrame, _: Long) => ingestBatch(b, path))
       .start()
+
+  /** Bootstrap the SHARDED index (run once, before the stream) — the
+    * federated family's initial build: one tokenization, hash-routed
+    * shard saves, router committed last.
+    */
+  def bootstrapSharded(initial: DataFrame, root: String, nShards: Int,
+      withPositions: Boolean = false): Unit = {
+    val (p, ds) = SearchQueries.textIndexBuild(initial)
+    SearchQueries.textIndexSaveSharded(p, ds, root, nShards,
+      if (withPositions) Some(SearchQueries.positionalPostings(initial))
+      else None)
+  }
+
+  /** One micro-batch against the sharded index: heal any shard whose
+    * previous mutation died mid-write (shards crash INDEPENDENTLY — a
+    * broken shard-2 must not leave shard-0's appends blocked, and the
+    * healing must run before the empty-batch early return for the same
+    * reason as the single-store loop), then route the batch through
+    * the shard appends. Idempotence is per shard: a replayed batch's
+    * slices all hit their shard's anti-join probe and no-op.
+    */
+  def ingestBatchSharded(batch: DataFrame, root: String): Unit = {
+    val spark = batch.sparkSession
+    if (SearchQueries.textIndexInflightSharded(spark, root))
+      SearchQueries.textIndexRecoverSharded(spark, root)
+    if (batch.isEmpty) return
+    SearchQueries.textIndexAppendSharded(batch.select("doc_id", "text"), root)
+  }
+
+  /** Bind the loop to a document stream over the sharded index. */
+  def startSharded(docs: DataFrame, root: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, _: Long) => ingestBatchSharded(b, root))
+      .start()
 }

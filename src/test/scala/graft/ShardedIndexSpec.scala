@@ -124,4 +124,92 @@ class ShardedIndexSpec extends SparkSuite {
     assert(fed == one)
     assert(fed.nonEmpty, "fixture phrase matches nothing — weak test")
   }
+
+  test("routed forget: physical removal touches ONLY the owning shard, " +
+    "the global statistics move, and a re-submitted copy RE-ADMITS " +
+    "through the router — the contrast to routed delete's sticky " +
+    "tombstone, federated") {
+    import spark.implicits._
+    val root = freshRoot()
+    saveSharded(docs, root, 3)
+    def shardDocCount(i: Int): Long =
+      spark.read.parquet(s"${textIndexShardStorePath(root, i)}/docstats").count()
+    val before = (0 to 2).map(shardDocCount)
+    val victim = asTuples(textIndexSearchSharded(spark, root)).head._1
+    textIndexForgetSharded(Seq(victim).toDF("doc_id"), root)
+    val after = (0 to 2).map(shardDocCount)
+    assert(before.zip(after).count { case (b, a) => a == b - 1 } == 1 &&
+      before.zip(after).count { case (b, a) => a == b } == 2,
+      s"forget rewrote the wrong shards: $before -> $after")
+    assert(asTuples(textIndexSearchSharded(spark, root)) ==
+      asTuples(bm25Scores(docs.filter(col("doc_id") =!= victim))))
+    textIndexAppendSharded(docs.filter(col("doc_id") === victim), root)
+    assert(asTuples(textIndexSearchSharded(spark, root)) ==
+      asTuples(bm25Scores(docs)))
+  }
+
+  test("sharded compact: per-shard layout jobs leave the federated " +
+    "search BIT-equal and every shard's postings files term-disjoint") {
+    import spark.implicits._
+    val root = freshRoot()
+    saveSharded(docs.filter(col("doc_id") % 2 === 0), root, 3)
+    textIndexAppendSharded(docs.filter(col("doc_id") % 2 =!= 0), root)
+    val victim = asTuples(textIndexSearchSharded(spark, root)).head._1
+    textIndexDeleteSharded(Seq(victim).toDF("doc_id"), root)
+    val before = asTuples(textIndexSearchSharded(spark, root))
+    textIndexCompactSharded(spark, root)
+    assert(asTuples(textIndexSearchSharded(spark, root)) == before)
+    def overlaps(i: Int): Int = {
+      val rs = new java.io.File(s"${textIndexShardStorePath(root, i)}/postings")
+        .listFiles.toSeq
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .flatMap { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("term"), max("term")).head
+          if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
+        }
+      rs.sortBy(_._1).sliding(2).count {
+        case Seq(a, b) => b._1 <= a._2
+        case _ => false
+      }
+    }
+    (0 to 2).foreach(i => assert(overlaps(i) == 0,
+      s"shard-$i postings files still hold overlapping term ranges"))
+  }
+
+  test("sharded ingest heals shards INDEPENDENTLY: crash residue on one " +
+    "shard is recovered by the next batch (even an empty one) while the " +
+    "other shards' appends land — then streaming e2e equals from-scratch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = freshRoot()
+    graft.streaming.TextIngest.bootstrapSharded(
+      docs.filter(col("doc_id") % 2 === 0), root, 2)
+    // crash-inject into shard-0 ONLY: an increment's postings landed,
+    // docstats didn't, the _inflight marker is still on disk
+    val s0 = textIndexShardStorePath(root, 0)
+    val inc = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text")
+    val (pInc, _) = textIndexBuild(inc.limit(5))
+    pInc.write.mode("append").parquet(s"$s0/postings")
+    assert(new java.io.File(s"$s0/_inflight").createNewFile())
+    intercept[IllegalArgumentException] { textIndexLoad(spark, s0) }
+    // an EMPTY batch must still heal the broken shard
+    graft.streaming.TextIngest.ingestBatchSharded(inc.limit(0), root)
+    assert(!textIndexInflightSharded(spark, root))
+    assert(asTuples(textIndexSearchSharded(spark, root)) ==
+      asTuples(bm25Scores(docs.filter(col("doc_id") % 2 === 0))))
+    // streaming e2e over the healed federation
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.TextIngest.startSharded(
+      input.toDF().toDF("doc_id", "text"), root, tmpDir("shingest-ckpt"))
+    try {
+      val rest = inc.as[(Long, String)].collect()
+      val (b1, b2) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(asTuples(textIndexSearchSharded(spark, root)) ==
+      asTuples(bm25Scores(docs)))
+  }
 }
