@@ -242,37 +242,19 @@ object SearchQueries extends QueryModule {
     "q152_rag_context_pack",
     (s, d) => {
       val docs = Tables(s, d, "documents")
-      val bm = bm25Scores(docs)
-      val top = bm.orderBy(col("score").desc, col("doc_id").asc).limit(20)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id").asc)))
-      val costed = top
-        .join(docs.select(col("doc_id"),
-          tokenCount(col("text")).cast("long").as("n_tokens")), Seq("doc_id"))
-      // greedy fold over the rank-ordered 20-element list: running total
-      // counts INCLUDED docs only (an overflowing doc is skipped, later
-      // cheaper docs may still fit) — aggregate() is a sequential fold,
-      // exact and bounded
-      val packed = costed
-        .withColumn("all20", collect_list(struct(col("rank"), col("n_tokens")))
-          .over(Window.orderBy(lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("cum_included",
-          expr("""aggregate(
-                    filter(array_sort(all20), x -> x.rank <= rank),
-                    0L,
-                    (acc, x) -> IF(acc + x.n_tokens <= 200L, acc + x.n_tokens, acc))"""))
-        .withColumn("included",
-          expr("""aggregate(
-                    filter(array_sort(all20), x -> x.rank < rank),
-                    0L,
-                    (acc, x) -> IF(acc + x.n_tokens <= 200L, acc + x.n_tokens, acc))""")
-            + col("n_tokens") <= lit(200L))
-        .select(col("rank"), col("doc_id"), col("n_tokens"),
-          col("cum_included").as("cum_tokens"), col("included"))
-      packed.orderBy("rank")
+      packContext(bm25Scores(docs),
+        docs.select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens")))
     },
-    Some(s"""WITH $bm25CteSql,
+    Some(ragPackSql))
+
+  /** The packing oracle, shared VERBATIM by q152 and q175: the store-
+    * served packer must reproduce the corpus-served manifest exactly
+    * (dl == tokenCount by construction), so the two gates are the
+    * same SQL.
+    */
+  private lazy val ragPackSql: String =
+    s"""WITH $bm25CteSql,
                   top AS (SELECT doc_id, n_terms_hit, score,
                             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
                           FROM bm ORDER BY score DESC, doc_id ASC LIMIT 20),
@@ -296,7 +278,60 @@ object SearchQueries extends QueryModule {
                                         ELSE acc END) + n_tokens) <= 200
                       AS included
              FROM costed CROSS JOIN lst
-             ORDER BY rank"""))
+             ORDER BY rank"""
+
+  /** The greedy context-packing fold, shared by q152 (corpus-served)
+    * and q175 (store-served) — the two must stay row-identical, so the
+    * manifest arithmetic exists exactly once. `bm` is any relation with
+    * the q92 scorer's (doc_id, score) columns; `costs` supplies
+    * (doc_id, n_tokens). Everything after the TakeOrdered top-20 is
+    * 20-row-bounded; the greedy "skip the overflowing doc, consider the
+    * next" rule is a 20-element aggregate fold (exact integers).
+    */
+  private def packContext(bm: DataFrame, costs: DataFrame): DataFrame = {
+    val top = bm.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+    val costed = top.join(costs, Seq("doc_id"))
+    // greedy fold over the rank-ordered 20-element list: running total
+    // counts INCLUDED docs only (an overflowing doc is skipped, later
+    // cheaper docs may still fit) — aggregate() is a sequential fold,
+    // exact and bounded
+    val packed = costed
+      .withColumn("all20", collect_list(struct(col("rank"), col("n_tokens")))
+        .over(Window.orderBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("cum_included",
+        expr("""aggregate(
+                  filter(array_sort(all20), x -> x.rank <= rank),
+                  0L,
+                  (acc, x) -> IF(acc + x.n_tokens <= 200L, acc + x.n_tokens, acc))"""))
+      .withColumn("included",
+        expr("""aggregate(
+                  filter(array_sort(all20), x -> x.rank < rank),
+                  0L,
+                  (acc, x) -> IF(acc + x.n_tokens <= 200L, acc + x.n_tokens, acc))""")
+          + col("n_tokens") <= lit(200L))
+      .select(col("rank"), col("doc_id"), col("n_tokens"),
+        col("cum_included").as("cum_tokens"), col("included"))
+    packed.orderBy("rank")
+  }
+
+  /** Context packing served ENTIRELY from the persisted index: the
+    * ranking reads term-pushed postings, and the token costs are the
+    * store's OWN docstats.dl — by construction dl == tokenCount(text)
+    * (the same tokenizer sized both), so the packer never touches the
+    * corpus text. This is the retrieval stack's serving property: at
+    * 100 TB the generator-facing query path runs off index relations
+    * alone, and the manifest is row-identical to the corpus-served
+    * packer (spec-pinned, and q175's oracle IS q152's SQL).
+    */
+  def textIndexPackContext(spark: SparkSession, path: String,
+      queryTerms: Seq[String] = terms): DataFrame = {
+    val (_, docstats) = textIndexLoad(spark, path)
+    packContext(textIndexSearch(spark, path, queryTerms),
+      docstats.select(col("doc_id"), col("dl").cast("long").as("n_tokens")))
+  }
 
   /** MMR (maximal marginal relevance) diversification of retrieval
     * results — the redundancy cut between ranking and context assembly:
@@ -1961,7 +1996,30 @@ object SearchQueries extends QueryModule {
                FROM bm) t
              WHERE rank <= 20 ORDER BY rank"""))
 
+  /** q175: q152's context packing served from the persisted index
+    * alone — ranking off term-pushed postings, token costs off the
+    * store's own docstats.dl (== tokenCount(text) by construction:
+    * the same tokenizer sized both at build time). The oracle is
+    * q152's SQL VERBATIM: serving from the store must reproduce the
+    * corpus-served manifest row-for-row — the generator-facing query
+    * path at 100 TB runs off index relations with the corpus never
+    * read at query time (plan-asserted in TextIndexSpec).
+    */
+  private val q175 = QueryDef(
+    "q175_rag_pack_stored",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      if (docs.isEmpty)
+        docs.select(lit(1).as("rank"), col("doc_id"),
+          lit(0L).as("n_tokens"), lit(0L).as("cum_tokens"),
+          lit(false).as("included")).limit(0)
+      else
+        withThrowawayIndex(docs)(path => textIndexPackContext(s, path))
+          .orderBy("rank")
+    },
+    Some(ragPackSql))
+
   override def defs: Seq[QueryDef] =
     Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171, q172, q173,
-      q174)
+      q174, q175)
 }

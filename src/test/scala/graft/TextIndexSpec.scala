@@ -371,6 +371,25 @@ class TextIndexSpec extends SparkSuite {
     assert(asTuples(textIndexSearch(spark, path)) == asTuples(bm25Scores(docs)))
   }
 
+  test("store-served context packing (q175's verb) is row-identical to " +
+    "the corpus-served packer, and its plan reads ONLY the store — the " +
+    "corpus parquet never appears (docstats.dl IS the token cost)") {
+    val path = freshPath()
+    val (p, ds) = textIndexBuild(docs)
+    textIndexSave(p, ds, path)
+    val stored = textIndexPackContext(spark, path)
+    // row-identical manifest: same candidates, costs, fold, flags
+    val corpusServed = graft.queries.SearchQueries.defs
+      .find(_.name == "q152_rag_context_pack").get.fn(spark, dir)
+    assert(stored.collect().toSeq == corpusServed.collect().toSeq)
+    // serving property: no corpus file in the composed plan
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"the store-served packer still reads the corpus:\n$plan")
+    assert(plan.contains(s"$path/docstats"),
+      "token costs not read from the store's docstats")
+  }
+
   test("search pushes the query terms into the postings scan — the plan " +
     "reads term-matching row groups, not the whole postings store") {
     val path = freshPath()
