@@ -285,6 +285,158 @@ object VectorIndex {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Sharded (federated) code stores — the 100 TB shape of the vector
+  // side, the q174 discipline applied to embeddings: one store's
+  // append/delete/rebuild touches the whole code relation, so vectors
+  // hash-route to n independent family stores and search federates.
+  // The exactness argument differs from the text index's (no corpus
+  // statistics here): it holds for families whose scoring parameters
+  // are GLOBAL (trained once, a copy saved into every shard) and whose
+  // per-candidate score is a pure function of (query, stored code,
+  // params) — then every monolithic top-k member lives in some shard
+  // and is in that shard's top-k, so the union of per-shard top-k
+  // re-cut to k is BIT-equal to the monolithic search (spec-pinned).
+  // ------------------------------------------------------------------
+
+  private def shardPath(root: String, i: Int) = s"$root/shard-$i"
+  private def routerPath(root: String) = s"$root/router"
+
+  /** Families that federate EXACTLY: sq8/pq train their quantization
+    * globally here (per-shard training would make ADC distances
+    * incomparable across shards — the vector-side twin of the per-shard
+    * idf mistake); bin has no training at all. The cell- and
+    * bucket-coupled families (ivf, residual, lsh, knn) are refused:
+    * they shard along their own structure (cells, buckets, graph
+    * partitions), a different trade than doc-hash routing.
+    */
+  val ShardableFamilies: Set[String] = Set("sq8", "pq", "bin")
+
+  private def shardOf(n: Int) =
+    pmod(xxhash64(col("vec_id").cast("long")), lit(n.toLong))
+
+  /** Read the sharded store's router: (shard count, family). Written
+    * LAST by [[buildSharded]] — the commit marker; its absence means an
+    * interrupted (or never-run) sharded build.
+    */
+  def shardInfo(spark: SparkSession, root: String): (Int, String) = {
+    val rp = new org.apache.hadoop.fs.Path(routerPath(root))
+    require(rp.getFileSystem(spark.sessionState.newHadoopConf()).exists(rp),
+      s"VectorIndex.shardInfo: no router at $root — not a sharded store, " +
+        "or an interrupted buildSharded (the router is written last); " +
+        "re-run the sharded build")
+    val r = spark.read.parquet(routerPath(root)).collect()
+    require(r.length == 1,
+      s"VectorIndex.shardInfo: router at $root has ${r.length} rows — " +
+        "corrupt sharded store")
+    (r(0).getAs[Int]("n_shards"), r(0).getAs[String]("family"))
+  }
+
+  /** Train ONCE on the full relation, encode and persist each hash
+    * slice as an independent family store (own fingerprint, tombstones,
+    * family marker), write the router last. Refuses an empty shard
+    * (the families refuse empty stores) and a family whose federation
+    * would be approximate. A crash mid-build leaves no router — every
+    * later verb refuses — and re-running completes it.
+    */
+  def buildSharded(e: DataFrame, fam: String, root: String,
+      nShards: Int): Unit = {
+    require(ShardableFamilies(fam),
+      s"VectorIndex.buildSharded: family '$fam' does not federate " +
+        s"exactly — shardable: ${ShardableFamilies.toSeq.sorted.mkString(", ")} " +
+        "(cell/bucket-coupled families shard along their own structure)")
+    require(nShards >= 1,
+      s"VectorIndex.buildSharded: nShards must be >= 1, got $nShards")
+    val spark = e.sparkSession
+    val withSh = e.withColumn("_sh", shardOf(nShards)).localCheckpoint(true)
+    val present = withSh.select("_sh").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val missing = (0L until nShards.toLong).filterNot(present)
+    require(missing.isEmpty,
+      s"VectorIndex.buildSharded: shard(s) ${missing.mkString(",")} of " +
+        s"$nShards would be EMPTY for this relation — use fewer shards")
+    def slice(i: Int) = withSh.filter(col("_sh") === i).drop("_sh")
+    fam match {
+      case "sq8" =>
+        val params = QuantQueries.sqTrain(e).localCheckpoint(true) // GLOBAL
+        (0 until nShards).foreach { i =>
+          QuantQueries.sqSaveIndex(params,
+            QuantQueries.sqCodes(params, slice(i)), shardPath(root, i))
+          writeMarker(spark, shardPath(root, i), fam)
+        }
+      case "pq" =>
+        val idx = SimilarityQueries.pqTrain(e) // GLOBAL codebook
+        (0 until nShards).foreach { i =>
+          SimilarityQueries.pqSaveIndex(idx,
+            SimilarityQueries.pqCodes(idx, slice(i)), shardPath(root, i))
+          writeMarker(spark, shardPath(root, i), fam)
+        }
+      case "bin" =>
+        (0 until nShards).foreach { i =>
+          SimilarityQueries.binSaveIndex(
+            SimilarityQueries.binCodes(slice(i)), shardPath(root, i))
+          writeMarker(spark, shardPath(root, i), fam)
+        }
+    }
+    import spark.implicits._
+    StoreRewrite.atomicOverwrite(
+      Seq((nShards, fam)).toDF("n_shards", "family").coalesce(1),
+      routerPath(root))
+  }
+
+  /** Federated ANN search: each shard's store-only search runs
+    * independently (per-shard code scans with broadcast queries — no
+    * cross-shard exchange to assemble inputs), then the union of
+    * per-shard top-k is re-cut to the global top-k. All shardable
+    * families score nearest-first ASCENDING with the same global
+    * parameters, so the merge is a pure (score, neighbor_id) order —
+    * bit-equal to the monolithic store's search.
+    */
+  def searchSharded(queries: DataFrame, root: String,
+      k: Int = 5): DataFrame = {
+    val spark = queries.sparkSession
+    val (n, fam) = shardInfo(spark, root)
+    val per = (0 until n).map { i =>
+      open(spark, shardPath(root, i), fam) // router and marker must agree
+      search(spark.emptyDataFrame, queries, shardPath(root, i), k)
+    }
+    GroupTopK.topK(per.reduce(_ unionByName _).drop("rank"),
+        Seq(col("query_id")),
+        Seq(col("score").asc, col("neighbor_id").asc),
+        col("neighbor_id"), k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** Route an increment's vectors to their hash shards and run each
+    * family's own append there (fingerprint-guarded, idempotent where
+    * the family's verb is). Encoding uses each shard's STORED params —
+    * copies of the one global training, so appended codes stay
+    * comparable across the federation.
+    */
+  def appendSharded(e: DataFrame, root: String): Unit = {
+    val spark = e.sparkSession
+    val (n, _) = shardInfo(spark, root)
+    val inc = e.withColumn("_sh", shardOf(n)).localCheckpoint(true)
+    (0 until n).foreach { i =>
+      val slice = inc.filter(col("_sh") === i).drop("_sh")
+      if (!slice.isEmpty) append(slice, shardPath(root, i))
+    }
+  }
+
+  /** Route tombstones to the owning shards only (the q174 rule: each
+    * shard's mask stays 1/n-sized).
+    */
+  def deleteSharded(ids: DataFrame, root: String): Unit = {
+    val spark = ids.sparkSession
+    val (n, _) = shardInfo(spark, root)
+    val del = ids.select(col("vec_id")).withColumn("_sh", shardOf(n))
+      .localCheckpoint(true)
+    (0 until n).foreach { i =>
+      val slice = del.filter(col("_sh") === i).drop("_sh")
+      if (!slice.isEmpty) delete(slice, shardPath(root, i))
+    }
+  }
+
   /** Tombstone `ids`(vec_id) out of the store, routed by family. Masked
     * at every subsequent load/search; compacted at the next full build.
     */

@@ -687,14 +687,21 @@ object QuantQueries extends QueryModule {
       else {
         val fam = graft.operators.VectorIndex.select(
           maxBytesPerVec = 64, minRecallAt5 = 0.99)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-route").toString + "/idx"
-        graft.operators.VectorIndex.build(e, fam, path)
-        graft.operators.VectorIndex.search(e, q, path, k = 5)
-          .orderBy("query_id", "rank")
+        withThrowawayStore { path =>
+          graft.operators.VectorIndex.build(e, fam, path)
+          graft.operators.VectorIndex.search(e, q, path, k = 5)
+            .orderBy("query_id", "rank")
+        }(s)
       }
     },
-    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    Some(sq8RoutedSql))
+
+  /** The routed-SQ8 search oracle, shared VERBATIM by q157 and q176:
+    * the sharded federation must reproduce the monolithic routed
+    * search exactly, so the two gates are the same SQL.
+    */
+  private lazy val sq8RoutedSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                         FROM embeddings),
                   pd AS (SELECT i, MIN(v[i]) AS mni, MAX(v[i]) AS mxi
                          FROM e CROSS JOIN range(1, ${dims + 1}) r(i)
@@ -714,7 +721,50 @@ object QuantQueries extends QueryModule {
                      ROW_NUMBER() OVER (PARTITION BY qid
                        ORDER BY adc_dist ASC, vec_id ASC) AS rank
                    FROM scored) r
-             WHERE rank <= 5 ORDER BY query_id, rank"""))
+             WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  override def defs: Seq[QueryDef] = Seq(q136, q137, q157)
+  /** Build a throwaway on-disk store under a temp root, run `body`
+    * against it, eagerly materialize the (bounded) result, delete the
+    * tree — the SearchQueries in-query harness discipline (without the
+    * delete, every bench execution leaks a store-sized temp dir).
+    */
+  private def withThrowawayStore(body: String => DataFrame)(
+      s: SparkSession): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vidx")
+    val res = body(root.toString + "/idx").localCheckpoint(true)
+    val hp = new org.apache.hadoop.fs.Path(root.toString)
+    hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    res
+  }
+
+  /** q176: the SHARDED code store federated — q157's routed SQ8 search
+    * with the codes hash-split across three independent shard stores
+    * (one GLOBAL quantizer training copied into each shard; per-shard
+    * training would make ADC distances incomparable across shards, the
+    * vector-side twin of per-shard idf). The oracle is q157's SQL
+    * VERBATIM: the union of per-shard top-k re-cut to k must reproduce
+    * the monolithic search bit-for-bit — sharding the code relation is
+    * a storage layout, never a semantics change.
+    */
+  private val q176 = QueryDef(
+    "q176_sq8_sharded",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      if (e.isEmpty)
+        e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"),
+          lit(1).as("rank"), lit(0.0).as("score")).limit(0)
+      else
+        withThrowawayStore { root =>
+          graft.operators.VectorIndex.buildSharded(e, "sq8", root, 3)
+          graft.operators.VectorIndex.searchSharded(q, root, k = 5)
+            .orderBy("query_id", "rank")
+        }(s)
+    },
+    Some(sq8RoutedSql))
+
+  override def defs: Seq[QueryDef] = Seq(q136, q137, q157, q176)
 }

@@ -146,6 +146,64 @@ class VectorIndexSpec extends SparkSuite {
     }
   }
 
+  test("sharded federation matrix (sq8/pq/bin): the union of per-shard " +
+    "top-k re-cut to k BIT-equals the monolithic store — one global " +
+    "training copied per shard, routed append and delete stay equal") {
+    for (fam <- Seq("sq8", "pq", "bin")) {
+      val root = tmpDir(s"vi-sh-$fam") + "/idx"
+      val mono = tmpDir(s"vi-mono-$fam") + "/idx"
+      val base = emb.filter(col("vec_id") < 150)
+      VectorIndex.buildSharded(base, fam, root, 3)
+      VectorIndex.build(base, fam, mono)
+      def both(): (Seq[Row4], Seq[Row4]) = (
+        asRows(VectorIndex.searchSharded(queries, root, k = 5)),
+        asRows(VectorIndex.search(emb, queries, mono, k = 5)))
+      val (sh0, mo0) = both()
+      assert(sh0 == mo0, s"$fam: sharded build diverges from monolithic")
+      // routed append: the increment encodes with each shard's stored
+      // COPY of the global params — still comparable, still bit-equal
+      val inc = emb.filter(col("vec_id") >= 150)
+      VectorIndex.appendSharded(inc, root)
+      VectorIndex.append(inc, mono)
+      val (sh1, mo1) = both()
+      assert(sh1 == mo1, s"$fam: sharded append diverges from monolithic")
+      assert(sh1 != sh0, s"$fam: append changed nothing — weak fixture")
+      // routed delete: tombstones land on the owning shard only
+      val victims = Seq(sh1.head.nid).toDF("vec_id")
+      VectorIndex.deleteSharded(victims, root)
+      VectorIndex.delete(victims, mono)
+      val (sh2, mo2) = both()
+      assert(sh2 == mo2, s"$fam: sharded delete diverges from monolithic")
+      assert(!sh2.exists(_.nid == sh1.head.nid),
+        s"$fam: deleted neighbor still returned")
+    }
+  }
+
+  test("sharded store guards: non-shardable families refuse with the " +
+    "shardable list; a missing router refuses with re-run guidance; " +
+    "more shards than vectors refuses with fewer-shards guidance") {
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndex.buildSharded(emb, "ivf", tmpDir("vi-g1") + "/idx", 2)
+    }
+    assert(e1.getMessage.contains("shardable"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.searchSharded(queries, tmpDir("vi-g2") + "/idx")
+    }
+    assert(e2.getMessage.contains("re-run"))
+    val e3 = intercept[IllegalArgumentException] {
+      VectorIndex.buildSharded(emb.filter(col("vec_id") < 3), "bin",
+        tmpDir("vi-g3") + "/idx", 50)
+    }
+    assert(e3.getMessage.contains("fewer shards"))
+  }
+
+  private case class Row4(qid: Long, nid: Long, rank: Int, score: Double)
+
+  private def asRows(df: org.apache.spark.sql.DataFrame): Seq[Row4] =
+    df.orderBy("query_id", "rank").collect()
+      .map(r => Row4(r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+
   test("ivf search probes by the store's ASSIGNMENT metric (cosine): a " +
     "corpus vector used as its own query must land in its own cell and " +
     "return itself at rank 1 — a raw-dot probe picks a different cell " +
