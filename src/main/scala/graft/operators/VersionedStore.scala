@@ -1,0 +1,456 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Rename-free versioned store: manifest-committed revisions with
+  * time-travel reads and vacuum — the object-store-safe commit protocol.
+  *
+  * Every other crash verb in this engine ([[StoreRewrite]], the text
+  * index's `_inflight`/`_forget_intent` discipline) leans on one
+  * primitive: ATOMIC DIRECTORY RENAME. That primitive exists on
+  * HDFS/POSIX and does not exist on object stores — S3 "rename" is a
+  * copy-then-delete per object, non-atomic and O(bytes). At 100 TB the
+  * store families live on exactly such storage, so the production-grade
+  * answer is the log-structured protocol every table format converges
+  * on (Iceberg/Delta-style, from public designs): data files are
+  * IMMUTABLE and only ever ADDED; a revision is a small MANIFEST file
+  * enumerating the directories that compose it; the commit point is the
+  * creation of that one small file. Object PUTs are atomic (and S3 has
+  * been strongly consistent since 2020), so no rename is ever needed —
+  * and unlike the rename-based verbs there is NO recover verb at all: a
+  * crash at ANY instant leaves either the old current revision (data
+  * dirs written but unreferenced are invisible) or the new one
+  * (manifest landed). Debris from crashed attempts is reclaimed by
+  * [[vacuum]], never by a repair step.
+  *
+  * Layout under a store root:
+  * {{{
+  *   d<rev>__data__<rel>/...parquet   immutable data directory
+  *   d<rev>__del__<rel>/...parquet    tombstone keys for <rel>
+  *   _versions/v<rev>                 manifest: the commit record
+  * }}}
+  *
+  * A manifest is a text file: a header line, one `kind TAB rel TAB dir`
+  * line per referenced directory, and a `#commit` footer. The footer is
+  * the torn-write guard for filesystems where file CREATION is visible
+  * before the content flush (local/HDFS): a manifest without the footer
+  * is treated as never committed, so `current` falls back to the newest
+  * valid revision. On an object store the whole file appears atomically
+  * and the footer is simply always present.
+  *
+  * Concurrency: single writer by discipline (as for every store family
+  * here), with the manifest create (`overwrite = false`) as the
+  * optimistic backstop — a second writer racing to the same revision
+  * number loses loudly at the commit point, after which it must re-read
+  * `current` and retry on top of the winner.
+  *
+  * Verbs: [[save]] (full snapshot — new revision references ONLY the
+  * new dirs), [[append]] (delta — new revision references the previous
+  * revision's dirs plus the delta dirs, so an append writes the
+  * increment and one small file, never the corpus), [[delete]]
+  * (tombstone dir; reads anti-join it), [[compact]] (fold a revision's
+  * dir chain and tombstones into one dir per relation — layout
+  * maintenance, content-identical), [[read]] (at `current` or any
+  * retained revision — time travel), [[vacuum]] (drop old revisions and
+  * every data dir no retained revision references, including crashed
+  * attempts' debris).
+  */
+object VersionedStore {
+
+  /** One manifest line. `stats` is an optional (column, min, max) long
+    * zone map for the directory — the Iceberg-style file-level pruning
+    * record: a range read skips every dir whose [min, max] cannot
+    * intersect the predicate, WITHOUT listing or opening it.
+    */
+  final case class Entry(kind: String, rel: String, dir: String,
+      stats: Option[(String, Long, Long)] = None)
+
+  private val Header = "graft-versioned-manifest v1"
+  private val Footer = "#commit"
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def versionsDir(path: String) = new Path(path, "_versions")
+
+  private def manifestPath(path: String, rev: Long) =
+    new Path(versionsDir(path), f"v$rev%09d")
+
+  private def dataDirName(rev: Long, kind: String, rel: String) =
+    f"d$rev%09d__${kind}__$rel"
+
+  private def checkRel(rel: String): Unit =
+    require(rel.nonEmpty && rel.matches("[A-Za-z0-9_]+") && !rel.contains("__"),
+      s"VersionedStore: illegal relation name '$rel' (letters/digits/single " +
+        "underscores only — '__' is the layout separator)")
+
+  /** Parse a manifest file; None if absent or not validly committed
+    * (missing footer = torn write of a crashed commit).
+    */
+  private def readManifestFile(fs: FileSystem, mp: Path): Option[Seq[Entry]] = {
+    if (!fs.exists(mp)) return None
+    val in = fs.open(mp)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+    val lines = new String(bytes, StandardCharsets.UTF_8).split("\n", -1)
+      .toSeq.filter(_.nonEmpty)
+    if (lines.headOption.contains(Header) && lines.lastOption.contains(Footer))
+      Some(lines.drop(1).dropRight(1).map { l =>
+        val p = l.split("\t", -1)
+        require(p.length == 3 || p.length == 6,
+          s"VersionedStore: corrupt manifest line '$l' in $mp")
+        if (p.length == 3) Entry(p(0), p(1), p(2))
+        else Entry(p(0), p(1), p(2), Some((p(3), p(4).toLong, p(5).toLong)))
+      })
+    else None // torn write: never committed
+  }
+
+  /** All validly committed revision numbers, ascending. */
+  def listVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsOf(spark, path)
+    val vd = versionsDir(path)
+    if (!fs.exists(vd)) return Seq.empty
+    fs.listStatus(vd).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v"))
+      .flatMap(p => p.getName.drop(1).toLongOption.map(r => (r, p)))
+      .filter { case (_, p) => readManifestFile(fs, p).isDefined }
+      .map(_._1).sorted
+  }
+
+  /** Newest committed revision, if any. */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] =
+    listVersions(spark, path).lastOption
+
+  private def manifestAt(spark: SparkSession, path: String,
+      asOf: Option[Long]): (Long, Seq[Entry]) = {
+    val fs = fsOf(spark, path)
+    val rev = asOf.getOrElse(currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedStore: no committed revision at $path")))
+    readManifestFile(fs, manifestPath(path, rev)) match {
+      case Some(es) => (rev, es)
+      case None => throw new IllegalArgumentException(
+        s"VersionedStore: revision $rev at $path does not exist or was " +
+          "vacuumed — time travel reaches only retained revisions " +
+          s"(${listVersions(spark, path).mkString(", ")})")
+    }
+  }
+
+  /** Relations visible at a revision (tombstone-only relations excluded). */
+  def relations(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): Seq[String] =
+    manifestAt(spark, path, asOf)._2.filter(_.kind == "data")
+      .map(_.rel).distinct.sorted
+
+  /** Write one immutable data/tombstone directory for a future revision.
+    * Uncommitted (no manifest references it) — invisible to every
+    * reader until [[commitManifest]] lands; overwrite is safe because
+    * only a crashed attempt at the SAME revision can have left the dir.
+    */
+  private[graft] def writeDataDir(df: DataFrame, path: String, rev: Long,
+      kind: String, rel: String, statsCol: Option[String] = None): Entry = {
+    val dir = dataDirName(rev, kind, rel)
+    val full = new Path(path, dir).toString
+    df.write.mode("overwrite").parquet(full)
+    // zone map computed over the WRITTEN files (two longs per dir —
+    // exact post-write, increment-sized scan); an empty dir gets no
+    // stats and is simply never skipped
+    val stats = statsCol.flatMap { c =>
+      import org.apache.spark.sql.functions.{min => fmin, max => fmax, col}
+      val r = df.sparkSession.read.parquet(full)
+        .agg(fmin(col(c).cast("long")), fmax(col(c).cast("long"))).head()
+      if (r.isNullAt(0)) None else Some((c, r.getLong(0), r.getLong(1)))
+    }
+    Entry(kind, rel, dir, stats)
+  }
+
+  /** The commit point: create `_versions/v<rev>` with the entry list.
+    * `create(overwrite = false)` refuses an existing VALID manifest
+    * (optimistic-concurrency backstop); an existing INVALID one is a
+    * prior torn write of this same revision — never committed, safe to
+    * replace.
+    */
+  private[graft] def commitManifest(spark: SparkSession, path: String,
+      rev: Long, entries: Seq[Entry]): Unit = {
+    val fs = fsOf(spark, path)
+    val mp = manifestPath(path, rev)
+    fs.mkdirs(versionsDir(path))
+    if (fs.exists(mp)) {
+      require(readManifestFile(fs, mp).isEmpty,
+        s"VersionedStore: concurrent commit — revision $rev at $path was " +
+          "committed by another writer; re-read currentVersion and retry")
+      fs.delete(mp, false) // torn debris of a crashed attempt at this rev
+    }
+    val body = (Header +: entries.map(e => e.stats match {
+      case Some((c, lo, hi)) => s"${e.kind}\t${e.rel}\t${e.dir}\t$c\t$lo\t$hi"
+      case None => s"${e.kind}\t${e.rel}\t${e.dir}"
+    }) :+ Footer).mkString("\n") + "\n"
+    val out = fs.create(mp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** The streaming-ingest commit record: a `meta`-kind manifest entry
+    * carrying the micro-batch id that produced the revision. Because it
+    * rides INSIDE the manifest, "this batch's data is visible" and
+    * "this batch is recorded as applied" are one atomic PUT — the
+    * exactly-once primitive [[graft.streaming.VersionedIngest]] builds
+    * on. At most one marker per manifest (writes replace the previous
+    * one); readers of data relations never see it.
+    */
+  private def markerEntry(batchId: Long): Entry =
+    Entry("meta", "batch", batchId.toString)
+
+  private def withMarker(entries: Seq[Entry], marker: Option[Long]): Seq[Entry] =
+    marker.fold(entries)(b =>
+      entries.filterNot(e => e.kind == "meta" && e.rel == "batch") :+
+        markerEntry(b))
+
+  /** The current revision's recorded micro-batch id, if any. */
+  def batchMarker(spark: SparkSession, path: String): Option[Long] =
+    currentVersion(spark, path).flatMap(v =>
+      manifestAt(spark, path, Some(v))._2
+        .find(e => e.kind == "meta" && e.rel == "batch")
+        .flatMap(_.dir.toLongOption))
+
+  /** Full snapshot: the new revision references ONLY the freshly
+    * written dirs (prior revisions stay readable until vacuumed).
+    */
+  def save(snapshot: Map[String, DataFrame], path: String,
+      marker: Option[Long] = None,
+      statsCol: Option[String] = None): Long = {
+    require(snapshot.nonEmpty, "VersionedStore.save: empty snapshot")
+    snapshot.keys.foreach(checkRel)
+    val spark = snapshot.head._2.sparkSession
+    val rev = currentVersion(spark, path).getOrElse(0L) + 1L
+    val entries = snapshot.toSeq.sortBy(_._1).map { case (rel, df) =>
+      writeDataDir(df, path, rev, "data", rel, statsCol)
+    }
+    commitManifest(spark, path, rev, withMarker(entries, marker))
+    rev
+  }
+
+  /** Delta append: write ONLY the increment dirs; the new manifest is
+    * the previous revision's entries plus the new dirs. Cost at 100 TB:
+    * the increment's bytes plus one small file — the corpus is never
+    * rewritten or even read.
+    */
+  def append(delta: Map[String, DataFrame], path: String,
+      marker: Option[Long] = None,
+      statsCol: Option[String] = None): Long = {
+    require(delta.nonEmpty, "VersionedStore.append: empty delta")
+    delta.keys.foreach(checkRel)
+    val spark = delta.head._2.sparkSession
+    val (cur, prev) = manifestAt(spark, path, None)
+    val rev = cur + 1L
+    val added = delta.toSeq.sortBy(_._1).map { case (rel, df) =>
+      writeDataDir(df, path, rev, "data", rel, statsCol)
+    }
+    commitManifest(spark, path, rev, withMarker(prev ++ added, marker))
+    rev
+  }
+
+  /** Tombstone delete: `keys`' columns name the join key(s); reads of
+    * `rel` anti-join every tombstone dir. Physical reclaim happens at
+    * [[compact]], the usual deferred-delete trade.
+    */
+  def delete(keys: DataFrame, rel: String, path: String): Long = {
+    checkRel(rel)
+    val spark = keys.sparkSession
+    val (cur, prev) = manifestAt(spark, path, None)
+    require(prev.exists(e => e.kind == "data" && e.rel == rel),
+      s"VersionedStore.delete: no relation '$rel' at $path")
+    val rev = cur + 1L
+    val added = writeDataDir(keys, path, rev, "del", rel)
+    commitManifest(spark, path, rev, prev :+ added)
+    rev
+  }
+
+  /** Read `rel` at `asOf` (default: current): one multi-dir parquet
+    * scan over the revision's data dirs (a single scan relation —
+    * filters and pruning push into all of them), anti-joined against
+    * the revision's tombstones for the relation, if any.
+    */
+  def read(spark: SparkSession, path: String, rel: String,
+      asOf: Option[Long] = None): DataFrame = {
+    checkRel(rel)
+    val (_, entries) = manifestAt(spark, path, asOf)
+    val dataDirs = entries.filter(e => e.kind == "data" && e.rel == rel)
+      .map(e => new Path(path, e.dir).toString)
+    require(dataDirs.nonEmpty,
+      s"VersionedStore.read: no relation '$rel' at $path" +
+        asOf.fold("")(r => s" as of revision $r"))
+    val base = spark.read.parquet(dataDirs: _*)
+    val delDirs = entries.filter(e => e.kind == "del" && e.rel == rel)
+      .map(e => new Path(path, e.dir).toString)
+    if (delDirs.isEmpty) base
+    else {
+      val dels = spark.read.parquet(delDirs: _*).distinct()
+      base.join(dels, dels.columns.toSeq, "left_anti")
+    }
+  }
+
+  /** Range read with DIR-LEVEL pruning off the manifest's zone maps:
+    * data dirs whose recorded [min, max] on `keyCol` cannot intersect
+    * [lo, hi] are dropped BEFORE the scan relation is even built — at
+    * 100 TB of time-ordered appends a recent-window query opens the
+    * last few dirs instead of years of them, with zero file listing of
+    * the skipped ones (the manifest IS the listing). Dirs without
+    * stats on `keyCol` are kept (conservative), the precise predicate
+    * is always applied after the scan, and tombstones always apply —
+    * pruning can only skip IO, never change the result.
+    */
+  def readRange(spark: SparkSession, path: String, rel: String,
+      keyCol: String, lo: Long, hi: Long,
+      asOf: Option[Long] = None): DataFrame = {
+    checkRel(rel)
+    val (_, entries) = manifestAt(spark, path, asOf)
+    val all = entries.filter(e => e.kind == "data" && e.rel == rel)
+    require(all.nonEmpty,
+      s"VersionedStore.readRange: no relation '$rel' at $path")
+    val kept = all.filter(_.stats match {
+      case Some((c, mn, mx)) if c == keyCol => mx >= lo && mn <= hi
+      case _ => true // no zone map on this column: cannot skip
+    })
+    val pred = col(keyCol).cast("long").between(lo, hi)
+    if (kept.isEmpty)
+      // every dir skipped: an empty relation with the right schema
+      return spark.read.parquet(new Path(path, all.head.dir).toString)
+        .filter(lit(false))
+    val base = spark.read
+      .parquet(kept.map(e => new Path(path, e.dir).toString): _*)
+      .filter(pred)
+    val delDirs = entries.filter(e => e.kind == "del" && e.rel == rel)
+      .map(e => new Path(path, e.dir).toString)
+    if (delDirs.isEmpty) base
+    else {
+      val dels = spark.read.parquet(delDirs: _*).distinct()
+      base.join(dels, dels.columns.toSeq, "left_anti")
+    }
+  }
+
+  /** O(delta) CDC between two retained revisions of `rel`: returns
+    * (inserted rows, deleted keys) computed ONLY from the directories
+    * the window added — never a corpus-sized diff join (q162's digest
+    * outer join costs the corpus; this costs the increment, because
+    * under append/delete the manifest delta IS the change log).
+    * Applying the changeset to the `from` content reproduces the `to`
+    * content exactly:
+    * `content(from) ANTI-JOIN deletedKeys UNION inserted == content(to)`
+    * — the q166 invariant, gated by q180's oracle. Refuses a window
+    * that crosses a full save or compact (those REPLACE dirs; the
+    * delta algebra needs `from`'s dirs to survive into `to`).
+    */
+  def changes(spark: SparkSession, path: String, fromRev: Long,
+      toRev: Long, rel: String): (DataFrame, DataFrame) = {
+    require(fromRev < toRev,
+      s"VersionedStore.changes: fromRev $fromRev must precede toRev $toRev")
+    val from = manifestAt(spark, path, Some(fromRev))._2
+      .filter(_.rel == rel)
+    val to = manifestAt(spark, path, Some(toRev))._2.filter(_.rel == rel)
+    val toDirs = to.map(_.dir).toSet
+    val missing = from.filterNot(e => toDirs.contains(e.dir))
+    require(missing.isEmpty,
+      s"VersionedStore.changes: revision window $fromRev -> $toRev crosses " +
+        s"a save/compact (dir(s) ${missing.map(_.dir).mkString(", ")} were " +
+        "replaced) — delta CDC applies only across append/delete revisions; " +
+        "diff the two reads instead")
+    val fromDirs = from.map(_.dir).toSet
+    val addedData = to.filter(e => e.kind == "data" && !fromDirs.contains(e.dir))
+      .map(e => new Path(path, e.dir).toString)
+    val addedDel = to.filter(e => e.kind == "del" && !fromDirs.contains(e.dir))
+      .map(e => new Path(path, e.dir).toString)
+    val allDel = to.filter(_.kind == "del")
+      .map(e => new Path(path, e.dir).toString)
+    val sample = to.find(_.kind == "data").getOrElse(throw
+      new IllegalArgumentException(
+        s"VersionedStore.changes: no relation '$rel' at $path"))
+    def emptyLike(p: String) =
+      spark.read.parquet(p).filter(lit(false))
+    val inserted0 =
+      if (addedData.isEmpty)
+        emptyLike(new Path(path, sample.dir).toString)
+      else spark.read.parquet(addedData: _*)
+    // rows appended then tombstoned inside the window net out (the
+    // roundtrip invariant needs the TO revision's view)
+    val inserted =
+      if (allDel.isEmpty) inserted0
+      else {
+        val dels = spark.read.parquet(allDel: _*).distinct()
+        inserted0.join(dels, dels.columns.toSeq, "left_anti")
+      }
+    val deletedKeys =
+      if (addedDel.nonEmpty) spark.read.parquet(addedDel: _*).distinct()
+      else if (allDel.nonEmpty) emptyLike(allDel.head)
+      // no tombstones anywhere in `to`: the key schema is unknowable —
+      // callers skip the anti join when there are no columns
+      else spark.emptyDataFrame
+    (inserted, deletedKeys)
+  }
+
+  /** Layout maintenance: fold each relation's dir chain and tombstones
+    * into ONE fresh data dir, commit a revision referencing only those.
+    * Content-identical to the pre-compact current revision; tombstoned
+    * rows are physically reclaimed (so a later time-travel read of the
+    * PRE-compact revision still sees them via the old dirs, until
+    * vacuum). Zone maps are recomputed for the folded dirs on each
+    * relation's previously-mapped column.
+    */
+  def compact(spark: SparkSession, path: String): Long = {
+    val (cur, prev) = manifestAt(spark, path, None)
+    val rev = cur + 1L
+    val entries = relations(spark, path).map { rel =>
+      val sc = prev.collectFirst {
+        case Entry("data", `rel`, _, Some((c, _, _))) => c
+      }
+      writeDataDir(read(spark, path, rel), path, rev, "data", rel, sc)
+    }
+    // meta entries (the streaming batch marker) survive compaction —
+    // dropping them would let a replayed micro-batch double-apply
+    commitManifest(spark, path, rev, entries ++ prev.filter(_.kind == "meta"))
+    rev
+  }
+
+  /** Reclaim: retain the newest `keep` committed revisions; delete
+    * older manifests, every data dir referenced by NO retained
+    * manifest, and torn/crashed debris at or below the current
+    * revision. Dirs and manifests numbered ABOVE current are preserved
+    * — they may belong to an in-flight writer. Returns
+    * (data dirs deleted, manifests deleted).
+    */
+  def vacuum(spark: SparkSession, path: String, keep: Int = 2): (Int, Int) = {
+    require(keep >= 1, "VersionedStore.vacuum: keep must be >= 1")
+    val fs = fsOf(spark, path)
+    val versions = listVersions(spark, path)
+    if (versions.isEmpty) return (0, 0)
+    val cur = versions.last
+    val retained = versions.takeRight(keep)
+    val referenced = retained.flatMap(r =>
+      readManifestFile(fs, manifestPath(path, r)).get.map(_.dir)).toSet
+    val dirGone = fs.listStatus(new Path(path)).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("d") && p.getName.contains("__"))
+      .filter { p =>
+        val rev = p.getName.drop(1).takeWhile(_.isDigit).toLongOption
+        rev.exists(_ <= cur) && !referenced.contains(p.getName)
+      }
+    dirGone.foreach(p => fs.delete(p, true))
+    val manGone = fs.listStatus(versionsDir(path)).toSeq.map(_.getPath)
+      .filter { p =>
+        val rev = p.getName.drop(1).toLongOption
+        rev.exists(r => r <= cur && !retained.contains(r)) ||
+          // torn debris at or below current: never committed, reclaim
+          (rev.exists(_ <= cur) && readManifestFile(fs, p).isEmpty)
+      }
+    manGone.foreach(p => fs.delete(p, false))
+    (dirGone.size, manGone.size)
+  }
+}

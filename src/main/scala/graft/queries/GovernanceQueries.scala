@@ -358,5 +358,181 @@ object GovernanceQueries extends QueryModule {
     Some("""SELECT doc_id, source, md5(text) AS digest
             FROM documents ORDER BY doc_id"""))
 
-  override def defs: Seq[QueryDef] = Seq(q160, q161, q162, q165, q166)
+  /** q177: VERSIONED corpus store with time travel — the full
+    * rename-free commit-protocol lifecycle
+    * ([[graft.operators.VersionedStore]]) run in-query: save a base
+    * snapshot (v1), append a delta (v2), tombstone-delete every 7th
+    * doc (v3), compact (v4 — content-identical fold), then read EVERY
+    * retained revision and summarize it, vacuum down to the current
+    * revision, and prove the survivor still reads identically (the
+    * version-99 row must equal the version-4 row). The oracle
+    * reconstructs each revision's set algebraically — any error in the
+    * manifest chain, tombstone application, compaction, or vacuum's
+    * reference tracking shifts a count or sum and fails the gate.
+    *
+    * Scale shape: this is the object-store commit discipline at 100 TB
+    * — appends write the increment plus ONE small manifest file (the
+    * corpus is never rewritten, never renamed, never even listed);
+    * reads are a single multi-dir parquet scan (filters and column
+    * pruning push into all member dirs) plus one keyed anti join when
+    * tombstones exist; compact is the only corpus-sized write and
+    * vacuum is pure metadata + deletes. No atomic-rename assumption
+    * anywhere — the commit point is one object PUT.
+    */
+  private val q177 = QueryDef(
+    "q177_versioned_time_travel",
+    (s, d) => {
+      import graft.operators.VersionedStore
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val root = java.nio.file.Files.createTempDirectory("graft-vts")
+      val path = root.toString + "/store"
+      VersionedStore.save(Map("docs" -> docs.filter(col("doc_id") % 3 === 0)),
+        path)
+      VersionedStore.append(
+        Map("docs" -> docs.filter(col("doc_id") % 3 === 1)), path)
+      VersionedStore.delete(
+        VersionedStore.read(s, path, "docs")
+          .filter(col("doc_id") % 7 === 0).select("doc_id"), "docs", path)
+      VersionedStore.compact(s, path)
+      def snap(asOf: Option[Long], label: Int): DataFrame =
+        VersionedStore.read(s, path, "docs", asOf).agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            sum(col("doc_id")).as("sum_ids"),
+            sum(length(col("text")).cast("long")).as("sum_len"))
+          .select(lit(label).as("version"), col("n_docs"),
+            col("n_sources"), col("sum_ids"), col("sum_len"))
+      // materialized BEFORE vacuum: these plans read dirs vacuum deletes
+      val preVacuum = snap(Some(1L), 1).unionByName(snap(Some(2L), 2))
+        .unionByName(snap(Some(3L), 3)).unionByName(snap(None, 4))
+        .localCheckpoint(true)
+      VersionedStore.vacuum(s, path, keep = 1)
+      val res = preVacuum.unionByName(snap(None, 99))
+        .orderBy("version").localCheckpoint(true)
+      val hp = new org.apache.hadoop.fs.Path(root.toString)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      res
+    },
+    Some("""WITH v1 AS (SELECT doc_id, text, source FROM documents
+                        WHERE doc_id % 3 = 0),
+                 v2 AS (SELECT * FROM v1
+                        UNION ALL
+                        SELECT doc_id, text, source FROM documents
+                        WHERE doc_id % 3 = 1),
+                 v3 AS (SELECT * FROM v2 WHERE doc_id % 7 <> 0),
+                 snap AS (
+                   SELECT 1 AS version, COUNT(*) AS n_docs,
+                          COUNT(DISTINCT source) AS n_sources,
+                          CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                          CAST(SUM(length(text)) AS BIGINT) AS sum_len
+                   FROM v1
+                   UNION ALL
+                   SELECT 2, COUNT(*), COUNT(DISTINCT source),
+                          CAST(SUM(doc_id) AS BIGINT),
+                          CAST(SUM(length(text)) AS BIGINT) FROM v2
+                   UNION ALL
+                   SELECT 3, COUNT(*), COUNT(DISTINCT source),
+                          CAST(SUM(doc_id) AS BIGINT),
+                          CAST(SUM(length(text)) AS BIGINT) FROM v3
+                   UNION ALL
+                   SELECT 4, COUNT(*), COUNT(DISTINCT source),
+                          CAST(SUM(doc_id) AS BIGINT),
+                          CAST(SUM(length(text)) AS BIGINT) FROM v3
+                   UNION ALL
+                   SELECT 99, COUNT(*), COUNT(DISTINCT source),
+                          CAST(SUM(doc_id) AS BIGINT),
+                          CAST(SUM(length(text)) AS BIGINT) FROM v3)
+            SELECT version, n_docs, n_sources, sum_ids, sum_len
+            FROM snap ORDER BY version"""))
+
+  /** q179: zone-map-pruned range scan over the versioned store — the
+    * Iceberg-style data-skipping read. The store is built as three
+    * range-disjoint appends with a doc_id zone map recorded per dir in
+    * the manifest; `readRange` then serves a narrow window opening ONLY
+    * the dirs whose [min, max] intersect it (VersionedStoreSpec asserts
+    * the skipped dirs are absent from the scan's inputFiles — here the
+    * oracle gates that skipping never changes the answer). At 100 TB of
+    * time-ordered appends this is the difference between opening the
+    * last few days' dirs and listing years of them: the manifest IS the
+    * listing, so pruning costs zero filesystem operations.
+    */
+  private val q179 = QueryDef(
+    "q179_versioned_pruned_scan",
+    (s, d) => {
+      import graft.operators.VersionedStore
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val root = java.nio.file.Files.createTempDirectory("graft-vrs")
+      val path = root.toString + "/store"
+      val sc = Some("doc_id")
+      VersionedStore.save(Map("docs" -> docs.filter(col("doc_id") < 200)),
+        path, statsCol = sc)
+      VersionedStore.append(Map("docs" ->
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)),
+        path, statsCol = sc)
+      VersionedStore.append(Map("docs" -> docs.filter(col("doc_id") >= 400)),
+        path, statsCol = sc)
+      val res = VersionedStore.readRange(s, path, "docs", "doc_id", 250L, 350L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(length(col("text")).cast("long")).as("sum_len"))
+        .orderBy("source").localCheckpoint(true)
+      val hp = new org.apache.hadoop.fs.Path(root.toString)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      res
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_len
+            FROM documents WHERE doc_id BETWEEN 250 AND 350
+            GROUP BY source ORDER BY source"""))
+
+  /** q180: O(delta) CDC off the versioned store's manifest algebra — the
+    * q166 roundtrip invariant served WITHOUT the corpus-sized digest
+    * join. Between two append/delete revisions the manifest delta IS
+    * the change log: inserted rows live in exactly the dirs the window
+    * added, deleted keys in exactly the tombstone dirs it added, so the
+    * changeset costs the increment while q162/q166's diff costs a full
+    * outer join over the corpus. The gate: apply changes(v1 -> v4) to
+    * the v1 read and emit the reconstruction — the oracle is the v4
+    * content built algebraically, so a wrong dir in either leg of the
+    * delta breaks the digest.
+    */
+  private val q180 = QueryDef(
+    "q180_versioned_cdc",
+    (s, d) => {
+      import graft.operators.VersionedStore
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val root = java.nio.file.Files.createTempDirectory("graft-vcdc")
+      val path = root.toString + "/store"
+      VersionedStore.save(Map("docs" -> docs.filter(col("doc_id") % 3 === 0)),
+        path)
+      VersionedStore.append(
+        Map("docs" -> docs.filter(col("doc_id") % 3 === 1)), path)
+      VersionedStore.delete(
+        VersionedStore.read(s, path, "docs")
+          .filter(col("doc_id") % 7 === 0).select("doc_id"), "docs", path)
+      VersionedStore.append(
+        Map("docs" -> docs.filter(col("doc_id") % 3 === 2)), path)
+      val (ins, delKeys) = VersionedStore.changes(s, path, 1L, 4L, "docs")
+      val base = VersionedStore.read(s, path, "docs", Some(1L))
+      val applied =
+        (if (delKeys.columns.isEmpty) base
+         else base.join(delKeys, delKeys.columns.toSeq, "left_anti"))
+          .unionByName(ins)
+      val res = applied
+        .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
+        .orderBy("doc_id").localCheckpoint(true)
+      val hp = new org.apache.hadoop.fs.Path(root.toString)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      res
+    },
+    Some("""SELECT doc_id, source, md5(text) AS digest
+            FROM documents
+            WHERE (doc_id % 3 IN (0, 1) AND doc_id % 7 <> 0)
+               OR doc_id % 3 = 2
+            ORDER BY doc_id"""))
+
+  override def defs: Seq[QueryDef] =
+    Seq(q160, q161, q162, q165, q166, q177, q179, q180)
 }

@@ -41,7 +41,11 @@ class EmptyInputSpec extends SparkSuite {
     // q165 is a FIXED constraint battery (the q146 fixed-axis design):
     // an empty warehouse still reports all 8 constraints, each with
     // n_checked = 0 violations = 0 — "nothing to check" is itself a pass
-    "q165_data_quality_audit" -> 8L)
+    "q165_data_quality_audit" -> 8L,
+    // q177 summarizes each of its five lifecycle revisions with a global
+    // aggregate — an empty corpus still versions, compacts, and vacuums,
+    // reporting five all-zero/null rows
+    "q177_versioned_time_travel" -> 5L)
 
   test("every registered query executes on empty tables and returns 0 rows " +
     "(global aggregates: their single summary row)") {
