@@ -842,9 +842,23 @@ object DedupQueries extends QueryModule {
   def incrementalReject(oldSig: org.apache.spark.sql.DataFrame,
       newSig: org.apache.spark.sql.DataFrame,
       bucketCap: Int = defaultBucketCap,
-      threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
-    val oldBands = bandsFromSigs(oldSig)
-    val newBands = bandsFromSigs(newSig)
+      threshold: Double = 0.5): org.apache.spark.sql.DataFrame =
+    rejectFromBands(bandsFromSigs(oldSig), bandsFromSigs(newSig),
+      oldSig, newSig, bucketCap, threshold)
+
+  /** [[incrementalReject]]'s body, parameterized on the band relations so
+    * the bloom-pruned probe can pre-filter the OLD side's bands before
+    * anything shuffles. Hot-bucket counts stay exact under that prune
+    * because pruning is by whole bucket KEY: a bucket either survives
+    * with ALL its members (its combined count is unchanged) or is a
+    * bucket the increment never touches (it can produce no candidate, so
+    * its hotness is never consulted).
+    */
+  private def rejectFromBands(oldBands: org.apache.spark.sql.DataFrame,
+      newBands: org.apache.spark.sql.DataFrame,
+      oldSig: org.apache.spark.sql.DataFrame,
+      newSig: org.apache.spark.sql.DataFrame,
+      bucketCap: Int, threshold: Double): org.apache.spark.sql.DataFrame = {
     val hot = oldBands.select("band", "key")
       .unionAll(newBands.select("band", "key"))
       .groupBy("band", "key").agg(count(lit(1)).as("n"))
@@ -898,6 +912,48 @@ object DedupQueries extends QueryModule {
     incrementalReject(spark.read.parquet(path), minhashSigs(increment),
       bucketCap, threshold)
 
+  /** The bloom-pruned probe: [[probeSignatureIndex]] with the increment's
+    * band-key set pushed into the INDEX side as a codegen'd bloom
+    * predicate BEFORE anything shuffles.
+    *
+    * Why: the plain probe's hot-bucket aggregation groups the UNION of
+    * both sides' band rows — a shuffle of the corpus-index-sized band
+    * relation on every daily probe, even though only buckets the
+    * increment touches can ever produce a candidate. A broadcast bitset
+    * of the increment's (band, key) hashes (increment-sized — a few MB
+    * at 1% fpp even for millions of increment band rows) filters the
+    * index's band rows map-side inside whole-stage codegen, so the
+    * probe's shuffles are bounded by the increment's bucket membership
+    * (plus the fpp-bounded false-positive sliver), not the corpus.
+    *
+    * EXACTNESS is free, not approximate: blooms have no false negatives,
+    * so every truly-touched bucket survives with all its members (hot
+    * counts unchanged — see [[rejectFromBands]]); a false-positive
+    * bucket has no increment-side band row to meet in the equality join
+    * and contributes nothing. SignatureIndexSpec pins row-identity with
+    * the unpruned probe and asserts the bloom predicate sits in the
+    * probe plan.
+    */
+  def probeSignatureIndexPruned(spark: org.apache.spark.sql.SparkSession,
+      increment: org.apache.spark.sql.DataFrame, path: String,
+      bucketCap: Int = defaultBucketCap,
+      threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    // increment-sized: signatures feed bands, the bloom build, and the
+    // scoring join — materialize once
+    val newSig = minhashSigs(increment).localCheckpoint(true)
+    val newBands = bandsFromSigs(newSig).localCheckpoint(true)
+    val keyHash = xxhash64(col("band"), col("key"))
+    val nKeys = newBands.select(keyHash.as("h")).distinct()
+    // an empty increment builds the empty filter (rejects every index
+    // row — zero candidates), via buildLongBloom's expectedItems<=0 path
+    val bloom = graft.functions.BloomFunctions.buildLongBloom(
+      nKeys, col("h"), nKeys.count(), 0.01)
+    val oldSig = spark.read.parquet(path)
+    val oldBands = bandsFromSigs(oldSig).filter(
+      graft.functions.BloomFunctions.mightContainLong(bloom, keyHash))
+    rejectFromBands(oldBands, newBands, oldSig, newSig, bucketCap, threshold)
+  }
+
   /** Appends an (admitted) increment's signatures to the index so the next
     * day's probe sees them. Parquet append writes new files only — no
     * rewrite of the existing index.
@@ -930,7 +986,14 @@ object DedupQueries extends QueryModule {
       val oldSig = sig.join(broadcast(newIds), Seq("doc_id"), "left_anti")
       incrementalReject(oldSig, newSig).orderBy("new_id")
     },
-    Some(s"""WITH $lshPairsCteSql,
+    Some(incRejectOracleSql))
+
+  /** Shared oracle of q82 and q178: the from-scratch incremental-reject
+    * semantics. q178's bloom-pruned store-served path must reproduce it
+    * row-for-row — the gate that the bloom prunes WORK, never results.
+    */
+  private lazy val incRejectOracleSql: String =
+    s"""WITH $lshPairsCteSql,
                   new_ids AS (SELECT doc_id FROM documents WHERE source = 'src19'),
                   cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
                            FROM cbands n
@@ -947,7 +1010,34 @@ object DedupQueries extends QueryModule {
                       ROW_NUMBER() OVER (PARTITION BY new_id
                         ORDER BY jaccard_est DESC, old_id ASC) AS rn
                FROM scored WHERE jaccard_est >= 0.5) t
-             WHERE rn = 1 ORDER BY new_id"""))
+             WHERE rn = 1 ORDER BY new_id"""
+
+  /** q178: the daily probe as it runs in PRODUCTION — against the
+    * persisted signature index, with the increment's band-key bloom
+    * pushed into the index side ([[probeSignatureIndexPruned]]). The
+    * full store lifecycle runs in-query (build the old corpus's index,
+    * probe with the increment) and the oracle is q82's from-scratch SQL
+    * VERBATIM: the bloom must prune shuffled WORK (the probe's
+    * aggregation sees increment-touched buckets, not the corpus) while
+    * changing NOTHING — no false negatives, fp candidates die in the
+    * equality join.
+    */
+  private val q178 = QueryDef(
+    "q178_bloom_pruned_probe",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val inc = docs.filter(col("source") === "src19")
+      val old = docs.filter(col("source") =!= "src19")
+      val root = java.nio.file.Files.createTempDirectory("graft-sigx")
+      val path = root.toString + "/sig"
+      buildSignatureIndex(old, path)
+      val res = probeSignatureIndexPruned(s, inc, path)
+        .orderBy("new_id").localCheckpoint(true)
+      val hp = new org.apache.hadoop.fs.Path(root.toString)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      res
+    },
+    Some(incRejectOracleSql))
 
   /** Exact-substring span dedup at token-5-gram granularity (the
     * within-document twin of q29's whole-document dedup, after Lee et al.
@@ -1670,5 +1760,5 @@ object DedupQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
-      q103, q110, q124, q138, q139, q141, q145, q146)
+      q103, q110, q124, q138, q139, q141, q145, q146, q178)
 }

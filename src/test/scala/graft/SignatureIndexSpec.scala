@@ -58,6 +58,27 @@ class SignatureIndexSpec extends SparkSuite {
       s"probe plan must NOT re-scan the old corpus's documents:\n$plan")
   }
 
+  test("bloom-pruned probe is row-identical to the plain probe, carries " +
+    "the bloom predicate in its plan, and handles the empty increment") {
+    val idx = tmpDir("sigidx") + "/sig_index_store"
+    DedupQueries.buildSignatureIndex(oldDocs, idx)
+    val pruned = DedupQueries.probeSignatureIndexPruned(spark, increment, idx)
+    val plain = DedupQueries.probeSignatureIndex(spark, increment, idx)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(pruned) == rows(plain))
+    assert(rows(pruned) == Set((101L, 3L, 1.0)))
+    // the prune is IN the plan, map-side on the index scan: Spark's
+    // codegen'd bloom probe, not a join
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"pruned probe plan must filter the index side through the bloom:\n$plan")
+    // empty increment: the empty bloom rejects every index row — zero
+    // candidates, zero rejects, no failure
+    val empty = increment.limit(0)
+    assert(DedupQueries.probeSignatureIndexPruned(spark, empty, idx).count() == 0)
+  }
+
   test("append makes yesterday's admitted increment visible to today's probe") {
     val idx = tmpDir("sigidx") + "/sig_index_store"
     DedupQueries.buildSignatureIndex(oldDocs, idx)
