@@ -533,6 +533,75 @@ object GovernanceQueries extends QueryModule {
                OR doc_id % 3 = 2
             ORDER BY doc_id"""))
 
+  /** One increment's contribution to the corpus card: per-source partial
+    * aggregates (all sums of longs — associative, so merging partials is
+    * EXACT). `negate = true` emits a RETRACTION — the invertible-
+    * aggregate trick: deleting rows appends their negated partials, and
+    * the merge nets them out, so maintenance never touches the corpus.
+    */
+  def corpusCardPartials(docs: DataFrame, negate: Boolean = false): DataFrame = {
+    val s = lit(if (negate) -1L else 1L)
+    docs.groupBy("source").agg(
+      (count(lit(1)) * s).as("n_docs"),
+      (sum(length(col("text")).cast("long")) * s).as("sum_len"),
+      (sum(col("doc_id")) * s).as("sum_ids"))
+  }
+
+  /** Fold a partials relation to the current card. Groups retracted to
+    * zero disappear (GROUP BY semantics of the from-scratch report).
+    */
+  def corpusCardMerge(partials: DataFrame): DataFrame =
+    partials.groupBy("source").agg(
+        sum("n_docs").as("n_docs"),
+        sum("sum_len").as("sum_len"),
+        sum("sum_ids").as("sum_ids"))
+      .filter(col("n_docs") =!= 0L)
+
+  /** q181: incrementally-maintained corpus card — materialized-view
+    * maintenance discipline over the versioned store. The per-source
+    * stats report (q100's shape) is never recomputed from the corpus:
+    * each ingest appends its increment's PARTIAL aggregates (a
+    * sources-sized relation) to a `card` store revision, a deletion
+    * appends the deleted rows' NEGATED partials (invertible aggregates
+    * — counts and long sums), and the report is a fold over the tiny
+    * partials relation. At 100 TB the daily card costs the increment's
+    * aggregation plus a |sources|x|batches|-row merge; compact folds
+    * the partials chain back to |sources| rows. The oracle is the
+    * from-scratch GROUP BY over the surviving corpus — partials
+    * accumulation, retraction netting, and zero-group elision all gate.
+    */
+  private val q181 = QueryDef(
+    "q181_incremental_card",
+    (s, d) => {
+      import graft.operators.VersionedStore
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val root = java.nio.file.Files.createTempDirectory("graft-vcard")
+      val path = root.toString + "/store"
+      VersionedStore.save(
+        Map("card" -> corpusCardPartials(docs.filter(col("doc_id") % 3 === 0))),
+        path)
+      VersionedStore.append(
+        Map("card" -> corpusCardPartials(docs.filter(col("doc_id") % 3 === 1))),
+        path)
+      VersionedStore.append(
+        Map("card" -> corpusCardPartials(docs.filter(col("doc_id") % 3 === 2))),
+        path)
+      // retraction: "delete" every 21st doc by appending negated partials
+      VersionedStore.append(
+        Map("card" -> corpusCardPartials(
+          docs.filter(col("doc_id") % 21 === 0), negate = true)), path)
+      val res = corpusCardMerge(VersionedStore.read(s, path, "card"))
+        .orderBy("source").localCheckpoint(true)
+      val hp = new org.apache.hadoop.fs.Path(root.toString)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      res
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM documents WHERE doc_id % 21 <> 0
+            GROUP BY source ORDER BY source"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q160, q161, q162, q165, q166, q177, q179, q180)
+    Seq(q160, q161, q162, q165, q166, q177, q179, q180, q181)
 }

@@ -203,6 +203,20 @@ class VersionedStoreSpec extends SparkSuite {
       "doc_id", 12L, 18L)) == Seq(12L, 13L, 14L, 16L, 17L, 18L))
   }
 
+  test("readRange pushes the precise predicate into the kept dirs' parquet " +
+    "scan (dir pruning composes with row-group pruning, not replaces it)") {
+    val root = tmpDir("vstore-push") + "/s"
+    VersionedStore.save(Map("docs" -> docs(1L to 10L: _*)), root,
+      statsCol = Some("doc_id"))
+    VersionedStore.append(Map("docs" -> docs(11L to 20L: _*)), root,
+      statsCol = Some("doc_id"))
+    val p = VersionedStore.readRange(spark, root, "docs", "doc_id", 3L, 7L)
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[\\w".r.findFirstIn(p).isDefined,
+      s"readRange's predicate must reach the scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("changes() is O(delta) CDC: computed only from the window's added " +
     "dirs, roundtrips exactly, and refuses a window crossing a compact") {
     val root = tmpDir("vstore-cdc") + "/s"
