@@ -275,6 +275,64 @@ object VersionedStore {
     rev
   }
 
+  /** Mixed commit: ONE revision that both appends increments and
+    * tombstones keys. This is the atomicity primitive for derived
+    * relations ([[graft.streaming.VersionedIngest.deleteWithView]]):
+    * a delete whose retraction rows ride in the SAME manifest as its
+    * tombstones can never expose a corpus/view torn state — every
+    * crash instant shows either both or neither. Appended dirs are
+    * written eagerly BEFORE the manifest, so an `appends` frame that
+    * reads this store computes against the pre-commit revision (the
+    * tombstones it is committed with are not yet visible to it).
+    */
+  def commitDelta(appends: Map[String, DataFrame],
+      deletes: Map[String, DataFrame], path: String,
+      marker: Option[Long] = None,
+      statsCol: Option[String] = None): Long = {
+    require(appends.nonEmpty || deletes.nonEmpty,
+      "VersionedStore.commitDelta: empty commit")
+    (appends.keys ++ deletes.keys).foreach(checkRel)
+    val spark = (appends ++ deletes).head._2.sparkSession
+    val (cur, prev) = manifestAt(spark, path, None)
+    deletes.keys.foreach(rel =>
+      require(prev.exists(e => e.kind == "data" && e.rel == rel),
+        s"VersionedStore.commitDelta: no relation '$rel' at $path"))
+    val rev = cur + 1L
+    val added =
+      appends.toSeq.sortBy(_._1).map { case (rel, df) =>
+        writeDataDir(df, path, rev, "data", rel, statsCol)
+      } ++ deletes.toSeq.sortBy(_._1).map { case (rel, df) =>
+        writeDataDir(df, path, rev, "del", rel)
+      }
+    commitManifest(spark, path, rev, withMarker(prev ++ added, marker))
+    rev
+  }
+
+  /** Replace ONE relation's content in a new revision; every other
+    * relation's dirs carry over untouched. The single-relation compact:
+    * [[graft.streaming.VersionedIngest.foldView]] uses it to fold a
+    * materialized view's partials chain back to merged rows without
+    * touching the corpus relation. `df` is materialized BEFORE the old
+    * dirs leave the manifest, so it may read the relation it replaces
+    * (the usual fold shape). The new content is authoritative: the
+    * relation's accumulated tombstones are dropped (as [[compact]]
+    * does), so sticky-tombstone semantics reset for `rel` only.
+    */
+  def replaceRelation(df: DataFrame, rel: String, path: String,
+      statsCol: Option[String] = None): Long = {
+    checkRel(rel)
+    val spark = df.sparkSession
+    val (cur, prev) = manifestAt(spark, path, None)
+    require(prev.exists(e => e.kind == "data" && e.rel == rel),
+      s"VersionedStore.replaceRelation: no relation '$rel' at $path")
+    val rev = cur + 1L
+    val added = writeDataDir(df, path, rev, "data", rel, statsCol)
+    val kept = prev.filterNot(e =>
+      (e.kind == "data" || e.kind == "del") && e.rel == rel)
+    commitManifest(spark, path, rev, kept :+ added)
+    rev
+  }
+
   /** Read `rel` at `asOf` (default: current): one multi-dir parquet
     * scan over the revision's data dirs (a single scan relation —
     * filters and pruning push into all of them), anti-joined against

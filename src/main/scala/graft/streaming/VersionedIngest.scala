@@ -63,4 +63,85 @@ object VersionedIngest {
         ingestBatch(b, id, path, rel); ()
       })
       .start()
+
+  // ------------------------------------------------------------------
+  // Materialized-view maintenance (q181's discipline, made streaming).
+  // `partialsOf` maps an increment of `rel` to its partial-aggregate
+  // contribution to the view (invertible aggregates — counts and long
+  // sums); `retractionOf` maps deleted ROWS to their negated partials.
+  // Because the view's partials commit in the SAME revision as the data
+  // (one manifest PUT), corpus and view can never be seen at different
+  // batch states — the view inherits exactly-once from the data's
+  // commit protocol instead of needing its own ledger.
+  // ------------------------------------------------------------------
+
+  /** Bootstrap corpus + view together (one revision, marker -1). */
+  def bootstrapWithView(initial: DataFrame, path: String,
+      partialsOf: DataFrame => DataFrame, rel: String = "docs",
+      view: String = "card"): Unit =
+    VersionedStore.save(Map(rel -> initial, view -> partialsOf(initial)),
+      path, marker = Some(-1L))
+
+  /** One micro-batch, data and view partials in one revision. A replay
+    * skips BOTH (they share the marker); a pre-manifest crash left both
+    * invisible. The view is therefore exactly as fresh as the corpus at
+    * every revision — including time-traveled ones.
+    */
+  def ingestBatchWithView(batch: DataFrame, batchId: Long, path: String,
+      partialsOf: DataFrame => DataFrame, rel: String = "docs",
+      view: String = "card"): Boolean = {
+    val spark = batch.sparkSession
+    val applied = VersionedStore.batchMarker(spark, path)
+    if (applied.exists(_ >= batchId)) false
+    else {
+      VersionedStore.append(
+        Map(rel -> batch, view -> partialsOf(batch)), path,
+        marker = Some(batchId))
+      true
+    }
+  }
+
+  /** Delete by key with an atomic view retraction: tombstones for `rel`
+    * and the doomed rows' negated partials commit as ONE revision
+    * ([[VersionedStore.commitDelta]]). Idempotent WITHOUT a marker, by
+    * construction: the doomed set is the CURRENT read semi-joined with
+    * `keys`, so a driver retry after a successful commit finds the rows
+    * already tombstoned and retracts nothing, while a retry after a
+    * pre-manifest crash finds them all still visible. Cost: one
+    * semi-join scan of `rel` (delete verbs are rare; the corpus is
+    * read, never rewritten).
+    */
+  def deleteWithView(keys: DataFrame, path: String,
+      retractionOf: DataFrame => DataFrame, rel: String = "docs",
+      view: String = "card"): Long = {
+    val spark = keys.sparkSession
+    val doomed = VersionedStore.read(spark, path, rel)
+      .join(keys, keys.columns.toSeq, "left_semi")
+    VersionedStore.commitDelta(
+      appends = Map(view -> retractionOf(doomed)),
+      deletes = Map(rel -> keys), path)
+  }
+
+  /** Bind the view-maintaining loop to a document stream. */
+  def startWithView(docs: DataFrame, path: String, checkpoint: String,
+      partialsOf: DataFrame => DataFrame, rel: String = "docs",
+      view: String = "card"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => {
+        ingestBatchWithView(b, id, path, partialsOf, rel, view); ()
+      })
+      .start()
+
+  /** Fold the view's partials chain back to merged rows (layout
+    * maintenance — the folded relation is itself a valid partials
+    * relation, so ingest/delete keep composing afterwards). One new
+    * revision via [[VersionedStore.replaceRelation]]; the corpus
+    * relation is untouched and prior revisions still time-travel to
+    * the unfolded chain.
+    */
+  def foldView(spark: org.apache.spark.sql.SparkSession, path: String,
+      mergeOf: DataFrame => DataFrame, view: String = "card"): Long =
+    VersionedStore.replaceRelation(
+      mergeOf(VersionedStore.read(spark, path, view)), view, path)
 }

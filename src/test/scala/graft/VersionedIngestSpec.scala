@@ -94,4 +94,152 @@ class VersionedIngestSpec extends SparkSuite {
       assert(VersionedStore.read(spark, path, "docs", Some(2L)).count() == 4)
     } finally q.stop()
   }
+
+  // ----------------------------------------------------------------
+  // Materialized-view maintenance: the q181 corpus card kept fresh by
+  // the ingest loop itself, with the partials committing in the SAME
+  // revision as the data.
+  // ----------------------------------------------------------------
+
+  import graft.queries.GovernanceQueries.{corpusCardPartials, corpusCardMerge}
+
+  private def sdocs(ids: Long*): DataFrame =
+    ids.toDF("doc_id")
+      .withColumn("text", concat(lit("doc-"), col("doc_id")))
+      .withColumn("source",
+        when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
+
+  private def cardAt(path: String,
+      asOf: Option[Long] = None): Set[(String, Long, Long, Long)] =
+    corpusCardMerge(VersionedStore.read(spark, path, "card", asOf))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  /** The from-scratch report over the surviving corpus at a revision —
+    * what the maintained card must always equal.
+    */
+  private def scratchCard(path: String,
+      asOf: Option[Long] = None): Set[(String, Long, Long, Long)] =
+    corpusCardPartials(VersionedStore.read(spark, path, "docs", asOf))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("view partials ride the data's revision: a replay skips both, and " +
+    "the card equals the from-scratch report at EVERY retained revision") {
+    val path = tmpDir("vingest-view") + "/s"
+    VersionedIngest.bootstrapWithView(sdocs(1, 2), path, corpusCardPartials(_))
+    assert(VersionedIngest.ingestBatchWithView(
+      sdocs(3, 4), 0L, path, corpusCardPartials(_)))
+    assert(VersionedIngest.ingestBatchWithView(
+      sdocs(5), 1L, path, corpusCardPartials(_)))
+    val revBefore = VersionedStore.currentVersion(spark, path)
+    assert(!VersionedIngest.ingestBatchWithView(
+      sdocs(5), 1L, path, corpusCardPartials(_)),
+      "replayed batch must skip data AND view")
+    assert(VersionedStore.currentVersion(spark, path) == revBefore)
+    // corpus and card share the manifest, so they can never be observed
+    // at different batch states — at any time-traveled revision either
+    assert(VersionedStore.listVersions(spark, path).nonEmpty)
+    VersionedStore.listVersions(spark, path).foreach { v =>
+      assert(cardAt(path, Some(v)) == scratchCard(path, Some(v)),
+        s"card out of step with corpus at revision $v")
+    }
+  }
+
+  test("a pre-manifest crash leaves corpus and card unchanged TOGETHER; " +
+    "the replay applies both") {
+    val path = tmpDir("vingest-view-crash") + "/s"
+    VersionedIngest.bootstrapWithView(sdocs(1), path, corpusCardPartials(_))
+    VersionedIngest.ingestBatchWithView(sdocs(2), 0L, path,
+      corpusCardPartials(_))
+    // crash: batch 1 wrote BOTH its dirs, died before the one manifest
+    val next = VersionedStore.currentVersion(spark, path).get + 1L
+    VersionedStore.writeDataDir(sdocs(3), path, next, "data", "docs")
+    VersionedStore.writeDataDir(corpusCardPartials(sdocs(3)), path, next,
+      "data", "card")
+    assert(idsAt(path) == Seq(1, 2), "uncommitted data must be invisible")
+    assert(cardAt(path) == scratchCard(path),
+      "uncommitted partials must be invisible")
+    assert(VersionedIngest.ingestBatchWithView(
+      sdocs(3), 1L, path, corpusCardPartials(_)))
+    assert(idsAt(path) == Seq(1, 2, 3))
+    assert(cardAt(path) == scratchCard(path))
+  }
+
+  test("deleteWithView commits tombstones and retraction as ONE revision, " +
+    "elides fully-retracted sources, and a driver retry retracts nothing") {
+    val path = tmpDir("vingest-view-del") + "/s"
+    VersionedIngest.bootstrapWithView(sdocs(1, 2, 3, 4), path,
+      corpusCardPartials(_))
+    val rev = VersionedIngest.deleteWithView(Seq(2L, 4L).toDF("doc_id"),
+      path, corpusCardPartials(_, negate = true))
+    assert(idsAt(path) == Seq(1, 3))
+    val card = cardAt(path)
+    assert(card == scratchCard(path))
+    assert(!card.exists(_._1 == "even"),
+      "a fully-retracted source must disappear (zero-group elision)")
+    // the pre-delete revision still shows both, consistently
+    assert(cardAt(path, Some(rev - 1)) == scratchCard(path, Some(rev - 1)))
+    assert(cardAt(path, Some(rev - 1)).exists(_._1 == "even"))
+    // idempotent without a marker: the retry's doomed set is empty, so
+    // its retraction is empty — no double-negation
+    VersionedIngest.deleteWithView(Seq(2L, 4L).toDF("doc_id"), path,
+      corpusCardPartials(_, negate = true))
+    assert(cardAt(path) == scratchCard(path))
+  }
+
+  test("foldView shrinks the partials chain without changing the folded " +
+    "card, preserves the batch marker, and keeps composing with ingest") {
+    val path = tmpDir("vingest-view-fold") + "/s"
+    VersionedIngest.bootstrapWithView(sdocs(1, 2), path, corpusCardPartials(_))
+    VersionedIngest.ingestBatchWithView(sdocs(3, 4), 0L, path,
+      corpusCardPartials(_))
+    VersionedIngest.ingestBatchWithView(sdocs(5), 1L, path,
+      corpusCardPartials(_))
+    val before = VersionedStore.read(spark, path, "card").count()
+    val rev = VersionedIngest.foldView(spark, path, corpusCardMerge(_))
+    assert(VersionedStore.read(spark, path, "card").count() < before,
+      "fold must shrink the chain to merged rows")
+    assert(cardAt(path) == scratchCard(path))
+    // prior revisions still time-travel to the unfolded chain
+    assert(VersionedStore.read(spark, path, "card", Some(rev - 1))
+      .count() == before)
+    // the exactly-once marker survives the fold: a replay still skips
+    assert(VersionedStore.batchMarker(spark, path).contains(1L))
+    assert(!VersionedIngest.ingestBatchWithView(
+      sdocs(5), 1L, path, corpusCardPartials(_)))
+    // the folded relation is itself a valid partials relation
+    assert(VersionedIngest.ingestBatchWithView(
+      sdocs(6), 2L, path, corpusCardPartials(_)))
+    assert(cardAt(path) == scratchCard(path))
+  }
+
+  test("end-to-end with view through Structured Streaming: each " +
+    "micro-batch commits data + partials as one marked revision") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = tmpDir("vingest-view-e2e")
+    val path = s"$base/s"
+    VersionedIngest.bootstrapWithView(sdocs(1, 2), path, corpusCardPartials(_))
+    val input = MemoryStream[Long](spark)
+    val q = VersionedIngest.startWithView(
+      input.toDF().toDF("doc_id")
+        .withColumn("text", concat(lit("doc-"), col("doc_id")))
+        .withColumn("source",
+          when(col("doc_id") % 2 === 0, "even").otherwise("odd")),
+      path, s"$base/ckpt", corpusCardPartials(_))
+    try {
+      input.addData(3L, 4L)
+      q.processAllAvailable()
+      assert(idsAt(path) == Seq(1, 2, 3, 4))
+      assert(cardAt(path) == scratchCard(path))
+      input.addData(5L)
+      q.processAllAvailable()
+      assert(idsAt(path) == Seq(1, 2, 3, 4, 5))
+      assert(cardAt(path) == scratchCard(path))
+      // the card is time-travelable alongside the corpus
+      assert(cardAt(path, Some(1L)) == scratchCard(path, Some(1L)))
+    } finally q.stop()
+  }
 }
