@@ -1758,7 +1758,156 @@ object DedupQueries extends QueryModule {
              LEFT JOIN nd ON th.threshold = nd.threshold
              ORDER BY th.threshold"""))
 
+  /** Maximal repeated spans — the boilerplate MINER that completes q96's
+    * exact-substring story (Lee et al. 2022 find maximal repeats with a
+    * suffix array; this is the relational equivalent at token-5-gram
+    * resolution). q96 REMOVES duplicated spans; this query REPORTS them:
+    * which exact spans (licence headers, templated navigation, signature
+    * blocks) repeat across the corpus, how long they are, and how many
+    * documents carry them — the report a curation team reads before
+    * deciding what q96 should strip.
+    *
+    * Shape: duplicated-gram START positions per document (q96's relation)
+    * are merged into maximal runs with gaps-and-islands (`pos -
+    * row_number()` over a PER-DOCUMENT window — bounded by the longest
+    * document, never corpus-wide); a run of consecutive duplicated 5-gram
+    * starts [p1..p2] is exactly the maximal repeated span [p1, p2+4]. Span
+    * text is rebuilt by slicing the document's own token array (one keyed
+    * join back to the corpus-linear toks relation), and the report is a
+    * hash aggregate on the span text. At 100 TB: every stage is
+    * corpus-linear; the span-text groupBy's map-side partial aggregation
+    * collapses the (by construction highly duplicated) span strings before
+    * they shuffle; the top-20 is TakeOrdered (no global sort). Ties at the
+    * cut are broken by span_text, so the report is deterministic.
+    */
+  def repeatedSpans(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .localCheckpoint(true) // feeds grams and the slice-back join
+    val grams = explodeShinglesFromTokens(toks, col("tk"), 5, "gram", "pos")
+      .select("doc_id", "pos", "gram")
+    // corpus-frequency aggregate, NOT broadcast (q96's reasoning: the
+    // duplicate vocabulary of a boilerplate-heavy corpus is large)
+    val dupg = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("gram")
+    val starts = grams.join(dupg, "gram").select("doc_id", "pos")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = starts
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("st"), (max(col("pos")) + 4).as("fin"))
+    val stext = spans.join(toks, "doc_id")
+      .select(col("doc_id"),
+        expr("array_join(slice(tk, st, fin - st + 1), ' ')").as("span_text"),
+        (col("fin") - col("st") + 1).cast("long").as("span_len"))
+    stext.groupBy("span_text")
+      .agg(max(col("span_len")).as("span_len"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  private val q182 = QueryDef(
+    "q182_repeated_spans",
+    (s, d) => repeatedSpans(Tables(s, d, "documents"))
+      .orderBy(col("n_occ").desc, col("span_text"))
+      .limit(20),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  grams AS (SELECT doc_id, CAST(i + 1 AS INT) AS pos,
+                                   tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                                     || ' ' || tk[i+4] || ' ' || tk[i+5] AS gram
+                            FROM toks, unnest(CASE WHEN len(tk) >= 5
+                                                   THEN range(len(tk) - 4)
+                                                   ELSE []::BIGINT[] END) u(i)),
+                  dupg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+                  starts AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)),
+                  isl AS (SELECT doc_id, pos,
+                                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                          FROM starts),
+                  spans AS (SELECT doc_id, MIN(pos) AS st, MAX(pos) + 4 AS fin
+                            FROM isl GROUP BY doc_id, grp),
+                  stext AS (SELECT s.doc_id,
+                                   array_to_string(t.tk[s.st : s.fin], ' ') AS span_text,
+                                   CAST(s.fin - s.st + 1 AS BIGINT) AS span_len
+                            FROM spans s JOIN toks t USING (doc_id))
+             SELECT span_text, MAX(span_len) AS span_len,
+                    COUNT(*) AS n_occ,
+                    COUNT(DISTINCT doc_id) AS n_docs
+             FROM stext GROUP BY span_text
+             ORDER BY n_occ DESC, span_text LIMIT 20"""))
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003 — the
+    * MOSS algorithm): hash every token k-gram, slide a window of w
+    * consecutive gram hashes over each document, and select each window's
+    * MINIMUM hash (ties broken by the RIGHTMOST position — the "robust
+    * winnowing" rule that makes selections stable under edits). The
+    * selected (position, hash) set is the document's fingerprint, with the
+    * guarantee that any shared substring of >= w+k-1 tokens contributes at
+    * least one shared fingerprint hash — so fingerprint overlap is a
+    * sound detector for q182's repeated spans at ~1/w the gram volume.
+    *
+    * Cross-engine trick: a gram's 64-bit hash is the first 16 hex chars of
+    * md5 (fixed-width hex is order-isomorphic to the integer, and md5 is
+    * identical everywhere — the MinHash discipline); the rightmost-min tie
+    * rule is encoded in the SAME min() by appending a fixed-width
+    * DESCENDING position key (10^9 - pos, zero-padded), so one window
+    * min() implements (hash asc, pos desc). Shape at scale: map-only gram
+    * hashing, one PER-DOCUMENT window pass (bounded by the longest
+    * document, never corpus-wide), distinct on the selected keys —
+    * corpus-linear, no corpus shuffle beyond the per-doc repartition.
+    */
+  def winnowFingerprints(documents: org.apache.spark.sql.DataFrame,
+      k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")))
+    val grams = explodeShinglesFromTokens(toks, col("tk"), k, "gram", "pos")
+      .select(col("doc_id"), col("n_tok"), col("pos"),
+        substring(md5(col("gram")), 1, 16).as("h"))
+    val key = concat(col("h"),
+      lpad((lit(1000000000) - col("pos")).cast("string"), 10, "0"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    grams.withColumn("wk", key)
+      .withColumn("wmin", min(col("wk")).over(win))
+      // only full windows select: window starts run 1 .. n_grams - w + 1
+      .filter(col("pos") <= col("n_tok") - k - w + 2)
+      .select(col("doc_id"), col("wmin")).distinct()
+      .select(col("doc_id"),
+        (lit(1000000000) - substring(col("wmin"), 17, 10).cast("int")).as("fp_pos"),
+        substring(col("wmin"), 1, 16).as("fp_hash"))
+  }
+
+  /** q183: winnowing fingerprints over the corpus at k=4, w=5 — one row
+    * per selected (doc, position, hash). The oracle recomputes the full
+    * selection in SQL, gating the hash function, the window min, the
+    * rightmost tie rule, and the full-window boundary arithmetic.
+    */
+  private val q183 = QueryDef(
+    "q183_winnow_fingerprints",
+    (s, d) => winnowFingerprints(Tables(s, d, "documents"), 4, 5)
+      .orderBy("doc_id", "fp_pos"),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  grams AS (SELECT doc_id, len(tk) AS n_tok, CAST(i + 1 AS INT) AS pos,
+                                   substring(md5(tk[i+1] || ' ' || tk[i+2] || ' '
+                                     || tk[i+3] || ' ' || tk[i+4]), 1, 16) AS h
+                            FROM toks, unnest(CASE WHEN len(tk) >= 4
+                                                   THEN range(len(tk) - 3)
+                                                   ELSE []::BIGINT[] END) u(i)),
+                  keyed AS (SELECT doc_id, n_tok, pos,
+                                   h || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS wk
+                            FROM grams),
+                  wm AS (SELECT doc_id, n_tok, pos,
+                                MIN(wk) OVER (PARTITION BY doc_id ORDER BY pos
+                                              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+                         FROM keyed),
+                  sel AS (SELECT DISTINCT doc_id, wmin FROM wm
+                          WHERE pos <= n_tok - 4 - 5 + 2)
+             SELECT doc_id,
+                    CAST(1000000000 - CAST(substring(wmin, 17, 10) AS INT) AS INT) AS fp_pos,
+                    substring(wmin, 1, 16) AS fp_hash
+             FROM sel ORDER BY doc_id, fp_pos"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
-      q103, q110, q124, q138, q139, q141, q145, q146, q178)
+      q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183)
 }
