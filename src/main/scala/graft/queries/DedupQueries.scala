@@ -1907,7 +1907,74 @@ object DedupQueries extends QueryModule {
                     substring(wmin, 1, 16) AS fp_hash
              FROM sel ORDER BY doc_id, fp_pos"""))
 
+  /** Candidate near-dup pairs from winnowing fingerprints: documents
+    * sharing >= minShared distinct selected hashes. This is what q183's
+    * fingerprints are FOR (the MOSS detector): an equality join on the
+    * fingerprint hash at ~1/w the volume of a gram join, sound for shared
+    * substrings of >= w+k-1 tokens by the winnowing guarantee.
+    *
+    * Skew discipline (q33's df-cap, applied to fingerprint hashes): a
+    * boilerplate fingerprint carried by n docs fans the self-join to ~n²
+    * rows, so hashes with df > dfCap are dropped first — the hot list is
+    * tiny and broadcast, the prune is a map-side anti join, and surviving
+    * join rows are bounded by dfCap × |fingerprint rows| — linear in the
+    * corpus with dfCap the dial. The cap is deterministic and mirrored in
+    * the oracle, so the gate covers it.
+    */
+  def winnowCandidatePairs(documents: org.apache.spark.sql.DataFrame,
+      k: Int, w: Int, dfCap: Int = 300,
+      minShared: Int = 2): org.apache.spark.sql.DataFrame = {
+    val fp = winnowFingerprints(documents, k, w)
+      .select("doc_id", "fp_hash").distinct()
+    val hot = fp.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("fp_hash")
+    val f = fp.join(broadcast(hot), Seq("fp_hash"), "left_anti")
+      .localCheckpoint(true) // feeds both self-join sides
+    val a = f.as("a"); val b = f.as("b")
+    a.join(b, col("a.fp_hash") === col("b.fp_hash")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** q184: winnow-fingerprint candidate pairs at k=4, w=5, df-cap 300,
+    * minShared 2 — the detector over q183's selection, oracle-gated
+    * including the cap and the distinct-hash semantics.
+    */
+  private val q184 = QueryDef(
+    "q184_winnow_candidate_pairs",
+    (s, d) => winnowCandidatePairs(Tables(s, d, "documents"), 4, 5)
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  grams AS (SELECT doc_id, len(tk) AS n_tok, CAST(i + 1 AS INT) AS pos,
+                                   substring(md5(tk[i+1] || ' ' || tk[i+2] || ' '
+                                     || tk[i+3] || ' ' || tk[i+4]), 1, 16) AS h
+                            FROM toks, unnest(CASE WHEN len(tk) >= 4
+                                                   THEN range(len(tk) - 3)
+                                                   ELSE []::BIGINT[] END) u(i)),
+                  keyed AS (SELECT doc_id, n_tok, pos,
+                                   h || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS wk
+                            FROM grams),
+                  wm AS (SELECT doc_id, n_tok, pos,
+                                MIN(wk) OVER (PARTITION BY doc_id ORDER BY pos
+                                              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+                         FROM keyed),
+                  sel AS (SELECT DISTINCT doc_id, substring(wmin, 1, 16) AS fp_hash
+                          FROM wm WHERE pos <= n_tok - 4 - 5 + 2),
+                  hot AS (SELECT fp_hash FROM sel GROUP BY fp_hash
+                          HAVING COUNT(*) > 300),
+                  f AS (SELECT s.doc_id, s.fp_hash FROM sel s
+                        ANTI JOIN hot h ON s.fp_hash = h.fp_hash)
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    COUNT(*) AS n_shared
+             FROM f a JOIN f b
+               ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id
+             HAVING COUNT(*) >= 2
+             ORDER BY doc_a, doc_b"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
-      q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183)
+      q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184)
 }

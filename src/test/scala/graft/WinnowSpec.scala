@@ -121,6 +121,24 @@ class RepeatedSpanSpec extends SparkSuite {
       && r.getLong(2) == 2L && r.getLong(3) == 1L)
   }
 
+  test("winnowCandidatePairs detects docs sharing a long substring and " +
+    "drops fingerprints hotter than the df-cap") {
+    import graft.queries.DedupQueries.winnowCandidatePairs
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"aa bb cc dd ee ff $shared gg hh"),
+      (3L, "completely different vocabulary in this document here now ok"))
+      .toDF("doc_id", "text")
+    val pairs = winnowCandidatePairs(docs, 4, 5, dfCap = 300, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // cap: the same corpus with dfCap = 1 drops every shared hash
+    // (each shared fingerprint lives in 2 docs > 1), so no pairs survive
+    val capped = winnowCandidatePairs(docs, 4, 5, dfCap = 1, minShared = 1)
+    assert(capped.count() == 0)
+  }
+
   test("plan shape: equality joins only — no cartesian product, no " +
     "broadcast nested loop (q182 and q183 both)") {
     val docs = Seq((1L, "a b c d e f g h i j"),
