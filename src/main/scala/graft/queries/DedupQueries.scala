@@ -1974,7 +1974,111 @@ object DedupQueries extends QueryModule {
              HAVING COUNT(*) >= 2
              ORDER BY doc_a, doc_b"""))
 
+  /** Longest exactly-shared token span per candidate pair — the
+    * EXPLANATION operator for q184's detector (and the plagiarism-checker
+    * shape): for each flagged pair, align the two documents' k-grams on
+    * the DIAGONAL (pos_a - pos_b constant) and merge consecutive matches
+    * into runs; the longest run of shared k-gram starts [r] is an exactly-
+    * shared span of r + k - 1 tokens. Reported with both start offsets and
+    * the span text sliced from doc_a's own token array.
+    *
+    * Scale shape: the pair set is q184's output (df-capped, bounded); the
+    * alignment join touches only grams of PAIRED documents (two keyed
+    * joins pair→grams, then one equality join on the gram text within the
+    * pair), so its volume is pairs-sized, not corpus-sized; the island
+    * merge windows partition by (pair, diagonal) — bounded by document
+    * length; the winner-per-pair is a deterministic rank (longest, then
+    * smallest start_a, then start_b).
+    */
+  def sharedSpanExplain(documents: org.apache.spark.sql.DataFrame,
+      k: Int = 4, w: Int = 5, dfCap: Int = 300,
+      minShared: Int = 2): org.apache.spark.sql.DataFrame = {
+    val pairs = winnowCandidatePairs(documents, k, w, dfCap, minShared)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val toks = documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .localCheckpoint(true) // feeds both gram sides and the text slice
+    val grams = explodeShinglesFromTokens(toks, col("tk"), k, "gram", "pos")
+      .select("doc_id", "pos", "gram")
+    val ga = pairs.join(grams.withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("pos", "pa"), "doc_a")
+    val m = ga.join(grams.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("pos", "pb"), Seq("doc_b", "gram"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    val runs = m.withColumn("grp", col("pa") - row_number().over(wIsl))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + (k - 1)).cast("int").as("span_len"))
+    val wBest = Window.partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("span_len").desc, col("start_a").asc, col("start_b").asc)
+    runs.withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .join(toks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("span_len"),
+        col("start_a"), col("start_b"),
+        expr("array_join(slice(tk, start_a, span_len), ' ')").as("span_text"))
+  }
+
+  /** q185: shared-span explanation for every q184 candidate pair, fully
+    * oracle-gated (diagonal alignment, island merge, the deterministic
+    * winner rank, and the text slice all recomputed in SQL).
+    */
+  private val q185 = QueryDef(
+    "q185_shared_span_explain",
+    (s, d) => sharedSpanExplain(Tables(s, d, "documents"))
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  grams AS (SELECT doc_id, len(tk) AS n_tok, CAST(i + 1 AS INT) AS pos,
+                                   tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                                     || ' ' || tk[i+4] AS gram
+                            FROM toks, unnest(CASE WHEN len(tk) >= 4
+                                                   THEN range(len(tk) - 3)
+                                                   ELSE []::BIGINT[] END) u(i)),
+                  keyed AS (SELECT doc_id, n_tok, pos,
+                                   substring(md5(gram), 1, 16)
+                                     || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS wk
+                            FROM grams),
+                  wm AS (SELECT doc_id, n_tok, pos,
+                                MIN(wk) OVER (PARTITION BY doc_id ORDER BY pos
+                                              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+                         FROM keyed),
+                  sel AS (SELECT DISTINCT doc_id, substring(wmin, 1, 16) AS fp_hash
+                          FROM wm WHERE pos <= n_tok - 4 - 5 + 2),
+                  hot AS (SELECT fp_hash FROM sel GROUP BY fp_hash
+                          HAVING COUNT(*) > 300),
+                  f AS (SELECT s.doc_id, s.fp_hash FROM sel s
+                        ANTI JOIN hot h ON s.fp_hash = h.fp_hash),
+                  pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                            FROM f a JOIN f b
+                              ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+                            GROUP BY a.doc_id, b.doc_id
+                            HAVING COUNT(*) >= 2),
+                  m AS (SELECT p.doc_a, p.doc_b, ga.pos AS pa, gb.pos AS pb,
+                               ga.pos - gb.pos AS diag
+                        FROM pairs p
+                        JOIN grams ga ON ga.doc_id = p.doc_a
+                        JOIN grams gb ON gb.doc_id = p.doc_b
+                          AND gb.gram = ga.gram),
+                  isl AS (SELECT doc_a, doc_b, diag, pa, pb,
+                                 pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                                         ORDER BY pa) AS grp
+                          FROM m),
+                  runs AS (SELECT doc_a, doc_b, MIN(pa) AS start_a,
+                                  MIN(pb) AS start_b,
+                                  CAST(COUNT(*) + 3 AS INT) AS span_len
+                           FROM isl GROUP BY doc_a, doc_b, diag, grp),
+                  best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+                                       ORDER BY span_len DESC, start_a, start_b) AS rk
+                           FROM runs)
+             SELECT b.doc_a, b.doc_b, b.span_len, b.start_a, b.start_b,
+                    array_to_string(t.tk[b.start_a : b.start_a + b.span_len - 1], ' ') AS span_text
+             FROM best b JOIN toks t ON t.doc_id = b.doc_a
+             WHERE b.rk = 1
+             ORDER BY doc_a, doc_b"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
-      q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184)
+      q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184, q185)
 }

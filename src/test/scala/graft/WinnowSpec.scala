@@ -139,6 +139,23 @@ class RepeatedSpanSpec extends SparkSuite {
     assert(capped.count() == 0)
   }
 
+  test("sharedSpanExplain reports the longest shared span with exact " +
+    "offsets and text") {
+    import graft.queries.DedupQueries.sharedSpanExplain
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),      // span starts at 4
+      (2L, s"aa bb cc dd ee ff $shared gg hh"))          // span starts at 7
+      .toDF("doc_id", "text")
+    val rows = sharedSpanExplain(docs, 4, 5, 300, 1).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getInt(2) == 10, s"span_len: ${r.getInt(2)}")
+    assert(r.getInt(3) == 4 && r.getInt(4) == 7)
+    assert(r.getString(5) == shared)
+  }
+
   test("plan shape: equality joins only — no cartesian product, no " +
     "broadcast nested loop (q182 and q183 both)") {
     val docs = Seq((1L, "a b c d e f g h i j"),
