@@ -47,6 +47,31 @@ class ReproducibilitySpec extends SparkSuite {
     assert(dsA.collect().toSet == dsB.collect().toSet)
   }
 
+  test("a binary vector index rebuilt from a time-travel read reproduces " +
+    "the code rows built when that revision was current (vector-side twin)") {
+    import graft.Tables
+    import graft.queries.SimilarityQueries
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val root = tmpDir("repro-bin")
+    val store = root + "/store"
+    VersionedStore.save(Map("emb" -> emb.filter(col("vec_id") < 40)), store)
+    val codesThen = SimilarityQueries.binCodes(
+      VersionedStore.read(spark, store, "emb"))
+    SimilarityQueries.binSaveIndex(codesThen, root + "/idx_then")
+    VersionedStore.append(
+      Map("emb" -> emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)), store)
+    VersionedStore.delete(Seq(1L, 2L).toDF("vec_id"), "emb", store)
+    val codesTT = SimilarityQueries.binCodes(
+      VersionedStore.read(spark, store, "emb", asOf = Some(1L)))
+    SimilarityQueries.binSaveIndex(codesTT, root + "/idx_tt")
+    def rows(p: String) = SimilarityQueries.binLoadIndex(spark, p)
+      .select("vec_id", "w0", "w1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(root + "/idx_then") == rows(root + "/idx_tt"))
+  }
+
   test("the moved-on corpus builds a DIFFERENT index (the stamp separates " +
     "revisions — reproducibility is not vacuous)") {
     val root = tmpDir("repro2")
