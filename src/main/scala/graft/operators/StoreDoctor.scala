@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lake-root triage: identify every persisted store directly under a root
+  * by its on-disk layout signature and verify each one loads through its
+  * own family's verifying loader (stamp checks and all). The operational
+  * question at 100 TB is rarely "is this store healthy?" — it is "WHICH of
+  * the hundreds of stores under this prefix are unhealthy, and what did
+  * their loaders say?", answered here with one bounded scan: directory
+  * listings plus per-store meta/manifest reads (the loaders' own checks
+  * are aggregate scans of the small relations, never the corpus).
+  *
+  * Family signatures (the write-side layouts of the 10+ persisted
+  * families): `router/` = sharded text root; `_versions/` = versioned
+  * store; `family/` = vector-index facade (marker names the inner
+  * family); `postings/`+`docstats/` = text index; `codebooks/` = PQ;
+  * `cells/` = IVF; `lists/` = kNN graph; `buckets/` = LSH; `centroids/`
+  * +`codes/` = residual; `codes/`+`meta/` = bin or SQ8 (meta `fp` prefix
+  * disambiguates); a bare parquet dir with h0..h7 columns = signature
+  * index. Unrecognized layouts report as such rather than failing the
+  * scan — triage must always complete.
+  */
+object StoreDoctor {
+
+  def scan(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val kids = fs.listStatus(new Path(root)).filter(_.isDirectory)
+      .map(_.getPath).toSeq
+    kids.map { p =>
+      val subs = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).toSet
+      val (family, err) = identify(spark, p.toString, subs)
+      (p.getName, family, err.isEmpty, err.getOrElse("ok"))
+    }.toDF("store", "family", "healthy", "detail").orderBy("store")
+  }
+
+  private def attempt(body: => Any): Option[String] =
+    try { body; None }
+    catch { case e: Throwable =>
+      Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+        .linesIterator.next()) }
+
+  private def identify(spark: SparkSession, path: String,
+      subs: Set[String]): (String, Option[String]) = {
+    import graft.queries.{SearchQueries, SimilarityQueries, QuantQueries}
+    if (subs("router"))
+      ("text-sharded", attempt {
+        val n = SearchQueries.textIndexShardCount(spark, path)
+        (0 until n).foreach(i =>
+          SearchQueries.textIndexLoad(spark, s"$path/shard-$i"))
+      })
+    else if (subs("_versions"))
+      ("versioned", attempt {
+        val rels = VersionedStore.relations(spark, path)
+        require(rels.nonEmpty, "manifest lists no data relations")
+        rels.foreach(r => VersionedStore.read(spark, path, r))
+      })
+    else if (subs("family"))
+      attempt(VectorIndex.family(spark, path)) match {
+        case Some(err) => ("vector-facade", Some(err))
+        case None =>
+          val f = VectorIndex.family(spark, path)
+          (s"vector-facade:$f", familyCheck(spark, path, f))
+      }
+    else if (subs("postings") && subs("docstats"))
+      ("text", attempt(SearchQueries.textIndexLoad(spark, path)))
+    else if (subs("codebooks")) ("pq", familyCheck(spark, path, "pq"))
+    else if (subs("cells")) ("ivf", familyCheck(spark, path, "ivf"))
+    else if (subs("lists")) ("knn", familyCheck(spark, path, "knn"))
+    else if (subs("buckets")) ("lsh", familyCheck(spark, path, "lsh"))
+    else if (subs("centroids") && subs("codes"))
+      ("residual", familyCheck(spark, path, "residual"))
+    else if (subs("codes") && subs("meta")) {
+      val fp = attempt {
+        val r = spark.read.parquet(s"$path/meta").select("fp").take(1)
+        require(r.nonEmpty, "meta is empty"); r(0).getString(0)
+      }
+      fp match {
+        case Some(err) => ("codes-store", Some(err))
+        case None =>
+          val v = spark.read.parquet(s"$path/meta").select("fp")
+            .take(1)(0).getString(0)
+          if (v.startsWith("bin:")) ("bin", familyCheck(spark, path, "bin"))
+          else ("sq8", familyCheck(spark, path, "sq8"))
+      }
+    } else {
+      // bare parquet relation: the signature index has no marker subdirs
+      val sig = attempt {
+        val cols = spark.read.parquet(path).columns.toSet
+        require(cols("doc_id") && (0 until 8).forall(i => cols(s"h$i")),
+          s"not a signature relation: ${cols.toSeq.sorted.mkString(",")}")
+      }
+      sig match {
+        case None      => ("signature", None)
+        case Some(err) =>
+          ("unknown", Some(s"unrecognized layout [${subs.toSeq.sorted
+            .mkString(",")}]: $err"))
+      }
+    }
+  }
+
+  /** Run family `f`'s own verifying loader against `path`. */
+  private def familyCheck(spark: SparkSession, path: String,
+      f: String): Option[String] = {
+    import graft.queries.{SimilarityQueries => S, QuantQueries => Q}
+    f match {
+      case "bin"      => attempt(S.binLoadIndex(spark, path))
+      case "sq8"      => attempt(Q.sqLoadIndex(spark, path))
+      case "pq"       => attempt(S.pqLoadIndex(spark, path))
+      case "ivf"      => attempt(S.ivfLoadIndex(spark, path))
+      case "knn"      => attempt(S.knnLoadLists(spark, path))
+      case "lsh"      => attempt(S.lshLoadIndex(spark, path))
+      case "residual" => attempt(S.residualLoadIndex(spark, path))
+      case other      => Some(s"no loader for family '$other'")
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{StoreDoctor, VersionedStore}
+import graft.queries.{SearchQueries, SimilarityQueries}
+
+/** Lake-root triage (StoreDoctor.scan): family identification by layout
+  * signature, loader-backed health verdicts, and the always-completes
+  * contract (a corrupted or foreign dir yields a row, not an exception).
+  */
+class StoreDoctorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkDocs(ids: Range) =
+    ids.map(i => (i.toLong, s"common words doc$i body token t${i % 3}"))
+      .toDF("doc_id", "text")
+
+  test("a mixed root identifies every family, flags the corrupted store " +
+    "with its loader's message, and labels foreign dirs unknown") {
+    val root = tmpDir("doctor")
+
+    // healthy text index
+    val (p, d) = SearchQueries.textIndexBuild(mkDocs(1 to 10))
+    SearchQueries.textIndexSave(p, d, s"$root/text_ok")
+
+    // corrupted text index: docstats truncated AFTER save (stamp must fire)
+    SearchQueries.textIndexSave(p, d, s"$root/text_bad")
+    val ds = spark.read.parquet(s"$root/text_bad/docstats")
+      .filter(col("doc_id") =!= 1L).localCheckpoint(true)
+    graft.operators.StoreRewrite.atomicOverwrite(ds, s"$root/text_bad/docstats")
+
+    // versioned store
+    VersionedStore.save(Map("docs" -> mkDocs(1 to 5)), s"$root/vstore")
+
+    // binary vector index over the fixture embeddings
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 30)
+    SimilarityQueries.binSaveIndex(SimilarityQueries.binCodes(emb),
+      s"$root/bin_idx")
+
+    // signature index (bare parquet relation)
+    graft.queries.DedupQueries.buildSignatureIndex(mkDocs(1 to 10),
+      s"$root/sig_idx")
+
+    // a foreign directory
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$root/misc/stuff")
+
+    val rows = StoreDoctor.scan(spark, root).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getBoolean(2), r.getString(3))).toMap
+
+    assert(rows("text_ok") == (("text", true, "ok")))
+    assert(rows("vstore") == (("versioned", true, "ok")))
+    assert(rows("bin_idx") == (("bin", true, "ok")))
+    assert(rows("sig_idx") == (("signature", true, "ok")))
+    val (famBad, okBad, detailBad) = rows("text_bad")
+    assert(famBad == "text" && !okBad, rows("text_bad").toString)
+    assert(detailBad.contains("stamp") || detailBad.contains("meta"),
+      s"loader message expected, got: $detailBad")
+    val (famMisc, okMisc, _) = rows("misc")
+    assert(famMisc == "unknown" && !okMisc)
+    assert(rows.size == 6)
+  }
+}
