@@ -157,11 +157,14 @@ class RepeatedSpanSpec extends SparkSuite {
   }
 
   test("plan shape: equality joins only — no cartesian product, no " +
-    "broadcast nested loop (q182 and q183 both)") {
+    "broadcast nested loop (q182-q185 all)") {
+    import graft.queries.DedupQueries.{winnowFingerprints,
+      winnowCandidatePairs, sharedSpanExplain}
     val docs = Seq((1L, "a b c d e f g h i j"),
       (2L, "a b c d e f z y x w")).toDF("doc_id", "text")
-    for (df <- Seq(repeatedSpans(docs),
-        graft.queries.DedupQueries.winnowFingerprints(docs, 4, 5))) {
+    for (df <- Seq(repeatedSpans(docs), winnowFingerprints(docs, 4, 5),
+        winnowCandidatePairs(docs, 4, 5, 300, 1),
+        sharedSpanExplain(docs, 4, 5, 300, 1))) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoop"), p)
