@@ -2078,7 +2078,128 @@ object DedupQueries extends QueryModule {
              WHERE b.rk = 1
              ORDER BY doc_a, doc_b"""))
 
+  /** Decontamination WITH EVIDENCE — the cross-relation form of q185:
+    * for every (train doc, eval doc) pair sharing a winnow fingerprint,
+    * align their k-grams on the diagonal and report the longest exactly-
+    * shared span (>= w+k-1 tokens, the winnowing guarantee's floor) with
+    * both offsets and the span text. q79/q95 ANSWER "is this document
+    * contaminated?"; this answers the auditor's follow-up — "show me the
+    * overlapping passage" — which is what actually gets a benchmark
+    * exclusion accepted.
+    *
+    * Scale shape: fingerprints are ~1/w of gram volume on BOTH sides; the
+    * pair join is hash-equality with the df-cap computed over the union
+    * (a boilerplate hash in train pre-kills eval matches too — the audit
+    * wants substantive overlap, not licence headers); alignment touches
+    * only PAIRED documents' grams; the eval side is tiny in production so
+    * every per-pair relation is eval-bounded.
+    */
+  def crossSpanEvidence(train: org.apache.spark.sql.DataFrame,
+      eval_ : org.apache.spark.sql.DataFrame, k: Int = 4, w: Int = 5,
+      dfCap: Int = 300): org.apache.spark.sql.DataFrame = {
+    val minLen = w + k - 1
+    val fpT = winnowFingerprints(train, k, w)
+      .select(col("doc_id").as("train_doc"), col("fp_hash")).distinct()
+    val fpE = winnowFingerprints(eval_, k, w)
+      .select(col("doc_id").as("eval_doc"), col("fp_hash")).distinct()
+    val hot = fpT.select(col("train_doc").as("d"), col("fp_hash"))
+      .unionByName(fpE.select(col("eval_doc").as("d"), col("fp_hash")))
+      .groupBy("fp_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("fp_hash")
+    val pairs = fpT.join(broadcast(hot), Seq("fp_hash"), "left_anti")
+      .join(fpE.join(broadcast(hot), Seq("fp_hash"), "left_anti"), "fp_hash")
+      .select("train_doc", "eval_doc").distinct()
+      .localCheckpoint(true)
+    val toksT = train.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .localCheckpoint(true)
+    val toksE = eval_.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val gT = explodeShinglesFromTokens(toksT, col("tk"), k, "gram", "pos")
+      .select(col("doc_id").as("train_doc"), col("pos").as("pt"), col("gram"))
+    val gE = explodeShinglesFromTokens(toksE, col("tk"), k, "gram", "pos")
+      .select(col("doc_id").as("eval_doc"), col("pos").as("pe"), col("gram"))
+    val m = pairs.join(gT, "train_doc").join(gE, Seq("eval_doc", "gram"))
+      .select(col("train_doc"), col("eval_doc"), col("pt"), col("pe"),
+        (col("pt") - col("pe")).as("diag"))
+    val wIsl = Window.partitionBy(col("train_doc"), col("eval_doc"), col("diag"))
+      .orderBy(col("pt"))
+    val runs = m.withColumn("grp", col("pt") - row_number().over(wIsl))
+      .groupBy(col("train_doc"), col("eval_doc"), col("diag"), col("grp"))
+      .agg(min(col("pt")).as("start_train"), min(col("pe")).as("start_eval"),
+        (count(lit(1)) + (k - 1)).cast("int").as("span_len"))
+    val wBest = Window.partitionBy(col("train_doc"), col("eval_doc"))
+      .orderBy(col("span_len").desc, col("start_train").asc, col("start_eval").asc)
+    runs.withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .filter(col("span_len") >= minLen)
+      .join(toksT.withColumnRenamed("doc_id", "train_doc"), "train_doc")
+      .select(col("train_doc"), col("eval_doc"), col("span_len"),
+        col("start_train"), col("start_eval"),
+        expr("array_join(slice(tk, start_train, span_len), ' ')").as("span_text"))
+  }
+
+  /** q186: contamination evidence between the deterministic train/eval
+    * split (eval = doc_id % 10 = 0), fully oracle-gated — fingerprint
+    * pairing, union df-cap, diagonal alignment, winner rank, the
+    * guarantee-floor length filter, and the text slice.
+    */
+  private val q186 = QueryDef(
+    "q186_decontamination_evidence",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      crossSpanEvidence(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+        .orderBy("train_doc", "eval_doc")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+                  grams AS (SELECT doc_id, len(tk) AS n_tok, CAST(i + 1 AS INT) AS pos,
+                                   tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                                     || ' ' || tk[i+4] AS gram
+                            FROM toks, unnest(CASE WHEN len(tk) >= 4
+                                                   THEN range(len(tk) - 3)
+                                                   ELSE []::BIGINT[] END) u(i)),
+                  keyed AS (SELECT doc_id, n_tok, pos,
+                                   substring(md5(gram), 1, 16)
+                                     || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS wk
+                            FROM grams),
+                  wm AS (SELECT doc_id, n_tok, pos,
+                                MIN(wk) OVER (PARTITION BY doc_id ORDER BY pos
+                                              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+                         FROM keyed),
+                  sel AS (SELECT DISTINCT doc_id, substring(wmin, 1, 16) AS fp_hash
+                          FROM wm WHERE pos <= n_tok - 4 - 5 + 2),
+                  hot AS (SELECT fp_hash FROM sel GROUP BY fp_hash
+                          HAVING COUNT(*) > 300),
+                  f AS (SELECT s.doc_id, s.fp_hash FROM sel s
+                        ANTI JOIN hot h ON s.fp_hash = h.fp_hash),
+                  pairs AS (SELECT DISTINCT t.doc_id AS train_doc,
+                                   e.doc_id AS eval_doc
+                            FROM f t JOIN f e ON t.fp_hash = e.fp_hash
+                            WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0),
+                  m AS (SELECT p.train_doc, p.eval_doc, gt.pos AS pt,
+                               ge.pos AS pe, gt.pos - ge.pos AS diag
+                        FROM pairs p
+                        JOIN grams gt ON gt.doc_id = p.train_doc
+                        JOIN grams ge ON ge.doc_id = p.eval_doc
+                          AND ge.gram = gt.gram),
+                  isl AS (SELECT train_doc, eval_doc, diag, pt, pe,
+                                 pt - ROW_NUMBER() OVER (PARTITION BY train_doc, eval_doc, diag
+                                                         ORDER BY pt) AS grp
+                          FROM m),
+                  runs AS (SELECT train_doc, eval_doc,
+                                  MIN(pt) AS start_train, MIN(pe) AS start_eval,
+                                  CAST(COUNT(*) + 3 AS INT) AS span_len
+                           FROM isl GROUP BY train_doc, eval_doc, diag, grp),
+                  best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY train_doc, eval_doc
+                                       ORDER BY span_len DESC, start_train, start_eval) AS rk
+                           FROM runs)
+             SELECT b.train_doc, b.eval_doc, b.span_len,
+                    b.start_train, b.start_eval,
+                    array_to_string(t.tk[b.start_train : b.start_train + b.span_len - 1], ' ') AS span_text
+             FROM best b JOIN toks t ON t.doc_id = b.train_doc
+             WHERE b.rk = 1 AND b.span_len >= 8
+             ORDER BY train_doc, eval_doc"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
-      q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184, q185)
+      q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184, q185,
+      q186)
 }

@@ -156,6 +156,25 @@ class RepeatedSpanSpec extends SparkSuite {
     assert(r.getString(5) == shared)
   }
 
+  test("crossSpanEvidence reports train/eval overlaps at or above the " +
+    "winnowing guarantee floor and drops shorter accidental overlaps") {
+    import graft.queries.DedupQueries.crossSpanEvidence
+    val long = "alpha beta gamma delta epsilon zeta eta theta"   // 8 tokens
+    val short = "p q r s t u v"                                  // 7 tokens
+    val train = Seq(
+      (1L, s"one two $long three four"),
+      (2L, s"aa bb $short cc dd")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, s"x y z $long w"),
+      (11L, s"mm nn $short oo pp")).toDF("doc_id", "text")
+    val rows = crossSpanEvidence(train, eval_).collect()
+    // only the >= w+k-1 = 8-token overlap survives the guarantee floor
+    assert(rows.length == 1, rows.toSeq.toString)
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 10L)
+    assert(r.getInt(2) == 8 && r.getString(5) == long)
+  }
+
   test("plan shape: equality joins only — no cartesian product, no " +
     "broadcast nested loop (q182-q185 all)") {
     import graft.queries.DedupQueries.{winnowFingerprints,
