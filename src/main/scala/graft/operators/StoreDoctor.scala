@@ -46,12 +46,27 @@ object StoreDoctor {
   private def identify(spark: SparkSession, path: String,
       subs: Set[String]): (String, Option[String]) = {
     import graft.queries.{SearchQueries, SimilarityQueries, QuantQueries}
-    if (subs("router"))
-      ("text-sharded", attempt {
-        val n = SearchQueries.textIndexShardCount(spark, path)
-        (0 until n).foreach(i =>
-          SearchQueries.textIndexLoad(spark, s"$path/shard-$i"))
-      })
+    if (subs("router")) {
+      // both sharded roots carry router/: the text router has a `tag`
+      // column, the vector router a `family` column
+      val routerErr = attempt(spark.read.parquet(s"$path/router").columns)
+      if (routerErr.nonEmpty) ("sharded", routerErr)
+      else if (spark.read.parquet(s"$path/router").columns.contains("tag"))
+        ("text-sharded", attempt {
+          val n = SearchQueries.textIndexShardCount(spark, path)
+          (0 until n).foreach(i =>
+            SearchQueries.textIndexLoad(spark, s"$path/shard-$i"))
+        })
+      else
+        attempt(VectorIndex.shardInfo(spark, path)) match {
+          case Some(err) => ("vector-sharded", Some(err))
+          case None =>
+            val (n, f) = VectorIndex.shardInfo(spark, path)
+            ("vector-sharded:" + f,
+              (0 until n).map(i => familyCheck(spark, s"$path/shard-$i", f))
+                .flatten.headOption)
+        }
+    }
     else if (subs("_versions"))
       ("versioned", attempt {
         val rels = VersionedStore.relations(spark, path)

@@ -44,6 +44,11 @@ class StoreDoctorSpec extends SparkSuite {
     graft.queries.DedupQueries.buildSignatureIndex(mkDocs(1 to 10),
       s"$root/sig_idx")
 
+    // sharded text root and sharded vector root (both carry router/)
+    SearchQueries.textIndexSaveSharded(p, d, s"$root/text_sharded", 2)
+    graft.operators.VectorIndex.buildSharded(emb, "sq8",
+      s"$root/vec_sharded", 2)
+
     // a foreign directory
     Seq((1, "x")).toDF("a", "b").write.parquet(s"$root/misc/stuff")
 
@@ -59,8 +64,10 @@ class StoreDoctorSpec extends SparkSuite {
     assert(famBad == "text" && !okBad, rows("text_bad").toString)
     assert(detailBad.contains("stamp") || detailBad.contains("meta"),
       s"loader message expected, got: $detailBad")
+    assert(rows("text_sharded") == (("text-sharded", true, "ok")))
+    assert(rows("vec_sharded") == (("vector-sharded:sq8", true, "ok")))
     val (famMisc, okMisc, _) = rows("misc")
     assert(famMisc == "unknown" && !okMisc)
-    assert(rows.size == 6)
+    assert(rows.size == 8)
   }
 }
