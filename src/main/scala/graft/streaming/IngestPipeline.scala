@@ -158,11 +158,15 @@ object IngestPipeline {
     graft.operators.StoreRewrite.atomicOverwrite(
       spark.read.parquet(indexPath).join(ids, Seq("doc_id"), "left_anti"),
       indexPath)
-    // 3. corpus store
-    graft.operators.StoreRewrite.atomicOverwrite(
-      spark.read.parquet(admittedPath)
-        .join(ids, Seq("doc_id"), "left_anti"),
-      admittedPath)
+    // 3. corpus store — absent until the first post-bootstrap admission
+    //    (forgetting an initial-corpus doc before any batch ran is legal:
+    //    steps 1-2 already dropped its label and signature)
+    val ap = new org.apache.hadoop.fs.Path(admittedPath)
+    if (ap.getFileSystem(spark.sessionState.newHadoopConf()).exists(ap))
+      graft.operators.StoreRewrite.atomicOverwrite(
+        spark.read.parquet(admittedPath)
+          .join(ids, Seq("doc_id"), "left_anti"),
+        admittedPath)
   }
 
   /** Start the streaming ingest: each micro-batch of `docs` (doc_id,
