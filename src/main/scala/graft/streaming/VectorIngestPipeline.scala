@@ -122,6 +122,14 @@ object VectorIngestPipeline {
     Seq(s"$indexPath/codes", s"$indexPath/tombstones", vecPath)
       .foreach(p => graft.operators.StoreRewrite.recover(spark, p))
     val ids = del.select("vec_id").localCheckpoint(true)
+    // refuse BEFORE touching the stores (textIndexForget's rule): an
+    // all-forgotten code store would be rejected by binLoadIndex as
+    // interrupted, wedging every later batch's gate
+    val remaining = spark.read.parquet(s"$indexPath/codes")
+      .join(ids, Seq("vec_id"), "left_anti").count()
+    require(remaining > 0,
+      "VectorIngestPipeline.forget: forgetting the ENTIRE vector corpus " +
+        "leaves an empty code store — delete the index directory instead")
     graft.operators.StoreRewrite.atomicOverwrite(
       spark.read.parquet(s"$indexPath/codes")
         .join(ids, Seq("vec_id"), "left_anti"),
