@@ -2198,8 +2198,106 @@ object DedupQueries extends QueryModule {
              WHERE b.rk = 1 AND b.span_len >= 8
              ORDER BY train_doc, eval_doc"""))
 
+  /** Persist winnow fingerprints as a probe-able index — the q82/signature
+    * store discipline applied to EXACT-SUBSTRING detection: build once
+    * over the corpus, probe each day's increment without re-reading (or
+    * re-fingerprinting) the old corpus, append the admitted increment.
+    */
+  def buildWinnowIndex(documents: org.apache.spark.sql.DataFrame,
+      path: String, k: Int = 4, w: Int = 5): Unit =
+    winnowFingerprints(documents, k, w).write.mode("overwrite").parquet(path)
+
+  /** Probe the stored fingerprint index with an increment: the increment
+    * is fingerprinted fresh (increment-sized work), the OLD side comes
+    * from the index alone, and the df-cap runs on the STORED side (the
+    * quadratic risk is a boilerplate fingerprint carried by many stored
+    * docs; the production probe must be able to apply the cap without
+    * waiting for the day's increment). Returns (new_doc, old_doc,
+    * n_shared) for pairs sharing >= minShared hashes — each a guaranteed
+    * >= w+k-1-token verbatim overlap per shared hash.
+    */
+  def probeWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      increment: org.apache.spark.sql.DataFrame, path: String,
+      k: Int = 4, w: Int = 5, dfCap: Int = 300,
+      minShared: Int = 2): org.apache.spark.sql.DataFrame = {
+    val fpT = spark.read.parquet(path)
+      .select(col("doc_id").as("old_doc"), col("fp_hash")).distinct()
+    val hot = fpT.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("fp_hash")
+    val fpE = winnowFingerprints(increment, k, w)
+      .select(col("doc_id").as("new_doc"), col("fp_hash")).distinct()
+    fpT.join(broadcast(hot), Seq("fp_hash"), "left_anti")
+      .join(fpE, "fp_hash")
+      .groupBy("new_doc", "old_doc").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Append an admitted increment's fingerprints — new files only, no
+    * rewrite of the existing index (appendSignatureIndex's contract).
+    */
+  def appendWinnowIndex(increment: org.apache.spark.sql.DataFrame,
+      path: String, k: Int = 4, w: Int = 5): Unit =
+    winnowFingerprints(increment, k, w).write.mode("append").parquet(path)
+
+  /** q187: the daily exact-substring probe off the persisted fingerprint
+    * index — q82's incremental shape for verbatim-overlap detection
+    * (q186's pairing served from a store instead of re-fingerprinting the
+    * corpus per audit). WinnowIndexSpec proves the probe plan's only file
+    * scan is the index. The oracle recomputes both sides' fingerprints,
+    * the stored-side cap, and the pair join.
+    */
+  private val q187 = QueryDef(
+    "q187_winnow_index_probe",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val inc = docs.filter(col("source") === "src19")
+      val old = docs.filter(col("source") =!= "src19")
+      val root = java.nio.file.Files.createTempDirectory("graft-winx")
+      val path = root.toString + "/fp"
+      buildWinnowIndex(old, path)
+      // minShared 1: one shared fingerprint already certifies a >= w+k-1
+      // token verbatim overlap (the winnowing guarantee) — the audit
+      // wants every such hit, unlike q184's corpus-internal pair miner
+      val res = probeWinnowIndex(s, inc, path, minShared = 1)
+        .orderBy("new_doc", "old_doc").localCheckpoint(true)
+      val hp = new org.apache.hadoop.fs.Path(root.toString)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      res
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, source, $tokSql AS tk FROM documents),
+                  grams AS (SELECT doc_id, source, len(tk) AS n_tok,
+                                   CAST(i + 1 AS INT) AS pos,
+                                   tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                                     || ' ' || tk[i+4] AS gram
+                            FROM toks, unnest(CASE WHEN len(tk) >= 4
+                                                   THEN range(len(tk) - 3)
+                                                   ELSE []::BIGINT[] END) u(i)),
+                  keyed AS (SELECT doc_id, source, n_tok, pos,
+                                   substring(md5(gram), 1, 16)
+                                     || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS wk
+                            FROM grams),
+                  wm AS (SELECT doc_id, source, n_tok, pos,
+                                MIN(wk) OVER (PARTITION BY doc_id ORDER BY pos
+                                              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+                         FROM keyed),
+                  sel AS (SELECT DISTINCT doc_id, source,
+                                 substring(wmin, 1, 16) AS fp_hash
+                          FROM wm WHERE pos <= n_tok - 4 - 5 + 2),
+                  oldfp AS (SELECT doc_id AS old_doc, fp_hash FROM sel
+                            WHERE source <> 'src19'),
+                  hot AS (SELECT fp_hash FROM oldfp GROUP BY fp_hash
+                          HAVING COUNT(*) > 300),
+                  newfp AS (SELECT doc_id AS new_doc, fp_hash FROM sel
+                            WHERE source = 'src19')
+             SELECT n.new_doc, o.old_doc, COUNT(*) AS n_shared
+             FROM oldfp o
+             ANTI JOIN hot h ON o.fp_hash = h.fp_hash
+             JOIN newfp n ON n.fp_hash = o.fp_hash
+             GROUP BY n.new_doc, o.old_doc
+             ORDER BY new_doc, old_doc"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
       q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184, q185,
-      q186)
+      q186, q187)
 }

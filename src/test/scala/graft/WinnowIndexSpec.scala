@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.DedupQueries.{buildWinnowIndex, probeWinnowIndex,
+  appendWinnowIndex}
+
+/** Persisted winnow-fingerprint index (q187): probe detection, the
+  * stored-side df-cap, the append lifecycle, and the store discipline's
+  * core claim — the probe never re-reads the old corpus.
+  */
+class WinnowIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val shared = "alpha beta gamma delta epsilon zeta eta theta"
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("probe detects a stored verbatim overlap, ignores fresh content, " +
+    "and its only file scan is the index — never the old corpus") {
+    val path = tmpDir("winx") + "/fp"
+    buildWinnowIndex(docs(
+      1L -> s"one two three $shared four five six",
+      2L -> "totally different stored content goes here now ok fine"), path)
+    val inc = docs(
+      10L -> s"aa bb cc $shared dd",
+      11L -> "brand new unrelated words nothing shared at all here")
+    val probe = probeWinnowIndex(spark, inc, path, minShared = 1)
+    val rows = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((10L, 1L)), rows.toString)
+    val files = probe.inputFiles.mkString("\n")
+    assert(files.nonEmpty && files.linesIterator.forall(_.contains("/fp")),
+      s"probe must scan ONLY the index:\n$files")
+  }
+
+  test("append makes the admitted increment visible to the NEXT probe, " +
+    "and the stored-side df-cap silences a boilerplate fingerprint") {
+    val path = tmpDir("winx2") + "/fp"
+    buildWinnowIndex(docs(1L -> s"one two three $shared four five six"), path)
+    appendWinnowIndex(docs(2L -> s"stored later but contains $shared too"), path)
+    val inc = docs(10L -> s"probe doc with $shared inside")
+    val got = probeWinnowIndex(spark, inc, path, minShared = 1)
+      .select("old_doc").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), got.toString)
+    // with dfCap = 1 the shared fingerprint (df = 2 in the store) drops
+    val capped = probeWinnowIndex(spark, inc, path, dfCap = 1, minShared = 1)
+    assert(capped.count() == 0)
+  }
+}
