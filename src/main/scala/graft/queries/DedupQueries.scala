@@ -2233,11 +2233,28 @@ object DedupQueries extends QueryModule {
   }
 
   /** Append an admitted increment's fingerprints — new files only, no
-    * rewrite of the existing index (appendSignatureIndex's contract).
+    * rewrite of the existing index (appendSignatureIndex's contract). A
+    * replayed append doubles rows harmlessly: the probe's `.distinct()`
+    * collapses them before both the df-cap and the pair join, so every
+    * downstream count is computed over the (doc, hash) SET.
     */
   def appendWinnowIndex(increment: org.apache.spark.sql.DataFrame,
       path: String, k: Int = 4, w: Int = 5): Unit =
     winnowFingerprints(increment, k, w).write.mode("append").parquet(path)
+
+  /** FORGET documents from the fingerprint index — the right-to-be-
+    * forgotten verb every persisted family carries: crash-durable
+    * rewrite without the forgotten ids, after which a re-submitted copy
+    * of a fully forgotten document probes clean and re-admits.
+    */
+  def forgetWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      del: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    graft.operators.StoreRewrite.recover(spark, path)
+    val ids = del.select("doc_id").localCheckpoint(true)
+    graft.operators.StoreRewrite.atomicOverwrite(
+      spark.read.parquet(path).join(ids, Seq("doc_id"), "left_anti"),
+      path)
+  }
 
   /** q187: the daily exact-substring probe off the persisted fingerprint
     * index — q82's incremental shape for verbatim-overlap detection

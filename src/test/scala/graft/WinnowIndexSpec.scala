@@ -45,4 +45,24 @@ class WinnowIndexSpec extends SparkSuite {
     val capped = probeWinnowIndex(spark, inc, path, dfCap = 1, minShared = 1)
     assert(capped.count() == 0)
   }
+
+  test("forget physically removes the ids (a re-submitted copy probes " +
+    "clean), and a replayed append's doubled rows change nothing") {
+    import graft.queries.DedupQueries.forgetWinnowIndex
+    val path = tmpDir("winx3") + "/fp"
+    buildWinnowIndex(docs(
+      1L -> s"one two three $shared four five six",
+      2L -> "other stored content with its own vocabulary here now"), path)
+    val inc = docs(10L -> s"probe doc with $shared inside")
+    assert(probeWinnowIndex(spark, inc, path, minShared = 1).count() == 1)
+    forgetWinnowIndex(spark, Seq(1L).toDF("doc_id"), path)
+    assert(probeWinnowIndex(spark, inc, path, minShared = 1).count() == 0,
+      "a fully forgotten document must not reject its fresh copy")
+    // replayed append: rows double on disk, probe results do not
+    appendWinnowIndex(docs(3L -> s"re-stored $shared holder"), path)
+    appendWinnowIndex(docs(3L -> s"re-stored $shared holder"), path)
+    val again = probeWinnowIndex(spark, inc, path, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == Seq((10L, 3L, 1L)), again.toSeq.toString)
+  }
 }
