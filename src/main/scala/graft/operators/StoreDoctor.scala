@@ -19,7 +19,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `cells/` = IVF; `lists/` = kNN graph; `buckets/` = LSH; `centroids/`
   * +`codes/` = residual; `codes/`+`meta/` = bin or SQ8 (meta `fp` prefix
   * disambiguates); a bare parquet dir with h0..h7 columns = signature
-  * index. Unrecognized layouts report as such rather than failing the
+  * index, with (fp_pos, fp_hash) = winnow-fingerprint index.
+  * Unrecognized layouts report as such rather than failing the
   * scan — triage must always complete.
   */
 object StoreDoctor {
@@ -37,11 +38,21 @@ object StoreDoctor {
     }.toDF("store", "family", "healthy", "detail").orderBy("store")
   }
 
+  /** First line of a throwable's message, never itself throwing — an
+    * empty or null message falls back to the class name (triage must
+    * always complete).
+    */
+  private def firstLine(e: Throwable): String =
+    Option(e.getMessage).filter(_.nonEmpty)
+      .flatMap(_.linesIterator.toSeq.headOption)
+      .getOrElse(e.getClass.getName)
+
   private def attempt(body: => Any): Option[String] =
-    try { body; None }
-    catch { case e: Throwable =>
-      Some(Option(e.getMessage).getOrElse(e.getClass.getName)
-        .linesIterator.next()) }
+    try { body; None } catch { case e: Throwable => Some(firstLine(e)) }
+
+  /** Evaluate once, keeping the value on success (no double reads). */
+  private def attemptE[A](body: => A): Either[String, A] =
+    try Right(body) catch { case e: Throwable => Left(firstLine(e)) }
 
   private def identify(spark: SparkSession, path: String,
       subs: Set[String]): (String, Option[String]) = {
@@ -49,23 +60,23 @@ object StoreDoctor {
     if (subs("router")) {
       // both sharded roots carry router/: the text router has a `tag`
       // column, the vector router a `family` column
-      val routerErr = attempt(spark.read.parquet(s"$path/router").columns)
-      if (routerErr.nonEmpty) ("sharded", routerErr)
-      else if (spark.read.parquet(s"$path/router").columns.contains("tag"))
-        ("text-sharded", attempt {
-          val n = SearchQueries.textIndexShardCount(spark, path)
-          (0 until n).foreach(i =>
-            SearchQueries.textIndexLoad(spark, s"$path/shard-$i"))
-        })
-      else
-        attempt(VectorIndex.shardInfo(spark, path)) match {
-          case Some(err) => ("vector-sharded", Some(err))
-          case None =>
-            val (n, f) = VectorIndex.shardInfo(spark, path)
-            ("vector-sharded:" + f,
-              (0 until n).map(i => familyCheck(spark, s"$path/shard-$i", f))
-                .flatten.headOption)
-        }
+      attemptE(spark.read.parquet(s"$path/router").columns) match {
+        case Left(err) => ("sharded", Some(err))
+        case Right(cols) if cols.contains("tag") =>
+          ("text-sharded", attempt {
+            val n = SearchQueries.textIndexShardCount(spark, path)
+            (0 until n).foreach(i =>
+              SearchQueries.textIndexLoad(spark, s"$path/shard-$i"))
+          })
+        case Right(_) =>
+          attemptE(VectorIndex.shardInfo(spark, path)) match {
+            case Left(err) => ("vector-sharded", Some(err))
+            case Right((n, f)) =>
+              ("vector-sharded:" + f,
+                (0 until n).flatMap(i =>
+                  familyCheck(spark, s"$path/shard-$i", f)).headOption)
+          }
+      }
     }
     else if (subs("_versions"))
       ("versioned", attempt {
@@ -74,11 +85,9 @@ object StoreDoctor {
         rels.foreach(r => VersionedStore.read(spark, path, r))
       })
     else if (subs("family"))
-      attempt(VectorIndex.family(spark, path)) match {
-        case Some(err) => ("vector-facade", Some(err))
-        case None =>
-          val f = VectorIndex.family(spark, path)
-          (s"vector-facade:$f", familyCheck(spark, path, f))
+      attemptE(VectorIndex.family(spark, path)) match {
+        case Left(err) => ("vector-facade", Some(err))
+        case Right(f)  => (s"vector-facade:$f", familyCheck(spark, path, f))
       }
     else if (subs("postings") && subs("docstats"))
       ("text", attempt(SearchQueries.textIndexLoad(spark, path)))
@@ -89,28 +98,29 @@ object StoreDoctor {
     else if (subs("centroids") && subs("codes"))
       ("residual", familyCheck(spark, path, "residual"))
     else if (subs("codes") && subs("meta")) {
-      val fp = attempt {
+      attemptE {
         val r = spark.read.parquet(s"$path/meta").select("fp").take(1)
         require(r.nonEmpty, "meta is empty"); r(0).getString(0)
-      }
-      fp match {
-        case Some(err) => ("codes-store", Some(err))
-        case None =>
-          val v = spark.read.parquet(s"$path/meta").select("fp")
-            .take(1)(0).getString(0)
+      } match {
+        case Left(err) => ("codes-store", Some(err))
+        case Right(v) =>
           if (v.startsWith("bin:")) ("bin", familyCheck(spark, path, "bin"))
           else ("sq8", familyCheck(spark, path, "sq8"))
       }
     } else {
-      // bare parquet relation: the signature index has no marker subdirs
-      val sig = attempt {
-        val cols = spark.read.parquet(path).columns.toSet
-        require(cols("doc_id") && (0 until 8).forall(i => cols(s"h$i")),
-          s"not a signature relation: ${cols.toSeq.sorted.mkString(",")}")
-      }
-      sig match {
-        case None      => ("signature", None)
-        case Some(err) =>
+      // bare parquet relations carry no marker subdirs: the signature
+      // index is (doc_id, h0..h7), the winnow-fingerprint index is
+      // (doc_id, fp_pos, fp_hash)
+      attemptE(spark.read.parquet(path).columns.toSet) match {
+        case Right(cols)
+            if cols("doc_id") && (0 until 8).forall(i => cols(s"h$i")) =>
+          ("signature", None)
+        case Right(cols) if cols == Set("doc_id", "fp_pos", "fp_hash") =>
+          ("winnow", None)
+        case Right(cols) =>
+          ("unknown", Some(s"unrecognized layout [${subs.toSeq.sorted
+            .mkString(",")}], columns [${cols.toSeq.sorted.mkString(",")}]"))
+        case Left(err) =>
           ("unknown", Some(s"unrecognized layout [${subs.toSeq.sorted
             .mkString(",")}]: $err"))
       }

@@ -1758,27 +1758,34 @@ object DedupQueries extends QueryModule {
              LEFT JOIN nd ON th.threshold = nd.threshold
              ORDER BY th.threshold"""))
 
-  /** Maximal repeated spans — the boilerplate MINER that completes q96's
-    * exact-substring story (Lee et al. 2022 find maximal repeats with a
-    * suffix array; this is the relational equivalent at token-5-gram
-    * resolution). q96 REMOVES duplicated spans; this query REPORTS them:
-    * which exact spans (licence headers, templated navigation, signature
-    * blocks) repeat across the corpus, how long they are, and how many
-    * documents carry them — the report a curation team reads before
-    * deciding what q96 should strip.
+  /** Maximal duplicated-gram coverage spans — the boilerplate MINER that
+    * completes q96's exact-substring story (Lee et al. 2022 find repeats
+    * with a suffix array; this is the relational form at token-5-gram
+    * resolution). q96 REMOVES covered positions; this query REPORTS the
+    * covered spans: which stretches of text (licence headers, templated
+    * navigation, signature blocks) consist of corpus-duplicated 5-grams,
+    * how long they are, and how many documents carry them — the report a
+    * curation team reads before deciding what q96 should strip.
     *
-    * Shape: duplicated-gram START positions per document (q96's relation)
-    * are merged into maximal runs with gaps-and-islands (`pos -
-    * row_number()` over a PER-DOCUMENT window — bounded by the longest
-    * document, never corpus-wide); a run of consecutive duplicated 5-gram
-    * starts [p1..p2] is exactly the maximal repeated span [p1, p2+4]. Span
+    * Semantics, precisely: a span is a maximal run of consecutive
+    * duplicated-gram START positions — EXACTLY the text q96 would remove
+    * from that document. When two DISTINCT repeats overlap in one
+    * document (doc shares t1..t7 with A and t4..t10 with B), their runs
+    * chain into one longer covered span whose full text may occur only
+    * once — such rows surface with n_occ=1 and mark overlap-chained
+    * boilerplate, while verbatim-repeated spans carry n_occ >= 2. The
+    * top-20 orders by n_occ, so pure chains sort below true repeats.
+    *
+    * Shape: gaps-and-islands (`pos - row_number()` over a PER-DOCUMENT
+    * window — bounded by the longest document, never corpus-wide); span
     * text is rebuilt by slicing the document's own token array (one keyed
     * join back to the corpus-linear toks relation), and the report is a
     * hash aggregate on the span text. At 100 TB: every stage is
-    * corpus-linear; the span-text groupBy's map-side partial aggregation
-    * collapses the (by construction highly duplicated) span strings before
-    * they shuffle; the top-20 is TakeOrdered (no global sort). Ties at the
-    * cut are broken by span_text, so the report is deterministic.
+    * corpus-linear; for verbatim-repeated spans the groupBy's map-side
+    * partial aggregation collapses the copies before they shuffle (chained
+    * n_occ=1 spans shuffle once each, like any distinct string); the
+    * top-20 is TakeOrdered (no global sort). Ties at the cut are broken
+    * by span_text, so the report is deterministic.
     */
   def repeatedSpans(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = documents
@@ -1910,8 +1917,13 @@ object DedupQueries extends QueryModule {
   /** Candidate near-dup pairs from winnowing fingerprints: documents
     * sharing >= minShared distinct selected hashes. This is what q183's
     * fingerprints are FOR (the MOSS detector): an equality join on the
-    * fingerprint hash at ~1/w the volume of a gram join, sound for shared
-    * substrings of >= w+k-1 tokens by the winnowing guarantee.
+    * fingerprint hash at ~1/w the volume of a gram join. Each shared hash
+    * certifies a shared k-GRAM (a k-token verbatim overlap); the winnowing
+    * guarantee runs the other way — every shared substring of >= w+k-1
+    * tokens yields at least ONE shared hash, so detection is complete at
+    * minShared = 1 for the floor, and the default minShared = 2 trades
+    * that completeness for precision (accidental single-gram collisions
+    * drop out).
     *
     * Skew discipline (q33's df-cap, applied to fingerprint hashes): a
     * boilerplate fingerprint carried by n docs fans the self-join to ~n²
@@ -2213,8 +2225,11 @@ object DedupQueries extends QueryModule {
     * quadratic risk is a boilerplate fingerprint carried by many stored
     * docs; the production probe must be able to apply the cap without
     * waiting for the day's increment). Returns (new_doc, old_doc,
-    * n_shared) for pairs sharing >= minShared hashes — each a guaranteed
-    * >= w+k-1-token verbatim overlap per shared hash.
+    * n_shared) for pairs sharing >= minShared hashes. Direction of the
+    * guarantee: each shared hash certifies a shared k-GRAM (a k-token
+    * verbatim overlap); completeness is what winnowing guarantees — at
+    * minShared=1 EVERY >= w+k-1-token verbatim overlap with a stored doc
+    * is reported (no false negatives above the floor).
     */
   def probeWinnowIndex(spark: org.apache.spark.sql.SparkSession,
       increment: org.apache.spark.sql.DataFrame, path: String,
@@ -2251,6 +2266,14 @@ object DedupQueries extends QueryModule {
       del: org.apache.spark.sql.DataFrame, path: String): Unit = {
     graft.operators.StoreRewrite.recover(spark, path)
     val ids = del.select("doc_id").localCheckpoint(true)
+    // refuse BEFORE the rewrite (the family rule textIndexForget and
+    // VectorIngestPipeline.forget enforce): an emptied index relies on
+    // a schema-only parquet file to stay probe-able
+    val remaining = spark.read.parquet(path)
+      .join(ids, Seq("doc_id"), "left_anti").count()
+    require(remaining > 0,
+      "forgetWinnowIndex: forgetting the ENTIRE corpus leaves an empty " +
+        "index — delete the index directory instead")
     graft.operators.StoreRewrite.atomicOverwrite(
       spark.read.parquet(path).join(ids, Seq("doc_id"), "left_anti"),
       path)
@@ -2272,9 +2295,11 @@ object DedupQueries extends QueryModule {
       val root = java.nio.file.Files.createTempDirectory("graft-winx")
       val path = root.toString + "/fp"
       buildWinnowIndex(old, path)
-      // minShared 1: one shared fingerprint already certifies a >= w+k-1
-      // token verbatim overlap (the winnowing guarantee) — the audit
-      // wants every such hit, unlike q184's corpus-internal pair miner
+      // minShared 1 keeps the probe guarantee-COMPLETE: every >= w+k-1
+      // token verbatim overlap with a stored doc yields >= 1 shared
+      // fingerprint (the winnowing guarantee), and the audit wants every
+      // such hit — unlike q184's corpus-internal pair miner, which trades
+      // the floor's completeness for precision at minShared = 2
       val res = probeWinnowIndex(s, inc, path, minShared = 1)
         .orderBy("new_doc", "old_doc").localCheckpoint(true)
       val hp = new org.apache.hadoop.fs.Path(root.toString)

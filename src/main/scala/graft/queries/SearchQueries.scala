@@ -1667,6 +1667,21 @@ object SearchQueries extends QueryModule {
     val n = textIndexShardCount(spark, root)
     val del = ids.select(col("doc_id")).withColumn("_sh", shardOf(n))
       .localCheckpoint(true)
+    // refuse UP FRONT if ANY routed shard would end up empty — checking
+    // inside the loop would apply earlier shards' forgets before the
+    // refusal fired, leaving a partially-forgotten federation
+    (0 until n).foreach { i =>
+      val slice = del.filter(col("_sh") === i).drop("_sh")
+      if (!slice.isEmpty) {
+        val remaining = spark.read
+          .parquet(s"${shardPath(root, i)}/docstats")
+          .join(slice, Seq("doc_id"), "left_anti").count()
+        require(remaining > 0,
+          s"textIndexForgetSharded: forgetting these ids would EMPTY " +
+            s"shard $i of $n — an empty shard store is refused at save " +
+            "and unloadable; rebuild with fewer shards instead")
+      }
+    }
     (0 until n).foreach { i =>
       val slice = del.filter(col("_sh") === i).drop("_sh")
       if (!slice.isEmpty) textIndexForget(slice, shardPath(root, i))

@@ -99,14 +99,18 @@ class ShardedIndexPropertySpec extends SparkSuite {
             textIndexDeleteSharded(ids.toDF("doc_id"), root)
             m = m.copy(tombs = m.tombs ++ ids)
           case Forget(ids) =>
-            // per-shard refusal guard: skip (store untouched) if any shard
-            // with a routed slice would end up empty
             val wouldEmpty = (0L until N).exists { sh =>
               val slice = ids.filter(i => shardOfId(i) == sh)
               slice.nonEmpty &&
                 (m.indexed.filter(i => shardOfId(i) == sh) -- slice).isEmpty
             }
-            if (!wouldEmpty) {
+            if (wouldEmpty) {
+              // the verb must refuse UP FRONT — no shard forgotten, the
+              // federation (and therefore the model) untouched
+              intercept[IllegalArgumentException] {
+                textIndexForgetSharded(ids.toDF("doc_id"), root)
+              }
+            } else {
               textIndexForgetSharded(ids.toDF("doc_id"), root)
               m = Model(m.indexed -- ids, m.tombs -- ids)
             }

@@ -40,9 +40,12 @@ class StoreDoctorSpec extends SparkSuite {
     SimilarityQueries.binSaveIndex(SimilarityQueries.binCodes(emb),
       s"$root/bin_idx")
 
-    // signature index (bare parquet relation)
+    // signature index and winnow index (bare parquet relations,
+    // disambiguated by schema)
     graft.queries.DedupQueries.buildSignatureIndex(mkDocs(1 to 10),
       s"$root/sig_idx")
+    graft.queries.DedupQueries.buildWinnowIndex(mkDocs(1 to 10),
+      s"$root/win_idx")
 
     // sharded text root and sharded vector root (both carry router/)
     SearchQueries.textIndexSaveSharded(p, d, s"$root/text_sharded", 2)
@@ -64,10 +67,11 @@ class StoreDoctorSpec extends SparkSuite {
     assert(famBad == "text" && !okBad, rows("text_bad").toString)
     assert(detailBad.contains("stamp") || detailBad.contains("meta"),
       s"loader message expected, got: $detailBad")
+    assert(rows("win_idx") == (("winnow", true, "ok")))
     assert(rows("text_sharded") == (("text-sharded", true, "ok")))
     assert(rows("vec_sharded") == (("vector-sharded:sq8", true, "ok")))
     val (famMisc, okMisc, _) = rows("misc")
     assert(famMisc == "unknown" && !okMisc)
-    assert(rows.size == 8)
+    assert(rows.size == 9)
   }
 }

@@ -64,5 +64,10 @@ class WinnowIndexSpec extends SparkSuite {
     val again = probeWinnowIndex(spark, inc, path, minShared = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == Seq((10L, 3L, 1L)), again.toSeq.toString)
+    // whole-corpus forget refuses (the family rule), store untouched
+    intercept[IllegalArgumentException] {
+      forgetWinnowIndex(spark, Seq(2L, 3L).toDF("doc_id"), path)
+    }
+    assert(probeWinnowIndex(spark, inc, path, minShared = 1).count() == 1)
   }
 }
