@@ -64,14 +64,20 @@ object Bench {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val perRun: Seq[Seq[(String, Double, Boolean)]] = (1 to runs).map { _ =>
+    // each sample registers its query with BenchPhases so the in-query
+    // store harnesses can attribute their build/save lifecycle spans —
+    // the artifact then separates amortizable store cost (build_s) from
+    // the per-query cost a user pays (query_s = total - build)
+    val perRun: Seq[Seq[(String, Double, Boolean, Double)]] = (1 to runs).map { _ =>
       named.map { case (name, fn) =>
         val t0 = System.nanoTime()
+        BenchPhases.setCurrent(name)
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable =>
             if (!failures.contains(name)) failures += name; false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        BenchPhases.clearCurrent()
+        (name, (System.nanoTime() - t0) / 1e9, ok, BenchPhases.drain(name))
       }
     }
     def median(xs: Seq[Double]): Double = {
@@ -89,6 +95,17 @@ object Bench {
     val results = samplesByName.map { case (name, samples) =>
       val good = samples.filter(_._3).map(_._2)
       name -> median(if (good.nonEmpty) good else samples.map(_._2))
+    }
+    // build_s / query_s: medians over successful samples of the
+    // harness-attributed store-construction time and the remainder —
+    // only queries that recorded a build phase appear (for the rest,
+    // query_s IS the headline number)
+    val phaseSplit = samplesByName.flatMap { case (name, samples) =>
+      val good = samples.filter(_._3)
+      val use = if (good.nonEmpty) good else samples
+      if (use.forall(_._4 == 0.0)) None
+      else Some(name -> (median(use.map(_._4)),
+        median(use.map(s => s._2 - s._4))))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -109,8 +126,11 @@ object Bench {
     // baseline.
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val buildJson = phaseSplit.map { case (k, (b, q)) =>
+      "\"" + k + "\":{\"build_s\":" + b + ",\"query_s\":" + q + "}"
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"phases":$buildJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(compact)
     println(full)
     println(compact)

@@ -64,6 +64,37 @@ object Logging {
       target: String): String =
     s"Executing:\n\n$sql\n\nwith parameters:\n\n$parameters\n\nagainst:\n\n$target"
 
+  /** Render bound parameters the way the reference's Python logger does
+    * (the parameters land in the message via `%s` of a tuple): "()" when
+    * empty — the only case the reference test pins byte-for-byte
+    * (test_etl_logging.py:93-104) — a trailing comma for one element
+    * ("(1,)"), strings/chars repr'd with single quotes and
+    * backslash/quote escapes, None/True/False for null/booleans.
+    * Types Python would repr differently from their JVM toString
+    * (e.g. byte arrays, nested collections, java.sql temporal classes)
+    * fall back to toString — parity beyond the reference-pinned surface
+    * is best-effort by design; the reference suite never observes them.
+    */
+  def pyTupleRepr(params: Seq[Any]): String = {
+    def one(p: Any): String = p match {
+      case null => "None"
+      case b: Boolean => if (b) "True" else "False"
+      case s: String =>
+        // Python's quote choice: single quotes, switching to double when
+        // the string contains a single quote but no double quote
+        if (s.contains("'") && !s.contains("\""))
+          "\"" + s.replace("\\", "\\\\") + "\""
+        else "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      case c: Char => one(c.toString)
+      case other => String.valueOf(other)
+    }
+    params match {
+      case Seq() => "()"
+      case Seq(p) => s"(${one(p)},)"
+      case ps => ps.map(one).mkString("(", ", ", ")")
+    }
+  }
+
   /** 'First row: ...' at DEBUG (test_etl_logging.py:49-51). Logged at the
     * driver-side materialization points (fetchAll/fetchOne) only — peeking
     * a row at PLAN-build time would trigger an eager Spark job.

@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are aggregate scans of the small relations, never the corpus).
   *
   * Family signatures (the write-side layouts of the 10+ persisted
-  * families): `router/` = sharded text root; `_versions/` = versioned
+  * families): `router/` = sharded root (text, winnow-fingerprint, or
+  * vector — the router's columns disambiguate); `_versions/` = versioned
   * store; `family/` = vector-index facade (marker names the inner
   * family); `postings/`+`docstats/` = text index; `codebooks/` = PQ;
   * `cells/` = IVF; `lists/` = kNN graph; `buckets/` = LSH; `centroids/`
@@ -34,7 +35,19 @@ object StoreDoctor {
       val subs = fs.listStatus(p).filter(_.isDirectory)
         .map(_.getPath.getName).toSet
       val (family, err) = identify(spark, p.toString, subs)
-      (p.getName, family, err.isEmpty, err.getOrElse("ok"))
+      // a healthy versioned store still has an ops story worth one scan
+      // line: how many revisions it retains (vacuum pressure) and how
+      // many unreferenced crashed-attempt dirs await reclaim — debris is
+      // invisible to readers, so NOTHING else ever surfaces it
+      val detail = err.getOrElse(
+        if (family == "versioned")
+          attemptE {
+            val revs = VersionedStore.listVersions(spark, p.toString).size
+            val deb = VersionedStore.debris(spark, p.toString).size
+            s"ok (revisions=$revs, debris_dirs=$deb)"
+          }.fold(identity, identity)
+        else "ok")
+      (p.getName, family, err.isEmpty, detail)
     }.toDF("store", "family", "healthy", "detail").orderBy("store")
   }
 
@@ -58,10 +71,20 @@ object StoreDoctor {
       subs: Set[String]): (String, Option[String]) = {
     import graft.queries.{SearchQueries, SimilarityQueries, QuantQueries}
     if (subs("router")) {
-      // both sharded roots carry router/: the text router has a `tag`
-      // column, the vector router a `family` column
+      // all three sharded roots carry router/: the text router has a
+      // `tag` column, the winnow router carries its fingerprint knobs
+      // (k, w), the vector router a `family` column
       attemptE(spark.read.parquet(s"$path/router").columns) match {
         case Left(err) => ("sharded", Some(err))
+        case Right(cols) if cols.contains("k") && cols.contains("w") =>
+          ("winnow-sharded", attempt {
+            val (n, _, _) = graft.queries.DedupQueries.winnowShardInfo(spark, path)
+            (0 until n).foreach { i =>
+              val c = spark.read.parquet(s"$path/shard-$i").columns.toSet
+              require(c == Set("doc_id", "fp_pos", "fp_hash"),
+                s"shard $i has unexpected columns [${c.toSeq.sorted.mkString(",")}]")
+            }
+          })
         case Right(cols) if cols.contains("tag") =>
           ("text-sharded", attempt {
             val n = SearchQueries.textIndexShardCount(spark, path)

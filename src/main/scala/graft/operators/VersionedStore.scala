@@ -61,13 +61,31 @@ import org.apache.spark.sql.functions.{col, lit}
   */
 object VersionedStore {
 
-  /** One manifest line. `stats` is an optional (column, min, max) long
-    * zone map for the directory — the Iceberg-style file-level pruning
-    * record: a range read skips every dir whose [min, max] cannot
-    * intersect the predicate, WITHOUT listing or opening it.
+  /** One column's zone map on one directory: [lo, hi] of `col` over the
+    * dir's rows, with `typ` naming the comparison domain — "long"
+    * (integral columns, numeric compare) or "string" (strings AND dates:
+    * dates are recorded as ISO `yyyy-MM-dd` strings, which compare
+    * lexicographically exactly as they compare temporally). Values are
+    * stored in the manifest percent-encoded so a tab or newline inside a
+    * string bound can never tear the line format.
+    */
+  final case class ColStat(col: String, typ: String, lo: String, hi: String) {
+    /** Can [lo, hi] intersect the query window [qlo, qhi] (same domain)? */
+    def intersects(qlo: String, qhi: String): Boolean = typ match {
+      case "long" => hi.toLong >= qlo.toLong && lo.toLong <= qhi.toLong
+      case _      => hi >= qlo && lo <= qhi
+    }
+  }
+
+  /** One manifest line. `stats` carries the directory's zone maps — the
+    * Iceberg-style per-column min/max pruning record (Iceberg keeps
+    * lower/upper bounds per column for all comparable types; same idea
+    * here for long-like, string, and date columns): a pruned read skips
+    * every dir where ANY queried column's [min, max] cannot intersect
+    * its window, WITHOUT listing or opening the dir.
     */
   final case class Entry(kind: String, rel: String, dir: String,
-      stats: Option[(String, Long, Long)] = None)
+      stats: Seq[ColStat] = Nil)
 
   private val Header = "graft-versioned-manifest v1"
   private val Footer = "#commit"
@@ -107,13 +125,27 @@ object VersionedStore {
     if (lines.headOption.contains(Header) && lines.lastOption.contains(Footer))
       Some(lines.drop(1).dropRight(1).map { l =>
         val p = l.split("\t", -1)
-        require(p.length == 3 || p.length == 6,
+        // 3 fields = no stats; 6 = the v1 single-long-column form
+        // (col, lo, hi — still readable so pre-upgrade manifests keep
+        // pruning); 3 + 4k = the multi-column form, 4 fields per stat
+        // (col, typ, lo, hi; values percent-encoded)
+        require(p.length == 3 || p.length == 6 ||
+            (p.length > 3 && (p.length - 3) % 4 == 0),
           s"VersionedStore: corrupt manifest line '$l' in $mp")
         if (p.length == 3) Entry(p(0), p(1), p(2))
-        else Entry(p(0), p(1), p(2), Some((p(3), p(4).toLong, p(5).toLong)))
+        else if (p.length == 6)
+          Entry(p(0), p(1), p(2), Seq(ColStat(p(3), "long", p(4), p(5))))
+        else Entry(p(0), p(1), p(2),
+          p.drop(3).grouped(4).map(g =>
+            ColStat(dec(g(0)), g(1), dec(g(2)), dec(g(3)))).toSeq)
       })
     else None // torn write: never committed
   }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
   /** All validly committed revision numbers, ascending. */
   def listVersions(spark: SparkSession, path: String): Seq[Long] = {
@@ -158,19 +190,51 @@ object VersionedStore {
     * only a crashed attempt at the SAME revision can have left the dir.
     */
   private[graft] def writeDataDir(df: DataFrame, path: String, rev: Long,
-      kind: String, rel: String, statsCol: Option[String] = None): Entry = {
+      kind: String, rel: String, statsCols: Seq[String] = Nil): Entry = {
     val dir = dataDirName(rev, kind, rel)
     val full = new Path(path, dir).toString
     df.write.mode("overwrite").parquet(full)
-    // zone map computed over the WRITTEN files (two longs per dir —
-    // exact post-write, increment-sized scan); an empty dir gets no
-    // stats and is simply never skipped
-    val stats = statsCol.flatMap { c =>
-      import org.apache.spark.sql.functions.{min => fmin, max => fmax, col}
-      val r = df.sparkSession.read.parquet(full)
-        .agg(fmin(col(c).cast("long")), fmax(col(c).cast("long"))).head()
-      if (r.isNullAt(0)) None else Some((c, r.getLong(0), r.getLong(1)))
-    }
+    // zone maps computed over the WRITTEN files in ONE aggregate job
+    // (two values per mapped column — exact post-write, increment-sized
+    // scan); an empty dir, an all-null column, and a column of an
+    // uncomparable type get no stats and are simply never skipped.
+    // Requested columns absent from this relation are skipped too — one
+    // statsCols list serves a multi-relation commit where only some
+    // relations carry the column.
+    val stats =
+      if (statsCols.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.{min => fmin, max => fmax, col}
+        import org.apache.spark.sql.types._
+        val written = df.sparkSession.read.parquet(full)
+        val fields = written.schema.fields.map(f => f.name -> f.dataType).toMap
+        // min/max run in each column's NATIVE domain (a long min over
+        // stringified values would order "10" before "9"); the bounds
+        // are rendered to strings only for the manifest record
+        val typed = statsCols.distinct.flatMap { c =>
+          fields.get(c).flatMap {
+            case ByteType | ShortType | IntegerType | LongType =>
+              Some((c, "long", col(c).cast("long")))
+            case StringType => Some((c, "string", col(c)))
+            // ISO yyyy-MM-dd: lexicographic order == temporal order
+            case DateType => Some((c, "string", col(c).cast("string")))
+            case _ => None // float/binary/nested: no sound total order here
+          }
+        }
+        if (typed.isEmpty) Nil
+        else {
+          val aggs = typed.flatMap { case (c, _, e) =>
+            Seq(fmin(e).as(s"lo_$c"), fmax(e).as(s"hi_$c"))
+          }
+          val r = written.agg(aggs.head, aggs.tail: _*).head()
+          def render(i: Int, t: String): String =
+            if (t == "long") r.getLong(i).toString else r.getString(i)
+          typed.zipWithIndex.flatMap { case ((c, t, _), i) =>
+            if (r.isNullAt(2 * i)) None
+            else Some(ColStat(c, t, render(2 * i, t), render(2 * i + 1, t)))
+          }
+        }
+      }
     Entry(kind, rel, dir, stats)
   }
 
@@ -191,10 +255,11 @@ object VersionedStore {
           "committed by another writer; re-read currentVersion and retry")
       fs.delete(mp, false) // torn debris of a crashed attempt at this rev
     }
-    val body = (Header +: entries.map(e => e.stats match {
-      case Some((c, lo, hi)) => s"${e.kind}\t${e.rel}\t${e.dir}\t$c\t$lo\t$hi"
-      case None => s"${e.kind}\t${e.rel}\t${e.dir}"
-    }) :+ Footer).mkString("\n") + "\n"
+    val body = (Header +: entries.map { e =>
+      val statFields = e.stats.flatMap(s =>
+        Seq(enc(s.col), s.typ, enc(s.lo), enc(s.hi)))
+      (Seq(e.kind, e.rel, e.dir) ++ statFields).mkString("\t")
+    } :+ Footer).mkString("\n") + "\n"
     val out = fs.create(mp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
@@ -227,13 +292,13 @@ object VersionedStore {
     */
   def save(snapshot: Map[String, DataFrame], path: String,
       marker: Option[Long] = None,
-      statsCol: Option[String] = None): Long = {
+      statsCols: Seq[String] = Nil): Long = {
     require(snapshot.nonEmpty, "VersionedStore.save: empty snapshot")
     snapshot.keys.foreach(checkRel)
     val spark = snapshot.head._2.sparkSession
     val rev = currentVersion(spark, path).getOrElse(0L) + 1L
     val entries = snapshot.toSeq.sortBy(_._1).map { case (rel, df) =>
-      writeDataDir(df, path, rev, "data", rel, statsCol)
+      writeDataDir(df, path, rev, "data", rel, statsCols)
     }
     commitManifest(spark, path, rev, withMarker(entries, marker))
     rev
@@ -246,14 +311,14 @@ object VersionedStore {
     */
   def append(delta: Map[String, DataFrame], path: String,
       marker: Option[Long] = None,
-      statsCol: Option[String] = None): Long = {
+      statsCols: Seq[String] = Nil): Long = {
     require(delta.nonEmpty, "VersionedStore.append: empty delta")
     delta.keys.foreach(checkRel)
     val spark = delta.head._2.sparkSession
     val (cur, prev) = manifestAt(spark, path, None)
     val rev = cur + 1L
     val added = delta.toSeq.sortBy(_._1).map { case (rel, df) =>
-      writeDataDir(df, path, rev, "data", rel, statsCol)
+      writeDataDir(df, path, rev, "data", rel, statsCols)
     }
     commitManifest(spark, path, rev, withMarker(prev ++ added, marker))
     rev
@@ -288,7 +353,7 @@ object VersionedStore {
   def commitDelta(appends: Map[String, DataFrame],
       deletes: Map[String, DataFrame], path: String,
       marker: Option[Long] = None,
-      statsCol: Option[String] = None): Long = {
+      statsCols: Seq[String] = Nil): Long = {
     require(appends.nonEmpty || deletes.nonEmpty,
       "VersionedStore.commitDelta: empty commit")
     (appends.keys ++ deletes.keys).foreach(checkRel)
@@ -300,7 +365,7 @@ object VersionedStore {
     val rev = cur + 1L
     val added =
       appends.toSeq.sortBy(_._1).map { case (rel, df) =>
-        writeDataDir(df, path, rev, "data", rel, statsCol)
+        writeDataDir(df, path, rev, "data", rel, statsCols)
       } ++ deletes.toSeq.sortBy(_._1).map { case (rel, df) =>
         writeDataDir(df, path, rev, "del", rel)
       }
@@ -319,14 +384,14 @@ object VersionedStore {
     * does), so sticky-tombstone semantics reset for `rel` only.
     */
   def replaceRelation(df: DataFrame, rel: String, path: String,
-      statsCol: Option[String] = None): Long = {
+      statsCols: Seq[String] = Nil): Long = {
     checkRel(rel)
     val spark = df.sparkSession
     val (cur, prev) = manifestAt(spark, path, None)
     require(prev.exists(e => e.kind == "data" && e.rel == rel),
       s"VersionedStore.replaceRelation: no relation '$rel' at $path")
     val rev = cur + 1L
-    val added = writeDataDir(df, path, rev, "data", rel, statsCol)
+    val added = writeDataDir(df, path, rev, "data", rel, statsCols)
     val kept = prev.filterNot(e =>
       (e.kind == "data" || e.kind == "del") && e.rel == rel)
     commitManifest(spark, path, rev, kept :+ added)
@@ -369,17 +434,58 @@ object VersionedStore {
     */
   def readRange(spark: SparkSession, path: String, rel: String,
       keyCol: String, lo: Long, hi: Long,
+      asOf: Option[Long] = None): DataFrame =
+    readPruned(spark, path, rel, Map(keyCol -> (lo, hi)), asOf)
+
+  /** The multi-column form of [[readRange]]: `bounds` maps column names
+    * to inclusive [lo, hi] windows — Long (or Int) bounds for "long"
+    * zone maps, String bounds for "string"/date maps — and a dir is
+    * skipped when ANY bounded column's recorded [min, max] cannot
+    * intersect its window (the windows conjoin, so one disjoint column
+    * disqualifies the whole dir). Real lake queries prune on several
+    * columns at once — a time window AND a source — and on strings as
+    * often as on numbers; single-column pruning forfeits most of the
+    * skipping. Dirs without stats on a bounded column are kept
+    * (conservative), every precise predicate is applied after the scan,
+    * and tombstones always apply — pruning can only skip IO, never
+    * change the result. A Long bound against a "string" map (or vice
+    * versa) refuses loudly rather than comparing across domains.
+    */
+  def readPruned(spark: SparkSession, path: String, rel: String,
+      bounds: Map[String, (Any, Any)],
       asOf: Option[Long] = None): DataFrame = {
     checkRel(rel)
+    require(bounds.nonEmpty, "VersionedStore.readPruned: empty bounds")
     val (_, entries) = manifestAt(spark, path, asOf)
     val all = entries.filter(e => e.kind == "data" && e.rel == rel)
     require(all.nonEmpty,
-      s"VersionedStore.readRange: no relation '$rel' at $path")
-    val kept = all.filter(_.stats match {
-      case Some((c, mn, mx)) if c == keyCol => mx >= lo && mn <= hi
-      case _ => true // no zone map on this column: cannot skip
-    })
-    val pred = col(keyCol).cast("long").between(lo, hi)
+      s"VersionedStore.readPruned: no relation '$rel' at $path")
+    def domain(v: Any): String = v match {
+      case _: Long | _: Int | _: Short | _: Byte => "long"
+      case _: String => "string"
+      case other => throw new IllegalArgumentException(
+        s"VersionedStore.readPruned: unsupported bound type " +
+          s"${other.getClass.getSimpleName} — use Long for long-mapped " +
+          "columns, String for string/date-mapped ones")
+    }
+    val kept = all.filter { e =>
+      bounds.forall { case (c, (qlo, qhi)) =>
+        e.stats.find(_.col == c) match {
+          case Some(st) =>
+            require(st.typ == domain(qlo) && st.typ == domain(qhi),
+              s"VersionedStore.readPruned: bound for '$c' is a " +
+                s"${domain(qlo)} but the zone map is ${st.typ} — " +
+                "cross-domain comparisons would prune wrongly")
+            st.intersects(qlo.toString, qhi.toString)
+          case None => true // no zone map on this column: cannot skip
+        }
+      }
+    }
+    val pred = bounds.map { case (c, (qlo, qhi)) =>
+      if (domain(qlo) == "long")
+        col(c).cast("long").between(qlo.toString.toLong, qhi.toString.toLong)
+      else col(c).cast("string").between(qlo.toString, qhi.toString)
+    }.reduce(_ && _)
     if (kept.isEmpty)
       // every dir skipped: an empty relation with the right schema
       return spark.read.parquet(new Path(path, all.head.dir).toString)
@@ -460,22 +566,45 @@ object VersionedStore {
     * Content-identical to the pre-compact current revision; tombstoned
     * rows are physically reclaimed (so a later time-travel read of the
     * PRE-compact revision still sees them via the old dirs, until
-    * vacuum). Zone maps are recomputed for the folded dirs on each
-    * relation's previously-mapped column.
+    * vacuum). Zone maps are recomputed for the folded dirs on the union
+    * of columns each relation's dirs previously mapped.
     */
   def compact(spark: SparkSession, path: String): Long = {
     val (cur, prev) = manifestAt(spark, path, None)
     val rev = cur + 1L
     val entries = relations(spark, path).map { rel =>
-      val sc = prev.collectFirst {
-        case Entry("data", `rel`, _, Some((c, _, _))) => c
-      }
+      // re-map the union of columns any of the folded dirs carried
+      val sc = prev.filter(e => e.kind == "data" && e.rel == rel)
+        .flatMap(_.stats.map(_.col)).distinct
       writeDataDir(read(spark, path, rel), path, rev, "data", rel, sc)
     }
     // meta entries (the streaming batch marker) survive compaction —
     // dropping them would let a replayed micro-batch double-apply
     commitManifest(spark, path, rev, entries ++ prev.filter(_.kind == "meta"))
     rev
+  }
+
+  /** Ops report, no mutation: the data dirs at or below the current
+    * revision that NO committed revision references — crashed attempts'
+    * residue (dirs written, manifest never landed) that only [[vacuum]]
+    * reclaims. Dirs referenced solely by OLD revisions are not debris:
+    * they are live time-travel data until vacuumed. Dirs numbered above
+    * current are excluded (possibly an in-flight writer's), exactly as
+    * vacuum excludes them.
+    */
+  def debris(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val versions = listVersions(spark, path)
+    if (versions.isEmpty) return Seq.empty
+    val cur = versions.last
+    val referenced = versions.flatMap(r =>
+      readManifestFile(fs, manifestPath(path, r)).get.map(_.dir)).toSet
+    fs.listStatus(new Path(path)).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("d") && p.getName.contains("__"))
+      .filter { p =>
+        val rev = p.getName.drop(1).takeWhile(_.isDigit).toLongOption
+        rev.exists(_ <= cur) && !referenced.contains(p.getName)
+      }.map(_.getName).sorted
   }
 
   /** Reclaim: retain the newest `keep` committed revisions; delete

@@ -1030,7 +1030,7 @@ object DedupQueries extends QueryModule {
       val old = docs.filter(col("source") =!= "src19")
       val root = java.nio.file.Files.createTempDirectory("graft-sigx")
       val path = root.toString + "/sig"
-      buildSignatureIndex(old, path)
+      graft.BenchPhases.build { buildSignatureIndex(old, path) }
       val res = probeSignatureIndexPruned(s, inc, path)
         .orderBy("new_id").localCheckpoint(true)
       val hp = new org.apache.hadoop.fs.Path(root.toString)
@@ -2234,17 +2234,63 @@ object DedupQueries extends QueryModule {
   def probeWinnowIndex(spark: org.apache.spark.sql.SparkSession,
       increment: org.apache.spark.sql.DataFrame, path: String,
       k: Int = 4, w: Int = 5, dfCap: Int = 300,
-      minShared: Int = 2): org.apache.spark.sql.DataFrame = {
-    val fpT = spark.read.parquet(path)
+      minShared: Int = 2, prune: Boolean = true): org.apache.spark.sql.DataFrame = {
+    // increment-sized; feeds the bloom build (count + aggregate) and the
+    // pair join — materialize once
+    val fpE = winnowFingerprints(increment, k, w)
+      .select(col("doc_id").as("new_doc"), col("fp_hash")).distinct()
+      .localCheckpoint(true)
+    val raw = spark.read.parquet(path)
+    // The q178 bloom discipline, map-side BEFORE anything shuffles: a
+    // broadcast bitset of the increment's fp_hashes (a few MB at 1% fpp
+    // even for millions of increment fingerprints) filters the stored
+    // relation inside whole-stage codegen, so every downstream shuffle —
+    // the replay-healing distinct, the df-cap aggregation, AND the pair
+    // join — is increment-bounded instead of index-sized. Without it the
+    // daily probe shuffled the whole stored fingerprint relation (~1/w of
+    // gram volume; TBs at 100 TB of corpus).
+    //
+    // EXACTNESS of the post-prune df-cap is the subtle half of the
+    // argument: the bloom predicate is a DETERMINISTIC function of
+    // fp_hash alone, so an entire hash group either survives intact or
+    // dies intact — never partially. For every hash the increment
+    // carries (the only ones that can join) the bloom has no false
+    // negatives, so its group survives WHOLE and its post-prune df
+    // equals its true df: the cap decision is bit-identical to the
+    // unpruned computation. A false-positive hash's group also survives
+    // whole (its cap decision is likewise exact) and then dies in the
+    // equality join for lack of an increment-side row. Spec-pinned
+    // row-identical to prune = false.
+    winnowSharedRows(raw, fpE, dfCap, prune)
+      .groupBy("new_doc", "old_doc").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The probe's per-store body up to (but not including) the pair
+    * aggregation: bloom-prune `stored` with the increment's hashes,
+    * heal replay duplicates, apply the df-cap, join. Shared by the
+    * monolithic probe (one store, then aggregate) and the sharded
+    * federation (union the per-shard rows, THEN one global aggregate —
+    * a pair's shared hashes scatter across shards, so per-shard
+    * n_shared counts would undercount; the rows are increment-bounded
+    * either way, so the global aggregate is cheap).
+    */
+  private def winnowSharedRows(stored0: org.apache.spark.sql.DataFrame,
+      fpE: org.apache.spark.sql.DataFrame, dfCap: Int,
+      prune: Boolean): org.apache.spark.sql.DataFrame = {
+    val stored = if (prune) {
+      val hashes = fpE.select(xxhash64(col("fp_hash")).as("h")).distinct()
+      val bloom = graft.functions.BloomFunctions.buildLongBloom(
+        hashes, col("h"), hashes.count(), 0.01)
+      stored0.filter(graft.functions.BloomFunctions.mightContainLong(
+        bloom, xxhash64(col("fp_hash"))))
+    } else stored0
+    val fpT = stored
       .select(col("doc_id").as("old_doc"), col("fp_hash")).distinct()
     val hot = fpT.groupBy("fp_hash").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("fp_hash")
-    val fpE = winnowFingerprints(increment, k, w)
-      .select(col("doc_id").as("new_doc"), col("fp_hash")).distinct()
     fpT.join(broadcast(hot), Seq("fp_hash"), "left_anti")
       .join(fpE, "fp_hash")
-      .groupBy("new_doc", "old_doc").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
   }
 
   /** Append an admitted increment's fingerprints — new files only, no
@@ -2279,6 +2325,198 @@ object DedupQueries extends QueryModule {
       path)
   }
 
+  /** COMPACT the fingerprint index — layout maintenance from the store
+    * alone (no corpus re-fingerprinting): each [[appendWinnowIndex]]
+    * leaves one unclustered file group (and a replayed append leaves
+    * exact row duplicates), so after a run of daily ingests the index is
+    * small-file litter that every probe re-deduplicates. The compact
+    * folds it back to the fresh-build shape: duplicates collapsed ONCE
+    * (`distinct()` is provably lossless — the relation is a set of
+    * (doc_id, fp_pos, fp_hash) and every verb writes set members), rows
+    * re-clustered on fp_hash + sorted within partitions so the parquet
+    * row-group min/max statistics carry the hash ranges probes and
+    * forgets key on. Content-identical (set equality) to the pre-compact
+    * index; crash discipline is [[graft.operators.StoreRewrite]]'s — the
+    * old layout survives until the new one is fully written, and a crash
+    * inside the rename window is finished by the recover the next verb
+    * runs.
+    */
+  def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    graft.operators.StoreRewrite.recover(spark, path)
+    graft.operators.StoreRewrite.atomicOverwrite(
+      spark.read.parquet(path).distinct()
+        .repartition(col("fp_hash"))
+        .sortWithinPartitions("fp_hash", "doc_id", "fp_pos"),
+      path)
+  }
+
+  // ------------------------------------------------------------------
+  // Sharded (federated) winnow-fingerprint index — the 100 TB shape of
+  // the family, by the text/vector sharding discipline (q174/q176): a
+  // monolithic fingerprint store makes every forget/compact one
+  // index-sized rewrite and the build one full-corpus job. Routing is
+  // by FP_HASH (not doc_id): the df-cap groupBy is then shard-local
+  // AND exact — a hash's every row lives in one shard, so shard-local
+  // df equals global df — and a probe touches only the shards its
+  // increment's hashes route to. The price: a doc's fingerprints
+  // scatter, so forget-by-doc visits every shard (forget is the rare
+  // verb; each visit is a 1/n-sized rewrite). Pair aggregation runs
+  // AFTER the shard union — a pair's shared hashes scatter too.
+  // ------------------------------------------------------------------
+
+  private def winnowShardPath(root: String, i: Int) = s"$root/shard-$i"
+  private def winnowRouterPath(root: String) = s"$root/router"
+
+  private def winnowShardOf(n: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("fp_hash")), lit(n.toLong))
+
+  /** Read the sharded index's router — (n_shards, k, w), written LAST
+    * by [[buildWinnowIndexSharded]] as the commit marker. Carrying the
+    * fingerprinting knobs in the router (the bare monolithic index
+    * cannot) means every probe/append fingerprints its increment with
+    * the STORE's k/w — a caller can never silently mix selections.
+    */
+  def winnowShardInfo(spark: org.apache.spark.sql.SparkSession,
+      root: String): (Int, Int, Int) = {
+    val rp = new org.apache.hadoop.fs.Path(winnowRouterPath(root))
+    require(rp.getFileSystem(spark.sessionState.newHadoopConf()).exists(rp),
+      s"winnowShardInfo: no router at $root — not a sharded winnow index, " +
+        "or an interrupted buildWinnowIndexSharded (the router is written " +
+        "last); re-run the sharded build")
+    val r = spark.read.parquet(winnowRouterPath(root)).collect()
+    require(r.length == 1,
+      s"winnowShardInfo: router at $root has ${r.length} rows — corrupt store")
+    (r(0).getAs[Int]("n_shards"), r(0).getAs[Int]("k"), r(0).getAs[Int]("w"))
+  }
+
+  /** Build the fingerprint index as `nShards` independent stores under
+    * `root` plus a router committed LAST. The corpus is fingerprinted
+    * ONCE (checkpointed; each shard's write reads its hash slice) —
+    * sharding is a storage layout, never extra fingerprinting work. A
+    * rebuild over an existing sharded store un-commits it first (router
+    * removed before any shard is touched), so a crash mid-build leaves
+    * a router-less root every verb refuses loudly, never a silent mix
+    * of old and new shards. Refuses a shard that would be empty — use
+    * fewer shards for a tiny corpus.
+    */
+  def buildWinnowIndexSharded(documents: org.apache.spark.sql.DataFrame,
+      root: String, nShards: Int, k: Int = 4, w: Int = 5): Unit = {
+    require(nShards >= 1,
+      s"buildWinnowIndexSharded: nShards must be >= 1, got $nShards")
+    val spark = documents.sparkSession
+    val rp = new org.apache.hadoop.fs.Path(winnowRouterPath(root))
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(rp)) fs.delete(rp, true) // un-commit before rebuild
+    val fp = winnowFingerprints(documents, k, w)
+      .withColumn("_sh", winnowShardOf(nShards)).localCheckpoint(true)
+    val present = fp.select("_sh").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val empty = (0L until nShards.toLong).filterNot(present)
+    require(empty.isEmpty,
+      s"buildWinnowIndexSharded: shard(s) ${empty.mkString(",")} of " +
+        s"$nShards would be EMPTY for this corpus — use fewer shards")
+    (0 until nShards).foreach { i =>
+      fp.filter(col("_sh") === i).drop("_sh")
+        .repartition(col("fp_hash"))
+        .sortWithinPartitions("fp_hash", "doc_id", "fp_pos")
+        .write.mode("overwrite").parquet(winnowShardPath(root, i))
+    }
+    import spark.implicits._
+    graft.operators.StoreRewrite.atomicOverwrite(
+      Seq((nShards, k, w)).toDF("n_shards", "k", "w").coalesce(1),
+      winnowRouterPath(root))
+  }
+
+  /** Federated probe: the increment is fingerprinted ONCE with the
+    * router's k/w, its hashes routed, and each TOUCHED shard runs the
+    * bloom-pruned per-store body against its slice — shards with no
+    * routed hashes are never scanned (at 100 TB a small increment
+    * touches a fraction of the shards; the monolithic store cannot
+    * skip anything). Shard-local df-caps are exact (routing by hash),
+    * and the pair aggregation runs once over the unioned rows. Row-
+    * identical to the monolithic probe — spec-pinned.
+    */
+  def probeWinnowIndexSharded(spark: org.apache.spark.sql.SparkSession,
+      increment: org.apache.spark.sql.DataFrame, root: String,
+      dfCap: Int = 300, minShared: Int = 2): org.apache.spark.sql.DataFrame = {
+    val (n, k, w) = winnowShardInfo(spark, root)
+    val fpE = winnowFingerprints(increment, k, w)
+      .select(col("doc_id").as("new_doc"), col("fp_hash")).distinct()
+      .withColumn("_sh", winnowShardOf(n)).localCheckpoint(true)
+    val perShard = (0 until n).flatMap { i =>
+      val slice = fpE.filter(col("_sh") === i).drop("_sh")
+      if (slice.isEmpty) None
+      else Some(winnowSharedRows(
+        spark.read.parquet(winnowShardPath(root, i)), slice, dfCap,
+        prune = true))
+    }
+    if (perShard.isEmpty)
+      // no routed hashes at all (empty or all-fresh increment): an
+      // empty result with the probe's schema
+      return fpE.select(col("new_doc"), col("new_doc").as("old_doc"),
+        lit(0L).as("n_shared")).limit(0)
+    perShard.reduce(_ unionByName _)
+      .groupBy("new_doc", "old_doc").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Routed append: the increment's fingerprints land in their hash
+    * shards as new files — O(increment) work, untouched shards never
+    * written. Replay-safe exactly as the monolithic append (doubled
+    * rows collapse in the probe's post-prune distinct and fold away at
+    * the next compact).
+    */
+  def appendWinnowIndexSharded(increment: org.apache.spark.sql.DataFrame,
+      root: String): Unit = {
+    val spark = increment.sparkSession
+    val (n, k, w) = winnowShardInfo(spark, root)
+    val fp = winnowFingerprints(increment, k, w)
+      .withColumn("_sh", winnowShardOf(n)).localCheckpoint(true)
+    (0 until n).foreach { i =>
+      val slice = fp.filter(col("_sh") === i).drop("_sh")
+      if (!slice.isEmpty)
+        slice.write.mode("append").parquet(winnowShardPath(root, i))
+    }
+  }
+
+  /** FORGET documents across the shards. A doc's fingerprints scatter
+    * over EVERY shard (routing is by hash), so unlike the doc-routed
+    * text federation the forget visits all n stores — each visit a
+    * crash-durable 1/n-sized rewrite. Refuses UP FRONT if any shard
+    * would empty (checking inside the loop would leave a partially-
+    * forgotten federation behind the refusal).
+    */
+  def forgetWinnowIndexSharded(spark: org.apache.spark.sql.SparkSession,
+      del: org.apache.spark.sql.DataFrame, root: String): Unit = {
+    val (n, _, _) = winnowShardInfo(spark, root)
+    val ids = del.select("doc_id").localCheckpoint(true)
+    (0 until n).foreach { i =>
+      graft.operators.StoreRewrite.recover(spark, winnowShardPath(root, i))
+      val remaining = spark.read.parquet(winnowShardPath(root, i))
+        .join(ids, Seq("doc_id"), "left_anti").count()
+      require(remaining > 0,
+        s"forgetWinnowIndexSharded: forgetting these ids would EMPTY " +
+          s"shard $i of $n — rebuild with fewer shards instead")
+    }
+    (0 until n).foreach { i =>
+      graft.operators.StoreRewrite.atomicOverwrite(
+        spark.read.parquet(winnowShardPath(root, i))
+          .join(ids, Seq("doc_id"), "left_anti"),
+        winnowShardPath(root, i))
+    }
+  }
+
+  /** Compact every shard — n independent 1/n-sized layout jobs (the
+    * monolithic compact is one index-sized rewrite; a production
+    * scheduler staggers these across maintenance windows).
+    */
+  def compactWinnowIndexSharded(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    val (n, _, _) = winnowShardInfo(spark, root)
+    (0 until n).foreach(i => compactWinnowIndex(spark, winnowShardPath(root, i)))
+  }
+
   /** q187: the daily exact-substring probe off the persisted fingerprint
     * index — q82's incremental shape for verbatim-overlap detection
     * (q186's pairing served from a store instead of re-fingerprinting the
@@ -2294,7 +2532,7 @@ object DedupQueries extends QueryModule {
       val old = docs.filter(col("source") =!= "src19")
       val root = java.nio.file.Files.createTempDirectory("graft-winx")
       val path = root.toString + "/fp"
-      buildWinnowIndex(old, path)
+      graft.BenchPhases.build { buildWinnowIndex(old, path) }
       // minShared 1 keeps the probe guarantee-COMPLETE: every >= w+k-1
       // token verbatim overlap with a stored doc yields >= 1 shared
       // fingerprint (the winnowing guarantee), and the audit wants every
@@ -2306,7 +2544,47 @@ object DedupQueries extends QueryModule {
       hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
       res
     },
-    Some(s"""WITH toks AS (SELECT doc_id, source, $tokSql AS tk FROM documents),
+    Some(winnowProbeOracleSql))
+
+  /** q188: the SAME probe served from the SHARDED index — build the
+    * 3-shard federation in-query, probe it federated. Its oracle is
+    * q187's SQL VERBATIM: sharding is a storage layout, never a
+    * semantics change — the federated, bloom-pruned, shard-local-capped
+    * probe must reproduce the monolithic from-scratch recomputation
+    * row for row (ShardedWinnowSpec additionally pins it bit-equal to
+    * the monolithic STORE probe).
+    */
+  private val q188 = QueryDef(
+    "q188_winnow_sharded_probe",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val inc = docs.filter(col("source") === "src19")
+      val old = docs.filter(col("source") =!= "src19")
+      if (old.isEmpty || inc.isEmpty)
+        // the sharded build refuses an empty corpus (empty shards);
+        // with either side empty the probe is vacuously empty
+        inc.select(col("doc_id").as("new_doc"),
+          col("doc_id").as("old_doc"), lit(0L).as("n_shared")).limit(0)
+      else {
+        val root = java.nio.file.Files.createTempDirectory("graft-winshx")
+        val store = root.toString + "/winnow"
+        graft.BenchPhases.build { buildWinnowIndexSharded(old, store, nShards = 3) }
+        val res = probeWinnowIndexSharded(s, inc, store, minShared = 1)
+          .orderBy("new_doc", "old_doc").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(root.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(winnowProbeOracleSql))
+
+  /** Shared oracle of q187 and q188: the from-scratch winnow-probe
+    * semantics (both sides fingerprinted, stored-side df-cap, pair
+    * join at minShared = 1). The monolithic bloom-pruned store probe
+    * AND the sharded federation must reproduce it row-for-row.
+    */
+  private lazy val winnowProbeOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, source, $tokSql AS tk FROM documents),
                   grams AS (SELECT doc_id, source, len(tk) AS n_tok,
                                    CAST(i + 1 AS INT) AS pos,
                                    tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
@@ -2336,10 +2614,10 @@ object DedupQueries extends QueryModule {
              ANTI JOIN hot h ON o.fp_hash = h.fp_hash
              JOIN newfp n ON n.fp_hash = o.fp_hash
              GROUP BY n.new_doc, o.old_doc
-             ORDER BY new_doc, old_doc"""))
+             ORDER BY new_doc, old_doc"""
 
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
       q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184, q185,
-      q186, q187)
+      q186, q187, q188)
 }

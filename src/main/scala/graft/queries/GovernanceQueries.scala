@@ -386,14 +386,16 @@ object GovernanceQueries extends QueryModule {
       val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
       val root = java.nio.file.Files.createTempDirectory("graft-vts")
       val path = root.toString + "/store"
-      VersionedStore.save(Map("docs" -> docs.filter(col("doc_id") % 3 === 0)),
-        path)
-      VersionedStore.append(
-        Map("docs" -> docs.filter(col("doc_id") % 3 === 1)), path)
-      VersionedStore.delete(
-        VersionedStore.read(s, path, "docs")
-          .filter(col("doc_id") % 7 === 0).select("doc_id"), "docs", path)
-      VersionedStore.compact(s, path)
+      graft.BenchPhases.build {
+        VersionedStore.save(Map("docs" -> docs.filter(col("doc_id") % 3 === 0)),
+          path)
+        VersionedStore.append(
+          Map("docs" -> docs.filter(col("doc_id") % 3 === 1)), path)
+        VersionedStore.delete(
+          VersionedStore.read(s, path, "docs")
+            .filter(col("doc_id") % 7 === 0).select("doc_id"), "docs", path)
+        VersionedStore.compact(s, path)
+      }
       def snap(asOf: Option[Long], label: Int): DataFrame =
         VersionedStore.read(s, path, "docs", asOf).agg(
             count(lit(1)).as("n_docs"),
@@ -463,14 +465,16 @@ object GovernanceQueries extends QueryModule {
       val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
       val root = java.nio.file.Files.createTempDirectory("graft-vrs")
       val path = root.toString + "/store"
-      val sc = Some("doc_id")
-      VersionedStore.save(Map("docs" -> docs.filter(col("doc_id") < 200)),
-        path, statsCol = sc)
-      VersionedStore.append(Map("docs" ->
-        docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)),
-        path, statsCol = sc)
-      VersionedStore.append(Map("docs" -> docs.filter(col("doc_id") >= 400)),
-        path, statsCol = sc)
+      val sc = Seq("doc_id")
+      graft.BenchPhases.build {
+        VersionedStore.save(Map("docs" -> docs.filter(col("doc_id") < 200)),
+          path, statsCols = sc)
+        VersionedStore.append(Map("docs" ->
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)),
+          path, statsCols = sc)
+        VersionedStore.append(Map("docs" -> docs.filter(col("doc_id") >= 400)),
+          path, statsCols = sc)
+      }
       val res = VersionedStore.readRange(s, path, "docs", "doc_id", 250L, 350L)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -505,15 +509,17 @@ object GovernanceQueries extends QueryModule {
       val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
       val root = java.nio.file.Files.createTempDirectory("graft-vcdc")
       val path = root.toString + "/store"
-      VersionedStore.save(Map("docs" -> docs.filter(col("doc_id") % 3 === 0)),
-        path)
-      VersionedStore.append(
-        Map("docs" -> docs.filter(col("doc_id") % 3 === 1)), path)
-      VersionedStore.delete(
-        VersionedStore.read(s, path, "docs")
-          .filter(col("doc_id") % 7 === 0).select("doc_id"), "docs", path)
-      VersionedStore.append(
-        Map("docs" -> docs.filter(col("doc_id") % 3 === 2)), path)
+      graft.BenchPhases.build {
+        VersionedStore.save(Map("docs" -> docs.filter(col("doc_id") % 3 === 0)),
+          path)
+        VersionedStore.append(
+          Map("docs" -> docs.filter(col("doc_id") % 3 === 1)), path)
+        VersionedStore.delete(
+          VersionedStore.read(s, path, "docs")
+            .filter(col("doc_id") % 7 === 0).select("doc_id"), "docs", path)
+        VersionedStore.append(
+          Map("docs" -> docs.filter(col("doc_id") % 3 === 2)), path)
+      }
       val (ins, delKeys) = VersionedStore.changes(s, path, 1L, 4L, "docs")
       val base = VersionedStore.read(s, path, "docs", Some(1L))
       val applied =
@@ -577,19 +583,21 @@ object GovernanceQueries extends QueryModule {
       val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
       val root = java.nio.file.Files.createTempDirectory("graft-vcard")
       val path = root.toString + "/store"
-      VersionedStore.save(
-        Map("card" -> corpusCardPartials(docs.filter(col("doc_id") % 3 === 0))),
-        path)
-      VersionedStore.append(
-        Map("card" -> corpusCardPartials(docs.filter(col("doc_id") % 3 === 1))),
-        path)
-      VersionedStore.append(
-        Map("card" -> corpusCardPartials(docs.filter(col("doc_id") % 3 === 2))),
-        path)
-      // retraction: "delete" every 21st doc by appending negated partials
-      VersionedStore.append(
-        Map("card" -> corpusCardPartials(
-          docs.filter(col("doc_id") % 21 === 0), negate = true)), path)
+      graft.BenchPhases.build {
+        VersionedStore.save(
+          Map("card" -> corpusCardPartials(docs.filter(col("doc_id") % 3 === 0))),
+          path)
+        VersionedStore.append(
+          Map("card" -> corpusCardPartials(docs.filter(col("doc_id") % 3 === 1))),
+          path)
+        VersionedStore.append(
+          Map("card" -> corpusCardPartials(docs.filter(col("doc_id") % 3 === 2))),
+          path)
+        // retraction: "delete" every 21st doc by appending negated partials
+        VersionedStore.append(
+          Map("card" -> corpusCardPartials(
+            docs.filter(col("doc_id") % 21 === 0), negate = true)), path)
+      }
       val res = corpusCardMerge(VersionedStore.read(s, path, "card"))
         .orderBy("source").localCheckpoint(true)
       val hp = new org.apache.hadoop.fs.Path(root.toString)

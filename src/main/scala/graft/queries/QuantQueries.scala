@@ -688,7 +688,9 @@ object QuantQueries extends QueryModule {
         val fam = graft.operators.VectorIndex.select(
           maxBytesPerVec = 64, minRecallAt5 = 0.99)
         withThrowawayStore { path =>
-          graft.operators.VectorIndex.build(e, fam, path)
+          graft.BenchPhases.build {
+            graft.operators.VectorIndex.build(e, fam, path)
+          }
           graft.operators.VectorIndex.search(e, q, path, k = 5)
             .orderBy("query_id", "rank")
         }(s)
@@ -759,7 +761,9 @@ object QuantQueries extends QueryModule {
           lit(1).as("rank"), lit(0.0).as("score")).limit(0)
       else
         withThrowawayStore { root =>
-          graft.operators.VectorIndex.buildSharded(e, "sq8", root, 3)
+          graft.BenchPhases.build {
+            graft.operators.VectorIndex.buildSharded(e, "sq8", root, 3)
+          }
           graft.operators.VectorIndex.searchSharded(q, root, k = 5)
             .orderBy("query_id", "rank")
         }(s)

@@ -780,6 +780,45 @@ object SearchQueries extends QueryModule {
     graft.operators.IndexTombstones.append(
       ids.select(col("doc_id").cast("long").as("vec_id")), path)
 
+  /** Maintain the text index from a VERSIONED-STORE revision window —
+    * the bridge between the manifest-committed corpus protocol
+    * ([[graft.operators.VersionedStore]]) and this index family: a
+    * corpus revision bump (any run of append/delete revisions)
+    * propagates into the index in O(delta) with NO caller-side diffing.
+    * [[graft.operators.VersionedStore.changes]] reads ONLY the window's
+    * added dirs (the manifest delta IS the change log), the inserted
+    * rows ride [[textIndexAppend]] (idempotent, crash-recovered), and
+    * the window's deleted keys become index tombstones
+    * ([[textIndexDelete]] — deleted docs leave results AND statistics
+    * at load, physical reclaim deferred to the index compact, exactly
+    * as the store defers it to its own). Incremental-equals-full: the
+    * maintained index LOADS identically to a fresh build of
+    * `read(toRev)` (q139's discipline, spec-pinned), because the
+    * append admits exactly the net-new docs and the tombstone mask
+    * removes exactly the doomed ones. Replay-safe end to end: a
+    * re-run window re-appends nothing (the left-anti probe) and
+    * re-tombstoning is idempotent.
+    */
+  def textIndexMaintainFromStore(spark: SparkSession, storePath: String,
+      rel: String, fromRev: Long, toRev: Long, indexPath: String): Unit = {
+    val (inserted, deletedKeys) =
+      graft.operators.VersionedStore.changes(spark, storePath, fromRev,
+        toRev, rel)
+    // deletes FIRST: a doc deleted and re-appended inside the window is
+    // invisible at toRev (sticky store tombstone), and the sticky index
+    // tombstone keeps the mirrored append masked the same way
+    if (deletedKeys.columns.nonEmpty) {
+      require(deletedKeys.columns.contains("doc_id"),
+        s"textIndexMaintainFromStore: '$rel' tombstones carry no doc_id " +
+          s"column (found ${deletedKeys.columns.mkString(", ")}) — the " +
+          "index is keyed by doc_id")
+      val del = deletedKeys.select("doc_id")
+      if (!del.isEmpty) textIndexDelete(del, indexPath)
+    }
+    val ins = inserted.select("doc_id", "text")
+    if (!ins.isEmpty) textIndexAppend(ins, indexPath)
+  }
+
   /** FORGET documents — the right-to-be-forgotten verb, distinct from
     * [[textIndexDelete]] exactly as in the vector families: delete is a
     * STICKY tombstone (cheap, survives replayed appends, content never
@@ -796,13 +835,15 @@ object SearchQueries extends QueryModule {
     * between the two store rewrites leaves a store that FAILS AT LOAD
     * (pairing stamps), the append contract's failure mode.
     *
-    * The forget's id set is persisted FIRST (`_forget_intent`, itself a
-    * crash-durable write) and removed only after the last step: a crash
-    * ANYWHERE inside the verb — including after the meta rewrite, when
-    * the stores are already mutually consistent and no pairing stamp
-    * fires — leaves the intent on disk, and [[textIndexRecover]] replays
-    * the whole forget from it (every step is idempotent). Without the
-    * intent, that late-crash state is invisible: a previously
+    * The forget's id set is persisted BEFORE any store mutation
+    * (`_forget_intent`, itself a crash-durable write, bracketed by the
+    * `_inflight` marker so the ingest loop's O(1) probe sees the crash)
+    * and removed only after the last step: a crash ANYWHERE inside the
+    * verb — including after the meta rewrite, when the stores are
+    * already mutually consistent and no pairing stamp fires — leaves
+    * the intent on disk, and [[textIndexRecover]] replays the whole
+    * forget from it (every step is idempotent). Without the intent,
+    * that late-crash state is invisible: a previously
     * deleted-then-forgotten doc would keep its stale tombstone and a
     * re-submitted copy would silently never re-admit.
     */
@@ -818,8 +859,15 @@ object SearchQueries extends QueryModule {
     require(remaining > 0,
       "textIndexForget: forgetting the ENTIRE corpus leaves an empty " +
         "store — delete the index directory instead")
-    graft.operators.StoreRewrite.atomicOverwrite(del, s"$path/_forget_intent")
+    // `_inflight` FIRST, then the intent: the ingest loop's O(1) crash
+    // probe is the inflight marker, so an intent that existed without it
+    // (crash between the two writes in the old order) was invisible —
+    // the forget replayed only at the next unrelated recover. With this
+    // order a crash between the two recovers as a clean no-op (inflight
+    // set, no intent, stores untouched) and every intent on disk is
+    // guaranteed to be covered by the marker the loop actually polls.
     setInflight(spark, path, on = true)
+    graft.operators.StoreRewrite.atomicOverwrite(del, s"$path/_forget_intent")
     completeForget(spark, path, del)
   }
 
@@ -891,7 +939,14 @@ object SearchQueries extends QueryModule {
     * re-admission forever.
     */
   def textIndexRecover(spark: SparkSession, path: String): String = {
-    Seq("postings", "docstats", "meta", "positions", "_forget_intent")
+    // champions ride the list too: a crash inside the champions
+    // atomicOverwrite (during append/forget maintenance) between target
+    // delete and tmp rename would otherwise leave hasChampions = false
+    // forever — scores stay exact via the fallback recompute, but the
+    // persisted lists are silently lost and the complete __rewrite_tmp
+    // debris never reclaimed
+    Seq("postings", "docstats", "meta", "positions", "champions",
+        "_forget_intent")
       .foreach(s => graft.operators.StoreRewrite.recover(spark, s"$path/$s"))
     val ip = new org.apache.hadoop.fs.Path(s"$path/_forget_intent")
     if (ip.getFileSystem(spark.sessionState.newHadoopConf()).exists(ip)) {
@@ -1271,11 +1326,13 @@ object SearchQueries extends QueryModule {
       search: String => DataFrame): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-ti")
     val path = root.toString + "/idx"
-    val (p, ds) = textIndexBuild(docs)
-    textIndexSave(p, ds, path,
-      if (withPositions) Some(positionalPostings(docs)) else None)
-    championM.foreach(m =>
-      textIndexChampionsSave(docs.sparkSession, path, m))
+    graft.BenchPhases.build {
+      val (p, ds) = textIndexBuild(docs)
+      textIndexSave(p, ds, path,
+        if (withPositions) Some(positionalPostings(docs)) else None)
+      championM.foreach(m =>
+        textIndexChampionsSave(docs.sparkSession, path, m))
+    }
     val res = search(path).localCheckpoint(true)
     val hp = new org.apache.hadoop.fs.Path(root.toString)
     hp.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
@@ -1291,8 +1348,10 @@ object SearchQueries extends QueryModule {
       search: String => DataFrame): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-tis")
     val root = tmp.toString + "/idx"
-    val (p, ds) = textIndexBuild(docs)
-    textIndexSaveSharded(p, ds, root, n)
+    graft.BenchPhases.build {
+      val (p, ds) = textIndexBuild(docs)
+      textIndexSaveSharded(p, ds, root, n)
+    }
     val res = search(root).localCheckpoint(true)
     val hp = new org.apache.hadoop.fs.Path(tmp.toString)
     hp.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
@@ -1655,6 +1714,22 @@ object SearchQueries extends QueryModule {
       .map(i => textIndexPhraseSearch(spark, shardPath(root, i), phrase))
       .reduce(_ unionByName _)
 
+  /** Federated proximity (NEAR) search — the phrase federation's twin,
+    * completing the sharded family's verb parity with the positional
+    * store: a NEAR match pairs two positions of ONE document, and
+    * shards partition documents, so the banded semi-join of
+    * [[proximityMatches]] never crosses shards and the federation is
+    * the plain UNION of per-shard store-served matches (each shard's
+    * two term-pushed position slices; equality with the monolithic
+    * store follows from doc-disjointness, spec-pinned).
+    */
+  def textIndexProximitySearchSharded(spark: SparkSession, root: String,
+      termA: String, termB: String, window: Int): DataFrame =
+    (0 until textIndexShardCount(spark, root))
+      .map(i => textIndexProximitySearch(spark, shardPath(root, i), termA,
+        termB, window))
+      .reduce(_ unionByName _)
+
   /** FORGET documents across the shards — physical removal routed to
     * the owning shards, each running the single-store crash-durable
     * forget (intent file, restamp, tombstone cleanup) independently.
@@ -1875,7 +1950,9 @@ object SearchQueries extends QueryModule {
             .as("bm25_rank"))
         val root = java.nio.file.Files.createTempDirectory("graft-hyb")
         val vpath = root.toString + "/idx"
-        graft.operators.VectorIndex.build(e, "sq8", vpath)
+        graft.BenchPhases.build {
+          graft.operators.VectorIndex.build(e, "sq8", vpath)
+        }
         val q = e.filter(col("vec_id") === 0)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
         val vr = graft.operators.VectorIndex.search(e, q, vpath, k = 30)
@@ -1944,12 +2021,14 @@ object SearchQueries extends QueryModule {
         // an empty store): seed with everything, appends become no-ops
         val seed = if (base.isEmpty) docs else base
         val top = withThrowawayIndex(seed) { path =>
-          textIndexAppend(docs.filter(h === 1), path)
-          textIndexAppend(docs.filter(h === 2), path)
-          textIndexDelete(
-            docs.filter(pmod(col("doc_id").cast("long"), lit(7L)) === 3)
-              .select("doc_id"), path)
-          textIndexCompact(s, path)
+          graft.BenchPhases.build {
+            textIndexAppend(docs.filter(h === 1), path)
+            textIndexAppend(docs.filter(h === 2), path)
+            textIndexDelete(
+              docs.filter(pmod(col("doc_id").cast("long"), lit(7L)) === 3)
+                .select("doc_id"), path)
+            textIndexCompact(s, path)
+          }
           textIndexSearch(s, path)
             .orderBy(col("score").desc, col("doc_id").asc).limit(20)
         }
@@ -1990,11 +2069,13 @@ object SearchQueries extends QueryModule {
         // first slice is empty; the appends then replay to no-ops
         val seed = if (base.isEmpty) docs else base
         val top = withThrowawayShards(seed, 3) { root =>
-          textIndexAppendSharded(docs.filter(h === 1), root)
-          textIndexAppendSharded(docs.filter(h === 2), root)
-          textIndexDeleteSharded(
-            docs.filter(pmod(col("doc_id").cast("long"), lit(5L)) === 2)
-              .select("doc_id"), root)
+          graft.BenchPhases.build {
+            textIndexAppendSharded(docs.filter(h === 1), root)
+            textIndexAppendSharded(docs.filter(h === 2), root)
+            textIndexDeleteSharded(
+              docs.filter(pmod(col("doc_id").cast("long"), lit(5L)) === 2)
+                .select("doc_id"), root)
+          }
           textIndexSearchSharded(s, root)
             .orderBy(col("score").desc, col("doc_id").asc).limit(20)
         }
@@ -2034,7 +2115,60 @@ object SearchQueries extends QueryModule {
     },
     Some(ragPackSql))
 
+  /** q189: the corpus lives in a VERSIONED STORE and evolves only
+    * through its manifest-committed verbs (save → append → tombstone
+    * delete); the text index is bootstrapped from the first revision
+    * and then maintained by ONE [[textIndexMaintainFromStore]] call
+    * over the revision window — the O(delta) CDC bridge, no caller
+    * diffing. The ORACLE recomputes BM25 from scratch over the final
+    * visible corpus: the maintained index must lose nothing and add
+    * nothing vs a fresh build of `read(toRev)` (CdcIndexSpec pins the
+    * loaded relations row-equal too).
+    */
+  private val q189 = QueryDef(
+    "q189_cdc_index_maintenance",
+    (s, d) => {
+      import graft.operators.VersionedStore
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val old = docs.filter(col("source") =!= "src19")
+      val inc = docs.filter(col("source") === "src19")
+      if (old.isEmpty)
+        docs.select(lit(1).as("rank"), col("doc_id"),
+          lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-cdcix")
+        val store = tmp.toString + "/corpus"
+        val idx = tmp.toString + "/idx"
+        graft.BenchPhases.build {
+          val r1 = VersionedStore.save(Map("docs" -> old), store)
+          val base = VersionedStore.read(s, store, "docs", Some(r1))
+          val (p0, ds0) = textIndexBuild(base.select("doc_id", "text"))
+          textIndexSave(p0, ds0, idx)
+          VersionedStore.append(Map("docs" -> inc), store)
+          val doomed = old.filter(col("doc_id") % 17 === 3).select("doc_id")
+          val r3 = VersionedStore.delete(doomed, "docs", store)
+          textIndexMaintainFromStore(s, store, "docs", r1, r3, idx)
+        }
+        val top = textIndexSearch(s, idx)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        val res = top.withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("rank", "doc_id", "n_terms_hit", "score")
+          .orderBy("rank").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(s"""WITH ${bm25CteSqlFrom(
+        "(SELECT * FROM documents WHERE NOT (source <> 'src19' AND doc_id % 17 = 3))")}
+             SELECT rank, doc_id, n_terms_hit, score FROM (
+               SELECT doc_id, n_terms_hit, score,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+               FROM bm) t
+             WHERE rank <= 20 ORDER BY rank"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171, q172, q173,
-      q174, q175)
+      q174, q175, q189)
 }

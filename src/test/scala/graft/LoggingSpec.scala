@@ -50,6 +50,19 @@ class LoggingSpec extends AnyFunSuite {
         "against:\n\njdbc:postgresql://h:5432/d")
   }
 
+  test("bound parameters render as a Python tuple repr — the shape the " +
+    "reference's %s-of-a-tuple logging produces: trailing comma for one " +
+    "element, quoted strings, None/True/False") {
+    assert(Logging.pyTupleRepr(Nil) == "()") // the reference-pinned case
+    assert(Logging.pyTupleRepr(Seq(1)) == "(1,)")
+    assert(Logging.pyTupleRepr(Seq("a")) == "('a',)")
+    assert(Logging.pyTupleRepr(Seq(1, "a")) == "(1, 'a')")
+    assert(Logging.pyTupleRepr(Seq(null, true, false)) ==
+      "(None, True, False)")
+    assert(Logging.pyTupleRepr(Seq("it's")) == "(\"it's\",)")
+    assert(Logging.pyTupleRepr(Seq[Any](1.5, 2L)) == "(1.5, 2)")
+  }
+
   test("DEBUG layer matches the reference shape: SQL, parameters and " +
     "target, blank-line separated; 'First row: ...'") {
     // etl.py:86: logger.debug(f"Fetching:\n\n{q}\n\nwith parameters:\n\n

@@ -125,6 +125,24 @@ class ShardedIndexSpec extends SparkSuite {
     assert(fed.nonEmpty, "fixture phrase matches nothing — weak test")
   }
 
+  test("federated proximity search equals the monolithic positional " +
+    "store — NEAR pairs two positions of one doc, shards partition " +
+    "docs, so the banded semi-joins never cross shards") {
+    val root = freshRoot(); val mono = freshRoot()
+    saveSharded(docs, root, 3, positions = true)
+    val (p, ds) = textIndexBuild(docs)
+    textIndexSave(p, ds, mono, Some(positionalPostings(docs)))
+    for (w <- Seq(1, 3, 8)) {
+      val fed = textIndexProximitySearchSharded(spark, root, "data", "line", w)
+        .orderBy("doc_id", "pos").collect().toSeq
+      val one = textIndexProximitySearch(spark, mono, "data", "line", w)
+        .orderBy("doc_id", "pos").collect().toSeq
+      assert(fed == one, s"window=$w")
+      if (w >= 3) assert(fed.nonEmpty,
+        s"fixture proximity (w=$w) matches nothing — weak test")
+    }
+  }
+
   test("routed forget: physical removal touches ONLY the owning shard, " +
     "the global statistics move, and a re-submitted copy RE-ADMITS " +
     "through the router — the contrast to routed delete's sticky " +

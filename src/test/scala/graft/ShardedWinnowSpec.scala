@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.DedupQueries._
+
+/** The sharded winnow-fingerprint index (q188): federation is a storage
+  * layout, never a semantics change. The monolithic store IS the model —
+  * every test drives the same verbs against both and pins the probes
+  * equal, including a seeded random interleaving.
+  */
+class ShardedWinnowSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+    "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+
+  private val shared = "one two three four five six seven eight nine"
+
+  /** Deterministic ≥10-token documents; every doc shares the 9-token
+    * span with its (id % 4 == 0) siblings so cross-doc matches exist.
+    */
+  private def mkDoc(id: Long): (Long, String) = {
+    val own = (0 until 10).map(j => vocab(((id * 7 + j * 3) % 20).toInt))
+    val text = if (id % 4 == 0) s"${own.take(4).mkString(" ")} $shared " +
+      own.drop(4).mkString(" ")
+    else own.mkString(" ")
+    (id, text)
+  }
+
+  private def docs(ids: Seq[Long]): DataFrame = ids.map(mkDoc).toDF("doc_id", "text")
+
+  private def probeSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("federated probe is row-identical to the monolithic store probe " +
+    "across cap/minShared settings, and its only file scans are the " +
+    "shard stores — never the corpus") {
+    val base = tmpDir("winsh1")
+    val mono = s"$base/mono"
+    val root = s"$base/sharded"
+    val corpus = docs(1L to 40L)
+    val inc = docs(Seq(100L, 101L, 104L)) // 100,104 share the span; 101 fresh
+    buildWinnowIndex(corpus, mono)
+    buildWinnowIndexSharded(corpus, root, nShards = 3)
+    for (cap <- Seq(1, 300); ms <- Seq(1, 2)) {
+      val m = probeSet(probeWinnowIndex(spark, inc, mono, dfCap = cap,
+        minShared = ms))
+      val f = probeSet(probeWinnowIndexSharded(spark, inc, root,
+        dfCap = cap, minShared = ms))
+      assert(f == m, s"dfCap=$cap minShared=$ms: sharded $f != mono $m")
+    }
+    val fed = probeWinnowIndexSharded(spark, inc, root, minShared = 1)
+    assert(probeSet(fed).nonEmpty, "the fixture must produce matches")
+    val files = fed.inputFiles.mkString("\n")
+    assert(files.nonEmpty && files.linesIterator.forall(_.contains("/shard-")),
+      s"federated probe must scan ONLY the shard stores:\n$files")
+  }
+
+  test("routed append and all-shard forget mirror the monolithic verbs; " +
+    "a forgotten doc's fresh copy re-admits through the federation") {
+    val base = tmpDir("winsh2")
+    val mono = s"$base/mono"
+    val root = s"$base/sharded"
+    val corpus = docs(1L to 30L)
+    buildWinnowIndex(corpus, mono)
+    buildWinnowIndexSharded(corpus, root, nShards = 3)
+    val incA = docs(Seq(200L, 204L))
+    appendWinnowIndex(incA, mono)
+    appendWinnowIndexSharded(incA, root)
+    val probe = docs(Seq(300L, 304L))
+    assert(probeSet(probeWinnowIndexSharded(spark, probe, root, minShared = 1))
+      == probeSet(probeWinnowIndex(spark, probe, mono, minShared = 1)))
+    // the appended docs are now visible old-side matches
+    assert(probeSet(probeWinnowIndexSharded(spark, probe, root, minShared = 1))
+      .exists(_._2 == 204L))
+    forgetWinnowIndex(spark, Seq(204L).toDF("doc_id"), mono)
+    forgetWinnowIndexSharded(spark, Seq(204L).toDF("doc_id"), root)
+    val afterM = probeSet(probeWinnowIndex(spark, probe, mono, minShared = 1))
+    val afterF = probeSet(probeWinnowIndexSharded(spark, probe, root, minShared = 1))
+    assert(afterF == afterM)
+    assert(!afterF.exists(_._2 == 204L),
+      "a forgotten doc must not reject fresh copies")
+    // re-admission: the same content appended again is matched again
+    appendWinnowIndexSharded(docs(Seq(204L)), root)
+    assert(probeSet(probeWinnowIndexSharded(spark, probe, root, minShared = 1))
+      .exists(_._2 == 204L))
+  }
+
+  test("the router is the commit marker: an interrupted build (no router) " +
+    "refuses every verb; the build refuses shards that would be empty; " +
+    "a forget that would empty a shard refuses up front, store unchanged") {
+    val base = tmpDir("winsh3")
+    val root = s"$base/sharded"
+    buildWinnowIndexSharded(docs(1L to 20L), root, nShards = 2)
+    // simulate the crash: a rebuild un-commits the router, then dies
+    val rf = new java.io.File(s"$root/router")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(del); f.delete()
+    }
+    del(rf)
+    intercept[IllegalArgumentException] {
+      probeWinnowIndexSharded(spark, docs(Seq(100L)), root)
+    }
+    intercept[IllegalArgumentException] {
+      appendWinnowIndexSharded(docs(Seq(100L)), root)
+    }
+    // empty-shard refusal: one short doc has a handful of fingerprints,
+    // far fewer than 64 shards
+    intercept[IllegalArgumentException] {
+      buildWinnowIndexSharded(docs(Seq(1L)), s"$base/tiny", nShards = 64)
+    }
+    // rebuild the 2-shard store with one extra document of EXACTLY
+    // k + w - 1 = 8 tokens — one full window, hence exactly ONE
+    // fingerprint, which lives in exactly one shard. Forgetting every
+    // other doc must empty the other shard -> up-front refusal, probes
+    // unchanged afterwards
+    val oneFp = Seq((21L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    buildWinnowIndexSharded(docs(1L to 20L).unionByName(oneFp), root,
+      nShards = 2)
+    val before = probeSet(probeWinnowIndexSharded(spark, docs(Seq(100L)),
+      root, minShared = 1))
+    intercept[IllegalArgumentException] {
+      forgetWinnowIndexSharded(spark, (1L to 20L).toDF("doc_id"), root)
+    }
+    assert(probeSet(probeWinnowIndexSharded(spark, docs(Seq(100L)), root,
+      minShared = 1)) == before, "the refused forget must not mutate shards")
+  }
+
+  test("seeded random verb interleaving (append / doubled append / forget " +
+    "/ compact) keeps the federation probe-equal to the monolithic model " +
+    "after EVERY verb") {
+    val base = tmpDir("winsh4")
+    val mono = s"$base/mono"
+    val root = s"$base/sharded"
+    buildWinnowIndex(docs(1L to 24L), mono)
+    buildWinnowIndexSharded(docs(1L to 24L), root, nShards = 3)
+    val rnd = new scala.util.Random(20260815L)
+    var nextId = 400L
+    var live = (1L to 24L).toVector
+    val probe = docs(Seq(900L, 904L))
+    (1 to 10).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 => // append a fresh doc
+          val d = docs(Seq(nextId)); nextId += 4
+          appendWinnowIndex(d, mono); appendWinnowIndexSharded(d, root)
+          live :+= d.head.getLong(0)
+        case 1 => // doubled append (replayed ingest)
+          val d = docs(Seq(nextId)); nextId += 4
+          appendWinnowIndex(d, mono); appendWinnowIndex(d, mono)
+          appendWinnowIndexSharded(d, root); appendWinnowIndexSharded(d, root)
+          live :+= d.head.getLong(0)
+        case 2 => // forget one random live doc (never the last few)
+          if (live.size > 6) {
+            val id = live(rnd.nextInt(live.size))
+            forgetWinnowIndex(spark, Seq(id).toDF("doc_id"), mono)
+            forgetWinnowIndexSharded(spark, Seq(id).toDF("doc_id"), root)
+            live = live.filterNot(_ == id)
+          }
+        case 3 =>
+          compactWinnowIndex(spark, mono)
+          compactWinnowIndexSharded(spark, root)
+      }
+      val m = probeSet(probeWinnowIndex(spark, probe, mono, minShared = 1))
+      val f = probeSet(probeWinnowIndexSharded(spark, probe, root, minShared = 1))
+      assert(f == m, s"step $step: sharded $f != mono $m")
+    }
+  }
+}

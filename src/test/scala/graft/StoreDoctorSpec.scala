@@ -29,8 +29,16 @@ class StoreDoctorSpec extends SparkSuite {
       .filter(col("doc_id") =!= 1L).localCheckpoint(true)
     graft.operators.StoreRewrite.atomicOverwrite(ds, s"$root/text_bad/docstats")
 
-    // versioned store
+    // versioned store with one crashed append's residue: a rev-2 data
+    // dir for a relation the later SUCCESSFUL rev-2 commit does not
+    // reference — reader-invisible debris only vacuum reclaims, and
+    // exactly what an ops scan must surface (a crashed dir ABOVE the
+    // current revision is excluded as possibly in-flight, so the scan
+    // counts it only once a later commit supersedes its number)
     VersionedStore.save(Map("docs" -> mkDocs(1 to 5)), s"$root/vstore")
+    VersionedStore.writeDataDir(mkDocs(6 to 8), s"$root/vstore", 2L,
+      "data", "scratch")
+    VersionedStore.append(Map("docs" -> mkDocs(6 to 8)), s"$root/vstore")
 
     // binary vector index over the fixture embeddings
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
@@ -60,7 +68,9 @@ class StoreDoctorSpec extends SparkSuite {
         (r.getString(1), r.getBoolean(2), r.getString(3))).toMap
 
     assert(rows("text_ok") == (("text", true, "ok")))
-    assert(rows("vstore") == (("versioned", true, "ok")))
+    assert(rows("vstore") ==
+      (("versioned", true, "ok (revisions=2, debris_dirs=1)")),
+      rows("vstore").toString)
     assert(rows("bin_idx") == (("bin", true, "ok")))
     assert(rows("sig_idx") == (("signature", true, "ok")))
     val (famBad, okBad, detailBad) = rows("text_bad")

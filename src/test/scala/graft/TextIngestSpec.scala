@@ -193,6 +193,45 @@ class TextIngestSpec extends SparkSuite {
       asTuples(textIndexSearch(spark, full)))
   }
 
+  test("a champions rewrite that crashed between target delete and tmp " +
+    "rename (complete __rewrite_tmp, no champions dir) is healed by " +
+    "recover — the persisted lists return instead of being silently " +
+    "lost to the fallback recompute forever") {
+    val path = freshPath()
+    TextIngest.bootstrap(docs, path)
+    textIndexChampionsSave(spark, path, 10)
+    val before = spark.read.parquet(s"$path/champions")
+      .orderBy("term", "rank").collect().toSeq
+    // crash injection: the atomicOverwrite state after the target delete,
+    // before the rename — the full rewritten relation sits at the tmp path
+    val cp = new java.io.File(s"$path/champions")
+    val tmp = new java.io.File(
+      s"$path/champions${graft.operators.StoreRewrite.TmpSuffix}")
+    assert(cp.renameTo(tmp))
+    assert(textIndexRecover(spark, path) == "none") // derived data: no action name
+    assert(cp.exists() && !tmp.exists(),
+      "recover must finish the champions rename")
+    val after = spark.read.parquet(s"$path/champions")
+      .orderBy("term", "rank").collect().toSeq
+    assert(after == before)
+  }
+
+  test("an inflight marker with NO forget intent (the forget crashed " +
+    "between its marker and intent writes) recovers as a clean no-op — " +
+    "the marker-first order makes that crash state benign AND visible " +
+    "to the loop's O(1) probe") {
+    val path = freshPath()
+    TextIngest.bootstrap(docs, path)
+    val before = asTuples(textIndexSearch(spark, path))
+    assert(new java.io.File(s"$path/_inflight").createNewFile())
+    assert(textIndexInflight(spark, path),
+      "the loop's probe must SEE this crash state — the old intent-first " +
+        "order left the dual state (intent, no marker) invisible")
+    assert(textIndexRecover(spark, path) == "none")
+    assert(!textIndexInflight(spark, path))
+    assert(asTuples(textIndexSearch(spark, path)) == before)
+  }
+
   test("champions parity: the ingest loop maintains the champions layer " +
     "per micro-batch — batch terms' stored lists equal a fresh election " +
     "over the grown corpus, and the champion search stays exact") {

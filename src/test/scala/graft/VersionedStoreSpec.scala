@@ -175,11 +175,11 @@ class VersionedStoreSpec extends SparkSuite {
     "identical to the precise filter, skipped dirs absent from the scan") {
     val root = tmpDir("vstore-range") + "/s"
     VersionedStore.save(Map("docs" -> docs(1L to 10L: _*)), root,
-      statsCol = Some("doc_id"))
+      statsCols = Seq("doc_id"))
     VersionedStore.append(Map("docs" -> docs(11L to 20L: _*)), root,
-      statsCol = Some("doc_id"))
+      statsCols = Seq("doc_id"))
     VersionedStore.append(Map("docs" -> docs(21L to 30L: _*)), root,
-      statsCol = Some("doc_id"))
+      statsCols = Seq("doc_id"))
     val ranged = VersionedStore.readRange(spark, root, "docs",
       "doc_id", 12L, 18L)
     assert(idsOf(ranged) == (12L to 18L))
@@ -203,13 +203,67 @@ class VersionedStoreSpec extends SparkSuite {
       "doc_id", 12L, 18L)) == Seq(12L, 13L, 14L, 16L, 17L, 18L))
   }
 
+  test("readPruned prunes on SEVERAL columns at once — a dir survives " +
+    "only when every bounded column's zone map intersects — and on " +
+    "string ranges; cross-domain bounds refuse; legacy single-long " +
+    "readRange is a delegation") {
+    val root = tmpDir("vstore-multi") + "/s"
+    def batch(ids: Seq[Long], src: String): DataFrame =
+      ids.toDF("doc_id").withColumn("text", concat(lit("doc-"), col("doc_id")))
+        .withColumn("source", lit(src))
+    val sc = Seq("doc_id", "source")
+    VersionedStore.save(Map("docs" -> batch(1L to 10L, "arxiv")), root,
+      statsCols = sc)
+    VersionedStore.append(Map("docs" -> batch(11L to 20L, "web")), root,
+      statsCols = sc)
+    VersionedStore.append(Map("docs" -> batch(21L to 30L, "arxiv")), root,
+      statsCols = sc)
+    // doc_id window [5, 25] alone keeps all three dirs; conjoined with
+    // source = arxiv it must drop dir 2 (web) even though its id range
+    // intersects — the multi-column prune a single-column map cannot do
+    val both = VersionedStore.readPruned(spark, root, "docs",
+      Map("doc_id" -> (5L, 25L), "source" -> ("arxiv", "arxiv")))
+    assert(idsOf(both) == ((5L to 10L) ++ (21L to 25L)))
+    val files = both.inputFiles.mkString("\n")
+    assert(!files.contains("d000000002__data__docs"),
+      s"the web dir must be pruned by the source bound:\n$files")
+    assert(files.contains("d000000001__data__docs") &&
+      files.contains("d000000003__data__docs"))
+    // string-only range: lexicographic window keeps only the web dir
+    val webish = VersionedStore.readPruned(spark, root, "docs",
+      Map("source" -> ("w", "x")))
+    assert(idsOf(webish) == (11L to 20L))
+    val wf = webish.inputFiles.mkString("\n")
+    assert(!wf.contains("d000000001__data__docs") &&
+      !wf.contains("d000000003__data__docs"), wf)
+    // a long bound against the string-mapped column refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.readPruned(spark, root, "docs",
+        Map("source" -> (1L, 5L))).count()
+    }
+    assert(e.getMessage.contains("cross-domain"))
+    // tombstones still apply under multi-column pruning
+    VersionedStore.delete(Seq(6L).toDF("doc_id"), "docs", root)
+    assert(idsOf(VersionedStore.readPruned(spark, root, "docs",
+      Map("doc_id" -> (5L, 25L), "source" -> ("arxiv", "arxiv"))))
+      == ((5L to 10L).filterNot(_ == 6L) ++ (21L to 25L)))
+    // compact folds the dirs and RE-MAPS the union of stat columns: the
+    // folded dir carries both doc_id and source maps (a disjoint window
+    // prunes everything)
+    VersionedStore.compact(spark, root)
+    val after = VersionedStore.readPruned(spark, root, "docs",
+      Map("source" -> ("zzz", "zzzz")))
+    assert(after.count() == 0 &&
+      after.columns.toSeq == Seq("doc_id", "text", "source"))
+  }
+
   test("readRange pushes the precise predicate into the kept dirs' parquet " +
     "scan (dir pruning composes with row-group pruning, not replaces it)") {
     val root = tmpDir("vstore-push") + "/s"
     VersionedStore.save(Map("docs" -> docs(1L to 10L: _*)), root,
-      statsCol = Some("doc_id"))
+      statsCols = Seq("doc_id"))
     VersionedStore.append(Map("docs" -> docs(11L to 20L: _*)), root,
-      statsCol = Some("doc_id"))
+      statsCols = Seq("doc_id"))
     val p = VersionedStore.readRange(spark, root, "docs", "doc_id", 3L, 7L)
       .queryExecution.executedPlan.toString
     assert("PushedFilters: \\[\\w".r.findFirstIn(p).isDefined,

@@ -46,6 +46,76 @@ class WinnowIndexSpec extends SparkSuite {
     assert(capped.count() == 0)
   }
 
+  test("the bloom-pruned probe is row-identical to the unpruned one — " +
+    "including the df-cap decisions, which are computed POST-prune yet " +
+    "stay exact because the bloom predicate is a function of fp_hash " +
+    "alone (hash groups survive or die whole) — and the bloom predicate " +
+    "sits in the probe plan as a map-side filter") {
+    import graft.queries.DedupQueries.probeWinnowIndex
+    val path = tmpDir("winp") + "/fp"
+    // doc 1 and 2 both carry the shared span -> its fingerprints have
+    // stored df = 2; with dfCap = 1 they must be capped identically in
+    // the pruned and unpruned paths (the increment DOES carry them, so
+    // their groups survive the bloom and the post-prune df is exact)
+    buildWinnowIndex(docs(
+      1L -> s"one two three $shared four five six",
+      2L -> s"stored sibling also contains $shared today",
+      3L -> "completely unrelated stored content nothing shared here at all"),
+      path)
+    val inc = docs(
+      10L -> s"aa bb cc $shared dd",
+      11L -> "fresh words that match nothing stored anywhere at all today")
+    for (cap <- Seq(1, 300); ms <- Seq(1, 2)) {
+      val pruned = probeWinnowIndex(spark, inc, path, dfCap = cap,
+        minShared = ms).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val plain = probeWinnowIndex(spark, inc, path, dfCap = cap,
+        minShared = ms, prune = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pruned == plain, s"dfCap=$cap minShared=$ms: $pruned != $plain")
+    }
+    val plan = probeWinnowIndex(spark, inc, path, minShared = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"the bloom predicate must prune the stored side map-side:\n$plan")
+    assert(!probeWinnowIndex(spark, inc, path, minShared = 1, prune = false)
+      .queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
+  test("compact heals a doubled append's duplicate rows ON DISK, keeps " +
+    "content identity (probe unchanged), and a rewrite crashed inside " +
+    "the rename window recovers") {
+    import graft.queries.DedupQueries.compactWinnowIndex
+    val path = tmpDir("winc") + "/fp"
+    buildWinnowIndex(docs(
+      1L -> s"one two three $shared four five six",
+      2L -> "other stored content with its own vocabulary here now"), path)
+    appendWinnowIndex(docs(3L -> s"re-stored $shared holder"), path)
+    appendWinnowIndex(docs(3L -> s"re-stored $shared holder"), path) // replay
+    val before = spark.read.parquet(path).distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val rowsBefore = spark.read.parquet(path).count()
+    assert(rowsBefore > before.size, "the replay should have doubled rows")
+    val inc = docs(10L -> s"probe doc with $shared inside")
+    val probeBefore = probeWinnowIndex(spark, inc, path, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    compactWinnowIndex(spark, path)
+    assert(spark.read.parquet(path).count() == before.size,
+      "compact must fold the doubled rows away")
+    assert(spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet == before)
+    assert(probeWinnowIndex(spark, inc, path, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == probeBefore)
+    // crash inside the rename window: target gone, complete tmp present —
+    // the next verb's recover finishes the rename
+    val f = new java.io.File(path)
+    val tmp = new java.io.File(path + graft.operators.StoreRewrite.TmpSuffix)
+    assert(f.renameTo(tmp))
+    compactWinnowIndex(spark, path) // recover() inside completes, then folds
+    assert(probeWinnowIndex(spark, inc, path, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == probeBefore)
+  }
+
   test("forget physically removes the ids (a re-submitted copy probes " +
     "clean), and a replayed append's doubled rows change nothing") {
     import graft.queries.DedupQueries.forgetWinnowIndex
