@@ -71,11 +71,21 @@ object StoreDoctor {
       subs: Set[String]): (String, Option[String]) = {
     import graft.queries.{SearchQueries, SimilarityQueries, QuantQueries}
     if (subs("router")) {
-      // all three sharded roots carry router/: the text router has a
-      // `tag` column, the winnow router carries its fingerprint knobs
-      // (k, w), the vector router a `family` column
+      // all four sharded roots carry router/: the text router has a
+      // `tag` column, the signature router a `sig_tag`, the winnow
+      // router its fingerprint knobs (k, w), the vector router a
+      // `family` column
       attemptE(spark.read.parquet(s"$path/router").columns) match {
         case Left(err) => ("sharded", Some(err))
+        case Right(cols) if cols.contains("sig_tag") =>
+          ("signature-sharded", attempt {
+            val n = graft.queries.DedupQueries.signatureShardCount(spark, path)
+            (0 until n).foreach { i =>
+              val c = spark.read.parquet(s"$path/shard-$i").columns.toSet
+              require(c("doc_id") && (0 until 8).forall(j => c(s"h$j")),
+                s"shard $i has unexpected columns [${c.toSeq.sorted.mkString(",")}]")
+            }
+          })
         case Right(cols) if cols.contains("k") && cols.contains("w") =>
           ("winnow-sharded", attempt {
             val (n, _, _) = graft.queries.DedupQueries.winnowShardInfo(spark, path)

@@ -1039,6 +1039,40 @@ object DedupQueries extends QueryModule {
     },
     Some(incRejectOracleSql))
 
+  /** q191: the SAME daily near-dup probe served from the SHARDED
+    * signature index — doc-routed 3-shard build in-query, federated
+    * bloom-pruned probe. Its oracle is q82/q178's SQL VERBATIM: the
+    * per-shard map-side prunes and the post-union hot-bucket caps must
+    * reproduce the from-scratch incremental-reject row for row
+    * (ShardedSignatureSpec additionally pins bit-equality with the
+    * monolithic pruned STORE probe and the maintenance verbs).
+    */
+  private val q191 = QueryDef(
+    "q191_signature_sharded_probe",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val inc = docs.filter(col("source") === "src19")
+      val old = docs.filter(col("source") =!= "src19")
+      if (old.isEmpty || inc.isEmpty)
+        // the sharded build refuses an empty corpus (empty shards);
+        // either side empty makes the probe vacuously empty
+        inc.select(col("doc_id").as("new_id"), col("doc_id").as("old_id"),
+          lit(0.0).as("jaccard_est")).limit(0)
+      else {
+        val root = java.nio.file.Files.createTempDirectory("graft-sigshx")
+        val store = root.toString + "/sig"
+        graft.BenchPhases.build {
+          buildSignatureIndexSharded(old, store, nShards = 3)
+        }
+        val res = probeSignatureIndexSharded(s, inc, store)
+          .orderBy("new_id").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(root.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(incRejectOracleSql))
+
   /** Exact-substring span dedup at token-5-gram granularity (the
     * within-document twin of q29's whole-document dedup, after Lee et al.
     * 2022's "Deduplicating Training Data Makes Language Models Better"):
@@ -2517,6 +2551,174 @@ object DedupQueries extends QueryModule {
     (0 until n).foreach(i => compactWinnowIndex(spark, winnowShardPath(root, i)))
   }
 
+  // ------------------------------------------------------------------
+  // Sharded (federated) signature index — the near-dup twin of the
+  // sharded winnow store, routed by DOC_ID (a doc owns exactly one
+  // signature row, so doc routing puts each doc's whole record — and
+  // its forget — in ONE shard; contrast the winnow index, where
+  // hash routing makes the df-cap shard-local instead). Bucket-hotness
+  // caps CANNOT be shard-local here (a band bucket's members scatter
+  // across doc-routed shards), so the probe bloom-prunes each shard's
+  // band rows independently — exact per bucket KEY, the q178 argument
+  // — and runs ONE [[rejectFromBands]] over the union, where the
+  // hot-bucket aggregation sees the increment-bounded survivors only.
+  // ------------------------------------------------------------------
+
+  private def sigShardPath(root: String, i: Int) = s"$root/shard-$i"
+  private def sigRouterPath(root: String) = s"$root/router"
+  private val sigTag = "minhash8x2"
+
+  /** Read the sharded signature index's router — written LAST by
+    * [[buildSignatureIndexSharded]] as the commit marker; the tag pins
+    * the signature scheme (8 components over 2-shingles) so a probe
+    * can never silently mix MinHash families.
+    */
+  def signatureShardCount(spark: org.apache.spark.sql.SparkSession,
+      root: String): Int = {
+    val rp = new org.apache.hadoop.fs.Path(sigRouterPath(root))
+    require(rp.getFileSystem(spark.sessionState.newHadoopConf()).exists(rp),
+      s"signatureShardCount: no router at $root — not a sharded signature " +
+        "index, or an interrupted buildSignatureIndexSharded (the router " +
+        "is written last); re-run the sharded build")
+    val r = spark.read.parquet(sigRouterPath(root)).collect()
+    require(r.length == 1,
+      s"signatureShardCount: router at $root has ${r.length} rows — corrupt store")
+    require(r(0).getAs[String]("sig_tag") == sigTag,
+      s"signatureShardCount: store signature scheme " +
+        s"'${r(0).getAs[String]("sig_tag")}' != '$sigTag'")
+    r(0).getAs[Int]("n_shards")
+  }
+
+  /** Build the signature index as doc-routed shard stores plus a router
+    * committed LAST. Signatures are computed ONCE; a rebuild un-commits
+    * the router first so a crash mid-build refuses loudly everywhere.
+    * Refuses empty shards (use fewer shards for a tiny corpus).
+    */
+  def buildSignatureIndexSharded(documents: org.apache.spark.sql.DataFrame,
+      root: String, nShards: Int): Unit = {
+    require(nShards >= 1,
+      s"buildSignatureIndexSharded: nShards must be >= 1, got $nShards")
+    val spark = documents.sparkSession
+    val rp = new org.apache.hadoop.fs.Path(sigRouterPath(root))
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(rp)) fs.delete(rp, true) // un-commit before rebuild
+    val sig = minhashSigs(documents)
+      .withColumn("_sh", pmod(xxhash64(col("doc_id")), lit(nShards.toLong)))
+      .localCheckpoint(true)
+    val present = sig.select("_sh").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val empty = (0L until nShards.toLong).filterNot(present)
+    require(empty.isEmpty,
+      s"buildSignatureIndexSharded: shard(s) ${empty.mkString(",")} of " +
+        s"$nShards would be EMPTY for this corpus — use fewer shards")
+    (0 until nShards).foreach { i =>
+      sig.filter(col("_sh") === i).drop("_sh")
+        .write.mode("overwrite").parquet(sigShardPath(root, i))
+    }
+    import spark.implicits._
+    graft.operators.StoreRewrite.atomicOverwrite(
+      Seq((nShards, sigTag)).toDF("n_shards", "sig_tag").coalesce(1),
+      sigRouterPath(root))
+  }
+
+  /** Federated bloom-pruned probe: the increment is signed ONCE, its
+    * band-key bitset broadcast, and each shard's band rows are pruned
+    * map-side inside its own scan (n independent store scans, no
+    * cross-shard exchange to assemble the inputs); ONE
+    * [[rejectFromBands]] then runs over the union — the hot-bucket
+    * aggregation, candidate join, and scoring all see increment-bounded
+    * rows. Exact by the q178 argument applied per shard: the bloom
+    * predicate is a function of the bucket key alone, and a bucket's
+    * members within a shard survive or die together, so the post-union
+    * hot counts equal the unpruned federation's for every touchable
+    * bucket. Row-identical to the monolithic pruned probe, spec-pinned.
+    */
+  def probeSignatureIndexSharded(spark: org.apache.spark.sql.SparkSession,
+      increment: org.apache.spark.sql.DataFrame, root: String,
+      bucketCap: Int = defaultBucketCap,
+      threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val n = signatureShardCount(spark, root)
+    val newSig = minhashSigs(increment).localCheckpoint(true)
+    val newBands = bandsFromSigs(newSig).localCheckpoint(true)
+    val keyHash = xxhash64(col("band"), col("key"))
+    val nKeys = newBands.select(keyHash.as("h")).distinct()
+    val bloom = graft.functions.BloomFunctions.buildLongBloom(
+      nKeys, col("h"), nKeys.count(), 0.01)
+    val oldSig = (0 until n)
+      .map(i => spark.read.parquet(sigShardPath(root, i)))
+      .reduce(_ unionByName _)
+    val oldBands = (0 until n)
+      .map(i => bandsFromSigs(spark.read.parquet(sigShardPath(root, i)))
+        .filter(graft.functions.BloomFunctions.mightContainLong(bloom, keyHash)))
+      .reduce(_ unionByName _)
+    rejectFromBands(oldBands, newBands, oldSig, newSig, bucketCap, threshold)
+  }
+
+  /** Routed append: each admitted doc's signature row lands in its hash
+    * shard as new files — O(increment), untouched shards never written.
+    */
+  def appendSignatureIndexSharded(increment: org.apache.spark.sql.DataFrame,
+      root: String): Unit = {
+    val spark = increment.sparkSession
+    val n = signatureShardCount(spark, root)
+    val sig = minhashSigs(increment)
+      .withColumn("_sh", pmod(xxhash64(col("doc_id")), lit(n.toLong)))
+      .localCheckpoint(true)
+    (0 until n).foreach { i =>
+      val slice = sig.filter(col("_sh") === i).drop("_sh")
+      if (!slice.isEmpty)
+        slice.write.mode("append").parquet(sigShardPath(root, i))
+    }
+  }
+
+  /** FORGET documents — routed to the OWNING shard only (doc routing
+    * puts a doc's one signature row in exactly one store, so unlike
+    * the hash-routed winnow forget this rewrites 1/n of the index,
+    * and only for shards that actually hold doomed ids). Refuses up
+    * front if any touched shard would empty.
+    */
+  def forgetSignatureIndexSharded(spark: org.apache.spark.sql.SparkSession,
+      del: org.apache.spark.sql.DataFrame, root: String): Unit = {
+    val n = signatureShardCount(spark, root)
+    val ids = del.select(col("doc_id"))
+      .withColumn("_sh", pmod(xxhash64(col("doc_id")), lit(n.toLong)))
+      .localCheckpoint(true)
+    val touched = (0 until n).filter(i => !ids.filter(col("_sh") === i).isEmpty)
+    touched.foreach { i =>
+      graft.operators.StoreRewrite.recover(spark, sigShardPath(root, i))
+      val slice = ids.filter(col("_sh") === i).drop("_sh")
+      val remaining = spark.read.parquet(sigShardPath(root, i))
+        .join(slice, Seq("doc_id"), "left_anti").count()
+      require(remaining > 0,
+        s"forgetSignatureIndexSharded: forgetting these ids would EMPTY " +
+          s"shard $i of $n — rebuild with fewer shards instead")
+    }
+    touched.foreach { i =>
+      val slice = ids.filter(col("_sh") === i).drop("_sh")
+      graft.operators.StoreRewrite.atomicOverwrite(
+        spark.read.parquet(sigShardPath(root, i))
+          .join(slice, Seq("doc_id"), "left_anti"),
+        sigShardPath(root, i))
+    }
+  }
+
+  /** Compact every shard — fold append litter (exact duplicate rows
+    * from replayed appends collapse; the relation is unique on doc_id
+    * per write) and restore one clustered file group per shard.
+    */
+  def compactSignatureIndexSharded(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    val n = signatureShardCount(spark, root)
+    (0 until n).foreach { i =>
+      graft.operators.StoreRewrite.recover(spark, sigShardPath(root, i))
+      graft.operators.StoreRewrite.atomicOverwrite(
+        spark.read.parquet(sigShardPath(root, i)).distinct()
+          .repartition(col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+        sigShardPath(root, i))
+    }
+  }
+
   /** q187: the daily exact-substring probe off the persisted fingerprint
     * index — q82's incremental shape for verbatim-overlap detection
     * (q186's pairing served from a store instead of re-fingerprinting the
@@ -2619,5 +2821,5 @@ object DedupQueries extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
       q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184, q185,
-      q186, q187, q188)
+      q186, q187, q188, q191)
 }

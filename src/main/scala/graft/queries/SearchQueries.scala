@@ -1222,12 +1222,25 @@ object SearchQueries extends QueryModule {
     */
   private def reelectChampions(spark: SparkSession, path: String,
       touchedTerms: DataFrame, dropDocs: Option[DataFrame]): Unit = {
-    val champs0 = spark.read.parquet(championsPath(path))
-    val mStored = champs0.select("m").head.getInt(0)
     val posts = graft.operators.IndexTombstones.maskOn(
       spark.read.parquet(s"$path/postings"), path, Seq("doc_id"))
     val stats = graft.operators.IndexTombstones.maskOn(
       spark.read.parquet(s"$path/docstats"), path, Seq("doc_id"))
+    reelectChampionsOn(spark, path, posts, stats, touchedTerms, dropDocs)
+  }
+
+  /** The election splice itself, parameterized on the (masked) postings
+    * and docstats relations so the single-store verbs and the sharded
+    * federation (whose relations are shard UNIONS) share one body —
+    * the statistics the election runs under are whatever relations the
+    * caller supplies, so the federated splice is automatically elected
+    * under GLOBAL df/avgdl, the distributed-IR requirement.
+    */
+  private def reelectChampionsOn(spark: SparkSession, base: String,
+      posts: DataFrame, stats: DataFrame,
+      touchedTerms: DataFrame, dropDocs: Option[DataFrame]): Unit = {
+    val champs0 = spark.read.parquet(championsPath(base))
+    val mStored = champs0.select("m").head.getInt(0)
     val slice = posts.join(broadcast(touchedTerms.select("term")), Seq("term"))
     val fresh = championsOf(slice, stats, mStored).withColumn("m", lit(mStored))
     val kept0 = champs0.join(touchedTerms.select("term"), Seq("term"), "left_anti")
@@ -1236,7 +1249,7 @@ object SearchQueries extends QueryModule {
     graft.operators.StoreRewrite.atomicOverwrite(
       kept.select("term", "doc_id", "tscore", "rank", "m")
         .unionByName(fresh.select("term", "doc_id", "tscore", "rank", "m")),
-      championsPath(path))
+      championsPath(base))
   }
 
   private def championsOf(postings: DataFrame, docstats: DataFrame,
@@ -1289,6 +1302,18 @@ object SearchQueries extends QueryModule {
             spark.read.parquet(championsPath(path)), path, Seq("doc_id"))
           .filter(col("term").isin(queryTerms: _*) && col("rank") <= m)
       else championsOf(matched, docstats, m)).select("doc_id").distinct()
+    championScoreTail(matched, docstats, cands, queryTerms)
+  }
+
+  /** The champion search's exact-scoring tail — candidates restrict the
+    * tf pivot, statistics come from the FULL matched postings and
+    * docstats, so returned scores are bit-exact vs the unpruned search.
+    * Shared by the single-store verb and the sharded federation (whose
+    * matched/docstats are shard unions — counts and sums of longs, so
+    * the federated statistics are exact, the scoreIndexed argument).
+    */
+  private def championScoreTail(matched: DataFrame, docstats: DataFrame,
+      cands: DataFrame, queryTerms: Seq[String]): DataFrame = {
     val pivoted = matched.join(cands, "doc_id")
       .groupBy("doc_id").agg(
         queryTerms.zipWithIndex.map { case (t, i) =>
@@ -1443,13 +1468,53 @@ object SearchQueries extends QueryModule {
           .orderBy("rank")
       }
     },
-    Some(s"""WITH $bm25CteSql,
+    Some(championSearchOracleSql))
+
+  /** Shared oracle of q167 and q190: champion-pruned BM25 top-20 with
+    * the m=50 election recomputed from scratch in SQL. The monolithic
+    * store-served search AND the sharded federation (root-level global
+    * election) must reproduce it row-for-row.
+    */
+  private lazy val championSearchOracleSql: String =
+    s"""WITH $bm25CteSql,
              ${championCteSql(50)}
              SELECT rank, doc_id, n_terms_hit, score FROM (
                SELECT bm.doc_id, n_terms_hit, score,
                       ROW_NUMBER() OVER (ORDER BY score DESC, bm.doc_id ASC) AS rank
                FROM bm JOIN cham ON bm.doc_id = cham.doc_id) t
-             WHERE rank <= 20 ORDER BY rank"""))
+             WHERE rank <= 20 ORDER BY rank"""
+
+  /** q190: q167's champion search served from the SHARDED federation —
+    * 3-shard build, ONE root-level election under the federation's
+    * global statistics, search off the stored heads. The oracle is
+    * q167's SQL verbatim: the federated champion layer must lose
+    * nothing and add nothing vs the monolithic store (per-shard
+    * elections under shard-local idf/avgdl would rank impact wrongly
+    * across shards — the distributed-IR mistake the root relation
+    * exists to avoid; ShardedIndexSpec pins list bit-equality too).
+    */
+  private val q190 = QueryDef(
+    "q190_bm25_champion_sharded",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      if (docs.isEmpty)
+        docs.select(lit(1).as("rank"), col("doc_id"),
+          lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
+      else {
+        val top = withThrowawayShards(docs, 3) { root =>
+          graft.BenchPhases.build {
+            textIndexChampionsSaveSharded(s, root, 50)
+          }
+          textIndexChampionSearchSharded(s, root, terms, m = 50)
+            .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        }
+        top.withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("rank", "doc_id", "n_terms_hit", "score")
+          .orderBy("rank")
+      }
+    },
+    Some(championSearchOracleSql))
 
   /** The cross-doc / store-served phrase matcher q168's scaladoc
     * promises, for phrases of ANY length: given a positional postings
@@ -1573,6 +1638,25 @@ object SearchQueries extends QueryModule {
   private def shardPath(root: String, i: Int) = s"$root/shard-$i"
   private def routerPath(root: String) = s"$root/router"
 
+  /** Union of the shards' RAW (unverified) tombstone-masked relations —
+    * the maintenance-path read, mirroring the single-store reelect's
+    * raw reads: a mutation verb must not pay the stamp-verify scans a
+    * query-path load runs (the verbs it follows just wrote those
+    * stamps).
+    */
+  private def federatedMaskedRaw(spark: SparkSession, root: String,
+      n: Int): (DataFrame, DataFrame) = {
+    val per = (0 until n).map { i =>
+      val sp = shardPath(root, i)
+      (graft.operators.IndexTombstones.maskOn(
+          spark.read.parquet(s"$sp/postings"), sp, Seq("doc_id")),
+        graft.operators.IndexTombstones.maskOn(
+          spark.read.parquet(s"$sp/docstats"), sp, Seq("doc_id")))
+    }
+    (per.map(_._1).reduce(_ unionByName _),
+      per.map(_._2).reduce(_ unionByName _))
+  }
+
   /** The routing column: which shard owns a doc_id. Deterministic pure
     * hash (xxhash64, the engine's standard), so routing needs no lookup
     * table and any writer routes identically forever.
@@ -1639,6 +1723,13 @@ object SearchQueries extends QueryModule {
         shardPath(root, i),
         pos.map(_.filter(col("_sh") === i).drop("_sh")))
     }
+    // fresh saves are authoritative: a root champion relation elected
+    // under the superseded corpus is deleted, exactly as the
+    // single-store save drops its champions (re-run the sharded
+    // championsSave after a full save)
+    val cp = new org.apache.hadoop.fs.Path(championsPath(root))
+    val cfs = cp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (cfs.exists(cp)) cfs.delete(cp, true)
     import spark.implicits._
     graft.operators.StoreRewrite.atomicOverwrite(
       Seq((nShards, tokTag)).toDF("n_shards", "tag").coalesce(1),
@@ -1661,6 +1752,20 @@ object SearchQueries extends QueryModule {
     (0 until n).foreach { i =>
       textIndexAppend(inc.filter(col("_sh") === i).drop("_sh"),
         shardPath(root, i))
+    }
+    // root champion maintenance LAST (derived data, staleness-safe):
+    // re-elect the increment's terms from the GROWN federation unions —
+    // one broadcast term-slice per mutation, elected under the global
+    // statistics (the per-shard appends above never touch champions;
+    // shard stores carry none under the federated layout). Touched
+    // terms come from the raw increment — a superset of the admitted
+    // terms when part of the batch was a replay, and re-electing an
+    // untouched term is a no-op splice.
+    if (hasChampions(spark, root)) {
+      val touched = inc.select(explode(tokens(col("text"))).as("term"))
+        .distinct().localCheckpoint(true)
+      val (posts, stats) = federatedMaskedRaw(spark, root, n)
+      reelectChampionsOn(spark, root, posts, stats, touched, None)
     }
   }
 
@@ -1730,6 +1835,59 @@ object SearchQueries extends QueryModule {
         termB, window))
       .reduce(_ unionByName _)
 
+  /** Elect and persist the federation's champion lists at
+    * `root`/champions — a FEDERATION-LEVEL derived relation, not a
+    * per-shard one, because impact ordering is a corpus-global
+    * property: a term's idf and the corpus avgdl come from ALL shards,
+    * so per-shard elections under shard-local statistics would rank
+    * impact wrongly across shards (the same distributed-IR mistake
+    * federated scoring avoids via scoreIndexed). Election runs over
+    * the shard UNIONS through the one shared [[championsOf]] body —
+    * bit-identical lists to a monolithic store over the same corpus,
+    * spec-pinned. Per-shard stores deliberately carry NO champions
+    * relation under this layout (the single-store append's shard-local
+    * re-election would corrupt a global list; the federated append
+    * maintains the root relation instead).
+    */
+  def textIndexChampionsSaveSharded(spark: SparkSession, root: String,
+      m: Int): Unit = {
+    require(m >= 1, s"textIndexChampionsSaveSharded: m must be >= 1, got $m")
+    val shards = (0 until textIndexShardCount(spark, root))
+      .map(i => textIndexLoad(spark, shardPath(root, i)))
+    graft.operators.StoreRewrite.atomicOverwrite(
+      championsOf(shards.map(_._1).reduce(_ unionByName _),
+        shards.map(_._2).reduce(_ unionByName _), m)
+        .withColumn("m", lit(m)),
+      championsPath(root))
+  }
+
+  /** Champion-pruned search over the federation: candidates come off
+    * the root champion store's head (term filter + rank cut pushed
+    * into one small scan; each shard's tombstones mask the lists so a
+    * deleted doc never re-enters via a stale head), scores come from
+    * the exact federated tail — bit-exact vs the unpruned federated
+    * search for every returned doc, with the monolithic fallback
+    * semantics (recompute) when the relation is absent or elected
+    * shallower than `m`.
+    */
+  def textIndexChampionSearchSharded(spark: SparkSession, root: String,
+      queryTerms: Seq[String] = terms, m: Int = 50): DataFrame = {
+    val n = textIndexShardCount(spark, root)
+    val shards = (0 until n).map(i => textIndexLoad(spark, shardPath(root, i)))
+    val postings = shards.map(_._1).reduce(_ unionByName _)
+    val docstats = shards.map(_._2).reduce(_ unionByName _)
+    val matched = postings.filter(col("term").isin(queryTerms: _*))
+    val cands =
+      (if (hasChampions(spark, root) &&
+          spark.read.parquet(championsPath(root)).select("m").head.getInt(0) >= m)
+        (0 until n).foldLeft(spark.read.parquet(championsPath(root)))(
+            (df, i) => graft.operators.IndexTombstones.maskOn(
+              df, shardPath(root, i), Seq("doc_id")))
+          .filter(col("term").isin(queryTerms: _*) && col("rank") <= m)
+      else championsOf(matched, docstats, m)).select("doc_id").distinct()
+    championScoreTail(matched, docstats, cands, queryTerms)
+  }
+
   /** FORGET documents across the shards — physical removal routed to
     * the owning shards, each running the single-store crash-durable
     * forget (intent file, restamp, tombstone cleanup) independently.
@@ -1761,6 +1919,17 @@ object SearchQueries extends QueryModule {
       val slice = del.filter(col("_sh") === i).drop("_sh")
       if (!slice.isEmpty) textIndexForget(slice, shardPath(root, i))
     }
+    // shed forgotten docs from the root champion lists and re-elect
+    // exactly the terms they appeared under, from the post-forget
+    // federation (derived data: a crash here leaves lists stale-only)
+    if (hasChampions(spark, root)) {
+      val touched = spark.read.parquet(championsPath(root))
+        .join(del.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("term").distinct().localCheckpoint(true)
+      val (posts, stats) = federatedMaskedRaw(spark, root, n)
+      reelectChampionsOn(spark, root, posts, stats, touched,
+        Some(del.select("doc_id")))
+    }
   }
 
   /** COMPACT every shard store — n INDEPENDENT bounded layout jobs
@@ -1771,18 +1940,29 @@ object SearchQueries extends QueryModule {
     * every shard's steps is consistent, so a crashed sharded compact
     * re-runs to completion with no recovery.
     */
-  def textIndexCompactSharded(spark: SparkSession, root: String): Unit =
+  def textIndexCompactSharded(spark: SparkSession, root: String): Unit = {
     (0 until textIndexShardCount(spark, root))
       .foreach(i => textIndexCompact(spark, shardPath(root, i)))
+    // mirror the single-store compact: a full re-election restores the
+    // fresh-save champion layout (content identical federation, so the
+    // lists are identical too — this is layout/staleness maintenance)
+    if (hasChampions(spark, root))
+      textIndexChampionsSaveSharded(spark, root,
+        spark.read.parquet(championsPath(root)).select("m").head.getInt(0))
+  }
 
   /** Recover every shard store, returning the per-shard repair actions
     * (index = shard number, the single-store action vocabulary). Shards
     * crash independently — one interrupted shard must not block the
     * others' ingest — so the loop heals them all in one pass.
     */
-  def textIndexRecoverSharded(spark: SparkSession, root: String): Seq[String] =
+  def textIndexRecoverSharded(spark: SparkSession, root: String): Seq[String] = {
+    // the root champion relation is maintained through atomicOverwrite;
+    // finish a rename it crashed inside before healing the shards
+    graft.operators.StoreRewrite.recover(spark, championsPath(root))
     (0 until textIndexShardCount(spark, root))
       .map(i => textIndexRecover(spark, shardPath(root, i)))
+  }
 
   /** True when ANY shard carries an interrupted-mutation marker. */
   def textIndexInflightSharded(spark: SparkSession, root: String): Boolean =
@@ -2170,5 +2350,5 @@ object SearchQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171, q172, q173,
-      q174, q175, q189)
+      q174, q175, q189, q190)
 }

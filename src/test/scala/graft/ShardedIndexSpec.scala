@@ -143,6 +143,87 @@ class ShardedIndexSpec extends SparkSuite {
     }
   }
 
+  test("federated champion layer: ONE root-level election under GLOBAL " +
+    "statistics is bit-equal to the monolithic store's lists and search; " +
+    "candidates come off the stored heads; a deeper m than elected falls " +
+    "back to recompute, still exact") {
+    import spark.implicits._
+    val root = freshRoot(); val mono = freshRoot()
+    saveSharded(docs, root, 3)
+    val (p, ds) = textIndexBuild(docs)
+    textIndexSave(p, ds, mono)
+    textIndexChampionsSave(spark, mono, 10)
+    textIndexChampionsSaveSharded(spark, root, 10)
+    val queryTerms = Seq("spark", "window", "hash")
+    def lists(path: String) = spark.read.parquet(s"$path/champions")
+      .filter(col("term").isin(queryTerms: _*))
+      .select("term", "doc_id", "tscore", "rank")
+      .orderBy("term", "rank").collect().toSeq
+    assert(lists(root) == lists(mono),
+      "root-level election must bit-equal the monolithic election")
+    val fed = asTuples(textIndexChampionSearchSharded(spark, root, m = 10))
+    assert(fed == asTuples(textIndexChampionSearch(spark, mono, m = 10)))
+    // the stored heads are actually USED: the root champions relation
+    // appears in the search's file scans
+    val files = textIndexChampionSearchSharded(spark, root, m = 10)
+      .inputFiles.mkString("\n")
+    assert(files.contains("/champions"),
+      s"candidates must come off the stored heads:\n$files")
+    // deeper m than elected: fallback recompute, results still exact
+    assert(asTuples(textIndexChampionSearchSharded(spark, root, m = 40))
+      == asTuples(textIndexChampionSearch(spark, mono, m = 40)))
+  }
+
+  test("federated champion maintenance: routed append re-elects the " +
+    "batch terms under the GROWN federation, routed delete's tombstone " +
+    "masks stale heads, forget sheds + re-elects — search stays exact " +
+    "throughout") {
+    import spark.implicits._
+    val root = freshRoot()
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    saveSharded(half, root, 3)
+    textIndexChampionsSaveSharded(spark, root, 10)
+    textIndexAppendSharded(
+      docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text"), root)
+    val queryTerms = Seq("spark", "window", "hash")
+    // batch terms' stored lists equal a fresh federated election
+    val stored = spark.read.parquet(s"$root/champions")
+      .filter(col("term").isin(queryTerms: _*))
+      .select("term", "doc_id", "tscore", "rank")
+      .orderBy("term", "rank").collect().toSeq
+    val fresh = freshRoot()
+    saveSharded(docs, fresh, 3)
+    textIndexChampionsSaveSharded(spark, fresh, 10)
+    val want = spark.read.parquet(s"$fresh/champions")
+      .filter(col("term").isin(queryTerms: _*))
+      .select("term", "doc_id", "tscore", "rank")
+      .orderBy("term", "rank").collect().toSeq
+    assert(stored == want,
+      "appendSharded left the batch terms' root lists stale")
+    // exactness against the unpruned federated search, then delete the
+    // top doc: the tombstone must mask its stale head row immediately
+    val exact0 = asTuples(textIndexSearchSharded(spark, root))
+      .map(t => t._1 -> t).toMap
+    asTuples(textIndexChampionSearchSharded(spark, root, m = 10))
+      .foreach(t => assert(exact0(t._1) == t))
+    val victim = textIndexSearchSharded(spark, root)
+      .orderBy(col("score").desc, col("doc_id").asc).head.getLong(0)
+    textIndexDeleteSharded(Seq(victim).toDF("doc_id"), root)
+    val afterDel = asTuples(textIndexChampionSearchSharded(spark, root, m = 10))
+    assert(!afterDel.exists(_._1 == victim),
+      "a deleted doc re-entered via its stale champion head")
+    // forget a different doc: its rows leave the lists physically
+    val victim2 = afterDel.map(_._1).head
+    textIndexForgetSharded(Seq(victim2).toDF("doc_id"), root)
+    assert(spark.read.parquet(s"$root/champions")
+      .filter(col("doc_id") === victim2).count() == 0,
+      "forget must shed the forgotten doc's champion rows")
+    val exact1 = asTuples(textIndexSearchSharded(spark, root))
+      .map(t => t._1 -> t).toMap
+    asTuples(textIndexChampionSearchSharded(spark, root, m = 10))
+      .foreach(t => assert(exact1(t._1) == t))
+  }
+
   test("routed forget: physical removal touches ONLY the owning shard, " +
     "the global statistics move, and a re-submitted copy RE-ADMITS " +
     "through the router — the contrast to routed delete's sticky " +

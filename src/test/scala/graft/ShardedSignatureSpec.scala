@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.DedupQueries._
+
+/** The sharded signature index (q191): doc-routed federation of the
+  * near-dup store. The monolithic store is the model — every probe must
+  * be row-identical to the monolithic pruned probe (and to the
+  * from-scratch recompute), and the routed maintenance verbs must touch
+  * only the shards that own their ids.
+  */
+class ShardedSignatureSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def oldDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "how vexingly quick daft zebras jump today"),
+    (4L, "sphinx of black quartz judge my vow now"),
+    (5L, "jackdaws love my big sphinx of quartz too"),
+    (6L, "bright vixens jump dozy fowl quack together"),
+    (7L, "waltz bad nymph for quick jigs vex again"),
+    (8L, "five quacking zephyrs jolt my wax bed daily")
+  ).toDF("doc_id", "text")
+
+  /** 101 duplicates doc 3; 102 duplicates doc 7; 103 is fresh. */
+  private def increment = Seq(
+    (101L, "how vexingly quick daft zebras jump today"),
+    (102L, "waltz bad nymph for quick jigs vex again"),
+    (103L, "an entirely fresh document with brand new content words")
+  ).toDF("doc_id", "text")
+
+  private def probeSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def shardFiles(root: String, i: Int): Set[String] =
+    Option(new java.io.File(s"$root/shard-$i").listFiles())
+      .fold(Set.empty[String])(_.map(_.getName).toSet)
+
+  test("federated probe is row-identical to the monolithic pruned probe " +
+    "and the from-scratch recompute, and scans only the shard stores") {
+    val base = tmpDir("sigsh1")
+    val mono = s"$base/mono"; val root = s"$base/sharded"
+    buildSignatureIndex(oldDocs, mono)
+    buildSignatureIndexSharded(oldDocs, root, nShards = 3)
+    val fed = probeSignatureIndexSharded(spark, increment, root)
+    assert(probeSet(fed) ==
+      probeSet(probeSignatureIndexPruned(spark, increment, mono)))
+    assert(probeSet(fed) == probeSet(incrementalReject(
+      minhashSigs(oldDocs), minhashSigs(increment))))
+    assert(probeSet(fed) == Set((101L, 3L, 1.0), (102L, 7L, 1.0)))
+    val files = fed.inputFiles.mkString("\n")
+    assert(files.nonEmpty && files.linesIterator.forall(_.contains("/shard-")),
+      s"federated probe must scan ONLY the shard stores:\n$files")
+    // the bloom prune sits in the plan (once per shard scan)
+    assert(fed.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
+  test("routed append makes the increment visible; routed forget touches " +
+    "ONLY the owning shards' files, re-admits a fresh copy, and refuses " +
+    "an emptying forget up front") {
+    val base = tmpDir("sigsh2")
+    val mono = s"$base/mono"; val root = s"$base/sharded"
+    buildSignatureIndex(oldDocs, mono)
+    buildSignatureIndexSharded(oldDocs, root, nShards = 3)
+    val adm = Seq((103L, "an entirely fresh document with brand new content words"))
+      .toDF("doc_id", "text")
+    appendSignatureIndex(adm, mono)
+    appendSignatureIndexSharded(adm, root)
+    val probe2 = Seq((201L, "an entirely fresh document with brand new content words"))
+      .toDF("doc_id", "text")
+    assert(probeSet(probeSignatureIndexSharded(spark, probe2, root)) ==
+      probeSet(probeSignatureIndexPruned(spark, probe2, mono)))
+    assert(probeSet(probeSignatureIndexSharded(spark, probe2, root))
+      .exists(_._2 == 103L), "appended doc must reject its copy")
+    // forget 103: only its owning shard's file set may change
+    val before = (0 until 3).map(i => shardFiles(root, i))
+    forgetSignatureIndexSharded(spark, Seq(103L).toDF("doc_id"), root)
+    val after = (0 until 3).map(i => shardFiles(root, i))
+    val changed = (0 until 3).count(i => before(i) != after(i))
+    assert(changed == 1,
+      s"forget must rewrite exactly the owning shard, changed $changed")
+    assert(probeSet(probeSignatureIndexSharded(spark, probe2, root)).isEmpty,
+      "a fully forgotten doc must not reject its fresh copy")
+    // emptying forget refuses up front, store unchanged
+    val pre = probeSet(probeSignatureIndexSharded(spark, increment, root))
+    intercept[IllegalArgumentException] {
+      forgetSignatureIndexSharded(spark, (1L to 8L).toDF("doc_id"), root)
+    }
+    assert(probeSet(probeSignatureIndexSharded(spark, increment, root)) == pre)
+  }
+
+  test("router commit marker + compact: an interrupted build refuses " +
+    "every verb; a doubled append's rows fold away at compact with the " +
+    "probe unchanged") {
+    val base = tmpDir("sigsh3")
+    val root = s"$base/sharded"
+    buildSignatureIndexSharded(oldDocs, root, nShards = 2)
+    val adm = Seq((103L, "an entirely fresh document with brand new content words"))
+      .toDF("doc_id", "text")
+    appendSignatureIndexSharded(adm, root) // replayed:
+    appendSignatureIndexSharded(adm, root)
+    val probe2 = Seq((201L, "an entirely fresh document with brand new content words"))
+      .toDF("doc_id", "text")
+    val pre = probeSet(probeSignatureIndexSharded(spark, probe2, root))
+    val rowsBefore = (0 until 2)
+      .map(i => spark.read.parquet(s"$root/shard-$i").count()).sum
+    compactSignatureIndexSharded(spark, root)
+    val rowsAfter = (0 until 2)
+      .map(i => spark.read.parquet(s"$root/shard-$i").count()).sum
+    assert(rowsAfter == rowsBefore - 1, s"$rowsBefore -> $rowsAfter")
+    assert(probeSet(probeSignatureIndexSharded(spark, probe2, root)) == pre)
+    // un-commit (the crashed-rebuild state): every verb refuses
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(del); f.delete()
+    }
+    del(new java.io.File(s"$root/router"))
+    intercept[IllegalArgumentException] {
+      probeSignatureIndexSharded(spark, increment, root)
+    }
+    intercept[IllegalArgumentException] {
+      appendSignatureIndexSharded(adm, root)
+    }
+    // empty-shard refusal: 2 docs cannot populate 64 shards
+    intercept[IllegalArgumentException] {
+      buildSignatureIndexSharded(oldDocs.limit(2), s"$base/tiny", 64)
+    }
+  }
+}
