@@ -452,4 +452,53 @@ object VectorIndex {
       case "knn" => SimilarityQueries.knnDeleteNodes(ids, path)
     }
   }
+
+  /** Maintain a vector index from a VERSIONED-STORE revision window —
+    * the vector twin of the text side's `textIndexMaintainFromStore`
+    * (q189): the embedding corpus lives in a
+    * [[graft.operators.VersionedStore]] as `rel`(vec_id, v) and evolves
+    * only through its manifest-committed verbs, and ONE call propagates
+    * any run of append/delete revisions into the index in O(delta) with
+    * no caller-side diffing. [[VersionedStore.changes]] reads only the
+    * window's added dirs (and nets out rows appended then tombstoned
+    * inside the window), the window's deleted keys become index
+    * tombstones FIRST ([[delete]] — sticky, so a delete-then-reappend
+    * window stays invisible on both sides, matching the store's own
+    * sticky-tombstone view), and the net-new rows ride the family's
+    * idempotent [[append]].
+    *
+    * The contract deliberately DIFFERS from the text bridge's
+    * incremental-equals-full in one honest respect: quantized families
+    * (sq8/pq/residual) train their parameters at [[build]] time and the
+    * append encodes under that FROZEN quantizer, so the maintained
+    * store equals hand-driving the family's own append/delete verbs
+    * with the window's diff (CdcVectorIndexSpec pins bit-equality),
+    * NOT a from-scratch rebuild whose retrained parameters would
+    * re-code every vector. That is the production trade at 100 TB —
+    * re-encoding the corpus per revision is the rebuild path
+    * (`knnRefreshAnn` / the ladder's re-select), not maintenance; the
+    * oracle (q192) recomputes the frozen-parameter arithmetic exactly.
+    * Replay-safe end to end: re-running a window re-appends nothing
+    * (every family's append is fingerprint/left-anti guarded) and
+    * re-tombstoning is idempotent.
+    */
+  def maintainFromStore(spark: SparkSession, storePath: String,
+      rel: String, fromRev: Long, toRev: Long, indexPath: String): Unit = {
+    val (inserted, deletedKeys) =
+      VersionedStore.changes(spark, storePath, fromRev, toRev, rel)
+    if (deletedKeys.columns.nonEmpty) {
+      require(deletedKeys.columns.contains("vec_id"),
+        s"VectorIndex.maintainFromStore: '$rel' tombstones carry no " +
+          s"vec_id column (found ${deletedKeys.columns.mkString(", ")}) — " +
+          "vector stores are keyed by vec_id")
+      val del = deletedKeys.select("vec_id")
+      if (!del.isEmpty) delete(del, indexPath)
+    }
+    require(inserted.columns.contains("vec_id") &&
+        inserted.columns.contains("v"),
+      s"VectorIndex.maintainFromStore: relation '$rel' must carry " +
+        s"(vec_id, v) — found (${inserted.columns.mkString(", ")})")
+    val ins = inserted.select("vec_id", "v")
+    if (!ins.isEmpty) append(ins, indexPath)
+  }
 }

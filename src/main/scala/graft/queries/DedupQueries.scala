@@ -1073,6 +1073,65 @@ object DedupQueries extends QueryModule {
     },
     Some(incRejectOracleSql))
 
+  /** q193: the dedup corpus lives in a VERSIONED STORE and the sharded
+    * signature index is maintained by CDC — q189/q192's bridge
+    * discipline closing the triangle on the dedup side. The index is
+    * bootstrapped from the first revision, then TWO maintain calls
+    * propagate (1) an append window that admits the rest of the corpus
+    * plus transient rows, and (2) a delete window whose forgets
+    * physically remove those transients from their owning shards — so
+    * both CDC paths do real work. The final visible corpus is exactly
+    * the non-src19 documents, so the oracle is q82/q178/q191's SQL
+    * VERBATIM: maintenance must be indistinguishable from a
+    * from-scratch build (ShardedSignatureSpec pins shard-content
+    * bit-equality with a fresh sharded build of `read(toRev)` and
+    * window replay safety too).
+    */
+  private val q193 = QueryDef(
+    "q193_cdc_signature_maintenance",
+    (s, d) => {
+      import graft.operators.VersionedStore
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val inc = docs.filter(col("source") === "src19")
+      val old = docs.filter(col("source") =!= "src19")
+      if (old.isEmpty || inc.isEmpty)
+        inc.select(col("doc_id").as("new_id"), col("doc_id").as("old_id"),
+          lit(0.0).as("jaccard_est")).limit(0)
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-cdcsig")
+        val store = tmp.toString + "/corpus"
+        val root = tmp.toString + "/sig"
+        graft.BenchPhases.build {
+          val boot = old.filter(col("doc_id") % 3 =!= 1)
+          val rest = old.filter(col("doc_id") % 3 === 1)
+          // transient rows: synthetic ids far above the real id range,
+          // appended in window 1 and physically forgotten in window 2
+          val extras = old.filter(col("doc_id") % 7 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(10000000L))
+          val r1 = VersionedStore.save(
+            Map("docs" -> boot.select("doc_id", "text")), store)
+          buildSignatureIndexSharded(
+            VersionedStore.read(s, store, "docs", Some(r1)), root,
+            nShards = 3)
+          val r2 = VersionedStore.append(
+            Map("docs" -> rest.select("doc_id", "text")
+              .unionByName(extras.select("doc_id", "text"))), store)
+          maintainSignatureIndexShardedFromStore(
+            s, store, "docs", r1, r2, root)
+          val r3 = VersionedStore.delete(
+            extras.select("doc_id"), "docs", store)
+          maintainSignatureIndexShardedFromStore(
+            s, store, "docs", r2, r3, root)
+        }
+        val res = probeSignatureIndexSharded(s, inc, root)
+          .orderBy("new_id").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(incRejectOracleSql))
+
   /** Exact-substring span dedup at token-5-gram granularity (the
     * within-document twin of q29's whole-document dedup, after Lee et al.
     * 2022's "Deduplicating Training Data Makes Language Models Better"):
@@ -2551,6 +2610,45 @@ object DedupQueries extends QueryModule {
     (0 until n).foreach(i => compactWinnowIndex(spark, winnowShardPath(root, i)))
   }
 
+  /** Maintain the sharded winnow index from a VERSIONED-STORE revision
+    * window — the last edge of the CDC bridge quadrangle (text q189,
+    * vector q192, signature q193): a corpus revision bump propagates
+    * into the fingerprint federation in O(delta + touched rewrites),
+    * no caller diffing. Deleted keys run [[forgetWinnowIndexSharded]]
+    * FIRST (physical removal; hash routing scatters a doc's
+    * fingerprints over every shard, so — unlike the doc-routed
+    * signature forget — this is n crash-durable 1/n-sized rewrites,
+    * the documented trade for shard-local df-caps), then net-new docs
+    * ride [[appendWinnowIndexSharded]]. Replay semantics are the
+    * family's own: a replayed window's appends double fingerprint rows
+    * HARMLESSLY (every probe `.distinct()`s before the df-cap and the
+    * pair join, so results are computed over the (doc, hash) set;
+    * compact folds the litter), and the forget of already-absent ids
+    * removes nothing — so a replayed window leaves every PROBE result
+    * unchanged, which is what ShardedWinnowSpec pins (alongside
+    * probe-equality with a fresh sharded build of `read(toRev)`).
+    */
+  def maintainWinnowIndexShardedFromStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, fromRev: Long, toRev: Long, root: String): Unit = {
+    val (inserted, deletedKeys) = graft.operators.VersionedStore.changes(
+      spark, storePath, fromRev, toRev, rel)
+    if (deletedKeys.columns.nonEmpty) {
+      require(deletedKeys.columns.contains("doc_id"),
+        s"maintainWinnowIndexShardedFromStore: '$rel' tombstones carry " +
+          s"no doc_id column (found ${deletedKeys.columns.mkString(", ")}) " +
+          "— the winnow index is keyed by doc_id")
+      val del = deletedKeys.select("doc_id")
+      if (!del.isEmpty) forgetWinnowIndexSharded(spark, del, root)
+    }
+    require(inserted.columns.contains("doc_id") &&
+        inserted.columns.contains("text"),
+      s"maintainWinnowIndexShardedFromStore: relation '$rel' must " +
+        s"carry (doc_id, text) — found (${inserted.columns.mkString(", ")})")
+    val ins = inserted.select("doc_id", "text")
+    if (!ins.isEmpty) appendWinnowIndexSharded(ins, root)
+  }
+
   // ------------------------------------------------------------------
   // Sharded (federated) signature index — the near-dup twin of the
   // sharded winnow store, routed by DOC_ID (a doc owns exactly one
@@ -2656,6 +2754,11 @@ object DedupQueries extends QueryModule {
 
   /** Routed append: each admitted doc's signature row lands in its hash
     * shard as new files — O(increment), untouched shards never written.
+    * Replay-safe: each touched shard's existing doc_ids left-anti the
+    * slice before the write (the probe is shard-sized, not index-sized,
+    * and only runs on shards the increment actually touches), so a
+    * re-run batch — a crashed CDC window re-applied, a duplicated
+    * ingest micro-batch — appends nothing.
     */
   def appendSignatureIndexSharded(increment: org.apache.spark.sql.DataFrame,
       root: String): Unit = {
@@ -2666,9 +2769,57 @@ object DedupQueries extends QueryModule {
       .localCheckpoint(true)
     (0 until n).foreach { i =>
       val slice = sig.filter(col("_sh") === i).drop("_sh")
-      if (!slice.isEmpty)
-        slice.write.mode("append").parquet(sigShardPath(root, i))
+      if (!slice.isEmpty) {
+        val existing = spark.read.parquet(sigShardPath(root, i))
+          .select("doc_id").distinct()
+        val fresh = slice.join(existing, Seq("doc_id"), "left_anti")
+        if (!fresh.isEmpty)
+          fresh.write.mode("append").parquet(sigShardPath(root, i))
+      }
     }
+  }
+
+  /** Maintain the sharded signature index from a VERSIONED-STORE
+    * revision window — the dedup twin of the text side's
+    * `textIndexMaintainFromStore` (q189) and the vector side's
+    * `VectorIndex.maintainFromStore` (q192): the corpus lives in a
+    * [[graft.operators.VersionedStore]] and evolves only through its
+    * manifest-committed verbs, and ONE call propagates any run of
+    * append/delete revisions into the index in O(delta), no caller
+    * diffing. Deleted keys run [[forgetSignatureIndexSharded]] FIRST —
+    * for a near-dup index the right delete verb is PHYSICAL removal (a
+    * gone document must stop matching future probes; there is no
+    * statistics mask to hide behind), and doc routing makes it touch
+    * only the owning shards. Net-new rows then ride the replay-safe
+    * [[appendSignatureIndexSharded]]. Consistency with the store's
+    * sticky-tombstone view is structural: `changes` nets any row whose
+    * key is tombstoned at `toRev` out of its inserted side, so a
+    * delete-then-reappend (or append-then-delete) window admits
+    * nothing the store doesn't show — incremental-equals-full is
+    * spec-pinned (the maintained shards are bit-equal to a fresh
+    * sharded build of `read(toRev)`), and a replayed window changes
+    * nothing (the forget of already-absent ids is a no-op, the append
+    * is left-anti guarded).
+    */
+  def maintainSignatureIndexShardedFromStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, fromRev: Long, toRev: Long, root: String): Unit = {
+    val (inserted, deletedKeys) = graft.operators.VersionedStore.changes(
+      spark, storePath, fromRev, toRev, rel)
+    if (deletedKeys.columns.nonEmpty) {
+      require(deletedKeys.columns.contains("doc_id"),
+        s"maintainSignatureIndexShardedFromStore: '$rel' tombstones carry " +
+          s"no doc_id column (found ${deletedKeys.columns.mkString(", ")}) " +
+          "— the signature index is keyed by doc_id")
+      val del = deletedKeys.select("doc_id")
+      if (!del.isEmpty) forgetSignatureIndexSharded(spark, del, root)
+    }
+    require(inserted.columns.contains("doc_id") &&
+        inserted.columns.contains("text"),
+      s"maintainSignatureIndexShardedFromStore: relation '$rel' must " +
+        s"carry (doc_id, text) — found (${inserted.columns.mkString(", ")})")
+    val ins = inserted.select("doc_id", "text")
+    if (!ins.isEmpty) appendSignatureIndexSharded(ins, root)
   }
 
   /** FORGET documents — routed to the OWNING shard only (doc routing
@@ -2780,6 +2931,61 @@ object DedupQueries extends QueryModule {
     },
     Some(winnowProbeOracleSql))
 
+  /** q194: the corpus lives in a VERSIONED STORE and the sharded winnow
+    * index is maintained by CDC — the bridge quadrangle's last edge
+    * (q189 text, q192 vector, q193 signature), exercised exactly like
+    * q193: bootstrap from the first revision, an append window that
+    * admits the rest plus transient rows, then a delete window whose
+    * forgets physically remove the transients from every shard (hash
+    * routing scatters a doc's fingerprints — the documented contrast
+    * to the doc-routed signature forget). The final visible corpus is
+    * exactly the non-src19 documents, so the oracle is q187/q188's SQL
+    * VERBATIM: CDC maintenance must be indistinguishable from a
+    * from-scratch federation build (ShardedWinnowSpec pins
+    * probe-equality with a fresh build of read(toRev) and window
+    * replay safety too).
+    */
+  private val q194 = QueryDef(
+    "q194_cdc_winnow_maintenance",
+    (s, d) => {
+      import graft.operators.VersionedStore
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val inc = docs.filter(col("source") === "src19")
+      val old = docs.filter(col("source") =!= "src19")
+      if (old.isEmpty || inc.isEmpty)
+        inc.select(col("doc_id").as("new_doc"),
+          col("doc_id").as("old_doc"), lit(0L).as("n_shared")).limit(0)
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-cdcwin")
+        val store = tmp.toString + "/corpus"
+        val root = tmp.toString + "/winnow"
+        graft.BenchPhases.build {
+          val boot = old.filter(col("doc_id") % 3 =!= 1)
+          val rest = old.filter(col("doc_id") % 3 === 1)
+          val extras = old.filter(col("doc_id") % 7 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(10000000L))
+          val r1 = VersionedStore.save(
+            Map("docs" -> boot.select("doc_id", "text")), store)
+          buildWinnowIndexSharded(
+            VersionedStore.read(s, store, "docs", Some(r1)), root,
+            nShards = 3)
+          val r2 = VersionedStore.append(
+            Map("docs" -> rest.select("doc_id", "text")
+              .unionByName(extras.select("doc_id", "text"))), store)
+          maintainWinnowIndexShardedFromStore(s, store, "docs", r1, r2, root)
+          val r3 = VersionedStore.delete(
+            extras.select("doc_id"), "docs", store)
+          maintainWinnowIndexShardedFromStore(s, store, "docs", r2, r3, root)
+        }
+        val res = probeWinnowIndexSharded(s, inc, root, minShared = 1)
+          .orderBy("new_doc", "old_doc").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(winnowProbeOracleSql))
+
   /** Shared oracle of q187 and q188: the from-scratch winnow-probe
     * semantics (both sides fingerprinted, stored-side df-cap, pair
     * join at minShared = 1). The monolithic bloom-pruned store probe
@@ -2821,5 +3027,5 @@ object DedupQueries extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
       q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184, q185,
-      q186, q187, q188, q191)
+      q186, q187, q188, q191, q193, q194)
 }

@@ -770,5 +770,84 @@ object QuantQueries extends QueryModule {
     },
     Some(sq8RoutedSql))
 
-  override def defs: Seq[QueryDef] = Seq(q136, q137, q157, q176)
+  /** q192: the embedding corpus lives in a VERSIONED STORE and evolves
+    * only through its manifest-committed verbs (save → append →
+    * tombstone delete); the SQ8 index is bootstrapped from the first
+    * revision and then maintained by ONE
+    * [[graft.operators.VectorIndex.maintainFromStore]] call over the
+    * revision window — the O(delta) CDC bridge on the vector side
+    * (q189's discipline applied to the 8-family store). The quantizer
+    * is trained ONCE at bootstrap and FROZEN across the window (the
+    * production maintenance trade: re-encoding the corpus per revision
+    * is the rebuild path, not maintenance), so the oracle trains its
+    * parameters on the BOOTSTRAP corpus and scores the final VISIBLE
+    * corpus under them — the maintained index must lose nothing and
+    * add nothing vs that frozen-parameter arithmetic
+    * (CdcVectorIndexSpec additionally pins bit-equality against
+    * hand-driven append/delete and replay safety).
+    *
+    * The window exercises all three CDC shapes: an append of net-new
+    * vectors (encoded under the frozen quantizer), deletes that hit
+    * BOTH bootstrap rows (vec_id % 8 = 1 ⇒ % 4 = 1, in rev1) and
+    * appended rows (vec_id % 8 = 7 ⇒ % 4 = 3, in rev2 — netted out of
+    * the changeset's inserted side by the store, so the index never
+    * even encodes them).
+    */
+  private val q192 = QueryDef(
+    "q192_cdc_vector_maintenance",
+    (s, d) => {
+      import graft.operators.{VectorIndex, VersionedStore}
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val boot = e.filter(col("vec_id") % 4 =!= 3)
+      if (boot.isEmpty)
+        e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"),
+          lit(1).as("rank"), lit(0.0).as("score")).limit(0)
+      else
+        withThrowawayStore { root =>
+          val store = root.stripSuffix("/idx") + "/emb"
+          val idx = root
+          graft.BenchPhases.build {
+            val r1 = VersionedStore.save(Map("emb" -> boot), store)
+            VectorIndex.build(
+              VersionedStore.read(s, store, "emb", Some(r1)), "sq8", idx)
+            VersionedStore.append(
+              Map("emb" -> e.filter(col("vec_id") % 4 === 3)), store)
+            val doomed = e.filter(col("vec_id") % 8 === 1 ||
+                col("vec_id") % 8 === 7).select("vec_id")
+            val r3 = VersionedStore.delete(doomed, "emb", store)
+            VectorIndex.maintainFromStore(s, store, "emb", r1, r3, idx)
+          }
+          VectorIndex.search(e, q, idx, k = 5)
+            .orderBy("query_id", "rank")
+        }(s)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+                  boot AS (SELECT * FROM e WHERE vec_id % 4 <> 3),
+                  pd AS (SELECT i, MIN(v[i]) AS mni, MAX(v[i]) AS mxi
+                         FROM boot CROSS JOIN range(1, ${dims + 1}) r(i)
+                         GROUP BY i),
+                  params AS (SELECT list(mni ORDER BY i) AS mn,
+                                    list(mxi ORDER BY i) AS mx FROM pd),
+                  vis AS (SELECT * FROM e WHERE vec_id % 8 NOT IN (1, 7)),
+                  codes AS (SELECT vec_id, ${encodeSql("v")} AS code
+                            FROM vis CROSS JOIN params),
+                  q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+                  scored AS (SELECT qid, vec_id,
+                               list_dot_product(d, d) AS adc_dist
+                             FROM (SELECT qid, vec_id, $diffSql AS d
+                                   FROM codes CROSS JOIN q CROSS JOIN params) t)
+             SELECT qid AS query_id, vec_id AS neighbor_id, rank,
+                    adc_dist AS score
+             FROM (SELECT qid, vec_id, adc_dist,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY adc_dist ASC, vec_id ASC) AS rank
+                   FROM scored) r
+             WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  override def defs: Seq[QueryDef] = Seq(q136, q137, q157, q176, q192)
 }

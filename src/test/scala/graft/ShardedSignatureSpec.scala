@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import graft.queries.DedupQueries._
 
 /** The sharded signature index (q191): doc-routed federation of the
@@ -91,24 +92,28 @@ class ShardedSignatureSpec extends SparkSuite {
   }
 
   test("router commit marker + compact: an interrupted build refuses " +
-    "every verb; a doubled append's rows fold away at compact with the " +
-    "probe unchanged") {
+    "every verb; a replayed append appends NOTHING (left-anti guard) and " +
+    "compact re-clusters with the probe unchanged") {
     val base = tmpDir("sigsh3")
     val root = s"$base/sharded"
     buildSignatureIndexSharded(oldDocs, root, nShards = 2)
     val adm = Seq((103L, "an entirely fresh document with brand new content words"))
       .toDF("doc_id", "text")
-    appendSignatureIndexSharded(adm, root) // replayed:
     appendSignatureIndexSharded(adm, root)
+    val rowsOnce = (0 until 2)
+      .map(i => spark.read.parquet(s"$root/shard-$i").count()).sum
+    appendSignatureIndexSharded(adm, root) // replay: idempotent
     val probe2 = Seq((201L, "an entirely fresh document with brand new content words"))
       .toDF("doc_id", "text")
     val pre = probeSet(probeSignatureIndexSharded(spark, probe2, root))
     val rowsBefore = (0 until 2)
       .map(i => spark.read.parquet(s"$root/shard-$i").count()).sum
+    assert(rowsBefore == rowsOnce,
+      s"a replayed append must append nothing: $rowsOnce -> $rowsBefore")
     compactSignatureIndexSharded(spark, root)
     val rowsAfter = (0 until 2)
       .map(i => spark.read.parquet(s"$root/shard-$i").count()).sum
-    assert(rowsAfter == rowsBefore - 1, s"$rowsBefore -> $rowsAfter")
+    assert(rowsAfter == rowsBefore, s"$rowsBefore -> $rowsAfter")
     assert(probeSet(probeSignatureIndexSharded(spark, probe2, root)) == pre)
     // un-commit (the crashed-rebuild state): every verb refuses
     def del(f: java.io.File): Unit = {
@@ -125,5 +130,51 @@ class ShardedSignatureSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       buildSignatureIndexSharded(oldDocs.limit(2), s"$base/tiny", 64)
     }
+  }
+
+  test("CDC maintenance: an append window then a delete->forget window " +
+    "leave the sharded index BIT-equal to a fresh sharded build of " +
+    "read(toRev); replaying a window changes nothing; a single window's " +
+    "append-then-delete rows never enter the index") {
+    import graft.operators.VersionedStore
+    val base = tmpDir("sigsh4")
+    val store = s"$base/corpus"; val root = s"$base/sig"
+    val boot = oldDocs.filter(col("doc_id") <= 5)
+    val rest = oldDocs.filter(col("doc_id") > 5)
+    val extras = oldDocs.filter(col("doc_id") <= 2)
+      .withColumn("doc_id", col("doc_id") + 1000L)
+    val r1 = VersionedStore.save(Map("docs" -> boot), store)
+    buildSignatureIndexSharded(
+      VersionedStore.read(spark, store, "docs", Some(r1)), root, 3)
+    val r2 = VersionedStore.append(
+      Map("docs" -> rest.unionByName(extras)), store)
+    maintainSignatureIndexShardedFromStore(spark, store, "docs", r1, r2, root)
+    // window 1 admitted the extras: their signature rows are in the shards
+    assert((0 until 3).map(i => spark.read.parquet(s"$root/shard-$i")
+      .filter(col("doc_id") >= 1000L).count()).sum == 2,
+      "the append window must admit the extras")
+    val r3 = VersionedStore.delete(extras.select("doc_id"), "docs", store)
+    maintainSignatureIndexShardedFromStore(spark, store, "docs", r2, r3, root)
+    def content(p: String): Seq[Set[Seq[Any]]] = (0 until 3).map(i =>
+      spark.read.parquet(s"$p/shard-$i").collect().map(_.toSeq).toSet)
+    val fresh = s"$base/fresh"
+    buildSignatureIndexSharded(
+      VersionedStore.read(spark, store, "docs", Some(r3)), fresh, 3)
+    assert(content(root) == content(fresh),
+      "maintained shards must bit-equal a fresh build of read(toRev)")
+    // replays: the last window, and the whole span (whose netting makes
+    // the extras invisible on both sides) — nothing changes
+    maintainSignatureIndexShardedFromStore(spark, store, "docs", r2, r3, root)
+    maintainSignatureIndexShardedFromStore(spark, store, "docs", r1, r3, root)
+    assert(content(root) == content(fresh))
+    // single-window netting: a second index maintained over r1 -> r3 in
+    // ONE call never even encodes the extras
+    val direct = s"$base/direct"
+    buildSignatureIndexSharded(
+      VersionedStore.read(spark, store, "docs", Some(r1)), direct, 3)
+    maintainSignatureIndexShardedFromStore(spark, store, "docs", r1, r3, direct)
+    assert(content(direct) == content(fresh))
+    assert((0 until 3).forall(i => spark.read.parquet(s"$direct/shard-$i")
+      .filter(col("doc_id") >= 1000L).isEmpty))
   }
 }

@@ -167,4 +167,56 @@ class ShardedWinnowSpec extends SparkSuite {
       assert(f == m, s"step $step: sharded $f != mono $m")
     }
   }
+
+  test("CDC maintenance: an append window then a delete->forget window " +
+    "leave the federation PROBE-equal to a fresh sharded build of " +
+    "read(toRev); replayed windows change no probe result; a single " +
+    "window's append-then-delete rows never enter any shard") {
+    import graft.operators.VersionedStore
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("winsh5")
+    val store = s"$base/corpus"; val root = s"$base/winnow"
+    val boot = docs(1L to 16L)
+    val rest = docs(17L to 24L)
+    val extras = docs(Seq(1000L, 1004L)) // 1004 carries the shared span
+    val probe = docs(Seq(900L, 904L))
+    val r1 = VersionedStore.save(Map("docs" -> boot), store)
+    buildWinnowIndexSharded(
+      VersionedStore.read(spark, store, "docs", Some(r1)), root, 3)
+    val r2 = VersionedStore.append(
+      Map("docs" -> rest.unionByName(extras)), store)
+    maintainWinnowIndexShardedFromStore(spark, store, "docs", r1, r2, root)
+    // window 1 admitted the extras: 904's probe now reaches 1004
+    assert(probeSet(probeWinnowIndexSharded(spark, probe, root,
+      minShared = 1)).exists(_._2 == 1004L),
+      "the append window must admit the extras")
+    val r3 = VersionedStore.delete(extras.select("doc_id"), "docs", store)
+    maintainWinnowIndexShardedFromStore(spark, store, "docs", r2, r3, root)
+    val fresh = s"$base/fresh"
+    buildWinnowIndexSharded(
+      VersionedStore.read(spark, store, "docs", Some(r3)), fresh, 3)
+    val want = probeSet(probeWinnowIndexSharded(spark, probe, fresh,
+      minShared = 1))
+    assert(probeSet(probeWinnowIndexSharded(spark, probe, root,
+      minShared = 1)) == want,
+      "maintained federation must probe-equal a fresh build of read(toRev)")
+    assert(!want.exists(_._2 >= 1000L))
+    // replays: the delete window (absent forgets), then the whole span
+    // (netting hides the extras on both sides; appends double rows
+    // harmlessly) — every probe result unchanged
+    maintainWinnowIndexShardedFromStore(spark, store, "docs", r2, r3, root)
+    maintainWinnowIndexShardedFromStore(spark, store, "docs", r1, r3, root)
+    assert(probeSet(probeWinnowIndexSharded(spark, probe, root,
+      minShared = 1)) == want)
+    // single-window netting: maintained over r1 -> r3 in ONE call, the
+    // extras' fingerprints never land in any shard
+    val direct = s"$base/direct"
+    buildWinnowIndexSharded(
+      VersionedStore.read(spark, store, "docs", Some(r1)), direct, 3)
+    maintainWinnowIndexShardedFromStore(spark, store, "docs", r1, r3, direct)
+    assert((0 until 3).forall(i => spark.read.parquet(s"$direct/shard-$i")
+      .filter(col("doc_id") >= 1000L).isEmpty))
+    assert(probeSet(probeWinnowIndexSharded(spark, probe, direct,
+      minShared = 1)) == want)
+  }
 }
