@@ -46,7 +46,14 @@ object StoreDoctor {
             val deb = VersionedStore.debris(spark, p.toString).size
             s"ok (revisions=$revs, debris_dirs=$deb)"
           }.fold(identity, identity)
-        else "ok")
+        else
+          // a CDC-synced index carries its revision checkpoint — the
+          // one ops fact a lake scan should surface (how fresh is this
+          // index, and against WHICH corpus store)
+          attemptE(RevisionSync.syncedRev(spark, p.toString)) match {
+            case Right(Some((sp, rev))) => s"ok (synced rev=$rev of $sp)"
+            case _                      => "ok"
+          })
       (p.getName, family, err.isEmpty, detail)
     }.toDF("store", "family", "healthy", "detail").orderBy("store")
   }

@@ -501,4 +501,45 @@ object VectorIndex {
     val ins = inserted.select("vec_id", "v")
     if (!ins.isEmpty) append(ins, indexPath)
   }
+
+  /** SYNC the index with its versioned embedding store — the
+    * bookkeeping-free form of [[maintainFromStore]], same contract as
+    * the text side's `textIndexSyncWithStore`: the index checkpoints
+    * the last absorbed revision ([[RevisionSync]]), a first call
+    * against an empty path bootstraps (trains the quantizer on
+    * `read(current)` — the frozen parameters every later synced append
+    * encodes under), later calls absorb every pending append/delete
+    * revision in one O(delta) window, and the marker's lag-never-lead
+    * ordering makes a crash between maintenance and bump a harmless
+    * replay. `fam` is consulted only at bootstrap; afterwards the
+    * store's own family marker routes.
+    */
+  def syncWithStore(spark: SparkSession, storePath: String, rel: String,
+      idxPath: String, fam: String = "sq8"): Option[(Long, Long)] = {
+    val cur = VersionedStore.currentVersion(spark, storePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"VectorIndex.syncWithStore: no versioned store at $storePath"))
+    RevisionSync.syncedRev(spark, idxPath) match {
+      case None =>
+        val fp = new org.apache.hadoop.fs.Path(s"$idxPath/family")
+        val fs = fp.getFileSystem(spark.sessionState.newHadoopConf())
+        require(!fs.exists(fp),
+          s"VectorIndex.syncWithStore: index at $idxPath exists but " +
+            "carries no _synced_rev marker — it predates the sync " +
+            "discipline; rebuild through sync or keep driving it with " +
+            "maintainFromStore and explicit windows")
+        build(VersionedStore.read(spark, storePath, rel, Some(cur))
+          .select("vec_id", "v"), fam, idxPath)
+        RevisionSync.setSyncedRev(spark, idxPath, storePath, cur)
+        Some((cur, cur))
+      case Some(_) =>
+        RevisionSync.window(spark, idxPath, storePath) match {
+          case None => None
+          case Some((from, to)) =>
+            maintainFromStore(spark, storePath, rel, from, to, idxPath)
+            RevisionSync.setSyncedRev(spark, idxPath, storePath, to)
+            Some((from, to))
+        }
+    }
+  }
 }

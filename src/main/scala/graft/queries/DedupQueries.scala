@@ -2649,6 +2649,47 @@ object DedupQueries extends QueryModule {
     if (!ins.isEmpty) appendWinnowIndexSharded(ins, root)
   }
 
+  /** SYNC the sharded winnow index with its versioned corpus store —
+    * the family's bookkeeping-free sync verb (see
+    * [[syncSignatureIndexShardedWithStore]]; same [[graft.operators.RevisionSync]]
+    * checkpoint, same lag-never-lead crash rule). The winnow twist is
+    * replay shape, not safety: a replayed window's appends DOUBLE
+    * fingerprint rows harmlessly (probes compute over the (doc, hash)
+    * set; compact folds the litter), so a crash-lagged marker costs
+    * some store bytes until the next compact, never a wrong probe.
+    */
+  def syncWinnowIndexShardedWithStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, root: String, nShards: Int = 3): Option[(Long, Long)] = {
+    import graft.operators.{RevisionSync, VersionedStore}
+    val cur = VersionedStore.currentVersion(spark, storePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"syncWinnowIndexShardedWithStore: no versioned store at $storePath"))
+    RevisionSync.syncedRev(spark, root) match {
+      case None =>
+        val rp = new org.apache.hadoop.fs.Path(s"$root/router")
+        val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+        require(!fs.exists(rp),
+          s"syncWinnowIndexShardedWithStore: index at $root exists but " +
+            "carries no _synced_rev marker — it predates the sync " +
+            "discipline; rebuild through sync or keep driving it with " +
+            "maintainWinnowIndexShardedFromStore and explicit windows")
+        buildWinnowIndexSharded(
+          VersionedStore.read(spark, storePath, rel, Some(cur)), root, nShards)
+        RevisionSync.setSyncedRev(spark, root, storePath, cur)
+        Some((cur, cur))
+      case Some(_) =>
+        RevisionSync.window(spark, root, storePath) match {
+          case None => None
+          case Some((from, to)) =>
+            maintainWinnowIndexShardedFromStore(
+              spark, storePath, rel, from, to, root)
+            RevisionSync.setSyncedRev(spark, root, storePath, to)
+            Some((from, to))
+        }
+    }
+  }
+
   // ------------------------------------------------------------------
   // Sharded (federated) signature index — the near-dup twin of the
   // sharded winnow store, routed by DOC_ID (a doc owns exactly one
@@ -2820,6 +2861,50 @@ object DedupQueries extends QueryModule {
         s"carry (doc_id, text) — found (${inserted.columns.mkString(", ")})")
     val ins = inserted.select("doc_id", "text")
     if (!ins.isEmpty) appendSignatureIndexSharded(ins, root)
+  }
+
+  /** SYNC the sharded signature index with its versioned corpus store —
+    * the bookkeeping-free form of
+    * [[maintainSignatureIndexShardedFromStore]] (the text side's
+    * `textIndexSyncWithStore` contract): the federation checkpoints the
+    * last absorbed revision at its root ([[graft.operators.RevisionSync]]),
+    * a first call against an empty root bootstraps the n-shard build
+    * from `read(current)`, later calls absorb every pending
+    * append/delete revision in one window, and a crash between
+    * maintenance and marker bump replays harmlessly (left-anti-guarded
+    * appends, no-op forgets of absent ids). `nShards` is consulted only
+    * at bootstrap; afterwards the router rules.
+    */
+  def syncSignatureIndexShardedWithStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, root: String, nShards: Int = 3): Option[(Long, Long)] = {
+    import graft.operators.{RevisionSync, VersionedStore}
+    val cur = VersionedStore.currentVersion(spark, storePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"syncSignatureIndexShardedWithStore: no versioned store at $storePath"))
+    RevisionSync.syncedRev(spark, root) match {
+      case None =>
+        val rp = new org.apache.hadoop.fs.Path(sigRouterPath(root))
+        val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+        require(!fs.exists(rp),
+          s"syncSignatureIndexShardedWithStore: index at $root exists " +
+            "but carries no _synced_rev marker — it predates the sync " +
+            "discipline; rebuild through sync or keep driving it with " +
+            "maintainSignatureIndexShardedFromStore and explicit windows")
+        buildSignatureIndexSharded(
+          VersionedStore.read(spark, storePath, rel, Some(cur)), root, nShards)
+        RevisionSync.setSyncedRev(spark, root, storePath, cur)
+        Some((cur, cur))
+      case Some(_) =>
+        RevisionSync.window(spark, root, storePath) match {
+          case None => None
+          case Some((from, to)) =>
+            maintainSignatureIndexShardedFromStore(
+              spark, storePath, rel, from, to, root)
+            RevisionSync.setSyncedRev(spark, root, storePath, to)
+            Some((from, to))
+        }
+    }
   }
 
   /** FORGET documents — routed to the OWNING shard only (doc routing

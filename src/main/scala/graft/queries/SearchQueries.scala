@@ -819,6 +819,66 @@ object SearchQueries extends QueryModule {
     if (!ins.isEmpty) textIndexAppend(ins, indexPath)
   }
 
+  /** SYNC the text index with its versioned corpus store — the
+    * bookkeeping-free form of [[textIndexMaintainFromStore]]: the index
+    * carries its own revision checkpoint
+    * ([[graft.operators.RevisionSync]], a `_synced_rev` relation inside
+    * the index store), so ONE argumentless-in-spirit call absorbs
+    * however many append/delete revisions landed since the last sync —
+    * an ingest loop or cron job never tracks revision numbers, and two
+    * operators can't double-apply a window by miscounting.
+    *
+    * First call against an EMPTY index path bootstraps: build from
+    * `read(current)`, save, checkpoint at current. Later calls resolve
+    * the window marker→current and run the bridge. Crash safety is the
+    * marker's lag-never-lead rule: maintenance commits BEFORE the bump,
+    * and the bridge is replay-safe end to end, so a crash between the
+    * two re-applies the window harmlessly on the next sync. An index
+    * that exists but carries no marker refuses (unknown provenance —
+    * it may have been maintained by hand past any revision; syncing a
+    * guessed window would double-apply or skip), as does a marker that
+    * tracks a DIFFERENT store path or sits ahead of the store's current
+    * revision (store rebuilt from scratch). A window that crosses a
+    * full save or compact propagates the CDC refusal: delta sync
+    * applies only across append/delete revisions — rebuild the index
+    * (delete + re-sync) after a corpus-replacing revision.
+    *
+    * Returns the (fromRev, toRev) window it applied, None when already
+    * current.
+    */
+  def textIndexSyncWithStore(spark: SparkSession, storePath: String,
+      rel: String, idxPath: String): Option[(Long, Long)] = {
+    import graft.operators.{RevisionSync, VersionedStore}
+    val cur = VersionedStore.currentVersion(spark, storePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"textIndexSyncWithStore: no versioned store at $storePath"))
+    RevisionSync.syncedRev(spark, idxPath) match {
+      case None =>
+        val pp = new org.apache.hadoop.fs.Path(s"$idxPath/postings")
+        val fs = pp.getFileSystem(spark.sessionState.newHadoopConf())
+        require(!fs.exists(pp),
+          s"textIndexSyncWithStore: index at $idxPath exists but carries " +
+            "no _synced_rev marker — it predates the sync discipline or " +
+            "was maintained by hand; rebuild it through sync (delete the " +
+            "index dir and re-run), or keep driving it with " +
+            "textIndexMaintainFromStore and explicit windows")
+        val base = VersionedStore.read(spark, storePath, rel, Some(cur))
+        val (p0, ds0) = textIndexBuild(base.select("doc_id", "text"))
+        textIndexSave(p0, ds0, idxPath)
+        RevisionSync.setSyncedRev(spark, idxPath, storePath, cur)
+        Some((cur, cur))
+      case Some(_) =>
+        RevisionSync.window(spark, idxPath, storePath) match {
+          case None => None
+          case Some((from, to)) =>
+            textIndexMaintainFromStore(spark, storePath, rel, from, to,
+              idxPath)
+            RevisionSync.setSyncedRev(spark, idxPath, storePath, to)
+            Some((from, to))
+        }
+    }
+  }
+
   /** FORGET documents — the right-to-be-forgotten verb, distinct from
     * [[textIndexDelete]] exactly as in the vector families: delete is a
     * STICKY tombstone (cheap, survives replayed appends, content never
@@ -2340,15 +2400,76 @@ object SearchQueries extends QueryModule {
         res
       }
     },
-    Some(s"""WITH ${bm25CteSqlFrom(
+    Some(cdcMaintainOracleSql))
+
+  /** Shared oracle of q189 and q195: BM25 top-20 recomputed from
+    * scratch over the final visible corpus of the SAME revision dance
+    * (old docs minus the %17=3 deletions, plus the src19 append) — the
+    * explicit-window bridge and the marker-driven sync must both land
+    * on exactly this.
+    */
+  private lazy val cdcMaintainOracleSql: String =
+    s"""WITH ${bm25CteSqlFrom(
         "(SELECT * FROM documents WHERE NOT (source <> 'src19' AND doc_id % 17 = 3))")}
              SELECT rank, doc_id, n_terms_hit, score FROM (
                SELECT doc_id, n_terms_hit, score,
                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
                FROM bm) t
-             WHERE rank <= 20 ORDER BY rank"""))
+             WHERE rank <= 20 ORDER BY rank"""
+
+  /** q195: q189's corpus-evolution scenario driven through the
+    * BOOKKEEPING-FREE sync verb — the index checkpoints the revisions
+    * it has absorbed ([[graft.operators.RevisionSync]]), so the caller
+    * makes three identical `textIndexSyncWithStore` calls (bootstrap,
+    * catch-up over BOTH pending revisions at once, and a no-op when
+    * already current) and never names a revision number. The oracle is
+    * q189's SQL verbatim: how the window was resolved — explicit
+    * arguments or the stored marker — must be invisible in the result
+    * (CdcIndexSpec additionally pins the crash-lag replay: maintenance
+    * applied but marker not yet bumped re-syncs to the identical
+    * index).
+    */
+  private val q195 = QueryDef(
+    "q195_index_store_sync",
+    (s, d) => {
+      import graft.operators.VersionedStore
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val old = docs.filter(col("source") =!= "src19")
+      val inc = docs.filter(col("source") === "src19")
+      if (old.isEmpty)
+        docs.select(lit(1).as("rank"), col("doc_id"),
+          lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-syncix")
+        val store = tmp.toString + "/corpus"
+        val idx = tmp.toString + "/idx"
+        graft.BenchPhases.build {
+          VersionedStore.save(Map("docs" -> old.select("doc_id", "text")),
+            store)
+          textIndexSyncWithStore(s, store, "docs", idx) // bootstrap
+          VersionedStore.append(
+            Map("docs" -> inc.select("doc_id", "text")), store)
+          VersionedStore.delete(
+            old.filter(col("doc_id") % 17 === 3).select("doc_id"),
+            "docs", store)
+          textIndexSyncWithStore(s, store, "docs", idx) // catch up both
+          require(textIndexSyncWithStore(s, store, "docs", idx).isEmpty,
+            "q195: a third sync against an unchanged store must be a no-op")
+        }
+        val top = textIndexSearch(s, idx)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        val res = top.withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("rank", "doc_id", "n_terms_hit", "score")
+          .orderBy("rank").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(cdcMaintainOracleSql))
 
   override def defs: Seq[QueryDef] =
     Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171, q172, q173,
-      q174, q175, q189, q190)
+      q174, q175, q189, q190, q195)
 }

@@ -88,4 +88,106 @@ class CdcIndexSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("no doc_id"))
   }
+
+  test("sync: bootstrap builds and checkpoints; one call absorbs several " +
+    "pending revisions; a current index is a no-op; a crash-lagged " +
+    "marker (maintenance applied, bump lost) re-syncs to the identical " +
+    "index") {
+    import graft.operators.RevisionSync
+    val base = tmpDir("cdcsync")
+    val store = s"$base/corpus"; val idx = s"$base/idx"
+    VersionedStore.save(Map("docs" ->
+      docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")), store)
+    // bootstrap: fresh build + checkpoint at current
+    assert(textIndexSyncWithStore(spark, store, "docs", idx).isDefined)
+    assert(RevisionSync.syncedRev(spark, idx).map(_._2).contains(1L))
+    assert(textIndexSyncWithStore(spark, store, "docs", idx).isEmpty,
+      "an up-to-date index must sync as a no-op")
+    // two pending revisions, ONE sync
+    VersionedStore.append(Map("docs" ->
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")), store)
+    val doomed = docs.filter(col("doc_id") % 7 === 2).select("doc_id")
+    val r3 = VersionedStore.delete(doomed, "docs", store)
+    assert(textIndexSyncWithStore(spark, store, "docs", idx)
+      .contains((1L, r3)))
+    val fresh = s"$base/fresh"
+    freshOf(VersionedStore.read(spark, store, "docs", Some(r3)), fresh)
+    assert(loaded(idx) == loaded(fresh))
+    // crash-lag: apply a new window's maintenance by hand, leave the
+    // marker stale — the next sync replays the window (idempotent) and
+    // lands on the same index
+    val r4 = VersionedStore.delete(
+      docs.filter(col("doc_id") % 11 === 1).select("doc_id"), "docs", store)
+    textIndexMaintainFromStore(spark, store, "docs", r3, r4, idx)
+    assert(RevisionSync.syncedRev(spark, idx).map(_._2).contains(r3),
+      "the simulated crash leaves the marker lagging")
+    assert(textIndexSyncWithStore(spark, store, "docs", idx)
+      .contains((r3, r4)))
+    val fresh4 = s"$base/fresh4"
+    freshOf(VersionedStore.read(spark, store, "docs", Some(r4)), fresh4)
+    assert(loaded(idx) == loaded(fresh4))
+  }
+
+  test("sync refusals: an existing unmarked index, a marker tracking a " +
+    "different store, and a marker ahead of a rebuilt store all refuse " +
+    "with guidance") {
+    import graft.operators.RevisionSync
+    val base = tmpDir("cdcsync-ref")
+    val store = s"$base/corpus"; val idx = s"$base/idx"
+    VersionedStore.save(Map("docs" -> docs.select("doc_id", "text")), store)
+    // unmarked index: built by hand, no provenance
+    freshOf(docs, idx)
+    val e1 = intercept[IllegalArgumentException] {
+      textIndexSyncWithStore(spark, store, "docs", idx)
+    }
+    assert(e1.getMessage.contains("_synced_rev"))
+    // marker tracking another store
+    val idx2 = s"$base/idx2"
+    assert(textIndexSyncWithStore(spark, store, "docs", idx2).isDefined)
+    val store2 = s"$base/corpus2"
+    VersionedStore.save(Map("docs" -> docs.select("doc_id", "text")), store2)
+    val e2 = intercept[IllegalArgumentException] {
+      textIndexSyncWithStore(spark, store2, "docs", idx2)
+    }
+    assert(e2.getMessage.contains("mix corpora"))
+    // marker ahead: the store was rebuilt from scratch under the index
+    VersionedStore.append(
+      Map("docs" -> docs.limit(1).select("doc_id", "text")), store)
+    textIndexSyncWithStore(spark, store, "docs", idx2)
+    RevisionSync.setSyncedRev(spark, idx2, store, 99L)
+    val e3 = intercept[IllegalArgumentException] {
+      textIndexSyncWithStore(spark, store, "docs", idx2)
+    }
+    assert(e3.getMessage.contains("AHEAD"))
+  }
+
+  test("streaming composition: exactly-once versioned ingest + per-batch " +
+    "sync — a replayed batch skips AND its sync no-ops; a batch whose " +
+    "sync crashed is absorbed by the NEXT batch's sync; the final index " +
+    "equals a fresh build of the store's current revision") {
+    import graft.streaming.VersionedIngest
+    val base = tmpDir("ingestsync")
+    val store = s"$base/corpus"; val idx = s"$base/idx"
+    val d = docs.select("doc_id", "text")
+    val slice = (m: Long) => d.filter(col("doc_id") % 4 === m)
+    // pre-stream bootstrap: corpus then index
+    VersionedIngest.bootstrap(slice(0), store)
+    assert(textIndexSyncWithStore(spark, store, "docs", idx).isDefined)
+    // batch 0 applies; its sync applies one window
+    assert(VersionedIngest.ingestBatch(slice(1), 0L, store))
+    assert(textIndexSyncWithStore(spark, store, "docs", idx).isDefined)
+    // batch 0 REPLAYED (post-crash re-run): ingest skips, sync no-ops
+    assert(!VersionedIngest.ingestBatch(slice(1), 0L, store))
+    assert(textIndexSyncWithStore(spark, store, "docs", idx).isEmpty)
+    // batch 1 applies but its sync CRASHES (simulated by skipping it);
+    // batch 2 applies and its sync absorbs both pending revisions
+    assert(VersionedIngest.ingestBatch(slice(2), 1L, store))
+    assert(VersionedIngest.ingestBatch(slice(3), 2L, store))
+    val w = textIndexSyncWithStore(spark, store, "docs", idx)
+    assert(w.isDefined && w.get._2 - w.get._1 == 2,
+      s"the catch-up sync must span both pending revisions, got $w")
+    val fresh = s"$base/fresh"
+    freshOf(VersionedStore.read(spark, store, "docs"), fresh)
+    assert(loaded(idx) == loaded(fresh))
+  }
 }

@@ -106,4 +106,25 @@ class CdcVectorIndexSpec extends SparkSuite {
     }
     assert(ex2.getMessage.contains("vec_id"))
   }
+
+  test("sync: bootstrap trains the quantizer on read(current) and " +
+    "checkpoints; one later call absorbs pending revisions and equals " +
+    "the hand-driven window; a current index syncs as a no-op") {
+    val base = tmpDir("cdcvec-sync")
+    val store = s"$base/emb"; val idx = s"$base/idx"; val hand = s"$base/hand"
+    val boot = emb.filter(col("vec_id") % 4 =!= 3)
+    val late = emb.filter(col("vec_id") % 4 === 3)
+    val doomed = emb.filter(col("vec_id") % 8 === 1).select("vec_id")
+    VersionedStore.save(Map("emb" -> boot), store)
+    assert(VectorIndex.syncWithStore(spark, store, "emb", idx).isDefined)
+    assert(VectorIndex.syncWithStore(spark, store, "emb", idx).isEmpty)
+    VersionedStore.append(Map("emb" -> late), store)
+    VersionedStore.delete(doomed, "emb", store)
+    assert(VectorIndex.syncWithStore(spark, store, "emb", idx).isDefined)
+    // the hand-driven twin over the same window
+    VectorIndex.build(boot, "sq8", hand)
+    VectorIndex.delete(doomed, hand)
+    VectorIndex.append(late, hand)
+    assert(results(idx) == results(hand))
+  }
 }

@@ -177,4 +177,35 @@ class ShardedSignatureSpec extends SparkSuite {
     assert((0 until 3).forall(i => spark.read.parquet(s"$direct/shard-$i")
       .filter(col("doc_id") >= 1000L).isEmpty))
   }
+
+  test("sync: bootstrap builds the federation and checkpoints; one call " +
+    "absorbs pending revisions bit-equal to a fresh build; no-op when " +
+    "current; a marker tracking another store refuses") {
+    import graft.operators.VersionedStore
+    val base = tmpDir("sigsync")
+    val store = s"$base/corpus"; val root = s"$base/sig"
+    VersionedStore.save(Map("docs" -> oldDocs.filter(col("doc_id") <= 5)), store)
+    assert(syncSignatureIndexShardedWithStore(
+      spark, store, "docs", root).isDefined)
+    assert(syncSignatureIndexShardedWithStore(
+      spark, store, "docs", root).isEmpty)
+    VersionedStore.append(
+      Map("docs" -> oldDocs.filter(col("doc_id") > 5)), store)
+    val r3 = VersionedStore.delete(
+      oldDocs.filter(col("doc_id") === 2).select("doc_id"), "docs", store)
+    assert(syncSignatureIndexShardedWithStore(
+      spark, store, "docs", root).isDefined)
+    val fresh = s"$base/fresh"
+    buildSignatureIndexSharded(
+      VersionedStore.read(spark, store, "docs", Some(r3)), fresh, 3)
+    def content(p: String): Seq[Set[Seq[Any]]] = (0 until 3).map(i =>
+      spark.read.parquet(s"$p/shard-$i").collect().map(_.toSeq).toSet)
+    assert(content(root) == content(fresh))
+    val store2 = s"$base/corpus2"
+    VersionedStore.save(Map("docs" -> oldDocs), store2)
+    val e = intercept[IllegalArgumentException] {
+      syncSignatureIndexShardedWithStore(spark, store2, "docs", root)
+    }
+    assert(e.getMessage.contains("mix corpora"))
+  }
 }

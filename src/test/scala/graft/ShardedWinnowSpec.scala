@@ -219,4 +219,30 @@ class ShardedWinnowSpec extends SparkSuite {
     assert(probeSet(probeWinnowIndexSharded(spark, probe, direct,
       minShared = 1)) == want)
   }
+
+  test("sync: bootstrap builds the federation and checkpoints; one call " +
+    "absorbs pending revisions probe-equal to a fresh build; no-op when " +
+    "current") {
+    import graft.operators.VersionedStore
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("winsync")
+    val store = s"$base/corpus"; val root = s"$base/winnow"
+    val probe = docs(Seq(900L, 904L))
+    VersionedStore.save(Map("docs" -> docs(1L to 16L)), store)
+    assert(syncWinnowIndexShardedWithStore(
+      spark, store, "docs", root).isDefined)
+    assert(syncWinnowIndexShardedWithStore(
+      spark, store, "docs", root).isEmpty)
+    VersionedStore.append(Map("docs" -> docs(17L to 24L)), store)
+    val r3 = VersionedStore.delete(
+      docs(Seq(4L)).select("doc_id"), "docs", store)
+    assert(syncWinnowIndexShardedWithStore(
+      spark, store, "docs", root).isDefined)
+    val fresh = s"$base/fresh"
+    buildWinnowIndexSharded(
+      VersionedStore.read(spark, store, "docs", Some(r3)), fresh, 3)
+    assert(probeSet(probeWinnowIndexSharded(spark, probe, root,
+        minShared = 1)) ==
+      probeSet(probeWinnowIndexSharded(spark, probe, fresh, minShared = 1)))
+  }
 }

@@ -84,4 +84,19 @@ class StoreDoctorSpec extends SparkSuite {
     assert(famMisc == "unknown" && !okMisc)
     assert(rows.size == 9)
   }
+
+  test("a CDC-synced index surfaces its revision checkpoint in the scan " +
+    "detail: which corpus store it tracks and how far it has absorbed") {
+    val root = tmpDir("doctor-sync")
+    val store = s"$root/corpus"
+    VersionedStore.save(Map("docs" -> mkDocs(1 to 10)), store)
+    SearchQueries.textIndexSyncWithStore(spark, store, "docs",
+      s"$root/text_synced")
+    val rows = StoreDoctor.scan(spark, root).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getBoolean(2), r.getString(3))).toMap
+    val (fam, ok, detail) = rows("text_synced")
+    assert(fam == "text" && ok, rows("text_synced").toString)
+    assert(detail == s"ok (synced rev=1 of $store)", detail)
+  }
 }
