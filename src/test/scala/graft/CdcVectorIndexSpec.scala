@@ -107,6 +107,37 @@ class CdcVectorIndexSpec extends SparkSuite {
     assert(ex2.getMessage.contains("vec_id"))
   }
 
+  test("family matrix: the SAME maintain call routes pq, bin, ivf, and " +
+    "lsh stores through their own append/delete verbs — each maintained " +
+    "store bit-equals its hand-driven twin, and a replayed window " +
+    "changes nothing") {
+    Seq("pq", "bin", "ivf", "lsh").foreach { fam =>
+      val base = tmpDir(s"cdcvec-$fam")
+      val store = s"$base/emb"
+      val idx = s"$base/idx"; val hand = s"$base/hand"
+      val boot = emb.filter(col("vec_id") % 4 =!= 3)
+      val late = emb.filter(col("vec_id") % 4 === 3)
+      val doomed = emb.filter(col("vec_id") % 8 === 1).select("vec_id")
+      val r1 = VersionedStore.save(Map("emb" -> boot), store)
+      VectorIndex.build(VersionedStore.read(spark, store, "emb", Some(r1)),
+        fam, idx)
+      VectorIndex.build(VersionedStore.read(spark, store, "emb", Some(r1)),
+        fam, hand)
+      VersionedStore.append(Map("emb" -> late), store)
+      val r3 = VersionedStore.delete(doomed, "emb", store)
+      VectorIndex.maintainFromStore(spark, store, "emb", r1, r3, idx)
+      VectorIndex.delete(doomed, hand)
+      VectorIndex.append(late, hand)
+      assert(results(idx) == results(hand),
+        s"family $fam: maintained store must equal the hand-driven twin")
+      assert(!results(idx).exists(t => t._2 % 8 == 1),
+        s"family $fam: a tombstoned vector re-entered the results")
+      val before = results(idx)
+      VectorIndex.maintainFromStore(spark, store, "emb", r1, r3, idx)
+      assert(results(idx) == before, s"family $fam: replay must change nothing")
+    }
+  }
+
   test("sync: bootstrap trains the quantizer on read(current) and " +
     "checkpoints; one later call absorbs pending revisions and equals " +
     "the hand-driven window; a current index syncs as a no-op") {
