@@ -81,10 +81,20 @@ object Logging {
       case b: Boolean => if (b) "True" else "False"
       case s: String =>
         // Python's quote choice: single quotes, switching to double when
-        // the string contains a single quote but no double quote
-        if (s.contains("'") && !s.contains("\""))
-          "\"" + s.replace("\\", "\\\\") + "\""
-        else "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        // the string contains a single quote but no double quote.
+        // Control characters escape as repr does (\n, \r, \t named;
+        // other C0 controls as \xNN) so a multi-line parameter stays on
+        // one log line — the blank-line-separated DEBUG format the
+        // reference's messages pin would otherwise tear
+        val esc = s.replace("\\", "\\\\").flatMap {
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' || c == '\u007f' => f"\\x${c.toInt}%02x"
+          case c => c.toString
+        }
+        if (s.contains("'") && !s.contains("\"")) "\"" + esc + "\""
+        else "'" + esc.replace("'", "\\'") + "'"
       case c: Char => one(c.toString)
       case other => String.valueOf(other)
     }

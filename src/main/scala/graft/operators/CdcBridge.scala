@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The ONE body behind the four maintain-from-store bridges and the
+  * four sync verbs (text q189/q195, vector q192, signature q193,
+  * winnow q194): families differ only in their key column, the columns
+  * an insert needs, and which delete/append/build verbs apply — the
+  * window algebra, the deletes-first ordering, the netting contract,
+  * and the sync checkpoint dance are family-independent and live here
+  * exactly once, so a fix lands everywhere at once instead of drifting
+  * across four copies.
+  */
+object CdcBridge {
+
+  /** Apply one revision window to a derived index: deleted keys run
+    * `onDelete` FIRST (a delete-then-reappend window stays invisible on
+    * both sides — the store's sticky-tombstone view), then the netted
+    * insert rows ride `onInsert` (the store's `changes` already nets
+    * rows appended-then-tombstoned inside the window, so the index
+    * never even encodes them).
+    */
+  def maintain(spark: SparkSession, storePath: String, rel: String,
+      fromRev: Long, toRev: Long, keyCol: String, insertCols: Seq[String],
+      verb: String)(onDelete: DataFrame => Unit)(
+      onInsert: DataFrame => Unit): Unit = {
+    val (inserted, deletedKeys) =
+      VersionedStore.changes(spark, storePath, fromRev, toRev, rel)
+    if (deletedKeys.columns.nonEmpty) {
+      require(deletedKeys.columns.contains(keyCol),
+        s"$verb: '$rel' tombstones carry no $keyCol column (found " +
+          s"${deletedKeys.columns.mkString(", ")}) — the index is keyed " +
+          s"by $keyCol")
+      val del = deletedKeys.select(keyCol)
+      if (!del.isEmpty) onDelete(del)
+    }
+    require(insertCols.forall(inserted.columns.contains),
+      s"$verb: relation '$rel' must carry (${insertCols.mkString(", ")}) " +
+        s"— found (${inserted.columns.mkString(", ")})")
+    val ins = inserted.select(insertCols.map(col): _*)
+    if (!ins.isEmpty) onInsert(ins)
+  }
+
+  /** The bookkeeping-free sync driver: resolve the index's
+    * [[RevisionSync]] checkpoint against the store's current revision
+    * and bootstrap / catch up / no-op accordingly.
+    *
+    * Bootstrap is crash-safe through a SENTINEL revision: the marker is
+    * written as rev -1 ("bootstrap in flight") BEFORE the build and
+    * bumped to the real revision after, so a crash anywhere inside the
+    * build leaves a sentinel that the next sync recognizes and
+    * re-bootstraps from the store's then-current revision (every
+    * family's build verb overwrites its own relations). Without the
+    * sentinel, a half-built index would be indistinguishable from a
+    * hand-built one and sync would refuse forever. The maintain path
+    * keeps the lag-never-lead rule: maintenance commits BEFORE the
+    * bump, and the bridges replay idempotently.
+    *
+    * `indexExists` distinguishes a genuinely hand-built index (present,
+    * no marker at all — refuse, its maintenance history is unknowable)
+    * from a fresh path (bootstrap).
+    */
+  def sync(spark: SparkSession, storePath: String, idxPath: String,
+      verb: String)(indexExists: => Boolean)(bootstrap: Long => Unit)(
+      maintainWindow: (Long, Long) => Unit): Option[(Long, Long)] = {
+    val cur = VersionedStore.currentVersion(spark, storePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"$verb: no versioned store at $storePath"))
+    def runBootstrap(): Option[(Long, Long)] = {
+      RevisionSync.setSyncedRev(spark, idxPath, storePath, -1L)
+      bootstrap(cur)
+      RevisionSync.setSyncedRev(spark, idxPath, storePath, cur)
+      Some((cur, cur))
+    }
+    RevisionSync.syncedRev(spark, idxPath) match {
+      case None =>
+        require(!indexExists,
+          s"$verb: index at $idxPath exists but carries no _synced_rev " +
+            "marker — it predates the sync discipline or was maintained " +
+            "by hand; delete the index dir and re-run sync to rebuild, " +
+            "or keep driving it with the explicit-window maintain verb")
+        runBootstrap()
+      case Some((sp, -1L)) =>
+        require(sp == storePath,
+          s"$verb: index at $idxPath tracks store '$sp', not " +
+            s"'$storePath' — refusing to mix corpora")
+        // a bootstrap crashed mid-build: rebuild from the current
+        // revision (the build verbs overwrite their own relations)
+        runBootstrap()
+      case Some(_) =>
+        RevisionSync.window(spark, idxPath, storePath) match {
+          case None => None
+          case Some((from, to)) =>
+            maintainWindow(from, to)
+            RevisionSync.setSyncedRev(spark, idxPath, storePath, to)
+            Some((from, to))
+        }
+    }
+  }
+}

@@ -42,8 +42,30 @@ object RevisionSync {
     }
   }
 
+  /** READ-ONLY probe of the checkpoint — no recover, no rename: the
+    * variant a diagnostic scan must use (StoreDoctor's contract is
+    * report-only; healing a torn marker mid-forensics would mutate the
+    * very state an operator is inspecting). A marker caught mid-rewrite
+    * (tmp present, target absent) reads as None here; the next SYNC
+    * heals it.
+    */
+  def peekSyncedRev(spark: SparkSession,
+      idxPath: String): Option[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(markerPath(idxPath))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else spark.read.parquet(markerPath(idxPath)).collect() match {
+      case Array(r) =>
+        Some((r.getAs[String]("store_path"), r.getAs[Long]("rev")))
+      case _ => None
+    }
+  }
+
   /** Bump the checkpoint — called only AFTER the window's maintenance
-    * completed (the lag-never-lead rule).
+    * completed (the lag-never-lead rule). Rev -1 is the BOOTSTRAP
+    * SENTINEL ([[CdcBridge.sync]]): written before a bootstrap build so
+    * a crash mid-build re-bootstraps instead of reading as a hand-built
+    * index.
     */
   def setSyncedRev(spark: SparkSession, idxPath: String, storePath: String,
       rev: Long): Unit = {
@@ -69,6 +91,10 @@ object RevisionSync {
         require(sp == storePath,
           s"RevisionSync: index at $idxPath tracks store '$sp', not " +
             s"'$storePath' — refusing to mix corpora")
+        require(from >= 0,
+          s"RevisionSync: marker at $idxPath is the bootstrap sentinel " +
+            "(-1) — a bootstrap crashed mid-build; re-run the sync verb " +
+            "to rebuild")
         require(from <= cur,
           s"RevisionSync: marker rev $from is AHEAD of the store's " +
             s"current revision $cur — the store was rebuilt or vacuumed " +

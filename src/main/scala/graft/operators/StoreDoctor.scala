@@ -49,8 +49,10 @@ object StoreDoctor {
         else
           // a CDC-synced index carries its revision checkpoint — the
           // one ops fact a lake scan should surface (how fresh is this
-          // index, and against WHICH corpus store)
-          attemptE(RevisionSync.syncedRev(spark, p.toString)) match {
+          // index, and against WHICH corpus store). The READ-ONLY peek,
+          // never syncedRev: scan is a diagnostic and must not repair a
+          // torn marker under an operator mid-forensics
+          attemptE(RevisionSync.peekSyncedRev(spark, p.toString)) match {
             case Right(Some((sp, rev))) => s"ok (synced rev=$rev of $sp)"
             case _                      => "ok"
           })

@@ -348,6 +348,20 @@ object VectorIndex {
     require(nShards >= 1,
       s"VectorIndex.buildSharded: nShards must be >= 1, got $nShards")
     val spark = e.sparkSession
+    // un-commit first, then drop every existing shard dir (see
+    // textIndexSaveSharded): a crashed rebuild must refuse under a
+    // missing router, and a rebuild with fewer shards must not orphan
+    // higher-numbered dirs carrying forgotten vectors' codes
+    locally {
+      val rp = new org.apache.hadoop.fs.Path(routerPath(root))
+      val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(rp)) fs.delete(rp, true)
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      if (fs.exists(rootP))
+        fs.listStatus(rootP).map(_.getPath)
+          .filter(_.getName.startsWith("shard-"))
+          .foreach(p => fs.delete(p, true))
+    }
     val withSh = e.withColumn("_sh", shardOf(nShards)).localCheckpoint(true)
     val present = withSh.select("_sh").distinct().collect()
       .map(_.getLong(0)).toSet
@@ -483,24 +497,11 @@ object VectorIndex {
     * re-tombstoning is idempotent.
     */
   def maintainFromStore(spark: SparkSession, storePath: String,
-      rel: String, fromRev: Long, toRev: Long, indexPath: String): Unit = {
-    val (inserted, deletedKeys) =
-      VersionedStore.changes(spark, storePath, fromRev, toRev, rel)
-    if (deletedKeys.columns.nonEmpty) {
-      require(deletedKeys.columns.contains("vec_id"),
-        s"VectorIndex.maintainFromStore: '$rel' tombstones carry no " +
-          s"vec_id column (found ${deletedKeys.columns.mkString(", ")}) — " +
-          "vector stores are keyed by vec_id")
-      val del = deletedKeys.select("vec_id")
-      if (!del.isEmpty) delete(del, indexPath)
-    }
-    require(inserted.columns.contains("vec_id") &&
-        inserted.columns.contains("v"),
-      s"VectorIndex.maintainFromStore: relation '$rel' must carry " +
-        s"(vec_id, v) — found (${inserted.columns.mkString(", ")})")
-    val ins = inserted.select("vec_id", "v")
-    if (!ins.isEmpty) append(ins, indexPath)
-  }
+      rel: String, fromRev: Long, toRev: Long, indexPath: String): Unit =
+    CdcBridge.maintain(spark, storePath, rel, fromRev, toRev, "vec_id",
+      Seq("vec_id", "v"), "VectorIndex.maintainFromStore")(
+      del => delete(del, indexPath))(
+      ins => append(ins, indexPath))
 
   /** SYNC the index with its versioned embedding store — the
     * bookkeeping-free form of [[maintainFromStore]], same contract as
@@ -515,31 +516,12 @@ object VectorIndex {
     * store's own family marker routes.
     */
   def syncWithStore(spark: SparkSession, storePath: String, rel: String,
-      idxPath: String, fam: String = "sq8"): Option[(Long, Long)] = {
-    val cur = VersionedStore.currentVersion(spark, storePath).getOrElse(
-      throw new IllegalArgumentException(
-        s"VectorIndex.syncWithStore: no versioned store at $storePath"))
-    RevisionSync.syncedRev(spark, idxPath) match {
-      case None =>
-        val fp = new org.apache.hadoop.fs.Path(s"$idxPath/family")
-        val fs = fp.getFileSystem(spark.sessionState.newHadoopConf())
-        require(!fs.exists(fp),
-          s"VectorIndex.syncWithStore: index at $idxPath exists but " +
-            "carries no _synced_rev marker — it predates the sync " +
-            "discipline; rebuild through sync or keep driving it with " +
-            "maintainFromStore and explicit windows")
-        build(VersionedStore.read(spark, storePath, rel, Some(cur))
-          .select("vec_id", "v"), fam, idxPath)
-        RevisionSync.setSyncedRev(spark, idxPath, storePath, cur)
-        Some((cur, cur))
-      case Some(_) =>
-        RevisionSync.window(spark, idxPath, storePath) match {
-          case None => None
-          case Some((from, to)) =>
-            maintainFromStore(spark, storePath, rel, from, to, idxPath)
-            RevisionSync.setSyncedRev(spark, idxPath, storePath, to)
-            Some((from, to))
-        }
-    }
-  }
+      idxPath: String, fam: String = "sq8"): Option[(Long, Long)] =
+    CdcBridge.sync(spark, storePath, idxPath, "VectorIndex.syncWithStore")({
+      val fp = new org.apache.hadoop.fs.Path(s"$idxPath/family")
+      fp.getFileSystem(spark.sessionState.newHadoopConf()).exists(fp)
+    })(cur =>
+      build(VersionedStore.read(spark, storePath, rel, Some(cur))
+        .select("vec_id", "v"), fam, idxPath))((from, to) =>
+      maintainFromStore(spark, storePath, rel, from, to, idxPath))
 }

@@ -2501,6 +2501,17 @@ object DedupQueries extends QueryModule {
     val rp = new org.apache.hadoop.fs.Path(winnowRouterPath(root))
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(rp)) fs.delete(rp, true) // un-commit before rebuild
+    // drop EVERY existing shard dir, not just the ones the new count
+    // overwrites: rebuilding 5 shards as 3 must not orphan shard-3/4 on
+    // disk — they would silently retain forgotten documents' rows
+    // forever (no verb loops past the router's n). Crash-safe: the
+    // router is already un-committed, so a crash mid-delete leaves a
+    // store every verb refuses.
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (fs.exists(rootP))
+      fs.listStatus(rootP).map(_.getPath)
+        .filter(_.getName.startsWith("shard-"))
+        .foreach(p => fs.delete(p, true))
     val fp = winnowFingerprints(documents, k, w)
       .withColumn("_sh", winnowShardOf(nShards)).localCheckpoint(true)
     val present = fp.select("_sh").distinct().collect()
@@ -2563,6 +2574,7 @@ object DedupQueries extends QueryModule {
   def appendWinnowIndexSharded(increment: org.apache.spark.sql.DataFrame,
       root: String): Unit = {
     val spark = increment.sparkSession
+    recoverWinnowIndexSharded(spark, root)
     val (n, k, w) = winnowShardInfo(spark, root)
     val fp = winnowFingerprints(increment, k, w)
       .withColumn("_sh", winnowShardOf(n)).localCheckpoint(true)
@@ -2573,15 +2585,28 @@ object DedupQueries extends QueryModule {
     }
   }
 
+  private def winnowForgetIntentPath(root: String) = s"$root/_forget_intent"
+
   /** FORGET documents across the shards. A doc's fingerprints scatter
     * over EVERY shard (routing is by hash), so unlike the doc-routed
     * text federation the forget visits all n stores — each visit a
     * crash-durable 1/n-sized rewrite. Refuses UP FRONT if any shard
     * would empty (checking inside the loop would leave a partially-
     * forgotten federation behind the refusal).
+    *
+    * The loop itself spans n independent rewrites, so the id set is
+    * persisted as a `_forget_intent` BEFORE the first rewrite (the
+    * textIndexForget discipline): a crash mid-loop would otherwise
+    * leave the doc silently HALF-forgotten — still probe-visible via
+    * the untouched shards — with nothing to replay. Every mutation
+    * verb (and [[recoverWinnowIndexSharded]]) replays a pending intent
+    * first; the rewrites are anti-joins, so replaying completed shards
+    * is a no-op. The intent is written only after the refusal checks
+    * passed, so a replay never needs to re-decide.
     */
   def forgetWinnowIndexSharded(spark: org.apache.spark.sql.SparkSession,
       del: org.apache.spark.sql.DataFrame, root: String): Unit = {
+    recoverWinnowIndexSharded(spark, root) // heal a predecessor's crash
     val (n, _, _) = winnowShardInfo(spark, root)
     val ids = del.select("doc_id").localCheckpoint(true)
     (0 until n).foreach { i =>
@@ -2592,11 +2617,44 @@ object DedupQueries extends QueryModule {
         s"forgetWinnowIndexSharded: forgetting these ids would EMPTY " +
           s"shard $i of $n — rebuild with fewer shards instead")
     }
+    graft.operators.StoreRewrite.atomicOverwrite(
+      ids, winnowForgetIntentPath(root))
+    completeWinnowForgetSharded(spark, root, n, ids)
+  }
+
+  /** The forget's shard rewrites + intent cleanup, shared verbatim by
+    * the verb and the intent replay — idempotent end to end.
+    */
+  private def completeWinnowForgetSharded(
+      spark: org.apache.spark.sql.SparkSession, root: String, n: Int,
+      ids: org.apache.spark.sql.DataFrame): Unit = {
     (0 until n).foreach { i =>
+      graft.operators.StoreRewrite.recover(spark, winnowShardPath(root, i))
       graft.operators.StoreRewrite.atomicOverwrite(
         spark.read.parquet(winnowShardPath(root, i))
           .join(ids, Seq("doc_id"), "left_anti"),
         winnowShardPath(root, i))
+    }
+    val ip = new org.apache.hadoop.fs.Path(winnowForgetIntentPath(root))
+    ip.getFileSystem(spark.sessionState.newHadoopConf()).delete(ip, true)
+  }
+
+  /** Heal a crashed sharded forget: if a `_forget_intent` survives, the
+    * forget's refusal checks had passed and some suffix of the shard
+    * rewrites may be missing — replay them all (anti-joins, so
+    * completed shards no-op) and clear the intent. Called by every
+    * mutation verb before it touches the federation.
+    */
+  def recoverWinnowIndexSharded(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    graft.operators.StoreRewrite.recover(spark, winnowForgetIntentPath(root))
+    val ip = new org.apache.hadoop.fs.Path(winnowForgetIntentPath(root))
+    val fs = ip.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(ip)) {
+      val ids = spark.read.parquet(winnowForgetIntentPath(root))
+        .localCheckpoint(true)
+      val (n, _, _) = winnowShardInfo(spark, root)
+      completeWinnowForgetSharded(spark, root, n, ids)
     }
   }
 
@@ -2606,6 +2664,7 @@ object DedupQueries extends QueryModule {
     */
   def compactWinnowIndexSharded(spark: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
+    recoverWinnowIndexSharded(spark, root)
     val (n, _, _) = winnowShardInfo(spark, root)
     (0 until n).foreach(i => compactWinnowIndex(spark, winnowShardPath(root, i)))
   }
@@ -2630,24 +2689,12 @@ object DedupQueries extends QueryModule {
     */
   def maintainWinnowIndexShardedFromStore(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
-      rel: String, fromRev: Long, toRev: Long, root: String): Unit = {
-    val (inserted, deletedKeys) = graft.operators.VersionedStore.changes(
-      spark, storePath, fromRev, toRev, rel)
-    if (deletedKeys.columns.nonEmpty) {
-      require(deletedKeys.columns.contains("doc_id"),
-        s"maintainWinnowIndexShardedFromStore: '$rel' tombstones carry " +
-          s"no doc_id column (found ${deletedKeys.columns.mkString(", ")}) " +
-          "— the winnow index is keyed by doc_id")
-      val del = deletedKeys.select("doc_id")
-      if (!del.isEmpty) forgetWinnowIndexSharded(spark, del, root)
-    }
-    require(inserted.columns.contains("doc_id") &&
-        inserted.columns.contains("text"),
-      s"maintainWinnowIndexShardedFromStore: relation '$rel' must " +
-        s"carry (doc_id, text) — found (${inserted.columns.mkString(", ")})")
-    val ins = inserted.select("doc_id", "text")
-    if (!ins.isEmpty) appendWinnowIndexSharded(ins, root)
-  }
+      rel: String, fromRev: Long, toRev: Long, root: String): Unit =
+    graft.operators.CdcBridge.maintain(spark, storePath, rel, fromRev,
+      toRev, "doc_id", Seq("doc_id", "text"),
+      "maintainWinnowIndexShardedFromStore")(
+      del => forgetWinnowIndexSharded(spark, del, root))(
+      ins => appendWinnowIndexSharded(ins, root))
 
   /** SYNC the sharded winnow index with its versioned corpus store —
     * the family's bookkeeping-free sync verb (see
@@ -2661,33 +2708,17 @@ object DedupQueries extends QueryModule {
   def syncWinnowIndexShardedWithStore(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
       rel: String, root: String, nShards: Int = 3): Option[(Long, Long)] = {
-    import graft.operators.{RevisionSync, VersionedStore}
-    val cur = VersionedStore.currentVersion(spark, storePath).getOrElse(
-      throw new IllegalArgumentException(
-        s"syncWinnowIndexShardedWithStore: no versioned store at $storePath"))
-    RevisionSync.syncedRev(spark, root) match {
-      case None =>
-        val rp = new org.apache.hadoop.fs.Path(s"$root/router")
-        val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
-        require(!fs.exists(rp),
-          s"syncWinnowIndexShardedWithStore: index at $root exists but " +
-            "carries no _synced_rev marker — it predates the sync " +
-            "discipline; rebuild through sync or keep driving it with " +
-            "maintainWinnowIndexShardedFromStore and explicit windows")
-        buildWinnowIndexSharded(
-          VersionedStore.read(spark, storePath, rel, Some(cur)), root, nShards)
-        RevisionSync.setSyncedRev(spark, root, storePath, cur)
-        Some((cur, cur))
-      case Some(_) =>
-        RevisionSync.window(spark, root, storePath) match {
-          case None => None
-          case Some((from, to)) =>
-            maintainWinnowIndexShardedFromStore(
-              spark, storePath, rel, from, to, root)
-            RevisionSync.setSyncedRev(spark, root, storePath, to)
-            Some((from, to))
-        }
-    }
+    import graft.operators.{CdcBridge, VersionedStore}
+    CdcBridge.sync(spark, storePath, root,
+      "syncWinnowIndexShardedWithStore")({
+      val rp = new org.apache.hadoop.fs.Path(winnowRouterPath(root))
+      rp.getFileSystem(spark.sessionState.newHadoopConf()).exists(rp)
+    })(cur =>
+      buildWinnowIndexSharded(
+        VersionedStore.read(spark, storePath, rel, Some(cur)), root,
+        nShards))((from, to) =>
+      maintainWinnowIndexShardedFromStore(
+        spark, storePath, rel, from, to, root))
   }
 
   // ------------------------------------------------------------------
@@ -2741,6 +2772,14 @@ object DedupQueries extends QueryModule {
     val rp = new org.apache.hadoop.fs.Path(sigRouterPath(root))
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(rp)) fs.delete(rp, true) // un-commit before rebuild
+    // drop every existing shard dir (see buildWinnowIndexSharded): a
+    // rebuild with fewer shards must not orphan the higher-numbered
+    // dirs and their forgotten documents' signature rows
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (fs.exists(rootP))
+      fs.listStatus(rootP).map(_.getPath)
+        .filter(_.getName.startsWith("shard-"))
+        .foreach(p => fs.delete(p, true))
     val sig = minhashSigs(documents)
       .withColumn("_sh", pmod(xxhash64(col("doc_id")), lit(nShards.toLong)))
       .localCheckpoint(true)
@@ -2804,6 +2843,7 @@ object DedupQueries extends QueryModule {
   def appendSignatureIndexSharded(increment: org.apache.spark.sql.DataFrame,
       root: String): Unit = {
     val spark = increment.sparkSession
+    recoverSignatureIndexSharded(spark, root)
     val n = signatureShardCount(spark, root)
     val sig = minhashSigs(increment)
       .withColumn("_sh", pmod(xxhash64(col("doc_id")), lit(n.toLong)))
@@ -2844,24 +2884,12 @@ object DedupQueries extends QueryModule {
     */
   def maintainSignatureIndexShardedFromStore(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
-      rel: String, fromRev: Long, toRev: Long, root: String): Unit = {
-    val (inserted, deletedKeys) = graft.operators.VersionedStore.changes(
-      spark, storePath, fromRev, toRev, rel)
-    if (deletedKeys.columns.nonEmpty) {
-      require(deletedKeys.columns.contains("doc_id"),
-        s"maintainSignatureIndexShardedFromStore: '$rel' tombstones carry " +
-          s"no doc_id column (found ${deletedKeys.columns.mkString(", ")}) " +
-          "— the signature index is keyed by doc_id")
-      val del = deletedKeys.select("doc_id")
-      if (!del.isEmpty) forgetSignatureIndexSharded(spark, del, root)
-    }
-    require(inserted.columns.contains("doc_id") &&
-        inserted.columns.contains("text"),
-      s"maintainSignatureIndexShardedFromStore: relation '$rel' must " +
-        s"carry (doc_id, text) — found (${inserted.columns.mkString(", ")})")
-    val ins = inserted.select("doc_id", "text")
-    if (!ins.isEmpty) appendSignatureIndexSharded(ins, root)
-  }
+      rel: String, fromRev: Long, toRev: Long, root: String): Unit =
+    graft.operators.CdcBridge.maintain(spark, storePath, rel, fromRev,
+      toRev, "doc_id", Seq("doc_id", "text"),
+      "maintainSignatureIndexShardedFromStore")(
+      del => forgetSignatureIndexSharded(spark, del, root))(
+      ins => appendSignatureIndexSharded(ins, root))
 
   /** SYNC the sharded signature index with its versioned corpus store —
     * the bookkeeping-free form of
@@ -2878,43 +2906,35 @@ object DedupQueries extends QueryModule {
   def syncSignatureIndexShardedWithStore(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
       rel: String, root: String, nShards: Int = 3): Option[(Long, Long)] = {
-    import graft.operators.{RevisionSync, VersionedStore}
-    val cur = VersionedStore.currentVersion(spark, storePath).getOrElse(
-      throw new IllegalArgumentException(
-        s"syncSignatureIndexShardedWithStore: no versioned store at $storePath"))
-    RevisionSync.syncedRev(spark, root) match {
-      case None =>
-        val rp = new org.apache.hadoop.fs.Path(sigRouterPath(root))
-        val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
-        require(!fs.exists(rp),
-          s"syncSignatureIndexShardedWithStore: index at $root exists " +
-            "but carries no _synced_rev marker — it predates the sync " +
-            "discipline; rebuild through sync or keep driving it with " +
-            "maintainSignatureIndexShardedFromStore and explicit windows")
-        buildSignatureIndexSharded(
-          VersionedStore.read(spark, storePath, rel, Some(cur)), root, nShards)
-        RevisionSync.setSyncedRev(spark, root, storePath, cur)
-        Some((cur, cur))
-      case Some(_) =>
-        RevisionSync.window(spark, root, storePath) match {
-          case None => None
-          case Some((from, to)) =>
-            maintainSignatureIndexShardedFromStore(
-              spark, storePath, rel, from, to, root)
-            RevisionSync.setSyncedRev(spark, root, storePath, to)
-            Some((from, to))
-        }
-    }
+    import graft.operators.{CdcBridge, VersionedStore}
+    CdcBridge.sync(spark, storePath, root,
+      "syncSignatureIndexShardedWithStore")({
+      val rp = new org.apache.hadoop.fs.Path(sigRouterPath(root))
+      rp.getFileSystem(spark.sessionState.newHadoopConf()).exists(rp)
+    })(cur =>
+      buildSignatureIndexSharded(
+        VersionedStore.read(spark, storePath, rel, Some(cur)), root,
+        nShards))((from, to) =>
+      maintainSignatureIndexShardedFromStore(
+        spark, storePath, rel, from, to, root))
   }
+
+  private def sigForgetIntentPath(root: String) = s"$root/_forget_intent"
 
   /** FORGET documents — routed to the OWNING shard only (doc routing
     * puts a doc's one signature row in exactly one store, so unlike
     * the hash-routed winnow forget this rewrites 1/n of the index,
     * and only for shards that actually hold doomed ids). Refuses up
-    * front if any touched shard would empty.
+    * front if any touched shard would empty. The touched set can still
+    * span several shards, so — like the winnow forget — the id set is
+    * persisted as a `_forget_intent` before the first rewrite and
+    * replayed by every mutation verb ([[recoverSignatureIndexSharded]]):
+    * a crash mid-loop never leaves a half-forgotten doc with nothing
+    * to finish the job.
     */
   def forgetSignatureIndexSharded(spark: org.apache.spark.sql.SparkSession,
       del: org.apache.spark.sql.DataFrame, root: String): Unit = {
+    recoverSignatureIndexSharded(spark, root)
     val n = signatureShardCount(spark, root)
     val ids = del.select(col("doc_id"))
       .withColumn("_sh", pmod(xxhash64(col("doc_id")), lit(n.toLong)))
@@ -2929,12 +2949,46 @@ object DedupQueries extends QueryModule {
         s"forgetSignatureIndexSharded: forgetting these ids would EMPTY " +
           s"shard $i of $n — rebuild with fewer shards instead")
     }
+    graft.operators.StoreRewrite.atomicOverwrite(
+      ids.select("doc_id"), sigForgetIntentPath(root))
+    completeSignatureForgetSharded(spark, root, n, ids)
+  }
+
+  /** The forget's routed rewrites + intent cleanup, shared by the verb
+    * and the intent replay — idempotent (anti-joins; untouched shards
+    * are never opened).
+    */
+  private def completeSignatureForgetSharded(
+      spark: org.apache.spark.sql.SparkSession, root: String, n: Int,
+      ids: org.apache.spark.sql.DataFrame): Unit = {
+    val touched = (0 until n).filter(i => !ids.filter(col("_sh") === i).isEmpty)
     touched.foreach { i =>
+      graft.operators.StoreRewrite.recover(spark, sigShardPath(root, i))
       val slice = ids.filter(col("_sh") === i).drop("_sh")
       graft.operators.StoreRewrite.atomicOverwrite(
         spark.read.parquet(sigShardPath(root, i))
           .join(slice, Seq("doc_id"), "left_anti"),
         sigShardPath(root, i))
+    }
+    val ip = new org.apache.hadoop.fs.Path(sigForgetIntentPath(root))
+    ip.getFileSystem(spark.sessionState.newHadoopConf()).delete(ip, true)
+  }
+
+  /** Heal a crashed sharded forget from its persisted intent — the
+    * winnow federation's recover contract on the doc-routed store.
+    */
+  def recoverSignatureIndexSharded(
+      spark: org.apache.spark.sql.SparkSession, root: String): Unit = {
+    graft.operators.StoreRewrite.recover(spark, sigForgetIntentPath(root))
+    val ip = new org.apache.hadoop.fs.Path(sigForgetIntentPath(root))
+    val fs = ip.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(ip)) {
+      val n = signatureShardCount(spark, root)
+      val ids = spark.read.parquet(sigForgetIntentPath(root))
+        .select(col("doc_id"))
+        .withColumn("_sh", pmod(xxhash64(col("doc_id")), lit(n.toLong)))
+        .localCheckpoint(true)
+      completeSignatureForgetSharded(spark, root, n, ids)
     }
   }
 
@@ -2944,6 +2998,7 @@ object DedupQueries extends QueryModule {
     */
   def compactSignatureIndexSharded(spark: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
+    recoverSignatureIndexSharded(spark, root)
     val n = signatureShardCount(spark, root)
     (0 until n).foreach { i =>
       graft.operators.StoreRewrite.recover(spark, sigShardPath(root, i))

@@ -800,24 +800,11 @@ object SearchQueries extends QueryModule {
     * re-tombstoning is idempotent.
     */
   def textIndexMaintainFromStore(spark: SparkSession, storePath: String,
-      rel: String, fromRev: Long, toRev: Long, indexPath: String): Unit = {
-    val (inserted, deletedKeys) =
-      graft.operators.VersionedStore.changes(spark, storePath, fromRev,
-        toRev, rel)
-    // deletes FIRST: a doc deleted and re-appended inside the window is
-    // invisible at toRev (sticky store tombstone), and the sticky index
-    // tombstone keeps the mirrored append masked the same way
-    if (deletedKeys.columns.nonEmpty) {
-      require(deletedKeys.columns.contains("doc_id"),
-        s"textIndexMaintainFromStore: '$rel' tombstones carry no doc_id " +
-          s"column (found ${deletedKeys.columns.mkString(", ")}) — the " +
-          "index is keyed by doc_id")
-      val del = deletedKeys.select("doc_id")
-      if (!del.isEmpty) textIndexDelete(del, indexPath)
-    }
-    val ins = inserted.select("doc_id", "text")
-    if (!ins.isEmpty) textIndexAppend(ins, indexPath)
-  }
+      rel: String, fromRev: Long, toRev: Long, indexPath: String): Unit =
+    graft.operators.CdcBridge.maintain(spark, storePath, rel, fromRev,
+      toRev, "doc_id", Seq("doc_id", "text"), "textIndexMaintainFromStore")(
+      del => textIndexDelete(del, indexPath))(
+      ins => textIndexAppend(ins, indexPath))
 
   /** SYNC the text index with its versioned corpus store — the
     * bookkeeping-free form of [[textIndexMaintainFromStore]]: the index
@@ -848,35 +835,16 @@ object SearchQueries extends QueryModule {
     */
   def textIndexSyncWithStore(spark: SparkSession, storePath: String,
       rel: String, idxPath: String): Option[(Long, Long)] = {
-    import graft.operators.{RevisionSync, VersionedStore}
-    val cur = VersionedStore.currentVersion(spark, storePath).getOrElse(
-      throw new IllegalArgumentException(
-        s"textIndexSyncWithStore: no versioned store at $storePath"))
-    RevisionSync.syncedRev(spark, idxPath) match {
-      case None =>
-        val pp = new org.apache.hadoop.fs.Path(s"$idxPath/postings")
-        val fs = pp.getFileSystem(spark.sessionState.newHadoopConf())
-        require(!fs.exists(pp),
-          s"textIndexSyncWithStore: index at $idxPath exists but carries " +
-            "no _synced_rev marker — it predates the sync discipline or " +
-            "was maintained by hand; rebuild it through sync (delete the " +
-            "index dir and re-run), or keep driving it with " +
-            "textIndexMaintainFromStore and explicit windows")
-        val base = VersionedStore.read(spark, storePath, rel, Some(cur))
-        val (p0, ds0) = textIndexBuild(base.select("doc_id", "text"))
-        textIndexSave(p0, ds0, idxPath)
-        RevisionSync.setSyncedRev(spark, idxPath, storePath, cur)
-        Some((cur, cur))
-      case Some(_) =>
-        RevisionSync.window(spark, idxPath, storePath) match {
-          case None => None
-          case Some((from, to)) =>
-            textIndexMaintainFromStore(spark, storePath, rel, from, to,
-              idxPath)
-            RevisionSync.setSyncedRev(spark, idxPath, storePath, to)
-            Some((from, to))
-        }
-    }
+    import graft.operators.{CdcBridge, VersionedStore}
+    CdcBridge.sync(spark, storePath, idxPath, "textIndexSyncWithStore")({
+      val pp = new org.apache.hadoop.fs.Path(s"$idxPath/postings")
+      pp.getFileSystem(spark.sessionState.newHadoopConf()).exists(pp)
+    })({ cur =>
+      val base = VersionedStore.read(spark, storePath, rel, Some(cur))
+      val (p0, ds0) = textIndexBuild(base.select("doc_id", "text"))
+      textIndexSave(p0, ds0, idxPath)
+    })((from, to) =>
+      textIndexMaintainFromStore(spark, storePath, rel, from, to, idxPath))
   }
 
   /** FORGET documents — the right-to-be-forgotten verb, distinct from
@@ -1766,6 +1734,21 @@ object SearchQueries extends QueryModule {
       positions: Option[DataFrame] = None): Unit = {
     require(nShards >= 1, s"textIndexSaveSharded: nShards must be >= 1, got $nShards")
     val spark = postings.sparkSession
+    // un-commit FIRST, then drop every existing shard dir: a rebuild
+    // must not leave a crashed half-rebuild readable under the OLD
+    // router, and rebuilding with fewer shards must not orphan the
+    // higher-numbered dirs (forgotten docs' rows would persist on disk
+    // with no verb ever reading or reclaiming them)
+    locally {
+      val rp = new org.apache.hadoop.fs.Path(routerPath(root))
+      val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(rp)) fs.delete(rp, true)
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      if (fs.exists(rootP))
+        fs.listStatus(rootP).map(_.getPath)
+          .filter(_.getName.startsWith("shard-"))
+          .foreach(p => fs.delete(p, true))
+    }
     val d = docstats.withColumn("_sh", shardOf(nShards)).localCheckpoint(true)
     val present = d.select("_sh").distinct().collect().map(_.getLong(0)).toSet
     val empty = (0L until nShards.toLong).filterNot(present)

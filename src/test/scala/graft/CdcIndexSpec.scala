@@ -161,6 +161,33 @@ class CdcIndexSpec extends SparkSuite {
     assert(e3.getMessage.contains("AHEAD"))
   }
 
+  test("a bootstrap that crashes mid-build self-heals: the sentinel " +
+    "marker (-1) makes the next sync rebuild instead of refusing forever") {
+    import graft.operators.RevisionSync
+    val base = tmpDir("cdcsync-boot")
+    val store = s"$base/corpus"; val idx = s"$base/idx"
+    val r1 = VersionedStore.save(Map("docs" ->
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")), store)
+    // simulate the crash: sentinel written, build half-done (postings
+    // exist, marker never bumped) — exactly the state a die-mid-build
+    // leaves behind
+    RevisionSync.setSyncedRev(spark, idx, store, -1L)
+    freshOf(docs.limit(3), idx) // a wrong, partial index
+    assert(textIndexSyncWithStore(spark, store, "docs", idx)
+      .contains((r1, r1)), "the sentinel must re-bootstrap, not refuse")
+    val fresh = s"$base/fresh"
+    freshOf(VersionedStore.read(spark, store, "docs", Some(r1)), fresh)
+    assert(loaded(idx) == loaded(fresh),
+      "the re-bootstrap must overwrite the partial index completely")
+    assert(RevisionSync.syncedRev(spark, idx).map(_._2).contains(r1))
+    // the explicit-window path refuses a sentinel with guidance
+    RevisionSync.setSyncedRev(spark, idx, store, -1L)
+    val e = intercept[IllegalArgumentException] {
+      RevisionSync.window(spark, idx, store)
+    }
+    assert(e.getMessage.contains("sentinel"))
+  }
+
   test("streaming composition: exactly-once versioned ingest + per-batch " +
     "sync — a replayed batch skips AND its sync no-ops; a batch whose " +
     "sync crashed is absorbed by the NEXT batch's sync; the final index " +

@@ -208,4 +208,34 @@ class ShardedSignatureSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("mix corpora"))
   }
+
+  test("rebuilding with FEWER shards drops the orphaned higher-numbered " +
+    "dirs (a forgotten doc's rows must not survive on disk); a crashed " +
+    "mid-loop forget replays from its intent at the next mutation verb") {
+    val base = tmpDir("sigsh5")
+    val root = s"$base/sharded"
+    buildSignatureIndexSharded(oldDocs, root, nShards = 3)
+    assert(new java.io.File(s"$root/shard-2").exists())
+    buildSignatureIndexSharded(oldDocs, root, nShards = 2)
+    assert(!new java.io.File(s"$root/shard-2").exists(),
+      "a 2-shard rebuild must not orphan the 3-shard layout's dirs")
+    assert(probeSet(probeSignatureIndexSharded(spark, increment, root)) ==
+      probeSet(incrementalReject(minhashSigs(oldDocs), minhashSigs(increment))))
+    // crashed forget: intent persisted, no shard rewritten (the crash
+    // right after the intent write) — the next mutation verb replays it
+    graft.operators.StoreRewrite.atomicOverwrite(
+      Seq(3L).toDF("doc_id"), s"$root/_forget_intent")
+    appendSignatureIndexSharded(
+      Seq((300L, "totally different content for shard health")).toDF("doc_id", "text"),
+      root)
+    assert(!new java.io.File(s"$root/_forget_intent").exists(),
+      "the replayed intent must be cleared")
+    assert((0 until 2).map(i => spark.read.parquet(s"$root/shard-$i")
+      .filter(col("doc_id") === 3L).count()).sum == 0,
+      "the crashed forget's doomed id must be physically gone")
+    // the doc's fresh copy re-admits (forget semantics, not delete)
+    val copy = Seq((301L, "how vexingly quick daft zebras jump today"))
+      .toDF("doc_id", "text")
+    assert(probeSet(probeSignatureIndexSharded(spark, copy, root)).isEmpty)
+  }
 }

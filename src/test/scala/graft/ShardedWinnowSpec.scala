@@ -245,4 +245,30 @@ class ShardedWinnowSpec extends SparkSuite {
         minShared = 1)) ==
       probeSet(probeWinnowIndexSharded(spark, probe, fresh, minShared = 1)))
   }
+
+  test("rebuilding with FEWER shards drops orphaned higher-numbered dirs; " +
+    "a crashed mid-loop forget (intent persisted, shards untouched) " +
+    "replays at the next mutation verb and the doomed doc is gone from " +
+    "every shard") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("winsh6")
+    val root = s"$base/sharded"
+    buildWinnowIndexSharded(docs(1L to 24L), root, nShards = 4)
+    assert(new java.io.File(s"$root/shard-3").exists())
+    buildWinnowIndexSharded(docs(1L to 24L), root, nShards = 2)
+    assert(!new java.io.File(s"$root/shard-2").exists() &&
+      !new java.io.File(s"$root/shard-3").exists(),
+      "a 2-shard rebuild must not orphan the 4-shard layout's dirs")
+    // crashed forget of doc 4 (carries the shared span): intent written,
+    // no shard rewritten — the next append replays it everywhere
+    graft.operators.StoreRewrite.atomicOverwrite(
+      Seq(4L).toDF("doc_id"), s"$root/_forget_intent")
+    appendWinnowIndexSharded(docs(Seq(50L)), root)
+    assert(!new java.io.File(s"$root/_forget_intent").exists())
+    assert((0 until 2).map(i => spark.read.parquet(s"$root/shard-$i")
+      .filter(col("doc_id") === 4L).count()).sum == 0,
+      "the crashed forget's fingerprints must be physically gone")
+    assert(!probeSet(probeWinnowIndexSharded(spark, docs(Seq(900L, 904L)),
+      root, minShared = 1)).exists(_._2 == 4L))
+  }
 }
