@@ -119,18 +119,36 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Box-state provenance: committed medians still drift ~±10% (and
+    // r11's artifact showed a 1.19x cluster that took a worktree A/B to
+    // classify as box weather, not plans). Recording the 1-minute load
+    // average and MemAvailable AT RUN END makes the next such comparison
+    // self-explaining: a hot box stamps itself into the artifact.
+    val boxJson = {
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val memGb =
+        try {
+          val line = java.nio.file.Files
+            .readAllLines(java.nio.file.Paths.get("/proc/meminfo"))
+            .toArray.map(_.toString).find(_.startsWith("MemAvailable:"))
+          line.map(_.split("\\s+")(1).toLong / 1048576.0).getOrElse(-1.0)
+        } catch { case _: Throwable => -1.0 }
+      val cpus = Runtime.getRuntime.availableProcessors
+      f"""{"load_avg":$load%.2f,"mem_avail_gb":$memGb%.1f,"cpus":$cpus}"""
+    }
     // The compact total line prints FIRST (head-truncation safety) and again
     // LAST (the driver's capture keeps the tail — r4 lost the total because
     // compact printed only first); the full per-query JSON sits between and
     // is also written to BENCH_LOCAL.json as the committed regression
     // baseline.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"box":$boxJson,"sf":"$sfDir"}"""
     val buildJson = phaseSplit.map { case (k, (b, q)) =>
       "\"" + k + "\":{\"build_s\":" + b + ",\"query_s\":" + q + "}"
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"phases":$buildJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"phases":$buildJson,"failed":$failedJson,"box":$boxJson,"sf":"$sfDir"}"""
     println(compact)
     println(full)
     println(compact)

@@ -45,6 +45,19 @@ object StoreRewrite {
     // (target still intact, temp incomplete): discard and start clean
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
+    // A CDC-synced MONOLITHIC store keeps its RevisionSync checkpoint
+    // INSIDE the store dir (`_synced_rev` — underscore-prefixed, so
+    // parquet reads never see it). A whole-dir rewrite (forget/compact)
+    // must carry it into the new layout or the sync discipline is
+    // silently un-bootstrapped. COPY rather than move: every crash
+    // window then leaves at least one intact marker — before the delete
+    // the old dir still holds it, after the delete the complete temp
+    // holds the copy and [[recover]] finishes the rename.
+    val marker = new Path(target, "_synced_rev")
+    if (fs.exists(marker))
+      org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
+        new Path(tmp, "_synced_rev"), false,
+        spark.sessionState.newHadoopConf())
     if (fs.exists(target)) fs.delete(target, true)
     require(fs.rename(tmp, target),
       s"StoreRewrite: rename $tmp -> $target failed; the rewritten " +

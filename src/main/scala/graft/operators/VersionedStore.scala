@@ -264,6 +264,75 @@ object VersionedStore {
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** Per-relation schema record: a `schema`-kind manifest entry whose
+    * `dir` field carries the StructType's canonical JSON
+    * (percent-encoded). This is what makes append-time drift REFUSABLE
+    * instead of a latent read corruption: [[read]]'s multi-dir scan
+    * takes one file's footer as the relation schema, so a delta that
+    * gained a column would be silently null-filled or dropped depending
+    * on which footer wins — Iceberg/Delta both version schemas for
+    * exactly this reason. v1 manifests carry no schema entries; they
+    * stay readable, and [[append]] falls back to the first data dir's
+    * parquet footer as the recorded schema (upgrading the manifest on
+    * its next commit).
+    */
+  private def schemaEntry(rel: String,
+      s: org.apache.spark.sql.types.StructType): Entry =
+    Entry("schema", rel, enc(s.json))
+
+  private def recordedSchema(spark: SparkSession, path: String,
+      entries: Seq[Entry], rel: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    entries.find(e => e.kind == "schema" && e.rel == rel)
+      .map(e => org.apache.spark.sql.types.DataType.fromJson(dec(e.dir))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .orElse(entries.find(e => e.kind == "data" && e.rel == rel)
+        .map(e => spark.read.parquet(new Path(path, e.dir).toString).schema))
+
+  /** Check an appended delta against the relation's recorded schema:
+    * same column set and types (nullability and field order aside) is
+    * REQUIRED; a pure reordering is normalized to the recorded order
+    * (so every data dir of a relation lays out identically); anything
+    * else refuses loudly with the drift spelled out. Schema evolution
+    * is a [[save]] — a full snapshot legitimately commits a new
+    * lineage, and the recorded schema follows it.
+    */
+  private def conformed(df: DataFrame,
+      rec: org.apache.spark.sql.types.StructType, rel: String): DataFrame = {
+    def sig(f: org.apache.spark.sql.types.StructField) =
+      (f.name, f.dataType.catalogString)
+    val recSig = rec.fields.map(sig).toSeq
+    val inSig = df.schema.fields.map(sig).toSeq
+    if (inSig == recSig) df
+    else {
+      val recMap = recSig.toMap; val inMap = inSig.toMap
+      val added = inMap.keySet -- recMap.keySet
+      val missing = recMap.keySet -- inMap.keySet
+      val retyped = (recMap.keySet & inMap.keySet)
+        .filter(c => recMap(c) != inMap(c))
+      require(added.isEmpty && missing.isEmpty && retyped.isEmpty,
+        s"VersionedStore.append: schema drift on relation '$rel' — " +
+          Seq(
+            if (added.nonEmpty)
+              Some(s"column(s) ${added.toSeq.sorted.mkString(", ")} not in " +
+                "the recorded schema") else None,
+            if (missing.nonEmpty)
+              Some(s"recorded column(s) ${missing.toSeq.sorted.mkString(", ")} " +
+                "missing from the delta") else None,
+            if (retyped.nonEmpty)
+              Some(retyped.toSeq.sorted.map(c =>
+                s"'$c' is ${inMap(c)}, recorded ${recMap(c)}").mkString("; "))
+            else None).flatten.mkString("; ") +
+          " — an append's rows must match the relation's recorded schema " +
+          "(a multi-dir read would silently misalign otherwise); commit " +
+          "schema evolution through save(), which records the new schema " +
+          "as a new lineage")
+      // identical columns and types, different order: normalize so every
+      // dir of the relation lays out identically
+      df.select(rec.fieldNames.map(col(_)).toSeq: _*)
+    }
+  }
+
   /** The streaming-ingest commit record: a `meta`-kind manifest entry
     * carrying the micro-batch id that produced the revision. Because it
     * rides INSIDE the manifest, "this batch's data is visible" and
@@ -300,7 +369,10 @@ object VersionedStore {
     val entries = snapshot.toSeq.sortBy(_._1).map { case (rel, df) =>
       writeDataDir(df, path, rev, "data", rel, statsCols)
     }
-    commitManifest(spark, path, rev, withMarker(entries, marker))
+    val schemas = snapshot.toSeq.sortBy(_._1).map { case (rel, df) =>
+      schemaEntry(rel, df.schema)
+    }
+    commitManifest(spark, path, rev, withMarker(entries ++ schemas, marker))
     rev
   }
 
@@ -317,10 +389,23 @@ object VersionedStore {
     val spark = delta.head._2.sparkSession
     val (cur, prev) = manifestAt(spark, path, None)
     val rev = cur + 1L
-    val added = delta.toSeq.sortBy(_._1).map { case (rel, df) =>
+    // drift gate BEFORE any dir is written: a refused append leaves no
+    // debris. Existing relations conform (or refuse) against their
+    // recorded schema; new relations record theirs.
+    val checked = delta.toSeq.sortBy(_._1).map { case (rel, df) =>
+      recordedSchema(spark, path, prev, rel) match {
+        case Some(rec) => (rel, conformed(df, rec, rel), rec)
+        case None => (rel, df, df.schema)
+      }
+    }
+    val added = checked.map { case (rel, df, _) =>
       writeDataDir(df, path, rev, "data", rel, statsCols)
     }
-    commitManifest(spark, path, rev, withMarker(prev ++ added, marker))
+    val prevKept = prev.filterNot(e =>
+      e.kind == "schema" && delta.contains(e.rel))
+    val schemas = checked.map { case (rel, _, rec) => schemaEntry(rel, rec) }
+    commitManifest(spark, path, rev,
+      withMarker(prevKept ++ added ++ schemas, marker))
     rev
   }
 
@@ -518,9 +603,13 @@ object VersionedStore {
       toRev: Long, rel: String): (DataFrame, DataFrame) = {
     require(fromRev < toRev,
       s"VersionedStore.changes: fromRev $fromRev must precede toRev $toRev")
-    val from = manifestAt(spark, path, Some(fromRev))._2
-      .filter(_.rel == rel)
-    val to = manifestAt(spark, path, Some(toRev))._2.filter(_.rel == rel)
+    // data/del dirs only: schema records are not directories, and an
+    // append that merely UPGRADED a v1 manifest with a schema entry
+    // must not read as a replaced dir
+    def windowEntries(r: Long) = manifestAt(spark, path, Some(r))._2
+      .filter(e => e.rel == rel && (e.kind == "data" || e.kind == "del"))
+    val from = windowEntries(fromRev)
+    val to = windowEntries(toRev)
     val toDirs = to.map(_.dir).toSet
     val missing = from.filterNot(e => toDirs.contains(e.dir))
     require(missing.isEmpty,
@@ -579,8 +668,11 @@ object VersionedStore {
       writeDataDir(read(spark, path, rel), path, rev, "data", rel, sc)
     }
     // meta entries (the streaming batch marker) survive compaction —
-    // dropping them would let a replayed micro-batch double-apply
-    commitManifest(spark, path, rev, entries ++ prev.filter(_.kind == "meta"))
+    // dropping them would let a replayed micro-batch double-apply — and
+    // so do the schema records (compaction is layout maintenance, never
+    // schema evolution)
+    commitManifest(spark, path, rev,
+      entries ++ prev.filter(e => e.kind == "meta" || e.kind == "schema"))
     rev
   }
 

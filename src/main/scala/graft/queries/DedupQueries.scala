@@ -842,9 +842,19 @@ object DedupQueries extends QueryModule {
   def incrementalReject(oldSig: org.apache.spark.sql.DataFrame,
       newSig: org.apache.spark.sql.DataFrame,
       bucketCap: Int = defaultBucketCap,
-      threshold: Double = 0.5): org.apache.spark.sql.DataFrame =
+      threshold: Double = 0.5,
+      maxCandidates: Long = defaultMaxCandidates): org.apache.spark.sql.DataFrame =
     rejectFromBands(bandsFromSigs(oldSig), bandsFromSigs(newSig),
-      oldSig, newSig, bucketCap, threshold)
+      oldSig, newSig, bucketCap, threshold, maxCandidates)
+
+  /** Ceiling on the materialized candidate-pair set a reject may
+    * broadcast into its scoring join. A candidate row is two ids; the
+    * broadcast side carries the increment's 8 signature components per
+    * row (~200 B), so the default bounds the broadcast at ~200 MB —
+    * raise deliberately if your executors can take a bigger build side,
+    * or lower the bucket cap / shard the index instead.
+    */
+  val defaultMaxCandidates = 1000000L
 
   /** [[incrementalReject]]'s body, parameterized on the band relations so
     * the bloom-pruned probe can pre-filter the OLD side's bands before
@@ -853,12 +863,25 @@ object DedupQueries extends QueryModule {
     * with ALL its members (its combined count is unchanged) or is a
     * bucket the increment never touches (it can produce no candidate, so
     * its hotness is never consulted).
+    *
+    * Scoring-stage scale shape: the candidate set is bounded by
+    * construction (each surviving bucket holds <= bucketCap members, so
+    * |cand| <= |newBands| x bucketCap — increment-sized, never
+    * index-sized). It is materialized ONCE, require-checked against
+    * `maxCandidates`, and BROADCAST into the scoring join, so the stored
+    * signature relation — ~4 TB at a 10^11-doc corpus — is probed
+    * map-side with ZERO exchanges on the index side (spec-pinned by
+    * SignatureIndexSpec/ShardedSignatureSpec). A bloom over the
+    * candidates' old_ids additionally prunes the index scan before the
+    * join: no false negatives (every scored old row survives), and a
+    * false positive meets no candidate in the equality join — exact.
     */
   private def rejectFromBands(oldBands: org.apache.spark.sql.DataFrame,
       newBands: org.apache.spark.sql.DataFrame,
       oldSig: org.apache.spark.sql.DataFrame,
       newSig: org.apache.spark.sql.DataFrame,
-      bucketCap: Int, threshold: Double): org.apache.spark.sql.DataFrame = {
+      bucketCap: Int, threshold: Double,
+      maxCandidates: Long = defaultMaxCandidates): org.apache.spark.sql.DataFrame = {
     val hot = oldBands.select("band", "key")
       .unionAll(newBands.select("band", "key"))
       .groupBy("band", "key").agg(count(lit(1)).as("n"))
@@ -870,9 +893,21 @@ object DedupQueries extends QueryModule {
         col("o.band") === col("n.band") && col("o.key") === col("n.key"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
       .distinct()
-    val sa = newSig.as("sa"); val sb = oldSig.as("sb")
-    cand
-      .join(sa, col("new_id") === col("sa.doc_id"))
+      .localCheckpoint(true)
+    val nCand = cand.count() // free: checkpointed above
+    require(nCand <= maxCandidates,
+      s"incrementalReject: $nCand candidate pairs (> maxCandidates=" +
+        s"$maxCandidates) — the scoring join broadcasts the candidates " +
+        "so the stored index is never shuffled; raise maxCandidates " +
+        "deliberately if the broadcast is truly affordable, or lower " +
+        "bucketCap / probe smaller increments")
+    val oldIdBloom = graft.functions.BloomFunctions.buildLongBloom(
+      cand.select(xxhash64(col("old_id")).as("h")).distinct(), col("h"),
+      nCand, 0.01)
+    val sa = newSig.as("sa")
+    val sb = oldSig.filter(graft.functions.BloomFunctions.mightContainLong(
+      oldIdBloom, xxhash64(col("doc_id")))).as("sb")
+    broadcast(cand.join(sa, col("new_id") === col("sa.doc_id")))
       .join(sb, col("old_id") === col("sb.doc_id"))
       .select(col("new_id"), col("old_id"),
         jaccardEstimate("sa", "sb").as("jaccard_est"))
@@ -908,9 +943,10 @@ object DedupQueries extends QueryModule {
   def probeSignatureIndex(spark: org.apache.spark.sql.SparkSession,
       increment: org.apache.spark.sql.DataFrame, path: String,
       bucketCap: Int = defaultBucketCap,
-      threshold: Double = 0.5): org.apache.spark.sql.DataFrame =
+      threshold: Double = 0.5,
+      maxCandidates: Long = defaultMaxCandidates): org.apache.spark.sql.DataFrame =
     incrementalReject(spark.read.parquet(path), minhashSigs(increment),
-      bucketCap, threshold)
+      bucketCap, threshold, maxCandidates)
 
   /** The bloom-pruned probe: [[probeSignatureIndex]] with the increment's
     * band-key set pushed into the INDEX side as a codegen'd bloom
@@ -937,7 +973,26 @@ object DedupQueries extends QueryModule {
   def probeSignatureIndexPruned(spark: org.apache.spark.sql.SparkSession,
       increment: org.apache.spark.sql.DataFrame, path: String,
       bucketCap: Int = defaultBucketCap,
-      threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+      threshold: Double = 0.5,
+      maxCandidates: Long = defaultMaxCandidates): org.apache.spark.sql.DataFrame =
+    prunedReject(spark, increment, spark.read.parquet(path), bucketCap,
+      threshold, maxCandidates)
+
+  /** The bloom-pruned probe body, parameterized on the stored signature
+    * relation so the rename-family probe (a parquet dir) and the
+    * manifest-committed probe (a VersionedStore read — multi-dir scan +
+    * tombstone anti-join) share one plan. The stored relation is read
+    * as a re-scannable PLAN, never materialized: it is touched twice
+    * (band side map-side behind the bloom, scoring side map-side behind
+    * the candidate broadcast) and both touches are pruned before any
+    * shuffle — a checkpoint here would pull the whole index into
+    * executor memory for no shuffle saved.
+    */
+  private def prunedReject(spark: org.apache.spark.sql.SparkSession,
+      increment: org.apache.spark.sql.DataFrame,
+      oldSig: org.apache.spark.sql.DataFrame,
+      bucketCap: Int, threshold: Double,
+      maxCandidates: Long): org.apache.spark.sql.DataFrame = {
     // increment-sized: signatures feed bands, the bloom build, and the
     // scoring join — materialize once
     val newSig = minhashSigs(increment).localCheckpoint(true)
@@ -948,10 +1003,10 @@ object DedupQueries extends QueryModule {
     // row — zero candidates), via buildLongBloom's expectedItems<=0 path
     val bloom = graft.functions.BloomFunctions.buildLongBloom(
       nKeys, col("h"), nKeys.count(), 0.01)
-    val oldSig = spark.read.parquet(path)
     val oldBands = bandsFromSigs(oldSig).filter(
       graft.functions.BloomFunctions.mightContainLong(bloom, keyHash))
-    rejectFromBands(oldBands, newBands, oldSig, newSig, bucketCap, threshold)
+    rejectFromBands(oldBands, newBands, oldSig, newSig, bucketCap, threshold,
+      maxCandidates)
   }
 
   /** Appends an (admitted) increment's signatures to the index so the next
@@ -961,6 +1016,159 @@ object DedupQueries extends QueryModule {
   def appendSignatureIndex(increment: org.apache.spark.sql.DataFrame,
       path: String): Unit =
     minhashSigs(increment).write.mode("append").parquet(path)
+
+  /** FORGET documents from the monolithic signature index — the
+    * right-to-be-forgotten verb, crash-durable through
+    * [[graft.operators.StoreRewrite]] (the [[forgetWinnowIndex]]
+    * contract): one rewrite without the doomed ids, refused up front if
+    * it would empty the index. A replayed append's duplicate rows (the
+    * monolithic append is raw — the probe's candidate `.distinct()` and
+    * best-match fold make duplicates harmless) are all removed together.
+    */
+  def forgetSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      del: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    graft.operators.StoreRewrite.recover(spark, path)
+    val ids = del.select("doc_id").localCheckpoint(true)
+    val remaining = spark.read.parquet(path)
+      .join(ids, Seq("doc_id"), "left_anti").count()
+    require(remaining > 0,
+      "forgetSignatureIndex: forgetting the ENTIRE corpus leaves an " +
+        "empty index — delete the index directory instead")
+    graft.operators.StoreRewrite.atomicOverwrite(
+      spark.read.parquet(path).join(ids, Seq("doc_id"), "left_anti"),
+      path)
+  }
+
+  /** Maintain the MONOLITHIC signature index from a VERSIONED-STORE
+    * revision window — verb parity with
+    * [[maintainSignatureIndexShardedFromStore]] for the store shape a
+    * small corpus starts on (the sharded federation is the scale
+    * shape). Same [[graft.operators.CdcBridge]] body: deletes forget
+    * first (physical removal — a gone document must stop matching
+    * probes), netted inserts append after.
+    */
+  def maintainSignatureIndexFromStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, fromRev: Long, toRev: Long, path: String): Unit =
+    graft.operators.CdcBridge.maintain(spark, storePath, rel, fromRev,
+      toRev, "doc_id", Seq("doc_id", "text"),
+      "maintainSignatureIndexFromStore")(
+      del => forgetSignatureIndex(spark, del, path))(
+      ins => appendSignatureIndex(ins, path))
+
+  /** SYNC the monolithic signature index with its versioned corpus —
+    * [[syncSignatureIndexShardedWithStore]]'s unsharded twin. The
+    * monolithic twist: the index IS one parquet relation, so the
+    * [[graft.operators.RevisionSync]] checkpoint lives inside it as the
+    * underscore-invisible `_synced_rev` sidecar, the bootstrap writes
+    * the relation through [[graft.operators.StoreRewrite]] (a plain
+    * overwrite would delete the in-flight sentinel marker and a crashed
+    * bootstrap could never be told from a hand-built index), and every
+    * whole-dir rewrite carries the marker across (StoreRewrite preserves
+    * `_synced_rev` — copy-before-delete, so no crash window orphans it).
+    */
+  def syncSignatureIndexWithStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, rel: String, path: String): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, path,
+      "syncSignatureIndexWithStore")({
+      // bootstrap-sentinel states leave a dir holding ONLY the marker;
+      // the index "exists" only if actual signature parquet is present
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.exists(p) && fs.listStatus(p)
+        .exists(s => !s.getPath.getName.startsWith("_"))
+    })(cur =>
+      graft.operators.StoreRewrite.atomicOverwrite(
+        minhashSigs(graft.operators.VersionedStore
+          .read(spark, storePath, rel, Some(cur))), path))((from, to) =>
+      maintainSignatureIndexFromStore(spark, storePath, rel, from, to,
+        path))
+
+  // ------------------------------------------------------------------
+  // MANIFEST-COMMITTED signature index — the migration template off the
+  // rename-based commit (SCALING.md "commit-protocol fork"): every
+  // rename-family verb (StoreRewrite's delete+rename window, parquet
+  // append visibility) assumes atomic directory rename, which
+  // local/HDFS have and object stores do not. This form keeps the SAME
+  // signature relation inside a [[graft.operators.VersionedStore]], so
+  // every verb commits by ONE small manifest PUT: build = save, append
+  // = delta append (never rewrites), forget = tombstone delete, compact
+  // = fold. No recover verb exists or is needed — a crash at any
+  // instant leaves the previous revision readable — and the store is
+  // object-store-safe end to end. Semantics trade, stated honestly:
+  // forget here is a TOMBSTONE, so it masks the doc_id until the next
+  // [[graft.operators.VersionedStore.compact]] physically folds it out
+  // — re-appending the SAME doc_id before a compact stays masked
+  // (sticky), where the rename-family forget physically removes rows
+  // and re-admits immediately. Fresh copies arrive under fresh doc_ids
+  // in every ingest pipeline here, so the sticky window is inert in
+  // practice; the spec pins both behaviors.
+  // ------------------------------------------------------------------
+
+  /** Build the manifest-committed signature index: revision 1 = the
+    * corpus's signatures. One commit PUT; on S3 this is the safe form
+    * of [[buildSignatureIndex]].
+    */
+  def buildSignatureIndexVersioned(documents: org.apache.spark.sql.DataFrame,
+      path: String): Long =
+    graft.operators.VersionedStore.save(
+      Map("sig" -> minhashSigs(documents)), path)
+
+  /** Probe the manifest-committed index — [[probeSignatureIndexPruned]]'s
+    * plan (bloom-pruned bands, broadcast-candidate scoring) over the
+    * store's current revision, which is a multi-dir scan anti-joined
+    * against the accumulated tombstones (tombstone keys are tiny and
+    * broadcast). Row-identical to the rename-family probe on the same
+    * visible content, spec-pinned.
+    */
+  def probeSignatureIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+      increment: org.apache.spark.sql.DataFrame, path: String,
+      bucketCap: Int = defaultBucketCap,
+      threshold: Double = 0.5,
+      maxCandidates: Long = defaultMaxCandidates): org.apache.spark.sql.DataFrame =
+    prunedReject(spark, increment,
+      graft.operators.VersionedStore.read(spark, path, "sig"),
+      bucketCap, threshold, maxCandidates)
+
+  /** Append an admitted increment: a delta dir + one manifest PUT — the
+    * existing revision's dirs are referenced, never rewritten or read.
+    */
+  def appendSignatureIndexVersioned(
+      increment: org.apache.spark.sql.DataFrame, path: String): Long =
+    graft.operators.VersionedStore.append(
+      Map("sig" -> minhashSigs(increment)), path)
+
+  /** Forget by tombstone: one tiny keys dir + one manifest PUT; reads
+    * anti-join it from then on. Physical reclaim (and tombstone
+    * retirement — see the family header's sticky note) happens at
+    * [[graft.operators.VersionedStore.compact]].
+    */
+  def forgetSignatureIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+      del: org.apache.spark.sql.DataFrame, path: String): Long =
+    graft.operators.VersionedStore.delete(del.select("doc_id"), "sig", path)
+
+  /** SYNC the manifest-committed index with its versioned corpus — the
+    * [[syncSignatureIndexWithStore]] contract on the rename-free form.
+    * The `_synced_rev` checkpoint lives at the store root beside
+    * `_versions` (vacuum touches only `d*__*` dirs and manifests, so
+    * the marker is never reclaimed), and no rewrite verb exists that
+    * could orphan it — the marker-preservation machinery the rename
+    * family needs simply has nothing to do here.
+    */
+  def syncSignatureIndexVersionedWithStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, path: String): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, path,
+      "syncSignatureIndexVersionedWithStore")(
+      graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
+      cur => buildSignatureIndexVersioned(
+        graft.operators.VersionedStore.read(spark, storePath, rel,
+          Some(cur)), path))((from, to) =>
+      graft.operators.CdcBridge.maintain(spark, storePath, rel, from, to,
+        "doc_id", Seq("doc_id", "text"),
+        "syncSignatureIndexVersionedWithStore")(
+        del => { forgetSignatureIndexVersioned(spark, del, path); () })(
+        ins => { appendSignatureIndexVersioned(ins, path); () }))
 
   /** Incremental-batch dedup: the daily-ingest path. New documents (one
     * source partition standing in for "today's crawl") are checked against
@@ -1065,6 +1273,36 @@ object DedupQueries extends QueryModule {
           buildSignatureIndexSharded(old, store, nShards = 3)
         }
         val res = probeSignatureIndexSharded(s, inc, store)
+          .orderBy("new_id").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(root.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(incRejectOracleSql))
+
+  /** q197: the daily probe served from the MANIFEST-COMMITTED signature
+    * store ([[probeSignatureIndexVersioned]]) — the object-store-safe
+    * commit protocol carrying the q178 probe plan. The full lifecycle
+    * runs in-query (save the old corpus's signatures as revision 1,
+    * probe the increment against the current revision) and the oracle
+    * is q82/q178/q191's SQL VERBATIM: swapping the commit protocol
+    * under the index must change NOTHING about what the probe returns.
+    */
+  private val q197 = QueryDef(
+    "q197_versioned_signature_probe",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val inc = docs.filter(col("source") === "src19")
+      val old = docs.filter(col("source") =!= "src19")
+      if (old.isEmpty)
+        inc.select(col("doc_id").as("new_id"), col("doc_id").as("old_id"),
+          lit(0.0).as("jaccard_est")).limit(0)
+      else {
+        val root = java.nio.file.Files.createTempDirectory("graft-vsigx")
+        val path = root.toString + "/sig"
+        graft.BenchPhases.build { buildSignatureIndexVersioned(old, path) }
+        val res = probeSignatureIndexVersioned(s, inc, path)
           .orderBy("new_id").localCheckpoint(true)
         val hp = new org.apache.hadoop.fs.Path(root.toString)
         hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
@@ -2444,6 +2682,50 @@ object DedupQueries extends QueryModule {
       path)
   }
 
+  /** Maintain the MONOLITHIC winnow index from a VERSIONED-STORE
+    * revision window — verb parity with
+    * [[maintainWinnowIndexShardedFromStore]] for the unsharded store a
+    * small corpus starts on. `k`/`w` must match the index's build
+    * geometry (the monolithic store carries no meta — the probe takes
+    * them per call for the same reason). Replay shape is the family's:
+    * doubled fingerprint rows are harmless (probes compute over the
+    * (doc, hash) set; [[compactWinnowIndex]] folds the litter).
+    */
+  def maintainWinnowIndexFromStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, fromRev: Long, toRev: Long, path: String,
+      k: Int = 4, w: Int = 5): Unit =
+    graft.operators.CdcBridge.maintain(spark, storePath, rel, fromRev,
+      toRev, "doc_id", Seq("doc_id", "text"),
+      "maintainWinnowIndexFromStore")(
+      del => forgetWinnowIndex(spark, del, path))(
+      ins => appendWinnowIndex(ins, path, k, w))
+
+  /** SYNC the monolithic winnow index with its versioned corpus —
+    * [[syncWinnowIndexShardedWithStore]]'s unsharded twin, with the
+    * monolithic marker discipline of [[syncSignatureIndexWithStore]]:
+    * the `_synced_rev` checkpoint lives inside the relation dir,
+    * bootstrap writes through [[graft.operators.StoreRewrite]] so the
+    * sentinel survives, and forget/compact rewrites carry the marker
+    * across. `k`/`w` are consulted at bootstrap AND on every window's
+    * appends — they are the index's geometry, keep them constant.
+    */
+  def syncWinnowIndexWithStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, rel: String, path: String,
+      k: Int = 4, w: Int = 5): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, path,
+      "syncWinnowIndexWithStore")({
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.exists(p) && fs.listStatus(p)
+        .exists(s => !s.getPath.getName.startsWith("_"))
+    })(cur =>
+      graft.operators.StoreRewrite.atomicOverwrite(
+        winnowFingerprints(graft.operators.VersionedStore
+          .read(spark, storePath, rel, Some(cur)), k, w), path))((from, to) =>
+      maintainWinnowIndexFromStore(spark, storePath, rel, from, to, path,
+        k, w))
+
   // ------------------------------------------------------------------
   // Sharded (federated) winnow-fingerprint index — the 100 TB shape of
   // the family, by the text/vector sharding discipline (q174/q176): a
@@ -2814,7 +3096,8 @@ object DedupQueries extends QueryModule {
   def probeSignatureIndexSharded(spark: org.apache.spark.sql.SparkSession,
       increment: org.apache.spark.sql.DataFrame, root: String,
       bucketCap: Int = defaultBucketCap,
-      threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+      threshold: Double = 0.5,
+      maxCandidates: Long = defaultMaxCandidates): org.apache.spark.sql.DataFrame = {
     val n = signatureShardCount(spark, root)
     val newSig = minhashSigs(increment).localCheckpoint(true)
     val newBands = bandsFromSigs(newSig).localCheckpoint(true)
@@ -2829,7 +3112,8 @@ object DedupQueries extends QueryModule {
       .map(i => bandsFromSigs(spark.read.parquet(sigShardPath(root, i)))
         .filter(graft.functions.BloomFunctions.mightContainLong(bloom, keyHash)))
       .reduce(_ unionByName _)
-    rejectFromBands(oldBands, newBands, oldSig, newSig, bucketCap, threshold)
+    rejectFromBands(oldBands, newBands, oldSig, newSig, bucketCap, threshold,
+      maxCandidates)
   }
 
   /** Routed append: each admitted doc's signature row lands in its hash
@@ -3167,5 +3451,5 @@ object DedupQueries extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
       q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184, q185,
-      q186, q187, q188, q191, q193, q194)
+      q186, q187, q188, q191, q193, q194, q197)
 }

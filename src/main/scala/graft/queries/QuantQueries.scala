@@ -289,8 +289,9 @@ object QuantQueries extends QueryModule {
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       // the 1-row parameter frame feeds the encoder AND the search —
-      // materialize once (q72 one-relation-many-consumers discipline)
-      val params = sqTrain(e).localCheckpoint(true)
+      // materialize once (q72 one-relation-many-consumers discipline);
+      // the fit is the persistable artifact, so it's bench-bracketed
+      val params = graft.BenchPhases.build { sqTrain(e).localCheckpoint(true) }
       val codes = sqCodes(params, e)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"))

@@ -877,7 +877,9 @@ object SimilarityQueries extends QueryModule {
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      val coded = pqCodewords(pqTrain(emb), emb)
+      // codebook training is the persistable artifact (the PqIndex store
+      // is the production route) — bracketed so the bench splits it out
+      val coded = pqCodewords(graft.BenchPhases.build { pqTrain(emb) }, emb)
       val recon = coded.groupBy("vec_id")
         .agg(sort_array(collect_list(struct(col("sub"), col("cv")))).as("a"))
         .select(col("vec_id"),
@@ -939,7 +941,8 @@ object SimilarityQueries extends QueryModule {
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val index = pqTrain(emb)
+      // training is the persistable artifact — bench-bracketed
+      val index = graft.BenchPhases.build { pqTrain(emb) }
       pqAdcSearch(index, pqCodes(index, emb),
         emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("v").as("qv")),
@@ -1223,8 +1226,11 @@ object SimilarityQueries extends QueryModule {
     (s, d) => {
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val (cents, cells) = ivfTrain(e)
-      val index = pqTrain(e)
+      // coarse + PQ training are the persistable artifacts (the PqIndex
+      // store is the production route, documented since r6) — bracketed
+      // so the bench attributes them to build_s, not query_s
+      val ((cents, cells), index) =
+        graft.BenchPhases.build { (ivfTrain(e), pqTrain(e)) }
       ivfPqSearch(cells, cents, index, pqCodes(index, e),
         e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("v").as("qv")),
@@ -1744,16 +1750,19 @@ object SimilarityQueries extends QueryModule {
     (s, d) => {
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val (cents, cells0) = ivfTrain(e, k = 32)
-      // the cell assignment feeds BOTH the residual computation and the
-      // candidate pruning; the residual frame feeds BOTH PQ training and
-      // encoding — materialize each once (the q72 one-relation-many-
-      // consumers discipline; without it the broadcast-argmax assignment
-      // would re-execute per consumer)
-      val cells = cells0.localCheckpoint(true)
-      val rv = ivfResiduals(e, cents, cells).select("vec_id", "v")
-        .localCheckpoint(true)
-      val index = pqTrain(rv)
+      // coarse training, residual materialization, and residual-PQ
+      // training are the persistable artifacts — bench-bracketed as one
+      // build span. The checkpoints inside follow the q72 one-relation-
+      // many-consumers discipline: the cell assignment feeds BOTH the
+      // residual computation and the candidate pruning; the residual
+      // frame feeds BOTH PQ training and encoding.
+      val (cents, cells, rv, index) = graft.BenchPhases.build {
+        val (cents0, cells0) = ivfTrain(e, k = 32)
+        val cls = cells0.localCheckpoint(true)
+        val r = ivfResiduals(e, cents0, cls).select("vec_id", "v")
+          .localCheckpoint(true)
+        (cents0, cls, r, pqTrain(r))
+      }
       ivfPqSearchResidual(cells, cents, index, pqCodes(index, rv),
         e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("v").as("qv")),
@@ -2341,6 +2350,196 @@ object SimilarityQueries extends QueryModule {
         "delete from")
     graft.operators.IndexTombstones.append(ids, path)
   }
+
+  private val lshGenTag = "^lsh-multi-(\\d+)x(\\d+)$".r
+
+  /** Batch-anchored EXACT top-k lists — [[bruteTopLists]] restricted to
+    * `anchorIds` at LINEAR cost: the anchors' vectors are the broadcast
+    * side and the corpus streams through ONE scan (it is never the
+    * broadcast side), so generating an increment's lists against a
+    * 10^9-vector corpus is one map-side pass plus the bounded GroupTopK
+    * — not the demo generator's |corpus|² cross join. Byte-compatible
+    * with [[bruteTopLists]] row-for-row: same cosine operand order
+    * (anchor first — float dot products are order-sensitive), same
+    * (sim DESC, bid ASC) ranking, so appended and repaired lists are
+    * indistinguishable from a from-scratch build's (CdcKnnSpec pins it).
+    */
+  private def bruteListsForAnchors(e: org.apache.spark.sql.DataFrame,
+      anchorIds: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val a = e.join(anchorIds.select("vec_id"), Seq("vec_id"))
+      .select(col("vec_id").as("aid"), col("v").as("av"))
+    val sims = e.select(col("vec_id").as("bid"), col("v").as("bv"))
+      .crossJoin(broadcast(a))
+      .filter(col("aid") =!= col("bid"))
+      .select(col("aid"), col("bid"), cosine(col("av"), col("bv")).as("sim"))
+    graft.operators.GroupTopK.topK(sims, Seq(col("aid")),
+        Seq(col("sim").desc, col("bid").asc), col("bid"), k, rankName = "rn")
+      .select("aid", "bid", "sim", "rn")
+  }
+
+  /** Generator-routed list generation for a bounded anchor set against
+    * the live corpus — the shared engine of the CDC bridge's append and
+    * delete-repair paths. Routing by the store's OWN generator tag is
+    * the knnFingerprint splice guard applied at generation time:
+    * maintenance can never push another family's lists under this
+    * store's stamp.
+    */
+  private def knnListsForAnchors(e: org.apache.spark.sql.DataFrame,
+      anchorIds: org.apache.spark.sql.DataFrame, k: Int,
+      generator: String, verb: String): org.apache.spark.sql.DataFrame =
+    generator match {
+      case "brute-cos" => bruteListsForAnchors(e, anchorIds, k)
+      case lshGenTag(t, p) =>
+        lshMultiAnn(e,
+            e.join(anchorIds.select("vec_id"), Seq("vec_id"))
+              .select(col("vec_id").as("qid"), col("v").as("qv")),
+            t.toInt, p.toInt, topK = k, excludeSelfMatches = true)
+          .select(col("query_id").as("aid"), col("neighbor_id").as("bid"),
+            col("cos_sim").as("sim"), col("rank").as("rn"))
+      case other => throw new IllegalArgumentException(
+        s"$verb: store generator '$other' has no routed list generation " +
+          "— brute-cos and lsh-multi-<T>x<P> stores maintain; rebuild " +
+          "other generators' stores with knnSaveLists")
+    }
+
+  /** Recompute `anchors`' lists against the LIVE corpus and rewrite
+    * exactly their rows — the delete repair the tombstone mask cannot
+    * do alone: masking a deleted neighbor at load leaves its anchors'
+    * lists SHORT (k minus the holes), while a fresh rebuild would
+    * refill those slots with the next-nearest live vectors. The
+    * affected set is bounded (only anchors whose stored lists reference
+    * a doomed id), so the repair is one anchors-broadcast corpus pass,
+    * and it restores exact top-k — CDC maintenance stays rebuilt-equal
+    * across DELETE windows too, not just appends.
+    */
+  private def knnRecomputeAnchors(e: org.apache.spark.sql.DataFrame,
+      anchors: org.apache.spark.sql.DataFrame, path: String, k: Int,
+      generator: String, fp: String): Unit = {
+    if (anchors.isEmpty) return
+    val spark = e.sparkSession
+    val fresh = knnListsForAnchors(e, anchors, k, generator,
+      "knnMaintainFromStore")
+    val untouched = spark.read.parquet(s"$path/lists")
+      .join(anchors.select(col("vec_id").as("aid")), Seq("aid"), "left_anti")
+      .select("aid", "bid", "sim", "rn", "fp")
+    graft.operators.StoreRewrite.atomicOverwrite(
+      untouched.unionAll(fresh.withColumn("fp", lit(fp))
+        .select("aid", "bid", "sim", "rn", "fp")),
+      s"$path/lists")
+  }
+
+  /** Maintain a kNN-list store from a VERSIONED-STORE revision window —
+    * the graph family joining the CDC discipline (q189 text, q192
+    * vector, q193 signature, q194 winnow): the embedding corpus lives
+    * in a [[graft.operators.VersionedStore]] relation carrying
+    * (vec_id, v), and ONE call propagates any run of append/delete
+    * revisions into the lists in O(corpus × batch) — no caller diffing,
+    * no full rebuild. Deletes land FIRST: the doomed ids are
+    * tombstoned, and every live anchor whose stored list referenced one
+    * is recomputed against the live corpus ([[knnRecomputeAnchors]] —
+    * without the repair a masked neighbor leaves a hole a rebuild would
+    * refill). Net-new rows then get generator-routed lists
+    * ([[knnListsForAnchors]], anchors broadcast, one corpus scan),
+    * appended idempotently, and the stale anchors catch up through the
+    * family's own merge verb — [[knnReknit]] for exact stores,
+    * [[knnRefreshAnn]] for LSH stores. Result: the maintained store
+    * LOADS identically to a fresh build of `read(toRev)` for the exact
+    * generator (CdcKnnSpec pins byte-equality, q196 oracles it), the
+    * strongest contract in the bridge family. Replay-safe: re-running a
+    * window re-tombstones idempotently, finds no doomed references left
+    * to repair, appends nothing (left-anti), and re-knits to the same
+    * rows.
+    */
+  def knnMaintainFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, rel: String, fromRev: Long, toRev: Long,
+      path: String, maxBatch: Int = 100000): Unit = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("fp", "k", "generator").take(1)
+    require(meta.nonEmpty,
+      s"knnMaintainFromStore: meta store at $path/meta is empty — save " +
+        "the store first (knnSaveLists)")
+    val (fp, k, gen) =
+      (meta(0).getString(0), meta(0).getInt(1), meta(0).getString(2))
+    // a re-scannable PLAN, deliberately not checkpointed: each consumer
+    // (delete-repair, new-anchor generation, re-knit) streams the live
+    // corpus map-side once — materializing it here would spill O(corpus)
+    // to executor disk for no shuffle saved
+    val live = graft.operators.VersionedStore
+      .read(spark, storePath, rel, Some(toRev))
+      .select("vec_id", "v")
+    graft.operators.CdcBridge.maintain(spark, storePath, rel, fromRev,
+      toRev, "vec_id", Seq("vec_id", "v"), "knnMaintainFromStore")(
+      del => {
+        val doomed = del.select("vec_id").localCheckpoint(true)
+        // affected anchors from the RAW stored lists (not the masked
+        // load): after a crash-replay the tombstones already exist but
+        // un-repaired references must still be found
+        val affected = spark.read.parquet(s"$path/lists")
+          .join(doomed.select(col("vec_id").as("bid")), Seq("bid"),
+            "left_semi")
+          .select(col("aid").as("vec_id")).distinct()
+          .join(doomed, Seq("vec_id"), "left_anti")
+          .localCheckpoint(true)
+        knnDeleteNodes(doomed, path)
+        knnRecomputeAnchors(live, affected, path, k, gen, fp)
+      })(
+      ins => {
+        val newIds = ins.select("vec_id").localCheckpoint(true)
+        val nBatch = newIds.count()
+        if (nBatch > 0) {
+          require(nBatch <= maxBatch,
+            s"knnMaintainFromStore: the window nets $nBatch new vectors " +
+              s"(> maxBatch=$maxBatch) — the batch is broadcast against " +
+              "the corpus; after a corpus-scale append rebuild with " +
+              "knnSaveLists instead, or raise maxBatch deliberately")
+          knnAppendLists(
+            knnListsForAnchors(live, newIds, k, gen,
+              "knnMaintainFromStore"), gen, path)
+          gen match {
+            case "brute-cos" => knnReknit(live, newIds, path, maxBatch)
+            case _ => knnRefreshAnn(live, newIds, path, maxBatch)
+          }
+        }
+      })
+  }
+
+  /** SYNC the kNN-list store with its versioned embedding corpus — the
+    * bookkeeping-free form of [[knnMaintainFromStore]], completing the
+    * sync-verb parity across every derived-index family (text, vector,
+    * signature, winnow, knn): the store checkpoints the last absorbed
+    * revision ([[graft.operators.RevisionSync]]), a first call against
+    * an empty path bootstraps a full build from `read(current)`
+    * (generator-routed — [[bruteTopLists]] for `brute-cos` at bounded
+    * demo scale, [[lshTopLists]] for `lsh-multi-<T>x<P>` at corpus
+    * scale), later calls absorb every pending append/delete revision in
+    * one window, and the lag-never-lead marker ordering makes a crash
+    * between maintenance and bump a harmless replay. `k` and
+    * `generator` are consulted ONLY at bootstrap; afterwards the
+    * store's own meta stamp routes.
+    */
+  def knnSyncWithStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, rel: String, path: String, k: Int = 10,
+      generator: String = "brute-cos",
+      maxBatch: Int = 100000): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, path,
+      "knnSyncWithStore")({
+      val mp = new org.apache.hadoop.fs.Path(s"$path/meta")
+      mp.getFileSystem(spark.sessionState.newHadoopConf()).exists(mp)
+    })(cur => {
+      val e = graft.operators.VersionedStore
+        .read(spark, storePath, rel, Some(cur)).select("vec_id", "v")
+      val lists = generator match {
+        case "brute-cos" => bruteTopLists(e, k)
+        case lshGenTag(t, p) => lshTopLists(e, k, t.toInt, p.toInt)
+        case other => throw new IllegalArgumentException(
+          s"knnSyncWithStore: generator '$other' has no routed bootstrap " +
+            "— use brute-cos or lsh-multi-<T>x<P>, or hand-build with " +
+            "knnSaveLists and drive the explicit-window maintain verb")
+      }
+      knnSaveLists(lists, k, generator, path)
+    })((from, to) =>
+      knnMaintainFromStore(spark, storePath, rel, from, to, path, maxBatch))
 
   /** One-hop graph expansion of an ANN candidate set — the NSW/HNSW
     * move at one hop, distributed-friendly: a query's candidates pull in
@@ -3441,8 +3640,69 @@ object SimilarityQueries extends QueryModule {
                    FROM v2) r
              WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** q196: the embedding corpus lives in a VERSIONED STORE and the
+    * kNN-list graph store is maintained by CDC + SYNC — the graph family
+    * completing the bridge discipline (q189 text, q192 vector, q193
+    * signature, q194 winnow, q195 sync). The window exercises all three
+    * CDC shapes: net-new appends (generator-routed lists, anchors
+    * broadcast), deletes of BOOTSTRAP rows (vec_id % 8 = 1 — the
+    * delete-repair path: their referencing anchors are recomputed
+    * against the live corpus), and in-window append-then-delete rows
+    * (vec_id % 8 = 7, netted away by the store before the index ever
+    * sees them). Unlike the frozen-quantizer vector families, the exact
+    * generator's maintained store is REBUILT-EQUAL even across delete
+    * windows, so the oracle is the strongest possible: from-scratch
+    * brute-force top-3 cosine lists over the FINAL visible corpus in
+    * SQL — the maintained graph must be indistinguishable from never
+    * having maintained at all.
+    */
+  private val q196 = QueryDef(
+    "q196_cdc_knn_maintenance",
+    (s, d) => {
+      import graft.operators.VersionedStore
+      val e = Tables(s, d, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val boot = e.filter(col("vec_id") % 4 =!= 3)
+      if (boot.isEmpty)
+        e.select(col("vec_id").as("aid"), col("vec_id").as("bid"),
+          lit(0.0).as("sim"), lit(1).as("rn")).limit(0)
+      else {
+        val root = java.nio.file.Files.createTempDirectory("graft-knncdc")
+        val store = root.toString + "/emb"
+        val idx = root.toString + "/knn"
+        graft.BenchPhases.build {
+          VersionedStore.save(Map("emb" -> boot), store)
+          knnSyncWithStore(s, store, "emb", idx, k = 3) // bootstrap
+          VersionedStore.append(
+            Map("emb" -> e.filter(col("vec_id") % 4 === 3)), store)
+          VersionedStore.delete(
+            e.filter(col("vec_id") % 8 === 1 || col("vec_id") % 8 === 7)
+              .select("vec_id"), "emb", store)
+          knnSyncWithStore(s, store, "emb", idx, k = 3) // absorb the window
+        }
+        val res = knnLoadLists(s, idx)._1
+          .select("aid", "bid", "sim", "rn")
+          .orderBy("aid", "rn").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(root.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings
+                        WHERE vec_id < 300 AND vec_id % 8 NOT IN (1, 7)),
+                  p AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+                          ${cosSql("a.v", "b.v")} AS sim
+                        FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+                  r AS (SELECT aid, bid, sim,
+                          ROW_NUMBER() OVER (PARTITION BY aid
+                            ORDER BY sim DESC, bid ASC) AS rn
+                        FROM p)
+             SELECT aid, bid, sim, rn FROM r WHERE rn <= 3
+             ORDER BY aid, rn"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112, q142,
       q114, q116, q117, q119, q123, q127, q128, q131, q132, q147, q148,
-      q149, q158)
+      q149, q158, q196)
 }

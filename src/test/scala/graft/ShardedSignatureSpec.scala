@@ -55,6 +55,9 @@ class ShardedSignatureSpec extends SparkSuite {
       s"federated probe must scan ONLY the shard stores:\n$files")
     // the bloom prune sits in the plan (once per shard scan)
     assert(fed.queryExecution.executedPlan.toString.contains("might_contain"))
+    // the scoring stage probes the shard union exchange-free: the
+    // candidate side is broadcast, the stored signatures stream map-side
+    PlanChecks.assertStoredSideExchangeFree(fed, "/shard-")
   }
 
   test("routed append makes the increment visible; routed forget touches " +

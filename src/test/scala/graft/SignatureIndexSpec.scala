@@ -79,6 +79,29 @@ class SignatureIndexSpec extends SparkSuite {
     assert(DedupQueries.probeSignatureIndexPruned(spark, empty, idx).count() == 0)
   }
 
+  test("scoring stage probes the stored index with ZERO exchanges on the " +
+    "index side (broadcast candidates), in both the plain and pruned probes") {
+    val idx = tmpDir("sigidx") + "/sig_index_store"
+    DedupQueries.buildSignatureIndex(oldDocs, idx)
+    PlanChecks.assertStoredSideExchangeFree(
+      DedupQueries.probeSignatureIndex(spark, increment, idx),
+      "sig_index_store")
+    PlanChecks.assertStoredSideExchangeFree(
+      DedupQueries.probeSignatureIndexPruned(spark, increment, idx),
+      "sig_index_store")
+  }
+
+  test("a candidate set over maxCandidates refuses loudly instead of " +
+    "silently building an unbounded broadcast") {
+    val idx = tmpDir("sigidx") + "/sig_index_store"
+    DedupQueries.buildSignatureIndex(oldDocs, idx)
+    val e = intercept[IllegalArgumentException] {
+      DedupQueries.probeSignatureIndex(spark, increment, idx,
+        maxCandidates = 0L)
+    }
+    assert(e.getMessage.contains("maxCandidates"))
+  }
+
   test("append makes yesterday's admitted increment visible to today's probe") {
     val idx = tmpDir("sigidx") + "/sig_index_store"
     DedupQueries.buildSignatureIndex(oldDocs, idx)
@@ -91,5 +114,43 @@ class SignatureIndexSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // 201 duplicates day-1's doc 102, found ONLY via the appended index rows
     assert(rejects == Set((201L, 102L, 1.0)))
+  }
+
+  test("monolithic sync: bootstrap builds and checkpoints; one call " +
+    "absorbs an append+delete window row-equal to a fresh build; no-op " +
+    "when current; forget's whole-dir rewrite PRESERVES the marker") {
+    import spark.implicits._
+    import graft.operators.{RevisionSync, VersionedStore}
+    val base = tmpDir("sigmono")
+    val store = s"$base/docs"; val idx = s"$base/sig"
+    def sigRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.toList).toSet
+    val r1 = VersionedStore.save(Map("docs" -> oldDocs), store)
+    assert(DedupQueries.syncSignatureIndexWithStore(spark, store, "docs",
+      idx) == Some((r1, r1)))
+    assert(sigRows(spark.read.parquet(idx)) ==
+      sigRows(DedupQueries.minhashSigs(oldDocs)))
+    VersionedStore.append(Map("docs" -> increment), store)
+    val r3 = VersionedStore.delete(Seq(2L).toDF("doc_id"), "docs", store)
+    assert(DedupQueries.syncSignatureIndexWithStore(spark, store, "docs",
+      idx) == Some((r1, r3)))
+    assert(sigRows(spark.read.parquet(idx)) == sigRows(
+      DedupQueries.minhashSigs(
+        VersionedStore.read(spark, store, "docs", None))),
+      "synced index must hold exactly the visible corpus's signatures")
+    assert(DedupQueries.syncSignatureIndexWithStore(spark, store, "docs",
+      idx).isEmpty, "sync against an absorbed store must be a no-op")
+    // the forget verb rewrites the WHOLE relation dir; the sync marker
+    // must ride across (StoreRewrite's _synced_rev preservation)
+    DedupQueries.forgetSignatureIndex(spark, Seq(101L).toDF("doc_id"), idx)
+    assert(RevisionSync.syncedRev(spark, idx) == Some((store, r3)),
+      "a whole-dir forget rewrite must not orphan the sync checkpoint")
+    // a hand-built index (no marker) refuses sync with guidance
+    val hand = s"$base/hand"
+    DedupQueries.buildSignatureIndex(oldDocs, hand)
+    val e = intercept[IllegalArgumentException] {
+      DedupQueries.syncSignatureIndexWithStore(spark, store, "docs", hand)
+    }
+    assert(e.getMessage.contains("_synced_rev"))
   }
 }

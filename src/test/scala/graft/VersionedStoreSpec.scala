@@ -308,4 +308,92 @@ class VersionedStoreSpec extends SparkSuite {
       VersionedStore.save(Map("a/b" -> docs(1)), root)
     }
   }
+
+  test("schema drift: an appended column / dropped column / retyped " +
+    "column refuses with the drift spelled out; a pure reordering is " +
+    "NORMALIZED; save() legitimately evolves the schema") {
+    val root = tmpDir("vschema") + "/s"
+    VersionedStore.save(Map("docs" -> docs(1, 2)), root)
+    // added column
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedStore.append(
+        Map("docs" -> docs(3).withColumn("lang", lit("en"))), root)
+    }
+    assert(e1.getMessage.contains("schema drift") &&
+      e1.getMessage.contains("lang") && e1.getMessage.contains("save()"))
+    // dropped column
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedStore.append(Map("docs" -> docs(3).drop("text")), root)
+    }
+    assert(e2.getMessage.contains("missing from the delta"))
+    // retyped column
+    val e3 = intercept[IllegalArgumentException] {
+      VersionedStore.append(
+        Map("docs" -> docs(3).withColumn("text", lit(7))), root)
+    }
+    assert(e3.getMessage.contains("recorded string"))
+    // a refused append commits NOTHING (no revision, no debris)
+    assert(VersionedStore.currentVersion(spark, root).contains(1L))
+    assert(VersionedStore.debris(spark, root).isEmpty)
+    // pure reordering: normalized to the recorded column order, read
+    // stays aligned across dirs
+    VersionedStore.append(
+      Map("docs" -> docs(4).select("text", "doc_id")), root)
+    val r = VersionedStore.read(spark, root, "docs")
+    assert(r.columns.toSeq == Seq("doc_id", "text"))
+    assert(idsOf(r) == Seq(1, 2, 4))
+    assert(r.filter(col("doc_id") === 4).select("text").head().getString(0)
+      == "doc-4")
+    // schema evolution through save: full snapshot, new lineage, and
+    // appends conform to the NEW schema afterwards
+    VersionedStore.save(
+      Map("docs" -> docs(1, 2).withColumn("lang", lit("en"))), root)
+    VersionedStore.append(
+      Map("docs" -> docs(5).withColumn("lang", lit("fr"))), root)
+    assert(idsOf(VersionedStore.read(spark, root, "docs")) == Seq(1, 2, 5))
+  }
+
+  test("v1 manifests (no schema records) still read, still time-travel, " +
+    "and appends against them drift-check off the parquet footers then " +
+    "upgrade the manifest") {
+    val root = tmpDir("v1compat") + "/s"
+    VersionedStore.save(Map("docs" -> docs(1, 2)), root)
+    // simulate a pre-upgrade store: strip the schema lines out of the
+    // committed manifest (the v1 format had none)
+    val mp = new Path(root, "_versions/v000000001")
+    val f = fs(root)
+    val lines = {
+      val in = f.open(mp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val v1Lines = lines.filterNot(_.startsWith("schema\t"))
+    assert(v1Lines.size < lines.size, "fixture defect: no schema line to strip")
+    f.delete(mp, false)
+    val out = f.create(mp, false)
+    try out.write((v1Lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    // reads fine without schema records
+    assert(idsOf(VersionedStore.read(spark, root, "docs")) == Seq(1, 2))
+    // drift still refused — recorded schema falls back to the footers
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.append(
+        Map("docs" -> docs(3).withColumn("lang", lit("en"))), root)
+    }
+    assert(e.getMessage.contains("schema drift"))
+    // a conforming append succeeds and upgrades the manifest
+    VersionedStore.append(Map("docs" -> docs(3)), root)
+    assert(idsOf(VersionedStore.read(spark, root, "docs")) == Seq(1, 2, 3))
+    val mp2 = new Path(root, "_versions/v000000002")
+    val in2 = f.open(mp2)
+    val lines2 =
+      try scala.io.Source.fromInputStream(in2, "UTF-8").getLines().toList
+      finally in2.close()
+    assert(lines2.exists(_.startsWith("schema\t")),
+      "a post-upgrade append must record the schema going forward")
+    // and CDC across the upgrading window still works (the new schema
+    // entry must not read as a replaced dir)
+    val (ins, _) = VersionedStore.changes(spark, root, 1L, 2L, "docs")
+    assert(idsOf(ins) == Seq(3))
+  }
 }

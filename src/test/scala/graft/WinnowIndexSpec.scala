@@ -140,4 +140,45 @@ class WinnowIndexSpec extends SparkSuite {
     }
     assert(probeWinnowIndex(spark, inc, path, minShared = 1).count() == 1)
   }
+
+  test("monolithic sync: bootstrap builds and checkpoints; one call " +
+    "absorbs an append+delete window with probe results equal to a " +
+    "fresh build of read(toRev); no-op when current; compact's whole-dir " +
+    "rewrite preserves the marker") {
+    import graft.operators.{RevisionSync, VersionedStore}
+    import graft.queries.DedupQueries.{compactWinnowIndex, syncWinnowIndexWithStore}
+    val base = tmpDir("winmono")
+    val store = s"$base/docs"; val idx = s"$base/fp"
+    val corpus = docs(
+      1L -> s"one two three $shared four five six",
+      2L -> "totally different stored content goes here now ok fine")
+    val r1 = VersionedStore.save(Map("docs" -> corpus), store)
+    assert(syncWinnowIndexWithStore(spark, store, "docs", idx)
+      == Some((r1, r1)))
+    val inc = docs(10L -> s"probe doc with $shared inside")
+    assert(probeWinnowIndex(spark, inc, idx, minShared = 1)
+      .select("old_doc").collect().map(_.getLong(0)).toSet == Set(1L))
+    // window: append a second shared-span holder, delete the original
+    VersionedStore.append(
+      Map("docs" -> docs(3L -> s"late arrival carrying $shared too")), store)
+    val r3 = VersionedStore.delete(
+      { import spark.implicits._; Seq(1L).toDF("doc_id") }, "docs", store)
+    assert(syncWinnowIndexWithStore(spark, store, "docs", idx)
+      == Some((r1, r3)))
+    assert(probeWinnowIndex(spark, inc, idx, minShared = 1)
+      .select("old_doc").collect().map(_.getLong(0)).toSet == Set(3L),
+      "after the window the forgotten doc must not match; the appended one must")
+    // probe-equality with a fresh build of the visible corpus
+    val fresh = s"$base/fresh"
+    buildWinnowIndex(VersionedStore.read(spark, store, "docs", None), fresh)
+    assert(probeWinnowIndex(spark, inc, idx, minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == probeWinnowIndex(spark, inc, fresh, minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    assert(syncWinnowIndexWithStore(spark, store, "docs", idx).isEmpty,
+      "sync against an absorbed store must be a no-op")
+    compactWinnowIndex(spark, idx)
+    assert(RevisionSync.syncedRev(spark, idx) == Some((store, r3)),
+      "a whole-dir compact rewrite must not orphan the sync checkpoint")
+  }
 }
