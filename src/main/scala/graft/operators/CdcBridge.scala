@@ -24,22 +24,45 @@ object CdcBridge {
   def maintain(spark: SparkSession, storePath: String, rel: String,
       fromRev: Long, toRev: Long, keyCol: String, insertCols: Seq[String],
       verb: String)(onDelete: DataFrame => Unit)(
-      onInsert: DataFrame => Unit): Unit = {
+      onInsert: DataFrame => Unit): Unit =
+    maintainAtomic(spark, storePath, rel, fromRev, toRev, keyCol,
+      insertCols, verb) { (del, ins) =>
+      del.foreach(onDelete)
+      ins.foreach(onInsert)
+    }
+
+  /** The window algebra with BOTH sides handed to one callback: a
+    * manifest-committed index applies the deletes and the netted
+    * inserts in ONE revision ([[VersionedStore.commitMixed]]), so no
+    * reader ever sees the half-applied window the rename families'
+    * two-step (tombstones first, inserts second) briefly exposes.
+    * `apply(deletedKeys, insertedRows)` — either side is None when the
+    * window carries nothing for it; the deletes-first contract becomes
+    * the callee's (a single mixed commit satisfies it vacuously: both
+    * land at the same instant, and the store's `changes` has already
+    * netted rows appended-then-tombstoned inside the window).
+    */
+  def maintainAtomic(spark: SparkSession, storePath: String, rel: String,
+      fromRev: Long, toRev: Long, keyCol: String, insertCols: Seq[String],
+      verb: String)(
+      apply: (Option[DataFrame], Option[DataFrame]) => Unit): Unit = {
     val (inserted, deletedKeys) =
       VersionedStore.changes(spark, storePath, fromRev, toRev, rel)
-    if (deletedKeys.columns.nonEmpty) {
-      require(deletedKeys.columns.contains(keyCol),
-        s"$verb: '$rel' tombstones carry no $keyCol column (found " +
-          s"${deletedKeys.columns.mkString(", ")}) — the index is keyed " +
-          s"by $keyCol")
-      val del = deletedKeys.select(keyCol)
-      if (!del.isEmpty) onDelete(del)
-    }
+    val del =
+      if (deletedKeys.columns.isEmpty) None
+      else {
+        require(deletedKeys.columns.contains(keyCol),
+          s"$verb: '$rel' tombstones carry no $keyCol column (found " +
+            s"${deletedKeys.columns.mkString(", ")}) — the index is keyed " +
+            s"by $keyCol")
+        Some(deletedKeys.select(keyCol)).filterNot(_.isEmpty)
+      }
     require(insertCols.forall(inserted.columns.contains),
       s"$verb: relation '$rel' must carry (${insertCols.mkString(", ")}) " +
         s"— found (${inserted.columns.mkString(", ")})")
-    val ins = inserted.select(insertCols.map(col): _*)
-    if (!ins.isEmpty) onInsert(ins)
+    val ins = Some(inserted.select(insertCols.map(col): _*))
+      .filterNot(_.isEmpty)
+    if (del.isDefined || ins.isDefined) apply(del, ins)
   }
 
   /** The bookkeeping-free sync driver: resolve the index's

@@ -438,23 +438,74 @@ object VersionedStore {
   def commitDelta(appends: Map[String, DataFrame],
       deletes: Map[String, DataFrame], path: String,
       marker: Option[Long] = None,
+      statsCols: Seq[String] = Nil): Long =
+    commitMixed(appends, deletes, Map.empty, path, marker, statsCols)
+
+  /** The FULL commit algebra in one revision: append increments,
+    * tombstone keys, and REPLACE whole relations — all visible in one
+    * manifest PUT. This is what a multi-relation DERIVED store needs
+    * for maintenance: the text index's append must land new postings
+    * and docstats dirs AND swap in re-elected champion heads in the
+    * same instant, or a reader between two commits scores candidates
+    * from heads elected under the previous corpus statistics. Appends
+    * and replaces are drift-gated against the recorded schemas BEFORE
+    * any dir is written (a refused commit leaves no debris); a replaced
+    * relation drops its accumulated tombstones ([[replaceRelation]]'s
+    * contract) and may not also be appended or tombstoned in the same
+    * commit (ambiguous ordering — refused); a replace of a relation the
+    * store does not hold yet simply creates it (first election). Every
+    * passed DataFrame computes against the PRE-commit revision: the
+    * dirs written here are referenced by no manifest until the final
+    * PUT, so a replace that reads the relations it rides with sees
+    * their state as of the previous revision.
+    */
+  def commitMixed(appends: Map[String, DataFrame],
+      deletes: Map[String, DataFrame],
+      replaces: Map[String, DataFrame], path: String,
+      marker: Option[Long] = None,
       statsCols: Seq[String] = Nil): Long = {
-    require(appends.nonEmpty || deletes.nonEmpty,
-      "VersionedStore.commitDelta: empty commit")
-    (appends.keys ++ deletes.keys).foreach(checkRel)
-    val spark = (appends ++ deletes).head._2.sparkSession
+    require(appends.nonEmpty || deletes.nonEmpty || replaces.nonEmpty,
+      "VersionedStore.commitMixed: empty commit")
+    val overlap = replaces.keySet & (appends.keySet ++ deletes.keySet)
+    require(overlap.isEmpty,
+      "VersionedStore.commitMixed: relation(s) " +
+        s"${overlap.toSeq.sorted.mkString(", ")} both replaced and " +
+        "appended/tombstoned in one commit — the replacement is " +
+        "authoritative, fold the delta into it instead")
+    (appends.keys ++ deletes.keys ++ replaces.keys).foreach(checkRel)
+    val spark = (appends ++ deletes ++ replaces).head._2.sparkSession
     val (cur, prev) = manifestAt(spark, path, None)
     deletes.keys.foreach(rel =>
       require(prev.exists(e => e.kind == "data" && e.rel == rel),
-        s"VersionedStore.commitDelta: no relation '$rel' at $path"))
+        s"VersionedStore.commitMixed: no relation '$rel' at $path"))
     val rev = cur + 1L
+    // drift gates run over ALL incoming frames before the first write
+    def checked(m: Map[String, DataFrame]) =
+      m.toSeq.sortBy(_._1).map { case (rel, df) =>
+        recordedSchema(spark, path, prev, rel) match {
+          case Some(rec) => (rel, conformed(df, rec, rel), rec)
+          case None => (rel, df, df.schema)
+        }
+      }
+    val checkedApp = checked(appends)
+    val checkedRep = checked(replaces)
     val added =
-      appends.toSeq.sortBy(_._1).map { case (rel, df) =>
+      checkedApp.map { case (rel, df, _) =>
         writeDataDir(df, path, rev, "data", rel, statsCols)
       } ++ deletes.toSeq.sortBy(_._1).map { case (rel, df) =>
         writeDataDir(df, path, rev, "del", rel)
+      } ++ checkedRep.map { case (rel, df, _) =>
+        writeDataDir(df, path, rev, "data", rel, statsCols)
       }
-    commitManifest(spark, path, rev, withMarker(prev ++ added, marker))
+    val prevKept = prev.filterNot(e =>
+      (e.kind == "schema" &&
+        (appends.contains(e.rel) || replaces.contains(e.rel))) ||
+        ((e.kind == "data" || e.kind == "del") && replaces.contains(e.rel)))
+    val schemas = (checkedApp ++ checkedRep).map { case (rel, _, rec) =>
+      schemaEntry(rel, rec)
+    }
+    commitManifest(spark, path, rev,
+      withMarker(prevKept ++ added ++ schemas, marker))
     rev
   }
 

@@ -2727,6 +2727,115 @@ object DedupQueries extends QueryModule {
         k, w))
 
   // ------------------------------------------------------------------
+  // MANIFEST-COMMITTED winnow index — the q197 signature template
+  // applied to the fingerprint family (SCALING.md "commit-protocol
+  // fork"): the SAME fp relation inside a VersionedStore, every verb
+  // one manifest PUT, object-store-safe, no recover verb. Two upgrades
+  // over the bare rename-family store come free: the fingerprinting
+  // knobs ride in a one-row `knobs` relation committed WITH the
+  // fingerprints (the sharded router's can't-mix-selections guarantee,
+  // which the bare monolithic store never had), and forget is a
+  // tombstone (sticky for a re-appended same doc_id until compact — the
+  // family's documented trade; fresh ingests mint fresh doc_ids).
+  // ------------------------------------------------------------------
+
+  private def winnowKnobsDf(spark: org.apache.spark.sql.SparkSession,
+      k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq((k, w)).toDF("k", "w")
+  }
+
+  /** The versioned store's recorded fingerprint geometry — every probe
+    * and append fingerprints its increment with the STORE's k/w.
+    */
+  def winnowIndexVersionedKnobs(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    val r = graft.operators.VersionedStore.read(spark, path, "knobs")
+      .collect()
+    require(r.length == 1,
+      s"winnowIndexVersionedKnobs: knobs relation at $path has " +
+        s"${r.length} rows — corrupt store")
+    (r(0).getAs[Int]("k"), r(0).getAs[Int]("w"))
+  }
+
+  /** Build the manifest-committed winnow index: revision 1 commits the
+    * corpus's fingerprints AND the (k, w) selection knobs in one PUT.
+    */
+  def buildWinnowIndexVersioned(documents: org.apache.spark.sql.DataFrame,
+      path: String, k: Int = 4, w: Int = 5): Long =
+    graft.operators.VersionedStore.save(Map(
+      "fp" -> winnowFingerprints(documents, k, w),
+      "knobs" -> winnowKnobsDf(documents.sparkSession, k, w)), path)
+
+  /** Probe the manifest-committed index — [[probeWinnowIndex]]'s exact
+    * plan (increment-side bloom prune, whole-group df-cap exactness,
+    * increment-bounded shuffles) over the store's visible fingerprints;
+    * the increment is fingerprinted with the STORE's recorded knobs.
+    */
+  def probeWinnowIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+      increment: org.apache.spark.sql.DataFrame, path: String,
+      dfCap: Int = 300, minShared: Int = 2,
+      prune: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val (k, w) = winnowIndexVersionedKnobs(spark, path)
+    val fpE = winnowFingerprints(increment, k, w)
+      .select(col("doc_id").as("new_doc"), col("fp_hash")).distinct()
+      .localCheckpoint(true)
+    winnowSharedRows(
+      graft.operators.VersionedStore.read(spark, path, "fp"),
+      fpE, dfCap, prune)
+      .groupBy("new_doc", "old_doc").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Append an admitted increment's fingerprints: a delta dir + one
+    * manifest PUT, fingerprinted with the store's recorded knobs.
+    */
+  def appendWinnowIndexVersioned(
+      increment: org.apache.spark.sql.DataFrame, path: String): Long = {
+    val spark = increment.sparkSession
+    val (k, w) = winnowIndexVersionedKnobs(spark, path)
+    graft.operators.VersionedStore.append(
+      Map("fp" -> winnowFingerprints(increment, k, w)), path)
+  }
+
+  /** Forget by tombstone: one tiny keys dir + one manifest PUT; the
+    * probe's store read anti-joins it from then on. Physical reclaim
+    * (and tombstone retirement) at [[graft.operators.VersionedStore.compact]].
+    */
+  def forgetWinnowIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+      del: org.apache.spark.sql.DataFrame, path: String): Long =
+    graft.operators.VersionedStore.delete(del.select("doc_id"), "fp", path)
+
+  /** SYNC with the versioned corpus — [[syncWinnowIndexWithStore]]'s
+    * contract on the rename-free form; the checkpoint lives beside
+    * `_versions` and no rewrite verb exists that could orphan it. The
+    * maintenance window lands as ONE mixed commit
+    * ([[graft.operators.CdcBridge.maintainAtomic]]): tombstones and the
+    * increment's fingerprints become visible at the same instant.
+    */
+  def syncWinnowIndexVersionedWithStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, path: String, k: Int = 4, w: Int = 5): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, path,
+      "syncWinnowIndexVersionedWithStore")(
+      graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
+      cur => buildWinnowIndexVersioned(
+        graft.operators.VersionedStore.read(spark, storePath, rel,
+          Some(cur)), path, k, w))((from, to) =>
+      graft.operators.CdcBridge.maintainAtomic(spark, storePath, rel,
+        from, to, "doc_id", Seq("doc_id", "text"),
+        "syncWinnowIndexVersionedWithStore") { (del, ins) =>
+        val (sk, sw) = winnowIndexVersionedKnobs(spark, path)
+        graft.operators.VersionedStore.commitMixed(
+          ins.map(i => Map("fp" -> winnowFingerprints(i, sk, sw)))
+            .getOrElse(Map.empty),
+          del.map(d => Map("fp" -> d.select("doc_id")))
+            .getOrElse(Map.empty),
+          Map.empty, path)
+        ()
+      })
+
+  // ------------------------------------------------------------------
   // Sharded (federated) winnow-fingerprint index — the 100 TB shape of
   // the family, by the text/vector sharding discipline (q174/q176): a
   // monolithic fingerprint store makes every forget/compact one
@@ -3448,8 +3557,40 @@ object DedupQueries extends QueryModule {
              GROUP BY n.new_doc, o.old_doc
              ORDER BY new_doc, old_doc"""
 
+  /** q200: the daily exact-substring probe served from the
+    * MANIFEST-COMMITTED winnow index — q197's signature template
+    * applied to the fingerprint family, completing the commit-protocol
+    * migration row for the monolithic dedup stores. The lifecycle runs
+    * in-query (save the old corpus's fingerprints + the (k, w) knobs as
+    * revision 1, probe the increment fingerprinted with the STORE's
+    * recorded knobs) and the oracle is q187/q188's SQL at minShared=1
+    * VERBATIM: swapping the commit protocol must change NOTHING about
+    * what the probe reports.
+    */
+  private val q200 = QueryDef(
+    "q200_versioned_winnow_probe",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val inc = docs.filter(col("source") === "src19")
+      val old = docs.filter(col("source") =!= "src19")
+      if (old.isEmpty)
+        inc.select(col("doc_id").as("new_doc"), col("doc_id").as("old_doc"),
+          lit(0L).as("n_shared")).limit(0)
+      else {
+        val root = java.nio.file.Files.createTempDirectory("graft-vwinx")
+        val path = root.toString + "/fp"
+        graft.BenchPhases.build { buildWinnowIndexVersioned(old, path) }
+        val res = probeWinnowIndexVersioned(s, inc, path, minShared = 1)
+          .orderBy("new_doc", "old_doc").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(root.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(winnowProbeOracleSql))
+
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
       q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184, q185,
-      q186, q187, q188, q191, q193, q194, q197)
+      q186, q187, q188, q191, q193, q194, q197, q200)
 }

@@ -1266,18 +1266,30 @@ object SearchQueries extends QueryModule {
     */
   private def reelectChampionsOn(spark: SparkSession, base: String,
       posts: DataFrame, stats: DataFrame,
-      touchedTerms: DataFrame, dropDocs: Option[DataFrame]): Unit = {
-    val champs0 = spark.read.parquet(championsPath(base))
+      touchedTerms: DataFrame, dropDocs: Option[DataFrame]): Unit =
+    graft.operators.StoreRewrite.atomicOverwrite(
+      splicedChampions(spark.read.parquet(championsPath(base)),
+        posts, stats, touchedTerms, dropDocs),
+      championsPath(base))
+
+  /** The splice itself as a RELATION (no write): fresh lists for the
+    * touched terms elected from the supplied (post-mutation) postings
+    * and docstats, untouched terms' lists kept (minus dropped docs).
+    * Shared by the rename-family overwrite above and the versioned
+    * family's replace-in-one-commit maintenance, so the election
+    * algebra exists exactly once.
+    */
+  private def splicedChampions(champs0: DataFrame, posts: DataFrame,
+      stats: DataFrame, touchedTerms: DataFrame,
+      dropDocs: Option[DataFrame]): DataFrame = {
     val mStored = champs0.select("m").head.getInt(0)
     val slice = posts.join(broadcast(touchedTerms.select("term")), Seq("term"))
     val fresh = championsOf(slice, stats, mStored).withColumn("m", lit(mStored))
     val kept0 = champs0.join(touchedTerms.select("term"), Seq("term"), "left_anti")
     val kept = dropDocs.fold(kept0)(d =>
       kept0.join(d.select("doc_id"), Seq("doc_id"), "left_anti"))
-    graft.operators.StoreRewrite.atomicOverwrite(
-      kept.select("term", "doc_id", "tscore", "rank", "m")
-        .unionByName(fresh.select("term", "doc_id", "tscore", "rank", "m")),
-      championsPath(base))
+    kept.select("term", "doc_id", "tscore", "rank", "m")
+      .unionByName(fresh.select("term", "doc_id", "tscore", "rank", "m"))
   }
 
   private def championsOf(postings: DataFrame, docstats: DataFrame,
@@ -1646,6 +1658,232 @@ object SearchQueries extends QueryModule {
       termA: String, termB: String, window: Int): DataFrame =
     proximityMatches(textIndexLoadPositions(spark, path), termA, termB,
       window)
+
+  // ------------------------------------------------------------------
+  // MANIFEST-COMMITTED text index — the multi-relation migration off
+  // the rename-based commit protocol (SCALING.md "commit-protocol
+  // fork"; q197's signature store is the single-relation template).
+  // The SAME relations — postings(term, doc_id, tf), docstats(doc_id,
+  // dl), optional positions(term, doc_id, pos) and champions(term,
+  // doc_id, tscore, rank, m) — live inside ONE
+  // [[graft.operators.VersionedStore]], so every verb commits by one
+  // small manifest PUT that spans ALL of them: a save lands postings
+  // and docstats at the same instant (the rename family orders two
+  // directory swaps and needs its integrity stamps to catch the torn
+  // window), an append lands new postings/docstats/positions dirs AND
+  // the re-elected champion heads in one revision
+  // ([[graft.operators.VersionedStore.commitMixed]] — a reader can
+  // never score candidates from heads elected under the previous
+  // corpus statistics), and a delete tombstones every relation in one
+  // revision. Object-store-safe end to end (no directory rename
+  // anywhere), no recover verb exists or is needed, and time-travel
+  // search comes free: every verb leaves the previous revision
+  // readable, so `asOf` serves the index exactly as it stood — the
+  // reproducibility primitive (re-run last week's retrieval under last
+  // week's corpus statistics) that a rename-based store structurally
+  // cannot offer.
+  //
+  // The rename family's cross-relation integrity stamps have no
+  // equivalent here BY DESIGN: postings and docstats are computed from
+  // one [[textIndexBuild]] pass inside the verb (consistent by
+  // construction), dirs are immutable once committed, and a torn write
+  // is invisible (the manifest referencing it was never PUT). The one
+  // semantic trade is the family's usual: delete is a TOMBSTONE,
+  // sticky for a re-appended SAME doc_id until
+  // [[graft.operators.VersionedStore.compact]] folds it out.
+  // ------------------------------------------------------------------
+
+  private def versionedPostings(spark: SparkSession, path: String,
+      asOf: Option[Long]): (DataFrame, DataFrame) =
+    (graft.operators.VersionedStore.read(spark, path, "postings", asOf),
+      graft.operators.VersionedStore.read(spark, path, "docstats", asOf))
+
+  private def versionedHas(spark: SparkSession, path: String,
+      rel: String, asOf: Option[Long] = None): Boolean =
+    graft.operators.VersionedStore.relations(spark, path, asOf)
+      .contains(rel)
+
+  /** Build the manifest-committed text index: revision 1 commits the
+    * corpus's postings + docstats (and positions when asked) in ONE
+    * PUT. Postings are range-clustered on (term, doc_id) exactly like
+    * the rename family's save, so a query term's rows sit in few
+    * row-groups and the term filter prunes the scan.
+    */
+  def textIndexSaveVersioned(docs: DataFrame, path: String,
+      withPositions: Boolean = false): Long = {
+    val (postings, docstats) = textIndexBuild(docs)
+    val rels = Map(
+      "postings" -> postings.repartitionByRange(col("term"), col("doc_id")),
+      "docstats" -> docstats) ++
+      (if (withPositions)
+        Map("positions" -> positionalPostings(docs)
+          .repartitionByRange(col("term"), col("doc_id")))
+      else Map.empty)
+    graft.operators.VersionedStore.save(rels, path)
+  }
+
+  /** BM25 search over the manifest-committed index — [[scoreIndexed]]'s
+    * exact plan (bit-identical to the rename-family search and the
+    * sharded federation) over the store's visible relations; `asOf`
+    * serves the index as of an earlier revision (time travel).
+    */
+  def textIndexSearchVersioned(spark: SparkSession, path: String,
+      queryTerms: Seq[String] = terms,
+      asOf: Option[Long] = None): DataFrame = {
+    val (postings, docstats) = versionedPostings(spark, path, asOf)
+    scoreIndexed(postings, docstats, queryTerms)
+  }
+
+  /** The shared mutation body: ONE mixed commit that appends the
+    * increment's postings/docstats (and positions when the store
+    * carries them), tombstones the doomed doc_ids across every data
+    * relation, and swaps in champion lists re-elected for the touched
+    * terms — all visible at the same instant. Every input frame
+    * computes against the pre-commit revision (commitMixed's contract),
+    * so the champion splice legitimately reads the relations it rides
+    * with.
+    */
+  private def versionedTextMutation(spark: SparkSession, path: String,
+      insDocs: Option[DataFrame], delIds: Option[DataFrame]): Long = {
+    val hasPos = versionedHas(spark, path, "positions")
+    val hasCh = versionedHas(spark, path, "champions")
+    val delKeys = delIds.map(_.select("doc_id").localCheckpoint(true))
+    val built = insDocs.map { docs =>
+      val (p, ds) = textIndexBuild(docs)
+      (p, ds, if (hasPos) Some(positionalPostings(docs)) else None)
+    }
+    val appends = built.map { case (p, ds, pos) =>
+      Map("postings" -> p.repartitionByRange(col("term"), col("doc_id")),
+        "docstats" -> ds) ++
+        pos.map(r => "positions" ->
+          r.repartitionByRange(col("term"), col("doc_id")))
+    }.getOrElse(Map.empty[String, DataFrame])
+    val deletes = delKeys.map { k =>
+      Map("postings" -> k, "docstats" -> k) ++
+        (if (hasPos) Map("positions" -> k) else Map.empty)
+    }.getOrElse(Map.empty[String, DataFrame])
+    val replaces =
+      if (!hasCh) Map.empty[String, DataFrame]
+      else {
+        val (posts0, stats0) = versionedPostings(spark, path, None)
+        // post-mutation relations, computed pre-commit
+        val posts1 = delKeys.fold(posts0)(k =>
+          posts0.join(k, Seq("doc_id"), "left_anti"))
+          .unionByName(built.map(_._1.select("term", "doc_id", "tf"))
+            .getOrElse(posts0.limit(0)))
+        val stats1 = delKeys.fold(stats0)(k =>
+          stats0.join(k, Seq("doc_id"), "left_anti"))
+          .unionByName(built.map(_._2.select("doc_id", "dl"))
+            .getOrElse(stats0.limit(0)))
+        // terms touched by the increment or carried by the doomed docs
+        val touched = built.map(_._1.select("term").distinct())
+          .getOrElse(posts0.select("term").limit(0))
+          .unionByName(delKeys.map(k =>
+            posts0.join(k, Seq("doc_id")).select("term").distinct())
+            .getOrElse(posts0.select("term").limit(0)))
+          .distinct().localCheckpoint(true)
+        Map("champions" -> splicedChampions(
+          graft.operators.VersionedStore.read(spark, path, "champions"),
+          posts1, stats1, touched, delKeys))
+      }
+    graft.operators.VersionedStore.commitMixed(appends, deletes, replaces,
+      path)
+  }
+
+  /** Append an increment: delta dirs + the champion re-election (when
+    * elected) in ONE manifest PUT; the existing relations' dirs are
+    * referenced, never rewritten or read (O(increment) bytes).
+    */
+  def textIndexAppendVersioned(docsInc: DataFrame, path: String): Long =
+    versionedTextMutation(docsInc.sparkSession, path, Some(docsInc), None)
+
+  /** Delete documents: one revision tombstones every data relation and
+    * swaps in champion lists with the doomed docs dropped and their
+    * terms re-elected — a deleted doc can never resurface through a
+    * stale champion head, and no reader sees a half-deleted index.
+    */
+  def textIndexDeleteVersioned(ids: DataFrame, path: String): Long =
+    versionedTextMutation(ids.sparkSession, path, None, Some(ids))
+
+  /** First champion election (or re-election at a new depth): the
+    * heads relation is REPLACED in one revision; created if absent.
+    */
+  def textIndexChampionsSaveVersioned(spark: SparkSession, path: String,
+      m: Int): Long = {
+    require(m >= 1, s"textIndexChampionsSaveVersioned: m must be >= 1, got $m")
+    val (postings, docstats) = versionedPostings(spark, path, None)
+    graft.operators.VersionedStore.commitMixed(Map.empty, Map.empty,
+      Map("champions" ->
+        championsOf(postings, docstats, m).withColumn("m", lit(m))), path)
+  }
+
+  /** Champion-pruned search over the manifest-committed index — the
+    * rename family's exact contract (candidates from the stored heads,
+    * scoring BIT-exact from the full matched postings), with no
+    * tombstone mask needed: deletion replaced the champions relation
+    * atomically, so the stored heads are always consistent with the
+    * revision's postings. `asOf` time-travels the WHOLE search,
+    * candidate heads included.
+    */
+  def textIndexChampionSearchVersioned(spark: SparkSession, path: String,
+      queryTerms: Seq[String] = terms, m: Int = 50,
+      asOf: Option[Long] = None): DataFrame = {
+    val (postings, docstats) = versionedPostings(spark, path, asOf)
+    val matched = postings.filter(col("term").isin(queryTerms: _*))
+    val cands =
+      (if (versionedHas(spark, path, "champions", asOf) &&
+          graft.operators.VersionedStore.read(spark, path, "champions", asOf)
+            .select("m").head.getInt(0) >= m)
+        graft.operators.VersionedStore.read(spark, path, "champions", asOf)
+          .filter(col("term").isin(queryTerms: _*) && col("rank") <= m)
+      else championsOf(matched, docstats, m)).select("doc_id").distinct()
+    championScoreTail(matched, docstats, cands, queryTerms)
+  }
+
+  /** Phrase search over the manifest-committed positional relation —
+    * [[phraseMatches]]' equality-join chain, term filters pushed into
+    * the multi-dir scan; `asOf` time-travels it.
+    */
+  def textIndexPhraseSearchVersioned(spark: SparkSession, path: String,
+      phrase: Seq[String], asOf: Option[Long] = None): DataFrame =
+    phraseMatches(graft.operators.VersionedStore
+      .read(spark, path, "positions", asOf), phrase)
+
+  /** Proximity (NEAR) search over the manifest-committed positional
+    * relation — [[proximityMatches]]' banded semi-join; `asOf`
+    * time-travels it.
+    */
+  def textIndexProximitySearchVersioned(spark: SparkSession, path: String,
+      termA: String, termB: String, window: Int,
+      asOf: Option[Long] = None): DataFrame =
+    proximityMatches(graft.operators.VersionedStore
+      .read(spark, path, "positions", asOf), termA, termB, window)
+
+  /** SYNC with the versioned corpus — [[textIndexSyncWithStore]]'s
+    * contract on the rename-free form. The maintenance window lands as
+    * ONE mixed commit ([[graft.operators.CdcBridge.maintainAtomic]]):
+    * tombstones, the increment's relations, and the champion
+    * re-election become visible at the same instant — the torn window
+    * the rename family's deletes-first two-step briefly exposes cannot
+    * exist here. The checkpoint lives beside `_versions`; no rewrite
+    * verb exists that could orphan it.
+    */
+  def textIndexSyncVersionedWithStore(spark: SparkSession,
+      storePath: String, rel: String, path: String,
+      withPositions: Boolean = false): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, path,
+      "textIndexSyncVersionedWithStore")(
+      graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
+      cur => textIndexSaveVersioned(
+        graft.operators.VersionedStore.read(spark, storePath, rel,
+          Some(cur)).select("doc_id", "text"), path, withPositions))(
+      (from, to) =>
+        graft.operators.CdcBridge.maintainAtomic(spark, storePath, rel,
+          from, to, "doc_id", Seq("doc_id", "text"),
+          "textIndexSyncVersionedWithStore") { (del, ins) =>
+          versionedTextMutation(spark, path, ins, del)
+          ()
+        })
 
   // ------------------------------------------------------------------
   // Sharded (federated) index — the 100 TB shape of the store family.
@@ -2452,7 +2690,96 @@ object SearchQueries extends QueryModule {
     },
     Some(cdcMaintainOracleSql))
 
+  /** q198: q189's corpus-evolution scenario driven through the
+    * MANIFEST-COMMITTED text index's own verbs — save revision 1 from
+    * the old corpus, append the increment, tombstone-delete the doomed
+    * docs (each verb ONE manifest PUT spanning postings and docstats),
+    * then search the current revision. The oracle is q189/q195's SQL
+    * VERBATIM: swapping the whole commit protocol under the index —
+    * rename windows + integrity stamps out, immutable dirs + manifest
+    * PUTs in — must change NOTHING about what the search returns.
+    */
+  private val q198 = QueryDef(
+    "q198_versioned_text_search",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val old = docs.filter(col("source") =!= "src19")
+      val inc = docs.filter(col("source") === "src19")
+      if (old.isEmpty)
+        docs.select(lit(1).as("rank"), col("doc_id"),
+          lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-vtix")
+        val idx = tmp.toString + "/idx"
+        graft.BenchPhases.build {
+          textIndexSaveVersioned(old.select("doc_id", "text"), idx)
+          textIndexAppendVersioned(inc.select("doc_id", "text"), idx)
+          textIndexDeleteVersioned(
+            old.filter(col("doc_id") % 17 === 3).select("doc_id"), idx)
+        }
+        val top = textIndexSearchVersioned(s, idx)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        val res = top.withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("rank", "doc_id", "n_terms_hit", "score")
+          .orderBy("rank").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(cdcMaintainOracleSql))
+
+  /** q199: TIME-TRAVEL search — the capability the manifest protocol
+    * gives the index family for free and a rename-based store
+    * structurally cannot: after the append and the delete land, search
+    * the index AS OF revision 1 and get the ranking exactly as it
+    * stood — old corpus statistics, old candidate set, bit for bit.
+    * This is the retrieval-reproducibility primitive (re-run last
+    * week's RAG query under last week's index to attribute a drifted
+    * answer to corpus change vs code change). The oracle recomputes
+    * BM25 from scratch over ONLY the old corpus slice: the later
+    * revisions' appends and tombstones must be invisible at `asOf`.
+    */
+  private val q199 = QueryDef(
+    "q199_time_travel_search",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val old = docs.filter(col("source") =!= "src19")
+      val inc = docs.filter(col("source") === "src19")
+      if (old.isEmpty)
+        docs.select(lit(1).as("rank"), col("doc_id"),
+          lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ttix")
+        val idx = tmp.toString + "/idx"
+        val r1 = graft.BenchPhases.build {
+          val r = textIndexSaveVersioned(old.select("doc_id", "text"), idx)
+          textIndexAppendVersioned(inc.select("doc_id", "text"), idx)
+          textIndexDeleteVersioned(
+            old.filter(col("doc_id") % 17 === 3).select("doc_id"), idx)
+          r
+        }
+        val top = textIndexSearchVersioned(s, idx, asOf = Some(r1))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        val res = top.withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("rank", "doc_id", "n_terms_hit", "score")
+          .orderBy("rank").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(s"""WITH ${bm25CteSqlFrom(
+        "(SELECT * FROM documents WHERE source <> 'src19')")}
+             SELECT rank, doc_id, n_terms_hit, score FROM (
+               SELECT doc_id, n_terms_hit, score,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+               FROM bm) t
+             WHERE rank <= 20 ORDER BY rank"""))
+
   override def defs: Seq[QueryDef] =
     Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171, q172, q173,
-      q174, q175, q189, q190, q195)
+      q174, q175, q189, q190, q195, q198, q199)
 }

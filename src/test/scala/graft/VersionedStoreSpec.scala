@@ -396,4 +396,59 @@ class VersionedStoreSpec extends SparkSuite {
     val (ins, _) = VersionedStore.changes(spark, root, 1L, 2L, "docs")
     assert(idsOf(ins) == Seq(3))
   }
+
+  test("commitMixed: ONE revision appends one relation, tombstones a " +
+    "second, and REPLACES a third — all visible atomically; the " +
+    "replaced relation drops its accumulated tombstones; a replace of " +
+    "a missing relation creates it") {
+    val root = tmpDir("vmixed") + "/s"
+    VersionedStore.save(Map(
+      "a" -> docs(1, 2), "b" -> docs(10, 11), "c" -> docs(20, 21)), root)
+    // pre-existing tombstone on c — the replace must retire it
+    VersionedStore.delete(Seq(20L).toDF("doc_id"), "c", root)
+    assert(idsOf(VersionedStore.read(spark, root, "c")) == Seq(21))
+    val before = VersionedStore.currentVersion(spark, root).get
+    val rev = VersionedStore.commitMixed(
+      appends = Map("a" -> docs(3)),
+      deletes = Map("b" -> Seq(10L).toDF("doc_id")),
+      replaces = Map("c" -> docs(20, 22), "d" -> docs(30)), root)
+    assert(rev == before + 1, "the whole mutation is one revision")
+    assert(idsOf(VersionedStore.read(spark, root, "a")) == Seq(1, 2, 3))
+    assert(idsOf(VersionedStore.read(spark, root, "b")) == Seq(11))
+    assert(idsOf(VersionedStore.read(spark, root, "c")) == Seq(20, 22),
+      "replace is authoritative: the old tombstone on 20 is dropped")
+    assert(idsOf(VersionedStore.read(spark, root, "d")) == Seq(30),
+      "replacing a relation the store does not hold yet creates it")
+    // time travel still shows the pre-commit state
+    assert(idsOf(VersionedStore.read(spark, root, "c", Some(before))) == Seq(21))
+    assert(VersionedStore.relations(spark, root, Some(before)) ==
+      Seq("a", "b", "c"))
+  }
+
+  test("commitMixed refusals: a relation both replaced and appended/" +
+    "tombstoned is ambiguous; appends AND replaces are drift-gated " +
+    "before any dir is written (commitDelta inherits the gate)") {
+    val root = tmpDir("vmixedr") + "/s"
+    VersionedStore.save(Map("a" -> docs(1), "b" -> docs(2)), root)
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedStore.commitMixed(Map("a" -> docs(3)), Map.empty,
+        Map("a" -> docs(4)), root)
+    }
+    assert(e1.getMessage.contains("both replaced"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedStore.commitMixed(Map.empty, Map.empty,
+        Map("b" -> docs(2).withColumn("lang", lit("en"))), root)
+    }
+    assert(e2.getMessage.contains("schema drift"))
+    val e3 = intercept[IllegalArgumentException] {
+      VersionedStore.commitDelta(
+        Map("a" -> docs(3).withColumn("lang", lit("en"))), Map.empty, root)
+    }
+    assert(e3.getMessage.contains("schema drift"),
+      "commitDelta rides the same gate — a streaming ingest cannot " +
+        "silently commit a drifted micro-batch")
+    // nothing above committed: the store still reads at revision 1
+    assert(VersionedStore.currentVersion(spark, root).contains(1L))
+    assert(idsOf(VersionedStore.read(spark, root, "a")) == Seq(1))
+  }
 }
