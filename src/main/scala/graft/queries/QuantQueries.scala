@@ -161,27 +161,64 @@ object QuantQueries extends QueryModule {
       .withColumn("fp", lit(fp))
   }
 
+  /** Provenance gates shared by the rename-family and manifest-committed
+    * saves: the codes must carry [[sqCodes]]' stamp, must be non-empty,
+    * and the stamp must match the parameter frame in hand (a
+    * foreign-parameter store would decode every distance wrongly).
+    * Returns the 1-row meta frame (mn, mx, fp, dims, levels).
+    */
+  private def sqMetaChecked(params: DataFrame, codes: DataFrame,
+      verb: String): DataFrame = {
+    val fp = sqFingerprint(params)
+    require(codes.columns.contains("fp"),
+      s"$verb: codes carry no provenance stamp — encode them with sqCodes")
+    val stamps = codes.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+    require(stamps.nonEmpty,
+      s"$verb: refusing to persist an EMPTY code set — encode the " +
+        "corpus with sqCodes first (an empty store would be rejected at " +
+        "load as interrupted)")
+    require(stamps == Seq(fp),
+      s"$verb: codes were encoded under parameters ${stamps.mkString(", ")} " +
+        s"that do not match the parameter frame in hand ($fp) — a " +
+        "foreign-parameter store would decode every distance wrongly")
+    params.select(col("mn"), col("mx"), lit(fp).as("fp"),
+      lit(dims).as("dims"), lit(levels + 1).as("levels"))
+  }
+
+  /** Load-side gates shared by [[sqLoadIndex]] and
+    * [[sqLoadIndexVersioned]]: the stored fingerprint is recomputed from
+    * the stored arrays (a corrupted or hand-edited parameter row fails
+    * here, not as wrong distances) and every code row's stamp is checked
+    * — a store spliced from two trainings fails loudly. Returns params.
+    */
+  private def sqGateLoaded(meta: DataFrame, codes: DataFrame,
+      verb: String, where: String): DataFrame = {
+    val head = meta.select("fp").take(1)
+    require(head.nonEmpty,
+      s"$verb: meta store at $where is empty — interrupted save or " +
+        "wrong path")
+    val params = meta.select("mn", "mx")
+    val recomputed = sqFingerprint(params)
+    require(head(0).getString(0) == recomputed,
+      s"$verb: stored fingerprint ${head(0).getString(0)} does not " +
+        s"match the stored parameter arrays ($recomputed) — the meta row " +
+        "was corrupted or edited; retrain instead of searching it")
+    val stamps = codes.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(stamps == Seq(recomputed),
+      s"$verb: code rows carry stamps ${stamps.mkString(", ")} — the " +
+        s"store at $where mixes trainings or is corrupt")
+    params
+  }
+
   /** Persist the SQ8 index: the parameter row (+ fingerprint + layout)
     * at `path`/meta, the byte codes at `path`/codes — build once, search
     * forever, append increments (the PQ/IVF/binary store lifecycle).
     */
   def sqSaveIndex(params: DataFrame, codes: DataFrame, path: String): Unit = {
-    val fp = sqFingerprint(params)
-    require(codes.columns.contains("fp"),
-      "sqSaveIndex: codes carry no provenance stamp — encode them with sqCodes")
-    val stamps = codes.select("fp").distinct().collect()
-      .map(_.getString(0)).toSeq.sorted
-    require(stamps.nonEmpty,
-      "sqSaveIndex: refusing to persist an EMPTY code set — encode the " +
-        "corpus with sqCodes first (an empty store would be rejected by " +
-        "sqLoadIndex as interrupted)")
-    require(stamps == Seq(fp),
-      s"sqSaveIndex: codes were encoded under parameters ${stamps.mkString(", ")} " +
-        s"that do not match the parameter frame in hand ($fp) — a " +
-        "foreign-parameter store would decode every distance wrongly")
-    params.select(col("mn"), col("mx"), lit(fp).as("fp"),
-        lit(dims).as("dims"), lit(levels + 1).as("levels"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val meta = sqMetaChecked(params, codes, "sqSaveIndex")
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     codes.write.mode("overwrite").parquet(s"$path/codes")
     // a full save is the compaction point: the new code set is the
     // authoritative corpus, so pending tombstones (already excluded from
@@ -198,22 +235,8 @@ object QuantQueries extends QueryModule {
     */
   def sqLoadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val meta = spark.read.parquet(s"$path/meta")
-    val head = meta.select("fp").take(1)
-    require(head.nonEmpty,
-      s"sqLoadIndex: meta store at $path/meta is empty — interrupted " +
-        "save or wrong path")
-    val params = meta.select("mn", "mx")
-    val recomputed = sqFingerprint(params)
-    require(head(0).getString(0) == recomputed,
-      s"sqLoadIndex: stored fingerprint ${head(0).getString(0)} does not " +
-        s"match the stored parameter arrays ($recomputed) — the meta row " +
-        "was corrupted or edited; retrain instead of searching it")
     val codes = spark.read.parquet(s"$path/codes")
-    val stamps = codes.select("fp").distinct().collect()
-      .map(_.getString(0)).toSeq
-    require(stamps == Seq(recomputed),
-      s"sqLoadIndex: code rows carry stamps ${stamps.mkString(", ")} — the " +
-        s"store at $path/codes mixes trainings or is corrupt")
+    val params = sqGateLoaded(meta, codes, "sqLoadIndex", s"$path")
     // tombstones mask deleted vectors at load, so EVERY consumer of a
     // loaded store honors deletions without its own bookkeeping
     (params, graft.operators.IndexTombstones.mask(codes, path))
@@ -252,6 +275,133 @@ object QuantQueries extends QueryModule {
     sqCodes(params, emb.join(existing, Seq("vec_id"), "left_anti"))
       .write.mode("append").parquet(s"$path/codes")
   }
+
+  // ------------------------------------------------------------------
+  // MANIFEST-COMMITTED SQ8 store — the VECTOR-family migration off the
+  // rename-based commit protocol (SCALING.md "commit-protocol fork";
+  // q197 signature = single-relation template, q198 text =
+  // multi-relation template; this is the params+codes template the
+  // remaining quantization families follow). The SAME relations — the
+  // 1-row `meta` (mn, mx, fp, dims, levels) and `codes`(vec_id, code,
+  // fp) — live inside one [[graft.operators.VersionedStore]]: build is
+  // ONE manifest PUT spanning both (the rename family orders two
+  // directory writes and gates the torn window with its fingerprint
+  // recompute), append references the existing code dirs and adds one
+  // (never rewrites), delete is a manifest tombstone, and every verb
+  // is object-store-safe (no directory rename anywhere) with no
+  // recover verb needed. The provenance gates are IDENTICAL to the
+  // rename family ([[sqMetaChecked]]/[[sqGateLoaded]] — shared bodies,
+  // so the two families can never drift), and the semantics carry
+  // over exactly: the quantizer is FROZEN at build (appends encode
+  // under the stored parameters — retraining is the rebuild path),
+  // deletion is STICKY for a re-appended SAME vec_id until
+  // [[graft.operators.VersionedStore.compact]] folds the tombstone out
+  // (the rename family's stickiness lasts until the next full save —
+  // same trade, different compaction point). Time-travel search comes
+  // free: `asOf` serves the codes AND the meta row as of any earlier
+  // revision, so last week's ANN results reproduce bit-exactly after
+  // the corpus has moved on.
+  // ------------------------------------------------------------------
+
+  /** Build the manifest-committed SQ8 store: ONE revision commits the
+    * checked meta row and the stamped codes together.
+    */
+  def sqSaveIndexVersioned(params: DataFrame, codes: DataFrame,
+      path: String): Long = {
+    val meta = sqMetaChecked(params, codes, "sqSaveIndexVersioned")
+    graft.operators.VersionedStore.save(
+      Map("meta" -> meta.coalesce(1), "codes" -> codes), path)
+  }
+
+  /** Restore (params, codes) at the current — or `asOf` — revision,
+    * through the SAME gates as [[sqLoadIndex]]. No tombstone sidecar to
+    * mask: deletes are manifest tombstones, already applied by the
+    * versioned read.
+    */
+  def sqLoadIndexVersioned(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): (DataFrame, DataFrame) = {
+    val meta = graft.operators.VersionedStore.read(spark, path, "meta", asOf)
+    val codes = graft.operators.VersionedStore.read(spark, path, "codes", asOf)
+    (sqGateLoaded(meta, codes, "sqLoadIndexVersioned", path), codes)
+  }
+
+  /** APPEND: encode the batch under the STORE's frozen parameters
+    * (out-of-range components clamp, exactly like [[sqAppendCodes]]),
+    * idempotent on vec_id against the visible code set, committed as a
+    * delta revision — existing dirs are referenced, never read or
+    * rewritten beyond the dedup anti-join. A batch that nets to zero
+    * fresh rows commits nothing and returns the current revision (an
+    * empty data dir would poison the multi-dir read).
+    */
+  def sqAppendCodesVersioned(emb: DataFrame, path: String): Long = {
+    val spark = emb.sparkSession
+    val (params, existing) = sqLoadIndexVersioned(spark, path)
+    val fresh = sqCodes(params,
+      emb.join(existing.select("vec_id").distinct(), Seq("vec_id"),
+        "left_anti")).localCheckpoint(true)
+    if (fresh.isEmpty)
+      graft.operators.VersionedStore.currentVersion(spark, path).get
+    else
+      graft.operators.VersionedStore.append(Map("codes" -> fresh), path)
+  }
+
+  /** DELETE: one manifest tombstone revision on `codes`. Idempotent;
+    * sticky for a re-appended same vec_id until compact (see the
+    * family header).
+    */
+  def sqDeleteVectorsVersioned(ids: DataFrame, path: String): Long =
+    graft.operators.VersionedStore.delete(ids.select("vec_id"), "codes",
+      path)
+
+  /** ADC search over the store's visible (or `asOf`) revision —
+    * [[sqAdcSearch]]'s exact plan, bit-identical to the rename family
+    * over the same corpus.
+    */
+  def sqAdcSearchVersioned(spark: SparkSession, queries: DataFrame,
+      path: String, topR: Int = 25, excludeSelfMatches: Boolean = false,
+      asOf: Option[Long] = None): DataFrame = {
+    val (params, codes) = sqLoadIndexVersioned(spark, path, asOf)
+    sqAdcSearch(params, codes, queries, topR, excludeSelfMatches)
+  }
+
+  /** SYNC with a versioned embedding corpus —
+    * [[graft.operators.VectorIndex.syncWithStore]]'s contract on the
+    * rename-free form: bootstrap trains + saves from read(current),
+    * every later call absorbs the pending revision window as ONE
+    * [[graft.operators.VersionedStore.commitDelta]] (tombstones and
+    * frozen-quantizer codes visible at the same instant —
+    * [[graft.operators.CdcBridge.maintainAtomic]]), the checkpoint
+    * lives beside `_versions`, and replays are no-ops.
+    */
+  def sqSyncVersionedWithStore(spark: SparkSession, storePath: String,
+      rel: String, path: String): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, path,
+      "sqSyncVersionedWithStore")(
+      graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
+      cur => {
+        val e = graft.operators.VersionedStore
+          .read(spark, storePath, rel, Some(cur)).select("vec_id", "v")
+        val params = sqTrain(e).localCheckpoint(true)
+        sqSaveIndexVersioned(params, sqCodes(params, e), path)
+      })(
+      (from, to) =>
+        graft.operators.CdcBridge.maintainAtomic(spark, storePath, rel,
+          from, to, "vec_id", Seq("vec_id", "v"),
+          "sqSyncVersionedWithStore") { (del, ins) =>
+          val (params, existing) = sqLoadIndexVersioned(spark, path)
+          val appends = ins.map(e => sqCodes(params,
+              e.join(existing.select("vec_id").distinct(), Seq("vec_id"),
+                "left_anti")).localCheckpoint(true))
+            .filterNot(_.isEmpty)
+            .map(f => Map("codes" -> f))
+            .getOrElse(Map.empty[String, DataFrame])
+          val deletes = del.map(k => Map("codes" -> k.select("vec_id")))
+            .getOrElse(Map.empty[String, DataFrame])
+          if (appends.nonEmpty || deletes.nonEmpty)
+            graft.operators.VersionedStore.commitDelta(appends, deletes,
+              path)
+          ()
+        })
 
   /** Asymmetric-distance search over SQ8 codes: full-precision `queries`
     * (qid, qv) are broadcast with the parameter row; the corpus side is
@@ -826,7 +976,17 @@ object QuantQueries extends QueryModule {
             .orderBy("query_id", "rank")
         }(s)
     },
-    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    Some(cdcVectorOracleSql))
+
+  /** The frozen-quantizer corpus-evolution oracle shared VERBATIM by
+    * q192 (rename-family store maintained through the CDC bridge) and
+    * q201 (manifest-committed store driven through its own verbs):
+    * parameters trained on the bootstrap slice, every finally-visible
+    * vector scored under them — the commit protocol must be invisible
+    * to the arithmetic.
+    */
+  private lazy val cdcVectorOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                         FROM embeddings),
                   boot AS (SELECT * FROM e WHERE vec_id % 4 <> 3),
                   pd AS (SELECT i, MIN(v[i]) AS mni, MAX(v[i]) AS mxi
@@ -848,7 +1008,50 @@ object QuantQueries extends QueryModule {
                      ROW_NUMBER() OVER (PARTITION BY qid
                        ORDER BY adc_dist ASC, vec_id ASC) AS rank
                    FROM scored) r
-             WHERE rank <= 5 ORDER BY query_id, rank"""))
+             WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  override def defs: Seq[QueryDef] = Seq(q136, q137, q157, q176, q192)
+  /** q201: q192's corpus-evolution scenario driven through the
+    * MANIFEST-COMMITTED SQ8 store's own verbs — train+save on the
+    * bootstrap slice (one PUT spanning meta and codes), append the
+    * increment under the FROZEN quantizer, tombstone-delete doomed
+    * vec_ids from both generations, then ADC-search the current
+    * revision. The oracle is q192's SQL VERBATIM: swapping the commit
+    * protocol under the vector store — directory overwrites + sidecar
+    * tombstones out, immutable dirs + manifest PUTs in — must change
+    * NOTHING about what the search returns (VersionedSq8Spec
+    * additionally pins bit-equality against the rename family, sync
+    * parity, and `asOf` time travel).
+    */
+  private val q201 = QueryDef(
+    "q201_versioned_sq8_search",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val boot = e.filter(col("vec_id") % 4 =!= 3)
+      if (boot.isEmpty)
+        e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"),
+          lit(1).as("rank"), lit(0.0).as("score")).limit(0)
+      else
+        withThrowawayStore { idx =>
+          graft.BenchPhases.build {
+            val params = sqTrain(boot).localCheckpoint(true)
+            sqSaveIndexVersioned(params, sqCodes(params, boot), idx)
+            sqAppendCodesVersioned(e.filter(col("vec_id") % 4 === 3), idx)
+            sqDeleteVectorsVersioned(
+              e.filter(col("vec_id") % 8 === 1 || col("vec_id") % 8 === 7)
+                .select("vec_id"), idx)
+          }
+          sqAdcSearchVersioned(s, q, idx, topR = 5)
+            .select(col("qid").as("query_id"),
+              col("vec_id").as("neighbor_id"), col("arank").as("rank"),
+              col("adc_dist").as("score"))
+            .orderBy("query_id", "rank")
+        }(s)
+    },
+    Some(cdcVectorOracleSql))
+
+  override def defs: Seq[QueryDef] = Seq(q136, q137, q157, q176, q192, q201)
 }
