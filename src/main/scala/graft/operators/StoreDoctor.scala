@@ -40,11 +40,16 @@ object StoreDoctor {
       // many unreferenced crashed-attempt dirs await reclaim — debris is
       // invisible to readers, so NOTHING else ever surfaces it
       val detail = err.getOrElse(
-        if (family == "versioned")
+        if (family.startsWith("versioned"))
           attemptE {
             val revs = VersionedStore.listVersions(spark, p.toString).size
             val deb = VersionedStore.debris(spark, p.toString).size
-            s"ok (revisions=$revs, debris_dirs=$deb)"
+            // a versioned DERIVED index may carry a sync checkpoint too
+            // (read-only peek, same contract as the rename families)
+            val sync = RevisionSync.peekSyncedRev(spark, p.toString)
+              .map { case (sp, rev) => s", synced rev=$rev of $sp" }
+              .getOrElse("")
+            s"ok (revisions=$revs, debris_dirs=$deb$sync)"
           }.fold(identity, identity)
         else
           // a CDC-synced index carries its revision checkpoint — the
@@ -121,11 +126,44 @@ object StoreDoctor {
       }
     }
     else if (subs("_versions"))
-      ("versioned", attempt {
-        val rels = VersionedStore.relations(spark, path)
+      // manifest-committed stores: a DERIVED index is recognizable from
+      // its relation set and gets its family's own verifying load (the
+      // same gates its search verbs run), so a lake scan triages
+      // "versioned:sq8 with a spliced meta row" as precisely as it
+      // triages the rename families; anything else is a corpus store
+      attemptE {
+        val rels = VersionedStore.relations(spark, path).toSet
         require(rels.nonEmpty, "manifest lists no data relations")
-        rels.foreach(r => VersionedStore.read(spark, path, r))
-      })
+        rels
+      } match {
+        case Left(e) => ("versioned", Some(e))
+        case Right(rels) if rels("postings") && rels("docstats") =>
+          ("versioned:text", attempt {
+            rels.foreach(r => VersionedStore.read(spark, path, r))
+            if (rels("champions"))
+              VersionedStore.read(spark, path, "champions")
+                .select("m").head.getInt(0)
+          })
+        case Right(rels) if rels == Set("sig") =>
+          ("versioned:signature", attempt {
+            val c = VersionedStore.read(spark, path, "sig").columns.toSet
+            require(c("doc_id") && (0 until 8).forall(j => c(s"h$j")),
+              s"sig has unexpected columns [${c.toSeq.sorted.mkString(",")}]")
+          })
+        case Right(rels) if rels == Set("fp", "knobs") =>
+          ("versioned:winnow", attempt {
+            graft.queries.DedupQueries.winnowIndexVersionedKnobs(spark, path)
+            val c = VersionedStore.read(spark, path, "fp").columns.toSet
+            require(c == Set("doc_id", "fp_pos", "fp_hash"),
+              s"fp has unexpected columns [${c.toSeq.sorted.mkString(",")}]")
+          })
+        case Right(rels) if rels == Set("codes", "meta") =>
+          ("versioned:sq8",
+            attempt(QuantQueries.sqLoadIndexVersioned(spark, path)))
+        case Right(rels) =>
+          ("versioned", attempt(
+            rels.foreach(r => VersionedStore.read(spark, path, r))))
+      }
     else if (subs("family"))
       attemptE(VectorIndex.family(spark, path)) match {
         case Left(err) => ("vector-facade", Some(err))

@@ -99,4 +99,66 @@ class StoreDoctorSpec extends SparkSuite {
     assert(fam == "text" && ok, rows("text_synced").toString)
     assert(detail == s"ok (synced rev=1 of $store)", detail)
   }
+
+  test("manifest-committed derived indexes identify by their relation " +
+    "set, run their family's own gates, and surface revisions + debris " +
+    "+ the sync checkpoint in one detail line") {
+    val root = tmpDir("doctor-ver")
+    val store = s"$root/corpus"
+    VersionedStore.save(Map("docs" -> mkDocs(1 to 10)), store)
+
+    // text: driven by sync so the scan shows the checkpoint too
+    SearchQueries.textIndexSyncVersionedWithStore(spark, store, "docs",
+      s"$root/vtext")
+    graft.queries.DedupQueries.buildSignatureIndexVersioned(mkDocs(1 to 10),
+      s"$root/vsig")
+    graft.queries.DedupQueries.buildWinnowIndexVersioned(mkDocs(1 to 10),
+      s"$root/vwin")
+
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 30)
+    val params = graft.queries.QuantQueries.sqTrain(emb).localCheckpoint(true)
+    graft.queries.QuantQueries.sqSaveIndexVersioned(params,
+      graft.queries.QuantQueries.sqCodes(params, emb), s"$root/vsq8")
+
+    // corrupt sq8 twin: meta spliced to foreign arrays under the stored
+    // fingerprint — the scan must run sqLoadIndexVersioned's recompute
+    graft.queries.QuantQueries.sqSaveIndexVersioned(params,
+      graft.queries.QuantQueries.sqCodes(params, emb), s"$root/vsq8_bad")
+    val foreign = graft.queries.QuantQueries.sqTrain(
+      emb.withColumn("v", expr("transform(v, x -> x * 2.0D)")))
+      .localCheckpoint(true)
+    val storedFp = VersionedStore.read(spark, s"$root/vsq8_bad", "meta")
+      .select("fp").head().getString(0)
+    VersionedStore.commitMixed(Map.empty, Map.empty,
+      Map("meta" -> foreign.select(col("mn"), col("mx"),
+        lit(storedFp).as("fp"), lit(64).as("dims"), lit(256).as("levels"))),
+      s"$root/vsq8_bad")
+
+    val rows = StoreDoctor.scan(spark, root).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getBoolean(2), r.getString(3))).toMap
+
+    assert(rows("corpus") ==
+      (("versioned", true, "ok (revisions=1, debris_dirs=0)")),
+      rows("corpus").toString)
+    val (ft, okT, dT) = rows("vtext")
+    assert(ft == "versioned:text" && okT, rows("vtext").toString)
+    assert(dT == s"ok (revisions=1, debris_dirs=0, synced rev=1 of $store)",
+      dT)
+    assert(rows("vsig") ==
+      (("versioned:signature", true, "ok (revisions=1, debris_dirs=0)")),
+      rows("vsig").toString)
+    assert(rows("vwin") ==
+      (("versioned:winnow", true, "ok (revisions=1, debris_dirs=0)")),
+      rows("vwin").toString)
+    assert(rows("vsq8") ==
+      (("versioned:sq8", true, "ok (revisions=1, debris_dirs=0)")),
+      rows("vsq8").toString)
+    val (fb, okB, dB) = rows("vsq8_bad")
+    assert(fb == "versioned:sq8" && !okB, rows("vsq8_bad").toString)
+    assert(dB.contains("does not match the stored parameter"), dB)
+  }
 }
