@@ -158,8 +158,46 @@ object StoreDoctor {
               s"fp has unexpected columns [${c.toSeq.sorted.mkString(",")}]")
           })
         case Right(rels) if rels == Set("codes", "meta") =>
-          ("versioned:sq8",
-            attempt(QuantQueries.sqLoadIndexVersioned(spark, path)))
+          // sq8 and bin share the relation set; the meta stamp's prefix
+          // is the family tag (the rename triage's same dispatch)
+          attemptE {
+            val r = VersionedStore.read(spark, path, "meta")
+              .select("fp").take(1)
+            require(r.nonEmpty, "meta relation is empty"); r(0).getString(0)
+          } match {
+            case Left(err) => ("versioned:codes-store", Some(err))
+            case Right(v) if v.startsWith("bin:") =>
+              ("versioned:bin", attempt(
+                graft.queries.SimilarityQueries
+                  .binLoadIndexVersioned(spark, path)))
+            case Right(_) =>
+              ("versioned:sq8",
+                attempt(QuantQueries.sqLoadIndexVersioned(spark, path)))
+          }
+        case Right(rels)
+            if rels == Set("centroids", "cells", "codebooks", "codes",
+              "meta") =>
+          ("versioned:residual", attempt(
+            graft.queries.SimilarityQueries
+              .residualLoadIndexVersioned(spark, path)))
+        case Right(rels) if rels == Set("codebooks", "codes") =>
+          ("versioned:pq", attempt(
+            graft.queries.SimilarityQueries
+              .pqLoadIndexVersioned(spark, path)))
+        case Right(rels) if rels == Set("centroids", "cells") =>
+          ("versioned:ivf", attempt(
+            graft.queries.SimilarityQueries
+              .ivfLoadIndexVersioned(spark, path)))
+        case Right(rels) if rels == Set("buckets", "meta") =>
+          ("versioned:lsh", attempt(
+            graft.queries.SimilarityQueries
+              .lshLoadIndexVersioned(spark, path)))
+        case Right(rels)
+            if rels("lists") && rels("meta") &&
+              (rels - "dead") == Set("lists", "meta") =>
+          ("versioned:knn", attempt(
+            graft.queries.SimilarityQueries
+              .knnLoadListsVersioned(spark, path)))
         case Right(rels) =>
           ("versioned", attempt(
             rels.foreach(r => VersionedStore.read(spark, path, r))))

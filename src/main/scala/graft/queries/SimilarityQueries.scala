@@ -685,17 +685,50 @@ object SimilarityQueries extends QueryModule {
     */
   def pqSaveIndex(index: PqIndex, codes: org.apache.spark.sql.DataFrame,
       path: String): Unit = {
+    pqCodebookRows(index)
+      .coalesce(1) // k×subspaces rows — one footer beats 32
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    // a full save is the tombstone compaction + re-admission point
+    graft.operators.IndexTombstones.clear(codes.sparkSession, path)
+  }
+
+  /** The flat codebook relation BOTH persisted forms write: one row per
+    * (sub, cid) carrying the codeword plus the geometry and fingerprint
+    * — shared so the rename and manifest families can never drift on
+    * what a stored codebook looks like (the [[sqMetaChecked]] move).
+    */
+  private def pqCodebookRows(index: PqIndex): org.apache.spark.sql.DataFrame =
     index.codebooks.zipWithIndex.map { case (cents, sub) =>
       cents.select(lit(sub).as("sub"), col("cid"), col("cv"))
     }.reduce(_ unionAll _)
       .withColumn("subspaces", lit(index.subspaces))
       .withColumn("sub_dim", lit(index.subDim))
       .withColumn("fp", lit(index.fingerprint))
-      .coalesce(1) // k×subspaces rows — one footer beats 32
-      .write.mode("overwrite").parquet(s"$path/codebooks")
-    codes.write.mode("overwrite").parquet(s"$path/codes")
-    // a full save is the tombstone compaction + re-admission point
-    graft.operators.IndexTombstones.clear(codes.sparkSession, path)
+
+  /** Load-side gate shared by [[pqLoadIndex]] and
+    * [[pqLoadIndexVersioned]]: rebuild the [[PqIndex]] from the flat
+    * codebook relation and RECOMPUTE its fingerprint against the stored
+    * one — a truncated or hand-edited codebook relation fails here
+    * instead of skewing every subsequent distance.
+    */
+  private def pqGateLoaded(cb0: org.apache.spark.sql.DataFrame,
+      verb: String, where: String): PqIndex = {
+    val cb = cb0.localCheckpoint(true)
+    val meta = cb.select("subspaces", "sub_dim", "fp").take(1)
+    require(meta.nonEmpty,
+      s"$verb: codebook store at $where is empty — " +
+        "interrupted save or wrong path")
+    val head = meta(0)
+    val index = PqIndex(
+      (0 until head.getInt(0)).map(sub =>
+        cb.filter(col("sub") === sub).select("cid", "cv")),
+      head.getInt(0), head.getInt(1))
+    require(index.fingerprint == head.getString(2),
+      s"$verb: stored fingerprint ${head.getString(2)} does not match " +
+        s"recomputed ${index.fingerprint} — codebooks at $where " +
+        "are corrupt or were overwritten by a different training")
+    index
   }
 
   /** DELETE verb of the PQ-store lifecycle: tombstone `ids`(vec_id) —
@@ -718,20 +751,8 @@ object SimilarityQueries extends QueryModule {
     */
   def pqLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : (PqIndex, org.apache.spark.sql.DataFrame) = {
-    val cb = spark.read.parquet(s"$path/codebooks").localCheckpoint(true)
-    val meta = cb.select("subspaces", "sub_dim", "fp").take(1)
-    require(meta.nonEmpty,
-      s"pqLoadIndex: codebook store at $path/codebooks is empty — " +
-        "interrupted save or wrong path")
-    val head = meta(0)
-    val index = PqIndex(
-      (0 until head.getInt(0)).map(sub =>
-        cb.filter(col("sub") === sub).select("cid", "cv")),
-      head.getInt(0), head.getInt(1))
-    require(index.fingerprint == head.getString(2),
-      s"pqLoadIndex: stored fingerprint ${head.getString(2)} does not match " +
-        s"recomputed ${index.fingerprint} — codebooks at $path/codebooks " +
-        "are corrupt or were overwritten by a different training")
+    val index = pqGateLoaded(spark.read.parquet(s"$path/codebooks"),
+      "pqLoadIndex", s"$path/codebooks")
     (index, graft.operators.IndexTombstones.mask(
       spark.read.parquet(s"$path/codes"), path))
   }
@@ -799,6 +820,132 @@ object SimilarityQueries extends QueryModule {
     }.reduce(_ unionAll _)
     adcRank(scored, index.subspaces, topK, excludeSelfMatches)
   }
+
+  // ------------------------------------------------------------------
+  // MANIFEST-COMMITTED PQ store — the codebook-family migration off the
+  // rename-based commit protocol (SCALING.md "commit-protocol fork";
+  // q201's params+codes template with the trained artifact richer than
+  // one row: the flat codebook relation and the stamped codes live
+  // inside one [[graft.operators.VersionedStore]]). Build is ONE
+  // manifest PUT spanning both relations (the rename family orders two
+  // directory writes), append encodes under the FROZEN stored codebooks
+  // and adds one dir (never rewrites), delete is a manifest tombstone,
+  // and every verb is object-store-safe (no directory rename anywhere).
+  // The provenance gates are IDENTICAL to the rename family
+  // ([[pqCodebookRows]]/[[pqGateLoaded]] — shared bodies, so the two
+  // families cannot drift) and the semantics carry over exactly:
+  // retraining is the rebuild path, deletion is STICKY for a
+  // re-appended same vec_id until [[graft.operators.VersionedStore
+  // .compact]] folds the tombstone out, and `asOf` reproduces last
+  // week's ADC results bit-exactly after the corpus has moved on.
+  // ------------------------------------------------------------------
+
+  /** Build the manifest-committed PQ store: ONE revision commits the
+    * flat codebook relation and the stamped codes together.
+    */
+  def pqSaveIndexVersioned(index: PqIndex,
+      codes: org.apache.spark.sql.DataFrame, path: String): Long =
+    graft.operators.VersionedStore.save(Map(
+      "codebooks" -> pqCodebookRows(index).coalesce(1),
+      "codes" -> codes), path)
+
+  /** Restore (index, codes) at the current — or `asOf` — revision,
+    * through the SAME fingerprint-recompute gate as [[pqLoadIndex]].
+    * No tombstone sidecar to mask: deletes are manifest tombstones,
+    * already applied by the versioned read.
+    */
+  def pqLoadIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOf: Option[Long] = None)
+      : (PqIndex, org.apache.spark.sql.DataFrame) = {
+    val index = pqGateLoaded(
+      graft.operators.VersionedStore.read(spark, path, "codebooks", asOf),
+      "pqLoadIndexVersioned", path)
+    (index, graft.operators.VersionedStore.read(spark, path, "codes", asOf))
+  }
+
+  /** APPEND: encode the batch under the STORE's frozen codebooks —
+    * `index` is fingerprint-checked against the store FIRST, exactly
+    * like [[pqAppendCodes]] — idempotent on vec_id against the visible
+    * code set, committed as a delta revision. A batch that nets to
+    * zero fresh vectors commits nothing and returns the current
+    * revision (an empty data dir would poison the multi-dir read).
+    */
+  def pqAppendCodesVersioned(index: PqIndex,
+      emb: org.apache.spark.sql.DataFrame, path: String): Long = {
+    val spark = emb.sparkSession
+    val (stored, existing) = pqLoadIndexVersioned(spark, path)
+    require(stored.fingerprint == index.fingerprint,
+      s"pqAppendCodesVersioned: index fingerprint ${index.fingerprint} " +
+        s"does not match the store's (${stored.fingerprint}) — appending " +
+        "codes from a different training would poison every search")
+    val fresh = pqCodes(index,
+      emb.join(existing.select("vec_id").distinct(), Seq("vec_id"),
+        "left_anti")).localCheckpoint(true)
+    if (fresh.isEmpty)
+      graft.operators.VersionedStore.currentVersion(spark, path).get
+    else
+      graft.operators.VersionedStore.append(Map("codes" -> fresh), path)
+  }
+
+  /** DELETE: one manifest tombstone revision on `codes` — every
+    * (vec_id, sub) row of the vector vanishes from subsequent reads.
+    * Idempotent; sticky for a re-appended same vec_id until compact.
+    */
+  def pqDeleteVectorsVersioned(ids: org.apache.spark.sql.DataFrame,
+      path: String): Long =
+    graft.operators.VersionedStore.delete(ids.select("vec_id"), "codes",
+      path)
+
+  /** ADC search over the store's visible (or `asOf`) revision —
+    * [[pqAdcSearch]]'s exact plan, bit-identical to the rename family
+    * over the same corpus (VersionedPqSpec pins it).
+    */
+  def pqAdcSearchVersioned(spark: org.apache.spark.sql.SparkSession,
+      queries: org.apache.spark.sql.DataFrame, path: String,
+      topK: Int = 5, excludeSelfMatches: Boolean = false,
+      asOf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val (index, codes) = pqLoadIndexVersioned(spark, path, asOf)
+    pqAdcSearch(index, codes, queries, topK, excludeSelfMatches)
+  }
+
+  /** SYNC with a versioned embedding corpus — [[sqSyncVersionedWithStore]]'s
+    * contract on the codebook family: bootstrap trains + saves from
+    * read(current); every later call absorbs the pending revision
+    * window as ONE [[graft.operators.VersionedStore.commitDelta]]
+    * (tombstones and frozen-codebook codes visible at the same
+    * instant); the checkpoint lives beside `_versions`; replays are
+    * no-ops. Retraining is the rebuild path, never maintenance.
+    */
+  def pqSyncVersionedWithStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, rel: String, path: String): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, path,
+      "pqSyncVersionedWithStore")(
+      graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
+      cur => {
+        val e = graft.operators.VersionedStore
+          .read(spark, storePath, rel, Some(cur)).select("vec_id", "v")
+        val index = pqTrain(e)
+        pqSaveIndexVersioned(index, pqCodes(index, e), path)
+      })(
+      (from, to) =>
+        graft.operators.CdcBridge.maintainAtomic(spark, storePath, rel,
+          from, to, "vec_id", Seq("vec_id", "v"),
+          "pqSyncVersionedWithStore") { (del, ins) =>
+          val (index, existing) = pqLoadIndexVersioned(spark, path)
+          val appends = ins.map(e => pqCodes(index,
+              e.join(existing.select("vec_id").distinct(), Seq("vec_id"),
+                "left_anti")).localCheckpoint(true))
+            .filterNot(_.isEmpty)
+            .map(f => Map("codes" -> f))
+            .getOrElse(Map.empty[String, org.apache.spark.sql.DataFrame])
+          val deletes = del.map(k =>
+              Map("codes" -> k.select("vec_id")))
+            .getOrElse(Map.empty[String, org.apache.spark.sql.DataFrame])
+          if (appends.nonEmpty || deletes.nonEmpty)
+            graft.operators.VersionedStore.commitDelta(appends, deletes,
+              path)
+          ()
+        })
 
   /** Codes from a DIFFERENT training would join silently on colliding
     * code ids and produce plausible-looking but wrong distances — so
@@ -936,6 +1083,20 @@ object SimilarityQueries extends QueryModule {
     * that sums the four partial distances — production keeps codes
     * columnar (one row per doc) and skips even that.
     */
+  /** Run `body` against a throwaway store root, clean up, return the
+    * checkpointed result — the harness move the store-served queries
+    * share (q176/q201's helper, local to this module).
+    */
+  private def withThrowawayStore(body: String => org.apache.spark.sql
+      .DataFrame)(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vsim")
+    val res = body(root.toString + "/idx").localCheckpoint(true)
+    val hp = new org.apache.hadoop.fs.Path(root.toString)
+    hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    res
+  }
+
   private val q108 = QueryDef(
     "q108_pq_adc_search",
     (s, d) => {
@@ -948,7 +1109,47 @@ object SimilarityQueries extends QueryModule {
           .select(col("vec_id").as("qid"), col("v").as("qv")),
         excludeSelfMatches = true) // queries ARE corpus members here
     },
-    Some {
+    Some(pqAdcOracleSql))
+
+  /** q202: q108's flat-ADC arithmetic served from the MANIFEST-COMMITTED
+    * PQ store driven through its own verbs — train once on the full
+    * corpus, ONE PUT commits codebooks + the bootstrap slice's codes,
+    * the remaining slice appends as a delta revision encoded under the
+    * FROZEN stored codebooks (bit-identical codes, so the oracle is
+    * q108's SQL VERBATIM — swapping the commit protocol under the code
+    * store must change NOTHING about what the search returns).
+    * VersionedPqSpec additionally pins bit-equality against the rename
+    * family across the delete/sticky/compact lifecycle and `asOf` time
+    * travel.
+    */
+  private val q202 = QueryDef(
+    "q202_versioned_pq_search",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val boot = emb.filter(col("vec_id") % 4 =!= 3)
+      if (boot.isEmpty)
+        emb.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"), lit(1).as("rank"),
+          lit(0.0).as("adc_dist")).limit(0)
+      else
+        withThrowawayStore { idx =>
+          val index = graft.BenchPhases.build {
+            val trained = pqTrain(emb)
+            pqSaveIndexVersioned(trained, pqCodes(trained, boot), idx)
+            pqAppendCodesVersioned(trained,
+              emb.filter(col("vec_id") % 4 === 3), idx)
+            trained
+          }
+          pqAdcSearchVersioned(s, q, idx, topK = 5,
+            excludeSelfMatches = true)
+        }(s)
+    },
+    Some(pqAdcOracleSql))
+
+  private lazy val pqAdcOracleSql: String = {
       val subCtes = (0 until 4).map { sub =>
         val rel = s"s${sub}v"
         val p = s"s${sub}_"
@@ -979,7 +1180,7 @@ object SimilarityQueries extends QueryModule {
                         ORDER BY adc ASC, vec_id ASC) AS rn
                FROM adc WHERE qid <> vec_id) t
          WHERE rn <= 5 ORDER BY query_id, rank"""
-    })
+  }
 
   /** Trains the coarse (IVF) quantizer: the deterministic hash-seeded
     * k-means of q62 plus the corpus cell assignment, returned as
@@ -1082,26 +1283,7 @@ object SimilarityQueries extends QueryModule {
     */
   def ivfSaveIndex(cents: org.apache.spark.sql.DataFrame,
       cells: org.apache.spark.sql.DataFrame, path: String): Unit = {
-    require(cells.columns.contains("fp"),
-      "ivfSaveIndex: cells carry no provenance stamp — assign them with " +
-        "ivfTrain so each row records which centroids produced it")
-    val stamps = cells.select("fp").distinct().collect()
-      .map(_.getString(0)).toSeq
-    // save/load symmetry: ivfLoadIndex rejects an empty cells store (it
-    // cannot tell "legitimately empty" from "interrupted save"), so an
-    // empty assignment must fail HERE, at save, with the real reason —
-    // not at the next load with a misleading corruption message
-    require(stamps.nonEmpty,
-      "ivfSaveIndex: refusing to persist an EMPTY cell assignment — " +
-        "assign the corpus with ivfTrain/ivfAssign first (an empty store " +
-        "would be rejected by ivfLoadIndex as interrupted)")
-    // recompute under the cells' own claimed metric (the stamp suffix):
-    // a forged suffix changes the hashed seed, so it cannot pass
-    val fp = centsFingerprint(cents, stamps.head.endsWith(":l2"))
-    require(stamps == Seq(fp),
-      s"ivfSaveIndex: cells were assigned by a different centroid set " +
-        s"(${stamps.mkString(", ")}) than the centroids being saved ($fp) " +
-        "— a mis-paired store would silently prune the wrong cells")
+    val fp = ivfSaveChecked(cents, cells, "ivfSaveIndex")
     cents.select(col("cid"), col("cv")).withColumn("fp", lit(fp))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
@@ -1109,6 +1291,69 @@ object SimilarityQueries extends QueryModule {
       .write.mode("overwrite").parquet(s"$path/cells")
     // a full save is the tombstone compaction + re-admission point
     graft.operators.IndexTombstones.clear(cells.sparkSession, path)
+  }
+
+  /** Save-side gate shared by [[ivfSaveIndex]] and
+    * [[ivfSaveIndexVersioned]]: the cells' provenance stamp — embedded
+    * by [[ivfTrain]] at assignment time — is VERIFIED against the
+    * centroids being saved, never re-stamped: a mis-paired save fails
+    * here; an empty assignment fails here with the real reason (load
+    * cannot tell "legitimately empty" from "interrupted"). Returns the
+    * centroid fingerprint (recomputed under the cells' own claimed
+    * metric — a forged suffix changes the hashed seed, so it cannot
+    * pass).
+    */
+  private def ivfSaveChecked(cents: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame, verb: String): String = {
+    require(cells.columns.contains("fp"),
+      s"$verb: cells carry no provenance stamp — assign them with " +
+        "ivfTrain so each row records which centroids produced it")
+    val stamps = cells.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(stamps.nonEmpty,
+      s"$verb: refusing to persist an EMPTY cell assignment — " +
+        "assign the corpus with ivfTrain/ivfAssign first (an empty store " +
+        "would be rejected at load as interrupted)")
+    val fp = centsFingerprint(cents, stamps.head.endsWith(":l2"))
+    require(stamps == Seq(fp),
+      s"$verb: cells were assigned by a different centroid set " +
+        s"(${stamps.mkString(", ")}) than the centroids being saved ($fp) " +
+        "— a mis-paired store would silently prune the wrong cells")
+    fp
+  }
+
+  /** Load-side gates shared by [[ivfLoadIndex]] and
+    * [[ivfLoadIndexVersioned]]: the centroid fingerprint is recomputed
+    * from the loaded codewords and checked against BOTH stored stamps —
+    * corrupt centroids and mixed centroid/cell stores fail here, not as
+    * wrongly-pruned candidates. Returns (bare cents, storedFp).
+    */
+  private def ivfGateLoaded(cents: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame, verb: String, where: String)
+      : (org.apache.spark.sql.DataFrame, String) = {
+    val centFp = cents.select("fp").take(1)
+    require(centFp.nonEmpty,
+      s"$verb: centroid store at $where is empty — " +
+        "interrupted save or wrong path")
+    val storedFp = centFp(0).getString(0)
+    val bare = cents.select("cid", "cv")
+    val recomputed = centsFingerprint(bare, storedFp.endsWith(":l2"))
+    require(recomputed == storedFp,
+      s"$verb: stored centroid fingerprint $storedFp does not match " +
+        s"recomputed $recomputed — centroids at $where are corrupt")
+    // EVERY cell row must carry the centroid stamp: a store that mixes
+    // assignments from two trainings must fail here, not prune the
+    // wrong cells — so the check is over the distinct fp set, never
+    // one sampled row (one map-combined aggregate, cheap at any size).
+    val cellFps = cells.select("fp").distinct().collect().map(_.getString(0))
+    require(cellFps.nonEmpty,
+      s"$verb: cell store at $where is empty — " +
+        "interrupted save or wrong path")
+    require(cellFps.sameElements(Array(storedFp)),
+      s"$verb: cells at $where were assigned by a different " +
+        s"centroid set (${cellFps.filterNot(_ == storedFp).mkString(", ")}) " +
+        s"than the stored centroids ($storedFp)")
+    (bare, storedFp)
   }
 
   /** DELETE verb of the IVF-store lifecycle: tombstone `ids`(vec_id) —
@@ -1132,35 +1377,85 @@ object SimilarityQueries extends QueryModule {
   def ivfLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val cents = spark.read.parquet(s"$path/centroids").localCheckpoint(true)
-    val centFp = cents.select("fp").take(1)
-    require(centFp.nonEmpty,
-      s"ivfLoadIndex: centroid store at $path/centroids is empty — " +
-        "interrupted save or wrong path")
-    val storedFp = centFp(0).getString(0)
-    val bare = cents.select("cid", "cv")
-    val recomputed = centsFingerprint(bare, storedFp.endsWith(":l2"))
-    require(recomputed == storedFp,
-      s"ivfLoadIndex: stored centroid fingerprint $storedFp does not match " +
-        s"recomputed $recomputed — centroids at $path/centroids are corrupt")
     val cells = spark.read.parquet(s"$path/cells")
-    // EVERY cell row must carry the centroid stamp: a store that mixes
-    // assignments from two trainings (e.g. a parquet APPEND of a
-    // retrained assignment onto an old store) must fail here, not prune
-    // the wrong cells — so the check is over the distinct fp set, never
-    // one sampled row. Distinct of a constant column is one map-combined
-    // aggregate, cheap at any corpus size.
-    val cellFps = cells.select("fp").distinct().collect().map(_.getString(0))
-    require(cellFps.nonEmpty,
-      s"ivfLoadIndex: cell store at $path/cells is empty — " +
-        "interrupted save or wrong path")
-    require(cellFps.sameElements(Array(storedFp)),
-      s"ivfLoadIndex: cells at $path/cells were assigned by a different " +
-        s"centroid set (${cellFps.filterNot(_ == storedFp).mkString(", ")}) " +
-        s"than the stored centroids ($storedFp)")
+    val (bare, _) = ivfGateLoaded(cents, cells, "ivfLoadIndex", path)
     // the stamp stays on the returned cells: a load → save round-trip
     // re-verifies it, and ivfPqSearch projects it away after its join
     (bare, graft.operators.IndexTombstones.mask(cells, path))
   }
+
+  // ------------------------------------------------------------------
+  // MANIFEST-COMMITTED IVF store — the coarse-quantizer half on the
+  // rename-free protocol. Gates shared with the rename family
+  // ([[ivfSaveChecked]]/[[ivfGateLoaded]]); the assignment metric rides
+  // in the fingerprint suffix exactly as before.
+  // ------------------------------------------------------------------
+
+  /** Build the manifest-committed IVF store: ONE revision commits the
+    * stamped centroids and the corpus cell assignment together.
+    */
+  def ivfSaveIndexVersioned(cents: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame, path: String): Long = {
+    val fp = ivfSaveChecked(cents, cells, "ivfSaveIndexVersioned")
+    graft.operators.VersionedStore.save(Map(
+      "centroids" -> cents.select(col("cid"), col("cv"))
+        .withColumn("fp", lit(fp)).coalesce(1),
+      "cells" -> cells.select("vec_id", "cell", "fp")), path)
+  }
+
+  /** Restore (cents, cells) at the current — or `asOf` — revision
+    * through the SAME gates as [[ivfLoadIndex]].
+    */
+  def ivfLoadIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOf: Option[Long] = None)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val cents = graft.operators.VersionedStore
+      .read(spark, path, "centroids", asOf).localCheckpoint(true)
+    val cells = graft.operators.VersionedStore.read(spark, path, "cells",
+      asOf)
+    val (bare, _) = ivfGateLoaded(cents, cells, "ivfLoadIndexVersioned",
+      path)
+    (bare, cells)
+  }
+
+  /** APPEND: assign the batch with the STORE's own frozen centroids
+    * (`cents` is fingerprint-checked against the store FIRST, exactly
+    * like [[ivfAppendCells]]), idempotent on vec_id, committed as a
+    * delta revision. Zero-fresh batches commit nothing.
+    */
+  def ivfAppendCellsVersioned(cents: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame, path: String,
+      byL2: Boolean = false): Long = {
+    val spark = e.sparkSession
+    val stored = graft.operators.VersionedStore
+      .read(spark, path, "centroids").select("fp").take(1)
+    require(stored.nonEmpty,
+      s"ivfAppendCellsVersioned: centroid relation at $path is empty — " +
+        "save the index first (ivfSaveIndexVersioned)")
+    val fp = centsFingerprint(cents.select("cid", "cv"), byL2)
+    require(stored(0).getString(0) == fp,
+      s"ivfAppendCellsVersioned: centroids (fingerprint $fp) do not " +
+        s"match the store's (${stored(0).getString(0)}) — an increment " +
+        "assigned by different centroids OR a different metric (the " +
+        "fingerprint's suffix) would prune the wrong cells")
+    val existing = graft.operators.VersionedStore
+      .read(spark, path, "cells").select("vec_id").distinct()
+    val fresh = ivfAssign(e.join(existing, Seq("vec_id"), "left_anti"),
+        cents.select("cid", "cv"), byL2)
+      .select("vec_id", "cell", "fp").localCheckpoint(true)
+    if (fresh.isEmpty)
+      graft.operators.VersionedStore.currentVersion(spark, path).get
+    else
+      graft.operators.VersionedStore.append(Map("cells" -> fresh), path)
+  }
+
+  /** DELETE: one manifest tombstone revision on `cells`. Idempotent;
+    * sticky for a re-appended same vec_id until compact.
+    */
+  def ivfDeleteVectorsVersioned(ids: org.apache.spark.sql.DataFrame,
+      path: String): Long =
+    graft.operators.VersionedStore.delete(ids.select("vec_id"), "cells",
+      path)
 
   /** IVF-PQ search — the composition of the coarse quantizer (q62) with
     * ADC scoring (q108), i.e. the actual shape of a production
@@ -1373,27 +1668,69 @@ object SimilarityQueries extends QueryModule {
     */
   def lshSaveIndex(buckets: org.apache.spark.sql.DataFrame,
       tables: Int, planes: Int, path: String, vdims: Int = dims): Unit = {
-    require(buckets.columns.contains("fp"),
-      "lshSaveIndex: buckets carry no spec stamp — build them with lshBuckets")
-    val fp = lshFingerprint(tables, planes, vdims)
-    val stamps = buckets.select("fp").distinct().collect()
-      .map(_.getString(0)).toSeq
-    require(stamps.nonEmpty,
-      "lshSaveIndex: refusing to persist an EMPTY bucket assignment — " +
-        "bucket the corpus with lshBuckets first (an empty store would " +
-        "be rejected by lshLoadIndex as interrupted)")
-    require(stamps == Seq(fp),
-      s"lshSaveIndex: buckets were built under a different spec " +
-        s"(${stamps.mkString(", ")}) than the declared geometry ($fp) — " +
-        "a mis-declared store would equality-join the wrong candidates")
-    buckets.sparkSession.range(1).select(lit(fp).as("fp"),
-        lit(tables).as("tables"), lit(planes).as("planes"),
-        lit(vdims).as("dims"))
+    val fp = lshSaveChecked(buckets, tables, planes, vdims, "lshSaveIndex")
+    lshMetaRow(buckets.sparkSession, fp, tables, planes, vdims)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     buckets.select("vec_id", "tbl", "bucket", "fp")
       .write.mode("overwrite").parquet(s"$path/buckets")
     // a full save is the tombstone compaction + re-admission point
     graft.operators.IndexTombstones.clear(buckets.sparkSession, path)
+  }
+
+  /** The 1-row geometry relation BOTH persisted forms write. */
+  private def lshMetaRow(spark: org.apache.spark.sql.SparkSession,
+      fp: String, tables: Int, planes: Int, vdims: Int)
+      : org.apache.spark.sql.DataFrame =
+    spark.range(1).select(lit(fp).as("fp"), lit(tables).as("tables"),
+      lit(planes).as("planes"), lit(vdims).as("dims"))
+
+  /** Save-side gate shared by [[lshSaveIndex]] and
+    * [[lshSaveIndexVersioned]]: the stamp is verified against the
+    * declared geometry BEFORE anything is written (a mis-declared save
+    * would poison every candidate join). Returns the fingerprint.
+    */
+  private def lshSaveChecked(buckets: org.apache.spark.sql.DataFrame,
+      tables: Int, planes: Int, vdims: Int, verb: String): String = {
+    require(buckets.columns.contains("fp"),
+      s"$verb: buckets carry no spec stamp — build them with lshBuckets")
+    val fp = lshFingerprint(tables, planes, vdims)
+    val stamps = buckets.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(stamps.nonEmpty,
+      s"$verb: refusing to persist an EMPTY bucket assignment — " +
+        "bucket the corpus with lshBuckets first (an empty store would " +
+        "be rejected at load as interrupted)")
+    require(stamps == Seq(fp),
+      s"$verb: buckets were built under a different spec " +
+        s"(${stamps.mkString(", ")}) than the declared geometry ($fp) — " +
+        "a mis-declared store would equality-join the wrong candidates")
+    fp
+  }
+
+  /** Load-side gates shared by [[lshLoadIndex]] and
+    * [[lshLoadIndexVersioned]]: the meta stamp is recomputed from the
+    * stored geometry and checked, and every bucket row's stamp is
+    * checked against it. Returns (tables, planes).
+    */
+  private def lshGateLoaded(meta: Array[org.apache.spark.sql.Row],
+      buckets: org.apache.spark.sql.DataFrame, verb: String,
+      where: String): (Int, Int) = {
+    require(meta.nonEmpty,
+      s"$verb: meta store at $where is empty — interrupted " +
+        "save or wrong path")
+    val m = meta(0)
+    val (fp, tables, planes, vd) =
+      (m.getString(0), m.getInt(1), m.getInt(2), m.getInt(3))
+    require(fp == lshFingerprint(tables, planes, vd),
+      s"$verb: stored stamp $fp does not match its own declared " +
+        s"geometry (tables=$tables, planes=$planes, dims=$vd) — the " +
+        "meta row is corrupt or hand-edited")
+    val stamps = buckets.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(stamps == Seq(fp),
+      s"$verb: bucket rows carry stamps ${stamps.mkString(", ")} " +
+        s"— the store at $where mixes geometries or is corrupt")
+    (tables, planes)
   }
 
   /** DELETE verb of the LSH-store lifecycle: tombstone `ids`(vec_id) —
@@ -1417,26 +1754,138 @@ object SimilarityQueries extends QueryModule {
     */
   def lshLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : (org.apache.spark.sql.DataFrame, Int, Int) = {
-    val meta = spark.read.parquet(s"$path/meta")
-      .select("fp", "tables", "planes", "dims").take(1)
-    require(meta.nonEmpty,
-      s"lshLoadIndex: meta store at $path/meta is empty — interrupted " +
-        "save or wrong path")
-    val m = meta(0)
-    val (fp, tables, planes, vd) =
-      (m.getString(0), m.getInt(1), m.getInt(2), m.getInt(3))
-    require(fp == lshFingerprint(tables, planes, vd),
-      s"lshLoadIndex: stored stamp $fp does not match its own declared " +
-        s"geometry (tables=$tables, planes=$planes, dims=$vd) — the " +
-        "meta row is corrupt or hand-edited")
     val buckets = spark.read.parquet(s"$path/buckets")
-    val stamps = buckets.select("fp").distinct().collect()
-      .map(_.getString(0)).toSeq
-    require(stamps == Seq(fp),
-      s"lshLoadIndex: bucket rows carry stamps ${stamps.mkString(", ")} " +
-        s"— the store at $path/buckets mixes geometries or is corrupt")
+    val (tables, planes) = lshGateLoaded(
+      spark.read.parquet(s"$path/meta")
+        .select("fp", "tables", "planes", "dims").take(1),
+      buckets, "lshLoadIndex", path)
     (graft.operators.IndexTombstones.mask(buckets, path), tables, planes)
   }
+
+  // ------------------------------------------------------------------
+  // MANIFEST-COMMITTED LSH store — the bucket family on the rename-free
+  // protocol. Like the binary family the artifact is a fixed GEOMETRY,
+  // not a training — the meta row guards mis-declared geometry. Gates
+  // shared with the rename family ([[lshSaveChecked]]/[[lshGateLoaded]]).
+  // ------------------------------------------------------------------
+
+  /** Build the manifest-committed LSH store: ONE revision commits the
+    * geometry row and the bucket assignment together.
+    */
+  def lshSaveIndexVersioned(buckets: org.apache.spark.sql.DataFrame,
+      tables: Int, planes: Int, path: String, vdims: Int = dims): Long = {
+    val fp = lshSaveChecked(buckets, tables, planes, vdims,
+      "lshSaveIndexVersioned")
+    graft.operators.VersionedStore.save(Map(
+      "meta" -> lshMetaRow(buckets.sparkSession, fp, tables, planes,
+        vdims).coalesce(1),
+      "buckets" -> buckets.select("vec_id", "tbl", "bucket", "fp")), path)
+  }
+
+  /** Restore (buckets, tables, planes) at the current — or `asOf` —
+    * revision through the SAME gates as [[lshLoadIndex]].
+    */
+  def lshLoadIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOf: Option[Long] = None)
+      : (org.apache.spark.sql.DataFrame, Int, Int) = {
+    val buckets = graft.operators.VersionedStore.read(spark, path,
+      "buckets", asOf)
+    val (tables, planes) = lshGateLoaded(
+      graft.operators.VersionedStore.read(spark, path, "meta", asOf)
+        .select("fp", "tables", "planes", "dims").take(1),
+      buckets, "lshLoadIndexVersioned", path)
+    (buckets, tables, planes)
+  }
+
+  /** APPEND: bucket the batch under the STORE'S OWN geometry (read from
+    * the meta relation, so the caller cannot drift it), idempotent on
+    * vec_id, committed as a delta revision. Zero-fresh batches commit
+    * nothing.
+    */
+  def lshAppendBucketsVersioned(emb: org.apache.spark.sql.DataFrame,
+      path: String): Long = {
+    val spark = emb.sparkSession
+    val meta = graft.operators.VersionedStore.read(spark, path, "meta")
+      .select("tables", "planes", "dims").take(1)
+    require(meta.nonEmpty,
+      s"lshAppendBucketsVersioned: meta relation at $path is empty — " +
+        "save the index first (lshSaveIndexVersioned)")
+    val m = meta(0)
+    val existing = graft.operators.VersionedStore
+      .read(spark, path, "buckets").select("vec_id").distinct()
+    val fresh = lshBuckets(emb.join(existing, Seq("vec_id"), "left_anti"),
+      m.getInt(0), m.getInt(1), m.getInt(2)).localCheckpoint(true)
+    if (fresh.isEmpty)
+      graft.operators.VersionedStore.currentVersion(spark, path).get
+    else
+      graft.operators.VersionedStore.append(Map("buckets" ->
+        fresh.select("vec_id", "tbl", "bucket", "fp")), path)
+  }
+
+  /** DELETE: one manifest tombstone revision on `buckets` — ALL of a
+    * vector's bucket rows (one per table) vanish, the anti join keying
+    * on vec_id alone. Idempotent; sticky until compact.
+    */
+  def lshDeleteVectorsVersioned(ids: org.apache.spark.sql.DataFrame,
+      path: String): Long =
+    graft.operators.VersionedStore.delete(ids.select("vec_id"), "buckets",
+      path)
+
+  /** ANN search from the store's visible (or `asOf`) revision —
+    * [[lshSearchIndex]]'s exact plan over the stored buckets.
+    */
+  def lshSearchIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, path: String,
+      topK: Int = 5, excludeSelfMatches: Boolean = false,
+      asOf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val (buckets, tables, planes) = lshLoadIndexVersioned(spark, path, asOf)
+    lshSearchIndex(buckets, e, queries, tables, planes, topK,
+      excludeSelfMatches = excludeSelfMatches)
+  }
+
+  /** SYNC with a versioned embedding corpus — the no-trained-artifact
+    * dance ([[binSyncVersionedWithStore]]) on the bucket family: the
+    * geometry is pinned at bootstrap and increments bucket under it.
+    */
+  def lshSyncVersionedWithStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, rel: String, path: String,
+      tables: Int = 4, planes: Int = 6, vdims: Int = dims)
+      : Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, path,
+      "lshSyncVersionedWithStore")(
+      graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
+      cur => {
+        val e = graft.operators.VersionedStore
+          .read(spark, storePath, rel, Some(cur)).select("vec_id", "v")
+        lshSaveIndexVersioned(lshBuckets(e, tables, planes, vdims),
+          tables, planes, path, vdims)
+      })(
+      (from, to) =>
+        graft.operators.CdcBridge.maintainAtomic(spark, storePath, rel,
+          from, to, "vec_id", Seq("vec_id", "v"),
+          "lshSyncVersionedWithStore") { (del, ins) =>
+          val meta = graft.operators.VersionedStore
+            .read(spark, path, "meta")
+            .select("tables", "planes", "dims").take(1)(0)
+          val existing = graft.operators.VersionedStore
+            .read(spark, path, "buckets").select("vec_id").distinct()
+          val appends = ins.map(e => lshBuckets(
+              e.join(existing, Seq("vec_id"), "left_anti"),
+              meta.getInt(0), meta.getInt(1), meta.getInt(2))
+              .select("vec_id", "tbl", "bucket", "fp")
+              .localCheckpoint(true))
+            .filterNot(_.isEmpty)
+            .map(f => Map("buckets" -> f))
+            .getOrElse(Map.empty[String, org.apache.spark.sql.DataFrame])
+          val deletes = del.map(k =>
+              Map("buckets" -> k.select("vec_id")))
+            .getOrElse(Map.empty[String, org.apache.spark.sql.DataFrame])
+          if (appends.nonEmpty || deletes.nonEmpty)
+            graft.operators.VersionedStore.commitDelta(appends, deletes,
+              path)
+          ()
+        })
 
   /** The APPEND verb of the LSH-store lifecycle: bucket a new batch
     * under the STORE'S OWN geometry (read from meta, so the caller
@@ -1737,6 +2186,151 @@ object SimilarityQueries extends QueryModule {
     ivfAppendCells(cents, e, s"$path/ivf", byL2)
   }
 
+  // ------------------------------------------------------------------
+  // MANIFEST-COMMITTED composed residual store — the one family the
+  // protocol genuinely IMPROVES rather than merely ports: the rename
+  // form is TWO subtree stores whose writes must be ordered (codes
+  // before cells, so a crash between them leaves the increment
+  // invisible rather than candidates without codes) and whose delete
+  // appends two tombstone sidecars non-atomically. Here all five
+  // relations — centroids, cells, codebooks, codes, and the pairing
+  // meta row — live in ONE VersionedStore: build, append, and delete
+  // each land as a SINGLE manifest PUT spanning both halves, so no
+  // reader can ever observe candidates without codes, codes without
+  // candidates, or a half-deleted vector. Gates are the rename
+  // family's, shared ([[ivfSaveChecked]]/[[ivfGateLoaded]]/
+  // [[pqGateLoaded]] + the composed pairing check).
+  // ------------------------------------------------------------------
+
+  /** Build the manifest-committed composed residual store: ONE revision
+    * commits both halves and their pairing stamp together.
+    */
+  def residualSaveIndexVersioned(cents: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame,
+      index: PqIndex, codes: org.apache.spark.sql.DataFrame,
+      path: String): Long = {
+    val centsFp = ivfSaveChecked(cents, cells,
+      "residualSaveIndexVersioned")
+    val spark = cents.sparkSession
+    import spark.implicits._
+    val meta = Seq((centsFp, index.fingerprint,
+        composedResidualFp(centsFp, index.fingerprint), "residual"))
+      .toDF("cents_fp", "pq_fp", "composed_fp", "encoding")
+    graft.operators.VersionedStore.save(Map(
+      "centroids" -> cents.select(col("cid"), col("cv"))
+        .withColumn("fp", lit(centsFp)).coalesce(1),
+      "cells" -> cells.select("vec_id", "cell", "fp"),
+      "codebooks" -> pqCodebookRows(index).coalesce(1),
+      "codes" -> codes,
+      "meta" -> meta.coalesce(1)), path)
+  }
+
+  /** Restore the four relations [[ivfPqSearchResidual]] takes at the
+    * current — or `asOf` — revision. Both halves run their own load
+    * gates, then the meta pairing is verified against the RELOADED
+    * halves — a codebook relation replaced by a flat encoding of the
+    * same geometry fails here, before any distance is computed.
+    */
+  def residualLoadIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOf: Option[Long] = None)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         PqIndex, org.apache.spark.sql.DataFrame) = {
+    val meta = graft.operators.VersionedStore.read(spark, path, "meta",
+      asOf).take(1)
+    require(meta.nonEmpty,
+      s"residualLoadIndexVersioned: meta relation at $path is empty — " +
+        "interrupted save or wrong path")
+    val m = meta(0)
+    val centsDf = graft.operators.VersionedStore
+      .read(spark, path, "centroids", asOf).localCheckpoint(true)
+    val cells = graft.operators.VersionedStore.read(spark, path, "cells",
+      asOf)
+    val (bare, centsFp) = ivfGateLoaded(centsDf, cells,
+      "residualLoadIndexVersioned", path)
+    val index = pqGateLoaded(
+      graft.operators.VersionedStore.read(spark, path, "codebooks", asOf),
+      "residualLoadIndexVersioned", path)
+    val codes = graft.operators.VersionedStore.read(spark, path, "codes",
+      asOf)
+    val pairing = composedResidualFp(centsFp, index.fingerprint)
+    require(m.getAs[String]("composed_fp") == pairing &&
+        m.getAs[String]("cents_fp") == centsFp &&
+        m.getAs[String]("pq_fp") == index.fingerprint,
+      s"residualLoadIndexVersioned: store halves at $path do not match " +
+        s"the composed stamp (meta ${m.getAs[String]("composed_fp")}, " +
+        s"recomputed $pairing) — one half was overwritten by a " +
+        "different training (a flat-encoded codebook relation scores " +
+        "raw-space codes against residual-space query LUTs, silently)")
+    (bare, cells, index, codes)
+  }
+
+  /** APPEND: assign, subtract, encode the residuals under the store's
+    * frozen halves (pairing checked FIRST, mirroring
+    * [[residualAppendVectors]]), and commit codes AND cells in ONE
+    * delta revision — the crash window the rename family's write
+    * ordering only narrows is gone entirely. Idempotent on vec_id;
+    * zero-fresh batches commit nothing.
+    */
+  def residualAppendVectorsVersioned(cents: org.apache.spark.sql.DataFrame,
+      index: PqIndex, e: org.apache.spark.sql.DataFrame,
+      path: String, byL2: Boolean = false): Long = {
+    val spark = e.sparkSession
+    val meta = graft.operators.VersionedStore.read(spark, path, "meta")
+      .take(1)
+    require(meta.nonEmpty,
+      s"residualAppendVectorsVersioned: meta relation at $path is " +
+        "empty — save the composed index first (residualSaveIndexVersioned)")
+    val m = meta(0)
+    val centsFp = centsFingerprint(cents.select("cid", "cv"), byL2)
+    require(m.getAs[String]("cents_fp") == centsFp &&
+        m.getAs[String]("pq_fp") == index.fingerprint,
+      s"residualAppendVectorsVersioned: in-hand halves (cents $centsFp, " +
+        s"pq ${index.fingerprint}) do not match the store's pairing " +
+        s"(${m.getAs[String]("cents_fp")}, ${m.getAs[String]("pq_fp")}) — " +
+        "an increment encoded in a different residual space would " +
+        "poison every search")
+    // the atomic commit keeps the halves in lockstep, so ONE visibility
+    // probe (the codes) decides idempotence for both
+    val existing = graft.operators.VersionedStore
+      .read(spark, path, "codes").select("vec_id").distinct()
+    val inc = e.join(existing, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    if (inc.isEmpty)
+      return graft.operators.VersionedStore.currentVersion(spark, path).get
+    val freshCells = ivfAssign(inc, cents.select("cid", "cv"), byL2)
+      .select("vec_id", "cell", "fp").localCheckpoint(true)
+    val rv = ivfResiduals(inc, cents, freshCells).select("vec_id", "v")
+    val freshCodes = pqCodes(index, rv).localCheckpoint(true)
+    graft.operators.VersionedStore.commitDelta(
+      Map("codes" -> freshCodes, "cells" -> freshCells),
+      Map.empty, path)
+  }
+
+  /** DELETE: tombstone `ids`(vec_id) in BOTH halves — candidate
+    * generation and scoring — in ONE revision (the rename family
+    * appends two sidecars, a torn instant between them observable).
+    * Idempotent; sticky until compact.
+    */
+  def residualDeleteVectorsVersioned(ids: org.apache.spark.sql.DataFrame,
+      path: String): Long =
+    graft.operators.VersionedStore.commitDelta(Map.empty,
+      Map("cells" -> ids.select("vec_id"),
+        "codes" -> ids.select("vec_id")), path)
+
+  /** Residual IVF-PQ search over the store's visible (or `asOf`)
+    * revision — [[ivfPqSearchResidual]]'s exact plan.
+    */
+  def residualSearchVersioned(spark: org.apache.spark.sql.SparkSession,
+      queries: org.apache.spark.sql.DataFrame, path: String,
+      nprobe: Int = 2, topK: Int = 5,
+      excludeSelfMatches: Boolean = false, probeByL2: Boolean = false,
+      asOf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val (cents, cells, index, codes) =
+      residualLoadIndexVersioned(spark, path, asOf)
+    ivfPqSearchResidual(cells, cents, index, codes, queries, nprobe, topK,
+      excludeSelfMatches, probeByL2)
+  }
+
   /** q127 ships the residual pipeline at 32 coarse cells (vs q112's 8)
     * because the residual gain tracks the variance the coarse quantizer
     * explains: on this near-uniform unit-sphere corpus 8 cells explain
@@ -1768,7 +2362,58 @@ object SimilarityQueries extends QueryModule {
           .select(col("vec_id").as("qid"), col("v").as("qv")),
         excludeSelfMatches = true) // queries ARE corpus members here
     },
-    Some {
+    Some(residualOracleSql))
+
+  /** q206: q127's residual IVF-PQ search served from the MANIFEST-
+    * COMMITTED composed store driven through its own verbs — ONE PUT
+    * commits centroids, cells, codebooks, codes, and the pairing row;
+    * the remaining slice appends as ONE delta revision spanning BOTH
+    * halves (assigned and residual-encoded under the frozen artifacts,
+    * so the union equals the from-scratch encode and the oracle is
+    * q127's SQL VERBATIM). The atomicity is the family's migration
+    * payoff: the rename form orders two subtree writes per append; here
+    * no reader can ever observe candidates without codes.
+    * VersionedIvfResidualSpec pins rename-equality, single-revision
+    * verbs, the composed pairing gate, and `asOf`.
+    */
+  private val q206 = QueryDef(
+    "q206_versioned_residual_search",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val boot = e.filter(col("vec_id") % 4 =!= 3)
+      if (boot.isEmpty)
+        e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"), lit(1).as("rank"),
+          lit(0.0).as("adc_dist")).limit(0)
+      else
+        withThrowawayStore { idx =>
+          graft.BenchPhases.build {
+            // halves trained ONCE on the full corpus (q127's artifacts);
+            // the store is bootstrapped on a slice and caught up through
+            // the frozen-halves append
+            val (cents0, cells0) = ivfTrain(e, k = 32)
+            val cls = cells0.localCheckpoint(true)
+            val rv = ivfResiduals(e, cents0, cls).select("vec_id", "v")
+              .localCheckpoint(true)
+            val index = pqTrain(rv)
+            val bootIds = boot.select("vec_id")
+            residualSaveIndexVersioned(cents0,
+              cls.join(bootIds, Seq("vec_id"), "left_semi"),
+              index,
+              pqCodes(index, rv.join(bootIds, Seq("vec_id"), "left_semi")),
+              idx)
+            residualAppendVectorsVersioned(cents0, index,
+              e.filter(col("vec_id") % 4 === 3), idx)
+          }
+          residualSearchVersioned(s, q, idx, excludeSelfMatches = true)
+        }(s)
+    },
+    Some(residualOracleSql))
+
+  private lazy val residualOracleSql: String = {
       val subCtes = (0 until 4).map { sub =>
         val rel = s"s${sub}v"
         val p = s"s${sub}_"
@@ -1822,7 +2467,7 @@ object SimilarityQueries extends QueryModule {
                         ORDER BY adc ASC, vec_id ASC) AS rn
                FROM adc WHERE qid <> vec_id) t
          WHERE rn <= 5 ORDER BY query_id, rank"""
-    })
+  }
 
   /** Oracle twin of the multi-table bucket assignment inside
     * [[lshMultiAnn]]: one row per (vec_id, table) over relation
@@ -1856,7 +2501,10 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id").as("qid"), col("v").as("qv")),
         excludeSelfMatches = true)
     },
-    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    Some(lshAnnOracleSql))
+
+  private lazy val lshAnnOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
                   mbk AS (${multiBucketSql(4, 6)}),
                   ev AS (SELECT e.vec_id, v, tbl, bucket
                          FROM e JOIN mbk ON e.vec_id = mbk.vec_id),
@@ -1872,7 +2520,41 @@ object SimilarityQueries extends QueryModule {
                           ROW_NUMBER() OVER (PARTITION BY qid
                             ORDER BY sim DESC, nid ASC) AS rn
                    FROM cand) t
-             WHERE rn <= 5 ORDER BY query_id, rank"""))
+             WHERE rn <= 5 ORDER BY query_id, rank"""
+
+  /** q203: q111's multi-table ANN served from the MANIFEST-COMMITTED
+    * LSH store driven through its own verbs — ONE PUT commits geometry
+    * + the bootstrap slice's buckets, the remaining slice appends as a
+    * delta revision bucketed under the STORE's own geometry (the
+    * bucket function is deterministic, so the union equals a
+    * from-scratch bucketing and the oracle is q111's SQL VERBATIM).
+    * VersionedLshSpec pins bit-equality against the rename family
+    * across the delete/sticky/compact lifecycle and `asOf`.
+    */
+  private val q203 = QueryDef(
+    "q203_versioned_lsh_search",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val boot = e.filter(col("vec_id") % 4 =!= 3)
+      if (boot.isEmpty)
+        e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"), lit(1).as("rank"),
+          lit(0.0).as("cos_sim")).limit(0)
+      else
+        withThrowawayStore { idx =>
+          graft.BenchPhases.build {
+            lshSaveIndexVersioned(lshBuckets(boot), 4, 6, idx)
+            lshAppendBucketsVersioned(e.filter(col("vec_id") % 4 === 3),
+              idx)
+          }
+          lshSearchIndexVersioned(s, e, q, idx, topK = 5,
+            excludeSelfMatches = true)
+        }(s)
+    },
+    Some(lshAnnOracleSql))
 
   /** Hard-negative mining for contrastive/embedding training: for each
     * query vector the top-5 most-cosine-similar vectors carrying a
@@ -2064,24 +2746,65 @@ object SimilarityQueries extends QueryModule {
     */
   def knnSaveLists(directed: org.apache.spark.sql.DataFrame, k: Int,
       generator: String, path: String): Unit = {
-    val need = Set("aid", "bid", "sim", "rn")
-    require(need.subsetOf(directed.columns.toSet),
-      s"knnSaveLists: lists must carry $need, got ${directed.columns.toSet}")
-    val fp = knnFingerprint(k, generator)
-    val stat = directed.agg(count(lit(1)).as("n"), max("rn").as("mx")).take(1)(0)
-    require(stat.getLong(0) > 0,
-      "knnSaveLists: refusing to persist an EMPTY list store — generate " +
-        "candidates first (an empty store would be rejected at load as " +
-        "interrupted)")
-    require(stat.getInt(1) <= k,
-      s"knnSaveLists: lists carry rank ${stat.getInt(1)} > declared k=$k — " +
-        "a consumer's degree-bound reasoning (|E| <= kN) would be wrong")
-    directed.sparkSession.range(1).select(lit(fp).as("fp"), lit(k).as("k"),
-        lit(generator).as("generator"))
+    val fp = knnSaveChecked(directed, k, generator, "knnSaveLists")
+    knnMetaRow(directed.sparkSession, fp, k, generator)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     directed.select("aid", "bid", "sim", "rn").withColumn("fp", lit(fp))
       .write.mode("overwrite").parquet(s"$path/lists")
     graft.operators.IndexTombstones.clear(directed.sparkSession, path)
+  }
+
+  /** The 1-row identity relation BOTH persisted forms write. */
+  private def knnMetaRow(spark: org.apache.spark.sql.SparkSession,
+      fp: String, k: Int, generator: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.range(1).select(lit(fp).as("fp"), lit(k).as("k"),
+      lit(generator).as("generator"))
+
+  /** Save-side gate shared by [[knnSaveLists]] and
+    * [[knnSaveListsVersioned]]: required columns, non-empty, and the
+    * declared k bounds every stored rank (a consumer's degree-bound
+    * reasoning, |E| <= kN, would be wrong otherwise). Returns the stamp.
+    */
+  private def knnSaveChecked(directed: org.apache.spark.sql.DataFrame,
+      k: Int, generator: String, verb: String): String = {
+    val need = Set("aid", "bid", "sim", "rn")
+    require(need.subsetOf(directed.columns.toSet),
+      s"$verb: lists must carry $need, got ${directed.columns.toSet}")
+    val fp = knnFingerprint(k, generator)
+    val stat = directed.agg(count(lit(1)).as("n"), max("rn").as("mx")).take(1)(0)
+    require(stat.getLong(0) > 0,
+      s"$verb: refusing to persist an EMPTY list store — generate " +
+        "candidates first (an empty store would be rejected at load as " +
+        "interrupted)")
+    require(stat.getInt(1) <= k,
+      s"$verb: lists carry rank ${stat.getInt(1)} > declared k=$k — " +
+        "a consumer's degree-bound reasoning (|E| <= kN) would be wrong")
+    fp
+  }
+
+  /** Load-side gates shared by [[knnLoadLists]] and
+    * [[knnLoadListsVersioned]]: the meta stamp is recomputed from the
+    * stored (k, generator) and every list row's stamp checked against
+    * it. Returns (fp, k, generator).
+    */
+  private def knnGateLoaded(meta: Array[org.apache.spark.sql.Row],
+      lists: org.apache.spark.sql.DataFrame, verb: String,
+      where: String): (String, Int, String) = {
+    require(meta.nonEmpty,
+      s"$verb: meta store at $where is empty — interrupted " +
+        "save or wrong path")
+    val (fp, k, gen) = (meta(0).getString(0), meta(0).getInt(1),
+      meta(0).getString(2))
+    require(fp == knnFingerprint(k, gen),
+      s"$verb: stored stamp $fp does not match its own declared " +
+        s"(k=$k, generator=$gen) — the meta row is corrupt or hand-edited")
+    val stamps = lists.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(stamps == Seq(fp),
+      s"$verb: list rows carry stamps ${stamps.mkString(", ")} — " +
+        s"the store at $where mixes generators or is corrupt")
+    (fp, k, gen)
   }
 
   /** Restores (lists, k) from a persisted kNN-list store. The meta stamp
@@ -2093,24 +2816,201 @@ object SimilarityQueries extends QueryModule {
     */
   def knnLoadLists(spark: org.apache.spark.sql.SparkSession, path: String)
       : (org.apache.spark.sql.DataFrame, Int) = {
-    val meta = spark.read.parquet(s"$path/meta")
-      .select("fp", "k", "generator").take(1)
-    require(meta.nonEmpty,
-      s"knnLoadLists: meta store at $path/meta is empty — interrupted " +
-        "save or wrong path")
-    val (fp, k, gen) = (meta(0).getString(0), meta(0).getInt(1),
-      meta(0).getString(2))
-    require(fp == knnFingerprint(k, gen),
-      s"knnLoadLists: stored stamp $fp does not match its own declared " +
-        s"(k=$k, generator=$gen) — the meta row is corrupt or hand-edited")
     val lists = spark.read.parquet(s"$path/lists")
-    val stamps = lists.select("fp").distinct().collect()
-      .map(_.getString(0)).toSeq
-    require(stamps == Seq(fp),
-      s"knnLoadLists: list rows carry stamps ${stamps.mkString(", ")} — " +
-        s"the store at $path/lists mixes generators or is corrupt")
+    val (_, k, _) = knnGateLoaded(
+      spark.read.parquet(s"$path/meta")
+        .select("fp", "k", "generator").take(1),
+      lists, "knnLoadLists", path)
     (graft.operators.IndexTombstones.maskOn(lists, path, Seq("aid", "bid")),
       k)
+  }
+
+  // ------------------------------------------------------------------
+  // MANIFEST-COMMITTED kNN-list store — the graph family on the
+  // rename-free protocol. One protocol difference forced by the
+  // family's shape: deletion must mask a node out of BOTH columns (as
+  // an anchor and as everyone's neighbor), which a manifest tombstone's
+  // single-key anti join cannot express — so the dead-node set is a
+  // normal append-only `dead` relation and [[knnLoadListsVersioned]]
+  // applies the two-column mask, exactly as the rename family's
+  // [[graft.operators.IndexTombstones.maskOn]] does. Sticky semantics
+  // carry over: `dead` survives appends and re-knits (a forgotten node
+  // stays forgotten across replays) and resets only at a fresh save.
+  // The re-knit repair commits as ONE replaceRelation — a single
+  // manifest PUT where the rename family rewrites the whole lists
+  // directory.
+  // ------------------------------------------------------------------
+
+  /** Build the manifest-committed kNN-list store: ONE revision commits
+    * the identity row and the stamped directed lists together.
+    */
+  def knnSaveListsVersioned(directed: org.apache.spark.sql.DataFrame,
+      k: Int, generator: String, path: String): Long = {
+    val fp = knnSaveChecked(directed, k, generator,
+      "knnSaveListsVersioned")
+    graft.operators.VersionedStore.save(Map(
+      "meta" -> knnMetaRow(directed.sparkSession, fp, k, generator)
+        .coalesce(1),
+      "lists" -> directed.select("aid", "bid", "sim", "rn")
+        .withColumn("fp", lit(fp))), path)
+  }
+
+  /** Restore (lists, k) at the current — or `asOf` — revision through
+    * the SAME gates as [[knnLoadLists]], dead nodes masked out of BOTH
+    * columns.
+    */
+  def knnLoadListsVersioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOf: Option[Long] = None)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    val lists = graft.operators.VersionedStore.read(spark, path, "lists",
+      asOf)
+    val (_, k, _) = knnGateLoaded(
+      graft.operators.VersionedStore.read(spark, path, "meta", asOf)
+        .select("fp", "k", "generator").take(1),
+      lists, "knnLoadListsVersioned", path)
+    (knnMaskDead(spark, lists, path, asOf), k)
+  }
+
+  /** Mask the `dead` relation (if any) out of both list columns. */
+  private def knnMaskDead(spark: org.apache.spark.sql.SparkSession,
+      lists: org.apache.spark.sql.DataFrame, path: String,
+      asOf: Option[Long]): org.apache.spark.sql.DataFrame =
+    if (!graft.operators.VersionedStore.relations(spark, path, asOf)
+        .contains("dead")) lists
+    else {
+      val dead = graft.operators.VersionedStore
+        .read(spark, path, "dead", asOf).select("vec_id").distinct()
+        .localCheckpoint(true) // forgotten-node set: small by contract
+      lists
+        .join(dead.select(col("vec_id").as("aid")), Seq("aid"), "left_anti")
+        .join(dead.select(col("vec_id").as("bid")), Seq("bid"), "left_anti")
+        .select("aid", "bid", "sim", "rn", "fp")
+    }
+
+  /** APPEND: add NEW anchors' ranked lists under the store's own stamp
+    * as a delta revision — generator declared (the splice guard),
+    * ranks bounds-checked, idempotent on aid against the RAW stored
+    * lists so deletion stays sticky. Zero-fresh batches commit nothing.
+    */
+  def knnAppendListsVersioned(increment: org.apache.spark.sql.DataFrame,
+      generator: String, path: String): Long = {
+    val spark = increment.sparkSession
+    val meta = graft.operators.VersionedStore.read(spark, path, "meta")
+      .select("fp", "k", "generator").take(1)
+    require(meta.nonEmpty,
+      s"knnAppendListsVersioned: meta relation at $path is empty — " +
+        "save the store first (knnSaveListsVersioned)")
+    val (fp, k) = (meta(0).getString(0), meta(0).getInt(1))
+    require(meta(0).getString(2) == generator,
+      s"knnAppendListsVersioned: increment declares generator " +
+        s"'$generator' but the store was built by " +
+        s"'${meta(0).getString(2)}' — appending lists from a different " +
+        "generator would silently change what a stored neighborhood " +
+        "means; rebuild with knnSaveListsVersioned instead")
+    val stat = increment.agg(count(lit(1)).as("n"), max("rn").as("mx"))
+      .take(1)(0)
+    if (stat.getLong(0) == 0)
+      return graft.operators.VersionedStore.currentVersion(spark, path).get
+    require(stat.getInt(1) <= k,
+      s"knnAppendListsVersioned: increment carries rank " +
+        s"${stat.getInt(1)} > the store's k=$k")
+    val existing = graft.operators.VersionedStore
+      .read(spark, path, "lists").select("aid").distinct()
+    val fresh = increment.select("aid", "bid", "sim", "rn")
+      .join(existing, Seq("aid"), "left_anti")
+      .withColumn("fp", lit(fp)).localCheckpoint(true)
+    if (fresh.isEmpty)
+      graft.operators.VersionedStore.currentVersion(spark, path).get
+    else
+      graft.operators.VersionedStore.append(Map("lists" -> fresh), path)
+  }
+
+  /** DELETE: record `ids` in the `dead` relation (created on first
+    * delete) — masked out of BOTH columns by every subsequent load, so
+    * no derived edge can resurrect a forgotten node. One manifest PUT;
+    * idempotent (the mask distincts); sticky until a fresh save.
+    */
+  def knnDeleteNodesVersioned(ids: org.apache.spark.sql.DataFrame,
+      path: String): Long = {
+    val spark = ids.sparkSession
+    require(graft.operators.VersionedStore
+        .relations(spark, path).contains("meta"),
+      s"knnDeleteNodesVersioned: no store at $path — nothing to " +
+        "delete from")
+    graft.operators.VersionedStore.append(
+      Map("dead" -> ids.select("vec_id")), path)
+  }
+
+  /** RE-KNIT — [[knnReknit]]'s exact merge argument on the rename-free
+    * form: stale anchors' true top-k over (old ∪ new) is the top-k of
+    * (stored exact lists ∪ sims to the new nodes), committed as ONE
+    * replaceRelation instead of a whole-directory rewrite.
+    * VersionedKnnSpec pins byte-equality with both the rename re-knit
+    * and the full rebuild. Only `brute-cos` stores re-knit (the merge
+    * preserves — not repairs — an ANN store's approximation).
+    */
+  def knnReknitVersioned(e: org.apache.spark.sql.DataFrame,
+      newIds: org.apache.spark.sql.DataFrame, path: String,
+      maxBatch: Int = 100000): Long = {
+    val spark = e.sparkSession
+    val meta = graft.operators.VersionedStore.read(spark, path, "meta")
+      .select("fp", "k", "generator").take(1)
+    require(meta.nonEmpty,
+      s"knnReknitVersioned: meta relation at $path is empty — save the " +
+        "store first (knnSaveListsVersioned)")
+    val (fp, k, gen) =
+      (meta(0).getString(0), meta(0).getInt(1), meta(0).getString(2))
+    require(gen == "brute-cos",
+      s"knnReknitVersioned: store was generated by '$gen' — the " +
+        "stored-list merge is exact only over exact lists; rebuild " +
+        "ANN-generated stores with knnSaveListsVersioned")
+    val ids = newIds.select("vec_id").localCheckpoint(true)
+    val nBatch = ids.count()
+    require(nBatch <= maxBatch,
+      s"knnReknitVersioned: the appended batch carries $nBatch vectors " +
+        s"(> maxBatch=$maxBatch) — re-knit broadcasts the batch against " +
+        "every stale anchor, the wrong shape after a corpus-scale " +
+        "append; rebuild with knnSaveListsVersioned(bruteTopLists(...)) " +
+        "instead, or raise maxBatch deliberately")
+    val lists = graft.operators.VersionedStore.read(spark, path, "lists")
+    graft.operators.VersionedStore.replaceRelation(
+      knnReknitMerged(e, ids, lists, k).withColumn("fp", lit(fp))
+        .select("aid", "bid", "sim", "rn", "fp"),
+      "lists", path)
+  }
+
+  /** The re-knit merge both protocols share: stale anchors (stored
+    * before `ids` existed) get top-k over (stored rows ∪ sims to the
+    * batch); the batch's own anchors pass through untouched. Exactness
+    * argument in [[knnReknit]]'s scaladoc.
+    */
+  private def knnReknitMerged(e: org.apache.spark.sql.DataFrame,
+      ids: org.apache.spark.sql.DataFrame,
+      lists: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val aidsNew = ids.withColumnRenamed("vec_id", "aid")
+    val stale = lists.select("aid").distinct()
+      .join(aidsNew, Seq("aid"), "left_anti")
+    val nv = e.join(ids, Seq("vec_id"))
+      .select(col("vec_id").as("bid"), col("v").as("bv"))
+    val freshSims = e.select(col("vec_id").as("aid"), col("v"))
+      .join(stale, Seq("aid"))
+      .join(broadcast(nv), col("aid") =!= col("bid"))
+      .select(col("aid"), col("bid"), cosine(col("v"), col("bv")).as("sim"))
+    val staleRows = lists.join(stale, Seq("aid"))
+      .select("aid", "bid", "sim")
+    // dedupe (a replayed re-knit's stored lists already contain the new
+    // nodes; both sides compute the same cosine on the same operands,
+    // so max == either copy)
+    val cand = staleRows.unionAll(freshSims)
+      .groupBy("aid", "bid").agg(max("sim").as("sim"))
+    val merged = graft.operators.GroupTopK.topK(cand, Seq(col("aid")),
+        Seq(col("sim").desc, col("bid").asc), col("bid"), k,
+        rankName = "rn")
+      .select("aid", "bid", "sim", "rn")
+    val keptNew = lists.join(aidsNew, Seq("aid"), "left_semi")
+      .select("aid", "bid", "sim", "rn")
+    keptNew.unionAll(merged)
   }
 
   /** APPEND verb: add NEW anchors' ranked lists under the store's own
@@ -2207,32 +3107,8 @@ object SimilarityQueries extends QueryModule {
         "or raise maxBatch deliberately if the broadcast is truly " +
         "affordable")
     val lists = spark.read.parquet(s"$path/lists")
-    val aidsNew = ids.withColumnRenamed("vec_id", "aid")
-    // stale anchors: stored before this batch existed
-    val stale = lists.select("aid").distinct()
-      .join(aidsNew, Seq("aid"), "left_anti")
-    // batch-sized vector side, broadcast against the stale anchors
-    val nv = e.join(ids, Seq("vec_id"))
-      .select(col("vec_id").as("bid"), col("v").as("bv"))
-    val freshSims = e.select(col("vec_id").as("aid"), col("v"))
-      .join(stale, Seq("aid"))
-      .join(broadcast(nv), col("aid") =!= col("bid"))
-      .select(col("aid"), col("bid"), cosine(col("v"), col("bv")).as("sim"))
-    val staleRows = lists.join(stale, Seq("aid"))
-      .select("aid", "bid", "sim")
-    // dedupe (a replayed re-knit's stored lists already contain the new
-    // nodes; both sides compute the same cosine on the same operands,
-    // so max == either copy)
-    val cand = staleRows.unionAll(freshSims)
-      .groupBy("aid", "bid").agg(max("sim").as("sim"))
-    val merged = graft.operators.GroupTopK.topK(cand, Seq(col("aid")),
-        Seq(col("sim").desc, col("bid").asc), col("bid"), k,
-        rankName = "rn")
-      .select("aid", "bid", "sim", "rn")
-    val keptNew = lists.join(aidsNew, Seq("aid"), "left_semi")
-      .select("aid", "bid", "sim", "rn")
     graft.operators.StoreRewrite.atomicOverwrite(
-      keptNew.unionAll(merged).withColumn("fp", lit(fp))
+      knnReknitMerged(e, ids, lists, k).withColumn("fp", lit(fp))
         .select("aid", "bid", "sim", "rn", "fp"),
       s"$path/lists")
   }
@@ -2364,7 +3240,7 @@ object SimilarityQueries extends QueryModule {
     * (sim DESC, bid ASC) ranking, so appended and repaired lists are
     * indistinguishable from a from-scratch build's (CdcKnnSpec pins it).
     */
-  private def bruteListsForAnchors(e: org.apache.spark.sql.DataFrame,
+  private[graft] def bruteListsForAnchors(e: org.apache.spark.sql.DataFrame,
       anchorIds: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
     val a = e.join(anchorIds.select("vec_id"), Seq("vec_id"))
@@ -2904,7 +3780,10 @@ object SimilarityQueries extends QueryModule {
           col("rank"), col("hamming"), col("cos_sim"))
         .orderBy("query_id", "rank")
     },
-    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    Some(binAnnOracleSql))
+
+  private lazy val binAnnOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                         FROM embeddings),
                   packed AS (SELECT vec_id, v, ${signLaneSql(0)} AS w0,
                                ${signLaneSql(32)} AS w1 FROM e),
@@ -2926,7 +3805,54 @@ object SimilarityQueries extends QueryModule {
                      ROW_NUMBER() OVER (PARTITION BY qid
                        ORDER BY ${cosSql("qv", "v")} DESC, vec_id ASC) AS rank
                    FROM cand) r
-             WHERE rank <= 5 ORDER BY query_id, rank"""))
+             WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** q204: q128's Hamming-candidates + exact-rerank pipeline with the
+    * candidates served from the MANIFEST-COMMITTED binary store driven
+    * through its own verbs — ONE PUT commits the packing-spec row + the
+    * bootstrap slice's 16-byte codes, the remaining slice appends as a
+    * delta revision (the packing is a fixed rule, so the union equals a
+    * from-scratch pack and the oracle is q128's SQL VERBATIM).
+    * VersionedBinSpec pins bit-equality against the rename family
+    * across the delete/sticky/compact lifecycle and `asOf`.
+    */
+  private val q204 = QueryDef(
+    "q204_versioned_bin_search",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val boot = e.filter(col("vec_id") % 4 =!= 3)
+      if (boot.isEmpty)
+        e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"), lit(1).as("rank"),
+          lit(0).as("hamming"), lit(0.0).as("cos_sim")).limit(0)
+      else
+        withThrowawayStore { idx =>
+          graft.BenchPhases.build {
+            binSaveIndexVersioned(binCodes(boot), idx)
+            binAppendCodesVersioned(e.filter(col("vec_id") % 4 === 3), idx)
+          }
+          val cand = binHammingSearchVersioned(s, q, idx, topR = 25,
+            excludeSelfMatches = true)
+          // the rerank window is candidate-sized (<= 25 rows per query
+          // by construction), never corpus-sized — q128's exact tail
+          val wr = Window.partitionBy("qid")
+            .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          e.join(broadcast(cand.select("qid", "vec_id", "hamming")),
+              "vec_id")
+            .join(broadcast(q), "qid")
+            .withColumn("cos_sim", cosine(col("qv"), col("v")))
+            .withColumn("rank", row_number().over(wr))
+            .filter(col("rank") <= 5)
+            .select(col("qid").as("query_id"),
+              col("vec_id").as("neighbor_id"), col("rank"),
+              col("hamming"), col("cos_sim"))
+            .orderBy("query_id", "rank")
+        }(s)
+    },
+    Some(binAnnOracleSql))
 
   /** Identity of the binary sign-code packing. Unlike PQ/IVF there are
     * no trained parameters — the packing is a fixed rule — so the
@@ -2959,25 +3885,60 @@ object SimilarityQueries extends QueryModule {
     * family.
     */
   def binSaveIndex(codes: org.apache.spark.sql.DataFrame, path: String): Unit = {
-    require(codes.columns.contains("fp"),
-      "binSaveIndex: codes carry no spec stamp — pack them with binCodes")
-    val stamps = codes.select("fp").distinct().collect()
-      .map(_.getString(0)).toSeq.sorted
-    require(stamps.nonEmpty,
-      "binSaveIndex: refusing to persist an EMPTY code set — pack the " +
-        "corpus with binCodes first (an empty store would be rejected " +
-        "by binLoadIndex as interrupted)")
-    require(stamps == Seq(binFingerprint),
-      s"binSaveIndex: codes were packed under a different spec " +
-        s"(${stamps.mkString(", ")}) than this library's " +
-        s"($binFingerprint) — a layout change between pack and save " +
-        "would corrupt every Hamming distance")
-    codes.sparkSession.range(1).select(lit(binFingerprint).as("fp"),
-        lit(dims).as("dims"))
+    binSaveChecked(codes, "binSaveIndex")
+    binMetaRow(codes.sparkSession)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     codes.write.mode("overwrite").parquet(s"$path/codes")
     // a full save is the tombstone compaction + re-admission point
     graft.operators.IndexTombstones.clear(codes.sparkSession, path)
+  }
+
+  /** The 1-row spec relation BOTH persisted forms write. */
+  private def binMetaRow(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    spark.range(1).select(lit(binFingerprint).as("fp"), lit(dims).as("dims"))
+
+  /** Save-side gate shared by [[binSaveIndex]] and
+    * [[binSaveIndexVersioned]]: every code row must carry THIS library's
+    * packing spec — a layout change between pack and save would corrupt
+    * every Hamming distance.
+    */
+  private def binSaveChecked(codes: org.apache.spark.sql.DataFrame,
+      verb: String): Unit = {
+    require(codes.columns.contains("fp"),
+      s"$verb: codes carry no spec stamp — pack them with binCodes")
+    val stamps = codes.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+    require(stamps.nonEmpty,
+      s"$verb: refusing to persist an EMPTY code set — pack the " +
+        "corpus with binCodes first (an empty store would be rejected " +
+        "at load as interrupted)")
+    require(stamps == Seq(binFingerprint),
+      s"$verb: codes were packed under a different spec " +
+        s"(${stamps.mkString(", ")}) than this library's " +
+        s"($binFingerprint) — a layout change between pack and save " +
+        "would corrupt every Hamming distance")
+  }
+
+  /** Load-side gates shared by [[binLoadIndex]] and
+    * [[binLoadIndexVersioned]]: the meta spec row and every code row's
+    * stamp are checked against this library's packing spec.
+    */
+  private def binGateLoaded(meta: Array[org.apache.spark.sql.Row],
+      codes: org.apache.spark.sql.DataFrame, verb: String,
+      where: String): Unit = {
+    require(meta.nonEmpty,
+      s"$verb: meta store at $where is empty — interrupted " +
+        "save or wrong path")
+    require(meta(0).getString(0) == binFingerprint,
+      s"$verb: stored packing spec ${meta(0).getString(0)} does " +
+        s"not match this library's ($binFingerprint) — the store was " +
+        "written by a different layout; repack instead of searching it")
+    val stamps = codes.select("fp").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(stamps == Seq(binFingerprint),
+      s"$verb: code rows carry spec stamps ${stamps.mkString(", ")} " +
+        s"— the store at $where mixes packings or is corrupt")
   }
 
   /** DELETE verb of the binary-store lifecycle: tombstone `ids`(vec_id),
@@ -3000,22 +3961,116 @@ object SimilarityQueries extends QueryModule {
     */
   def binLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : org.apache.spark.sql.DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").select("fp").take(1)
-    require(meta.nonEmpty,
-      s"binLoadIndex: meta store at $path/meta is empty — interrupted " +
-        "save or wrong path")
-    require(meta(0).getString(0) == binFingerprint,
-      s"binLoadIndex: stored packing spec ${meta(0).getString(0)} does " +
-        s"not match this library's ($binFingerprint) — the store was " +
-        "written by a different layout; repack instead of searching it")
     val codes = spark.read.parquet(s"$path/codes")
-    val stamps = codes.select("fp").distinct().collect()
-      .map(_.getString(0)).toSeq
-    require(stamps == Seq(binFingerprint),
-      s"binLoadIndex: code rows carry spec stamps ${stamps.mkString(", ")} " +
-        s"— the store at $path/codes mixes packings or is corrupt")
+    binGateLoaded(spark.read.parquet(s"$path/meta").select("fp").take(1),
+      codes, "binLoadIndex", path)
     graft.operators.IndexTombstones.mask(codes, path)
   }
+
+  // ------------------------------------------------------------------
+  // MANIFEST-COMMITTED binary store — the sign-code family on the
+  // rename-free protocol (the q201 template with NO trained artifact:
+  // the packing is a fixed spec, so the meta row guards FORMAT skew,
+  // not foreign training). Gates shared with the rename family
+  // ([[binSaveChecked]]/[[binGateLoaded]]); semantics identical —
+  // sticky tombstones until compact, `asOf` time travel free.
+  // ------------------------------------------------------------------
+
+  /** Build the manifest-committed binary store: ONE revision commits
+    * the spec row and the packed codes together.
+    */
+  def binSaveIndexVersioned(codes: org.apache.spark.sql.DataFrame,
+      path: String): Long = {
+    binSaveChecked(codes, "binSaveIndexVersioned")
+    graft.operators.VersionedStore.save(Map(
+      "meta" -> binMetaRow(codes.sparkSession).coalesce(1),
+      "codes" -> codes), path)
+  }
+
+  /** Restore the visible (or `asOf`) code set through the SAME gates
+    * as [[binLoadIndex]].
+    */
+  def binLoadIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOf: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val codes = graft.operators.VersionedStore.read(spark, path, "codes",
+      asOf)
+    binGateLoaded(
+      graft.operators.VersionedStore.read(spark, path, "meta", asOf)
+        .select("fp").take(1),
+      codes, "binLoadIndexVersioned", path)
+    codes
+  }
+
+  /** APPEND: pack the batch (spec-checked against the store's meta
+    * row), idempotent on vec_id against the visible code set, committed
+    * as a delta revision. Zero-fresh batches commit nothing.
+    */
+  def binAppendCodesVersioned(emb: org.apache.spark.sql.DataFrame,
+      path: String): Long = {
+    val spark = emb.sparkSession
+    val existing = binLoadIndexVersioned(spark, path)
+    val fresh = binCodes(
+      emb.join(existing.select("vec_id").distinct(), Seq("vec_id"),
+        "left_anti")).localCheckpoint(true)
+    if (fresh.isEmpty)
+      graft.operators.VersionedStore.currentVersion(spark, path).get
+    else
+      graft.operators.VersionedStore.append(Map("codes" -> fresh), path)
+  }
+
+  /** DELETE: one manifest tombstone revision on `codes`. Idempotent;
+    * sticky for a re-appended same vec_id until compact.
+    */
+  def binDeleteVectorsVersioned(ids: org.apache.spark.sql.DataFrame,
+      path: String): Long =
+    graft.operators.VersionedStore.delete(ids.select("vec_id"), "codes",
+      path)
+
+  /** Hamming candidate search over the store's visible (or `asOf`)
+    * revision — [[binHammingSearch]]'s exact plan.
+    */
+  def binHammingSearchVersioned(spark: org.apache.spark.sql.SparkSession,
+      queries: org.apache.spark.sql.DataFrame, path: String,
+      topR: Int = 25, excludeSelfMatches: Boolean = false,
+      asOf: Option[Long] = None): org.apache.spark.sql.DataFrame =
+    binHammingSearch(binLoadIndexVersioned(spark, path, asOf), queries,
+      topR, excludeSelfMatches)
+
+  /** SYNC with a versioned embedding corpus — the [[pqSyncVersionedWithStore]]
+    * dance with no trained artifact to freeze: bootstrap packs
+    * read(current); every later call absorbs the pending window as ONE
+    * commitDelta; replays are no-ops.
+    */
+  def binSyncVersionedWithStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, rel: String, path: String): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, path,
+      "binSyncVersionedWithStore")(
+      graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
+      cur => {
+        val e = graft.operators.VersionedStore
+          .read(spark, storePath, rel, Some(cur)).select("vec_id", "v")
+        binSaveIndexVersioned(binCodes(e), path)
+      })(
+      (from, to) =>
+        graft.operators.CdcBridge.maintainAtomic(spark, storePath, rel,
+          from, to, "vec_id", Seq("vec_id", "v"),
+          "binSyncVersionedWithStore") { (del, ins) =>
+          val existing = binLoadIndexVersioned(spark, path)
+          val appends = ins.map(e => binCodes(
+              e.join(existing.select("vec_id").distinct(), Seq("vec_id"),
+                "left_anti")).localCheckpoint(true))
+            .filterNot(_.isEmpty)
+            .map(f => Map("codes" -> f))
+            .getOrElse(Map.empty[String, org.apache.spark.sql.DataFrame])
+          val deletes = del.map(k =>
+              Map("codes" -> k.select("vec_id")))
+            .getOrElse(Map.empty[String, org.apache.spark.sql.DataFrame])
+          if (appends.nonEmpty || deletes.nonEmpty)
+            graft.operators.VersionedStore.commitDelta(appends, deletes,
+              path)
+          ()
+        })
 
   /** The APPEND verb of the binary-store lifecycle: pack a new batch and
     * append, idempotent on vec_id (the retried-append guard the PQ/IVF
@@ -3327,7 +4382,76 @@ object SimilarityQueries extends QueryModule {
           col("rank"), col("cos_sim"), col("via"))
         .orderBy("query_id", "rank")
     },
-    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    Some(knnExpandOracleSql))
+
+  /** q205: q147's graph-expanded search with the lists served from the
+    * MANIFEST-COMMITTED kNN store driven through its full maintenance
+    * cycle — bootstrap save of the old anchors' lists, a delta-revision
+    * append of the new batch's lists, and the single-PUT re-knit that
+    * repairs the old anchors' staleness. Because re-knit is proven
+    * byte-equal to the full rebuild (VersionedKnnSpec), the maintained
+    * store's lists equal `bruteTopLists` over the whole corpus and the
+    * oracle is q147's SQL VERBATIM — the maintenance protocol must be
+    * invisible to every graph consumer.
+    */
+  private val q205 = QueryDef(
+    "q205_versioned_knn_expand",
+    (s, d) => {
+      val e = knnSubset(s, d)
+      val inc = e.filter(col("vec_id") < 20).select("vec_id")
+      val old = e.filter(col("vec_id") >= 20)
+      if (old.isEmpty)
+        e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"), lit(1).as("rank"),
+          lit(0.0).as("cos_sim"), lit("base").as("via")).limit(0)
+      else
+        withThrowawayStore { idx =>
+          graft.BenchPhases.build {
+            knnSaveListsVersioned(bruteTopLists(old, 3), 3, "brute-cos",
+              idx)
+            knnAppendListsVersioned(
+              bruteListsForAnchors(e, inc, 3), "brute-cos", idx)
+            knnReknitVersioned(e, inc, idx)
+          }
+          val lists = knnLoadListsVersioned(s, idx)._1
+            .localCheckpoint(true)
+          val packed = e.select(col("vec_id"), col("v"),
+            signLane(0).as("w0"), signLane(32).as("w1"))
+          val q = packed.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("qid"), col("v").as("qv"),
+              col("w0").as("qw0"), col("w1").as("qw1"))
+          val ham = packed.join(broadcast(q), col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              expr("CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS INT)")
+                .as("hamming"))
+          val base = graft.operators.GroupTopK.topK(ham, Seq(col("qid")),
+              Seq(col("hamming").asc, col("vec_id").asc), col("vec_id"), 8,
+              rankName = "hrank")
+            .select("qid", "vec_id").localCheckpoint(true)
+          val expanded = graphExpandCandidates(base, lists)
+          val rr = expanded
+            .join(e, Seq("vec_id"))
+            .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+            .join(base.withColumn("in_base", lit(true)),
+              Seq("qid", "vec_id"), "left")
+            .select(col("qid"), col("vec_id"),
+              cosine(col("qv"), col("v")).as("cos_sim"),
+              when(col("in_base").isNotNull, lit("base"))
+                .otherwise(lit("graph")).as("via"))
+          val wr = Window.partitionBy("qid")
+            .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          rr.withColumn("rank", row_number().over(wr))
+            .filter(col("rank") <= 5)
+            .select(col("qid").as("query_id"),
+              col("vec_id").as("neighbor_id"), col("rank"),
+              col("cos_sim"), col("via"))
+            .orderBy("query_id", "rank")
+        }(s)
+    },
+    Some(knnExpandOracleSql))
+
+  private lazy val knnExpandOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                         FROM embeddings WHERE vec_id < 300),
                   packed AS (SELECT vec_id, v, ${signLaneSql(0)} AS w0,
                                ${signLaneSql(32)} AS w1 FROM e),
@@ -3371,7 +4495,7 @@ object SimilarityQueries extends QueryModule {
                      ROW_NUMBER() OVER (PARTITION BY qid
                        ORDER BY cos_sim DESC, vec_id ASC) AS rank
                    FROM rr) r
-             WHERE rank <= 5 ORDER BY query_id, rank"""))
+             WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** Binary-ANN recall audit — q99's measure-before-you-trust discipline
     * applied to the vector index: candidate recall of the Hamming top-25
@@ -3704,5 +4828,5 @@ object SimilarityQueries extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q62, q81, q101, q102, q107, q108, q111, q112, q142,
       q114, q116, q117, q119, q123, q127, q128, q131, q132, q147, q148,
-      q149, q158, q196)
+      q149, q158, q196, q202, q203, q204, q205, q206)
 }

@@ -161,4 +161,43 @@ class StoreDoctorSpec extends SparkSuite {
     assert(fb == "versioned:sq8" && !okB, rows("vsq8_bad").toString)
     assert(dB.contains("does not match the stored parameter"), dB)
   }
+
+  test("the r12 versioned vector families identify and gate-check: pq, " +
+    "bin (disambiguated from sq8 by the meta stamp prefix), lsh, ivf, " +
+    "knn (dead relation tolerated), and the five-relation composed " +
+    "residual") {
+    import graft.queries.{SimilarityQueries => S}
+    val root = tmpDir("doctor-vver")
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 40)
+    val index = S.pqTrain(emb)
+    S.pqSaveIndexVersioned(index, S.pqCodes(index, emb), s"$root/vpq")
+    S.binSaveIndexVersioned(S.binCodes(emb), s"$root/vbin")
+    S.lshSaveIndexVersioned(S.lshBuckets(emb), 4, 6, s"$root/vlsh")
+    val (cents, cells0) = S.ivfTrain(emb)
+    val cells = cells0.localCheckpoint(true)
+    S.ivfSaveIndexVersioned(cents, cells, s"$root/vivf")
+    val rv = S.ivfResiduals(emb, cents, cells).select("vec_id", "v")
+      .localCheckpoint(true)
+    val rIndex = S.pqTrain(rv)
+    S.residualSaveIndexVersioned(cents, cells, rIndex,
+      S.pqCodes(rIndex, rv), s"$root/vres")
+    S.knnSaveListsVersioned(S.bruteTopLists(emb, 3), 3, "brute-cos",
+      s"$root/vknn")
+    // a dead relation must not change the knn identification
+    S.knnDeleteNodesVersioned(
+      emb.filter(col("vec_id") === 0).select("vec_id"), s"$root/vknn")
+
+    val rows = StoreDoctor.scan(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(rows("vpq") == (("versioned:pq", true)), rows("vpq").toString)
+    assert(rows("vbin") == (("versioned:bin", true)), rows("vbin").toString)
+    assert(rows("vlsh") == (("versioned:lsh", true)), rows("vlsh").toString)
+    assert(rows("vivf") == (("versioned:ivf", true)), rows("vivf").toString)
+    assert(rows("vres") == (("versioned:residual", true)),
+      rows("vres").toString)
+    assert(rows("vknn") == (("versioned:knn", true)), rows("vknn").toString)
+  }
 }
