@@ -1457,6 +1457,49 @@ object SimilarityQueries extends QueryModule {
     graft.operators.VersionedStore.delete(ids.select("vec_id"), "cells",
       path)
 
+  /** SYNC with a versioned embedding corpus — the frozen-artifact dance
+    * on the coarse half: bootstrap trains + assigns from read(current);
+    * every later window assigns under the FROZEN stored centroids and
+    * lands as ONE commitDelta. Retraining is the rebuild path (cell
+    * balance drift is the retrain signal, not a sync concern).
+    */
+  def ivfSyncVersionedWithStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, rel: String, path: String, k: Int = 8,
+      byL2: Boolean = false): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, path,
+      "ivfSyncVersionedWithStore")(
+      graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
+      cur => {
+        val e = graft.operators.VersionedStore
+          .read(spark, storePath, rel, Some(cur)).select("vec_id", "v")
+        val (cents, cells) = ivfTrain(e, k, byL2 = byL2)
+        ivfSaveIndexVersioned(cents, cells.localCheckpoint(true), path)
+      })(
+      (from, to) =>
+        graft.operators.CdcBridge.maintainAtomic(spark, storePath, rel,
+          from, to, "vec_id", Seq("vec_id", "v"),
+          "ivfSyncVersionedWithStore") { (del, ins) =>
+          val (cents, existing) = ivfLoadIndexVersioned(spark, path)
+          // the stored stamp's suffix carries the assignment metric
+          val metric = graft.operators.VersionedStore
+            .read(spark, path, "centroids").select("fp").take(1)(0)
+            .getString(0).endsWith(":l2")
+          val appends = ins.map(e => ivfAssign(
+              e.join(existing.select("vec_id").distinct(), Seq("vec_id"),
+                "left_anti"), cents, metric)
+              .select("vec_id", "cell", "fp").localCheckpoint(true))
+            .filterNot(_.isEmpty)
+            .map(f => Map("cells" -> f))
+            .getOrElse(Map.empty[String, org.apache.spark.sql.DataFrame])
+          val deletes = del.map(k2 =>
+              Map("cells" -> k2.select("vec_id")))
+            .getOrElse(Map.empty[String, org.apache.spark.sql.DataFrame])
+          if (appends.nonEmpty || deletes.nonEmpty)
+            graft.operators.VersionedStore.commitDelta(appends, deletes,
+              path)
+          ()
+        })
+
   /** IVF-PQ search — the composition of the coarse quantizer (q62) with
     * ADC scoring (q108), i.e. the actual shape of a production
     * billion-vector index: the query probes its `nprobe` nearest coarse
@@ -2331,6 +2374,64 @@ object SimilarityQueries extends QueryModule {
       excludeSelfMatches, probeByL2)
   }
 
+  /** SYNC with a versioned embedding corpus — the composed store's CDC
+    * catch-up: bootstrap trains BOTH halves on read(current) and commits
+    * the five relations in one PUT; every later window assigns,
+    * subtracts, and residual-encodes under the FROZEN halves and lands
+    * appends to BOTH relations plus tombstones on BOTH relations as ONE
+    * commitDelta — the whole CDC window is a single commit instant.
+    */
+  def residualSyncVersionedWithStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, path: String, k: Int = 8, byL2: Boolean = false)
+      : Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, path,
+      "residualSyncVersionedWithStore")(
+      graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
+      cur => {
+        val e = graft.operators.VersionedStore
+          .read(spark, storePath, rel, Some(cur)).select("vec_id", "v")
+        val (cents, cells0) = ivfTrain(e, k, byL2 = byL2)
+        val cells = cells0.localCheckpoint(true)
+        val rv = ivfResiduals(e, cents, cells).select("vec_id", "v")
+          .localCheckpoint(true)
+        val index = pqTrain(rv)
+        residualSaveIndexVersioned(cents, cells, index, pqCodes(index, rv),
+          path)
+      })(
+      (from, to) =>
+        graft.operators.CdcBridge.maintainAtomic(spark, storePath, rel,
+          from, to, "vec_id", Seq("vec_id", "v"),
+          "residualSyncVersionedWithStore") { (del, ins) =>
+          val (cents, _, index, codes) =
+            residualLoadIndexVersioned(spark, path)
+          val metric = graft.operators.VersionedStore
+            .read(spark, path, "centroids").select("fp").take(1)(0)
+            .getString(0).endsWith(":l2")
+          val appends = ins.map { e =>
+              val inc = e.join(codes.select("vec_id").distinct(),
+                Seq("vec_id"), "left_anti").localCheckpoint(true)
+              if (inc.isEmpty)
+                Map.empty[String, org.apache.spark.sql.DataFrame]
+              else {
+                val freshCells = ivfAssign(inc, cents, metric)
+                  .select("vec_id", "cell", "fp").localCheckpoint(true)
+                val rv = ivfResiduals(inc, cents, freshCells)
+                  .select("vec_id", "v")
+                Map("codes" -> pqCodes(index, rv).localCheckpoint(true),
+                  "cells" -> freshCells)
+              }
+            }.getOrElse(Map.empty[String, org.apache.spark.sql.DataFrame])
+          val deletes = del.map(d =>
+              Map("cells" -> d.select("vec_id"),
+                "codes" -> d.select("vec_id")))
+            .getOrElse(Map.empty[String, org.apache.spark.sql.DataFrame])
+          if (appends.nonEmpty || deletes.nonEmpty)
+            graft.operators.VersionedStore.commitDelta(appends, deletes,
+              path)
+          ()
+        })
+
   /** q127 ships the residual pipeline at 32 coarse cells (vs q112's 8)
     * because the residual gain tracks the variance the coarse quantizer
     * explains: on this near-uniform unit-sphere corpus 8 cells explain
@@ -3012,6 +3113,124 @@ object SimilarityQueries extends QueryModule {
       .select("aid", "bid", "sim", "rn")
     keptNew.unionAll(merged)
   }
+
+  /** CDC maintenance of the versioned kNN-list store — the graph
+    * family's window applied as ONE commit: the rename bridge
+    * ([[knnMaintainFromStore]]) lands a window as tombstones, a repair
+    * rewrite, an append, and a re-knit rewrite — four separate writes a
+    * reader can interleave; here the whole window (dead-node append +
+    * the fully merged lists relation) is a single `commitMixed` PUT.
+    * The merged relation composes the same three exact pieces the
+    * rename bridge proves rebuilt-equal: anchors referencing a deleted
+    * node get EXACT fresh lists against the live corpus (the
+    * delete-repair — masking alone would leave their lists short), new
+    * anchors get exact fresh lists, and every other stored anchor gets
+    * the re-knit merge (exact by [[knnReknit]]'s argument; their stored
+    * rows reference no deleted node, else they would be in the repair
+    * set). `brute-cos` stores only — the merge is exact only over
+    * exact lists; ANN-generated versioned stores rebuild through
+    * [[knnSaveListsVersioned]] (the rename-family sync routes lsh
+    * generators).
+    */
+  def knnMaintainFromStoreVersioned(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, fromRev: Long, toRev: Long, path: String,
+      maxBatch: Int = 100000): Unit = {
+    val meta = graft.operators.VersionedStore.read(spark, path, "meta")
+      .select("fp", "k", "generator").take(1)
+    require(meta.nonEmpty,
+      s"knnMaintainFromStoreVersioned: meta relation at $path is empty " +
+        "— save the store first (knnSaveListsVersioned)")
+    val (fp, k, gen) =
+      (meta(0).getString(0), meta(0).getInt(1), meta(0).getString(2))
+    require(gen == "brute-cos",
+      s"knnMaintainFromStoreVersioned: store was generated by '$gen' — " +
+        "the window merge is exact only over exact lists; rebuild " +
+        "ANN-generated versioned stores with knnSaveListsVersioned, or " +
+        "keep them on the rename-family sync (knnSyncWithStore) which " +
+        "routes lsh generators")
+    val live = graft.operators.VersionedStore
+      .read(spark, storePath, rel, Some(toRev)).select("vec_id", "v")
+    graft.operators.CdcBridge.maintainAtomic(spark, storePath, rel,
+      fromRev, toRev, "vec_id", Seq("vec_id", "v"),
+      "knnMaintainFromStoreVersioned") { (del, ins) =>
+      val lists = graft.operators.VersionedStore.read(spark, path, "lists")
+      val doomed = del.map(_.select("vec_id").localCheckpoint(true))
+      val newIds = ins.map(_.select("vec_id").localCheckpoint(true))
+        .filterNot(_.isEmpty)
+      newIds.foreach { ids =>
+        val n = ids.count()
+        require(n <= maxBatch,
+          s"knnMaintainFromStoreVersioned: the window nets $n new " +
+            s"vectors (> maxBatch=$maxBatch) — the batch is broadcast " +
+            "against the corpus; after a corpus-scale append rebuild " +
+            "with knnSaveListsVersioned instead, or raise maxBatch " +
+            "deliberately")
+      }
+      if (doomed.isEmpty && newIds.isEmpty) ()
+      else {
+        // anchors whose STORED lists reference a deleted node — found
+        // on the raw relation so a crash-replay still finds them
+        val affected = doomed.map { d =>
+          lists.join(d.select(col("vec_id").as("bid")), Seq("bid"),
+              "left_semi")
+            .select(col("aid").as("vec_id")).distinct()
+            .join(d, Seq("vec_id"), "left_anti")
+        }
+        val recompute = (affected.toSeq ++ newIds.toSeq)
+          .reduceOption(_ unionAll _)
+          .map(_.distinct().localCheckpoint(true))
+        val fresh = recompute.map(r =>
+          bruteListsForAnchors(live, r, k)).toSeq
+        val untouched0 = recompute.map(r =>
+            lists.join(r.select(col("vec_id").as("aid")), Seq("aid"),
+              "left_anti"))
+          .getOrElse(lists)
+        val untouched = doomed.map(d =>
+            untouched0.join(d.select(col("vec_id").as("aid")), Seq("aid"),
+              "left_anti"))
+          .getOrElse(untouched0)
+          .select("aid", "bid", "sim", "rn")
+        // the re-knit merge for every other stored anchor (exact: their
+        // rows reference no deleted node); delete-only windows pass
+        // them through verbatim
+        // untouched already excludes the recompute set, so inside the
+        // merge every anchor is stale and keptNew is empty
+        val others = newIds match {
+          case Some(ids) => knnReknitMerged(live, ids, untouched, k)
+          case None => untouched
+        }
+        val merged = (others +: fresh).reduce(_ unionAll _)
+          .withColumn("fp", lit(fp))
+          .select("aid", "bid", "sim", "rn", "fp")
+        graft.operators.VersionedStore.commitMixed(
+          doomed.map(d => Map("dead" -> d.select("vec_id")))
+            .getOrElse(Map.empty),
+          Map.empty,
+          Map("lists" -> merged), path)
+        ()
+      }
+    }
+  }
+
+  /** One-verb sync of the versioned kNN-list store with its versioned
+    * embedding corpus — [[knnSyncWithStore]]'s contract on the
+    * rename-free form (brute-cos generator; see
+    * [[knnMaintainFromStoreVersioned]] for the routing refusal).
+    */
+  def knnSyncVersionedWithStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, rel: String, path: String, k: Int = 10,
+      maxBatch: Int = 100000): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, path,
+      "knnSyncVersionedWithStore")(
+      graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
+      cur => {
+        val e = graft.operators.VersionedStore
+          .read(spark, storePath, rel, Some(cur)).select("vec_id", "v")
+        knnSaveListsVersioned(bruteTopLists(e, k), k, "brute-cos", path)
+      })(
+      (from, to) => knnMaintainFromStoreVersioned(spark, storePath, rel,
+        from, to, path, maxBatch))
 
   /** APPEND verb: add NEW anchors' ranked lists under the store's own
     * stamp, idempotent on aid (a replayed append of the same anchors is

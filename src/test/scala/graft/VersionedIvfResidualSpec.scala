@@ -155,4 +155,63 @@ class VersionedIvfResidualSpec extends SparkSuite {
       .withColumn("subspaces", lit(index.subspaces))
       .withColumn("sub_dim", lit(index.subDim))
       .withColumn("fp", lit(index.fingerprint))
+
+  test("sync (ivf and composed residual): bootstrap trains from " +
+    "read(current); one call absorbs an append+delete window as ONE " +
+    "delta revision; the maintained stores equal the hand-driven verbs") {
+    val base = tmpDir("vivfy")
+    val store = s"$base/emb"
+    val boot = emb.filter(col("vec_id") % 4 =!= 3)
+    VersionedStore.save(Map("emb" -> boot), store)
+    assert(ivfSyncVersionedWithStore(spark, store, "emb", s"$base/ivf")
+      .contains((1L, 1L)))
+    assert(residualSyncVersionedWithStore(spark, store, "emb",
+      s"$base/res").contains((1L, 1L)))
+    // hand-driven twins from the same bootstrap corpus
+    val (cents, cells0) = ivfTrain(boot)
+    val cells = cells0.localCheckpoint(true)
+    ivfSaveIndexVersioned(cents, cells, s"$base/hivf")
+    val rv = ivfResiduals(boot, cents, cells)
+      .select("vec_id", "v").localCheckpoint(true)
+    val index = pqTrain(rv)
+    residualSaveIndexVersioned(cents, cells, index, pqCodes(index, rv),
+      s"$base/hres")
+
+    val inc = emb.filter(col("vec_id") % 4 === 3)
+    VersionedStore.append(Map("emb" -> inc), store)
+    val doomed = emb.filter(col("vec_id") % 8 === 1 ||
+      col("vec_id") % 8 === 7).select("vec_id")
+    VersionedStore.delete(doomed, "emb", store)
+
+    val ivfBefore = VersionedStore.currentVersion(spark, s"$base/ivf").get
+    val resBefore = VersionedStore.currentVersion(spark, s"$base/res").get
+    assert(ivfSyncVersionedWithStore(spark, store, "emb", s"$base/ivf")
+      .contains((1L, 3L)))
+    assert(residualSyncVersionedWithStore(spark, store, "emb",
+      s"$base/res").contains((1L, 3L)))
+    assert(VersionedStore.currentVersion(spark, s"$base/ivf").get ==
+      ivfBefore + 1, "the ivf window lands as ONE delta revision")
+    assert(VersionedStore.currentVersion(spark, s"$base/res").get ==
+      resBefore + 1, "the residual window — appends to both halves AND " +
+        "tombstones on both halves — lands as ONE delta revision")
+
+    ivfAppendCellsVersioned(cents, inc, s"$base/hivf")
+    ivfDeleteVectorsVersioned(doomed, s"$base/hivf")
+    residualAppendVectorsVersioned(cents, index, inc, s"$base/hres")
+    residualDeleteVectorsVersioned(doomed, s"$base/hres")
+
+    def cellsOf(p: String) = ivfLoadIndexVersioned(spark, p)._2
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cellsOf(s"$base/ivf") == cellsOf(s"$base/hivf"),
+      "synced ivf store must equal the hand-driven verbs")
+    assert(rows(residualSearchVersioned(spark, queries, s"$base/res",
+        excludeSelfMatches = true)) ==
+      rows(residualSearchVersioned(spark, queries, s"$base/hres",
+        excludeSelfMatches = true)),
+      "synced residual store must search identically to the hand-driven " +
+        "verbs")
+    assert(residualSyncVersionedWithStore(spark, store, "emb",
+      s"$base/res").isEmpty, "a current index syncs as a no-op")
+  }
 }

@@ -125,4 +125,34 @@ class VersionedKnnSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("exact only over exact lists"))
   }
+
+  test("sync: the CDC window (append + deletes hitting both stored and " +
+    "in-window rows) lands as ONE commit and the maintained store loads " +
+    "byte-equal to a from-scratch build of the final visible corpus") {
+    val base = tmpDir("vknny")
+    val store = s"$base/emb"; val idx = s"$base/v"
+    val boot = emb.filter(col("vec_id") % 4 =!= 3)
+    VersionedStore.save(Map("emb" -> boot), store)
+    assert(knnSyncVersionedWithStore(spark, store, "emb", idx, k = 3)
+      .contains((1L, 1L)), "bootstrap absorbs the store's current rev")
+    VersionedStore.append(
+      Map("emb" -> emb.filter(col("vec_id") % 4 === 3)), store)
+    VersionedStore.delete(
+      emb.filter(col("vec_id") % 8 === 1 || col("vec_id") % 8 === 7)
+        .select("vec_id"), "emb", store)
+    val before = VersionedStore.currentVersion(spark, idx).get
+    assert(knnSyncVersionedWithStore(spark, store, "emb", idx, k = 3)
+      .contains((1L, 3L)), "catch-up absorbs the two pending revisions")
+    assert(VersionedStore.currentVersion(spark, idx).get == before + 1,
+      "the whole window — dead append + merged lists — is ONE commit")
+    val live = VersionedStore.read(spark, store, "emb")
+      .select("vec_id", "v").localCheckpoint(true)
+    assert(sorted(knnLoadListsVersioned(spark, idx)._1)
+      .sameElements(sorted(bruteTopLists(live, 3))),
+      "maintained store must be byte-equal to a from-scratch rebuild " +
+        "of the final visible corpus — even across the delete window " +
+        "(the repair recomputes every referencing anchor exactly)")
+    assert(knnSyncVersionedWithStore(spark, store, "emb", idx, k = 3)
+      .isEmpty, "a current index syncs as a no-op")
+  }
 }
