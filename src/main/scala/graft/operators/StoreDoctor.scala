@@ -134,7 +134,9 @@ object StoreDoctor {
       attemptE {
         val rels = VersionedStore.relations(spark, path).toSet
         require(rels.nonEmpty, "manifest lists no data relations")
-        rels
+        // the façade's 1-row family marker is metadata, not identity —
+        // a façade-built versioned store triages as its family
+        rels - "family"
       } match {
         case Left(e) => ("versioned", Some(e))
         case Right(rels) if rels("postings") && rels("docstats") =>

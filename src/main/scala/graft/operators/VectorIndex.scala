@@ -96,21 +96,42 @@ object VectorIndex {
   val Families: Set[String] =
     Set("sq8", "pq", "ivf", "residual", "bin", "lsh", "knn")
 
+  /** Whether the store at `path` is manifest-committed — the façade's
+    * protocol dispatch: every routed verb consults this once and then
+    * drives the family's versioned or rename verbs accordingly, so ONE
+    * API serves both commit disciplines.
+    */
+  def isVersioned(spark: SparkSession, path: String): Boolean =
+    VersionedStore.currentVersion(spark, path).isDefined
+
   /** The family a store at `path` was built as (from the façade marker).
     * Stores saved via the raw family verbs carry no marker — build (or
-    * re-save) through the façade to join the routed lifecycle.
+    * re-save) through the façade to join the routed lifecycle. For
+    * manifest-committed stores the marker is a 1-row `family` RELATION
+    * inside the versioned store (no unversioned sidecar).
     */
   def family(spark: SparkSession, path: String): String = {
     val rows =
-      try spark.read.parquet(s"$path/family").select("family").take(1)
-      catch {
-        case e: Exception => throw new IllegalArgumentException(
-          s"VectorIndex: no family marker at $path/family — not a " +
-            "façade-built store (build it with VectorIndex.build, or " +
-            "use the family's own verbs directly)", e)
-      }
+      if (isVersioned(spark, path))
+        try VersionedStore.read(spark, path, "family")
+          .select("family").take(1)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"VectorIndex: versioned store at $path carries no 'family' " +
+              "relation — not a façade-built store (build it with " +
+              "VectorIndex.build(protocol = \"manifest\"), or use the " +
+              "family's own versioned verbs directly)", e)
+        }
+      else
+        try spark.read.parquet(s"$path/family").select("family").take(1)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"VectorIndex: no family marker at $path/family — not a " +
+              "façade-built store (build it with VectorIndex.build, or " +
+              "use the family's own verbs directly)", e)
+        }
     require(rows.nonEmpty,
-      s"VectorIndex: family marker at $path/family is empty — " +
+      s"VectorIndex: family marker at $path is empty — " +
         "interrupted build or wrong path")
     rows(0).getString(0)
   }
@@ -137,44 +158,77 @@ object VectorIndex {
   /** Train + encode + persist `e`(vec_id, v) as `fam` at `path`, and
     * stamp the family marker. Training defaults are each family's query
     * defaults (q136/q108/q62/q127/q128/q111/q116 shapes).
+    * `protocol = "manifest"` builds the family's manifest-committed
+    * twin instead (the marker rides as a `family` relation, committed
+    * right after the build — the same marker-after-build crash window
+    * the rename façade has always had: a crash between leaves a
+    * working family store that the façade refuses with re-build
+    * guidance).
     */
-  def build(e: DataFrame, fam: String, path: String): Unit = {
+  def build(e: DataFrame, fam: String, path: String,
+      protocol: String = "rename"): Unit = {
     val spark = e.sparkSession
+    checkProtocol(protocol, "build")
+    val versioned = protocol == "manifest"
     fam match {
       case "sq8" =>
         val params = QuantQueries.sqTrain(e).localCheckpoint(true)
-        QuantQueries.sqSaveIndex(params, QuantQueries.sqCodes(params, e), path)
+        val codes = QuantQueries.sqCodes(params, e)
+        if (versioned) QuantQueries.sqSaveIndexVersioned(params, codes, path)
+        else QuantQueries.sqSaveIndex(params, codes, path)
       case "pq" =>
         val idx = SimilarityQueries.pqTrain(e)
-        SimilarityQueries.pqSaveIndex(idx,
-          SimilarityQueries.pqCodes(idx, e), path)
+        val codes = SimilarityQueries.pqCodes(idx, e)
+        if (versioned) SimilarityQueries.pqSaveIndexVersioned(idx, codes, path)
+        else SimilarityQueries.pqSaveIndex(idx, codes, path)
       case "ivf" =>
         val (cents, cells) = SimilarityQueries.ivfTrain(e)
-        SimilarityQueries.ivfSaveIndex(cents.localCheckpoint(true),
+        if (versioned) SimilarityQueries.ivfSaveIndexVersioned(
+          cents.localCheckpoint(true), cells, path)
+        else SimilarityQueries.ivfSaveIndex(cents.localCheckpoint(true),
           cells, path)
       case "residual" =>
         // q127 composition: coarse cells, PQ trained on RESIDUALS
         val (cents0, cells) = SimilarityQueries.ivfTrain(e, k = 8)
         val cents = cents0.localCheckpoint(true)
-        val rv = SimilarityQueries.ivfResiduals(e, cents, cells)
+        val cls = cells.localCheckpoint(true)
+        val rv = SimilarityQueries.ivfResiduals(e, cents, cls)
           .select("vec_id", "v").localCheckpoint(true)
         val idx = SimilarityQueries.pqTrain(rv)
-        SimilarityQueries.residualSaveIndex(cents, cells, idx,
-          SimilarityQueries.pqCodes(idx, rv), path)
+        val codes = SimilarityQueries.pqCodes(idx, rv)
+        if (versioned) SimilarityQueries.residualSaveIndexVersioned(
+          cents, cls, idx, codes, path)
+        else SimilarityQueries.residualSaveIndex(cents, cls, idx, codes,
+          path)
       case "bin" =>
-        SimilarityQueries.binSaveIndex(SimilarityQueries.binCodes(e), path)
+        val codes = SimilarityQueries.binCodes(e)
+        if (versioned) SimilarityQueries.binSaveIndexVersioned(codes, path)
+        else SimilarityQueries.binSaveIndex(codes, path)
       case "lsh" =>
-        SimilarityQueries.lshSaveIndex(
-          SimilarityQueries.lshBuckets(e), 4, 6, path)
+        val buckets = SimilarityQueries.lshBuckets(e)
+        if (versioned) SimilarityQueries.lshSaveIndexVersioned(buckets,
+          4, 6, path)
+        else SimilarityQueries.lshSaveIndex(buckets, 4, 6, path)
       case "knn" =>
-        SimilarityQueries.knnSaveLists(
-          SimilarityQueries.bruteTopLists(e, 3), 3, "brute-cos", path)
+        val lists = SimilarityQueries.bruteTopLists(e, 3)
+        if (versioned) SimilarityQueries.knnSaveListsVersioned(lists, 3,
+          "brute-cos", path)
+        else SimilarityQueries.knnSaveLists(lists, 3, "brute-cos", path)
       case other => throw new IllegalArgumentException(
         s"VectorIndex.build: unknown family '$other' (one of " +
           s"${Families.toSeq.sorted.mkString(", ")})")
     }
-    writeMarker(spark, path, fam)
+    if (versioned)
+      VersionedStore.append(
+        Map("family" -> spark.range(1).select(lit(fam).as("family"))
+          .coalesce(1)), path)
+    else writeMarker(spark, path, fam)
   }
+
+  private def checkProtocol(protocol: String, verb: String): Unit =
+    require(protocol == "rename" || protocol == "manifest",
+      s"VectorIndex.$verb: unknown protocol '$protocol' (rename or " +
+        "manifest)")
 
   /** Uniform ANN search: top-`k` neighbors of `queries`(qid, qv) from
     * the store at `path`, routed by the stored family marker, as
@@ -189,30 +243,40 @@ object VectorIndex {
   def search(e: DataFrame, queries: DataFrame, path: String,
       k: Int = 5): DataFrame = {
     val spark = queries.sparkSession
+    val versioned = isVersioned(spark, path)
     family(spark, path) match {
       case "sq8" =>
-        val (params, codes) = QuantQueries.sqLoadIndex(spark, path)
+        val (params, codes) =
+          if (versioned) QuantQueries.sqLoadIndexVersioned(spark, path)
+          else QuantQueries.sqLoadIndex(spark, path)
         QuantQueries.sqAdcSearch(params, codes, queries, topR = k)
           .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
             col("arank").as("rank"), col("adc_dist").as("score"))
       case "pq" =>
-        val (idx, codes) = SimilarityQueries.pqLoadIndex(spark, path)
+        val (idx, codes) =
+          if (versioned) SimilarityQueries.pqLoadIndexVersioned(spark, path)
+          else SimilarityQueries.pqLoadIndex(spark, path)
         SimilarityQueries.pqAdcSearch(idx, codes, queries, topK = k)
           .withColumnRenamed("adc_dist", "score")
       case "residual" =>
         val (cents, cells, idx, codes) =
-          SimilarityQueries.residualLoadIndex(spark, path)
+          if (versioned)
+            SimilarityQueries.residualLoadIndexVersioned(spark, path)
+          else SimilarityQueries.residualLoadIndex(spark, path)
         SimilarityQueries.ivfPqSearchResidual(cells, cents, idx, codes,
             queries, topK = k)
           .withColumnRenamed("adc_dist", "score")
       case "bin" =>
-        val codes = SimilarityQueries.binLoadIndex(spark, path)
+        val codes =
+          if (versioned) SimilarityQueries.binLoadIndexVersioned(spark, path)
+          else SimilarityQueries.binLoadIndex(spark, path)
         SimilarityQueries.binHammingSearch(codes, queries, topR = k)
           .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
             col("hrank").as("rank"), col("hamming").cast("double").as("score"))
       case "lsh" =>
         val (buckets, tables, planes) =
-          SimilarityQueries.lshLoadIndex(spark, path)
+          if (versioned) SimilarityQueries.lshLoadIndexVersioned(spark, path)
+          else SimilarityQueries.lshLoadIndex(spark, path)
         SimilarityQueries.lshSearchIndex(buckets, e, queries,
             tables, planes, topK = k)
           .withColumnRenamed("cos_sim", "score")
@@ -225,7 +289,9 @@ object VectorIndex {
         // have unequal norms, so an argmax over raw dot products picks
         // a different cell than argmax cosine and systematically
         // misses the cells the query's true neighbors were assigned to
-        val (cents, cells) = SimilarityQueries.ivfLoadIndex(spark, path)
+        val (cents, cells) =
+          if (versioned) SimilarityQueries.ivfLoadIndexVersioned(spark, path)
+          else SimilarityQueries.ivfLoadIndex(spark, path)
         val qCell = queries.crossJoin(broadcast(
             cents.select(col("cid"), col("cv"))))
           .select(col("qid"), col("qv"), col("cid").as("cell"),
@@ -264,20 +330,44 @@ object VectorIndex {
     */
   def append(e: DataFrame, path: String): Unit = {
     val spark = e.sparkSession
+    val versioned = isVersioned(spark, path)
     family(spark, path) match {
-      case "sq8" => QuantQueries.sqAppendCodes(e, path)
+      case "sq8" =>
+        if (versioned) QuantQueries.sqAppendCodesVersioned(e, path)
+        else QuantQueries.sqAppendCodes(e, path)
       case "pq" =>
-        val (idx, _) = SimilarityQueries.pqLoadIndex(spark, path)
-        SimilarityQueries.pqAppendCodes(idx, e, path)
+        if (versioned) {
+          val (idx, _) = SimilarityQueries.pqLoadIndexVersioned(spark, path)
+          SimilarityQueries.pqAppendCodesVersioned(idx, e, path)
+        } else {
+          val (idx, _) = SimilarityQueries.pqLoadIndex(spark, path)
+          SimilarityQueries.pqAppendCodes(idx, e, path)
+        }
       case "ivf" =>
-        val (cents, _) = SimilarityQueries.ivfLoadIndex(spark, path)
-        SimilarityQueries.ivfAppendCells(cents, e, path)
+        if (versioned) {
+          val (cents, _) = SimilarityQueries.ivfLoadIndexVersioned(spark, path)
+          SimilarityQueries.ivfAppendCellsVersioned(cents, e, path)
+        } else {
+          val (cents, _) = SimilarityQueries.ivfLoadIndex(spark, path)
+          SimilarityQueries.ivfAppendCells(cents, e, path)
+        }
       case "residual" =>
-        val (cents, _, idx, _) =
-          SimilarityQueries.residualLoadIndex(spark, path)
-        SimilarityQueries.residualAppendVectors(cents, idx, e, path)
-      case "bin" => SimilarityQueries.binAppendCodes(e, path)
-      case "lsh" => SimilarityQueries.lshAppendBuckets(e, path)
+        if (versioned) {
+          val (cents, _, idx, _) =
+            SimilarityQueries.residualLoadIndexVersioned(spark, path)
+          SimilarityQueries.residualAppendVectorsVersioned(cents, idx, e,
+            path)
+        } else {
+          val (cents, _, idx, _) =
+            SimilarityQueries.residualLoadIndex(spark, path)
+          SimilarityQueries.residualAppendVectors(cents, idx, e, path)
+        }
+      case "bin" =>
+        if (versioned) SimilarityQueries.binAppendCodesVersioned(e, path)
+        else SimilarityQueries.binAppendCodes(e, path)
+      case "lsh" =>
+        if (versioned) SimilarityQueries.lshAppendBucketsVersioned(e, path)
+        else SimilarityQueries.lshAppendBuckets(e, path)
       case "knn" => throw new IllegalArgumentException(
         "VectorIndex.append: kNN-list increments are ranked LISTS, not " +
           "vectors — generate them against the full corpus and append " +
@@ -456,7 +546,17 @@ object VectorIndex {
     */
   def delete(ids: DataFrame, path: String): Unit = {
     val spark = ids.sparkSession
-    family(spark, path) match {
+    if (isVersioned(spark, path)) family(spark, path) match {
+      case "sq8" => QuantQueries.sqDeleteVectorsVersioned(ids, path)
+      case "pq" => SimilarityQueries.pqDeleteVectorsVersioned(ids, path)
+      case "ivf" => SimilarityQueries.ivfDeleteVectorsVersioned(ids, path)
+      case "residual" =>
+        SimilarityQueries.residualDeleteVectorsVersioned(ids, path)
+      case "bin" => SimilarityQueries.binDeleteVectorsVersioned(ids, path)
+      case "lsh" => SimilarityQueries.lshDeleteVectorsVersioned(ids, path)
+      case "knn" => SimilarityQueries.knnDeleteNodesVersioned(ids, path)
+    }
+    else family(spark, path) match {
       case "sq8" => QuantQueries.sqDeleteVectors(ids, path)
       case "pq" => SimilarityQueries.pqDeleteVectors(ids, path)
       case "ivf" => SimilarityQueries.ivfDeleteVectors(ids, path)
@@ -516,12 +616,18 @@ object VectorIndex {
     * store's own family marker routes.
     */
   def syncWithStore(spark: SparkSession, storePath: String, rel: String,
-      idxPath: String, fam: String = "sq8"): Option[(Long, Long)] =
+      idxPath: String, fam: String = "sq8",
+      protocol: String = "rename"): Option[(Long, Long)] = {
+    checkProtocol(protocol, "syncWithStore")
     CdcBridge.sync(spark, storePath, idxPath, "VectorIndex.syncWithStore")({
-      val fp = new org.apache.hadoop.fs.Path(s"$idxPath/family")
-      fp.getFileSystem(spark.sessionState.newHadoopConf()).exists(fp)
+      if (protocol == "manifest") isVersioned(spark, idxPath)
+      else {
+        val fp = new org.apache.hadoop.fs.Path(s"$idxPath/family")
+        fp.getFileSystem(spark.sessionState.newHadoopConf()).exists(fp)
+      }
     })(cur =>
       build(VersionedStore.read(spark, storePath, rel, Some(cur))
-        .select("vec_id", "v"), fam, idxPath))((from, to) =>
+        .select("vec_id", "v"), fam, idxPath, protocol))((from, to) =>
       maintainFromStore(spark, storePath, rel, from, to, idxPath))
+  }
 }

@@ -849,6 +849,41 @@ object QuantQueries extends QueryModule {
     },
     Some(sq8RoutedSql))
 
+  /** q207: q157's ladder-routed pipeline with the façade told to build
+    * the MANIFEST-COMMITTED twin (`protocol = "manifest"`) — the store
+    * carries its family marker as a relation inside the versioned
+    * store, search/append/delete dispatch on the store's own protocol,
+    * and the oracle is q157's SQL VERBATIM: the commit discipline is
+    * invisible through the one routed API (VersionedFacadeSpec pins
+    * bit-equality across protocols for every searchable family, routed
+    * sync included).
+    */
+  private val q207 = QueryDef(
+    "q207_vector_route_versioned",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      if (e.isEmpty)
+        e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"),
+          lit(1).as("rank"), lit(0.0).as("score")).limit(0)
+      else {
+        val fam = graft.operators.VectorIndex.select(
+          maxBytesPerVec = 64, minRecallAt5 = 0.99)
+        withThrowawayStore { path =>
+          graft.BenchPhases.build {
+            graft.operators.VectorIndex.build(e, fam, path,
+              protocol = "manifest")
+          }
+          graft.operators.VectorIndex.search(e, q, path, k = 5)
+            .orderBy("query_id", "rank")
+        }(s)
+      }
+    },
+    Some(sq8RoutedSql))
+
   /** The routed-SQ8 search oracle, shared VERBATIM by q157 and q176:
     * the sharded federation must reproduce the monolithic routed
     * search exactly, so the two gates are the same SQL.
@@ -1053,5 +1088,6 @@ object QuantQueries extends QueryModule {
     },
     Some(cdcVectorOracleSql))
 
-  override def defs: Seq[QueryDef] = Seq(q136, q137, q157, q176, q192, q201)
+  override def defs: Seq[QueryDef] =
+    Seq(q136, q137, q157, q176, q192, q201, q207)
 }
