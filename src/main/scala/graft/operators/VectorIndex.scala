@@ -407,7 +407,10 @@ object VectorIndex {
 
   /** Read the sharded store's router: (shard count, family). Written
     * LAST by [[buildSharded]] — the commit marker; its absence means an
-    * interrupted (or never-run) sharded build.
+    * interrupted (or never-run) sharded build. A manifest-protocol
+    * federation's router is itself a 1-relation VersionedStore (its
+    * commit is a manifest PUT, not a rename), auto-detected here so
+    * every downstream verb serves both forms.
     */
   def shardInfo(spark: SparkSession, root: String): (Int, String) = {
     val rp = new org.apache.hadoop.fs.Path(routerPath(root))
@@ -415,7 +418,10 @@ object VectorIndex {
       s"VectorIndex.shardInfo: no router at $root — not a sharded store, " +
         "or an interrupted buildSharded (the router is written last); " +
         "re-run the sharded build")
-    val r = spark.read.parquet(routerPath(root)).collect()
+    val r =
+      if (isVersioned(spark, routerPath(root)))
+        VersionedStore.read(spark, routerPath(root), "router").collect()
+      else spark.read.parquet(routerPath(root)).collect()
     require(r.length == 1,
       s"VectorIndex.shardInfo: router at $root has ${r.length} rows — " +
         "corrupt sharded store")
@@ -430,13 +436,15 @@ object VectorIndex {
     * later verb refuses — and re-running completes it.
     */
   def buildSharded(e: DataFrame, fam: String, root: String,
-      nShards: Int): Unit = {
+      nShards: Int, protocol: String = "rename"): Unit = {
     require(ShardableFamilies(fam),
       s"VectorIndex.buildSharded: family '$fam' does not federate " +
         s"exactly — shardable: ${ShardableFamilies.toSeq.sorted.mkString(", ")} " +
         "(cell/bucket-coupled families shard along their own structure)")
     require(nShards >= 1,
       s"VectorIndex.buildSharded: nShards must be >= 1, got $nShards")
+    checkProtocol(protocol, "buildSharded")
+    val versioned = protocol == "manifest"
     val spark = e.sparkSession
     // un-commit first, then drop every existing shard dir (see
     // textIndexSaveSharded): a crashed rebuild must refuse under a
@@ -460,32 +468,48 @@ object VectorIndex {
       s"VectorIndex.buildSharded: shard(s) ${missing.mkString(",")} of " +
         s"$nShards would be EMPTY for this relation — use fewer shards")
     def slice(i: Int) = withSh.filter(col("_sh") === i).drop("_sh")
+    def mark(i: Int): Unit =
+      if (versioned)
+        VersionedStore.append(
+          Map("family" -> spark.range(1).select(lit(fam).as("family"))
+            .coalesce(1)), shardPath(root, i))
+      else writeMarker(spark, shardPath(root, i), fam)
     fam match {
       case "sq8" =>
         val params = QuantQueries.sqTrain(e).localCheckpoint(true) // GLOBAL
         (0 until nShards).foreach { i =>
-          QuantQueries.sqSaveIndex(params,
-            QuantQueries.sqCodes(params, slice(i)), shardPath(root, i))
-          writeMarker(spark, shardPath(root, i), fam)
+          val codes = QuantQueries.sqCodes(params, slice(i))
+          if (versioned)
+            QuantQueries.sqSaveIndexVersioned(params, codes,
+              shardPath(root, i))
+          else QuantQueries.sqSaveIndex(params, codes, shardPath(root, i))
+          mark(i)
         }
       case "pq" =>
         val idx = SimilarityQueries.pqTrain(e) // GLOBAL codebook
         (0 until nShards).foreach { i =>
-          SimilarityQueries.pqSaveIndex(idx,
-            SimilarityQueries.pqCodes(idx, slice(i)), shardPath(root, i))
-          writeMarker(spark, shardPath(root, i), fam)
+          val codes = SimilarityQueries.pqCodes(idx, slice(i))
+          if (versioned)
+            SimilarityQueries.pqSaveIndexVersioned(idx, codes,
+              shardPath(root, i))
+          else SimilarityQueries.pqSaveIndex(idx, codes, shardPath(root, i))
+          mark(i)
         }
       case "bin" =>
         (0 until nShards).foreach { i =>
-          SimilarityQueries.binSaveIndex(
-            SimilarityQueries.binCodes(slice(i)), shardPath(root, i))
-          writeMarker(spark, shardPath(root, i), fam)
+          val codes = SimilarityQueries.binCodes(slice(i))
+          if (versioned)
+            SimilarityQueries.binSaveIndexVersioned(codes,
+              shardPath(root, i))
+          else SimilarityQueries.binSaveIndex(codes, shardPath(root, i))
+          mark(i)
         }
     }
     import spark.implicits._
-    StoreRewrite.atomicOverwrite(
-      Seq((nShards, fam)).toDF("n_shards", "family").coalesce(1),
-      routerPath(root))
+    val router = Seq((nShards, fam)).toDF("n_shards", "family").coalesce(1)
+    if (versioned)
+      VersionedStore.save(Map("router" -> router), routerPath(root))
+    else StoreRewrite.atomicOverwrite(router, routerPath(root))
   }
 
   /** Federated ANN search: each shard's store-only search runs

@@ -1281,6 +1281,37 @@ object DedupQueries extends QueryModule {
     },
     Some(incRejectOracleSql))
 
+  /** q209: q191's federated probe with every shard AND the router
+    * manifest-committed — the sharded signature federation on the
+    * rename-free protocol (forgets become per-owning-shard tombstone
+    * PUTs with no intent/recover machinery). The oracle is q191's SQL
+    * VERBATIM: neither sharding nor the commit protocol may change
+    * what the probe returns.
+    */
+  private val q209 = QueryDef(
+    "q209_versioned_signature_sharded",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val inc = docs.filter(col("source") === "src19")
+      val old = docs.filter(col("source") =!= "src19")
+      if (old.isEmpty || inc.isEmpty)
+        inc.select(col("doc_id").as("new_id"), col("doc_id").as("old_id"),
+          lit(0.0).as("jaccard_est")).limit(0)
+      else {
+        val root = java.nio.file.Files.createTempDirectory("graft-sigshv")
+        val store = root.toString + "/sig"
+        graft.BenchPhases.build {
+          buildSignatureIndexShardedVersioned(old, store, nShards = 3)
+        }
+        val res = probeSignatureIndexShardedVersioned(s, inc, store)
+          .orderBy("new_id").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(root.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(incRejectOracleSql))
+
   /** q197: the daily probe served from the MANIFEST-COMMITTED signature
     * store ([[probeSignatureIndexVersioned]]) — the object-store-safe
     * commit protocol carrying the q178 probe plan. The full lifecycle
@@ -2868,7 +2899,14 @@ object DedupQueries extends QueryModule {
       s"winnowShardInfo: no router at $root — not a sharded winnow index, " +
         "or an interrupted buildWinnowIndexSharded (the router is written " +
         "last); re-run the sharded build")
-    val r = spark.read.parquet(winnowRouterPath(root)).collect()
+    // a manifest-protocol federation's router is itself a versioned
+    // store — auto-detected, so every consumer serves both forms
+    val r =
+      if (graft.operators.VersionedStore
+          .currentVersion(spark, winnowRouterPath(root)).isDefined)
+        graft.operators.VersionedStore
+          .read(spark, winnowRouterPath(root), "router").collect()
+      else spark.read.parquet(winnowRouterPath(root)).collect()
     require(r.length == 1,
       s"winnowShardInfo: router at $root has ${r.length} rows — corrupt store")
     (r(0).getAs[Int]("n_shards"), r(0).getAs[Int]("k"), r(0).getAs[Int]("w"))
@@ -3141,7 +3179,14 @@ object DedupQueries extends QueryModule {
       s"signatureShardCount: no router at $root — not a sharded signature " +
         "index, or an interrupted buildSignatureIndexSharded (the router " +
         "is written last); re-run the sharded build")
-    val r = spark.read.parquet(sigRouterPath(root)).collect()
+    // a manifest-protocol federation's router is itself a versioned
+    // store — auto-detected, so every consumer serves both forms
+    val r =
+      if (graft.operators.VersionedStore
+          .currentVersion(spark, sigRouterPath(root)).isDefined)
+        graft.operators.VersionedStore
+          .read(spark, sigRouterPath(root), "router").collect()
+      else spark.read.parquet(sigRouterPath(root)).collect()
     require(r.length == 1,
       s"signatureShardCount: router at $root has ${r.length} rows — corrupt store")
     require(r(0).getAs[String]("sig_tag") == sigTag,
@@ -3403,6 +3448,311 @@ object DedupQueries extends QueryModule {
     }
   }
 
+  // ------------------------------------------------------------------
+  // MANIFEST-COMMITTED sharded signature federation — q191's layout on
+  // the rename-free protocol: each shard is the q197 versioned store
+  // and the router is itself a 1-relation versioned store, so the
+  // whole federated build/append/forget is object-store-safe end to
+  // end. The forget needs NO `_forget_intent`/recover machinery: a
+  // routed forget is one idempotent manifest tombstone PUT per owning
+  // shard — there are no torn rewrites to heal, a crash mid-loop
+  // leaves only fully-forgotten and untouched shards, and replaying
+  // the call (or the CDC window that carried it) completes the rest.
+  // Probe/append/sync are the rename federation's exact shapes over
+  // versioned reads; sticky-until-compact replaces immediate re-admit
+  // exactly as in the monolithic q197 migration.
+  // ------------------------------------------------------------------
+
+  /** Build the versioned federation: signatures computed ONCE, each
+    * doc-routed slice saved as an independent versioned store, the
+    * versioned router committed LAST (its manifest PUT is the build's
+    * commit marker — a crash mid-build leaves a router-less root every
+    * verb refuses loudly).
+    */
+  def buildSignatureIndexShardedVersioned(
+      documents: org.apache.spark.sql.DataFrame, root: String,
+      nShards: Int): Unit = {
+    require(nShards >= 1,
+      s"buildSignatureIndexShardedVersioned: nShards must be >= 1, " +
+        s"got $nShards")
+    val spark = documents.sparkSession
+    val rp = new org.apache.hadoop.fs.Path(sigRouterPath(root))
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(rp)) fs.delete(rp, true) // un-commit before rebuild
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (fs.exists(rootP))
+      fs.listStatus(rootP).map(_.getPath)
+        .filter(_.getName.startsWith("shard-"))
+        .foreach(p => fs.delete(p, true))
+    val sig = minhashSigs(documents)
+      .withColumn("_sh", pmod(xxhash64(col("doc_id")), lit(nShards.toLong)))
+      .localCheckpoint(true)
+    val present = sig.select("_sh").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val empty = (0L until nShards.toLong).filterNot(present)
+    require(empty.isEmpty,
+      s"buildSignatureIndexShardedVersioned: shard(s) " +
+        s"${empty.mkString(",")} of $nShards would be EMPTY for this " +
+        "corpus — use fewer shards")
+    (0 until nShards).foreach { i =>
+      graft.operators.VersionedStore.save(
+        Map("sig" -> sig.filter(col("_sh") === i).drop("_sh")),
+        sigShardPath(root, i))
+    }
+    import spark.implicits._
+    graft.operators.VersionedStore.save(
+      Map("router" -> Seq((nShards, sigTag)).toDF("n_shards", "sig_tag")
+        .coalesce(1)), sigRouterPath(root))
+  }
+
+  /** Federated bloom-pruned probe over versioned shards —
+    * [[probeSignatureIndexSharded]]'s exact plan (per-shard map-side
+    * band prune, ONE post-union reject so bucket caps stay global and
+    * exact) with each shard's visible rows served through its manifest.
+    */
+  def probeSignatureIndexShardedVersioned(
+      spark: org.apache.spark.sql.SparkSession,
+      increment: org.apache.spark.sql.DataFrame, root: String,
+      bucketCap: Int = defaultBucketCap,
+      threshold: Double = 0.5,
+      maxCandidates: Long = defaultMaxCandidates): org.apache.spark.sql.DataFrame = {
+    val n = signatureShardCount(spark, root)
+    val newSig = minhashSigs(increment).localCheckpoint(true)
+    val newBands = bandsFromSigs(newSig).localCheckpoint(true)
+    val keyHash = xxhash64(col("band"), col("key"))
+    val nKeys = newBands.select(keyHash.as("h")).distinct()
+    val bloom = graft.functions.BloomFunctions.buildLongBloom(
+      nKeys, col("h"), nKeys.count(), 0.01)
+    def shardSig(i: Int) = graft.operators.VersionedStore
+      .read(spark, sigShardPath(root, i), "sig")
+    val oldSig = (0 until n).map(shardSig).reduce(_ unionByName _)
+    val oldBands = (0 until n)
+      .map(i => bandsFromSigs(shardSig(i))
+        .filter(graft.functions.BloomFunctions.mightContainLong(bloom, keyHash)))
+      .reduce(_ unionByName _)
+    rejectFromBands(oldBands, newBands, oldSig, newSig, bucketCap, threshold,
+      maxCandidates)
+  }
+
+  /** Routed append: each admitted doc's signature row lands in its hash
+    * shard as a delta revision — O(increment), untouched shards never
+    * committed; idempotent against each shard's VISIBLE doc_ids (so a
+    * tombstoned id stays forgotten across a replayed append, the
+    * protocol's sticky trade).
+    */
+  def appendSignatureIndexShardedVersioned(
+      increment: org.apache.spark.sql.DataFrame, root: String): Unit = {
+    val spark = increment.sparkSession
+    val n = signatureShardCount(spark, root)
+    val sig = minhashSigs(increment)
+      .withColumn("_sh", pmod(xxhash64(col("doc_id")), lit(n.toLong)))
+      .localCheckpoint(true)
+    (0 until n).foreach { i =>
+      val slice = sig.filter(col("_sh") === i).drop("_sh")
+      if (!slice.isEmpty) {
+        val existing = graft.operators.VersionedStore
+          .read(spark, sigShardPath(root, i), "sig")
+          .select("doc_id").distinct()
+        val fresh = slice.join(existing, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        if (!fresh.isEmpty)
+          graft.operators.VersionedStore.append(Map("sig" -> fresh),
+            sigShardPath(root, i))
+      }
+    }
+  }
+
+  /** FORGET — one manifest tombstone PUT per OWNING shard (doc routing
+    * puts a doc's one row in exactly one store). Idempotent and
+    * replay-completing; physical reclaim per shard at
+    * [[graft.operators.VersionedStore.compact]].
+    */
+  def forgetSignatureIndexShardedVersioned(
+      spark: org.apache.spark.sql.SparkSession,
+      del: org.apache.spark.sql.DataFrame, root: String): Unit = {
+    val n = signatureShardCount(spark, root)
+    val ids = del.select(col("doc_id"))
+      .withColumn("_sh", pmod(xxhash64(col("doc_id")), lit(n.toLong)))
+      .localCheckpoint(true)
+    (0 until n).foreach { i =>
+      val slice = ids.filter(col("_sh") === i).select("doc_id")
+      if (!slice.isEmpty)
+        graft.operators.VersionedStore.delete(slice, "sig",
+          sigShardPath(root, i))
+    }
+  }
+
+  /** CDC maintenance — forgets routed first (tombstones), net-new rows
+    * appended; per-shard commits, replay-idempotent end to end.
+    */
+  def maintainSignatureIndexShardedVersionedFromStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, fromRev: Long, toRev: Long, root: String): Unit =
+    graft.operators.CdcBridge.maintain(spark, storePath, rel, fromRev,
+      toRev, "doc_id", Seq("doc_id", "text"),
+      "maintainSignatureIndexShardedVersionedFromStore")(
+      del => forgetSignatureIndexShardedVersioned(spark, del, root))(
+      ins => appendSignatureIndexShardedVersioned(ins, root))
+
+  /** One-verb sync of the versioned federation with its versioned
+    * corpus — [[syncSignatureIndexShardedWithStore]]'s contract with
+    * the versioned router as the existence witness.
+    */
+  def syncSignatureIndexShardedVersionedWithStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, root: String, nShards: Int = 3): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, root,
+      "syncSignatureIndexShardedVersionedWithStore")(
+      graft.operators.VersionedStore
+        .currentVersion(spark, sigRouterPath(root)).isDefined)(
+      cur => buildSignatureIndexShardedVersioned(
+        graft.operators.VersionedStore.read(spark, storePath, rel,
+          Some(cur)), root, nShards))(
+      (from, to) => maintainSignatureIndexShardedVersionedFromStore(
+        spark, storePath, rel, from, to, root))
+
+  // ------------------------------------------------------------------
+  // MANIFEST-COMMITTED sharded winnow federation — q188's hash-routed
+  // layout on the rename-free protocol. A doc's fingerprints scatter
+  // over EVERY shard, so the forget tombstones doc_ids on all n shards
+  // — n idempotent PUTs replacing the rename federation's
+  // `_forget_intent` + n crash-durable rewrites (nothing to heal, a
+  // replayed call completes a crashed loop). Knobs ride in the
+  // versioned router, exactly as the rename router carries them.
+  // ------------------------------------------------------------------
+
+  /** Build the versioned winnow federation: fingerprints computed ONCE
+    * with (k, w), each hash slice saved as an independent versioned
+    * store, the versioned (n, k, w) router committed LAST.
+    */
+  def buildWinnowIndexShardedVersioned(
+      documents: org.apache.spark.sql.DataFrame, root: String,
+      nShards: Int, k: Int = 4, w: Int = 5): Unit = {
+    require(nShards >= 1,
+      s"buildWinnowIndexShardedVersioned: nShards must be >= 1, got $nShards")
+    val spark = documents.sparkSession
+    val rp = new org.apache.hadoop.fs.Path(winnowRouterPath(root))
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(rp)) fs.delete(rp, true) // un-commit before rebuild
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (fs.exists(rootP))
+      fs.listStatus(rootP).map(_.getPath)
+        .filter(_.getName.startsWith("shard-"))
+        .foreach(p => fs.delete(p, true))
+    val fp = winnowFingerprints(documents, k, w)
+      .withColumn("_sh", winnowShardOf(nShards)).localCheckpoint(true)
+    val present = fp.select("_sh").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val empty = (0L until nShards.toLong).filterNot(present)
+    require(empty.isEmpty,
+      s"buildWinnowIndexShardedVersioned: shard(s) ${empty.mkString(",")} " +
+        s"of $nShards would be EMPTY for this corpus — use fewer shards")
+    (0 until nShards).foreach { i =>
+      graft.operators.VersionedStore.save(
+        Map("fp" -> fp.filter(col("_sh") === i).drop("_sh")
+          .repartition(col("fp_hash"))
+          .sortWithinPartitions("fp_hash", "doc_id", "fp_pos")),
+        winnowShardPath(root, i))
+    }
+    import spark.implicits._
+    graft.operators.VersionedStore.save(
+      Map("router" -> Seq((nShards, k, w)).toDF("n_shards", "k", "w")
+        .coalesce(1)), winnowRouterPath(root))
+  }
+
+  /** Federated probe over versioned shards —
+    * [[probeWinnowIndexSharded]]'s exact plan (touched shards only,
+    * shard-local EXACT df-caps by hash routing, one post-union pair
+    * aggregation) with each shard served through its manifest.
+    */
+  def probeWinnowIndexShardedVersioned(
+      spark: org.apache.spark.sql.SparkSession,
+      increment: org.apache.spark.sql.DataFrame, root: String,
+      dfCap: Int = 300, minShared: Int = 2): org.apache.spark.sql.DataFrame = {
+    val (n, k, w) = winnowShardInfo(spark, root)
+    val fpE = winnowFingerprints(increment, k, w)
+      .select(col("doc_id").as("new_doc"), col("fp_hash")).distinct()
+      .withColumn("_sh", winnowShardOf(n)).localCheckpoint(true)
+    val perShard = (0 until n).flatMap { i =>
+      val slice = fpE.filter(col("_sh") === i).drop("_sh")
+      if (slice.isEmpty) None
+      else Some(winnowSharedRows(
+        graft.operators.VersionedStore.read(spark, winnowShardPath(root, i),
+          "fp"), slice, dfCap, prune = true))
+    }
+    if (perShard.isEmpty)
+      return fpE.select(col("new_doc"), col("new_doc").as("old_doc"),
+        lit(0L).as("n_shared")).limit(0)
+    perShard.reduce(_ unionByName _)
+      .groupBy("new_doc", "old_doc").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Routed append: the increment's fingerprints land in their hash
+    * shards as delta revisions — O(increment), untouched shards never
+    * committed (replayed appends' doubled rows collapse in the probe's
+    * post-prune distinct and fold away at compact, exactly as in the
+    * rename federation).
+    */
+  def appendWinnowIndexShardedVersioned(
+      increment: org.apache.spark.sql.DataFrame, root: String): Unit = {
+    val spark = increment.sparkSession
+    val (n, k, w) = winnowShardInfo(spark, root)
+    val fp = winnowFingerprints(increment, k, w)
+      .withColumn("_sh", winnowShardOf(n)).localCheckpoint(true)
+    (0 until n).foreach { i =>
+      val slice = fp.filter(col("_sh") === i).drop("_sh")
+        .localCheckpoint(true)
+      if (!slice.isEmpty)
+        graft.operators.VersionedStore.append(Map("fp" -> slice),
+          winnowShardPath(root, i))
+    }
+  }
+
+  /** FORGET — a doc's fingerprints scatter, so doc_id tombstones land
+    * on ALL n shards: n idempotent manifest PUTs, no intent marker to
+    * persist and nothing to heal (the rename federation's
+    * `_forget_intent` exists because its n rewrites are destructive;
+    * tombstones are not).
+    */
+  def forgetWinnowIndexShardedVersioned(
+      spark: org.apache.spark.sql.SparkSession,
+      del: org.apache.spark.sql.DataFrame, root: String): Unit = {
+    val (n, _, _) = winnowShardInfo(spark, root)
+    val ids = del.select(col("doc_id")).localCheckpoint(true)
+    if (!ids.isEmpty)
+      (0 until n).foreach { i =>
+        graft.operators.VersionedStore.delete(ids, "fp",
+          winnowShardPath(root, i))
+      }
+  }
+
+  /** CDC maintenance + one-verb sync — the q194 bridge on the
+    * versioned federation.
+    */
+  def maintainWinnowIndexShardedVersionedFromStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, fromRev: Long, toRev: Long, root: String): Unit =
+    graft.operators.CdcBridge.maintain(spark, storePath, rel, fromRev,
+      toRev, "doc_id", Seq("doc_id", "text"),
+      "maintainWinnowIndexShardedVersionedFromStore")(
+      del => forgetWinnowIndexShardedVersioned(spark, del, root))(
+      ins => appendWinnowIndexShardedVersioned(ins, root))
+
+  def syncWinnowIndexShardedVersionedWithStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      rel: String, root: String, nShards: Int = 3, k: Int = 4,
+      w: Int = 5): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, root,
+      "syncWinnowIndexShardedVersionedWithStore")(
+      graft.operators.VersionedStore
+        .currentVersion(spark, winnowRouterPath(root)).isDefined)(
+      cur => buildWinnowIndexShardedVersioned(
+        graft.operators.VersionedStore.read(spark, storePath, rel,
+          Some(cur)), root, nShards, k, w))(
+      (from, to) => maintainWinnowIndexShardedVersionedFromStore(
+        spark, storePath, rel, from, to, root))
+
   /** q187: the daily exact-substring probe off the persisted fingerprint
     * index — q82's incremental shape for verbatim-overlap detection
     * (q186's pairing served from a store instead of re-fingerprinting the
@@ -3456,6 +3806,37 @@ object DedupQueries extends QueryModule {
         val store = root.toString + "/winnow"
         graft.BenchPhases.build { buildWinnowIndexSharded(old, store, nShards = 3) }
         val res = probeWinnowIndexSharded(s, inc, store, minShared = 1)
+          .orderBy("new_doc", "old_doc").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(root.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(winnowProbeOracleSql))
+
+  /** q210: q188's federated probe with every shard AND the router
+    * manifest-committed — the hash-routed winnow federation on the
+    * rename-free protocol (the all-shard forget becomes n idempotent
+    * tombstone PUTs, retiring the `_forget_intent` machinery). Oracle
+    * is q188's SQL VERBATIM.
+    */
+  private val q210 = QueryDef(
+    "q210_versioned_winnow_sharded",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val inc = docs.filter(col("source") === "src19")
+      val old = docs.filter(col("source") =!= "src19")
+      if (old.isEmpty || inc.isEmpty)
+        inc.select(col("doc_id").as("new_doc"),
+          col("doc_id").as("old_doc"), lit(0L).as("n_shared")).limit(0)
+      else {
+        val root = java.nio.file.Files.createTempDirectory("graft-winshv")
+        val store = root.toString + "/winnow"
+        graft.BenchPhases.build {
+          buildWinnowIndexShardedVersioned(old, store, nShards = 3)
+        }
+        val res = probeWinnowIndexShardedVersioned(s, inc, store,
+            minShared = 1)
           .orderBy("new_doc", "old_doc").localCheckpoint(true)
         val hp = new org.apache.hadoop.fs.Path(root.toString)
         hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
@@ -3592,5 +3973,5 @@ object DedupQueries extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
       q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184, q185,
-      q186, q187, q188, q191, q193, q194, q197, q200)
+      q186, q187, q188, q191, q193, q194, q197, q200, q209, q210)
 }

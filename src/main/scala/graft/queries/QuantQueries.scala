@@ -956,6 +956,37 @@ object QuantQueries extends QueryModule {
     },
     Some(sq8RoutedSql))
 
+  /** q208: q176's three-shard federation built on the MANIFEST protocol
+    * — every shard store AND the router commit as manifest PUTs (the
+    * router is itself a 1-relation versioned store), so the whole
+    * federated build is object-store-safe end to end; search/append/
+    * delete route through the same protocol-aware verbs. Oracle is
+    * q157's monolithic SQL VERBATIM, exactly as q176: neither sharding
+    * nor the commit protocol may change what the search returns.
+    */
+  private val q208 = QueryDef(
+    "q208_sq8_sharded_versioned",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      if (e.isEmpty)
+        e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"),
+          lit(1).as("rank"), lit(0.0).as("score")).limit(0)
+      else
+        withThrowawayStore { root =>
+          graft.BenchPhases.build {
+            graft.operators.VectorIndex.buildSharded(e, "sq8", root, 3,
+              protocol = "manifest")
+          }
+          graft.operators.VectorIndex.searchSharded(q, root, k = 5)
+            .orderBy("query_id", "rank")
+        }(s)
+    },
+    Some(sq8RoutedSql))
+
   /** q192: the embedding corpus lives in a VERSIONED STORE and evolves
     * only through its manifest-committed verbs (save → append →
     * tombstone delete); the SQ8 index is bootstrapped from the first
@@ -1089,5 +1120,5 @@ object QuantQueries extends QueryModule {
     Some(cdcVectorOracleSql))
 
   override def defs: Seq[QueryDef] =
-    Seq(q136, q137, q157, q176, q192, q201, q207)
+    Seq(q136, q137, q157, q176, q192, q201, q207, q208)
 }

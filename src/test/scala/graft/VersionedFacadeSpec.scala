@@ -71,6 +71,30 @@ class VersionedFacadeSpec extends SparkSuite {
     assert(ex.getMessage.contains("neighbor-GRAPH store"))
   }
 
+  test("sharded federation on the manifest protocol: shard stores AND " +
+    "the router are versioned; routed search/append/delete are " +
+    "bit-identical to the rename federation") {
+    val base = tmpDir("vfac-sh")
+    val boot = emb.filter(col("vec_id") % 4 =!= 3)
+    val inc = emb.filter(col("vec_id") % 4 === 3)
+    val doomed = emb.filter(col("vec_id") % 8 === 1).select("vec_id")
+      .localCheckpoint(true)
+    VectorIndex.buildSharded(boot, "sq8", s"$base/ren", 3)
+    VectorIndex.buildSharded(boot, "sq8", s"$base/ver", 3,
+      protocol = "manifest")
+    assert(VersionedStore.currentVersion(spark, s"$base/ver/router")
+      .isDefined, "the router itself is a versioned store")
+    assert(VectorIndex.family(spark, s"$base/ver/shard-0") == "sq8",
+      "each shard is a facade-marked versioned store")
+    VectorIndex.appendSharded(inc, s"$base/ren")
+    VectorIndex.appendSharded(inc, s"$base/ver")
+    VectorIndex.deleteSharded(doomed, s"$base/ren")
+    VectorIndex.deleteSharded(doomed, s"$base/ver")
+    assert(rows(VectorIndex.searchSharded(queries, s"$base/ver", k = 5)) ==
+      rows(VectorIndex.searchSharded(queries, s"$base/ren", k = 5)),
+      "federated searches must be bit-identical across protocols")
+  }
+
   test("sync(protocol = manifest): bootstrap builds the versioned twin, " +
     "a window absorbs through the routed delete+append, and the synced " +
     "store searches identically to the rename-protocol sync") {
