@@ -1942,7 +1942,14 @@ object SearchQueries extends QueryModule {
       s"textIndexShardCount: no router at $root — not a sharded index, or " +
         "an interrupted textIndexSaveSharded (the router is written last); " +
         "re-run the sharded save")
-    val r = spark.read.parquet(routerPath(root)).collect()
+    // a manifest-protocol federation's router is itself a versioned
+    // store — auto-detected, so every consumer serves both forms
+    val r =
+      if (graft.operators.VersionedStore
+          .currentVersion(spark, routerPath(root)).isDefined)
+        graft.operators.VersionedStore
+          .read(spark, routerPath(root), "router").collect()
+      else spark.read.parquet(routerPath(root)).collect()
     require(r.length == 1,
       s"textIndexShardCount: router at $root has ${r.length} rows — " +
         "corrupt sharded store")
@@ -2256,6 +2263,251 @@ object SearchQueries extends QueryModule {
     */
   def textIndexShardStorePath(root: String, i: Int): String = shardPath(root, i)
 
+  // ------------------------------------------------------------------
+  // MANIFEST-COMMITTED sharded text federation — q174's layout on the
+  // rename-free protocol: each shard is the q198 versioned multi-
+  // relation store, the router is a versioned store, and the
+  // FEDERATION-LEVEL champion lists live as a second relation IN the
+  // router store — so root champion maintenance is a replace-in-one-
+  // PUT instead of the rename federation's StoreRewrite, and the
+  // championed search needs no tombstone mask (every mutation verb
+  // replaces the heads consistently with the revision it commits).
+  // Per-shard mutations are the monolithic versioned verbs (one
+  // commitMixed each); cross-shard sequences are replay-completing
+  // (idempotent per-shard commits), the same consistency unit as the
+  // rename federation's per-shard rewrites.
+  // ------------------------------------------------------------------
+
+  /** Persist the federation: relations tokenized ONCE by the caller
+    * (the rename sharded save's signature), each hash slice committed
+    * as an independent versioned store with the monolithic save's
+    * range-clustering, the versioned router LAST as the commit marker.
+    */
+  def textIndexSaveShardedVersioned(postings: DataFrame,
+      docstats: DataFrame, root: String, nShards: Int,
+      positions: Option[DataFrame] = None): Unit = {
+    require(nShards >= 1,
+      s"textIndexSaveShardedVersioned: nShards must be >= 1, got $nShards")
+    val spark = postings.sparkSession
+    locally {
+      val rp = new org.apache.hadoop.fs.Path(routerPath(root))
+      val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(rp)) fs.delete(rp, true) // un-commit before rebuild
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      if (fs.exists(rootP))
+        fs.listStatus(rootP).map(_.getPath)
+          .filter(_.getName.startsWith("shard-"))
+          .foreach(p => fs.delete(p, true))
+    }
+    val d = docstats.withColumn("_sh", shardOf(nShards)).localCheckpoint(true)
+    val present = d.select("_sh").distinct().collect().map(_.getLong(0)).toSet
+    val empty = (0L until nShards.toLong).filterNot(present)
+    require(empty.isEmpty,
+      s"textIndexSaveShardedVersioned: shard(s) ${empty.mkString(",")} of " +
+        s"$nShards would be EMPTY for this corpus — use fewer shards")
+    val p = postings.withColumn("_sh", shardOf(nShards)).localCheckpoint(true)
+    val pos = positions.map(_.withColumn("_sh", shardOf(nShards))
+      .localCheckpoint(true))
+    (0 until nShards).foreach { i =>
+      val rels = Map(
+        "postings" -> p.filter(col("_sh") === i).drop("_sh")
+          .repartitionByRange(col("term"), col("doc_id")),
+        "docstats" -> d.filter(col("_sh") === i).drop("_sh")) ++
+        pos.map(r => "positions" -> r.filter(col("_sh") === i).drop("_sh")
+          .repartitionByRange(col("term"), col("doc_id")))
+      graft.operators.VersionedStore.save(rels, shardPath(root, i))
+    }
+    import spark.implicits._
+    // a fresh save is authoritative: the router (and any root champion
+    // relation riding in it) starts a new lineage in one PUT
+    graft.operators.VersionedStore.save(
+      Map("router" -> Seq((nShards, tokTag)).toDF("n_shards", "tag")
+        .coalesce(1)), routerPath(root))
+  }
+
+  private def federatedVersionedPostings(spark: SparkSession,
+      root: String, n: Int): (DataFrame, DataFrame) = {
+    val per = (0 until n).map(i =>
+      versionedPostings(spark, shardPath(root, i), None))
+    (per.map(_._1).reduce(_ unionByName _),
+      per.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** Federated BM25 search over versioned shards —
+    * [[textIndexSearchSharded]]'s exact plan (per-shard term-pushed
+    * scans, ONE shared scoring body over the union so corpus
+    * statistics stay global and exact) with each shard served through
+    * its manifest.
+    */
+  def textIndexSearchShardedVersioned(spark: SparkSession, root: String,
+      queryTerms: Seq[String] = terms): DataFrame = {
+    val n = textIndexShardCount(spark, root)
+    val (postings, docstats) = federatedVersionedPostings(spark, root, n)
+    scoreIndexed(postings, docstats, queryTerms)
+  }
+
+  /** Federated phrase / proximity search over versioned shards — the
+    * union of per-shard store-served matches (joins never cross
+    * shards; doc-disjointness gives equality with the monolithic
+    * store).
+    */
+  def textIndexPhraseSearchShardedVersioned(spark: SparkSession,
+      root: String, phrase: Seq[String]): DataFrame =
+    (0 until textIndexShardCount(spark, root))
+      .map(i => textIndexPhraseSearchVersioned(spark, shardPath(root, i),
+        phrase))
+      .reduce(_ unionByName _)
+
+  def textIndexProximitySearchShardedVersioned(spark: SparkSession,
+      root: String, termA: String, termB: String,
+      window: Int): DataFrame =
+    (0 until textIndexShardCount(spark, root))
+      .map(i => textIndexProximitySearchVersioned(spark,
+        shardPath(root, i), termA, termB, window))
+      .reduce(_ unionByName _)
+
+  /** Elect (or re-elect at a new depth) the federation's champion
+    * lists — a FEDERATION-LEVEL relation (global idf/avgdl; see
+    * [[textIndexChampionsSaveSharded]]'s distributed-IR argument),
+    * REPLACED in the router store in one PUT.
+    */
+  def textIndexChampionsSaveShardedVersioned(spark: SparkSession,
+      root: String, m: Int): Long = {
+    require(m >= 1,
+      s"textIndexChampionsSaveShardedVersioned: m must be >= 1, got $m")
+    val n = textIndexShardCount(spark, root)
+    val (postings, docstats) = federatedVersionedPostings(spark, root, n)
+    graft.operators.VersionedStore.commitMixed(Map.empty, Map.empty,
+      Map("champions" -> championsOf(postings, docstats, m)
+        .withColumn("m", lit(m))), routerPath(root))
+  }
+
+  private def versionedRootChampions(spark: SparkSession,
+      root: String): Option[DataFrame] =
+    if (graft.operators.VersionedStore
+        .relations(spark, routerPath(root)).contains("champions"))
+      Some(graft.operators.VersionedStore.read(spark, routerPath(root),
+        "champions"))
+    else None
+
+  /** Champion-pruned federated search — candidates from the router
+    * store's heads (no tombstone mask needed: every mutation verb
+    * replaces the heads consistently), scores BIT-exact from the
+    * federation's matched postings; monolithic fallback semantics
+    * (recompute) when absent or elected shallower than `m`.
+    */
+  def textIndexChampionSearchShardedVersioned(spark: SparkSession,
+      root: String, queryTerms: Seq[String] = terms,
+      m: Int = 50): DataFrame = {
+    val n = textIndexShardCount(spark, root)
+    val (postings, docstats) = federatedVersionedPostings(spark, root, n)
+    val matched = postings.filter(col("term").isin(queryTerms: _*))
+    val stored = versionedRootChampions(spark, root)
+      .filter(_.select("m").head.getInt(0) >= m)
+    val cands = stored
+      .map(_.filter(col("term").isin(queryTerms: _*) && col("rank") <= m))
+      .getOrElse(championsOf(matched, docstats, m))
+      .select("doc_id").distinct()
+    championScoreTail(matched, docstats, cands, queryTerms)
+  }
+
+  /** Root champion maintenance shared by the mutation verbs: fresh
+    * lists for the touched terms elected under the POST-mutation
+    * federation statistics, spliced over the kept heads, REPLACED in
+    * the router store in one PUT.
+    */
+  private def reelectChampionsShardedVersioned(spark: SparkSession,
+      root: String, touched: DataFrame,
+      dropDocs: Option[DataFrame]): Unit =
+    versionedRootChampions(spark, root).foreach { champs0 =>
+      val n = textIndexShardCount(spark, root)
+      val (posts, stats) = federatedVersionedPostings(spark, root, n)
+      graft.operators.VersionedStore.commitMixed(Map.empty, Map.empty,
+        Map("champions" ->
+          splicedChampions(champs0, posts, stats, touched, dropDocs)),
+        routerPath(root))
+    }
+
+  /** APPEND an increment: route each doc to its hash shard and run the
+    * monolithic versioned append there (ONE commitMixed per touched
+    * shard), then re-elect the increment's terms at the federation
+    * root under the grown global statistics.
+    */
+  def textIndexAppendShardedVersioned(docsInc: DataFrame,
+      root: String): Unit = {
+    val spark = docsInc.sparkSession
+    val n = textIndexShardCount(spark, root)
+    val inc = docsInc.withColumn("_sh", shardOf(n)).localCheckpoint(true)
+    (0 until n).foreach { i =>
+      val slice = inc.filter(col("_sh") === i).drop("_sh")
+      if (!slice.isEmpty)
+        textIndexAppendVersioned(slice, shardPath(root, i))
+    }
+    reelectChampionsShardedVersioned(spark, root,
+      inc.select(explode(tokens(col("text"))).as("term")).distinct()
+        .localCheckpoint(true), None)
+  }
+
+  /** DELETE documents: tombstones routed to the owning shard (each
+    * shard's commitMixed drops them from every data relation), then
+    * the doomed docs' terms re-elected at the root — a deleted doc can
+    * never resurface through a stale federation head.
+    */
+  def textIndexDeleteShardedVersioned(ids: DataFrame,
+      root: String): Unit = {
+    val spark = ids.sparkSession
+    val n = textIndexShardCount(spark, root)
+    val del = ids.select(col("doc_id")).withColumn("_sh", shardOf(n))
+      .localCheckpoint(true)
+    // doomed docs' terms from the PRE-delete federation (their rows
+    // vanish with the per-shard commits below)
+    val touched =
+      if (versionedRootChampions(spark, root).isEmpty) None
+      else {
+        val (posts, _) = federatedVersionedPostings(spark, root, n)
+        Some(posts.join(del.select("doc_id"), Seq("doc_id"))
+          .select("term").distinct().localCheckpoint(true))
+      }
+    (0 until n).foreach { i =>
+      val slice = del.filter(col("_sh") === i).drop("_sh")
+      if (!slice.isEmpty)
+        textIndexDeleteVersioned(slice, shardPath(root, i))
+    }
+    touched.foreach(t => reelectChampionsShardedVersioned(spark, root, t,
+      Some(del.select("doc_id"))))
+  }
+
+  /** CDC maintenance + one-verb sync — the q189 bridge on the
+    * versioned federation (deletes routed first, net-new appended;
+    * per-shard atomic commits, replay-completing across shards).
+    */
+  def textIndexMaintainShardedVersionedFromStore(spark: SparkSession,
+      storePath: String, rel: String, fromRev: Long, toRev: Long,
+      root: String): Unit =
+    graft.operators.CdcBridge.maintain(spark, storePath, rel, fromRev,
+      toRev, "doc_id", Seq("doc_id", "text"),
+      "textIndexMaintainShardedVersionedFromStore")(
+      del => textIndexDeleteShardedVersioned(del, root))(
+      ins => textIndexAppendShardedVersioned(ins, root))
+
+  def textIndexSyncShardedVersionedWithStore(spark: SparkSession,
+      storePath: String, rel: String, root: String, nShards: Int = 3,
+      withPositions: Boolean = false): Option[(Long, Long)] =
+    graft.operators.CdcBridge.sync(spark, storePath, root,
+      "textIndexSyncShardedVersionedWithStore")(
+      graft.operators.VersionedStore
+        .currentVersion(spark, routerPath(root)).isDefined)(
+      cur => {
+        val docs = graft.operators.VersionedStore
+          .read(spark, storePath, rel, Some(cur)).select("doc_id", "text")
+          .localCheckpoint(true)
+        val (p, ds) = textIndexBuild(docs)
+        textIndexSaveShardedVersioned(p, ds, root, nShards,
+          if (withPositions) Some(positionalPostings(docs)) else None)
+      })(
+      (from, to) => textIndexMaintainShardedVersionedFromStore(spark,
+        storePath, rel, from, to, root))
+
   /** q168: exact phrase search ("data line") — the adjacency query a
     * bag-of-words index cannot answer. Within a document a phrase is a
     * positional-adjacency scan of the token array, so the right plan is
@@ -2546,12 +2798,66 @@ object SearchQueries extends QueryModule {
           .orderBy("rank")
       }
     },
-    Some(s"""WITH ${bm25CteSqlFrom("(SELECT * FROM documents WHERE doc_id % 5 <> 2)")}
+    Some(shardedBm25OracleSql))
+
+  private lazy val shardedBm25OracleSql: String =
+    s"""WITH ${bm25CteSqlFrom("(SELECT * FROM documents WHERE doc_id % 5 <> 2)")}
              SELECT rank, doc_id, n_terms_hit, score FROM (
                SELECT doc_id, n_terms_hit, score,
                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
                FROM bm) t
-             WHERE rank <= 20 ORDER BY rank"""))
+             WHERE rank <= 20 ORDER BY rank"""
+
+  /** q211: q174's federated lifecycle — seed build, two routed
+    * appends, a routed delete, federated search — on the MANIFEST
+    * protocol: every shard is the q198 versioned multi-relation store
+    * (each mutation ONE commitMixed), the router is a versioned store,
+    * and root champion maintenance (exercised in the spec, not here)
+    * replaces a relation in the router instead of a rename. The oracle
+    * is q174's SQL VERBATIM: neither sharding nor the commit protocol
+    * may change what BM25 returns.
+    */
+  private val q211 = QueryDef(
+    "q211_versioned_bm25_sharded",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      if (docs.isEmpty)
+        docs.select(lit(1).as("rank"), col("doc_id"),
+          lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
+      else {
+        val h = pmod(col("doc_id").cast("long"), lit(3L))
+        val base = docs.filter(h === 0)
+        // tiny-corpus guard, the q173 rule — but the versioned append
+        // carries no idempotence probe (replay safety rides the CDC
+        // bridge), so a full-corpus seed SKIPS the appends instead of
+        // replaying them
+        val seeded = base.isEmpty
+        val seed = if (seeded) docs else base
+        val tmp = java.nio.file.Files.createTempDirectory("graft-tisv")
+        val root = tmp.toString + "/idx"
+        graft.BenchPhases.build {
+          val (p, ds) = textIndexBuild(seed)
+          textIndexSaveShardedVersioned(p, ds, root, 3)
+          if (!seeded) {
+            textIndexAppendShardedVersioned(docs.filter(h === 1), root)
+            textIndexAppendShardedVersioned(docs.filter(h === 2), root)
+          }
+          textIndexDeleteShardedVersioned(
+            docs.filter(pmod(col("doc_id").cast("long"), lit(5L)) === 2)
+              .select("doc_id"), root)
+        }
+        val top = textIndexSearchShardedVersioned(s, root)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+          .localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        top.withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("rank", "doc_id", "n_terms_hit", "score")
+          .orderBy("rank")
+      }
+    },
+    Some(shardedBm25OracleSql))
 
   /** q175: q152's context packing served from the persisted index
     * alone — ranking off term-pushed postings, token costs off the
@@ -2781,5 +3087,5 @@ object SearchQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171, q172, q173,
-      q174, q175, q189, q190, q195, q198, q199)
+      q174, q175, q189, q190, q195, q198, q199, q211)
 }
