@@ -88,38 +88,56 @@ object StoreDoctor {
       // all four sharded roots carry router/: the text router has a
       // `tag` column, the signature router a `sig_tag`, the winnow
       // router its fingerprint knobs (k, w), the vector router a
-      // `family` column
-      attemptE(spark.read.parquet(s"$path/router").columns) match {
+      // `family` column. A manifest-protocol federation's router is
+      // itself a versioned store (and its shards are versioned too —
+      // builds are uniform), so the protocol is detected ONCE here and
+      // the shard checks read through the matching form.
+      val versioned =
+        VersionedStore.currentVersion(spark, s"$path/router").isDefined
+      val pre = if (versioned) "versioned:" else ""
+      def shardRel(i: Int, rel: String): org.apache.spark.sql.DataFrame =
+        if (versioned)
+          VersionedStore.read(spark, s"$path/shard-$i", rel)
+        else spark.read.parquet(s"$path/shard-$i")
+      attemptE {
+        if (versioned)
+          VersionedStore.read(spark, s"$path/router", "router").columns
+        else spark.read.parquet(s"$path/router").columns
+      } match {
         case Left(err) => ("sharded", Some(err))
         case Right(cols) if cols.contains("sig_tag") =>
-          ("signature-sharded", attempt {
+          (pre + "signature-sharded", attempt {
             val n = graft.queries.DedupQueries.signatureShardCount(spark, path)
             (0 until n).foreach { i =>
-              val c = spark.read.parquet(s"$path/shard-$i").columns.toSet
+              val c = shardRel(i, "sig").columns.toSet
               require(c("doc_id") && (0 until 8).forall(j => c(s"h$j")),
                 s"shard $i has unexpected columns [${c.toSeq.sorted.mkString(",")}]")
             }
           })
         case Right(cols) if cols.contains("k") && cols.contains("w") =>
-          ("winnow-sharded", attempt {
+          (pre + "winnow-sharded", attempt {
             val (n, _, _) = graft.queries.DedupQueries.winnowShardInfo(spark, path)
             (0 until n).foreach { i =>
-              val c = spark.read.parquet(s"$path/shard-$i").columns.toSet
+              val c = shardRel(i, "fp").columns.toSet
               require(c == Set("doc_id", "fp_pos", "fp_hash"),
                 s"shard $i has unexpected columns [${c.toSeq.sorted.mkString(",")}]")
             }
           })
         case Right(cols) if cols.contains("tag") =>
-          ("text-sharded", attempt {
+          (pre + "text-sharded", attempt {
             val n = SearchQueries.textIndexShardCount(spark, path)
-            (0 until n).foreach(i =>
-              SearchQueries.textIndexLoad(spark, s"$path/shard-$i"))
+            (0 until n).foreach { i =>
+              if (versioned) {
+                VersionedStore.read(spark, s"$path/shard-$i", "postings")
+                VersionedStore.read(spark, s"$path/shard-$i", "docstats")
+              } else SearchQueries.textIndexLoad(spark, s"$path/shard-$i")
+            }
           })
         case Right(_) =>
           attemptE(VectorIndex.shardInfo(spark, path)) match {
-            case Left(err) => ("vector-sharded", Some(err))
+            case Left(err) => (pre + "vector-sharded", Some(err))
             case Right((n, f)) =>
-              ("vector-sharded:" + f,
+              (pre + "vector-sharded:" + f,
                 (0 until n).flatMap(i =>
                   familyCheck(spark, s"$path/shard-$i", f)).headOption)
           }
@@ -251,15 +269,32 @@ object StoreDoctor {
   private def familyCheck(spark: SparkSession, path: String,
       f: String): Option[String] = {
     import graft.queries.{SimilarityQueries => S, QuantQueries => Q}
+    // protocol-aware: a manifest-committed store runs its versioned
+    // loader's gates (the same dispatch the facade's verbs make)
+    val v = VectorIndex.isVersioned(spark, path)
     f match {
-      case "bin"      => attempt(S.binLoadIndex(spark, path))
-      case "sq8"      => attempt(Q.sqLoadIndex(spark, path))
-      case "pq"       => attempt(S.pqLoadIndex(spark, path))
-      case "ivf"      => attempt(S.ivfLoadIndex(spark, path))
-      case "knn"      => attempt(S.knnLoadLists(spark, path))
-      case "lsh"      => attempt(S.lshLoadIndex(spark, path))
-      case "residual" => attempt(S.residualLoadIndex(spark, path))
-      case other      => Some(s"no loader for family '$other'")
+      case "bin" => attempt(
+        if (v) S.binLoadIndexVersioned(spark, path)
+        else S.binLoadIndex(spark, path))
+      case "sq8" => attempt(
+        if (v) Q.sqLoadIndexVersioned(spark, path)
+        else Q.sqLoadIndex(spark, path))
+      case "pq" => attempt(
+        if (v) S.pqLoadIndexVersioned(spark, path)
+        else S.pqLoadIndex(spark, path))
+      case "ivf" => attempt(
+        if (v) S.ivfLoadIndexVersioned(spark, path)
+        else S.ivfLoadIndex(spark, path))
+      case "knn" => attempt(
+        if (v) S.knnLoadListsVersioned(spark, path)
+        else S.knnLoadLists(spark, path))
+      case "lsh" => attempt(
+        if (v) S.lshLoadIndexVersioned(spark, path)
+        else S.lshLoadIndex(spark, path))
+      case "residual" => attempt(
+        if (v) S.residualLoadIndexVersioned(spark, path)
+        else S.residualLoadIndex(spark, path))
+      case other => Some(s"no loader for family '$other'")
     }
   }
 }

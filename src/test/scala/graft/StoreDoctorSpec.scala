@@ -200,4 +200,35 @@ class StoreDoctorSpec extends SparkSuite {
       rows("vres").toString)
     assert(rows("vknn") == (("versioned:knn", true)), rows("vknn").toString)
   }
+
+  test("manifest-protocol FEDERATION roots identify with the versioned: " +
+    "prefix and their shard checks read through the manifests") {
+    import graft.queries.{DedupQueries => D, SearchQueries => SQ}
+    val root = tmpDir("doctor-vfed")
+    // real documents: winnow fingerprinting needs full-length texts
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+      .localCheckpoint(true)
+    D.buildSignatureIndexShardedVersioned(docs, s"$root/sig", 2)
+    D.buildWinnowIndexShardedVersioned(docs, s"$root/win", 2)
+    val (p, ds) = SQ.textIndexBuild(docs)
+    SQ.textIndexSaveShardedVersioned(p.localCheckpoint(true),
+      ds.localCheckpoint(true), s"$root/text", 2)
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 60)
+    graft.operators.VectorIndex.buildSharded(emb, "sq8", s"$root/vec", 2,
+      protocol = "manifest")
+    val rows = StoreDoctor.scan(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(rows("sig") == (("versioned:signature-sharded", true)),
+      rows("sig").toString)
+    assert(rows("win") == (("versioned:winnow-sharded", true)),
+      rows("win").toString)
+    assert(rows("text") == (("versioned:text-sharded", true)),
+      rows("text").toString)
+    assert(rows("vec") == (("versioned:vector-sharded:sq8", true)),
+      rows("vec").toString)
+  }
 }
