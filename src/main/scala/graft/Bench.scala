@@ -64,12 +64,32 @@ object Bench {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Box-state sample: 1-minute load average + MemAvailable. Taken at
+    // run START and after EVERY run (r12 lesson: a single end-of-run
+    // sample stamped a calm box onto an artifact whose middle runs were
+    // recorded under load 30+ — the medians read 1.5x inflated and the
+    // committed baseline was untrustworthy). With one sample per run the
+    // artifact shows the weather each median was recorded under.
+    def boxSample(): String = {
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val memGb =
+        try {
+          val line = java.nio.file.Files
+            .readAllLines(java.nio.file.Paths.get("/proc/meminfo"))
+            .toArray.map(_.toString).find(_.startsWith("MemAvailable:"))
+          line.map(_.split("\\s+")(1).toLong / 1048576.0).getOrElse(-1.0)
+        } catch { case _: Throwable => -1.0 }
+      f"""{"load_avg":$load%.2f,"mem_avail_gb":$memGb%.1f}"""
+    }
+    val boxStart = boxSample()
+    val boxPerRun = scala.collection.mutable.ListBuffer.empty[String]
     // each sample registers its query with BenchPhases so the in-query
     // store harnesses can attribute their build/save lifecycle spans —
     // the artifact then separates amortizable store cost (build_s) from
     // the per-query cost a user pays (query_s = total - build)
     val perRun: Seq[Seq[(String, Double, Boolean, Double)]] = (1 to runs).map { _ =>
-      named.map { case (name, fn) =>
+      val samples = named.map { case (name, fn) =>
         val t0 = System.nanoTime()
         BenchPhases.setCurrent(name)
         val ok =
@@ -79,6 +99,8 @@ object Bench {
         BenchPhases.clearCurrent()
         (name, (System.nanoTime() - t0) / 1e9, ok, BenchPhases.drain(name))
       }
+      boxPerRun += boxSample()
+      samples
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -119,23 +141,29 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Box-state provenance: committed medians still drift ~±10% (and
-    // r11's artifact showed a 1.19x cluster that took a worktree A/B to
-    // classify as box weather, not plans). Recording the 1-minute load
-    // average and MemAvailable AT RUN END makes the next such comparison
-    // self-explaining: a hot box stamps itself into the artifact.
+    // Per-run suite totals: the contamination detector's input. A box
+    // interfered with mid-suite shows up as one run's total diverging
+    // from the others (r12: per-query spreads like [5.5 s, 278 s] —
+    // per-RUN totals would have read ~300 s vs ~900 s and flagged the
+    // artifact at write time instead of a round later).
+    val runTotals = perRun.map(_.map(_._2).sum)
+    val runTotalsJson = runTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    // Contaminated = the slowest run's total exceeds 1.5x the fastest's
+    // (needs >= 2 runs to be measurable). Plans are deterministic and a
+    // warm JVM's run-to-run drift is ~±10%, so a 1.5x total divergence
+    // is external interference by elimination — the medians may be
+    // inflated and MUST NOT become the committed regression baseline.
+    // With >= 3 runs the FIRST run is excluded from the guard: it pays
+    // one-time per-query codegen/JIT that legitimately inflates it, and
+    // a slow run 1 cannot corrupt a median of 3 anyway (the median picks
+    // the middle sample) — the guard watches the steady-state runs whose
+    // divergence WOULD drag the median.
+    val guarded = if (runs >= 3) runTotals.drop(1) else runTotals
+    val contaminated =
+      runs >= 2 && guarded.min > 0 && guarded.max / guarded.min > 1.5
     val boxJson = {
-      val load = java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-      val memGb =
-        try {
-          val line = java.nio.file.Files
-            .readAllLines(java.nio.file.Paths.get("/proc/meminfo"))
-            .toArray.map(_.toString).find(_.startsWith("MemAvailable:"))
-          line.map(_.split("\\s+")(1).toLong / 1048576.0).getOrElse(-1.0)
-        } catch { case _: Throwable => -1.0 }
       val cpus = Runtime.getRuntime.availableProcessors
-      f"""{"load_avg":$load%.2f,"mem_avail_gb":$memGb%.1f,"cpus":$cpus}"""
+      s"""{"start":$boxStart,"runs":${boxPerRun.mkString("[", ",", "]")},"cpus":$cpus}"""
     }
     // The compact total line prints FIRST (head-truncation safety) and again
     // LAST (the driver's capture keeps the tail — r4 lost the total because
@@ -143,29 +171,41 @@ object Bench {
     // is also written to BENCH_LOCAL.json as the committed regression
     // baseline.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"box":$boxJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"run_totals":$runTotalsJson,"contaminated":$contaminated,"failed":$failedJson,"box":$boxJson,"sf":"$sfDir"}"""
     val buildJson = phaseSplit.map { case (k, (b, q)) =>
       "\"" + k + "\":{\"build_s\":" + b + ",\"query_s\":" + q + "}"
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"phases":$buildJson,"failed":$failedJson,"box":$boxJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"run_totals":$runTotalsJson,"contaminated":$contaminated,"queries":$qs,"spread":$spread,"phases":$buildJson,"failed":$failedJson,"box":$boxJson,"sf":"$sfDir"}"""
     println(compact)
     println(full)
     println(compact)
+    if (contaminated)
+      System.err.println(
+        f"BENCH-CONTAMINATED: per-run totals $runTotalsJson diverge " +
+          f"${guarded.max / guarded.min}%.2fx (> 1.5x) — box " +
+          "interference mid-suite; medians are suspect and the committed " +
+          "baseline was NOT refreshed. Re-run on a quiet box.")
     // only CLEAN full runs may refresh the committed regression baseline —
     // a SPARK_GRAFT_ONLY dev run must not overwrite it with a partial
-    // total, and a run with failed queries must not deflate it
-    if (only.isEmpty && failures.isEmpty) {
+    // total, a run with failed queries must not deflate it, and a
+    // CONTAMINATED run (per-run totals diverging >1.5x) must not inflate
+    // it: r12's baseline was recorded under box weather and every later
+    // round would have "improved" 1.5x for free against it.
+    if (only.isEmpty && failures.isEmpty && !contaminated) {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
       catch { case _: Throwable => () } // read-only cwd must not fail the bench
     }
-    // a FAILED run is exactly when structured data matters most (the
-    // round-7 ADVICE): persist the full JSON under a name that can never
-    // be mistaken for the clean committed baseline
-    if (only.isEmpty && failures.nonEmpty) {
+    // a FAILED or CONTAMINATED run is exactly when structured data
+    // matters most (the round-7 ADVICE): persist the full JSON under a
+    // name that can never be mistaken for the clean committed baseline
+    if (only.isEmpty && (failures.nonEmpty || contaminated)) {
+      val quarantine =
+        if (failures.nonEmpty) "BENCH_LOCAL_FAILED.json"
+        else "BENCH_LOCAL_CONTAMINATED.json"
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_LOCAL_FAILED.json"), full + "\n")
+        java.nio.file.Paths.get(quarantine), full + "\n")
       catch { case _: Throwable => () }
     }
     spark.stop()
