@@ -83,17 +83,47 @@ object CdcBridge {
     * `indexExists` distinguishes a genuinely hand-built index (present,
     * no marker at all — refuse, its maintenance history is unknowable)
     * from a fresh path (bootstrap).
+    *
+    * `retain` is the RETENTION knob for manifest-committed indexes: a
+    * sync loop adds one revision per absorbed window forever, so a year
+    * of daily syncs retains 365 manifests and every superseded head —
+    * `retain = Some(n)` vacuums the index to its newest n revisions
+    * AFTER each successful marker bump (never before: a vacuum racing
+    * an unfinished window could reclaim dirs the replay still needs).
+    * Time travel below the retained floor refuses thereafter — the
+    * documented vacuum trade. `retainPaths` overrides WHICH stores are
+    * vacuumed (a federation vacuums each shard and its router; default
+    * = the index path itself), evaluated lazily so a bootstrap can
+    * create the stores first. Refused for a non-versioned index — a
+    * rename-family store has no revisions to retain.
     */
   def sync(spark: SparkSession, storePath: String, idxPath: String,
-      verb: String)(indexExists: => Boolean)(bootstrap: Long => Unit)(
+      verb: String, retain: Option[Int] = None,
+      retainPaths: () => Seq[String] = () => Seq.empty)(
+      indexExists: => Boolean)(bootstrap: Long => Unit)(
       maintainWindow: (Long, Long) => Unit): Option[(Long, Long)] = {
     val cur = VersionedStore.currentVersion(spark, storePath).getOrElse(
       throw new IllegalArgumentException(
         s"$verb: no versioned store at $storePath"))
+    def applyRetention(): Unit = retain.foreach { n =>
+      require(n >= 1, s"$verb: retain must be >= 1, got $n")
+      val targets = retainPaths() match {
+        case Seq() => Seq(idxPath)
+        case ps    => ps
+      }
+      targets.foreach { p =>
+        require(VersionedStore.currentVersion(spark, p).isDefined,
+          s"$verb: retain is only meaningful for a manifest-committed " +
+            s"index — $p holds no versioned store (rename-family " +
+            "indexes keep no revision history to bound)")
+        VersionedStore.vacuum(spark, p, keep = n)
+      }
+    }
     def runBootstrap(): Option[(Long, Long)] = {
       RevisionSync.setSyncedRev(spark, idxPath, storePath, -1L)
       bootstrap(cur)
       RevisionSync.setSyncedRev(spark, idxPath, storePath, cur)
+      applyRetention()
       Some((cur, cur))
     }
     RevisionSync.syncedRev(spark, idxPath) match {
@@ -113,10 +143,15 @@ object CdcBridge {
         runBootstrap()
       case Some(_) =>
         RevisionSync.window(spark, idxPath, storePath) match {
-          case None => None
+          case None =>
+            // already current — retention still applies (an operator
+            // may dial retain down on a quiet index)
+            applyRetention()
+            None
           case Some((from, to)) =>
             maintainWindow(from, to)
             RevisionSync.setSyncedRev(spark, idxPath, storePath, to)
+            applyRetention()
             Some((from, to))
         }
     }

@@ -75,6 +75,24 @@ object RevisionSync {
       markerPath(idxPath))
   }
 
+  /** Carry a CDC sync checkpoint across a PROTOCOL MIGRATION (shared by
+    * the per-family migrate-to-versioned verbs): present → copied
+    * verbatim to the migrated index (it holds exactly the content of
+    * the absorbed corpus revisions, so it may keep syncing from the
+    * same store), absent → nothing to carry, bootstrap sentinel (-1) →
+    * refuse (a sync bootstrap crashed mid-build there; the source's
+    * content is not authoritative and must not be migrated).
+    */
+  def migrateMarker(spark: SparkSession, src: String, dst: String,
+      verb: String): Unit =
+    syncedRev(spark, src).foreach {
+      case (_, -1L) => throw new IllegalArgumentException(
+        s"$verb: index at $src carries the bootstrap sentinel (-1) — a " +
+          "sync bootstrap crashed mid-build and the content is not " +
+          "authoritative; re-run the sync verb there first")
+      case (storePath, rev) => setSyncedRev(spark, dst, storePath, rev)
+    }
+
   /** Shared guard for every family's sync verb: resolve the window
     * (marker → current), refusing a marker that tracks a different
     * store. Returns None when the index is already current.

@@ -155,36 +155,52 @@ object VectorIndex {
     spark.range(1).select(lit(fam).as("family"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/family")
 
+  /** The façade's 1-row family marker as a RELATION — for manifest-
+    * protocol builds it rides the family save's OWN commit (the `extra`
+    * parameter of every versioned save verb), so there is no instant at
+    * which the data revision exists but the marker does not.
+    */
+  private def markerRel(spark: SparkSession,
+      fam: String): Map[String, DataFrame] =
+    Map("family" -> spark.range(1).select(lit(fam).as("family"))
+      .coalesce(1))
+
   /** Train + encode + persist `e`(vec_id, v) as `fam` at `path`, and
     * stamp the family marker. Training defaults are each family's query
     * defaults (q136/q108/q62/q127/q128/q111/q116 shapes).
     * `protocol = "manifest"` builds the family's manifest-committed
-    * twin instead (the marker rides as a `family` relation, committed
-    * right after the build — the same marker-after-build crash window
-    * the rename façade has always had: a crash between leaves a
-    * working family store that the façade refuses with re-build
-    * guidance).
+    * twin instead. The marker rides INSIDE the build's own manifest PUT
+    * (a `family` relation passed through the save verb's `extra`
+    * relations), so a manifest build is crash-atomic end to end: every
+    * crash instant leaves either no store or a fully marked one — the
+    * marker-after-build window the rename façade still has (two
+    * directory writes, unavoidable under that protocol) is structurally
+    * unrepresentable here, and a build bumps the revision by EXACTLY
+    * one (spec-pinned).
     */
   def build(e: DataFrame, fam: String, path: String,
       protocol: String = "rename"): Unit = {
     val spark = e.sparkSession
     checkProtocol(protocol, "build")
     val versioned = protocol == "manifest"
+    val marker = markerRel(spark, fam)
     fam match {
       case "sq8" =>
         val params = QuantQueries.sqTrain(e).localCheckpoint(true)
         val codes = QuantQueries.sqCodes(params, e)
-        if (versioned) QuantQueries.sqSaveIndexVersioned(params, codes, path)
+        if (versioned) QuantQueries.sqSaveIndexVersioned(params, codes,
+          path, extra = marker)
         else QuantQueries.sqSaveIndex(params, codes, path)
       case "pq" =>
         val idx = SimilarityQueries.pqTrain(e)
         val codes = SimilarityQueries.pqCodes(idx, e)
-        if (versioned) SimilarityQueries.pqSaveIndexVersioned(idx, codes, path)
+        if (versioned) SimilarityQueries.pqSaveIndexVersioned(idx, codes,
+          path, extra = marker)
         else SimilarityQueries.pqSaveIndex(idx, codes, path)
       case "ivf" =>
         val (cents, cells) = SimilarityQueries.ivfTrain(e)
         if (versioned) SimilarityQueries.ivfSaveIndexVersioned(
-          cents.localCheckpoint(true), cells, path)
+          cents.localCheckpoint(true), cells, path, extra = marker)
         else SimilarityQueries.ivfSaveIndex(cents.localCheckpoint(true),
           cells, path)
       case "residual" =>
@@ -197,32 +213,100 @@ object VectorIndex {
         val idx = SimilarityQueries.pqTrain(rv)
         val codes = SimilarityQueries.pqCodes(idx, rv)
         if (versioned) SimilarityQueries.residualSaveIndexVersioned(
-          cents, cls, idx, codes, path)
+          cents, cls, idx, codes, path, extra = marker)
         else SimilarityQueries.residualSaveIndex(cents, cls, idx, codes,
           path)
       case "bin" =>
         val codes = SimilarityQueries.binCodes(e)
-        if (versioned) SimilarityQueries.binSaveIndexVersioned(codes, path)
+        if (versioned) SimilarityQueries.binSaveIndexVersioned(codes, path,
+          extra = marker)
         else SimilarityQueries.binSaveIndex(codes, path)
       case "lsh" =>
         val buckets = SimilarityQueries.lshBuckets(e)
         if (versioned) SimilarityQueries.lshSaveIndexVersioned(buckets,
-          4, 6, path)
+          4, 6, path, extra = marker)
         else SimilarityQueries.lshSaveIndex(buckets, 4, 6, path)
       case "knn" =>
         val lists = SimilarityQueries.bruteTopLists(e, 3)
         if (versioned) SimilarityQueries.knnSaveListsVersioned(lists, 3,
-          "brute-cos", path)
+          "brute-cos", path, extra = marker)
         else SimilarityQueries.knnSaveLists(lists, 3, "brute-cos", path)
       case other => throw new IllegalArgumentException(
         s"VectorIndex.build: unknown family '$other' (one of " +
           s"${Families.toSeq.sorted.mkString(", ")})")
     }
-    if (versioned)
-      VersionedStore.append(
-        Map("family" -> spark.range(1).select(lit(fam).as("family"))
-          .coalesce(1)), path)
-    else writeMarker(spark, path, fam)
+    if (!versioned) writeMarker(spark, path, fam)
+  }
+
+  /** MIGRATE a rename-protocol store to the manifest-committed form —
+    * the answer to "my store was built on HDFS and is moving to S3"
+    * that does NOT re-encode the corpus: every relation is read through
+    * the family's VERIFYING loader (fingerprint recompute and all — a
+    * torn or spliced source refuses here), pending tombstones are
+    * applied (the versioned twin starts masked-clean, no sidecar), and
+    * ONE manifest PUT commits the relations PLUS the family marker as
+    * revision 1 — the same crash-atomic shape as a fresh manifest
+    * [[build]], at O(index) copy cost instead of O(corpus) re-train/
+    * re-encode. Searches against the migrated store are bit-equal to
+    * the source's (same stored codes, same frozen parameters;
+    * spec-pinned). A CDC `_synced_rev` checkpoint carries across, so a
+    * synced index keeps syncing from the same corpus store. `declared`
+    * names the family for stores built by the raw family verbs (no
+    * façade marker); a marked store checks it instead.
+    */
+  def migrateToVersioned(spark: SparkSession, src: String, dst: String,
+      declared: Option[String] = None): Long = {
+    require(!isVersioned(spark, src),
+      s"VectorIndex.migrateToVersioned: store at $src is already " +
+        "manifest-committed")
+    require(VersionedStore.currentVersion(spark, dst).isEmpty,
+      s"VectorIndex.migrateToVersioned: $dst already holds a versioned " +
+        "store — refusing to commit a second lineage over it")
+    val fam = declared match {
+      case Some(d) =>
+        val fp = new org.apache.hadoop.fs.Path(s"$src/family")
+        if (fp.getFileSystem(spark.sessionState.newHadoopConf()).exists(fp))
+          open(spark, src, d) // marked: the declaration must agree
+        d
+      case None => family(spark, src)
+    }
+    val marker = markerRel(spark, fam)
+    import graft.queries.{QuantQueries => Q, SimilarityQueries => S}
+    val rev = fam match {
+      case "sq8" =>
+        val (params, codes) = Q.sqLoadIndex(spark, src)
+        Q.sqSaveIndexVersioned(params, codes, dst, extra = marker)
+      case "pq" =>
+        val (idx, codes) = S.pqLoadIndex(spark, src)
+        S.pqSaveIndexVersioned(idx, codes, dst, extra = marker)
+      case "ivf" =>
+        val (cents, cells) = S.ivfLoadIndex(spark, src)
+        S.ivfSaveIndexVersioned(cents, cells, dst, extra = marker)
+      case "residual" =>
+        val (cents, cells, idx, codes) = S.residualLoadIndex(spark, src)
+        S.residualSaveIndexVersioned(cents, cells, idx, codes, dst,
+          extra = marker)
+      case "bin" =>
+        S.binSaveIndexVersioned(S.binLoadIndex(spark, src), dst,
+          extra = marker)
+      case "lsh" =>
+        val (buckets, tables, planes) = S.lshLoadIndex(spark, src)
+        val vdims = spark.read.parquet(s"$src/meta")
+          .select("dims").head.getInt(0)
+        S.lshSaveIndexVersioned(buckets, tables, planes, dst, vdims,
+          extra = marker)
+      case "knn" =>
+        val (lists, k) = S.knnLoadLists(spark, src)
+        val gen = spark.read.parquet(s"$src/meta")
+          .select("generator").head.getString(0)
+        S.knnSaveListsVersioned(lists, k, gen, dst, extra = marker)
+      case other => throw new IllegalArgumentException(
+        s"VectorIndex.migrateToVersioned: unknown family '$other' (one " +
+          s"of ${Families.toSeq.sorted.mkString(", ")})")
+    }
+    RevisionSync.migrateMarker(spark, src, dst,
+      "VectorIndex.migrateToVersioned")
+    rev
   }
 
   private def checkProtocol(protocol: String, verb: String): Unit =
@@ -468,12 +552,12 @@ object VectorIndex {
       s"VectorIndex.buildSharded: shard(s) ${missing.mkString(",")} of " +
         s"$nShards would be EMPTY for this relation — use fewer shards")
     def slice(i: Int) = withSh.filter(col("_sh") === i).drop("_sh")
+    // manifest shards: the family marker rides each shard save's OWN
+    // commit (no marker-after-build window anywhere in the federation);
+    // rename shards keep the two-write shape their protocol forces
+    val marker = markerRel(spark, fam)
     def mark(i: Int): Unit =
-      if (versioned)
-        VersionedStore.append(
-          Map("family" -> spark.range(1).select(lit(fam).as("family"))
-            .coalesce(1)), shardPath(root, i))
-      else writeMarker(spark, shardPath(root, i), fam)
+      if (!versioned) writeMarker(spark, shardPath(root, i), fam)
     fam match {
       case "sq8" =>
         val params = QuantQueries.sqTrain(e).localCheckpoint(true) // GLOBAL
@@ -481,7 +565,7 @@ object VectorIndex {
           val codes = QuantQueries.sqCodes(params, slice(i))
           if (versioned)
             QuantQueries.sqSaveIndexVersioned(params, codes,
-              shardPath(root, i))
+              shardPath(root, i), extra = marker)
           else QuantQueries.sqSaveIndex(params, codes, shardPath(root, i))
           mark(i)
         }
@@ -491,7 +575,7 @@ object VectorIndex {
           val codes = SimilarityQueries.pqCodes(idx, slice(i))
           if (versioned)
             SimilarityQueries.pqSaveIndexVersioned(idx, codes,
-              shardPath(root, i))
+              shardPath(root, i), extra = marker)
           else SimilarityQueries.pqSaveIndex(idx, codes, shardPath(root, i))
           mark(i)
         }
@@ -500,7 +584,7 @@ object VectorIndex {
           val codes = SimilarityQueries.binCodes(slice(i))
           if (versioned)
             SimilarityQueries.binSaveIndexVersioned(codes,
-              shardPath(root, i))
+              shardPath(root, i), extra = marker)
           else SimilarityQueries.binSaveIndex(codes, shardPath(root, i))
           mark(i)
         }
@@ -641,9 +725,14 @@ object VectorIndex {
     */
   def syncWithStore(spark: SparkSession, storePath: String, rel: String,
       idxPath: String, fam: String = "sq8",
-      protocol: String = "rename"): Option[(Long, Long)] = {
+      protocol: String = "rename",
+      retain: Option[Int] = None): Option[(Long, Long)] = {
     checkProtocol(protocol, "syncWithStore")
-    CdcBridge.sync(spark, storePath, idxPath, "VectorIndex.syncWithStore")({
+    require(retain.isEmpty || protocol == "manifest",
+      "VectorIndex.syncWithStore: retain bounds MANIFEST revision " +
+        "history — a rename-protocol index keeps none")
+    CdcBridge.sync(spark, storePath, idxPath, "VectorIndex.syncWithStore",
+      retain)({
       if (protocol == "manifest") isVersioned(spark, idxPath)
       else {
         val fp = new org.apache.hadoop.fs.Path(s"$idxPath/family")

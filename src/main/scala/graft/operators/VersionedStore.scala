@@ -727,6 +727,17 @@ object VersionedStore {
     rev
   }
 
+  /** The data/tombstone directory names the current (or `asOf`)
+    * revision references — the `stamps`-level existence check's input
+    * ([[StoreDoctor]]): a referenced dir that is GONE means data was
+    * deleted out from under a committed manifest, the one corruption
+    * the protocol itself cannot mask. No directory is opened here.
+    */
+  def referencedDirs(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): Seq[String] =
+    manifestAt(spark, path, asOf)._2
+      .filter(e => e.kind == "data" || e.kind == "del").map(_.dir).distinct
+
   /** Ops report, no mutation: the data dirs at or below the current
     * revision that NO committed revision references — crashed attempts'
     * residue (dirs written, manifest never landed) that only [[vacuum]]

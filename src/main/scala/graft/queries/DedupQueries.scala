@@ -1157,9 +1157,10 @@ object DedupQueries extends QueryModule {
     */
   def syncSignatureIndexVersionedWithStore(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
-      rel: String, path: String): Option[(Long, Long)] =
+      rel: String, path: String,
+      retain: Option[Int] = None): Option[(Long, Long)] =
     graft.operators.CdcBridge.sync(spark, storePath, path,
-      "syncSignatureIndexVersionedWithStore")(
+      "syncSignatureIndexVersionedWithStore", retain)(
       graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
       cur => buildSignatureIndexVersioned(
         graft.operators.VersionedStore.read(spark, storePath, rel,
@@ -1169,6 +1170,48 @@ object DedupQueries extends QueryModule {
         "syncSignatureIndexVersionedWithStore")(
         del => { forgetSignatureIndexVersioned(spark, del, path); () })(
         ins => { appendSignatureIndexVersioned(ins, path); () }))
+
+  /** MIGRATE a rename-protocol signature index to the manifest-committed
+    * form — the template of the family migrations (one relation, column
+    * gate): the stored signatures are read whole, gated on the layout
+    * the probes rely on (doc_id + h0..h7 — a foreign parquet dir
+    * refuses here, never becomes a "signature store"), and committed as
+    * revision 1 by ONE manifest PUT. A rewrite that died between
+    * delete and rename refuses with the recover verb named (its content
+    * is intact at the temp path — healing is the rename protocol's job,
+    * not the migration's). A CDC `_synced_rev` checkpoint carries
+    * across, so a synced index keeps syncing from the same corpus store
+    * under the new protocol. The source is never mutated: migration is
+    * a read — at 100 TB an O(index) copy job against a ~4 TB signature
+    * relation, where re-building would re-shingle the full corpus text.
+    */
+  def migrateSignatureIndexToVersioned(
+      spark: org.apache.spark.sql.SparkSession, src: String,
+      dst: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          src + graft.operators.StoreRewrite.TmpSuffix)),
+      s"migrateSignatureIndexToVersioned: a rewrite of $src crashed " +
+        "between delete and rename (the complete store is at " +
+        s"$src${graft.operators.StoreRewrite.TmpSuffix}) — run " +
+        "StoreRewrite.recover first, then migrate")
+    require(graft.operators.VersionedStore
+        .currentVersion(spark, dst).isEmpty,
+      s"migrateSignatureIndexToVersioned: $dst already holds a " +
+        "versioned store — refusing to commit a second lineage over it")
+    val sig = spark.read.parquet(src)
+    val cols = sig.columns.toSet
+    require(cols("doc_id") && (0 until 8).forall(j => cols(s"h$j")),
+      s"migrateSignatureIndexToVersioned: $src is not a signature " +
+        s"index (columns [${cols.toSeq.sorted.mkString(",")}], need " +
+        "doc_id + h0..h7)")
+    val rev = graft.operators.VersionedStore.save(Map("sig" -> sig), dst)
+    graft.operators.RevisionSync.migrateMarker(spark, src, dst,
+      "migrateSignatureIndexToVersioned")
+    rev
+  }
 
   /** Incremental-batch dedup: the daily-ingest path. New documents (one
     * source partition standing in for "today's crawl") are checked against
@@ -1334,6 +1377,42 @@ object DedupQueries extends QueryModule {
         val path = root.toString + "/sig"
         graft.BenchPhases.build { buildSignatureIndexVersioned(old, path) }
         val res = probeSignatureIndexVersioned(s, inc, path)
+          .orderBy("new_id").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(root.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(incRejectOracleSql))
+
+  /** q212: q197's probe served from a store MIGRATED off the rename
+    * protocol — build the rename-family signature index, run
+    * [[migrateSignatureIndexToVersioned]] (one O(index) copy job, the
+    * raw corpus never re-shingled), probe the MIGRATED store through
+    * the versioned family's own verb. The oracle is
+    * q82/q178/q191/q197's SQL VERBATIM: a protocol migration must be
+    * invisible to the probe — same candidates, same scores, bit for
+    * bit (MigrateStoreSpec additionally pins content equality against
+    * a fresh versioned build).
+    */
+  private val q212 = QueryDef(
+    "q212_migrated_signature_probe",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val inc = docs.filter(col("source") === "src19")
+      val old = docs.filter(col("source") =!= "src19")
+      if (old.isEmpty)
+        inc.select(col("doc_id").as("new_id"), col("doc_id").as("old_id"),
+          lit(0.0).as("jaccard_est")).limit(0)
+      else {
+        val root = java.nio.file.Files.createTempDirectory("graft-migsig")
+        val ren = root.toString + "/ren"
+        val ver = root.toString + "/ver"
+        graft.BenchPhases.build {
+          buildSignatureIndex(old, ren)
+          migrateSignatureIndexToVersioned(s, ren, ver)
+        }
+        val res = probeSignatureIndexVersioned(s, inc, ver)
           .orderBy("new_id").localCheckpoint(true)
         val hp = new org.apache.hadoop.fs.Path(root.toString)
         hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
@@ -2846,9 +2925,10 @@ object DedupQueries extends QueryModule {
     */
   def syncWinnowIndexVersionedWithStore(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
-      rel: String, path: String, k: Int = 4, w: Int = 5): Option[(Long, Long)] =
+      rel: String, path: String, k: Int = 4, w: Int = 5,
+      retain: Option[Int] = None): Option[(Long, Long)] =
     graft.operators.CdcBridge.sync(spark, storePath, path,
-      "syncWinnowIndexVersionedWithStore")(
+      "syncWinnowIndexVersionedWithStore", retain)(
       graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
       cur => buildWinnowIndexVersioned(
         graft.operators.VersionedStore.read(spark, storePath, rel,
@@ -3600,9 +3680,14 @@ object DedupQueries extends QueryModule {
     */
   def syncSignatureIndexShardedVersionedWithStore(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
-      rel: String, root: String, nShards: Int = 3): Option[(Long, Long)] =
+      rel: String, root: String, nShards: Int = 3,
+      retain: Option[Int] = None): Option[(Long, Long)] =
     graft.operators.CdcBridge.sync(spark, storePath, root,
-      "syncSignatureIndexShardedVersionedWithStore")(
+      "syncSignatureIndexShardedVersionedWithStore", retain,
+      // retention sweeps the whole federation: every shard store plus
+      // the router (evaluated after bootstrap, when the router exists)
+      () => (0 until signatureShardCount(spark, root))
+        .map(sigShardPath(root, _)) :+ sigRouterPath(root))(
       graft.operators.VersionedStore
         .currentVersion(spark, sigRouterPath(root)).isDefined)(
       cur => buildSignatureIndexShardedVersioned(
@@ -3742,9 +3827,12 @@ object DedupQueries extends QueryModule {
   def syncWinnowIndexShardedVersionedWithStore(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
       rel: String, root: String, nShards: Int = 3, k: Int = 4,
-      w: Int = 5): Option[(Long, Long)] =
+      w: Int = 5, retain: Option[Int] = None): Option[(Long, Long)] =
     graft.operators.CdcBridge.sync(spark, storePath, root,
-      "syncWinnowIndexShardedVersionedWithStore")(
+      "syncWinnowIndexShardedVersionedWithStore", retain,
+      () => { val (n, _, _) = winnowShardInfo(spark, root)
+        (0 until n).map(winnowShardPath(root, _)) :+
+          winnowRouterPath(root) })(
       graft.operators.VersionedStore
         .currentVersion(spark, winnowRouterPath(root)).isDefined)(
       cur => buildWinnowIndexShardedVersioned(
@@ -3973,5 +4061,5 @@ object DedupQueries extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
       q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184, q185,
-      q186, q187, q188, q191, q193, q194, q197, q200, q209, q210)
+      q186, q187, q188, q191, q193, q194, q197, q200, q209, q210, q212)
 }

@@ -304,13 +304,16 @@ object QuantQueries extends QueryModule {
   // ------------------------------------------------------------------
 
   /** Build the manifest-committed SQ8 store: ONE revision commits the
-    * checked meta row and the stamped codes together.
+    * checked meta row and the stamped codes together. `extra` relations
+    * (the façade's 1-row `family` marker) ride the SAME commit, so a
+    * façade build is crash-atomic end to end — there is no instant at
+    * which the data is committed but the marker is not.
     */
   def sqSaveIndexVersioned(params: DataFrame, codes: DataFrame,
-      path: String): Long = {
+      path: String, extra: Map[String, DataFrame] = Map.empty): Long = {
     val meta = sqMetaChecked(params, codes, "sqSaveIndexVersioned")
     graft.operators.VersionedStore.save(
-      Map("meta" -> meta.coalesce(1), "codes" -> codes), path)
+      Map("meta" -> meta.coalesce(1), "codes" -> codes) ++ extra, path)
   }
 
   /** Restore (params, codes) at the current — or `asOf` — revision,
@@ -374,9 +377,10 @@ object QuantQueries extends QueryModule {
     * lives beside `_versions`, and replays are no-ops.
     */
   def sqSyncVersionedWithStore(spark: SparkSession, storePath: String,
-      rel: String, path: String): Option[(Long, Long)] =
+      rel: String, path: String,
+      retain: Option[Int] = None): Option[(Long, Long)] =
     graft.operators.CdcBridge.sync(spark, storePath, path,
-      "sqSyncVersionedWithStore")(
+      "sqSyncVersionedWithStore", retain)(
       graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
       cur => {
         val e = graft.operators.VersionedStore
@@ -1119,6 +1123,55 @@ object QuantQueries extends QueryModule {
     },
     Some(cdcVectorOracleSql))
 
+  /** q214: q201's search served from a store MIGRATED off the rename
+    * protocol — drive the RENAME-family lifecycle (save under the
+    * frozen quantizer, append, sidecar-tombstone delete), run
+    * [[graft.operators.VectorIndex.migrateToVersioned]] (codes through
+    * the verifying loader, tombstones applied, meta stamp recomputed,
+    * data + façade marker in ONE manifest PUT), and ADC-search the
+    * MIGRATED store. The oracle is q192/q201's SQL VERBATIM: the
+    * protocol switch must be invisible to the search — the codes were
+    * encoded once under the frozen parameters and migration moves them
+    * bit-for-bit.
+    */
+  private val q214 = QueryDef(
+    "q214_migrated_sq8_search",
+    (s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val boot = e.filter(col("vec_id") % 4 =!= 3)
+      if (boot.isEmpty)
+        e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"),
+          lit(1).as("rank"), lit(0.0).as("score")).limit(0)
+      else {
+        val root = java.nio.file.Files.createTempDirectory("graft-migsq")
+        val ren = root.toString + "/ren"
+        val ver = root.toString + "/ver"
+        graft.BenchPhases.build {
+          val params = sqTrain(boot).localCheckpoint(true)
+          sqSaveIndex(params, sqCodes(params, boot), ren)
+          sqAppendCodes(e.filter(col("vec_id") % 4 === 3), ren)
+          sqDeleteVectors(
+            e.filter(col("vec_id") % 8 === 1 || col("vec_id") % 8 === 7)
+              .select("vec_id"), ren)
+          graft.operators.VectorIndex.migrateToVersioned(s, ren, ver,
+            declared = Some("sq8"))
+        }
+        val res = sqAdcSearchVersioned(s, q, ver, topR = 5)
+          .select(col("qid").as("query_id"),
+            col("vec_id").as("neighbor_id"), col("arank").as("rank"),
+            col("adc_dist").as("score"))
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(root.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(cdcVectorOracleSql))
+
   override def defs: Seq[QueryDef] =
-    Seq(q136, q137, q157, q176, q192, q201, q207, q208)
+    Seq(q136, q137, q157, q176, q192, q201, q207, q208, q214)
 }

@@ -1870,9 +1870,10 @@ object SearchQueries extends QueryModule {
     */
   def textIndexSyncVersionedWithStore(spark: SparkSession,
       storePath: String, rel: String, path: String,
-      withPositions: Boolean = false): Option[(Long, Long)] =
+      withPositions: Boolean = false,
+      retain: Option[Int] = None): Option[(Long, Long)] =
     graft.operators.CdcBridge.sync(spark, storePath, path,
-      "textIndexSyncVersionedWithStore")(
+      "textIndexSyncVersionedWithStore", retain)(
       graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
       cur => textIndexSaveVersioned(
         graft.operators.VersionedStore.read(spark, storePath, rel,
@@ -1884,6 +1885,54 @@ object SearchQueries extends QueryModule {
           versionedTextMutation(spark, path, ins, del)
           ()
         })
+
+  /** MIGRATE a rename-protocol text index to the manifest-committed
+    * form, in place of the full re-tokenize the versioned build would
+    * cost: every relation is read through the family's VERIFYING loader
+    * (stamp recompute and all — a torn or spliced source refuses here,
+    * never lands in the target), pending tombstones are applied (the
+    * versioned twin starts with a clean slate — masked content, no
+    * carried sidecar), and ONE manifest PUT commits postings + docstats
+    * (+ positions and champions when the source carries them) as
+    * revision 1. At 100 TB this is an O(index) copy job — the raw
+    * corpus is never touched, where a rebuild would re-tokenize it.
+    * A CDC [[graft.operators.RevisionSync]] checkpoint migrates too, so
+    * a synced index keeps syncing from the same corpus store after the
+    * protocol switch; a bootstrap-sentinel marker (crashed bootstrap)
+    * refuses. The in-flight intent marker refuses up front: a source
+    * mid-mutation must be healed ([[textIndexRecover]]) before its
+    * content can be called authoritative.
+    */
+  def migrateTextIndexToVersioned(spark: SparkSession, src: String,
+      dst: String): Long = {
+    require(!textIndexInflight(spark, src),
+      s"migrateTextIndexToVersioned: index at $src has an _inflight " +
+        "intent marker — a mutation died mid-write; run " +
+        "textIndexRecover first, then migrate")
+    require(graft.operators.VersionedStore
+        .currentVersion(spark, dst).isEmpty,
+      s"migrateTextIndexToVersioned: $dst already holds a versioned " +
+        "store — refusing to commit a second lineage over it")
+    val (postings, docstats) = textIndexLoad(spark, src)
+    val rels = Map(
+      "postings" -> postings.repartitionByRange(col("term"), col("doc_id")),
+      "docstats" -> docstats) ++
+      (if (textIndexHasPositions(spark, src))
+        Map("positions" -> textIndexLoadPositions(spark, src)
+          .repartitionByRange(col("term"), col("doc_id")))
+      else Map.empty) ++
+      (if (hasChampions(spark, src))
+        // masked like the rename family's own champion search masks, so
+        // the migrated candidate heads are EXACTLY the ones the source
+        // store was serving
+        Map("champions" -> graft.operators.IndexTombstones.maskOn(
+          spark.read.parquet(championsPath(src)), src, Seq("doc_id")))
+      else Map.empty)
+    val rev = graft.operators.VersionedStore.save(rels, dst)
+    graft.operators.RevisionSync.migrateMarker(spark, src, dst,
+      "migrateTextIndexToVersioned")
+    rev
+  }
 
   // ------------------------------------------------------------------
   // Sharded (federated) index — the 100 TB shape of the store family.
@@ -2492,9 +2541,12 @@ object SearchQueries extends QueryModule {
 
   def textIndexSyncShardedVersionedWithStore(spark: SparkSession,
       storePath: String, rel: String, root: String, nShards: Int = 3,
-      withPositions: Boolean = false): Option[(Long, Long)] =
+      withPositions: Boolean = false,
+      retain: Option[Int] = None): Option[(Long, Long)] =
     graft.operators.CdcBridge.sync(spark, storePath, root,
-      "textIndexSyncShardedVersionedWithStore")(
+      "textIndexSyncShardedVersionedWithStore", retain,
+      () => (0 until textIndexShardCount(spark, root))
+        .map(shardPath(root, _)) :+ routerPath(root))(
       graft.operators.VersionedStore
         .currentVersion(spark, routerPath(root)).isDefined)(
       cur => {
@@ -3036,6 +3088,50 @@ object SearchQueries extends QueryModule {
     },
     Some(cdcMaintainOracleSql))
 
+  /** q213: q198's search served from a store MIGRATED off the rename
+    * protocol — drive the RENAME-family lifecycle (save, append,
+    * tombstone-delete), run [[migrateTextIndexToVersioned]] (every
+    * relation through the verifying loader, pending tombstones applied,
+    * ONE manifest PUT — an O(index) copy, the corpus never
+    * re-tokenized), and search the MIGRATED store through the versioned
+    * family's verb. The oracle is q189/q195/q198's SQL VERBATIM: the
+    * protocol switch must be invisible to the search — same statistics,
+    * same ranking, bit for bit.
+    */
+  private val q213 = QueryDef(
+    "q213_migrated_text_search",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val old = docs.filter(col("source") =!= "src19")
+      val inc = docs.filter(col("source") === "src19")
+      if (old.isEmpty)
+        docs.select(lit(1).as("rank"), col("doc_id"),
+          lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-migtix")
+        val ren = tmp.toString + "/ren"
+        val ver = tmp.toString + "/ver"
+        graft.BenchPhases.build {
+          val (p, ds) = textIndexBuild(old.select("doc_id", "text"))
+          textIndexSave(p, ds, ren)
+          textIndexAppend(inc.select("doc_id", "text"), ren)
+          textIndexDelete(
+            old.filter(col("doc_id") % 17 === 3).select("doc_id"), ren)
+          migrateTextIndexToVersioned(s, ren, ver)
+        }
+        val top = textIndexSearchVersioned(s, ver)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        val res = top.withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("rank", "doc_id", "n_terms_hit", "score")
+          .orderBy("rank").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(cdcMaintainOracleSql))
+
   /** q199: TIME-TRAVEL search — the capability the manifest protocol
     * gives the index family for free and a rename-based store
     * structurally cannot: after the append and the delete land, search
@@ -3087,5 +3183,5 @@ object SearchQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(q92, q93, q152, q154, q163, q167, q168, q170, q171, q172, q173,
-      q174, q175, q189, q190, q195, q198, q199, q211)
+      q174, q175, q189, q190, q195, q198, q199, q211, q213)
 }

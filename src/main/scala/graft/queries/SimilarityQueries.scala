@@ -844,10 +844,11 @@ object SimilarityQueries extends QueryModule {
     * flat codebook relation and the stamped codes together.
     */
   def pqSaveIndexVersioned(index: PqIndex,
-      codes: org.apache.spark.sql.DataFrame, path: String): Long =
+      codes: org.apache.spark.sql.DataFrame, path: String,
+      extra: Map[String, org.apache.spark.sql.DataFrame] = Map.empty): Long =
     graft.operators.VersionedStore.save(Map(
       "codebooks" -> pqCodebookRows(index).coalesce(1),
-      "codes" -> codes), path)
+      "codes" -> codes) ++ extra, path)
 
   /** Restore (index, codes) at the current — or `asOf` — revision,
     * through the SAME fingerprint-recompute gate as [[pqLoadIndex]].
@@ -917,9 +918,10 @@ object SimilarityQueries extends QueryModule {
     * no-ops. Retraining is the rebuild path, never maintenance.
     */
   def pqSyncVersionedWithStore(spark: org.apache.spark.sql.SparkSession,
-      storePath: String, rel: String, path: String): Option[(Long, Long)] =
+      storePath: String, rel: String, path: String,
+      retain: Option[Int] = None): Option[(Long, Long)] =
     graft.operators.CdcBridge.sync(spark, storePath, path,
-      "pqSyncVersionedWithStore")(
+      "pqSyncVersionedWithStore", retain)(
       graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
       cur => {
         val e = graft.operators.VersionedStore
@@ -1395,12 +1397,13 @@ object SimilarityQueries extends QueryModule {
     * stamped centroids and the corpus cell assignment together.
     */
   def ivfSaveIndexVersioned(cents: org.apache.spark.sql.DataFrame,
-      cells: org.apache.spark.sql.DataFrame, path: String): Long = {
+      cells: org.apache.spark.sql.DataFrame, path: String,
+      extra: Map[String, org.apache.spark.sql.DataFrame] = Map.empty): Long = {
     val fp = ivfSaveChecked(cents, cells, "ivfSaveIndexVersioned")
     graft.operators.VersionedStore.save(Map(
       "centroids" -> cents.select(col("cid"), col("cv"))
         .withColumn("fp", lit(fp)).coalesce(1),
-      "cells" -> cells.select("vec_id", "cell", "fp")), path)
+      "cells" -> cells.select("vec_id", "cell", "fp")) ++ extra, path)
   }
 
   /** Restore (cents, cells) at the current — or `asOf` — revision
@@ -1465,9 +1468,10 @@ object SimilarityQueries extends QueryModule {
     */
   def ivfSyncVersionedWithStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, rel: String, path: String, k: Int = 8,
-      byL2: Boolean = false): Option[(Long, Long)] =
+      byL2: Boolean = false,
+      retain: Option[Int] = None): Option[(Long, Long)] =
     graft.operators.CdcBridge.sync(spark, storePath, path,
-      "ivfSyncVersionedWithStore")(
+      "ivfSyncVersionedWithStore", retain)(
       graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
       cur => {
         val e = graft.operators.VersionedStore
@@ -1816,13 +1820,15 @@ object SimilarityQueries extends QueryModule {
     * geometry row and the bucket assignment together.
     */
   def lshSaveIndexVersioned(buckets: org.apache.spark.sql.DataFrame,
-      tables: Int, planes: Int, path: String, vdims: Int = dims): Long = {
+      tables: Int, planes: Int, path: String, vdims: Int = dims,
+      extra: Map[String, org.apache.spark.sql.DataFrame] = Map.empty): Long = {
     val fp = lshSaveChecked(buckets, tables, planes, vdims,
       "lshSaveIndexVersioned")
     graft.operators.VersionedStore.save(Map(
       "meta" -> lshMetaRow(buckets.sparkSession, fp, tables, planes,
         vdims).coalesce(1),
-      "buckets" -> buckets.select("vec_id", "tbl", "bucket", "fp")), path)
+      "buckets" -> buckets.select("vec_id", "tbl", "bucket", "fp")) ++ extra,
+      path)
   }
 
   /** Restore (buckets, tables, planes) at the current — or `asOf` —
@@ -1893,10 +1899,11 @@ object SimilarityQueries extends QueryModule {
     */
   def lshSyncVersionedWithStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, rel: String, path: String,
-      tables: Int = 4, planes: Int = 6, vdims: Int = dims)
+      tables: Int = 4, planes: Int = 6, vdims: Int = dims,
+      retain: Option[Int] = None)
       : Option[(Long, Long)] =
     graft.operators.CdcBridge.sync(spark, storePath, path,
-      "lshSyncVersionedWithStore")(
+      "lshSyncVersionedWithStore", retain)(
       graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
       cur => {
         val e = graft.operators.VersionedStore
@@ -2251,7 +2258,8 @@ object SimilarityQueries extends QueryModule {
   def residualSaveIndexVersioned(cents: org.apache.spark.sql.DataFrame,
       cells: org.apache.spark.sql.DataFrame,
       index: PqIndex, codes: org.apache.spark.sql.DataFrame,
-      path: String): Long = {
+      path: String,
+      extra: Map[String, org.apache.spark.sql.DataFrame] = Map.empty): Long = {
     val centsFp = ivfSaveChecked(cents, cells,
       "residualSaveIndexVersioned")
     val spark = cents.sparkSession
@@ -2265,7 +2273,7 @@ object SimilarityQueries extends QueryModule {
       "cells" -> cells.select("vec_id", "cell", "fp"),
       "codebooks" -> pqCodebookRows(index).coalesce(1),
       "codes" -> codes,
-      "meta" -> meta.coalesce(1)), path)
+      "meta" -> meta.coalesce(1)) ++ extra, path)
   }
 
   /** Restore the four relations [[ivfPqSearchResidual]] takes at the
@@ -2383,10 +2391,11 @@ object SimilarityQueries extends QueryModule {
     */
   def residualSyncVersionedWithStore(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
-      rel: String, path: String, k: Int = 8, byL2: Boolean = false)
+      rel: String, path: String, k: Int = 8, byL2: Boolean = false,
+      retain: Option[Int] = None)
       : Option[(Long, Long)] =
     graft.operators.CdcBridge.sync(spark, storePath, path,
-      "residualSyncVersionedWithStore")(
+      "residualSyncVersionedWithStore", retain)(
       graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
       cur => {
         val e = graft.operators.VersionedStore
@@ -2946,14 +2955,15 @@ object SimilarityQueries extends QueryModule {
     * the identity row and the stamped directed lists together.
     */
   def knnSaveListsVersioned(directed: org.apache.spark.sql.DataFrame,
-      k: Int, generator: String, path: String): Long = {
+      k: Int, generator: String, path: String,
+      extra: Map[String, org.apache.spark.sql.DataFrame] = Map.empty): Long = {
     val fp = knnSaveChecked(directed, k, generator,
       "knnSaveListsVersioned")
     graft.operators.VersionedStore.save(Map(
       "meta" -> knnMetaRow(directed.sparkSession, fp, k, generator)
         .coalesce(1),
       "lists" -> directed.select("aid", "bid", "sim", "rn")
-        .withColumn("fp", lit(fp))), path)
+        .withColumn("fp", lit(fp))) ++ extra, path)
   }
 
   /** Restore (lists, k) at the current — or `asOf` — revision through
@@ -3220,9 +3230,10 @@ object SimilarityQueries extends QueryModule {
     */
   def knnSyncVersionedWithStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, rel: String, path: String, k: Int = 10,
-      maxBatch: Int = 100000): Option[(Long, Long)] =
+      maxBatch: Int = 100000,
+      retain: Option[Int] = None): Option[(Long, Long)] =
     graft.operators.CdcBridge.sync(spark, storePath, path,
-      "knnSyncVersionedWithStore")(
+      "knnSyncVersionedWithStore", retain)(
       graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
       cur => {
         val e = graft.operators.VersionedStore
@@ -4199,11 +4210,12 @@ object SimilarityQueries extends QueryModule {
     * the spec row and the packed codes together.
     */
   def binSaveIndexVersioned(codes: org.apache.spark.sql.DataFrame,
-      path: String): Long = {
+      path: String,
+      extra: Map[String, org.apache.spark.sql.DataFrame] = Map.empty): Long = {
     binSaveChecked(codes, "binSaveIndexVersioned")
     graft.operators.VersionedStore.save(Map(
       "meta" -> binMetaRow(codes.sparkSession).coalesce(1),
-      "codes" -> codes), path)
+      "codes" -> codes) ++ extra, path)
   }
 
   /** Restore the visible (or `asOf`) code set through the SAME gates
@@ -4262,9 +4274,10 @@ object SimilarityQueries extends QueryModule {
     * commitDelta; replays are no-ops.
     */
   def binSyncVersionedWithStore(spark: org.apache.spark.sql.SparkSession,
-      storePath: String, rel: String, path: String): Option[(Long, Long)] =
+      storePath: String, rel: String, path: String,
+      retain: Option[Int] = None): Option[(Long, Long)] =
     graft.operators.CdcBridge.sync(spark, storePath, path,
-      "binSyncVersionedWithStore")(
+      "binSyncVersionedWithStore", retain)(
       graft.operators.VersionedStore.currentVersion(spark, path).isDefined)(
       cur => {
         val e = graft.operators.VersionedStore

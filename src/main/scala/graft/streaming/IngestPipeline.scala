@@ -169,6 +169,43 @@ object IngestPipeline {
         admittedPath)
   }
 
+  /** One micro-batch of the FULLY-VERSIONED dedup-federation loop —
+    * [[graft.streaming.TextIngest.ingestBatchVersioned]]'s twin for the
+    * sharded signature index: the batch lands in the manifest-committed
+    * corpus store (exactly-once via the batch marker), then the
+    * versioned signature federation syncs its revision window
+    * (bootstrap on first call — `nShards` consulted only then).
+    */
+  def ingestBatchVersionedSharded(batch: DataFrame, batchId: Long,
+      storePath: String, idxRoot: String, rel: String = "docs",
+      nShards: Int = 3): Boolean =
+    VersionedIngest.ingestBatchWithSync(batch, batchId, storePath, rel)(
+      DedupQueries.syncSignatureIndexShardedVersionedWithStore(
+        batch.sparkSession, storePath, rel, idxRoot, nShards))
+
+  /** Bind the fully-versioned corpus + sharded-signature loop to a
+    * document stream. Bootstrap the corpus store first
+    * ([[VersionedIngest.bootstrap]]); the federation bootstraps itself
+    * on the first batch's sync.
+    */
+  def startVersionedSharded(docs: DataFrame, storePath: String,
+      idxRoot: String, checkpoint: String, rel: String = "docs",
+      nShards: Int = 3): StreamingQuery =
+    VersionedIngest.startWithSync(docs, storePath, checkpoint, rel)(
+      DedupQueries.syncSignatureIndexShardedVersionedWithStore(
+        docs.sparkSession, storePath, rel, idxRoot, nShards))
+
+  /** The winnow federation's versioned streaming twin — same
+    * composition, the exact-substring fingerprint index as the derived
+    * side ((k, w) consulted only at the bootstrap build).
+    */
+  def startVersionedWinnowSharded(docs: DataFrame, storePath: String,
+      idxRoot: String, checkpoint: String, rel: String = "docs",
+      nShards: Int = 3, k: Int = 4, w: Int = 5): StreamingQuery =
+    VersionedIngest.startWithSync(docs, storePath, checkpoint, rel)(
+      DedupQueries.syncWinnowIndexShardedVersionedWithStore(
+        docs.sparkSession, storePath, rel, idxRoot, nShards, k, w))
+
   /** Start the streaming ingest: each micro-batch of `docs` (doc_id,
     * text, …) runs [[ingestBatch]]. State lives in the three parquet
     * stores; the checkpoint only tracks source offsets, so a restart

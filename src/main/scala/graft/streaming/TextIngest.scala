@@ -61,6 +61,34 @@ object TextIngest {
       .foreachBatch((b: DataFrame, _: Long) => ingestBatch(b, path))
       .start()
 
+  /** One micro-batch of the FULLY-VERSIONED loop: documents land in the
+    * manifest-committed corpus store under the batch-id marker
+    * (exactly-once — a replayed batch skips), then the manifest-
+    * committed text index syncs its revision window (bootstrap on the
+    * first call, O(delta) after, each window ONE mixed commit). Nothing
+    * here needs the rename protocol's `_inflight`/recover machinery:
+    * both stores commit by manifest PUT and every crash instant
+    * converges on the next call (the sync marker lags, never leads).
+    */
+  def ingestBatchVersioned(batch: DataFrame, batchId: Long,
+      storePath: String, idxPath: String, rel: String = "docs",
+      withPositions: Boolean = false): Boolean =
+    VersionedIngest.ingestBatchWithSync(batch, batchId, storePath, rel)(
+      SearchQueries.textIndexSyncVersionedWithStore(batch.sparkSession,
+        storePath, rel, idxPath, withPositions))
+
+  /** Bind the fully-versioned corpus + text-index loop to a document
+    * stream (doc_id, text). Bootstrap the corpus store first
+    * ([[VersionedIngest.bootstrap]]); the index bootstraps itself on
+    * the first batch's sync.
+    */
+  def startVersioned(docs: DataFrame, storePath: String, idxPath: String,
+      checkpoint: String, rel: String = "docs",
+      withPositions: Boolean = false): StreamingQuery =
+    VersionedIngest.startWithSync(docs, storePath, checkpoint, rel)(
+      SearchQueries.textIndexSyncVersionedWithStore(docs.sparkSession,
+        storePath, rel, idxPath, withPositions))
+
   /** Bootstrap the SHARDED index (run once, before the stream) — the
     * federated family's initial build: one tokenization, hash-routed
     * shard saves, router committed last.

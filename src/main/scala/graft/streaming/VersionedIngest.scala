@@ -65,6 +65,45 @@ object VersionedIngest {
       .start()
 
   // ------------------------------------------------------------------
+  // Corpus-plus-derived-index composition: the first-class streaming
+  // loop for a manifest-committed DERIVED index (text/signature/winnow/
+  // vector families). Per micro-batch: (1) the batch lands in the
+  // versioned corpus store under its batch-id marker (exactly-once from
+  // the manifest protocol — a replay skips), then (2) the family's
+  // ARGUMENT-FREE sync verb absorbs whatever revision window the index
+  // is behind by (bootstrap on first call, O(delta) catch-up after,
+  // no-op when current). Crash anywhere between (1) and (2) converges:
+  // the next batch's sync absorbs both windows at once; a replayed
+  // batch's ingest no-ops and its sync finds the index current. The
+  // index may even be synced by an INDEPENDENT schedule — the loop's
+  // sync is just "at least once per batch".
+  // ------------------------------------------------------------------
+
+  /** One micro-batch of the composed loop; `sync` is the family's
+    * argument-free sync thunk (e.g.
+    * `textIndexSyncVersionedWithStore(spark, store, rel, idx)`).
+    * Returns whether the corpus ingest applied (a replay returns false
+    * but still runs the sync — the index may be behind for OTHER
+    * reasons, e.g. a crash after last batch's ingest).
+    */
+  def ingestBatchWithSync(batch: DataFrame, batchId: Long, path: String,
+      rel: String = "docs")(sync: => Unit): Boolean = {
+    val applied = ingestBatch(batch, batchId, path, rel)
+    sync
+    applied
+  }
+
+  /** Bind the composed corpus-ingest + index-sync loop to a stream. */
+  def startWithSync(docs: DataFrame, path: String, checkpoint: String,
+      rel: String = "docs")(sync: => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => {
+        ingestBatchWithSync(b, id, path, rel)(sync); ()
+      })
+      .start()
+
+  // ------------------------------------------------------------------
   // Materialized-view maintenance (q181's discipline, made streaming).
   // `partialsOf` maps an increment of `rel` to its partial-aggregate
   // contribution to the view (invertible aggregates — counts and long

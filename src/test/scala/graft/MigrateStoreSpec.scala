@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.asDouble
+import graft.operators.{RevisionSync, StoreRewrite, VectorIndex,
+  VersionedStore}
+import graft.queries.{DedupQueries, QuantQueries, SearchQueries,
+  SimilarityQueries}
+
+/** The rename→manifest MIGRATION verbs: a store built (and mutated)
+  * under the rename protocol moves to the manifest-committed form as an
+  * O(index) copy — read through the family's verifying loader, pending
+  * tombstones applied, one commit PUT — and every downstream verb must
+  * be unable to tell the migrated store from (a) the rename original
+  * and (b) a fresh versioned build of the same visible content. Torn
+  * and in-flight sources refuse; CDC sync checkpoints carry across so a
+  * synced index keeps syncing.
+  */
+class MigrateStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = Tables(spark, dir, "documents")
+    .select("doc_id", "text")
+
+  private def emb = Tables(spark, dir, "embeddings")
+    .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  // ------------------------------------------------------------ signature
+
+  test("signature: the migrated store's probe is bit-equal to the rename " +
+    "original's AND to a fresh versioned build's; the sig relation is " +
+    "content-identical") {
+    val base = tmpDir("mig-sig")
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val inc = docs.filter(col("doc_id") % 5 === 0).limit(20)
+      .localCheckpoint(true)
+    DedupQueries.buildSignatureIndex(old, s"$base/ren")
+    val rev = DedupQueries.migrateSignatureIndexToVersioned(spark,
+      s"$base/ren", s"$base/ver")
+    assert(rev == 1L, "migration commits exactly one revision")
+    DedupQueries.buildSignatureIndexVersioned(old, s"$base/fresh")
+    assert(rows(VersionedStore.read(spark, s"$base/ver", "sig")) ==
+      rows(spark.read.parquet(s"$base/ren")),
+      "migrated sig relation == rename store content")
+    assert(rows(VersionedStore.read(spark, s"$base/ver", "sig")) ==
+      rows(VersionedStore.read(spark, s"$base/fresh", "sig")),
+      "migrated sig relation == fresh versioned build")
+    val renProbe = rows(DedupQueries.probeSignatureIndex(spark, inc,
+      s"$base/ren"))
+    assert(rows(DedupQueries.probeSignatureIndexVersioned(spark, inc,
+      s"$base/ver")) == renProbe,
+      "migrated probe == rename probe")
+    // the migrated store joins the versioned lifecycle: append + forget
+    DedupQueries.appendSignatureIndexVersioned(inc.limit(5), s"$base/ver")
+    DedupQueries.forgetSignatureIndexVersioned(spark,
+      old.limit(3).select("doc_id"), s"$base/ver")
+    assert(VersionedStore.currentVersion(spark, s"$base/ver")
+      .contains(3L))
+  }
+
+  test("signature: a torn rename source refuses with recover guidance; " +
+    "an occupied target refuses; a foreign layout refuses") {
+    val base = tmpDir("mig-sig-refuse")
+    val old = docs.limit(30).localCheckpoint(true)
+    // torn: complete store at the tmp sibling, target gone
+    DedupQueries.buildSignatureIndex(old, s"$base/torn")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/torn"),
+      new org.apache.hadoop.fs.Path(
+        s"$base/torn" + StoreRewrite.TmpSuffix))
+    val e1 = intercept[IllegalArgumentException] {
+      DedupQueries.migrateSignatureIndexToVersioned(spark, s"$base/torn",
+        s"$base/t1")
+    }
+    assert(e1.getMessage.contains("StoreRewrite.recover"))
+    // occupied target
+    DedupQueries.buildSignatureIndex(old, s"$base/ok")
+    VersionedStore.save(Map("sig" -> old.limit(1)), s"$base/occupied")
+    val e2 = intercept[IllegalArgumentException] {
+      DedupQueries.migrateSignatureIndexToVersioned(spark, s"$base/ok",
+        s"$base/occupied")
+    }
+    assert(e2.getMessage.contains("second lineage"))
+    // foreign layout (a docs relation is not a signature index)
+    old.write.parquet(s"$base/foreign")
+    val e3 = intercept[IllegalArgumentException] {
+      DedupQueries.migrateSignatureIndexToVersioned(spark, s"$base/foreign",
+        s"$base/t3")
+    }
+    assert(e3.getMessage.contains("not a signature index"))
+  }
+
+  test("signature: a CDC-synced rename index migrates its checkpoint and " +
+    "keeps syncing from the same corpus store; a bootstrap sentinel " +
+    "refuses") {
+    val base = tmpDir("mig-sig-sync")
+    val store = s"$base/corpus"
+    val boot = docs.filter(col("doc_id") % 3 =!= 0)
+    VersionedStore.save(Map("docs" -> boot), store)
+    DedupQueries.syncSignatureIndexWithStore(spark, store, "docs",
+      s"$base/ren")
+    DedupQueries.migrateSignatureIndexToVersioned(spark, s"$base/ren",
+      s"$base/ver")
+    assert(RevisionSync.syncedRev(spark, s"$base/ver") ==
+      Some((store, 1L)), "the sync checkpoint migrated verbatim")
+    // the corpus moves on; the MIGRATED index absorbs the window via
+    // the versioned family's own sync verb
+    VersionedStore.append(
+      Map("docs" -> docs.filter(col("doc_id") % 3 === 0)), store)
+    assert(DedupQueries.syncSignatureIndexVersionedWithStore(spark, store,
+      "docs", s"$base/ver").contains((1L, 2L)))
+    DedupQueries.buildSignatureIndexVersioned(
+      VersionedStore.read(spark, store, "docs"), s"$base/fresh")
+    assert(rows(VersionedStore.read(spark, s"$base/ver", "sig")) ==
+      rows(VersionedStore.read(spark, s"$base/fresh", "sig")),
+      "post-migration sync == fresh build of the store's current content")
+    // sentinel refusal
+    DedupQueries.buildSignatureIndex(boot, s"$base/sent")
+    RevisionSync.setSyncedRev(spark, s"$base/sent", store, -1L)
+    val e = intercept[IllegalArgumentException] {
+      DedupQueries.migrateSignatureIndexToVersioned(spark, s"$base/sent",
+        s"$base/t")
+    }
+    assert(e.getMessage.contains("bootstrap sentinel"))
+  }
+
+  // ----------------------------------------------------------------- text
+
+  test("text: after a full rename lifecycle (save, append, tombstone " +
+    "delete, champions, positions) the migrated store's BM25 / champion " +
+    "/ phrase searches are bit-equal to the rename original's") {
+    val base = tmpDir("mig-text")
+    val old = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint(true)
+    val inc = docs.filter(col("doc_id") % 5 === 0).limit(20)
+      .localCheckpoint(true)
+    val (p, ds) = SearchQueries.textIndexBuild(old)
+    SearchQueries.textIndexSave(p, ds, s"$base/ren",
+      Some(SearchQueries.positionalPostings(old)))
+    SearchQueries.textIndexAppend(inc, s"$base/ren")
+    SearchQueries.textIndexChampionsSave(spark, s"$base/ren", m = 10)
+    SearchQueries.textIndexDelete(
+      old.filter(col("doc_id") % 7 === 1).select("doc_id"), s"$base/ren")
+    val rev = SearchQueries.migrateTextIndexToVersioned(spark,
+      s"$base/ren", s"$base/ver")
+    assert(rev == 1L)
+    assert(rows(SearchQueries.textIndexSearchVersioned(spark, s"$base/ver")) ==
+      rows(SearchQueries.textIndexSearch(spark, s"$base/ren")),
+      "BM25 search identical across the migration")
+    assert(rows(SearchQueries.textIndexChampionSearchVersioned(spark,
+        s"$base/ver", m = 10)) ==
+      rows(SearchQueries.textIndexChampionSearch(spark, s"$base/ren",
+        m = 10)),
+      "champion search identical (stored heads migrated masked)")
+    val phrase = Seq("the", "quick")
+    assert(rows(SearchQueries.textIndexPhraseSearchVersioned(spark,
+        s"$base/ver", phrase)) ==
+      rows(SearchQueries.textIndexPhraseSearch(spark, s"$base/ren", phrase)),
+      "phrase search identical (positions migrated)")
+    // an in-flight source refuses
+    new java.io.File(s"$base/ren/_inflight").createNewFile()
+    val e = intercept[IllegalArgumentException] {
+      SearchQueries.migrateTextIndexToVersioned(spark, s"$base/ren",
+        s"$base/t")
+    }
+    assert(e.getMessage.contains("_inflight"))
+  }
+
+  // --------------------------------------------------------------- façade
+
+  test("façade: every family migrates — revision 1 carries data AND the " +
+    "family marker, searches are bit-equal to the rename original, and " +
+    "the migrated store joins the routed versioned lifecycle") {
+    val base = tmpDir("mig-fac")
+    val boot = emb.filter(col("vec_id") % 4 =!= 3)
+    val inc = emb.filter(col("vec_id") % 4 === 3)
+    val doomed = emb.filter(col("vec_id") % 8 === 1).select("vec_id")
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    for (fam <- Seq("sq8", "pq", "bin", "lsh", "ivf", "residual")) {
+      val ren = s"$base/$fam-ren"; val ver = s"$base/$fam-ver"
+      VectorIndex.build(boot, fam, ren)
+      VectorIndex.append(inc, ren)
+      VectorIndex.delete(doomed, ren)
+      val rev = VectorIndex.migrateToVersioned(spark, ren, ver)
+      assert(rev == 1L, s"$fam: data + marker in ONE revision")
+      assert(VectorIndex.family(spark, ver) == fam)
+      assert(rows(VectorIndex.search(emb, queries, ver, k = 5)) ==
+        rows(VectorIndex.search(emb, queries, ren, k = 5)),
+        s"$fam: migrated search == rename search")
+      // routed lifecycle continues on the migrated store
+      VectorIndex.delete(emb.filter(col("vec_id") % 8 === 2)
+        .select("vec_id"), ver)
+      assert(VersionedStore.currentVersion(spark, ver).contains(2L),
+        s"$fam: the migrated store mutates by manifest commits")
+    }
+  }
+
+  test("façade: knn lists migrate (marker + masked lists); a raw-verb " +
+    "store migrates under a declared family; a declared mismatch refuses") {
+    val base = tmpDir("mig-knn")
+    val e100 = emb.filter(col("vec_id") < 100).localCheckpoint(true)
+    VectorIndex.build(e100, "knn", s"$base/ren")
+    VectorIndex.delete(e100.filter(col("vec_id") === 0).select("vec_id"),
+      s"$base/ren")
+    assert(VectorIndex.migrateToVersioned(spark, s"$base/ren",
+      s"$base/ver") == 1L)
+    val (lists, k) = SimilarityQueries.knnLoadListsVersioned(spark,
+      s"$base/ver")
+    val (listsR, kR) = SimilarityQueries.knnLoadLists(spark, s"$base/ren")
+    // the rename loader's tombstone anti-join reorders columns; compare
+    // content, not layout
+    val cols = Seq("aid", "bid", "sim", "rn")
+    assert(k == kR && rows(lists.select(cols.map(col): _*)) ==
+        rows(listsR.select(cols.map(col): _*)),
+      "migrated lists == rename store's masked lists")
+    // raw-verb store (no façade marker): declared family routes it
+    val params = QuantQueries.sqTrain(e100).localCheckpoint(true)
+    QuantQueries.sqSaveIndex(params, QuantQueries.sqCodes(params, e100),
+      s"$base/raw")
+    assert(VectorIndex.migrateToVersioned(spark, s"$base/raw",
+      s"$base/rawver", declared = Some("sq8")) == 1L)
+    assert(VectorIndex.family(spark, s"$base/rawver") == "sq8",
+      "the migrated store gains the façade marker")
+    // declared vs marker mismatch refuses
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.migrateToVersioned(spark, s"$base/ren", s"$base/t",
+        declared = Some("sq8"))
+    }
+    assert(ex.getMessage.contains("'knn'"))
+  }
+}

@@ -53,6 +53,32 @@ class VersionedFacadeSpec extends SparkSuite {
     }
   }
 
+  test("manifest builds are SINGLE-REVISION: the family marker rides the " +
+    "build's own commit PUT, so a crash between 'data committed' and " +
+    "'marker committed' is unrepresentable") {
+    val base = tmpDir("vfac-1rev")
+    val e = emb.filter(col("vec_id") < 200).localCheckpoint(true)
+    for (fam <- Seq("sq8", "pq", "bin", "lsh", "ivf", "residual", "knn")) {
+      val p = s"$base/$fam"
+      VectorIndex.build(e, fam, p, protocol = "manifest")
+      assert(VersionedStore.currentVersion(spark, p).contains(1L),
+        s"$fam: a fresh manifest build commits exactly ONE revision")
+      assert(VectorIndex.family(spark, p) == fam,
+        s"$fam: the marker is already visible at revision 1")
+      // a rebuild over the existing store bumps by exactly one too
+      VectorIndex.build(e, fam, p, protocol = "manifest")
+      assert(VersionedStore.currentVersion(spark, p).contains(2L),
+        s"$fam: a rebuild is one more commit, not a data+marker pair")
+    }
+    // the sharded federation: every shard build is single-revision
+    VectorIndex.buildSharded(e, "sq8", s"$base/sh", 2,
+      protocol = "manifest")
+    (0 until 2).foreach { i =>
+      assert(VersionedStore.currentVersion(spark, s"$base/sh/shard-$i")
+        .contains(1L), s"shard $i: data + marker in one PUT")
+    }
+  }
+
   test("knn routes: versioned build stores the lists, delete masks both " +
     "columns, search refuses with graph guidance on both protocols") {
     val base = tmpDir("vfac-knn")
