@@ -201,6 +201,93 @@ class StoreDoctorSpec extends SparkSuite {
     assert(rows("vknn") == (("versioned:knn", true)), rows("vknn").toString)
   }
 
+  test("stamps-level scan: never opens a data relation (content splices " +
+    "read healthy — the documented trade), yet flags torn renames, live " +
+    "_inflight markers, and manifest-referenced dirs that are gone") {
+    val root = tmpDir("doctor-stamps")
+    val (p, d) = SearchQueries.textIndexBuild(mkDocs(1 to 10))
+
+    // 1. CONTENT-corrupted text index: docstats truncated post-save.
+    //    deep flags it (stamp recompute); stamps must NOT (it never
+    //    opens docstats) — the proof the shallow level reads no data.
+    SearchQueries.textIndexSave(p, d, s"$root/spliced")
+    graft.operators.StoreRewrite.atomicOverwrite(
+      spark.read.parquet(s"$root/spliced/docstats")
+        .filter(col("doc_id") =!= 1L).localCheckpoint(true),
+      s"$root/spliced/docstats")
+
+    // 2. live _inflight intent marker: a mutation died mid-write —
+    //    stamps flags it (deep's loader can't see intent markers)
+    SearchQueries.textIndexSave(p, d, s"$root/inflight")
+    new java.io.File(s"$root/inflight/_inflight").createNewFile()
+
+    // 3. torn rename: meta fully rewritten at the tmp sibling, target
+    //    deleted — the crash window StoreRewrite.recover heals
+    SearchQueries.textIndexSave(p, d, s"$root/torn")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/torn/meta"),
+      new org.apache.hadoop.fs.Path(s"$root/torn/meta" +
+        graft.operators.StoreRewrite.TmpSuffix))
+
+    // 4. versioned store whose committed data dir was deleted out from
+    //    under the manifest — the one corruption the protocol cannot
+    //    mask; stamps flags it WITHOUT opening anything
+    VersionedStore.save(Map("docs" -> mkDocs(1 to 5)), s"$root/vgone")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/vgone/" + VersionedStore.referencedDirs(spark,
+        s"$root/vgone").head), true)
+
+    // 5. versioned sq8 with a SPLICED meta row (content corruption):
+    //    deep's fingerprint recompute flags it; stamps reads only the
+    //    1-row fp string for family dispatch and reads healthy
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 30)
+    val params = graft.queries.QuantQueries.sqTrain(emb)
+      .localCheckpoint(true)
+    graft.queries.QuantQueries.sqSaveIndexVersioned(params,
+      graft.queries.QuantQueries.sqCodes(params, emb), s"$root/vsq8_bad")
+    val foreign = graft.queries.QuantQueries.sqTrain(
+      emb.withColumn("v", expr("transform(v, x -> x * 2.0D)")))
+      .localCheckpoint(true)
+    val storedFp = VersionedStore.read(spark, s"$root/vsq8_bad", "meta")
+      .select("fp").head().getString(0)
+    VersionedStore.commitMixed(Map.empty, Map.empty,
+      Map("meta" -> foreign.select(col("mn"), col("mx"),
+        lit(storedFp).as("fp"), lit(64).as("dims"), lit(256).as("levels"))),
+      s"$root/vsq8_bad")
+
+    def scanMap(level: String) =
+      StoreDoctor.scan(spark, root, level).collect()
+        .map(r => r.getString(0) ->
+          (r.getString(1), r.getBoolean(2), r.getString(3))).toMap
+    val deep = scanMap("deep")
+    val stamps = scanMap("stamps")
+
+    // the shallow trade, both directions
+    assert(!deep("spliced")._2, deep("spliced").toString)
+    assert(stamps("spliced") == (("text", true, "ok")),
+      "stamps never opened docstats: " + stamps("spliced").toString)
+    assert(!deep("vsq8_bad")._2, deep("vsq8_bad").toString)
+    assert(stamps("vsq8_bad")._1 == "versioned:sq8" &&
+      stamps("vsq8_bad")._2, stamps("vsq8_bad").toString)
+
+    // what stamps catches
+    assert(!stamps("inflight")._2 &&
+      stamps("inflight")._3.contains("_inflight"),
+      stamps("inflight").toString)
+    assert(!stamps("torn")._2 &&
+      stamps("torn")._3.contains("StoreRewrite.recover"),
+      stamps("torn").toString)
+    assert(!stamps("vgone")._2 &&
+      stamps("vgone")._3.contains("missing dir"),
+      stamps("vgone").toString)
+    // deep catches the missing dir too (its reads fail)
+    assert(!deep("vgone")._2, deep("vgone").toString)
+  }
+
   test("manifest-protocol FEDERATION roots identify with the versioned: " +
     "prefix and their shard checks read through the manifests") {
     import graft.queries.{DedupQueries => D, SearchQueries => SQ}
