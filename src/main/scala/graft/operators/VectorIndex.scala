@@ -596,6 +596,40 @@ object VectorIndex {
     else StoreRewrite.atomicOverwrite(router, routerPath(root))
   }
 
+  /** MIGRATE a rename-protocol SHARDED federation to the manifest
+    * form: each shard through [[migrateToVersioned]] (verifying loads,
+    * tombstones applied, marker + data in one PUT per shard), the
+    * router copied verbatim as a versioned store and committed LAST —
+    * the same ordering as [[buildSharded]], so a crash mid-migration
+    * leaves a router-less root that [[shardInfo]] refuses, and
+    * re-running completes it. The root sync checkpoint carries across.
+    */
+  def migrateShardedToVersioned(spark: SparkSession, srcRoot: String,
+      dstRoot: String): Unit = {
+    require(VersionedStore
+        .currentVersion(spark, routerPath(dstRoot)).isEmpty,
+      s"VectorIndex.migrateShardedToVersioned: $dstRoot already holds " +
+        "a committed federation — refusing to commit a second lineage " +
+        "over it")
+    val (n, fam) = shardInfo(spark, srcRoot) // refuses missing routers
+    require(!isVersioned(spark, routerPath(srcRoot)),
+      s"VectorIndex.migrateShardedToVersioned: federation at $srcRoot " +
+        "is already manifest-committed")
+    (0 until n).foreach { i =>
+      open(spark, shardPath(srcRoot, i), fam)
+      val sp = new org.apache.hadoop.fs.Path(shardPath(dstRoot, i))
+      val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(sp)) fs.delete(sp, true) // crashed prior attempt
+      migrateToVersioned(spark, shardPath(srcRoot, i),
+        shardPath(dstRoot, i))
+    }
+    VersionedStore.save(
+      Map("router" -> spark.read.parquet(routerPath(srcRoot))
+        .coalesce(1)), routerPath(dstRoot))
+    RevisionSync.migrateMarker(spark, srcRoot, dstRoot,
+      "VectorIndex.migrateShardedToVersioned")
+  }
+
   /** Federated ANN search: each shard's store-only search runs
     * independently (per-shard code scans with broadcast queries — no
     * cross-shard exchange to assemble inputs), then the union of

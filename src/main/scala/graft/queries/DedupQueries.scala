@@ -1385,6 +1385,128 @@ object DedupQueries extends QueryModule {
     },
     Some(incRejectOracleSql))
 
+  /** MIGRATE a rename-protocol winnow-fingerprint index to the
+    * manifest-committed form — [[migrateSignatureIndexToVersioned]]'s
+    * template with the family's one twist: the rename store records NO
+    * knobs (its probes take k/w as arguments), while the versioned
+    * store refuses knob-less probes, so the CALLER declares the (k, w)
+    * the index was built under and they are recorded as the `knobs`
+    * relation. Declaring the wrong knobs is exactly as wrong as probing
+    * the rename store with them — no new failure mode, one fewer
+    * argument for every probe thereafter.
+    */
+  def migrateWinnowIndexToVersioned(
+      spark: org.apache.spark.sql.SparkSession, src: String, dst: String,
+      k: Int = 4, w: Int = 5): Long = {
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          src + graft.operators.StoreRewrite.TmpSuffix)),
+      s"migrateWinnowIndexToVersioned: a rewrite of $src crashed " +
+        "between delete and rename — run StoreRewrite.recover first, " +
+        "then migrate")
+    require(graft.operators.VersionedStore
+        .currentVersion(spark, dst).isEmpty,
+      s"migrateWinnowIndexToVersioned: $dst already holds a versioned " +
+        "store — refusing to commit a second lineage over it")
+    val fp = spark.read.parquet(src)
+    require(fp.columns.toSet == Set("doc_id", "fp_pos", "fp_hash"),
+      s"migrateWinnowIndexToVersioned: $src is not a winnow index " +
+        s"(columns [${fp.columns.sorted.mkString(",")}])")
+    val rev = graft.operators.VersionedStore.save(Map(
+      "fp" -> fp, "knobs" -> winnowKnobsDf(spark, k, w)), dst)
+    graft.operators.RevisionSync.migrateMarker(spark, src, dst,
+      "migrateWinnowIndexToVersioned")
+    rev
+  }
+
+  /** Shared preamble of the FEDERATION migrations: refuse a live
+    * `_forget_intent` (a sharded forget died mid-loop — its recover
+    * verb must finish the rewrites before the content is
+    * authoritative) and an occupied target root.
+    */
+  private def checkFederationMigratable(
+      spark: org.apache.spark.sql.SparkSession, srcRoot: String,
+      dstRoot: String, intentPath: String, routerDst: String,
+      verb: String, recoverVerb: String): Unit = {
+    val ip = new org.apache.hadoop.fs.Path(intentPath)
+    val fs = ip.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(ip),
+      s"$verb: a sharded forget of $srcRoot died mid-loop (live " +
+        s"_forget_intent) — run $recoverVerb first, then migrate")
+    require(graft.operators.VersionedStore
+        .currentVersion(spark, routerDst).isEmpty,
+      s"$verb: $dstRoot already holds a committed federation — " +
+        "refusing to commit a second lineage over it")
+  }
+
+  /** MIGRATE the rename sharded signature federation: each shard
+    * through [[migrateSignatureIndexToVersioned]] (column gate, torn
+    * check), the ROUTER copied verbatim as the versioned router and
+    * committed LAST — the same build-commit ordering as
+    * [[buildSignatureIndexShardedVersioned]], so a crash mid-migration
+    * leaves a router-less root every versioned verb refuses, and
+    * re-running completes it. The federation's root sync checkpoint
+    * carries across.
+    */
+  def migrateSignatureIndexShardedToVersioned(
+      spark: org.apache.spark.sql.SparkSession, srcRoot: String,
+      dstRoot: String): Unit = {
+    checkFederationMigratable(spark, srcRoot, dstRoot,
+      sigForgetIntentPath(srcRoot), sigRouterPath(dstRoot),
+      "migrateSignatureIndexShardedToVersioned",
+      "recoverSignatureIndexSharded")
+    val n = signatureShardCount(spark, srcRoot)
+    (0 until n).foreach { i =>
+      // a partially-migrated shard (crash + re-run) starts over: the
+      // un-referenced debris vacuums away; the refusal gate is only
+      // for COMMITTED targets, which a router-less re-run never has
+      val sp = new org.apache.hadoop.fs.Path(sigShardPath(dstRoot, i))
+      val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(sp)) fs.delete(sp, true)
+      migrateSignatureIndexToVersioned(spark, sigShardPath(srcRoot, i),
+        sigShardPath(dstRoot, i))
+    }
+    graft.operators.VersionedStore.save(
+      Map("router" -> spark.read.parquet(sigRouterPath(srcRoot))
+        .coalesce(1)), sigRouterPath(dstRoot))
+    graft.operators.RevisionSync.migrateMarker(spark, srcRoot, dstRoot,
+      "migrateSignatureIndexShardedToVersioned")
+  }
+
+  /** MIGRATE the rename sharded winnow federation — per-shard `fp`
+    * saves (the knobs already ride the router, copied verbatim), the
+    * versioned router LAST as the commit marker, root checkpoint
+    * carried.
+    */
+  def migrateWinnowIndexShardedToVersioned(
+      spark: org.apache.spark.sql.SparkSession, srcRoot: String,
+      dstRoot: String): Unit = {
+    checkFederationMigratable(spark, srcRoot, dstRoot,
+      winnowForgetIntentPath(srcRoot), winnowRouterPath(dstRoot),
+      "migrateWinnowIndexShardedToVersioned",
+      "recoverWinnowIndexSharded")
+    val (n, _, _) = winnowShardInfo(spark, srcRoot)
+    (0 until n).foreach { i =>
+      val sp = new org.apache.hadoop.fs.Path(winnowShardPath(dstRoot, i))
+      val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(sp)) fs.delete(sp, true)
+      val fp = spark.read.parquet(winnowShardPath(srcRoot, i))
+      require(fp.columns.toSet == Set("doc_id", "fp_pos", "fp_hash"),
+        s"migrateWinnowIndexShardedToVersioned: shard $i of $srcRoot " +
+          s"is not a winnow shard (columns " +
+          s"[${fp.columns.sorted.mkString(",")}])")
+      graft.operators.VersionedStore.save(Map("fp" -> fp),
+        winnowShardPath(dstRoot, i))
+    }
+    graft.operators.VersionedStore.save(
+      Map("router" -> spark.read.parquet(winnowRouterPath(srcRoot))
+        .coalesce(1)), winnowRouterPath(dstRoot))
+    graft.operators.RevisionSync.migrateMarker(spark, srcRoot, dstRoot,
+      "migrateWinnowIndexShardedToVersioned")
+  }
+
   /** q212: q197's probe served from a store MIGRATED off the rename
     * protocol — build the rename-family signature index, run
     * [[migrateSignatureIndexToVersioned]] (one O(index) copy job, the
@@ -1413,6 +1535,40 @@ object DedupQueries extends QueryModule {
           migrateSignatureIndexToVersioned(s, ren, ver)
         }
         val res = probeSignatureIndexVersioned(s, inc, ver)
+          .orderBy("new_id").localCheckpoint(true)
+        val hp = new org.apache.hadoop.fs.Path(root.toString)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        res
+      }
+    },
+    Some(incRejectOracleSql))
+
+  /** q215: q209's federated probe served from a federation MIGRATED off
+    * the rename protocol — build the rename sharded signature index,
+    * run [[migrateSignatureIndexShardedToVersioned]] (per-shard gated
+    * copies, router verbatim, committed last), probe through the
+    * versioned federation's own verb. The oracle is
+    * q82/q178/q191/q197/q209/q212's SQL VERBATIM: neither sharding nor
+    * the protocol migration may change what the probe returns.
+    */
+  private val q215 = QueryDef(
+    "q215_migrated_sharded_probe",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val inc = docs.filter(col("source") === "src19")
+      val old = docs.filter(col("source") =!= "src19")
+      if (old.isEmpty || inc.isEmpty)
+        inc.select(col("doc_id").as("new_id"), col("doc_id").as("old_id"),
+          lit(0.0).as("jaccard_est")).limit(0)
+      else {
+        val root = java.nio.file.Files.createTempDirectory("graft-migshv")
+        val ren = root.toString + "/ren"
+        val ver = root.toString + "/ver"
+        graft.BenchPhases.build {
+          buildSignatureIndexSharded(old, ren, nShards = 3)
+          migrateSignatureIndexShardedToVersioned(s, ren, ver)
+        }
+        val res = probeSignatureIndexShardedVersioned(s, inc, ver)
           .orderBy("new_id").localCheckpoint(true)
         val hp = new org.apache.hadoop.fs.Path(root.toString)
         hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
@@ -4061,5 +4217,6 @@ object DedupQueries extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(q29, q30, q31, q32, q33, q34, q35, q72, q74, q75, q82, q96, q99, q133, q134,
       q103, q110, q124, q138, q139, q141, q145, q146, q178, q182, q183, q184, q185,
-      q186, q187, q188, q191, q193, q194, q197, q200, q209, q210, q212)
+      q186, q187, q188, q191, q193, q194, q197, q200, q209, q210, q212,
+      q215)
 }

@@ -2374,6 +2374,49 @@ object SearchQueries extends QueryModule {
         .coalesce(1)), routerPath(root))
   }
 
+  /** MIGRATE the rename sharded text federation: each shard through
+    * [[migrateTextIndexToVersioned]] (verifying loads, tombstones
+    * applied, one PUT per shard), the ROOT champion lists — masked by
+    * every shard's tombstones, exactly as the rename federated search
+    * serves them — riding the versioned ROUTER's save (the layout
+    * [[textIndexChampionsSaveShardedVersioned]] maintains), committed
+    * LAST as the federation's commit marker. A crash mid-migration
+    * leaves a router-less root every versioned verb refuses;
+    * re-running completes it. Refuses a federation with any shard
+    * mid-mutation; the root sync checkpoint carries across.
+    */
+  def migrateTextIndexShardedToVersioned(spark: SparkSession,
+      srcRoot: String, dstRoot: String): Unit = {
+    require(!textIndexInflightSharded(spark, srcRoot),
+      s"migrateTextIndexShardedToVersioned: a shard of $srcRoot has an " +
+        "_inflight intent marker — run textIndexRecoverSharded first, " +
+        "then migrate")
+    require(graft.operators.VersionedStore
+        .currentVersion(spark, routerPath(dstRoot)).isEmpty,
+      s"migrateTextIndexShardedToVersioned: $dstRoot already holds a " +
+        "committed federation — refusing to commit a second lineage " +
+        "over it")
+    val n = textIndexShardCount(spark, srcRoot)
+    (0 until n).foreach { i =>
+      val sp = new org.apache.hadoop.fs.Path(shardPath(dstRoot, i))
+      val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(sp)) fs.delete(sp, true) // crashed prior attempt
+      migrateTextIndexToVersioned(spark, shardPath(srcRoot, i),
+        shardPath(dstRoot, i))
+    }
+    val champs =
+      if (!hasChampions(spark, srcRoot)) Map.empty[String, DataFrame]
+      else Map("champions" ->
+        (0 until n).foldLeft(spark.read.parquet(championsPath(srcRoot)))(
+          (df, i) => graft.operators.IndexTombstones.maskOn(
+            df, shardPath(srcRoot, i), Seq("doc_id"))))
+    graft.operators.VersionedStore.save(
+      Map("router" -> spark.read.parquet(routerPath(srcRoot))
+        .coalesce(1)) ++ champs, routerPath(dstRoot))
+    graft.operators.RevisionSync.migrateMarker(spark, srcRoot, dstRoot,
+      "migrateTextIndexShardedToVersioned")
+  }
+
   private def federatedVersionedPostings(spark: SparkSession,
       root: String, n: Int): (DataFrame, DataFrame) = {
     val per = (0 until n).map(i =>

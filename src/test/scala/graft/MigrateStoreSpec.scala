@@ -202,6 +202,122 @@ class MigrateStoreSpec extends SparkSuite {
     }
   }
 
+  // --------------------------------------------------------------- winnow
+
+  test("winnow: the migrated store's probe (knobs recorded at migrate " +
+    "time) is bit-equal to the rename probe and a fresh versioned build") {
+    val base = tmpDir("mig-win")
+    val old = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint(true)
+    val inc = docs.filter(col("doc_id") % 5 === 0).limit(20)
+      .localCheckpoint(true)
+    DedupQueries.buildWinnowIndex(old, s"$base/ren", k = 4, w = 5)
+    assert(DedupQueries.migrateWinnowIndexToVersioned(spark, s"$base/ren",
+      s"$base/ver", k = 4, w = 5) == 1L)
+    DedupQueries.buildWinnowIndexVersioned(old, s"$base/fresh", 4, 5)
+    assert(rows(VersionedStore.read(spark, s"$base/ver", "fp")) ==
+      rows(VersionedStore.read(spark, s"$base/fresh", "fp")))
+    assert(DedupQueries.winnowIndexVersionedKnobs(spark, s"$base/ver") ==
+      ((4, 5)), "the declared knobs are recorded")
+    assert(rows(DedupQueries.probeWinnowIndexVersioned(spark, inc,
+        s"$base/ver", minShared = 1)) ==
+      rows(DedupQueries.probeWinnowIndex(spark, inc, s"$base/ren",
+        k = 4, w = 5, minShared = 1)),
+      "migrated probe == rename probe")
+  }
+
+  // ---------------------------------------------------------- federations
+
+  test("sharded signature: the migrated federation probes bit-equal to " +
+    "the rename federation; a crash mid-migration (no router) re-runs " +
+    "to completion; a live _forget_intent refuses") {
+    val base = tmpDir("mig-sigsh")
+    val old = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint(true)
+    val inc = docs.filter(col("doc_id") % 5 === 0).limit(20)
+      .localCheckpoint(true)
+    DedupQueries.buildSignatureIndexSharded(old, s"$base/ren", 3)
+    // crash simulation: one shard migrated, then death — the target has
+    // no router, so every versioned verb refuses and a re-run completes
+    DedupQueries.migrateSignatureIndexToVersioned(spark,
+      s"$base/ren/shard-0", s"$base/ver/shard-0")
+    intercept[IllegalArgumentException] {
+      DedupQueries.probeSignatureIndexShardedVersioned(spark, inc,
+        s"$base/ver")
+    }
+    DedupQueries.migrateSignatureIndexShardedToVersioned(spark,
+      s"$base/ren", s"$base/ver")
+    assert(rows(DedupQueries.probeSignatureIndexShardedVersioned(spark,
+        inc, s"$base/ver")) ==
+      rows(DedupQueries.probeSignatureIndexSharded(spark, inc,
+        s"$base/ren")),
+      "migrated federated probe == rename federated probe")
+    // intent refusal
+    new java.io.File(s"$base/ren/_forget_intent").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      DedupQueries.migrateSignatureIndexShardedToVersioned(spark,
+        s"$base/ren", s"$base/t")
+    }
+    assert(e.getMessage.contains("recoverSignatureIndexSharded"))
+  }
+
+  test("sharded winnow and sharded text federations migrate: probes and " +
+    "searches (BM25 + root champions) bit-equal to the rename " +
+    "federations") {
+    val base = tmpDir("mig-fedsh")
+    val old = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint(true)
+    val inc = docs.filter(col("doc_id") % 5 === 0).limit(20)
+      .localCheckpoint(true)
+    // winnow
+    DedupQueries.buildWinnowIndexSharded(old, s"$base/wren", 3, k = 4,
+      w = 5)
+    DedupQueries.migrateWinnowIndexShardedToVersioned(spark,
+      s"$base/wren", s"$base/wver")
+    assert(rows(DedupQueries.probeWinnowIndexShardedVersioned(spark, inc,
+        s"$base/wver", minShared = 1)) ==
+      rows(DedupQueries.probeWinnowIndexSharded(spark, inc, s"$base/wren",
+        minShared = 1)),
+      "migrated winnow federation == rename federation")
+    // text, with root champions and a forget so tombstones are live
+    val (p, ds) = SearchQueries.textIndexBuild(old)
+    SearchQueries.textIndexSaveSharded(p, ds, s"$base/tren", 3)
+    SearchQueries.textIndexChampionsSaveSharded(spark, s"$base/tren",
+      m = 10)
+    SearchQueries.textIndexDeleteSharded(
+      old.filter(col("doc_id") % 7 === 1).select("doc_id"), s"$base/tren")
+    SearchQueries.migrateTextIndexShardedToVersioned(spark, s"$base/tren",
+      s"$base/tver")
+    assert(rows(SearchQueries.textIndexSearchShardedVersioned(spark,
+        s"$base/tver")) ==
+      rows(SearchQueries.textIndexSearchSharded(spark, s"$base/tren")),
+      "migrated federated BM25 == rename federated BM25")
+    assert(rows(SearchQueries.textIndexChampionSearchShardedVersioned(
+        spark, s"$base/tver", m = 10)) ==
+      rows(SearchQueries.textIndexChampionSearchSharded(spark,
+        s"$base/tren", m = 10)),
+      "migrated root-champion search == rename root-champion search")
+  }
+
+  test("sharded vector federation migrates: per-shard marker + data in " +
+    "one PUT each, router versioned, federated search bit-equal") {
+    val base = tmpDir("mig-vecsh")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    VectorIndex.buildSharded(emb, "sq8", s"$base/ren", 3)
+    VectorIndex.deleteSharded(
+      emb.filter(col("vec_id") % 8 === 1).select("vec_id"), s"$base/ren")
+    VectorIndex.migrateShardedToVersioned(spark, s"$base/ren",
+      s"$base/ver")
+    assert(VersionedStore.currentVersion(spark, s"$base/ver/router")
+      .contains(1L), "the router is a versioned store")
+    (0 until 3).foreach { i =>
+      assert(VersionedStore.currentVersion(spark, s"$base/ver/shard-$i")
+        .contains(1L), s"shard $i: data + marker in one PUT")
+      assert(VectorIndex.family(spark, s"$base/ver/shard-$i") == "sq8")
+    }
+    assert(rows(VectorIndex.searchSharded(queries, s"$base/ver", k = 5)) ==
+      rows(VectorIndex.searchSharded(queries, s"$base/ren", k = 5)),
+      "migrated federated search == rename federated search")
+  }
+
   test("façade: knn lists migrate (marker + masked lists); a raw-verb " +
     "store migrates under a declared family; a declared mismatch refuses") {
     val base = tmpDir("mig-knn")
