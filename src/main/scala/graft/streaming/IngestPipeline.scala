@@ -178,10 +178,13 @@ object IngestPipeline {
     */
   def ingestBatchVersionedSharded(batch: DataFrame, batchId: Long,
       storePath: String, idxRoot: String, rel: String = "docs",
-      nShards: Int = 3): Boolean =
-    VersionedIngest.ingestBatchWithSync(batch, batchId, storePath, rel)(
+      nShards: Int = 3, corpusRetain: Option[Int] = None,
+      indexRetain: Option[Int] = None): Boolean =
+    VersionedIngest.ingestBatchWithSync(batch, batchId, storePath, rel,
+      corpusRetain)(
       DedupQueries.syncSignatureIndexShardedVersionedWithStore(
-        batch.sparkSession, storePath, rel, idxRoot, nShards))
+        batch.sparkSession, storePath, rel, idxRoot, nShards,
+        retain = indexRetain))
 
   /** Bind the fully-versioned corpus + sharded-signature loop to a
     * document stream. Bootstrap the corpus store first
@@ -190,10 +193,13 @@ object IngestPipeline {
     */
   def startVersionedSharded(docs: DataFrame, storePath: String,
       idxRoot: String, checkpoint: String, rel: String = "docs",
-      nShards: Int = 3): StreamingQuery =
-    VersionedIngest.startWithSync(docs, storePath, checkpoint, rel)(
+      nShards: Int = 3, corpusRetain: Option[Int] = None,
+      indexRetain: Option[Int] = None): StreamingQuery =
+    VersionedIngest.startWithSync(docs, storePath, checkpoint, rel,
+      corpusRetain)(
       DedupQueries.syncSignatureIndexShardedVersionedWithStore(
-        docs.sparkSession, storePath, rel, idxRoot, nShards))
+        docs.sparkSession, storePath, rel, idxRoot, nShards,
+        retain = indexRetain))
 
   /** The winnow federation's versioned streaming twin — same
     * composition, the exact-substring fingerprint index as the derived
@@ -201,10 +207,14 @@ object IngestPipeline {
     */
   def startVersionedWinnowSharded(docs: DataFrame, storePath: String,
       idxRoot: String, checkpoint: String, rel: String = "docs",
-      nShards: Int = 3, k: Int = 4, w: Int = 5): StreamingQuery =
-    VersionedIngest.startWithSync(docs, storePath, checkpoint, rel)(
+      nShards: Int = 3, k: Int = 4, w: Int = 5,
+      corpusRetain: Option[Int] = None,
+      indexRetain: Option[Int] = None): StreamingQuery =
+    VersionedIngest.startWithSync(docs, storePath, checkpoint, rel,
+      corpusRetain)(
       DedupQueries.syncWinnowIndexShardedVersionedWithStore(
-        docs.sparkSession, storePath, rel, idxRoot, nShards, k, w))
+        docs.sparkSession, storePath, rel, idxRoot, nShards, k, w,
+        retain = indexRetain))
 
   /** Start the streaming ingest: each micro-batch of `docs` (doc_id,
     * text, …) runs [[ingestBatch]]. State lives in the three parquet

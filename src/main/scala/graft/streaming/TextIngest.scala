@@ -72,10 +72,13 @@ object TextIngest {
     */
   def ingestBatchVersioned(batch: DataFrame, batchId: Long,
       storePath: String, idxPath: String, rel: String = "docs",
-      withPositions: Boolean = false): Boolean =
-    VersionedIngest.ingestBatchWithSync(batch, batchId, storePath, rel)(
+      withPositions: Boolean = false,
+      corpusRetain: Option[Int] = None,
+      indexRetain: Option[Int] = None): Boolean =
+    VersionedIngest.ingestBatchWithSync(batch, batchId, storePath, rel,
+      corpusRetain)(
       SearchQueries.textIndexSyncVersionedWithStore(batch.sparkSession,
-        storePath, rel, idxPath, withPositions))
+        storePath, rel, idxPath, withPositions, retain = indexRetain))
 
   /** Bind the fully-versioned corpus + text-index loop to a document
     * stream (doc_id, text). Bootstrap the corpus store first
@@ -84,10 +87,13 @@ object TextIngest {
     */
   def startVersioned(docs: DataFrame, storePath: String, idxPath: String,
       checkpoint: String, rel: String = "docs",
-      withPositions: Boolean = false): StreamingQuery =
-    VersionedIngest.startWithSync(docs, storePath, checkpoint, rel)(
+      withPositions: Boolean = false,
+      corpusRetain: Option[Int] = None,
+      indexRetain: Option[Int] = None): StreamingQuery =
+    VersionedIngest.startWithSync(docs, storePath, checkpoint, rel,
+      corpusRetain)(
       SearchQueries.textIndexSyncVersionedWithStore(docs.sparkSession,
-        storePath, rel, idxPath, withPositions))
+        storePath, rel, idxPath, withPositions, retain = indexRetain))
 
   /** Bootstrap the SHARDED index (run once, before the stream) — the
     * federated family's initial build: one tokenization, hash-routed

@@ -42,25 +42,39 @@ object VersionedIngest {
     * batch was applied. An empty batch still commits (an empty dir +
     * manifest) so the marker advances and a later replay of it skips —
     * cheaper than special-casing emptiness into the ledger.
+    *
+    * `retain` is the CORPUS-side retention knob (the sync verbs'
+    * `retain`, applied to the store this loop grows): a streaming loop
+    * commits one revision per micro-batch FOREVER — a year of minutely
+    * batches is half a million manifests — so `retain = Some(n)`
+    * vacuums the store to its newest n revisions after each applied
+    * batch. The batch marker rides the newest manifest and survives
+    * every vacuum (exactly-once is untouched); time travel below the
+    * floor refuses thereafter, and a derived index synced on an
+    * independent schedule must not lag more than n-1 revisions or its
+    * next CDC window refuses against the floor (use
+    * [[ingestBatchWithSync]], which vacuums AFTER the sync) — the
+    * documented trades.
     */
   def ingestBatch(batch: DataFrame, batchId: Long, path: String,
-      rel: String = "docs"): Boolean = {
+      rel: String = "docs", retain: Option[Int] = None): Boolean = {
     val spark = batch.sparkSession
     val applied = VersionedStore.batchMarker(spark, path)
     if (applied.exists(_ >= batchId)) false
     else {
       VersionedStore.append(Map(rel -> batch), path, marker = Some(batchId))
+      retain.foreach(n => VersionedStore.vacuum(spark, path, keep = n))
       true
     }
   }
 
   /** Bind the loop to a document stream. */
   def start(docs: DataFrame, path: String, checkpoint: String,
-      rel: String = "docs"): StreamingQuery =
+      rel: String = "docs", retain: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: DataFrame, id: Long) => {
-        ingestBatch(b, id, path, rel); ()
+        ingestBatch(b, id, path, rel, retain); ()
       })
       .start()
 
@@ -87,19 +101,37 @@ object VersionedIngest {
     * reasons, e.g. a crash after last batch's ingest).
     */
   def ingestBatchWithSync(batch: DataFrame, batchId: Long, path: String,
-      rel: String = "docs")(sync: => Unit): Boolean = {
-    val applied = ingestBatch(batch, batchId, path, rel)
+      rel: String = "docs", retain: Option[Int] = None)(
+      sync: => Unit): Boolean = {
+    val spark = batch.sparkSession
+    // ORDER MATTERS: the vacuum runs AFTER the sync, never inside the
+    // ingest — the sync's CDC window reads the manifest of the LAST
+    // ABSORBED revision (the index's `_synced_rev`), which an eager
+    // corpus vacuum in the same batch would have just reclaimed.
+    val applied = ingestBatch(batch, batchId, path, rel, retain = None)
     sync
+    retain.foreach(n => VersionedStore.vacuum(spark, path, keep = n))
     applied
   }
 
-  /** Bind the composed corpus-ingest + index-sync loop to a stream. */
+  /** Bind the composed corpus-ingest + index-sync loop to a stream.
+    * `retain` bounds the CORPUS store's revisions (the family sync's
+    * own `retain` bounds the index side — pass it inside the thunk),
+    * vacuuming AFTER the sync so the window's manifests are always
+    * retained. Because this loop syncs every batch, the index can lag
+    * by at most the one in-flight revision and any `retain >= 1` is
+    * safe; an index synced on an INDEPENDENT slower schedule instead
+    * needs `retain > ` its maximum lag in revisions, or its next
+    * window refuses against the vacuumed floor (the standalone
+    * [[ingestBatch]]'s documented trade).
+    */
   def startWithSync(docs: DataFrame, path: String, checkpoint: String,
-      rel: String = "docs")(sync: => Unit): StreamingQuery =
+      rel: String = "docs", retain: Option[Int] = None)(
+      sync: => Unit): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: DataFrame, id: Long) => {
-        ingestBatchWithSync(b, id, path, rel)(sync); ()
+        ingestBatchWithSync(b, id, path, rel, retain)(sync); ()
       })
       .start()
 

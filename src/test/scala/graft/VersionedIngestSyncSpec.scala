@@ -91,6 +91,37 @@ class VersionedIngestSyncSpec extends SparkSuite {
       "the crash-interrupted sync converges on the replay")
   }
 
+  test("corpus + index retention in the composed loop: the vacuum runs " +
+    "AFTER each batch's sync (the CDC window's manifests are always " +
+    "retained), both stores stay bounded, markers survive, and the " +
+    "index still equals a fresh build") {
+    val base = tmpDir("vtix-retain")
+    val store = s"$base/corpus"; val idx = s"$base/idx"
+    val parts = (0 to 3).map(i =>
+      docs.filter(col("doc_id") % 4 === i).localCheckpoint(true))
+    VersionedIngest.bootstrap(parts(0), store)
+    // three batches, corpus vacuumed to ONE revision after each sync,
+    // index to two — the tightest floors the composed ordering allows
+    (1 to 3).foreach { i =>
+      assert(TextIngest.ingestBatchVersioned(parts(i), i - 1L, store, idx,
+        corpusRetain = Some(1), indexRetain = Some(2)))
+    }
+    assert(VersionedStore.listVersions(spark, store).size == 1,
+      "corpus bounded to one retained revision")
+    assert(VersionedStore.listVersions(spark, idx).size <= 2,
+      "index bounded to two retained revisions")
+    assert(VersionedStore.batchMarker(spark, store).contains(2L),
+      "the batch marker rides the retained manifest")
+    // a replay of the last batch is still a no-op after all the vacuums
+    assert(!TextIngest.ingestBatchVersioned(parts(3), 2L, store, idx,
+      corpusRetain = Some(1), indexRetain = Some(2)))
+    val fresh = s"$base/fresh"
+    SearchQueries.textIndexSaveVersioned(
+      VersionedStore.read(spark, store, "docs"), fresh)
+    assert(searchRows(idx) == searchRows(fresh),
+      "retention must not change what the index serves")
+  }
+
   test("startVersionedSharded: the streamed signature federation equals " +
     "a from-scratch federated build of the final corpus; the probe " +
     "equals the model recompute") {
