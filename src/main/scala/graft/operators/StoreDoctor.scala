@@ -38,6 +38,26 @@ object StoreDoctor {
     val kids = fs.listStatus(new Path(root)).filter(_.isDirectory)
       .map(_.getPath).toSeq
     kids.map { p =>
+      // a `<store>__rewrite_tmp` sibling at the lake root is a
+      // StoreRewrite in one of two states, both worth a row of their
+      // own (identify would read it as an unknown layout): target
+      // ABSENT = a rewrite died between delete and rename (the
+      // complete store is HERE — recover finishes it); target PRESENT
+      // = a prior rewrite crashed mid-write and left stale debris the
+      // next rewrite will discard. Neither state should triage as the
+      // family it almost is.
+      if (p.getName.endsWith(StoreRewrite.TmpSuffix)) {
+        val target = new Path(p.getParent,
+          p.getName.dropRight(StoreRewrite.TmpSuffix.length))
+        val (healthy, detail) =
+          if (fs.exists(target))
+            (true, s"stale rewrite debris of ${target.getName} (a crashed " +
+              "attempt's partial write; the next rewrite discards it)")
+          else
+            (false, s"torn rewrite of ${target.getName} — the complete " +
+              "store is here; run StoreRewrite.recover")
+        (p.getName, "rewrite-tmp", healthy, detail)
+      } else {
       val subs = fs.listStatus(p).filter(_.isDirectory)
         .map(_.getPath.getName).toSet
       val (family, err) = identify(spark, p.toString, subs, deep)
@@ -68,6 +88,7 @@ object StoreDoctor {
             case _                      => "ok"
           })
       (p.getName, family, err.isEmpty, detail)
+      }
     }.toDF("store", "family", "healthy", "detail").orderBy("store")
   }
 

@@ -288,6 +288,38 @@ class StoreDoctorSpec extends SparkSuite {
     assert(!deep("vgone")._2, deep("vgone").toString)
   }
 
+  test("a lake-root __rewrite_tmp sibling triages as its own row: torn " +
+    "(target gone -> unhealthy, recover named) vs stale debris (target " +
+    "present -> informational)") {
+    val root = tmpDir("doctor-tmp")
+    // torn: a bare signature store whose rewrite died between delete
+    // and rename — only the tmp sibling survives
+    graft.queries.DedupQueries.buildSignatureIndex(mkDocs(1 to 10),
+      s"$root/sig_torn")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/sig_torn"),
+      new org.apache.hadoop.fs.Path(s"$root/sig_torn" +
+        graft.operators.StoreRewrite.TmpSuffix))
+    // stale: target intact, tmp left by a crashed mid-write attempt
+    graft.queries.DedupQueries.buildSignatureIndex(mkDocs(1 to 10),
+      s"$root/sig_ok")
+    mkDocs(1 to 3).write.parquet(s"$root/sig_ok" +
+      graft.operators.StoreRewrite.TmpSuffix)
+    for (level <- Seq("deep", "stamps")) {
+      val rows = StoreDoctor.scan(spark, root, level).collect()
+        .map(r => r.getString(0) ->
+          (r.getString(1), r.getBoolean(2), r.getString(3))).toMap
+      val torn = rows("sig_torn" + graft.operators.StoreRewrite.TmpSuffix)
+      assert(torn._1 == "rewrite-tmp" && !torn._2 &&
+        torn._3.contains("StoreRewrite.recover"), s"$level: $torn")
+      val stale = rows("sig_ok" + graft.operators.StoreRewrite.TmpSuffix)
+      assert(stale._1 == "rewrite-tmp" && stale._2 &&
+        stale._3.contains("stale"), s"$level: $stale")
+      assert(rows("sig_ok") == (("signature", true, "ok")), s"$level")
+    }
+  }
+
   test("manifest-protocol FEDERATION roots identify with the versioned: " +
     "prefix and their shard checks read through the manifests") {
     import graft.queries.{DedupQueries => D, SearchQueries => SQ}
