@@ -182,13 +182,25 @@ object StoreDoctor {
         if (versioned)
           VersionedStore.read(spark, s"$path/shard-$i", rel)
         else spark.read.parquet(s"$path/shard-$i")
+      // a RENAME-protocol federation's forget persists ONE root-level
+      // `_forget_intent` and then rewrites every shard — a crash
+      // mid-loop leaves the intent live while each shard dir looks
+      // internally consistent, so the root probe is the only stamps-
+      // level signal that the federation is mid-mutation (versioned
+      // federations need none: their forgets are idempotent per-shard
+      // tombstone PUTs with no intent machinery)
+      def rootIntentCheck(): Option[String] =
+        if (!versioned && hfs.exists(new Path(s"$path/_forget_intent")))
+          Some("live _forget_intent at the federation root — a sharded " +
+            "forget died mid-loop; run the family's recover verb")
+        else None
       def shardStamps(n: Int): Option[String] =
-        (0 until n).flatMap { i =>
+        rootIntentCheck().orElse((0 until n).flatMap { i =>
           if (versioned) versionedStampsCheck(spark, s"$path/shard-$i")
             .map(e => s"shard $i: $e")
           else renameTornCheck(hfs, s"$path/shard-$i", Seq(""))
             .map(e => s"shard $i: $e")
-        }.headOption
+        }.headOption)
       attemptE {
         if (versioned)
           VersionedStore.read(spark, s"$path/router", "router").columns
@@ -230,16 +242,17 @@ object StoreDoctor {
                 } else SearchQueries.textIndexLoad(spark, s"$path/shard-$i")
               }
             else {
-              val err = (0 until n).flatMap { i =>
+              val err = rootIntentCheck().orElse((0 until n).flatMap { i =>
                 if (versioned)
                   versionedStampsCheck(spark, s"$path/shard-$i")
                     .map(e => s"shard $i: $e")
                 else renameTornCheck(hfs, s"$path/shard-$i",
-                  Seq("postings", "docstats", "meta"))
+                  Seq("postings", "docstats", "meta", "positions",
+                    "champions"))
                   .map(e => s"shard $i: $e")
                     .orElse(oneRow(spark, s"$path/shard-$i/meta",
                       s"shard $i meta").map(e => s"shard $i: $e"))
-              }.headOption
+              }.headOption)
               err.foreach(e => throw new IllegalStateException(e))
             }
           })
@@ -367,9 +380,15 @@ object StoreDoctor {
             else shallowFamilyCheck(spark, path, f))
       }
     else if (subs("postings") && subs("docstats"))
+      // positions/champions are OPTIONAL relations, but a torn rewrite
+      // of one is exactly as real as a torn postings rewrite — the
+      // check is absence-safe (a store that never had the relation has
+      // neither the dir nor its __rewrite_tmp sibling, so it never
+      // flags)
       ("text",
         if (deep) attempt(SearchQueries.textIndexLoad(spark, path))
-        else renameTornCheck(hfs, path, Seq("postings", "docstats", "meta"))
+        else renameTornCheck(hfs, path,
+          Seq("postings", "docstats", "meta", "positions", "champions"))
           .orElse(oneRow(spark, s"$path/meta", "meta")))
     else if (subs("codebooks"))
       ("pq",

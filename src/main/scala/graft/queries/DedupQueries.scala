@@ -1279,13 +1279,12 @@ object DedupQueries extends QueryModule {
       val docs = Tables(s, d, "documents")
       val inc = docs.filter(col("source") === "src19")
       val old = docs.filter(col("source") =!= "src19")
-      val root = java.nio.file.Files.createTempDirectory("graft-sigx")
-      val path = root.toString + "/sig"
+      val root = graft.BenchPhases.storeDir("graft-sigx")
+      val path = root + "/sig"
       graft.BenchPhases.build { buildSignatureIndex(old, path) }
       val res = probeSignatureIndexPruned(s, inc, path)
         .orderBy("new_id").localCheckpoint(true)
-      val hp = new org.apache.hadoop.fs.Path(root.toString)
-      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      graft.BenchPhases.discard(s, root)
       res
     },
     Some(incRejectOracleSql))
@@ -1310,15 +1309,14 @@ object DedupQueries extends QueryModule {
         inc.select(col("doc_id").as("new_id"), col("doc_id").as("old_id"),
           lit(0.0).as("jaccard_est")).limit(0)
       else {
-        val root = java.nio.file.Files.createTempDirectory("graft-sigshx")
-        val store = root.toString + "/sig"
+        val root = graft.BenchPhases.storeDir("graft-sigshx")
+        val store = root + "/sig"
         graft.BenchPhases.build {
           buildSignatureIndexSharded(old, store, nShards = 3)
         }
         val res = probeSignatureIndexSharded(s, inc, store)
           .orderBy("new_id").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(root.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, root)
         res
       }
     },
@@ -1341,15 +1339,14 @@ object DedupQueries extends QueryModule {
         inc.select(col("doc_id").as("new_id"), col("doc_id").as("old_id"),
           lit(0.0).as("jaccard_est")).limit(0)
       else {
-        val root = java.nio.file.Files.createTempDirectory("graft-sigshv")
-        val store = root.toString + "/sig"
+        val root = graft.BenchPhases.storeDir("graft-sigshv")
+        val store = root + "/sig"
         graft.BenchPhases.build {
           buildSignatureIndexShardedVersioned(old, store, nShards = 3)
         }
         val res = probeSignatureIndexShardedVersioned(s, inc, store)
           .orderBy("new_id").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(root.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, root)
         res
       }
     },
@@ -1373,13 +1370,12 @@ object DedupQueries extends QueryModule {
         inc.select(col("doc_id").as("new_id"), col("doc_id").as("old_id"),
           lit(0.0).as("jaccard_est")).limit(0)
       else {
-        val root = java.nio.file.Files.createTempDirectory("graft-vsigx")
-        val path = root.toString + "/sig"
+        val root = graft.BenchPhases.storeDir("graft-vsigx")
+        val path = root + "/sig"
         graft.BenchPhases.build { buildSignatureIndexVersioned(old, path) }
         val res = probeSignatureIndexVersioned(s, inc, path)
           .orderBy("new_id").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(root.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, root)
         res
       }
     },
@@ -1391,13 +1387,15 @@ object DedupQueries extends QueryModule {
     * knobs (its probes take k/w as arguments), while the versioned
     * store refuses knob-less probes, so the CALLER declares the (k, w)
     * the index was built under and they are recorded as the `knobs`
-    * relation. Declaring the wrong knobs is exactly as wrong as probing
-    * the rename store with them — no new failure mode, one fewer
-    * argument for every probe thereafter.
+    * relation. k and w are deliberately REQUIRED (no defaults): a
+    * rename-store probe with wrong knobs is wrong per call, but a
+    * migration bakes the declaration in permanently — defaulting it
+    * would let a caller who built under different knobs silently
+    * record wrong ones that every subsequent probe then trusts.
     */
   def migrateWinnowIndexToVersioned(
       spark: org.apache.spark.sql.SparkSession, src: String, dst: String,
-      k: Int = 4, w: Int = 5): Long = {
+      k: Int, w: Int): Long = {
     val p = new org.apache.hadoop.fs.Path(src)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p) ||
@@ -1492,6 +1490,16 @@ object DedupQueries extends QueryModule {
       val sp = new org.apache.hadoop.fs.Path(winnowShardPath(dstRoot, i))
       val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(sp)) fs.delete(sp, true)
+      // the signature federation's per-shard torn-rewrite gate: a shard
+      // whose rewrite died between delete and rename must refuse with
+      // the recovery verb named, not a generic path-not-found
+      val srcShard = new org.apache.hadoop.fs.Path(winnowShardPath(srcRoot, i))
+      require(fs.exists(srcShard) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(
+            winnowShardPath(srcRoot, i) + graft.operators.StoreRewrite.TmpSuffix)),
+        s"migrateWinnowIndexShardedToVersioned: a rewrite of shard $i of " +
+          s"$srcRoot crashed between delete and rename — run " +
+          "StoreRewrite.recover first, then migrate")
       val fp = spark.read.parquet(winnowShardPath(srcRoot, i))
       require(fp.columns.toSet == Set("doc_id", "fp_pos", "fp_hash"),
         s"migrateWinnowIndexShardedToVersioned: shard $i of $srcRoot " +
@@ -1527,17 +1535,16 @@ object DedupQueries extends QueryModule {
         inc.select(col("doc_id").as("new_id"), col("doc_id").as("old_id"),
           lit(0.0).as("jaccard_est")).limit(0)
       else {
-        val root = java.nio.file.Files.createTempDirectory("graft-migsig")
-        val ren = root.toString + "/ren"
-        val ver = root.toString + "/ver"
+        val root = graft.BenchPhases.storeDir("graft-migsig")
+        val ren = root + "/ren"
+        val ver = root + "/ver"
         graft.BenchPhases.build {
           buildSignatureIndex(old, ren)
           migrateSignatureIndexToVersioned(s, ren, ver)
         }
         val res = probeSignatureIndexVersioned(s, inc, ver)
           .orderBy("new_id").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(root.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, root)
         res
       }
     },
@@ -1561,17 +1568,16 @@ object DedupQueries extends QueryModule {
         inc.select(col("doc_id").as("new_id"), col("doc_id").as("old_id"),
           lit(0.0).as("jaccard_est")).limit(0)
       else {
-        val root = java.nio.file.Files.createTempDirectory("graft-migshv")
-        val ren = root.toString + "/ren"
-        val ver = root.toString + "/ver"
+        val root = graft.BenchPhases.storeDir("graft-migshv")
+        val ren = root + "/ren"
+        val ver = root + "/ver"
         graft.BenchPhases.build {
           buildSignatureIndexSharded(old, ren, nShards = 3)
           migrateSignatureIndexShardedToVersioned(s, ren, ver)
         }
         val res = probeSignatureIndexShardedVersioned(s, inc, ver)
           .orderBy("new_id").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(root.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, root)
         res
       }
     },
@@ -1602,9 +1608,9 @@ object DedupQueries extends QueryModule {
         inc.select(col("doc_id").as("new_id"), col("doc_id").as("old_id"),
           lit(0.0).as("jaccard_est")).limit(0)
       else {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-cdcsig")
-        val store = tmp.toString + "/corpus"
-        val root = tmp.toString + "/sig"
+        val tmp = graft.BenchPhases.storeDir("graft-cdcsig")
+        val store = tmp + "/corpus"
+        val root = tmp + "/sig"
         graft.BenchPhases.build {
           val boot = old.filter(col("doc_id") % 3 =!= 1)
           val rest = old.filter(col("doc_id") % 3 === 1)
@@ -1629,8 +1635,7 @@ object DedupQueries extends QueryModule {
         }
         val res = probeSignatureIndexSharded(s, inc, root)
           .orderBy("new_id").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, tmp)
         res
       }
     },
@@ -4010,8 +4015,8 @@ object DedupQueries extends QueryModule {
       val docs = Tables(s, d, "documents")
       val inc = docs.filter(col("source") === "src19")
       val old = docs.filter(col("source") =!= "src19")
-      val root = java.nio.file.Files.createTempDirectory("graft-winx")
-      val path = root.toString + "/fp"
+      val root = graft.BenchPhases.storeDir("graft-winx")
+      val path = root + "/fp"
       graft.BenchPhases.build { buildWinnowIndex(old, path) }
       // minShared 1 keeps the probe guarantee-COMPLETE: every >= w+k-1
       // token verbatim overlap with a stored doc yields >= 1 shared
@@ -4020,8 +4025,7 @@ object DedupQueries extends QueryModule {
       // the floor's completeness for precision at minShared = 2
       val res = probeWinnowIndex(s, inc, path, minShared = 1)
         .orderBy("new_doc", "old_doc").localCheckpoint(true)
-      val hp = new org.apache.hadoop.fs.Path(root.toString)
-      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      graft.BenchPhases.discard(s, root)
       res
     },
     Some(winnowProbeOracleSql))
@@ -4046,13 +4050,12 @@ object DedupQueries extends QueryModule {
         inc.select(col("doc_id").as("new_doc"),
           col("doc_id").as("old_doc"), lit(0L).as("n_shared")).limit(0)
       else {
-        val root = java.nio.file.Files.createTempDirectory("graft-winshx")
-        val store = root.toString + "/winnow"
+        val root = graft.BenchPhases.storeDir("graft-winshx")
+        val store = root + "/winnow"
         graft.BenchPhases.build { buildWinnowIndexSharded(old, store, nShards = 3) }
         val res = probeWinnowIndexSharded(s, inc, store, minShared = 1)
           .orderBy("new_doc", "old_doc").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(root.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, root)
         res
       }
     },
@@ -4074,16 +4077,15 @@ object DedupQueries extends QueryModule {
         inc.select(col("doc_id").as("new_doc"),
           col("doc_id").as("old_doc"), lit(0L).as("n_shared")).limit(0)
       else {
-        val root = java.nio.file.Files.createTempDirectory("graft-winshv")
-        val store = root.toString + "/winnow"
+        val root = graft.BenchPhases.storeDir("graft-winshv")
+        val store = root + "/winnow"
         graft.BenchPhases.build {
           buildWinnowIndexShardedVersioned(old, store, nShards = 3)
         }
         val res = probeWinnowIndexShardedVersioned(s, inc, store,
             minShared = 1)
           .orderBy("new_doc", "old_doc").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(root.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, root)
         res
       }
     },
@@ -4114,9 +4116,9 @@ object DedupQueries extends QueryModule {
         inc.select(col("doc_id").as("new_doc"),
           col("doc_id").as("old_doc"), lit(0L).as("n_shared")).limit(0)
       else {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-cdcwin")
-        val store = tmp.toString + "/corpus"
-        val root = tmp.toString + "/winnow"
+        val tmp = graft.BenchPhases.storeDir("graft-cdcwin")
+        val store = tmp + "/corpus"
+        val root = tmp + "/winnow"
         graft.BenchPhases.build {
           val boot = old.filter(col("doc_id") % 3 =!= 1)
           val rest = old.filter(col("doc_id") % 3 === 1)
@@ -4137,8 +4139,7 @@ object DedupQueries extends QueryModule {
         }
         val res = probeWinnowIndexSharded(s, inc, root, minShared = 1)
           .orderBy("new_doc", "old_doc").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, tmp)
         res
       }
     },
@@ -4202,13 +4203,12 @@ object DedupQueries extends QueryModule {
         inc.select(col("doc_id").as("new_doc"), col("doc_id").as("old_doc"),
           lit(0L).as("n_shared")).limit(0)
       else {
-        val root = java.nio.file.Files.createTempDirectory("graft-vwinx")
-        val path = root.toString + "/fp"
+        val root = graft.BenchPhases.storeDir("graft-vwinx")
+        val path = root + "/fp"
         graft.BenchPhases.build { buildWinnowIndexVersioned(old, path) }
         val res = probeWinnowIndexVersioned(s, inc, path, minShared = 1)
           .orderBy("new_doc", "old_doc").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(root.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, root)
         res
       }
     },

@@ -384,18 +384,8 @@ object GovernanceQueries extends QueryModule {
     (s, d) => {
       import graft.operators.VersionedStore
       val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
-      val root = java.nio.file.Files.createTempDirectory("graft-vts")
-      val path = root.toString + "/store"
-      graft.BenchPhases.build {
-        VersionedStore.save(Map("docs" -> docs.filter(col("doc_id") % 3 === 0)),
-          path)
-        VersionedStore.append(
-          Map("docs" -> docs.filter(col("doc_id") % 3 === 1)), path)
-        VersionedStore.delete(
-          VersionedStore.read(s, path, "docs")
-            .filter(col("doc_id") % 7 === 0).select("doc_id"), "docs", path)
-        VersionedStore.compact(s, path)
-      }
+      val root = graft.BenchPhases.storeDir("graft-vts")
+      val path = root + "/store"
       def snap(asOf: Option[Long], label: Int): DataFrame =
         VersionedStore.read(s, path, "docs", asOf).agg(
             count(lit(1)).as("n_docs"),
@@ -404,15 +394,28 @@ object GovernanceQueries extends QueryModule {
             sum(length(col("text")).cast("long")).as("sum_len"))
           .select(lit(label).as("version"), col("n_docs"),
             col("n_sources"), col("sum_ids"), col("sum_len"))
-      // materialized BEFORE vacuum: these plans read dirs vacuum deletes
-      val preVacuum = snap(Some(1L), 1).unionByName(snap(Some(2L), 2))
-        .unionByName(snap(Some(3L), 3)).unionByName(snap(None, 4))
-        .localCheckpoint(true)
-      VersionedStore.vacuum(s, path, keep = 1)
+      // the VACUUM is part of the build bracket: it mutates the store,
+      // so a reused run must not repeat it — and the pre-vacuum snaps
+      // must be materialized inside the same bracket (they read dirs
+      // vacuum deletes; the memoized checkpoint is what run 2+ unions)
+      val preVacuum = graft.BenchPhases.build {
+        VersionedStore.save(Map("docs" -> docs.filter(col("doc_id") % 3 === 0)),
+          path)
+        VersionedStore.append(
+          Map("docs" -> docs.filter(col("doc_id") % 3 === 1)), path)
+        VersionedStore.delete(
+          VersionedStore.read(s, path, "docs")
+            .filter(col("doc_id") % 7 === 0).select("doc_id"), "docs", path)
+        VersionedStore.compact(s, path)
+        val pre = snap(Some(1L), 1).unionByName(snap(Some(2L), 2))
+          .unionByName(snap(Some(3L), 3)).unionByName(snap(None, 4))
+          .localCheckpoint(true)
+        VersionedStore.vacuum(s, path, keep = 1)
+        pre
+      }
       val res = preVacuum.unionByName(snap(None, 99))
         .orderBy("version").localCheckpoint(true)
-      val hp = new org.apache.hadoop.fs.Path(root.toString)
-      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      graft.BenchPhases.discard(s, root)
       res
     },
     Some("""WITH v1 AS (SELECT doc_id, text, source FROM documents
@@ -463,8 +466,8 @@ object GovernanceQueries extends QueryModule {
     (s, d) => {
       import graft.operators.VersionedStore
       val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
-      val root = java.nio.file.Files.createTempDirectory("graft-vrs")
-      val path = root.toString + "/store"
+      val root = graft.BenchPhases.storeDir("graft-vrs")
+      val path = root + "/store"
       val sc = Seq("doc_id")
       graft.BenchPhases.build {
         VersionedStore.save(Map("docs" -> docs.filter(col("doc_id") < 200)),
@@ -481,8 +484,7 @@ object GovernanceQueries extends QueryModule {
           sum(col("doc_id")).as("sum_ids"),
           sum(length(col("text")).cast("long")).as("sum_len"))
         .orderBy("source").localCheckpoint(true)
-      val hp = new org.apache.hadoop.fs.Path(root.toString)
-      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      graft.BenchPhases.discard(s, root)
       res
     },
     Some("""SELECT source, COUNT(*) AS n_docs,
@@ -507,8 +509,8 @@ object GovernanceQueries extends QueryModule {
     (s, d) => {
       import graft.operators.VersionedStore
       val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
-      val root = java.nio.file.Files.createTempDirectory("graft-vcdc")
-      val path = root.toString + "/store"
+      val root = graft.BenchPhases.storeDir("graft-vcdc")
+      val path = root + "/store"
       graft.BenchPhases.build {
         VersionedStore.save(Map("docs" -> docs.filter(col("doc_id") % 3 === 0)),
           path)
@@ -529,8 +531,7 @@ object GovernanceQueries extends QueryModule {
       val res = applied
         .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
         .orderBy("doc_id").localCheckpoint(true)
-      val hp = new org.apache.hadoop.fs.Path(root.toString)
-      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      graft.BenchPhases.discard(s, root)
       res
     },
     Some("""SELECT doc_id, source, md5(text) AS digest
@@ -581,8 +582,8 @@ object GovernanceQueries extends QueryModule {
     (s, d) => {
       import graft.operators.VersionedStore
       val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
-      val root = java.nio.file.Files.createTempDirectory("graft-vcard")
-      val path = root.toString + "/store"
+      val root = graft.BenchPhases.storeDir("graft-vcard")
+      val path = root + "/store"
       graft.BenchPhases.build {
         VersionedStore.save(
           Map("card" -> corpusCardPartials(docs.filter(col("doc_id") % 3 === 0))),
@@ -600,8 +601,7 @@ object GovernanceQueries extends QueryModule {
       }
       val res = corpusCardMerge(VersionedStore.read(s, path, "card"))
         .orderBy("source").localCheckpoint(true)
-      val hp = new org.apache.hadoop.fs.Path(root.toString)
-      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      graft.BenchPhases.discard(s, root)
       res
     },
     Some("""SELECT source, COUNT(*) AS n_docs,
@@ -610,6 +610,86 @@ object GovernanceQueries extends QueryModule {
             FROM documents WHERE doc_id % 21 <> 0
             GROUP BY source ORDER BY source"""))
 
+  /** q216: the LAKE-TRIAGE sweep as a bench-gated query — build a
+    * deterministic mixed root (monolithic text, bare signature/winnow
+    * parquet indexes, a doc-routed signature federation, versioned
+    * text/sq8/corpus stores, plus two injected failure states: a torn
+    * meta rewrite and a live federation-root `_forget_intent`) and run
+    * [[graft.operators.StoreDoctor.scan]] at `stamps` level. The
+    * result set pins identification AND the r14 stamps additions (the
+    * root intent probe; torn-rename coverage), and the bench artifact
+    * records the sweep's wall time as `query_s` every round — the
+    * quantitative ops claim ("a lake sweep costs file reads, not
+    * per-store aggregate scans") regression-gated instead of asserted
+    * in a doc comment. The oracle is the expected triage table
+    * verbatim: every family string and health verdict is structural
+    * (data-independent), so a literal relation is the strongest oracle
+    * the sweep can have.
+    */
+  private val q216 = QueryDef(
+    "q216_store_triage",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      if (docs.isEmpty || emb.isEmpty)
+        docs.select(col("source").as("store"), col("source").as("family"),
+          lit(true).as("healthy")).limit(0)
+      else {
+        val root = graft.BenchPhases.storeDir("graft-doctor")
+        graft.BenchPhases.build {
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          val (p, ds) = SearchQueries.textIndexBuild(docs)
+          SearchQueries.textIndexSave(p, ds, s"$root/a_text")
+          SearchQueries.textIndexSave(p, ds, s"$root/b_torn_text")
+          // the crash window between delete and rename: target gone,
+          // complete relation at the tmp sibling
+          fs.rename(new org.apache.hadoop.fs.Path(s"$root/b_torn_text/meta"),
+            new org.apache.hadoop.fs.Path(s"$root/b_torn_text/meta" +
+              graft.operators.StoreRewrite.TmpSuffix))
+          DedupQueries.buildSignatureIndex(docs, s"$root/c_sig")
+          DedupQueries.buildWinnowIndex(docs, s"$root/d_winnow")
+          DedupQueries.buildSignatureIndexSharded(docs, s"$root/e_sig_fed",
+            nShards = 2)
+          DedupQueries.buildSignatureIndexSharded(docs,
+            s"$root/f_sig_fed_intent", nShards = 2)
+          // a sharded forget that died mid-loop: the root intent is the
+          // only stamps-level evidence (every shard reads clean)
+          graft.operators.StoreRewrite.atomicOverwrite(
+            docs.select("doc_id").limit(3),
+            s"$root/f_sig_fed_intent/_forget_intent")
+          SearchQueries.textIndexSaveVersioned(docs.select("doc_id", "text"),
+            s"$root/g_vtext")
+          val params = QuantQueries.sqTrain(emb).localCheckpoint(true)
+          QuantQueries.sqSaveIndexVersioned(params,
+            QuantQueries.sqCodes(params, emb), s"$root/h_vsq8")
+          graft.operators.VersionedStore.save(Map("docs" -> docs),
+            s"$root/i_vcorpus")
+        }
+        val res = graft.operators.StoreDoctor.scan(s, root, level = "stamps")
+          .select("store", "family", "healthy")
+          .orderBy("store").localCheckpoint(true)
+        graft.BenchPhases.discard(s, root)
+        res
+      }
+    },
+    Some("""SELECT store, family, healthy FROM (VALUES
+              ('a_text', 'text', TRUE),
+              ('b_torn_text', 'text', FALSE),
+              ('c_sig', 'signature', TRUE),
+              ('d_winnow', 'winnow', TRUE),
+              ('e_sig_fed', 'signature-sharded', TRUE),
+              ('f_sig_fed_intent', 'signature-sharded', FALSE),
+              ('g_vtext', 'versioned:text', TRUE),
+              ('h_vsq8', 'versioned:sq8', TRUE),
+              ('i_vcorpus', 'versioned', TRUE))
+              AS t(store, family, healthy)
+            WHERE (SELECT COUNT(*) FROM documents) > 0
+              AND (SELECT COUNT(*) FROM embeddings) > 0
+            ORDER BY store"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(q160, q161, q162, q165, q166, q177, q179, q180, q181)
+    Seq(q160, q161, q162, q165, q166, q177, q179, q180, q181, q216)
 }

@@ -922,10 +922,9 @@ object QuantQueries extends QueryModule {
     */
   private def withThrowawayStore(body: String => DataFrame)(
       s: SparkSession): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-vidx")
-    val res = body(root.toString + "/idx").localCheckpoint(true)
-    val hp = new org.apache.hadoop.fs.Path(root.toString)
-    hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    val root = graft.BenchPhases.storeDir("graft-vidx")
+    val res = body(root + "/idx").localCheckpoint(true)
+    graft.BenchPhases.discard(s, root)
     res
   }
 
@@ -1147,9 +1146,9 @@ object QuantQueries extends QueryModule {
           col("vec_id").as("neighbor_id"),
           lit(1).as("rank"), lit(0.0).as("score")).limit(0)
       else {
-        val root = java.nio.file.Files.createTempDirectory("graft-migsq")
-        val ren = root.toString + "/ren"
-        val ver = root.toString + "/ver"
+        val root = graft.BenchPhases.storeDir("graft-migsq")
+        val ren = root + "/ren"
+        val ver = root + "/ver"
         graft.BenchPhases.build {
           val params = sqTrain(boot).localCheckpoint(true)
           sqSaveIndex(params, sqCodes(params, boot), ren)
@@ -1165,8 +1164,7 @@ object QuantQueries extends QueryModule {
             col("vec_id").as("neighbor_id"), col("arank").as("rank"),
             col("adc_dist").as("score"))
           .orderBy("query_id", "rank").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(root.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, root)
         res
       }
     },

@@ -1389,8 +1389,8 @@ object SearchQueries extends QueryModule {
   private def withThrowawayIndex(docs: DataFrame,
       withPositions: Boolean = false, championM: Option[Int] = None)(
       search: String => DataFrame): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-ti")
-    val path = root.toString + "/idx"
+    val root = graft.BenchPhases.storeDir("graft-ti")
+    val path = root + "/idx"
     graft.BenchPhases.build {
       val (p, ds) = textIndexBuild(docs)
       textIndexSave(p, ds, path,
@@ -1399,9 +1399,7 @@ object SearchQueries extends QueryModule {
         textIndexChampionsSave(docs.sparkSession, path, m))
     }
     val res = search(path).localCheckpoint(true)
-    val hp = new org.apache.hadoop.fs.Path(root.toString)
-    hp.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
-      .delete(hp, true)
+    graft.BenchPhases.discard(docs.sparkSession, root)
     res
   }
 
@@ -1411,16 +1409,14 @@ object SearchQueries extends QueryModule {
     */
   private def withThrowawayShards(docs: DataFrame, n: Int)(
       search: String => DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-tis")
-    val root = tmp.toString + "/idx"
+    val tmp = graft.BenchPhases.storeDir("graft-tis")
+    val root = tmp + "/idx"
     graft.BenchPhases.build {
       val (p, ds) = textIndexBuild(docs)
       textIndexSaveSharded(p, ds, root, n)
     }
     val res = search(root).localCheckpoint(true)
-    val hp = new org.apache.hadoop.fs.Path(tmp.toString)
-    hp.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
-      .delete(hp, true)
+    graft.BenchPhases.discard(docs.sparkSession, tmp)
     res
   }
 
@@ -2756,8 +2752,8 @@ object SearchQueries extends QueryModule {
           .select(col("doc_id"), row_number().over(
             Window.orderBy(col("score").desc, col("doc_id").asc))
             .as("bm25_rank"))
-        val root = java.nio.file.Files.createTempDirectory("graft-hyb")
-        val vpath = root.toString + "/idx"
+        val root = graft.BenchPhases.storeDir("graft-hyb")
+        val vpath = root + "/idx"
         graft.BenchPhases.build {
           graft.operators.VectorIndex.build(e, "sq8", vpath)
         }
@@ -2766,8 +2762,7 @@ object SearchQueries extends QueryModule {
         val vr = graft.operators.VectorIndex.search(e, q, vpath, k = 30)
           .select(col("neighbor_id").as("vec_id"), col("rank").as("adc_rank"))
           .localCheckpoint(true) // eager: frees the throwaway store
-        val hp = new org.apache.hadoop.fs.Path(root.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, root)
         bm.join(vr, col("doc_id") === col("vec_id"), "full_outer")
           .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
             col("bm25_rank"), col("adc_rank"))
@@ -2928,8 +2923,8 @@ object SearchQueries extends QueryModule {
         // replaying them
         val seeded = base.isEmpty
         val seed = if (seeded) docs else base
-        val tmp = java.nio.file.Files.createTempDirectory("graft-tisv")
-        val root = tmp.toString + "/idx"
+        val tmp = graft.BenchPhases.storeDir("graft-tisv")
+        val root = tmp + "/idx"
         graft.BenchPhases.build {
           val (p, ds) = textIndexBuild(seed)
           textIndexSaveShardedVersioned(p, ds, root, 3)
@@ -2944,8 +2939,7 @@ object SearchQueries extends QueryModule {
         val top = textIndexSearchShardedVersioned(s, root)
           .orderBy(col("score").desc, col("doc_id").asc).limit(20)
           .localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, tmp)
         top.withColumn("rank", row_number().over(
             Window.orderBy(col("score").desc, col("doc_id").asc)))
           .select("rank", "doc_id", "n_terms_hit", "score")
@@ -2998,9 +2992,9 @@ object SearchQueries extends QueryModule {
         docs.select(lit(1).as("rank"), col("doc_id"),
           lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
       else {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-cdcix")
-        val store = tmp.toString + "/corpus"
-        val idx = tmp.toString + "/idx"
+        val tmp = graft.BenchPhases.storeDir("graft-cdcix")
+        val store = tmp + "/corpus"
+        val idx = tmp + "/idx"
         graft.BenchPhases.build {
           val r1 = VersionedStore.save(Map("docs" -> old), store)
           val base = VersionedStore.read(s, store, "docs", Some(r1))
@@ -3017,8 +3011,7 @@ object SearchQueries extends QueryModule {
             Window.orderBy(col("score").desc, col("doc_id").asc)))
           .select("rank", "doc_id", "n_terms_hit", "score")
           .orderBy("rank").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, tmp)
         res
       }
     },
@@ -3062,9 +3055,9 @@ object SearchQueries extends QueryModule {
         docs.select(lit(1).as("rank"), col("doc_id"),
           lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
       else {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-syncix")
-        val store = tmp.toString + "/corpus"
-        val idx = tmp.toString + "/idx"
+        val tmp = graft.BenchPhases.storeDir("graft-syncix")
+        val store = tmp + "/corpus"
+        val idx = tmp + "/idx"
         graft.BenchPhases.build {
           VersionedStore.save(Map("docs" -> old.select("doc_id", "text")),
             store)
@@ -3084,8 +3077,7 @@ object SearchQueries extends QueryModule {
             Window.orderBy(col("score").desc, col("doc_id").asc)))
           .select("rank", "doc_id", "n_terms_hit", "score")
           .orderBy("rank").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, tmp)
         res
       }
     },
@@ -3110,8 +3102,8 @@ object SearchQueries extends QueryModule {
         docs.select(lit(1).as("rank"), col("doc_id"),
           lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
       else {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-vtix")
-        val idx = tmp.toString + "/idx"
+        val tmp = graft.BenchPhases.storeDir("graft-vtix")
+        val idx = tmp + "/idx"
         graft.BenchPhases.build {
           textIndexSaveVersioned(old.select("doc_id", "text"), idx)
           textIndexAppendVersioned(inc.select("doc_id", "text"), idx)
@@ -3124,8 +3116,7 @@ object SearchQueries extends QueryModule {
             Window.orderBy(col("score").desc, col("doc_id").asc)))
           .select("rank", "doc_id", "n_terms_hit", "score")
           .orderBy("rank").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, tmp)
         res
       }
     },
@@ -3151,9 +3142,9 @@ object SearchQueries extends QueryModule {
         docs.select(lit(1).as("rank"), col("doc_id"),
           lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
       else {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-migtix")
-        val ren = tmp.toString + "/ren"
-        val ver = tmp.toString + "/ver"
+        val tmp = graft.BenchPhases.storeDir("graft-migtix")
+        val ren = tmp + "/ren"
+        val ver = tmp + "/ver"
         graft.BenchPhases.build {
           val (p, ds) = textIndexBuild(old.select("doc_id", "text"))
           textIndexSave(p, ds, ren)
@@ -3168,8 +3159,7 @@ object SearchQueries extends QueryModule {
             Window.orderBy(col("score").desc, col("doc_id").asc)))
           .select("rank", "doc_id", "n_terms_hit", "score")
           .orderBy("rank").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, tmp)
         res
       }
     },
@@ -3196,8 +3186,8 @@ object SearchQueries extends QueryModule {
         docs.select(lit(1).as("rank"), col("doc_id"),
           lit(1).as("n_terms_hit"), lit(0.0).as("score")).limit(0)
       else {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-ttix")
-        val idx = tmp.toString + "/idx"
+        val tmp = graft.BenchPhases.storeDir("graft-ttix")
+        val idx = tmp + "/idx"
         val r1 = graft.BenchPhases.build {
           val r = textIndexSaveVersioned(old.select("doc_id", "text"), idx)
           textIndexAppendVersioned(inc.select("doc_id", "text"), idx)
@@ -3211,8 +3201,7 @@ object SearchQueries extends QueryModule {
             Window.orderBy(col("score").desc, col("doc_id").asc)))
           .select("rank", "doc_id", "n_terms_hit", "score")
           .orderBy("rank").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(tmp.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, tmp)
         res
       }
     },

@@ -1092,10 +1092,9 @@ object SimilarityQueries extends QueryModule {
   private def withThrowawayStore(body: String => org.apache.spark.sql
       .DataFrame)(s: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-vsim")
-    val res = body(root.toString + "/idx").localCheckpoint(true)
-    val hp = new org.apache.hadoop.fs.Path(root.toString)
-    hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    val root = graft.BenchPhases.storeDir("graft-vsim")
+    val res = body(root + "/idx").localCheckpoint(true)
+    graft.BenchPhases.discard(s, root)
     res
   }
 
@@ -5023,9 +5022,9 @@ object SimilarityQueries extends QueryModule {
         e.select(col("vec_id").as("aid"), col("vec_id").as("bid"),
           lit(0.0).as("sim"), lit(1).as("rn")).limit(0)
       else {
-        val root = java.nio.file.Files.createTempDirectory("graft-knncdc")
-        val store = root.toString + "/emb"
-        val idx = root.toString + "/knn"
+        val root = graft.BenchPhases.storeDir("graft-knncdc")
+        val store = root + "/emb"
+        val idx = root + "/knn"
         graft.BenchPhases.build {
           VersionedStore.save(Map("emb" -> boot), store)
           knnSyncWithStore(s, store, "emb", idx, k = 3) // bootstrap
@@ -5039,8 +5038,7 @@ object SimilarityQueries extends QueryModule {
         val res = knnLoadLists(s, idx)._1
           .select("aid", "bid", "sim", "rn")
           .orderBy("aid", "rn").localCheckpoint(true)
-        val hp = new org.apache.hadoop.fs.Path(root.toString)
-        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        graft.BenchPhases.discard(s, root)
         res
       }
     },

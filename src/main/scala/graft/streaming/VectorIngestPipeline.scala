@@ -163,4 +163,133 @@ object VectorIngestPipeline {
         ingestBatch(batch, indexPath, vecPath, radius)
       }
       .start()
+
+  // ------------------------------------------------------------------
+  // The FULLY-VERSIONED loop (round 14) — this pipeline on the manifest
+  // protocol, completing the versioned streaming quadrangle (text r13,
+  // signature/winnow federations r13, vectors here). The vector corpus
+  // is a VersionedStore relation (exactly-once via the batch-id
+  // marker), the binary code store is its manifest-committed DERIVED
+  // index maintained by the family's argument-free CDC sync, and the
+  // Hamming near-dup gate reads the code store's visible revision. No
+  // rename, no `_inflight`, no StoreRewrite.recover preamble: every
+  // commit on either side is ONE manifest PUT.
+  // ------------------------------------------------------------------
+
+  /** One micro-batch of the versioned loop: catch the index up to every
+    * COMMITTED corpus revision first (the first call BOOTSTRAPS the
+    * code store from the corpus's current revision — so the bootstrap
+    * corpus gates batch 1; later calls no-op when current, and the
+    * crash window where a prior batch's ingest landed but its sync
+    * didn't is closed before the gate reads), gate the batch against
+    * the synced code store, then run the corpus ingest + index sync
+    * composition. Replay safety is the marker's: a replayed batch's
+    * gate may compute a DIFFERENT admitted set (its own vectors are now
+    * stored), but the set is never evaluated —
+    * [[VersionedIngest.ingestBatch]] checks the marker before touching
+    * the lazy plan, and the trailing sync no-ops. The corpus bootstrap
+    * must be NON-EMPTY ([[bootstrap]]'s rule on the rename loop — the
+    * code store refuses empty saves).
+    */
+  def ingestBatchVersioned(batch: DataFrame, batchId: Long,
+      storePath: String, idxPath: String, rel: String = "emb",
+      radius: Int = 0, corpusRetain: Option[Int] = None,
+      indexRetain: Option[Int] = None): Boolean = {
+    val spark = batch.sparkSession
+    SimilarityQueries.binSyncVersionedWithStore(spark, storePath, rel,
+      idxPath, retain = indexRetain)
+    val b = batch.localCheckpoint(true)
+    // the gate, verbatim from [[ingestBatch]]: reject an arrival whose
+    // Hamming distance to ANY stored (tombstone-masked) code is <=
+    // radius; in-batch near-dups are both admitted (rejection is
+    // against the EXISTING corpus, the q82 convention)
+    val stored = SimilarityQueries.binLoadIndexVersioned(spark, idxPath)
+    val newCodes = SimilarityQueries.binCodes(b)
+      .select(col("vec_id").as("nid"), col("w0").as("nw0"),
+        col("w1").as("nw1"))
+    val rejected = stored
+      .join(broadcast(newCodes), col("vec_id") =!= col("nid"))
+      .filter(expr("bit_count(w0 ^ nw0) + bit_count(w1 ^ nw1)")
+        <= lit(radius))
+      .select(col("nid").as("vec_id")).distinct()
+    val admitted = b.join(rejected, Seq("vec_id"), "left_anti")
+    VersionedIngest.ingestBatchWithSync(admitted, batchId, storePath, rel,
+      corpusRetain)(
+      SimilarityQueries.binSyncVersionedWithStore(spark, storePath, rel,
+        idxPath, retain = indexRetain))
+  }
+
+  /** Bind the versioned loop to a vector stream (vec_id, v). Bootstrap
+    * the corpus store first ([[VersionedIngest.bootstrap]] with the
+    * initial vectors under `rel`); the code store bootstraps itself on
+    * the first batch's sync.
+    */
+  def startVersioned(vectors: DataFrame, storePath: String,
+      idxPath: String, checkpoint: String, rel: String = "emb",
+      radius: Int = 0, corpusRetain: Option[Int] = None,
+      indexRetain: Option[Int] = None,
+      queryName: String = "graft_vector_ingest_versioned"): StreamingQuery =
+    vectors.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestBatchVersioned(batch, id, storePath, idxPath, rel, radius,
+          corpusRetain, indexRetain)
+        ()
+      }
+      .start()
+
+  /** The versioned loop's FORGET — re-admission-correct on the manifest
+    * protocol. A plain [[graft.operators.VersionedStore.delete]] cannot
+    * be it: manifest tombstones are STICKY (a re-appended same key
+    * stays masked until compact), so a forgotten vector's resubmission
+    * would land in the corpus invisible forever — the over-forgetting
+    * bug the rename loop's forget fixed, in versioned clothes. Instead
+    * both sides are ONE [[graft.operators.VersionedStore.replaceRelation]]
+    * each (physical removal + the relation's sticky-tombstone reset,
+    * batch marker preserved — replays after a forget still skip):
+    *
+    *  1. the CODE STORE first (the rename forget's order: once the code
+    *     is gone the vector can neither reject a resubmission nor serve
+    *     a search; a crash here leaves at worst an orphan corpus row a
+    *     re-run clears) — its new content is `binCodes` of the
+    *     POST-FORGET CORPUS, i.e. a fresh build, so the verb is exact
+    *     even when the index was LAGGING the corpus (a lagging window
+    *     can never be absorbed afterwards: the marker bump in step 3
+    *     freezes it);
+    *  2. the CORPUS relation;
+    *  3. the index's `_synced_rev` checkpoint is re-pointed AT the
+    *     corpus's replace revision — step 1 made the index exactly the
+    *     post-forget build, and the CDC window algebra refuses to cross
+    *     a replace, so leaving the old marker would wedge the next sync.
+    *
+    * Crash between 2 and 3 wedges the next sync with the changes()
+    * refusal — RE-RUN THE FORGET: every step is idempotent on the same
+    * `del` (step 1 recomputes the same codes, step 2 commits the same
+    * content again) and step 3 heals the marker. Prior revisions still
+    * time-travel to the pre-forget content until vacuum — run one with
+    * `retain` if the forget must also be a physical erasure of history.
+    */
+  def forgetVersioned(spark: SparkSession, del: DataFrame,
+      storePath: String, idxPath: String, rel: String = "emb"): Unit = {
+    import graft.operators.{VersionedStore, RevisionSync}
+    val ids = del.select("vec_id").localCheckpoint(true)
+    val remaining = VersionedStore.read(spark, storePath, rel)
+      .join(ids, Seq("vec_id"), "left_anti").localCheckpoint(true)
+    require(!remaining.isEmpty,
+      "VectorIngestPipeline.forgetVersioned: forgetting the ENTIRE " +
+        "vector corpus leaves an empty code store — delete both store " +
+        "directories instead")
+    if (VersionedStore.currentVersion(spark, idxPath).isEmpty) {
+      // pre-first-sync forget: only the corpus exists; the index will
+      // bootstrap from the post-forget content on its first sync
+      VersionedStore.replaceRelation(remaining, rel, storePath)
+    } else {
+      VersionedStore.replaceRelation(
+        SimilarityQueries.binCodes(remaining).localCheckpoint(true),
+        "codes", idxPath)
+      val rev = VersionedStore.replaceRelation(remaining, rel, storePath)
+      RevisionSync.setSyncedRev(spark, idxPath, storePath, rev)
+    }
+  }
 }

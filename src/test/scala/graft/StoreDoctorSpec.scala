@@ -259,12 +259,41 @@ class StoreDoctorSpec extends SparkSuite {
         lit(storedFp).as("fp"), lit(64).as("dims"), lit(256).as("levels"))),
       s"$root/vsq8_bad")
 
+    // 6. sharded signature federation whose forget died mid-loop: the
+    //    live root _forget_intent is the ONLY stamps-level evidence
+    //    (every shard dir reads internally consistent) — the r13-advice
+    //    gap, now probed
+    graft.queries.DedupQueries.buildSignatureIndexSharded(
+      mkDocs(1 to 12), s"$root/fedintent", nShards = 2)
+    graft.operators.StoreRewrite.atomicOverwrite(
+      mkDocs(1 to 2).select("doc_id"), s"$root/fedintent/_forget_intent")
+
+    // 7. torn POSITIONS rewrite on a monolithic text store: the
+    //    optional relation's rename window flags exactly like postings'
+    //    (and its absence on stores that never had positions must not)
+    SearchQueries.textIndexSave(p, d, s"$root/tornpos")
+    val tornPosTmp = new org.apache.hadoop.fs.Path(
+      s"$root/tornpos/positions" + graft.operators.StoreRewrite.TmpSuffix)
+    mkDocs(1 to 3).select(col("text").as("term"), col("doc_id"),
+        lit(1).as("pos"))
+      .write.parquet(tornPosTmp.toString)
+
     def scanMap(level: String) =
       StoreDoctor.scan(spark, root, level).collect()
         .map(r => r.getString(0) ->
           (r.getString(1), r.getBoolean(2), r.getString(3))).toMap
     val deep = scanMap("deep")
     val stamps = scanMap("stamps")
+
+    assert(!stamps("fedintent")._2 &&
+      stamps("fedintent")._3.contains("_forget_intent"),
+      stamps("fedintent").toString)
+    assert(!stamps("tornpos")._2 &&
+      stamps("tornpos")._3.contains("positions"),
+      stamps("tornpos").toString)
+    // the healthy text store (scenario 1's layout, no positions ever)
+    // must NOT flag on the widened relation list — absence-safety
+    assert(stamps("inflight")._1 == "text", stamps("inflight").toString)
 
     // the shallow trade, both directions
     assert(!deep("spliced")._2, deep("spliced").toString)
