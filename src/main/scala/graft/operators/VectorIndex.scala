@@ -168,8 +168,17 @@ object VectorIndex {
   /** Train + encode + persist `e`(vec_id, v) as `fam` at `path`, and
     * stamp the family marker. Training defaults are each family's query
     * defaults (q136/q108/q62/q127/q128/q111/q116 shapes).
-    * `protocol = "manifest"` builds the family's manifest-committed
-    * twin instead. The marker rides INSIDE the build's own manifest PUT
+    *
+    * The DEFAULT protocol is `manifest` (since r14): the deployment
+    * target for a persisted index is object storage, where a rename is
+    * copy-then-delete and the manifest PUT is the only atomic commit —
+    * and with the migration verbs shipped (q212-q215) there is no
+    * lock-in argument for starting new builds on rename. Pass
+    * `protocol = "rename"` for the filesystem-rename family (still
+    * first-class: every verb dispatches on the store's own protocol,
+    * and the full rename lifecycle remains spec- and bench-covered via
+    * the explicit-protocol sites). The marker rides INSIDE the build's
+    * own manifest PUT
     * (a `family` relation passed through the save verb's `extra`
     * relations), so a manifest build is crash-atomic end to end: every
     * crash instant leaves either no store or a fully marked one — the
@@ -179,7 +188,7 @@ object VectorIndex {
     * one (spec-pinned).
     */
   def build(e: DataFrame, fam: String, path: String,
-      protocol: String = "rename"): Unit = {
+      protocol: String = "manifest"): Unit = {
     val spark = e.sparkSession
     checkProtocol(protocol, "build")
     val versioned = protocol == "manifest"
@@ -520,7 +529,7 @@ object VectorIndex {
     * later verb refuses — and re-running completes it.
     */
   def buildSharded(e: DataFrame, fam: String, root: String,
-      nShards: Int, protocol: String = "rename"): Unit = {
+      nShards: Int, protocol: String = "manifest"): Unit = {
     require(ShardableFamilies(fam),
       s"VectorIndex.buildSharded: family '$fam' does not federate " +
         s"exactly — shardable: ${ShardableFamilies.toSeq.sorted.mkString(", ")} " +
@@ -755,11 +764,13 @@ object VectorIndex {
     * revision in one O(delta) window, and the marker's lag-never-lead
     * ordering makes a crash between maintenance and bump a harmless
     * replay. `fam` is consulted only at bootstrap; afterwards the
-    * store's own family marker routes.
+    * store's own family marker routes. `protocol` (also bootstrap-only)
+    * defaults to `manifest` like [[build]] — an EXISTING index syncs
+    * under its own protocol regardless.
     */
   def syncWithStore(spark: SparkSession, storePath: String, rel: String,
       idxPath: String, fam: String = "sq8",
-      protocol: String = "rename",
+      protocol: String = "manifest",
       retain: Option[Int] = None): Option[(Long, Long)] = {
     checkProtocol(protocol, "syncWithStore")
     require(retain.isEmpty || protocol == "manifest",

@@ -844,7 +844,7 @@ object QuantQueries extends QueryModule {
           maxBytesPerVec = 64, minRecallAt5 = 0.99)
         withThrowawayStore { path =>
           graft.BenchPhases.build {
-            graft.operators.VectorIndex.build(e, fam, path)
+            graft.operators.VectorIndex.build(e, fam, path, protocol = "rename")
           }
           graft.operators.VectorIndex.search(e, q, path, k = 5)
             .orderBy("query_id", "rank")
@@ -951,7 +951,7 @@ object QuantQueries extends QueryModule {
       else
         withThrowawayStore { root =>
           graft.BenchPhases.build {
-            graft.operators.VectorIndex.buildSharded(e, "sq8", root, 3)
+            graft.operators.VectorIndex.buildSharded(e, "sq8", root, 3, protocol = "rename")
           }
           graft.operators.VectorIndex.searchSharded(q, root, k = 5)
             .orderBy("query_id", "rank")
@@ -1033,7 +1033,7 @@ object QuantQueries extends QueryModule {
           graft.BenchPhases.build {
             val r1 = VersionedStore.save(Map("emb" -> boot), store)
             VectorIndex.build(
-              VersionedStore.read(s, store, "emb", Some(r1)), "sq8", idx)
+              VersionedStore.read(s, store, "emb", Some(r1)), "sq8", idx, protocol = "rename")
             VersionedStore.append(
               Map("emb" -> e.filter(col("vec_id") % 4 === 3)), store)
             val doomed = e.filter(col("vec_id") % 8 === 1 ||

@@ -2755,7 +2755,7 @@ object SearchQueries extends QueryModule {
         val root = graft.BenchPhases.storeDir("graft-hyb")
         val vpath = root + "/idx"
         graft.BenchPhases.build {
-          graft.operators.VectorIndex.build(e, "sq8", vpath)
+          graft.operators.VectorIndex.build(e, "sq8", vpath, protocol = "rename")
         }
         val q = e.filter(col("vec_id") === 0)
           .select(col("vec_id").as("qid"), col("v").as("qv"))

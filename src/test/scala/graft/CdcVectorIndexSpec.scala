@@ -47,9 +47,9 @@ class CdcVectorIndexSpec extends SparkSuite {
     // the corpus evolves through store verbs alone
     val r1 = VersionedStore.save(Map("emb" -> boot), store)
     VectorIndex.build(VersionedStore.read(spark, store, "emb", Some(r1)),
-      "sq8", idx)
+      "sq8", idx, protocol = "rename")
     VectorIndex.build(VersionedStore.read(spark, store, "emb", Some(r1)),
-      "sq8", hand)
+      "sq8", hand, protocol = "rename")
     VersionedStore.append(Map("emb" -> late), store)
     val r3 = VersionedStore.delete(doomed, "emb", store)
 
@@ -86,7 +86,7 @@ class CdcVectorIndexSpec extends SparkSuite {
     val store = s"$base/emb"; val idx = s"$base/idx"
     val r1 = VersionedStore.save(Map("emb" -> emb), store)
     VectorIndex.build(VersionedStore.read(spark, store, "emb", Some(r1)),
-      "sq8", idx)
+      "sq8", idx, protocol = "rename")
     VersionedStore.append(
       Map("emb" -> emb.filter(col("vec_id") === 0)
         .withColumn("vec_id", col("vec_id") + 1000000)), store)
@@ -120,9 +120,9 @@ class CdcVectorIndexSpec extends SparkSuite {
       val doomed = emb.filter(col("vec_id") % 8 === 1).select("vec_id")
       val r1 = VersionedStore.save(Map("emb" -> boot), store)
       VectorIndex.build(VersionedStore.read(spark, store, "emb", Some(r1)),
-        fam, idx)
+        fam, idx, protocol = "rename")
       VectorIndex.build(VersionedStore.read(spark, store, "emb", Some(r1)),
-        fam, hand)
+        fam, hand, protocol = "rename")
       VersionedStore.append(Map("emb" -> late), store)
       val r3 = VersionedStore.delete(doomed, "emb", store)
       VectorIndex.maintainFromStore(spark, store, "emb", r1, r3, idx)
@@ -147,13 +147,13 @@ class CdcVectorIndexSpec extends SparkSuite {
     val late = emb.filter(col("vec_id") % 4 === 3)
     val doomed = emb.filter(col("vec_id") % 8 === 1).select("vec_id")
     VersionedStore.save(Map("emb" -> boot), store)
-    assert(VectorIndex.syncWithStore(spark, store, "emb", idx).isDefined)
-    assert(VectorIndex.syncWithStore(spark, store, "emb", idx).isEmpty)
+    assert(VectorIndex.syncWithStore(spark, store, "emb", idx, protocol = "rename").isDefined)
+    assert(VectorIndex.syncWithStore(spark, store, "emb", idx, protocol = "rename").isEmpty)
     VersionedStore.append(Map("emb" -> late), store)
     VersionedStore.delete(doomed, "emb", store)
-    assert(VectorIndex.syncWithStore(spark, store, "emb", idx).isDefined)
+    assert(VectorIndex.syncWithStore(spark, store, "emb", idx, protocol = "rename").isDefined)
     // the hand-driven twin over the same window
-    VectorIndex.build(boot, "sq8", hand)
+    VectorIndex.build(boot, "sq8", hand, protocol = "rename")
     VectorIndex.delete(doomed, hand)
     VectorIndex.append(late, hand)
     assert(results(idx) == results(hand))

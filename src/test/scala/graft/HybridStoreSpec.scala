@@ -45,7 +45,7 @@ class HybridStoreSpec extends SparkSuite {
     val (p, ds) = textIndexBuild(docs)
     textIndexSave(p, ds, tPath)
     val vPath = tmpDir("hyb-vec") + "/idx"
-    graft.operators.VectorIndex.build(emb, "sq8", vPath)
+    graft.operators.VectorIndex.build(emb, "sq8", vPath, protocol = "rename")
     val q = emb.filter(col("vec_id") === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val bmStore = textIndexSearch(spark, tPath)
@@ -73,7 +73,7 @@ class HybridStoreSpec extends SparkSuite {
     val (p, ds) = textIndexBuild(docs)
     textIndexSave(p, ds, tPath)
     val vPath = tmpDir("hyb-vec2") + "/idx"
-    graft.operators.VectorIndex.build(emb, "sq8", vPath)
+    graft.operators.VectorIndex.build(emb, "sq8", vPath, protocol = "rename")
     // an external query vector — no corpus read on the query side either
     val qv = emb.filter(col("vec_id") === 0)
       .select("v").as[Seq[Double]].head()

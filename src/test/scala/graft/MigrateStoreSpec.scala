@@ -185,7 +185,7 @@ class MigrateStoreSpec extends SparkSuite {
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     for (fam <- Seq("sq8", "pq", "bin", "lsh", "ivf", "residual")) {
       val ren = s"$base/$fam-ren"; val ver = s"$base/$fam-ver"
-      VectorIndex.build(boot, fam, ren)
+      VectorIndex.build(boot, fam, ren, protocol = "rename")
       VectorIndex.append(inc, ren)
       VectorIndex.delete(doomed, ren)
       val rev = VectorIndex.migrateToVersioned(spark, ren, ver)
@@ -301,7 +301,7 @@ class MigrateStoreSpec extends SparkSuite {
     val base = tmpDir("mig-vecsh")
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    VectorIndex.buildSharded(emb, "sq8", s"$base/ren", 3)
+    VectorIndex.buildSharded(emb, "sq8", s"$base/ren", 3, protocol = "rename")
     VectorIndex.deleteSharded(
       emb.filter(col("vec_id") % 8 === 1).select("vec_id"), s"$base/ren")
     VectorIndex.migrateShardedToVersioned(spark, s"$base/ren",
@@ -322,7 +322,7 @@ class MigrateStoreSpec extends SparkSuite {
     "store migrates under a declared family; a declared mismatch refuses") {
     val base = tmpDir("mig-knn")
     val e100 = emb.filter(col("vec_id") < 100).localCheckpoint(true)
-    VectorIndex.build(e100, "knn", s"$base/ren")
+    VectorIndex.build(e100, "knn", s"$base/ren", protocol = "rename")
     VectorIndex.delete(e100.filter(col("vec_id") === 0).select("vec_id"),
       s"$base/ren")
     assert(VectorIndex.migrateToVersioned(spark, s"$base/ren",
@@ -350,5 +350,103 @@ class MigrateStoreSpec extends SparkSuite {
         declared = Some("sq8"))
     }
     assert(ex.getMessage.contains("'knn'"))
+  }
+
+  // ------------------------------------------- randomized round-trip (r14)
+
+  /** The interleaving production migrations actually look like: a
+    * random RENAME-protocol lifecycle prefix (appends + physical
+    * forgets), migration at an arbitrary point, then a random VERSIONED
+    * lifecycle suffix (appends, sticky tombstones, re-appends of
+    * tombstoned ids, compacts) — with the probe pinned after EVERY
+    * post-migration verb against a reference versioned store built
+    * fresh from the migration-point corpus and driven by the identical
+    * suffix. The straight-line bit-equality tests above pin one point
+    * of this space; this pins 3 seeded paths through it.
+    *
+    * The prefix deliberately never RE-appends a forgotten id: the two
+    * protocols' forget semantics differ exactly there (rename forget is
+    * physical — re-admission works; the manifest tombstone is sticky
+    * until compact), so a cross-protocol equality over re-append
+    * prefixes would be pinning a contract that intentionally does not
+    * hold. Post-migration both sides are versioned and every verb —
+    * including re-append-tombstoned — must agree.
+    */
+  test("randomized rename-lifecycle -> migrate -> versioned-lifecycle: " +
+    "the migrated store probes identically to a fresh versioned twin " +
+    "driven by the same verb suffix, after every verb") {
+    def textOf(id: Long): String =
+      (0 until 12).map(j => s"tok${(id * 7 + j * 3) % 11}").mkString(" ") +
+        s" doc$id common trailing words shared by every document"
+    def mkDocs(ids: Seq[Long]) =
+      ids.distinct.sorted.map(i => (i, textOf(i))).toDF("doc_id", "text")
+    val probeDocs = mkDocs(900L to 905L).localCheckpoint(true)
+
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(471100L + seed)
+      val base = tmpDir(s"mig-rt$seed")
+      val (ren, ver, ref) = (s"$base/ren", s"$base/ver", s"$base/ref")
+      var live = (0L to 5L).toSet // rename store: physical membership
+      var nextId = 100L
+      DedupQueries.buildSignatureIndex(mkDocs(live.toSeq), ren)
+
+      // rename prefix: appends + physical forgets, no re-appends
+      (0 until rnd.nextInt(5)).foreach { _ =>
+        if (rnd.nextBoolean() || live.size <= 2) {
+          val ids = (0 until 1 + rnd.nextInt(3)).map(i => nextId + i)
+          nextId += ids.size
+          DedupQueries.appendSignatureIndex(mkDocs(ids), ren)
+          live ++= ids
+        } else {
+          val id = live.toSeq.sorted.apply(rnd.nextInt(live.size))
+          DedupQueries.forgetSignatureIndex(spark,
+            Seq(id).toDF("doc_id"), ren)
+          live -= id
+        }
+      }
+
+      DedupQueries.migrateSignatureIndexToVersioned(spark, ren, ver)
+      DedupQueries.buildSignatureIndexVersioned(mkDocs(live.toSeq), ref)
+
+      // versioned suffix, driven against BOTH stores verbatim
+      var tombs = Set.empty[Long]
+      (1 to 8).foreach { step =>
+        rnd.nextInt(5) match {
+          case 0 | 1 =>
+            val ids = (0 until 1 + rnd.nextInt(3)).map(i => nextId + i)
+            nextId += ids.size
+            Seq(ver, ref).foreach(p =>
+              DedupQueries.appendSignatureIndexVersioned(mkDocs(ids), p))
+            live ++= ids
+          case 2 =>
+            val pool = live.toSeq.sorted :+ (nextId + 500)
+            val id = pool(rnd.nextInt(pool.size))
+            Seq(ver, ref).foreach(p =>
+              DedupQueries.forgetSignatureIndexVersioned(spark,
+                Seq(id).toDF("doc_id"), p))
+            tombs += id
+          case 3 => // re-append a tombstoned id: masked on BOTH sides
+            if (tombs.nonEmpty) {
+              val id = tombs.toSeq.sorted.head
+              Seq(ver, ref).foreach(p =>
+                DedupQueries.appendSignatureIndexVersioned(
+                  mkDocs(Seq(id)), p))
+              live += id
+            }
+          case 4 =>
+            Seq(ver, ref).foreach(p => VersionedStore.compact(spark, p))
+            live --= tombs
+            tombs = Set.empty
+        }
+        assert(rows(VersionedStore.read(spark, ver, "sig")) ==
+          rows(VersionedStore.read(spark, ref, "sig")),
+          s"seed=$seed step=$step: migrated sig relation diverged")
+        assert(rows(DedupQueries.probeSignatureIndexVersioned(spark,
+            probeDocs, ver)) ==
+          rows(DedupQueries.probeSignatureIndexVersioned(spark,
+            probeDocs, ref)),
+          s"seed=$seed step=$step: migrated probe diverged")
+      }
+    }
   }
 }

@@ -58,7 +58,7 @@ class StoreDoctorSpec extends SparkSuite {
     // sharded text root and sharded vector root (both carry router/)
     SearchQueries.textIndexSaveSharded(p, d, s"$root/text_sharded", 2)
     graft.operators.VectorIndex.buildSharded(emb, "sq8",
-      s"$root/vec_sharded", 2)
+      s"$root/vec_sharded", 2, protocol = "rename")
 
     // a foreign directory
     Seq((1, "x")).toDF("a", "b").write.parquet(s"$root/misc/stuff")

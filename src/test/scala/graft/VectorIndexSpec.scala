@@ -62,7 +62,7 @@ class VectorIndexSpec extends SparkSuite {
   test("build stamps the family marker; open verifies it; a mis-declared " +
     "family and a marker-less store both fail loudly") {
     val base = tmpDir("vidx-marker")
-    VectorIndex.build(emb, "sq8", s"$base/a")
+    VectorIndex.build(emb, "sq8", s"$base/a", protocol = "rename")
     assert(VectorIndex.family(spark, s"$base/a") == "sq8")
     VectorIndex.open(spark, s"$base/a", "sq8") // must not throw
     val ex = intercept[IllegalArgumentException] {
@@ -83,7 +83,7 @@ class VectorIndexSpec extends SparkSuite {
   test("façade search equals the native family search it routes to " +
     "(sq8 ADC and binary Hamming), with the uniform output shape") {
     val base = tmpDir("vidx-parity")
-    VectorIndex.build(emb, "sq8", s"$base/sq8")
+    VectorIndex.build(emb, "sq8", s"$base/sq8", protocol = "rename")
     val got = VectorIndex.search(emb, queries, s"$base/sq8", k = 5)
     assert(got.columns.toSeq ==
       Seq("query_id", "neighbor_id", "rank", "score"))
@@ -96,7 +96,7 @@ class VectorIndexSpec extends SparkSuite {
       .sameElements(native.collect().map(key).sorted),
       "routed sq8 search must equal the native ADC search")
 
-    VectorIndex.build(emb, "bin", s"$base/bin")
+    VectorIndex.build(emb, "bin", s"$base/bin", protocol = "rename")
     val gotB = VectorIndex.search(emb, queries, s"$base/bin", k = 5)
     val nativeB = SimilarityQueries.binHammingSearch(
         SimilarityQueries.binLoadIndex(spark, s"$base/bin"), queries, topR = 5)
@@ -107,7 +107,7 @@ class VectorIndexSpec extends SparkSuite {
   test("routed lifecycle: append grows the store idempotently, delete " +
     "tombstones out of search, knn routes its graph-store semantics") {
     val base = tmpDir("vidx-life")
-    VectorIndex.build(emb.filter(col("vec_id") >= 20), "sq8", s"$base/s")
+    VectorIndex.build(emb.filter(col("vec_id") >= 20), "sq8", s"$base/s", protocol = "rename")
     VectorIndex.append(emb.filter(col("vec_id") < 20), s"$base/s")
     VectorIndex.append(emb.filter(col("vec_id") < 20), s"$base/s") // replay
     val codes = spark.read.parquet(s"$base/s/codes")
@@ -119,7 +119,7 @@ class VectorIndexSpec extends SparkSuite {
       "deleted vector must be masked out of routed search")
     // knn: search and vector-append are graph-store shaped — the façade
     // says so instead of mis-routing
-    VectorIndex.build(emb, "knn", s"$base/knn")
+    VectorIndex.build(emb, "knn", s"$base/knn", protocol = "rename")
     assert(intercept[IllegalArgumentException] {
       VectorIndex.search(emb, queries, s"$base/knn")
     }.getMessage.contains("graphExpandCandidates"))
@@ -135,7 +135,7 @@ class VectorIndexSpec extends SparkSuite {
     "(lsh and ivf return cosine candidates; residual returns ADC)") {
     val base = tmpDir("vidx-all")
     Seq("lsh", "ivf", "residual", "pq").foreach { fam =>
-      VectorIndex.build(emb, fam, s"$base/$fam")
+      VectorIndex.build(emb, fam, s"$base/$fam", protocol = "rename")
       assert(VectorIndex.family(spark, s"$base/$fam") == fam)
       val out = VectorIndex.search(emb, queries, s"$base/$fam", k = 3)
       assert(out.columns.toSeq ==
@@ -153,8 +153,8 @@ class VectorIndexSpec extends SparkSuite {
       val root = tmpDir(s"vi-sh-$fam") + "/idx"
       val mono = tmpDir(s"vi-mono-$fam") + "/idx"
       val base = emb.filter(col("vec_id") < 150)
-      VectorIndex.buildSharded(base, fam, root, 3)
-      VectorIndex.build(base, fam, mono)
+      VectorIndex.buildSharded(base, fam, root, 3, protocol = "rename")
+      VectorIndex.build(base, fam, mono, protocol = "rename")
       def both(): (Seq[Row4], Seq[Row4]) = (
         asRows(VectorIndex.searchSharded(queries, root, k = 5)),
         asRows(VectorIndex.search(emb, queries, mono, k = 5)))
@@ -183,7 +183,7 @@ class VectorIndexSpec extends SparkSuite {
     "shardable list; a missing router refuses with re-run guidance; " +
     "more shards than vectors refuses with fewer-shards guidance") {
     val e1 = intercept[IllegalArgumentException] {
-      VectorIndex.buildSharded(emb, "ivf", tmpDir("vi-g1") + "/idx", 2)
+      VectorIndex.buildSharded(emb, "ivf", tmpDir("vi-g1") + "/idx", 2, protocol = "rename")
     }
     assert(e1.getMessage.contains("shardable"))
     val e2 = intercept[IllegalArgumentException] {
@@ -192,7 +192,7 @@ class VectorIndexSpec extends SparkSuite {
     assert(e2.getMessage.contains("re-run"))
     val e3 = intercept[IllegalArgumentException] {
       VectorIndex.buildSharded(emb.filter(col("vec_id") < 3), "bin",
-        tmpDir("vi-g3") + "/idx", 50)
+        tmpDir("vi-g3") + "/idx", 50, protocol = "rename")
     }
     assert(e3.getMessage.contains("fewer shards"))
   }
@@ -209,7 +209,7 @@ class VectorIndexSpec extends SparkSuite {
     "return itself at rank 1 — a raw-dot probe picks a different cell " +
     "for unequal-norm centroids and loses the self-match") {
     val base = tmpDir("vidx-ivfmetric")
-    VectorIndex.build(emb, "ivf", s"$base/ivf")
+    VectorIndex.build(emb, "ivf", s"$base/ivf", protocol = "rename")
     // every corpus vector queried against the index: the self-match is
     // exact cosine 1.0 inside the query's own assigned cell, so rank 1
     // unless the probe routed to a different cell than the assignment

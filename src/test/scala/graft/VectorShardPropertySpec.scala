@@ -53,8 +53,8 @@ class VectorShardPropertySpec extends SparkSuite {
         .apply(Gen.Parameters.default, Seed(300L + seed)).get
       val base = tmpDir(s"vec-shprop$seed")
       val root = s"$base/sharded"; val mono = s"$base/mono"
-      VectorIndex.buildSharded(slice(0L, 40L), "sq8", root, 2)
-      VectorIndex.build(slice(0L, 40L), "sq8", mono)
+      VectorIndex.buildSharded(slice(0L, 40L), "sq8", root, 2, protocol = "rename")
+      VectorIndex.build(slice(0L, 40L), "sq8", mono, protocol = "rename")
       var nextLo = 40L
       verbs.zipWithIndex.foreach { case (verb, step) =>
         verb match {

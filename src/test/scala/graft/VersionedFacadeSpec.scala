@@ -35,7 +35,7 @@ class VersionedFacadeSpec extends SparkSuite {
       .localCheckpoint(true)
     for (fam <- Seq("sq8", "pq", "bin", "lsh", "ivf", "residual")) {
       val ren = s"$base/$fam-ren"; val ver = s"$base/$fam-ver"
-      VectorIndex.build(boot, fam, ren)
+      VectorIndex.build(boot, fam, ren, protocol = "rename")
       VectorIndex.build(boot, fam, ver, protocol = "manifest")
       assert(VectorIndex.family(spark, ver) == fam,
         s"$fam: the family marker rides inside the versioned store")
@@ -105,7 +105,7 @@ class VersionedFacadeSpec extends SparkSuite {
     val inc = emb.filter(col("vec_id") % 4 === 3)
     val doomed = emb.filter(col("vec_id") % 8 === 1).select("vec_id")
       .localCheckpoint(true)
-    VectorIndex.buildSharded(boot, "sq8", s"$base/ren", 3)
+    VectorIndex.buildSharded(boot, "sq8", s"$base/ren", 3, protocol = "rename")
     VectorIndex.buildSharded(boot, "sq8", s"$base/ver", 3,
       protocol = "manifest")
     assert(VersionedStore.currentVersion(spark, s"$base/ver/router")
@@ -129,7 +129,7 @@ class VersionedFacadeSpec extends SparkSuite {
     val boot = emb.filter(col("vec_id") % 4 =!= 3)
     VersionedStore.save(Map("emb" -> boot), store)
     assert(VectorIndex.syncWithStore(spark, store, "emb", s"$base/ren",
-      "sq8").contains((1L, 1L)))
+      "sq8", protocol = "rename").contains((1L, 1L)))
     assert(VectorIndex.syncWithStore(spark, store, "emb", s"$base/ver",
       "sq8", protocol = "manifest").contains((1L, 1L)))
     VersionedStore.append(
@@ -137,7 +137,7 @@ class VersionedFacadeSpec extends SparkSuite {
     VersionedStore.delete(
       emb.filter(col("vec_id") % 8 === 1).select("vec_id"), "emb", store)
     assert(VectorIndex.syncWithStore(spark, store, "emb", s"$base/ren",
-      "sq8").contains((1L, 3L)))
+      "sq8", protocol = "rename").contains((1L, 3L)))
     assert(VectorIndex.syncWithStore(spark, store, "emb", s"$base/ver",
       "sq8", protocol = "manifest").contains((1L, 3L)))
     assert(rows(VectorIndex.search(emb, queries, s"$base/ver", k = 5)) ==
