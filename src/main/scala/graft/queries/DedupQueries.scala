@@ -579,8 +579,31 @@ object DedupQueries extends QueryModule {
     * stability — one cheap aggregate per round, no driver-side collect
     * of the state itself.
     */
+  /** One hash-to-min round over a (v, u) state relation that enters
+    * hash-placed on v (the keyed checkpoint's guarantee): per-bucket min
+    * and the min-attach join run EXCHANGE-FREE on the state's own
+    * partitioning (the aggregate fuses partial+final; the join is a
+    * hinted shuffle-hash build of the per-key mins — the colocated
+    * default would be sort-merge, adding two full state sorts per round;
+    * the build side is one row per distinct v per partition, bounded),
+    * and the round's ONE exchange is the explicit repartition that
+    * re-keys the emitted messages, after which the dedup aggregate is
+    * again exchange-free (hash(v) clusters (v, u)). CcLoopPlanSpec pins
+    * this shape: exactly one shuffle, zero sorts.
+    */
+  private[graft] def ccRoundShape(c: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val mins = c.groupBy("v").agg(min("u").as("m"))
+    val withMin = c.join(mins.hint("shuffle_hash"), "v")
+    withMin.select(col("u").as("v"), col("m").as("u"))
+      .union(withMin.select(col("m").as("v"), col("u")))
+      .repartition(col("v"))
+      .dropDuplicates("v", "u")
+  }
+
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
       maxIter: Int = 30): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.GraftCheckpointBridge
     // materialize the pair generation ONCE: the state bootstrap references
     // `pairs` four times (two edge directions x two union arms); AQE
     // exchange reuse already dedupes most of the recompute, but the
@@ -589,35 +612,46 @@ object DedupQueries extends QueryModule {
     val p = pairs.localCheckpoint(true)
     val edges = p.select(col("doc_a").as("v"), col("doc_b").as("u"))
       .union(p.select(col("doc_b").as("v"), col("doc_a").as("u")))
-    // localCheckpoint (eager) truncates the logical plan each round: the
-    // next state references the current one 4x (groupBy + join + 2 union
-    // arms), so without truncation the plan tree grows 4^rounds and
-    // analysis alone exhausts the driver heap. On a cluster this would be
-    // a reliable checkpoint to the distributed FS instead.
-    var c = edges.union(edges.select(col("v").as("v"), col("v").as("u")))
-      .distinct().localCheckpoint(true)
+    // The state is materialized per round to truncate lineage (the next
+    // state references the current one 4x — the min join + 2 union arms
+    // — so without truncation the plan tree grows 4^rounds and analysis
+    // alone exhausts the driver heap; on a cluster this would be a
+    // reliable checkpoint to the distributed FS). Round 14: it goes
+    // through GraftCheckpointBridge so the state re-enters each round
+    // still DECLARED hash-partitioned by v — plain localCheckpoint drops
+    // the partitioning under AQE, which made every round re-shuffle state
+    // that was already placed: the per-round min and the dedup each paid
+    // their own exchange of the full state (3 exchanges/round, one
+    // AQE-reused). Shaping each round as repartition(n, v) -> keyed ops
+    // leaves exactly ONE exchange per round (plan-asserted in
+    // CcLoopPlanSpec); the dedup aggregate, the per-bucket min and the
+    // min-attach join run exchange-free on the pre-placed rows.
+    // dropDuplicates("v","u") under hashpartitioning(v) is sound: equal
+    // (v,u) rows share v, hence a partition. The repartition carries no
+    // explicit count: AQE sizes the round's one exchange to the state
+    // (guide §2's scale-adaptive partitioning), and the bridge preserves
+    // the coalesced hash partitioning it actually produced.
+    var c = GraftCheckpointBridge.localCheckpointKeyed(
+      edges.union(edges.select(col("v").as("v"), col("v").as("u")))
+        .repartition(col("v"))
+        .dropDuplicates("v", "u"))
     var prev: Option[(Long, Long)] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // Row-based message generation: a collect_set formulation (one
-      // groupBy + map-side explode, one fewer exchange) measured identical
-      // at sf0.1 — per-round cost here is scheduling, not exchange — and
-      // was rejected because it materializes each cluster as ONE
-      // aggregation-buffer array, which a giant component would OOM;
-      // rows stream and spill. The set checksum (rows are distinct, so
-      // bit_xor of row hashes is an order-insensitive equality witness
-      // that cannot overflow) rides the eager-checkpoint job via
-      // observe() — one Spark job per round.
+      // groupBy + map-side explode, one fewer exchange) was rejected
+      // because it materializes each cluster as ONE aggregation-buffer
+      // array, which a giant component would OOM; rows stream and spill.
+      // The set checksum (rows are distinct, so bit_xor of row hashes is
+      // an order-insensitive equality witness that cannot overflow)
+      // rides the checkpoint materialization via observe() — one Spark
+      // job per round.
       val obs = org.apache.spark.sql.Observation()
-      val mins = c.groupBy("v").agg(min("u").as("m"))
-      val withMin = c.join(mins, "v")
-      val next = withMin.select(col("u").as("v"), col("m").as("u"))
-        .union(withMin.select(col("m").as("v"), col("u")))
-        .distinct()
-        .observe(obs, count(lit(1)).as("n"),
-          bit_xor(xxhash64(col("v"), col("u"))).as("x"))
-        .localCheckpoint(true)
+      val next = GraftCheckpointBridge.localCheckpointKeyed(
+        ccRoundShape(c)
+          .observe(obs, count(lit(1)).as("n"),
+            bit_xor(xxhash64(col("v"), col("u"))).as("x")))
       val m = obs.get
       val sig = (m("n").asInstanceOf[Long],
         Option(m("x")).map(_.asInstanceOf[Long]).getOrElse(0L))
@@ -1969,30 +2003,80 @@ object DedupQueries extends QueryModule {
     * Fixed iteration count (default 10) rather than convergence: the
     * oracle unrolls the SAME depth (the q137 rationale).
     */
+  /** One damped-update iteration over pre-placed loop relations.
+    * `edgesD` is (u, v, d) — the edge list with the SOURCE node's degree
+    * already attached: that join is loop-invariant (degrees never change),
+    * so it is hoisted out of the loop and paid once, where the previous
+    * shape re-joined ranks→degrees and then edges→shares EVERY iteration.
+    * Here the iteration is: one colocated join (edgesD ⋈ r, both sides
+    * enter hash-placed on u/doc_id), the inherent inflow re-key (the
+    * groupBy(v) exchange — the one shuffle PageRank fundamentally needs
+    * per iteration), and the rank re-attach on nodes' own placement.
+    * shuffle_hash hints throughout: the colocated default would be
+    * sort-merge, which re-sorts |E| rows per iteration — a per-partition
+    * hash build of the smaller side does the same placement-free join
+    * with no sort. CcLoopPlanSpec pins the shape.
+    */
+  private[graft] def prIterShape(r: org.apache.spark.sql.DataFrame,
+      edgesD: org.apache.spark.sql.DataFrame,
+      nodes: org.apache.spark.sql.DataFrame,
+      teleport: Long): org.apache.spark.sql.DataFrame = {
+    val inflow = edgesD.join(r.hint("shuffle_hash"),
+        col("u") === col("doc_id"))
+      .select(col("v"), expr("r div d").as("s"))
+      .groupBy("v").agg(sum("s").as("inflow"))
+    nodes.join(inflow.hint("shuffle_hash"),
+        nodes("doc_id") === col("v"), "left")
+      .select(nodes("doc_id"),
+        (lit(teleport) + expr("(85 * coalesce(inflow, 0L)) div 100"))
+          .as("r"))
+  }
+
   def pagerank(pairs: org.apache.spark.sql.DataFrame,
       iters: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.GraftCheckpointBridge
     val scale = 1000000000L
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint(true)
-    val nodes = edges.select(col("u").as("doc_id")).distinct()
-      .localCheckpoint(true)
+    // Round 14: every loop-invariant relation is checkpointed PRE-PLACED
+    // on its join key (edges/deg on u, nodes on doc_id) through
+    // GraftCheckpointBridge, and the rank state's own partitioning
+    // survives its periodic checkpoints — so each iteration plans with
+    // exactly ONE exchange, the inherent inflow re-key from u to v
+    // (plan-asserted in CcLoopPlanSpec). Before, the checkpoints lost
+    // their partitioning under AQE and every iteration re-shuffled
+    // edges (the largest loop relation), ranks and nodes — 3 avoidable
+    // exchanges of |E|/|V| rows per round, 10 rounds deep. The
+    // repartitions carry no explicit count, so AQE sizes the state's
+    // partitioning to the data (guide §2: scale-adaptive, not a
+    // constant); a rare count mismatch between separately checkpointed
+    // relations re-shuffles only the coalesced (small) side.
+    // materialize the pair generation ONCE before the two union arms
+    // reference it (the CC loop's discipline): without this the
+    // candidate-pair join's reduce side runs twice
+    val p = pairs.localCheckpoint(true)
+    val edges = GraftCheckpointBridge.localCheckpointKeyed(
+      p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .repartition(col("u")))
+    // projection keeps hashpartitioning(u->doc_id) (alias-aware), and the
+    // dedup then runs exchange-free on the pre-placed rows
+    val nodes = GraftCheckpointBridge.localCheckpointKeyed(
+      edges.select(col("u").as("doc_id")).dropDuplicates("doc_id"))
     val n = nodes.count()
     if (n == 0)
       return nodes.withColumn("r", lit(0L)) // empty graph, empty ranks
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+    // degrees attached to the edge list ONCE — the deg aggregate and the
+    // edges⋈deg join are loop-invariant, and hoisting them replaces two
+    // of every iteration's three joins with one (see prIterShape); both
+    // the aggregate and the attach run exchange-free on edges' placement
+    val edgesD = GraftCheckpointBridge.localCheckpointKeyed(
+      edges.join(
+        edges.groupBy("u").agg(count(lit(1)).as("d")).hint("shuffle_hash"),
+        "u"))
     val teleport = (15L * scale) / (100L * n)
-    var r = nodes.withColumn("r", lit(scale / n)).localCheckpoint(true)
+    var r = GraftCheckpointBridge.localCheckpointKeyed(
+      nodes.withColumn("r", lit(scale / n)))
     (1 to iters).foreach { i =>
-      val sh = r.join(deg, col("doc_id") === col("u"))
-        .select(col("u"), expr("r div d").as("s"))
-      val inflow = edges.join(sh, "u").groupBy("v")
-        .agg(sum("s").as("inflow"))
-      r = nodes.join(inflow, col("doc_id") === col("v"), "left")
-        .select(col("doc_id"),
-          (lit(teleport) + expr("(85 * coalesce(inflow, 0L)) div 100"))
-            .as("r"))
+      r = prIterShape(r, edgesD, nodes, teleport)
       // unlike the CC loop (state referenced 4x per round — exponential
       // lineage without truncation) the rank state feeds the next round
       // ONCE, so lineage grows linearly and a checkpoint every round is
@@ -2001,7 +2085,8 @@ object DedupQueries extends QueryModule {
       // at sf0.1 (local checkpoints are cheap RAM writes) but at cluster
       // scale each reliable checkpoint is a distributed-FS write of the
       // full rank state, and two thirds of that IO is what this saves
-      if (i % 3 == 0 || i == iters) r = r.localCheckpoint(true)
+      if (i % 3 == 0 || i == iters)
+        r = GraftCheckpointBridge.localCheckpointKeyed(r)
     }
     r
   }

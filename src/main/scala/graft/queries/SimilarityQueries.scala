@@ -3803,27 +3803,45 @@ object SimilarityQueries extends QueryModule {
       edges: org.apache.spark.sql.DataFrame,
       seeds: org.apache.spark.sql.DataFrame,
       iters: Int = 5): org.apache.spark.sql.DataFrame = {
-    val dedges = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
-    val seed = seeds.select(col("vec_id"), col("lab").as("seed_lab"))
-      .localCheckpoint(true)
-    var state = nodes.join(seed, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("seed_lab").as("lab"))
-      .localCheckpoint(true)
+    import org.apache.spark.sql.GraftCheckpointBridge
+    // Round 14: the loop relations checkpoint PRE-PLACED on their join
+    // keys (dedges on src; seed and the label state on vec_id) through
+    // GraftCheckpointBridge, so each round's vote join, the state/pick/
+    // seed three-way join and the final dedups plan without re-shuffling
+    // state that is already placed — one exchange per round remains (the
+    // inherent vote re-key from src to dst; see the CC loop's fuller
+    // rationale in DedupQueries.connectedComponents).
+    val dedges = GraftCheckpointBridge.localCheckpointKeyed(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")))
+    val seed = GraftCheckpointBridge.localCheckpointKeyed(
+      seeds.select(col("vec_id"), col("lab").as("seed_lab"))
+        .repartition(col("vec_id")))
+    var state = GraftCheckpointBridge.localCheckpointKeyed(
+      nodes.repartition(col("vec_id"))
+        .join(seed, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("seed_lab").as("lab")))
     (1 to iters).foreach { _ =>
+      // state is keyed by vec_id -> renamed src: colocated with dedges,
+      // no exchange on either join side; the round's ONE re-key
+      // (src -> dst) is the explicit repartition, after which BOTH
+      // aggregation levels run exchange-free (hash(dst) clusters
+      // (dst,lab) too) and pick comes out placed on dst == the state's
+      // vec_id key, so the state join below needs no state-side shuffle
       val votes = dedges
         .join(state.filter(col("lab").isNotNull)
           .select(col("vec_id").as("src"), col("lab")), "src")
+        .repartition(col("dst"))
         .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
       val pick = votes.groupBy("dst")
         .agg(max(struct(col("c"), negate(col("lab")).as("nl"))).as("best"))
         .select(col("dst").as("vec_id"), negate(col("best.nl")).as("vote"))
-      state = state.join(pick, Seq("vec_id"), "left")
-        .join(seed, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("seed_lab"), col("vote"), col("lab")).as("lab"))
-        .localCheckpoint(true)
+      state = GraftCheckpointBridge.localCheckpointKeyed(
+        state.join(pick, Seq("vec_id"), "left")
+          .join(seed, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("seed_lab"), col("vote"), col("lab")).as("lab")))
     }
     state.filter(col("lab").isNotNull)
       .join(seed, Seq("vec_id"), "left")
