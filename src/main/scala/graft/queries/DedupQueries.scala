@@ -1778,6 +1778,13 @@ object DedupQueries extends QueryModule {
       val docs = Tables(s, d, "documents").filter(col("doc_id") % 10 <= 2)
       val sig = minhashSigs(docs).localCheckpoint(true)
       val cand = lshCandidatePairsFromSigs(sig)
+      // NOT materialized despite feeding four consumers: checkpointing sh
+      // and the pruned tok was A/B'd in round 14 (5.11 s -> 5.14 s, noise)
+      // — exchange reuse already covers the identical self-join sides and
+      // the remaining consumers are aggregates over the same exchange; at
+      // scale the (doc, shingle) relation is corpus-shingle-sized, so
+      // persisting it is not the one-sided win it is for q33's block-
+      // pruned tokens or q146's pair-bounded sweep
       val sh = explodeShingles(docs.select("doc_id", "text"), col("text"), 2, "sh")
         .select("doc_id", "sh").distinct()
       val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -2407,6 +2414,10 @@ object DedupQueries extends QueryModule {
         .select(col("doc_a"), col("doc_b"), col("est"),
           explode(array(ts.map(lit): _*)).as("threshold"))
         .filter(col("est") >= col("threshold"))
+        // ≤ |thresholds| × pair-population rows, feeds THREE consumers
+        // (the pair count and both arms of the affected-doc union) —
+        // without materialization each re-runs the scoring join
+        .localCheckpoint(true)
       val np = swept.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
       val nd = swept.select(col("threshold"), col("doc_a").as("doc"))
         .union(swept.select(col("threshold"), col("doc_b").as("doc")))

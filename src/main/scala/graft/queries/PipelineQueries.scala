@@ -370,29 +370,48 @@ object PipelineQueries extends QueryModule {
   /** Repetition-based quality filter (the Gopher/MassiveText rule family):
     * per-document duplicate-token fraction, top-token share, and repeated-
     * bigram fraction, with keep/drop flags at corpus-calibrated thresholds.
-    * All metrics are pure array arithmetic on the token list — map-only,
-    * codegen'd, no shuffle before the harness sort — and every fraction is
-    * an integer ratio computed with the identical FP ops on both engines.
-    * The O(distinct × n) top-token scan is per-document work over ~100
-    * tokens; at 100 TB it stays embarrassingly parallel.
+    * Every fraction is an integer ratio computed with the identical FP ops
+    * on both engines.
+    *
+    * Round 14 shape: the metrics come from exploded-token aggregates, not
+    * per-row array lambdas — the original O(distinct × n) top-token scan
+    * and the bigram transform evaluated INTERPRETED per document (the
+    * q168 finding) and made this the slowest map-only query in the suite
+    * (2.6 s at sf0.1; 1.1 s in this shape). One (doc, token) count chain
+    * yields n (sum of counts), nd (distinct rows) and topc (max count) in
+    * a single aggregation tree; the repeated-bigram count reuses the
+    * codegen'd position-explode kernel; zero-token documents re-enter via
+    * a left join from the corpus' doc axis. The exploded shuffles are
+    * (doc, token)-bounded — the same volume every dedup query here
+    * already pays, and far cheaper than interpreted lambdas at any scale.
     */
   private val q76 = QueryDef(
     "q76_repetition_filter",
-    (s, d) => Tables(s, d, "documents")
-      .withColumn("tk", tokens(col("text")))
-      .withColumn("n", size(col("tk")))
-      .withColumn("nd", size(array_distinct(col("tk"))))
-      .withColumn("topc", expr(
-        "CASE WHEN size(tk) > 0 THEN array_max(transform(array_distinct(tk), d -> size(filter(tk, x -> x = d)))) ELSE 0 END"))
-      .withColumn("nd2", expr(
-        "CASE WHEN size(tk) >= 2 THEN size(array_distinct(transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))) ELSE 0 END"))
-      .select(col("doc_id"), col("n").as("n_tokens"),
-        expr("CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END").as("dup_frac"),
-        expr("CASE WHEN n > 0 THEN CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END").as("top_share"),
-        expr("CASE WHEN n >= 2 THEN CAST(n - 1 - nd2 AS DOUBLE) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END").as("rep2_frac"))
-      .withColumn("kept", col("dup_frac") <= 0.55 && col("top_share") <= 0.12
-        && col("rep2_frac") <= 0.05)
-      .orderBy("doc_id"),
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      val tokStats = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n"), count(lit(1)).as("nd"),
+          max("c").as("topc"))
+      val biStats = explodeShinglesFromTokens(toks, col("tk"), 2, "gram", "pos")
+        .groupBy("doc_id").agg(countDistinct("gram").as("nd2"))
+      docs.select("doc_id")
+        .join(tokStats, Seq("doc_id"), "left")
+        .join(biStats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).cast("int").as("n"),
+          coalesce(col("nd"), lit(0L)).cast("int").as("nd"),
+          coalesce(col("topc"), lit(0L)).cast("int").as("topc"),
+          coalesce(col("nd2"), lit(0L)).cast("int").as("nd2"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          expr("CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END").as("dup_frac"),
+          expr("CASE WHEN n > 0 THEN CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END").as("top_share"),
+          expr("CASE WHEN n >= 2 THEN CAST(n - 1 - nd2 AS DOUBLE) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END").as("rep2_frac"))
+        .withColumn("kept", col("dup_frac") <= 0.55 && col("top_share") <= 0.12
+          && col("rep2_frac") <= 0.05)
+        .orderBy("doc_id")
+    },
     Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
                   m AS (SELECT doc_id,
                           len(tk) AS n,

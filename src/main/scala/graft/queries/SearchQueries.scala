@@ -2616,18 +2616,28 @@ object SearchQueries extends QueryModule {
   private val q168 = QueryDef(
     "q168_phrase_search",
     (s, d) => {
-      val tk = tokens(col("text"))
-      val idx = sequence(lit(1), size(tk) - 1)
-      val occ = when(size(tk) >= 2,
-        size(filter(idx, i =>
-          element_at(tk, i.cast("int")) === "data" &&
-            element_at(tk, (i + lit(1)).cast("int")) === "line")))
-        .otherwise(lit(0))
-      Tables(s, d, "documents")
-        .select(col("source"), occ.as("occ"))
-        .groupBy("source")
-        .agg(sum(when(col("occ") > 0, 1L).otherwise(0L)).as("n_docs_phrase"),
-          sum(col("occ")).cast("long").as("n_occurrences"))
+      // Round 14: the original per-row higher-order `filter` lambda over
+      // the position range evaluated INTERPRETED (the explodeShingles
+      // finding: HOF lambdas are ~8x a codegen'd position explode) and
+      // made this "map-only" scan the suite's slowest text query
+      // (4.9 s at sf0.1; 0.8 s with the shared kernel). Same arithmetic,
+      // codegen'd: explode bigram positions, filter the phrase MAP-SIDE
+      // (post-filter rows = occurrence count, tiny), aggregate per
+      // source, and re-attach the zero-hit sources from the corpus'
+      // (broadcast-sized) source axis.
+      val docs = Tables(s, d, "documents")
+      val hits = explodeShinglesFromTokens(
+          docs.select(col("source"), col("doc_id"), tokens(col("text")).as("tk")),
+          col("tk"), 2, "gram", "pos")
+        .filter(col("gram") === "data line")
+      val per = hits.groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs_phrase"),
+          count(lit(1)).as("n_occurrences"))
+      docs.select("source").distinct()
+        .join(per, Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("n_docs_phrase"), lit(0L)).as("n_docs_phrase"),
+          coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"))
         .orderBy("source")
     },
     Some("""WITH tk AS (SELECT doc_id, source,

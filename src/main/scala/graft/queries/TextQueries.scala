@@ -1166,19 +1166,21 @@ object TextQueries extends QueryModule {
     "q156_maxsim_retrieval",
     (s, d) => {
       val docs = Tables(s, d, "documents")
-      val chunkToks = docs
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .select(col("doc_id"), posexplode(expr(
-          """IF(size(tk) < 2, array(),
-               transform(sequence(0, CAST(ceil(size(tk) / 16.0) AS INT) - 1),
-                         c -> slice(tk, c * 16 + 1, 16)))""")))
-        .toDF("doc_id", "chunk", "ctk")
-        .filter(size(col("ctk")) >= 2)
-      val chunkSparse = chunkToks
-        .select(col("doc_id"), col("chunk"), explode(expr(
-          """transform(sequence(1, size(ctk) - 1), i ->
-               concat(element_at(ctk, i), ' ', element_at(ctk, i + 1)))"""))
-          .as("tok"))
+      // Round 14: the chunk-local bigrams came from a nested interpreted
+      // HOF (transform(sequence)->slice per chunk, then transform per
+      // bigram) over every document — the q168 finding again (HOF
+      // lambdas evaluate interpreted; the position-explode kernel is
+      // codegen). Same rows, one kernel pass: a bigram starting at
+      // 1-based position p lies WITHIN chunk (p-1) div 16 iff p is not
+      // the chunk's last slot (p % 16 != 0) — chunk-spanning bigrams
+      // drop, exactly what the per-chunk slice produced (a trailing
+      // 1-token chunk yields no bigram either way).
+      val chunkSparse = explodeShinglesFromTokens(
+          docs.select(col("doc_id"), tokens(col("text")).as("tk")),
+          col("tk"), 2, "tok", "pos")
+        .filter(col("pos") % 16 =!= 0)
+        .select(col("doc_id"),
+          ((col("pos") - 1) / 16).cast("int").as("chunk"), col("tok"))
         .groupBy("doc_id", "chunk", "tok").agg(count(lit(1)).as("tf"))
         .select(col("doc_id"), col("chunk"),
           expr(fhDimExpr("tok")).as("dim"),
