@@ -66,8 +66,25 @@ object VectorFunctions {
     * primitive — L tables give per-pair hit probability 1−(1−r)^L while
     * each table keeps its own equality-joinable bucket id. table=0 is
     * the original single-table bucket.
+    *
+    * Compiled as ONE native expression per table (LshBucketExpr): the
+    * sign-projection formulation below recomputed the md5-derived plane
+    * signs per (plane, dim) per row through interpreted aggregate
+    * lambdas — 1,536 digests/row at the 4x6x64 default — for signs that
+    * are data-independent constants. Bit-identical semantics, pinned by
+    * LshBucketExprSpec against [[lshBucketHof]].
     */
-  def lshBucket(v: Column, planes: Int, dims: Int, table: Int = 0): Column =
+  def lshBucket(v: Column, planes: Int, dims: Int, table: Int = 0): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(LshBucketExpr(expression(v), table, planes, dims))
+  }
+
+  /** The pre-r14 HOF formulation of [[lshBucket]], kept as the
+    * differential witness for LshBucketExprSpec (and as executable
+    * documentation of the bucket's definition in portable SQL terms).
+    */
+  private[graft] def lshBucketHof(v: Column, planes: Int, dims: Int,
+      table: Int = 0): Column =
     (0 until planes).map { p =>
       when(signProjection(v, table * planes + p, dims) > 0, lit(1L << p))
         .otherwise(lit(0L))

@@ -40,6 +40,40 @@ class GraftFunctionsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("lshBucket native expression equals the signProjection HOF " +
+    "formulation on real embeddings, all tables") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    (0 until 4).foreach { t =>
+      val rows = e.select(
+          VectorFunctions.lshBucket(col("v"), 6, 64, t).as("fast"),
+          VectorFunctions.lshBucketHof(col("v"), 6, 64, t).as("slow"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"table $t: ${r.getLong(0)} != ${r.getLong(1)}"))
+    }
+    // degenerate inputs follow the HOF semantics exactly: a NULL vector
+    // and a NULL element both collapse every projection's CaseWhen to
+    // its otherwise(0) arm — bucket 0, never NULL (and the column stays
+    // non-nullable, schema-identical to the sum-of-CaseWhen form)
+    val edge = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, Seq.tabulate(64)(i =>
+          if (i == 7) null else java.lang.Double.valueOf(0.1 * i)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = true)))))
+    val out = edge.select(col("id"),
+      VectorFunctions.lshBucket(col("v"), 6, 64).as("b"))
+    assert(!out.schema("b").nullable)
+    out.collect().foreach(r => assert(r.getLong(1) == 0L))
+  }
+
   test("graft_dot / graft_cosine callable from SQL, equal to Column API") {
     GraftFunctions.register(spark)
     Tables(spark, "/root/testdata/sf0.001", "embeddings")
