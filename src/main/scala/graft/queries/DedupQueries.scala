@@ -178,26 +178,49 @@ object DedupQueries extends QueryModule {
     bands.join(broadcast(hot), Seq("band", "key"), "left_anti")
   }
 
+  /** Ordered in-bucket id pairs — (doc_a, doc_b), doc_a < doc_b, one row
+    * per co-occurrence — generated with ONE aggregation instead of the
+    * bucket-key self-join: collect each bucket's (pre-capped, so bounded)
+    * id list, sort it, and explode the upper triangle via posexplode +
+    * slice, all codegen-friendly built-ins. Versus the self-join this
+    * drops both SMJ sorts and the join probe while shuffling the bucket
+    * relation ONCE (the self-join's reused exchange fed two sorted
+    * replays); pair multiplicity is identical (sorted duplicates of a
+    * value pair exactly like the join's m×n, and the strict doc_a <
+    * doc_b filter removes the equal-value combos the join's `<` never
+    * produced).
+    *
+    * CALLER CONTRACT: `rel` must be bucket-capped FIRST (dropHotBuckets /
+    * a df-cap anti join) — the collect_list buffer holds one bucket, so
+    * an uncapped boilerplate bucket would materialize in one aggregation
+    * buffer. Every caller in this file caps before calling.
+    */
+  private[graft] def inBucketPairs(rel: org.apache.spark.sql.DataFrame,
+      bucketCols: Seq[String], idCol: String): org.apache.spark.sql.DataFrame =
+    rel.groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("_ds"))
+      .select(col("_ds"), posexplode(col("_ds")).as(Seq("_i", "doc_a")))
+      .select(col("doc_a"), explode(slice(col("_ds"), col("_i") + lit(2),
+        size(col("_ds")) - col("_i") - lit(1))).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+
   /** MinHash-LSH candidate pairs (doc_a < doc_b, distinct) from an ALREADY
-    * MATERIALIZED minhashSigs relation: equality join on band keys, hot
-    * buckets (> bucketCap members) dropped first so the in-bucket quadratic
-    * fan-out is bounded by bucketCap² per bucket. The caller materializes
-    * `sig` (checkpoint/stored index) because the band rows feed THREE
-    * consumers — the hot-bucket aggregate and both pair-join sides — and
-    * relying on AQE exchange reuse across the broadcast boundary re-ran
-    * the shingle explosion (measured +31% on q32 at sf0.1). Consumers that
-    * also SCORE pairs (q72) pass the same materialized sig to both stages,
-    * so the signature aggregation runs exactly once per query.
+    * MATERIALIZED minhashSigs relation: in-bucket pair generation over the
+    * band keys ([[inBucketPairs]]), hot buckets (> bucketCap members)
+    * dropped first so the in-bucket quadratic fan-out is bounded by
+    * bucketCap² per bucket. The caller materializes `sig`
+    * (checkpoint/stored index) because the band rows feed the hot-bucket
+    * aggregate and the pair generator — relying on AQE exchange reuse
+    * across the broadcast boundary re-ran the shingle explosion (measured
+    * +31% on q32 at sf0.1). Consumers that also SCORE pairs (q72) pass
+    * the same materialized sig to both stages, so the signature
+    * aggregation runs exactly once per query.
     */
   def lshCandidatePairsFromSigs(sig: org.apache.spark.sql.DataFrame,
-      bucketCap: Int = defaultBucketCap): org.apache.spark.sql.DataFrame = {
-    val bands = dropHotBuckets(bandsFromSigs(sig), bucketCap)
-    val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      bucketCap: Int = defaultBucketCap): org.apache.spark.sql.DataFrame =
+    inBucketPairs(dropHotBuckets(bandsFromSigs(sig), bucketCap),
+      Seq("band", "key"), "doc_id")
       .distinct()
-  }
 
   /** [[lshCandidatePairsFromSigs]] from raw documents — computes and
     * materializes the signatures internally.
@@ -217,7 +240,13 @@ object DedupQueries extends QueryModule {
     * where each candidate must be looked at individually.
     */
   def lshBucketStars(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    lshBucketStarsFromSigs(minhashSigs(documents))
+    // sig checkpointed (the q141 discipline): the star shape consumes the
+    // band relation on two sides (per-bucket min + the attach join) whose
+    // exchanges do not canonicalize equal, so an unmaterialized signature
+    // aggregation — shingle explode, 2 md5s/shingle, a corpus groupBy —
+    // ran TWICE per call; the bands recompute from cached signatures is a
+    // cheap map
+    lshBucketStarsFromSigs(minhashSigs(documents).localCheckpoint(true))
 
   /** [[lshBucketStars]] from an ALREADY MATERIALIZED signature relation
     * (the persisted-index / incremental-maintenance entry point — the
@@ -225,9 +254,18 @@ object DedupQueries extends QueryModule {
     */
   def lshBucketStarsFromSigs(sig: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val bands = bandsFromSigs(sig)
+    // One shared bucket-keyed exchange (the CC-round shape, r14): both
+    // consumers of the band relation — the per-bucket min and the attach
+    // join — read the SAME repartition exchange (canonically equal, so
+    // the second is a ReusedExchange) and run exchange-free on its
+    // placement; the min side joins back as a shuffle_hash build (one
+    // row per bucket per partition, bounded), avoiding the sort-merge
+    // default's two full band sorts. Before: the two branches' exchanges
+    // did not canonicalize equal, so the signature subtree ran twice and
+    // the join sorted both sides.
+    val bands = bandsFromSigs(sig).repartition(col("band"), col("key"))
     val mins = bands.groupBy("band", "key").agg(min("doc_id").as("doc_a"))
-    bands.join(mins, Seq("band", "key"))
+    bands.join(mins.hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("doc_id") =!= col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
@@ -341,11 +379,10 @@ object DedupQueries extends QueryModule {
     val tok = tok0.join(broadcast(hot), Seq("source", "tok"), "left_anti")
       .localCheckpoint(true)
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = tok.as("a"); val b = tok.as("b")
-    val inter = a.join(b, col("a.tok") === col("b.tok")
-        && col("a.source") === col("b.source")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // in-bucket pair generation over the df-capped (source, tok) buckets
+    // (inBucketPairs: one shuffle + bounded collect_list, no SMJ sorts)
+    val inter = inBucketPairs(tok, Seq("source", "tok"), "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -935,8 +972,11 @@ object DedupQueries extends QueryModule {
         "so the stored index is never shuffled; raise maxCandidates " +
         "deliberately if the broadcast is truly affordable, or lower " +
         "bucketCap / probe smaller increments")
+    // no distinct before the bloom build: duplicate ids set the same bits
+    // (sizing by nCand >= distinct old_ids only oversizes the bitset),
+    // and dropping it removes the distinct's exchange from every probe
     val oldIdBloom = graft.functions.BloomFunctions.buildLongBloom(
-      cand.select(xxhash64(col("old_id")).as("h")).distinct(), col("h"),
+      cand.select(xxhash64(col("old_id")).as("h")), col("h"),
       nCand, 0.01)
     val sa = newSig.as("sa")
     val sb = oldSig.filter(graft.functions.BloomFunctions.mightContainLong(
@@ -1032,11 +1072,14 @@ object DedupQueries extends QueryModule {
     val newSig = minhashSigs(increment).localCheckpoint(true)
     val newBands = bandsFromSigs(newSig).localCheckpoint(true)
     val keyHash = xxhash64(col("band"), col("key"))
-    val nKeys = newBands.select(keyHash.as("h")).distinct()
     // an empty increment builds the empty filter (rejects every index
-    // row — zero candidates), via buildLongBloom's expectedItems<=0 path
+    // row — zero candidates), via buildLongBloom's expectedItems<=0 path.
+    // No distinct before the build (duplicate keys set the same bits;
+    // sizing by the raw band-row count only oversizes the bitset), so
+    // the build is one exchange-free aggregate over the checkpointed
+    // bands and the sizing count reads cached blocks.
     val bloom = graft.functions.BloomFunctions.buildLongBloom(
-      nKeys, col("h"), nKeys.count(), 0.01)
+      newBands.select(keyHash.as("h")), col("h"), newBands.count(), 0.01)
     val oldBands = bandsFromSigs(oldSig).filter(
       graft.functions.BloomFunctions.mightContainLong(bloom, keyHash))
     rejectFromBands(oldBands, newBands, oldSig, newSig, bucketCap, threshold,
@@ -1791,10 +1834,8 @@ object DedupQueries extends QueryModule {
         .filter(col("df") > 300).select("sh")
       val tok = sh.join(broadcast(hot), Seq("sh"), "left_anti")
       val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val a = tok.as("a"); val b = tok.as("b")
-      val inter = a.join(b, col("a.sh") === col("b.sh")
-          && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val inter = inBucketPairs(tok, Seq("sh"), "doc_id")
+        .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("i"))
       val truth = inter
         .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -1912,9 +1953,12 @@ object DedupQueries extends QueryModule {
     val counts = docs.select("source").distinct()
       .join(sg.groupBy("source").agg(count(lit(1)).as("g")), Seq("source"), "left")
       .select(col("source"), coalesce(col("g"), lit(0L)).as("n_grams"))
-    val shared = sg.as("a").join(sg.as("b"),
-        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    // in-bucket pair kernel over the gram buckets: bucket size is
+    // naturally bounded by the source count (sg is distinct per
+    // (source, gram)), so the collect_list buffer is #sources long
+    val shared = inBucketPairs(sg, Seq("gram"), "source")
+      .select(col("doc_a").as("source_a"), col("doc_b").as("source_b"))
+      .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("shared"))
     val sh = coalesce(col("shared"), lit(0L))
     counts.as("ca").join(broadcast(counts.as("cb")),
@@ -2638,12 +2682,11 @@ object DedupQueries extends QueryModule {
       .select("doc_id", "fp_hash").distinct()
     val hot = fp.groupBy("fp_hash").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("fp_hash")
+    // no checkpoint: with inBucketPairs the pruned relation has ONE
+    // consumer (the bucket aggregate), so materializing it buys nothing
     val f = fp.join(broadcast(hot), Seq("fp_hash"), "left_anti")
-      .localCheckpoint(true) // feeds both self-join sides
-    val a = f.as("a"); val b = f.as("b")
-    a.join(b, col("a.fp_hash") === col("b.fp_hash")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    inBucketPairs(f, Seq("fp_hash"), "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
@@ -2975,11 +3018,20 @@ object DedupQueries extends QueryModule {
     */
   private def winnowSharedRows(stored0: org.apache.spark.sql.DataFrame,
       fpE: org.apache.spark.sql.DataFrame, dfCap: Int,
-      prune: Boolean): org.apache.spark.sql.DataFrame = {
+      prune: Boolean,
+      preBloom: Option[Array[Byte]] = None): org.apache.spark.sql.DataFrame = {
     val stored = if (prune) {
-      val hashes = fpE.select(xxhash64(col("fp_hash")).as("h")).distinct()
-      val bloom = graft.functions.BloomFunctions.buildLongBloom(
-        hashes, col("h"), hashes.count(), 0.01)
+      // preBloom: the sharded probes build ONE bitset over the FULL
+      // increment and reuse it per shard — exact because routing is by
+      // fp_hash, so a stored hash in shard i can only equal increment
+      // hashes routed to i (cross-shard bloom admissions are false
+      // positives that die in the equality join). Build path: no
+      // distinct (duplicate hashes set the same bits; fpE is
+      // checkpointed so the sizing count reads cached blocks).
+      val bloom = preBloom.getOrElse(
+        graft.functions.BloomFunctions.buildLongBloom(
+          fpE.select(xxhash64(col("fp_hash")).as("h")), col("h"),
+          fpE.count(), 0.01))
       stored0.filter(graft.functions.BloomFunctions.mightContainLong(
         bloom, xxhash64(col("fp_hash"))))
     } else stored0
@@ -3314,12 +3366,21 @@ object DedupQueries extends QueryModule {
     val fpE = winnowFingerprints(increment, k, w)
       .select(col("doc_id").as("new_doc"), col("fp_hash")).distinct()
       .withColumn("_sh", winnowShardOf(n)).localCheckpoint(true)
+    // ONE bloom over the full increment reused by every shard, and ONE
+    // present-shard scan instead of a per-shard isEmpty action —
+    // 2n jobs -> 3 on the checkpointed increment; per-shard exactness
+    // is unchanged (routing is by fp_hash, see winnowSharedRows)
+    val bloom = graft.functions.BloomFunctions.buildLongBloom(
+      fpE.select(xxhash64(col("fp_hash")).as("h")), col("h"),
+      fpE.count(), 0.01)
+    val present = fpE.select("_sh").distinct().collect()
+      .map(_.getLong(0)).toSet
     val perShard = (0 until n).flatMap { i =>
-      val slice = fpE.filter(col("_sh") === i).drop("_sh")
-      if (slice.isEmpty) None
+      if (!present(i.toLong)) None
       else Some(winnowSharedRows(
-        spark.read.parquet(winnowShardPath(root, i)), slice, dfCap,
-        prune = true))
+        spark.read.parquet(winnowShardPath(root, i)),
+        fpE.filter(col("_sh") === i).drop("_sh"), dfCap,
+        prune = true, preBloom = Some(bloom)))
     }
     if (perShard.isEmpty)
       // no routed hashes at all (empty or all-fresh increment): an
@@ -3593,9 +3654,11 @@ object DedupQueries extends QueryModule {
     val newSig = minhashSigs(increment).localCheckpoint(true)
     val newBands = bandsFromSigs(newSig).localCheckpoint(true)
     val keyHash = xxhash64(col("band"), col("key"))
-    val nKeys = newBands.select(keyHash.as("h")).distinct()
+    // no distinct before the bloom build (duplicates set the same bits;
+    // the raw-count sizing only oversizes) — one exchange-free aggregate
+    // over the checkpointed bands, cached-block sizing count
     val bloom = graft.functions.BloomFunctions.buildLongBloom(
-      nKeys, col("h"), nKeys.count(), 0.01)
+      newBands.select(keyHash.as("h")), col("h"), newBands.count(), 0.01)
     val oldSig = (0 until n)
       .map(i => spark.read.parquet(sigShardPath(root, i)))
       .reduce(_ unionByName _)
@@ -3857,9 +3920,11 @@ object DedupQueries extends QueryModule {
     val newSig = minhashSigs(increment).localCheckpoint(true)
     val newBands = bandsFromSigs(newSig).localCheckpoint(true)
     val keyHash = xxhash64(col("band"), col("key"))
-    val nKeys = newBands.select(keyHash.as("h")).distinct()
+    // no distinct before the bloom build (duplicates set the same bits;
+    // the raw-count sizing only oversizes) — one exchange-free aggregate
+    // over the checkpointed bands, cached-block sizing count
     val bloom = graft.functions.BloomFunctions.buildLongBloom(
-      nKeys, col("h"), nKeys.count(), 0.01)
+      newBands.select(keyHash.as("h")), col("h"), newBands.count(), 0.01)
     def shardSig(i: Int) = graft.operators.VersionedStore
       .read(spark, sigShardPath(root, i), "sig")
     val oldSig = (0 until n).map(shardSig).reduce(_ unionByName _)
@@ -4015,12 +4080,19 @@ object DedupQueries extends QueryModule {
     val fpE = winnowFingerprints(increment, k, w)
       .select(col("doc_id").as("new_doc"), col("fp_hash")).distinct()
       .withColumn("_sh", winnowShardOf(n)).localCheckpoint(true)
+    // one global bloom + one present-shard scan (the rename federation's
+    // probe discipline): exact per shard because routing is by fp_hash
+    val bloom = graft.functions.BloomFunctions.buildLongBloom(
+      fpE.select(xxhash64(col("fp_hash")).as("h")), col("h"),
+      fpE.count(), 0.01)
+    val present = fpE.select("_sh").distinct().collect()
+      .map(_.getLong(0)).toSet
     val perShard = (0 until n).flatMap { i =>
-      val slice = fpE.filter(col("_sh") === i).drop("_sh")
-      if (slice.isEmpty) None
+      if (!present(i.toLong)) None
       else Some(winnowSharedRows(
         graft.operators.VersionedStore.read(spark, winnowShardPath(root, i),
-          "fp"), slice, dfCap, prune = true))
+          "fp"), fpE.filter(col("_sh") === i).drop("_sh"), dfCap,
+        prune = true, preBloom = Some(bloom)))
     }
     if (perShard.isEmpty)
       return fpE.select(col("new_doc"), col("new_doc").as("old_doc"),

@@ -692,10 +692,15 @@ object PipelineQueries extends QueryModule {
           col("doc_id").cast("string"))), 1, 2))
       val sh = explodeShingles(docs.select("doc_id", "h2", "text"),
         col("text"), 5, "sh").select("doc_id", "h2", "sh")
+      // eval-suite-sized (it is broadcast into the confirm join below, so
+      // it is bounded by construction) and feeds THREE consumers — the
+      // bloom sizing count, the bloom build, and the broadcast confirm
+      // join; without the checkpoint each re-ran the shingle explosion
       val evalSh = sh.filter(col("h2") >= "e6").select("sh").distinct()
+        .localCheckpoint(true)
       val evalFp = evalSh.select(xxhash64(col("sh")).as("fp"))
       val bloom = graft.functions.BloomFunctions.buildLongBloom(
-        evalFp, col("fp"), expectedItems = evalFp.count(), fpp = 0.01)
+        evalFp, col("fp"), expectedItems = evalSh.count(), fpp = 0.01)
       val contaminated = sh.filter(col("h2") < "e6")
         // the scale lever: map-side bitset probe before any join
         .filter(graft.functions.BloomFunctions.mightContainLong(

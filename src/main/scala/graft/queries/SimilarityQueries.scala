@@ -4397,8 +4397,13 @@ object SimilarityQueries extends QueryModule {
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val cents = kmeansCentroids(e)
+      // 2-long-column assignment relation feeding TWO consumers (sizes +
+      // the quota draw) — checkpointed so the broadcast argmax over the
+      // full embedding corpus runs once (the q101 cells discipline);
+      // 16 B/row is far below the vector payload it avoids re-scanning
       val cells = nearestCentroid(e, cents)
         .select(col("vec_id"), col("cid").as("cell"))
+        .localCheckpoint(true)
       val sizes = cells.groupBy("cell").agg(count(lit(1)).as("n_cell"))
       graft.operators.GroupTopK.topK(
           cells.withColumn("h",
@@ -4453,22 +4458,31 @@ object SimilarityQueries extends QueryModule {
       val docs = Tables(s, d, "documents")
       val v = 2000
       val toks = tokens(col("text"))
-      // bounded artifacts (TakeOrdered / tiny aggregates, all broadcast)
-      val trainTok = docs.filter(col("lang") === "en")
-        .select(explode(toks).as("tok"))
-      val fVocab = trainTok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // bounded artifacts (TakeOrdered / tiny aggregates, all broadcast).
+      // ONE tokenization pass feeds every trained artifact: the r14 move —
+      // the raw/train/target counts are per-token aggregates of the SAME
+      // exploded scan (train = en rows, target = src0 rows), so the three
+      // vocabularies and the totals frame that used to cost six corpus
+      // tokenizations are derived from one vocabulary-sized relation
+      // (checkpointed: distinct-token-sized, far below corpus size).
+      val tokStats = docs.select(col("lang"), col("source"),
+          explode(toks).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+        .localCheckpoint(true)
+      // cnt > 0 keeps fVocab identical to the en-only aggregate it
+      // replaces: a zero-count row would otherwise join as cnt=0 (not
+      // NULL) and flip the oov flag
+      val fVocab = tokStats.filter(col("cnt") > 0).select("tok", "cnt")
         .orderBy(col("cnt").desc, col("tok").asc).limit(v)
-      val rawTok = docs.select(explode(toks).as("tok"))
-      val tgtTok = docs.filter(col("source") === "src0")
-        .select(explode(toks).as("tok"))
-      val dVocab = rawTok.groupBy("tok").agg(count(lit(1)).as("cr"))
+      val dVocab = tokStats.select("tok", "cr", "ct")
         .orderBy(col("cr").desc, col("tok").asc).limit(v)
-        .join(broadcast(tgtTok.groupBy("tok").agg(count(lit(1)).as("ct"))),
-          Seq("tok"), "left")
-        .select(col("tok"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
-      val totals = trainTok.agg(count(lit(1)).as("n_train"))
-        .crossJoin(rawTok.agg(count(lit(1)).as("nr")))
-        .crossJoin(tgtTok.agg(count(lit(1)).as("nt")))
+      val totals = tokStats.agg(
+        coalesce(sum("cnt"), lit(0L)).as("n_train"),
+        coalesce(sum("cr"), lit(0L)).as("nr"),
+        coalesce(sum("ct"), lit(0L)).as("nt"))
       // ONE corpus tokenization scoring BOTH gates (ratio expressions
       // verbatim from q129/q130 so the stats stay hash-identical)
       val scored = docs.select(col("doc_id"), col("source"),

@@ -90,4 +90,31 @@ class DedupCapSpec extends SparkSuite {
     // and the star edge count is LINEAR in the bucket: 499 + 1, not 124,750
     assert(DedupQueries.lshBucketStars(skewedDocs).count() == 500L)
   }
+
+  // --- inBucketPairs: the r14 single-aggregation pair kernel must be
+  // row-identical (multiset!) to the self-join formulation it replaced,
+  // including duplicate ids and duplicate (bucket, id) rows. ---
+
+  test("inBucketPairs equals the bucket self-join, multiplicities included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // bucket b1: ids {1,2,2,5} — the duplicate 2 must pair 1 and 5 TWICE
+    // and never emit (2,2); bucket b2: singleton (no pairs); bucket b3:
+    // {3,4} across two rows of the same bucket key
+    val rel = Seq(
+      ("b1", 2L), ("b1", 1L), ("b1", 5L), ("b1", 2L),
+      ("b2", 9L),
+      ("b3", 4L), ("b3", 3L)
+    ).toDF("k", "doc_id")
+    val kernel = DedupQueries.inBucketPairs(rel, Seq("k"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val a = rel.as("a"); val b = rel.as("b")
+    val joined = a.join(b, col("a.k") === col("b.k")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(kernel == joined)
+    assert(kernel == Seq((1L, 2L), (1L, 2L), (1L, 5L), (2L, 5L), (2L, 5L),
+      (3L, 4L)))
+  }
 }
