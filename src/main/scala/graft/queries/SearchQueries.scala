@@ -1188,11 +1188,24 @@ object SearchQueries extends QueryModule {
       .join(docstats, "doc_id")
     val corpusStats = docstats.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-    val termStats = pivoted.agg(
-      queryTerms.indices.map(i =>
-        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")).head,
-      queryTerms.indices.drop(1).map(i =>
-        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    // r14: per-term dfs come straight off the term-pushed postings scan —
+    // one 1-row aggregate over `matched` instead of a second pivot+join
+    // pass (exchange reuse covered only the pivot's INPUT, so the pivot
+    // aggregate and the docstats join ran twice per search). Exact
+    // because a served store holds ONE posting row per (term, doc):
+    // builds emit one row per pair, the rename append is left-anti
+    // guarded and replays return early, versioned mutations are
+    // exactly-once manifest commits, orphans from a crashed append are
+    // shed by recover before a load serves, and tombstone masks apply to
+    // postings and docstats alike — so count(rows of term t) equals
+    // count(docs with tf_t > 0), the df the pivot pass computed.
+    val termStats = matched.agg(
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === lit(t), 1L).otherwise(0L)).as(s"df$i")
+      }.head,
+      queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        sum(when(col("term") === lit(t), 1L).otherwise(0L)).as(s"df$i")
+      }: _*)
     pivoted.crossJoin(broadcast(corpusStats)).crossJoin(broadcast(termStats))
       .select(bm25Projection(queryTerms): _*)
   }
