@@ -1821,15 +1821,16 @@ object DedupQueries extends QueryModule {
       val docs = Tables(s, d, "documents").filter(col("doc_id") % 10 <= 2)
       val sig = minhashSigs(docs).localCheckpoint(true)
       val cand = lshCandidatePairsFromSigs(sig)
-      // NOT materialized despite feeding four consumers: checkpointing sh
-      // and the pruned tok was A/B'd in round 14 (5.11 s -> 5.14 s, noise)
-      // — exchange reuse already covers the identical self-join sides and
-      // the remaining consumers are aggregates over the same exchange; at
-      // scale the (doc, shingle) relation is corpus-shingle-sized, so
-      // persisting it is not the one-sided win it is for q33's block-
-      // pruned tokens or q146's pair-bounded sweep
+      // Materialized (r14, second pass): under the self-join formulation
+      // a checkpoint here was neutral (5.11 -> 5.14 s — exchange reuse
+      // covered the identical join sides), but the inBucketPairs rewrite
+      // changed the consumer set to hot + sizes + the bucket aggregate,
+      // three branches whose exchanges never canonicalize equal — without
+      // the checkpoint the shingle explosion runs three times. Same
+      // corpus-relation trade as q33's pruned tokens.
       val sh = explodeShingles(docs.select("doc_id", "text"), col("text"), 2, "sh")
         .select("doc_id", "sh").distinct()
+        .localCheckpoint(true)
       val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") > 300).select("sh")
       val tok = sh.join(broadcast(hot), Seq("sh"), "left_anti")
@@ -2678,8 +2679,13 @@ object DedupQueries extends QueryModule {
   def winnowCandidatePairs(documents: org.apache.spark.sql.DataFrame,
       k: Int, w: Int, dfCap: Int = 300,
       minShared: Int = 2): org.apache.spark.sql.DataFrame = {
+    // checkpointed: fp feeds the hot-hash aggregate AND the anti-join
+    // main branch, whose exchanges never canonicalize equal — without it
+    // the fingerprinting (gram md5s + per-doc window min + distinct) ran
+    // twice (the q33 corpus-relation discipline)
     val fp = winnowFingerprints(documents, k, w)
       .select("doc_id", "fp_hash").distinct()
+      .localCheckpoint(true)
     val hot = fp.groupBy("fp_hash").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("fp_hash")
     // no checkpoint: with inBucketPairs the pruned relation has ONE
@@ -2851,10 +2857,14 @@ object DedupQueries extends QueryModule {
       eval_ : org.apache.spark.sql.DataFrame, k: Int = 4, w: Int = 5,
       dfCap: Int = 300): org.apache.spark.sql.DataFrame = {
     val minLen = w + k - 1
+    // both sides checkpointed: each feeds the union df-cap aggregate AND
+    // the pair join, so the (expensive) winnowing ran twice per side
     val fpT = winnowFingerprints(train, k, w)
       .select(col("doc_id").as("train_doc"), col("fp_hash")).distinct()
+      .localCheckpoint(true)
     val fpE = winnowFingerprints(eval_, k, w)
       .select(col("doc_id").as("eval_doc"), col("fp_hash")).distinct()
+      .localCheckpoint(true)
     val hot = fpT.select(col("train_doc").as("d"), col("fp_hash"))
       .unionByName(fpE.select(col("eval_doc").as("d"), col("fp_hash")))
       .groupBy("fp_hash").agg(count(lit(1)).as("df"))
