@@ -1171,16 +1171,21 @@ object PipelineQueries extends QueryModule {
     (s, d) => {
       val docs = Tables(s, d, "documents")
       val v = 2000
-      val rawTok = docs.select(explode(tokens(col("text"))).as("tok"))
-      val tgtTok = docs.filter(col("source") === "src0")
-        .select(explode(tokens(col("text"))).as("tok"))
-      val rawVocab = rawTok.groupBy("tok").agg(count(lit(1)).as("cr"))
+      // ONE tokenization pass feeds raw counts, target counts and both
+      // totals (the q132 tokStats move — the raw/target distinction is a
+      // per-token conditional sum, not a second explode). Checkpointed:
+      // vocabulary-sized, four consumers below.
+      val tokStats = docs.select(col("source"),
+          explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+        .localCheckpoint(true)
+      val vocab = tokStats.select("tok", "cr", "ct")
         .orderBy(col("cr").desc, col("tok").asc).limit(v)
-      val tgtCnt = tgtTok.groupBy("tok").agg(count(lit(1)).as("ct"))
-      val vocab = rawVocab.join(broadcast(tgtCnt), Seq("tok"), "left")
-        .select(col("tok"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
-      val totals = rawTok.agg(count(lit(1)).as("nr"))
-        .crossJoin(tgtTok.agg(count(lit(1)).as("nt")))
+      val totals = tokStats.agg(
+        coalesce(sum("cr"), lit(0L)).as("nr"),
+        coalesce(sum("ct"), lit(0L)).as("nt"))
       val scored = docs.select(col("doc_id"), col("source"),
           explode(tokens(col("text"))).as("tok"))
         .join(broadcast(vocab), Seq("tok"), "left")

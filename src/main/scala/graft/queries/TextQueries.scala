@@ -639,11 +639,16 @@ object TextQueries extends QueryModule {
   private def fluencyScored(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val v = 2000
-    val trainTok = docs.filter(col("lang") === "en")
+    // ONE en-side tokenization feeds both trained artifacts (the q132
+    // tokStats move): vocab is the count relation's top-v head and the
+    // token total its sum, so the train-side explode runs once instead
+    // of twice. Vocabulary-sized, checkpointed.
+    val cnts = docs.filter(col("lang") === "en")
       .select(explode(tokens(col("text"))).as("tok"))
-    val vocab = trainTok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("tok").asc).limit(v)
-    val totals = trainTok.agg(count(lit(1)).as("n_train"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val vocab = cnts.orderBy(col("cnt").desc, col("tok").asc).limit(v)
+    val totals = cnts.agg(coalesce(sum("cnt"), lit(0L)).as("n_train"))
     docs.select(col("doc_id"), col("lang"),
         explode(tokens(col("text"))).as("tok"))
       .join(broadcast(vocab), Seq("tok"), "left")
