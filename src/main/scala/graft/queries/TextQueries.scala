@@ -126,9 +126,12 @@ object TextQueries extends QueryModule {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, d, "documents")
       val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      // df derives from tf (a (doc, tok) row in tf IS a distinct pair),
+      // so the token stream is exploded and aggregated ONCE; tf is
+      // checkpointed because it feeds both df and the scoring join
       val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df_ = tok.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .localCheckpoint(true)
+      val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("tok").asc)
@@ -573,9 +576,13 @@ object TextQueries extends QueryModule {
   private val q125 = QueryDef(
     "q125_vocab_oov",
     (s, d) => {
+      // checkpointed: st feeds the vocabulary rollup AND the final OOV
+      // join, so the tokenizing aggregate ran twice; the relation is
+      // (source x vocabulary)-sized (Heaps' law), far below the stream
       val st = Tables(s, d, "documents")
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val vocab = st.groupBy("tok").agg(sum("c").as("n"))
         .orderBy(col("n").desc, col("tok").asc)
         .limit(1000)
