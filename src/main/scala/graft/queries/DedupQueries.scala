@@ -1948,9 +1948,14 @@ object DedupQueries extends QueryModule {
     */
   private def overlapMatrix(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // checkpointed: sg feeds the per-source gram counts AND the shared-
+    // gram pair aggregate, whose exchanges never canonicalize equal —
+    // without this the 8-gram explosion + distinct ran twice (the q99
+    // post-kernel lesson)
     val sg = explodeShingles(docs.select("source", "text"),
         col("text"), 8, "gram")
       .select("source", "gram").distinct()
+      .localCheckpoint(true)
     val counts = docs.select("source").distinct()
       .join(sg.groupBy("source").agg(count(lit(1)).as("g")), Seq("source"), "left")
       .select(col("source"), coalesce(col("g"), lit(0L)).as("n_grams"))
