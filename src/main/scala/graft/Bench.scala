@@ -192,24 +192,44 @@ object Bench {
     val contaminated =
       guarded.size >= 2 && guarded.min > 0 && guarded.max / guarded.min > 1.5
     val boxJson = {
-      val cpus = Runtime.getRuntime.availableProcessors
-      s"""{"start":$boxStart,"runs":${boxPerRun.mkString("[", ",", "]")},"cpus":$cpus}"""
+      // box.cpus is the CONFIGURED core count ($SPARK_GRAFT_CPUS — the
+      // r14 verdict's fix: the artifact must show which scaling leg it
+      // measures); host_cpus keeps the machine's physical count so a
+      // low-core leg run on the 32-core box stays distinguishable from
+      // a run on a smaller machine.
+      val hostCpus = Runtime.getRuntime.availableProcessors
+      s"""{"start":$boxStart,"runs":${boxPerRun.mkString("[", ",", "]")},"cpus":$cpus,"host_cpus":$hostCpus}"""
     }
-    // The compact total line prints FIRST (head-truncation safety) and again
-    // LAST (the driver's capture keeps the tail — r4 lost the total because
-    // compact printed only first); the full per-query JSON sits between and
-    // is also written to BENCH_LOCAL.json as the committed regression
-    // baseline.
+    val reuseFlag = sys.env.getOrElse("SPARK_GRAFT_REUSE_STORES", "1") != "0"
+    // The compact total line prints FIRST (head-truncation safety) and
+    // again near the end (r4 lost the total when compact printed only
+    // first); the full-precision per-query JSON sits between and is
+    // written to BENCH_LOCAL.json as the committed regression baseline.
+    // The VERY LAST line (round 15, the r14 verdict's fix for
+    // PERF.per_query = {}) is a tail-safe per-query summary: the same
+    // totals plus the per-query medians and build/query phase split,
+    // values rounded to 1 ms so the line stays compact — the driver
+    // parses the LAST parseable line of the capture, and r14's ordering
+    // (compact last) fed it a line with no "queries" map, which is why
+    // the round-over-round per-query table came back empty.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"run_totals":$runTotalsJson,"contaminated":$contaminated,"failed":$failedJson,"box":$boxJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"run_totals":$runTotalsJson,"contaminated":$contaminated,"store_reuse":$reuseFlag,"failed":$failedJson,"box":$boxJson,"sf":"$sfDir"}"""
     val buildJson = phaseSplit.map { case (k, (b, q)) =>
       "\"" + k + "\":{\"build_s\":" + b + ",\"query_s\":" + q + "}"
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"run_totals":$runTotalsJson,"contaminated":$contaminated,"queries":$qs,"spread":$spread,"phases":$buildJson,"failed":$failedJson,"box":$boxJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"run_totals":$runTotalsJson,"contaminated":$contaminated,"store_reuse":$reuseFlag,"queries":$qs,"spread":$spread,"phases":$buildJson,"failed":$failedJson,"box":$boxJson,"sf":"$sfDir"}"""
+    val qs3 = results.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val phases3 = phaseSplit.map { case (k, (b, q)) =>
+      f""""$k":{"build_s":$b%.3f,"query_s":$q%.3f}"""
+    }.mkString("{", ",", "}")
+    val perQueryTail =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"run_totals":$runTotalsJson,"contaminated":$contaminated,"store_reuse":$reuseFlag,"queries":$qs3,"phases":$phases3,"failed":$failedJson,"box":$boxJson,"sf":"$sfDir"}"""
     println(compact)
     println(full)
     println(compact)
+    println(perQueryTail)
     if (contaminated)
       System.err.println(
         f"BENCH-CONTAMINATED: per-run totals $runTotalsJson diverge " +
@@ -221,8 +241,22 @@ object Bench {
     // total, a run with failed queries must not deflate it, and a
     // CONTAMINATED run (per-run totals diverging >1.5x) must not inflate
     // it: r12's baseline was recorded under box weather and every later
-    // round would have "improved" 1.5x for free against it.
-    if (only.isEmpty && failures.isEmpty && !contaminated) {
+    // round would have "improved" 1.5x for free against it. Round 15:
+    // the refresh is ALSO gated on the core count matching the baseline's
+    // recorded one — the r14 driver's 8-core scaling leg silently
+    // clobbered the committed 32-core baseline (verdict item 5).
+    val coreCountMatches =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+        if (!java.nio.file.Files.exists(p)) true
+        else {
+          val m = """"cpus":(\d+)""".r
+            .findFirstMatchIn(java.nio.file.Files.readString(p))
+          m.forall(_.group(1) == cpus)
+        }
+      } catch { case _: Throwable => true }
+    if (only.isEmpty && failures.isEmpty && !contaminated &&
+        coreCountMatches) {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
       catch { case _: Throwable => () } // read-only cwd must not fail the bench

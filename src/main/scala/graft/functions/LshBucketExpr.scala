@@ -20,8 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * per executor on deserialization) and the per-row work compiles to a
   * primitive loop inside whole-stage codegen.
   *
-  * Semantics are EXACTLY the HOF formulation's, pinned by
-  * LshBucketExprSpec against the old expression tree:
+  * Semantics are EXACTLY the HOF formulation's, pinned by the
+  * differential test in GraftFunctionsSpec against the old expression
+  * tree:
   *   - quant(i)  = (long) floor(v[i] * 1e6 + 0.5)   (exact integers)
   *   - proj(p)   = sum_i sign(table*planes+p, i) * quant(i)
   *   - bucket    = sum_p (proj(p) > 0 ? 1L << p : 0L)
@@ -46,8 +47,11 @@ case class LshBucketExpr(child: Expression, table: Int, planes: Int,
     val value = child.eval(input)
     if (value == null) return 0L
     val arr = value.asInstanceOf[ArrayData]
-    require(arr.numElements() >= dims,
-      s"lshBucket: vector length ${arr.numElements()} < dims $dims")
+    // same exception type and message as the codegen path (doGenCode),
+    // so diagnostics do not depend on which execution path ran
+    if (arr.numElements() < dims)
+      throw new IllegalArgumentException(
+        s"lshBucket: vector length ${arr.numElements()} < dims $dims")
     var i = 0
     while (i < dims) {
       if (arr.isNullAt(i)) return 0L

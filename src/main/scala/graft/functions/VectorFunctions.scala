@@ -72,7 +72,7 @@ object VectorFunctions {
     * signs per (plane, dim) per row through interpreted aggregate
     * lambdas — 1,536 digests/row at the 4x6x64 default — for signs that
     * are data-independent constants. Bit-identical semantics, pinned by
-    * LshBucketExprSpec against [[lshBucketHof]].
+    * the differential test in GraftFunctionsSpec against [[lshBucketHof]].
     */
   def lshBucket(v: Column, planes: Int, dims: Int, table: Int = 0): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
@@ -80,8 +80,9 @@ object VectorFunctions {
   }
 
   /** The pre-r14 HOF formulation of [[lshBucket]], kept as the
-    * differential witness for LshBucketExprSpec (and as executable
-    * documentation of the bucket's definition in portable SQL terms).
+    * differential witness for GraftFunctionsSpec's lshBucket test (and as
+    * executable documentation of the bucket's definition in portable SQL
+    * terms).
     */
   private[graft] def lshBucketHof(v: Column, planes: Int, dims: Int,
       table: Int = 0): Column =

@@ -193,16 +193,37 @@ object DedupQueries extends QueryModule {
     * CALLER CONTRACT: `rel` must be bucket-capped FIRST (dropHotBuckets /
     * a df-cap anti join) — the collect_list buffer holds one bucket, so
     * an uncapped boilerplate bucket would materialize in one aggregation
-    * buffer. Every caller in this file caps before calling.
+    * buffer. Every caller in this file caps before calling, and passes
+    * its cap as `maxBucket` where one exists (r14 advice): the guard is
+    * one size() comparison per BUCKET (post-aggregation, so it cannot
+    * prevent the buffer itself — it turns a silently-wrong uncapped
+    * caller into a loud plan error on the first over-cap bucket, long
+    * before the 100 TB case OOMs).
     */
   private[graft] def inBucketPairs(rel: org.apache.spark.sql.DataFrame,
-      bucketCols: Seq[String], idCol: String): org.apache.spark.sql.DataFrame =
-    rel.groupBy(bucketCols.map(col): _*)
+      bucketCols: Seq[String], idCol: String,
+      maxBucket: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val agg = rel.groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_list(col(idCol))).as("_ds"))
+    val guarded = maxBucket match {
+      // assert_true returns NULL when the predicate holds, so the filter
+      // keeps every row; an over-cap bucket raises with the sizes named.
+      // A filter (not an unused projected column) so column pruning can
+      // never drop the check.
+      case Some(cap) => agg.filter(assert_true(
+        size(col("_ds")) <= lit(cap),
+        concat(lit("inBucketPairs: a bucket holds "),
+          size(col("_ds")).cast("string"),
+          lit(s" members > the caller's declared cap $cap — cap buckets " +
+            "(dropHotBuckets / df-cap) BEFORE pair generation"))).isNull)
+      case None => agg
+    }
+    guarded
       .select(col("_ds"), posexplode(col("_ds")).as(Seq("_i", "doc_a")))
       .select(col("doc_a"), explode(slice(col("_ds"), col("_i") + lit(2),
         size(col("_ds")) - col("_i") - lit(1))).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
+  }
 
   /** MinHash-LSH candidate pairs (doc_a < doc_b, distinct) from an ALREADY
     * MATERIALIZED minhashSigs relation: in-bucket pair generation over the
@@ -219,7 +240,7 @@ object DedupQueries extends QueryModule {
   def lshCandidatePairsFromSigs(sig: org.apache.spark.sql.DataFrame,
       bucketCap: Int = defaultBucketCap): org.apache.spark.sql.DataFrame =
     inBucketPairs(dropHotBuckets(bandsFromSigs(sig), bucketCap),
-      Seq("band", "key"), "doc_id")
+      Seq("band", "key"), "doc_id", maxBucket = Some(bucketCap))
       .distinct()
 
   /** [[lshCandidatePairsFromSigs]] from raw documents — computes and
@@ -381,7 +402,8 @@ object DedupQueries extends QueryModule {
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // in-bucket pair generation over the df-capped (source, tok) buckets
     // (inBucketPairs: one shuffle + bounded collect_list, no SMJ sorts)
-    val inter = inBucketPairs(tok, Seq("source", "tok"), "doc_id")
+    val inter = inBucketPairs(tok, Seq("source", "tok"), "doc_id",
+        maxBucket = Some(dfCap))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -1835,7 +1857,8 @@ object DedupQueries extends QueryModule {
         .filter(col("df") > 300).select("sh")
       val tok = sh.join(broadcast(hot), Seq("sh"), "left_anti")
       val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = inBucketPairs(tok, Seq("sh"), "doc_id")
+      val inter = inBucketPairs(tok, Seq("sh"), "doc_id",
+          maxBucket = Some(300))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("i"))
       val truth = inter
@@ -2696,7 +2719,7 @@ object DedupQueries extends QueryModule {
     // no checkpoint: with inBucketPairs the pruned relation has ONE
     // consumer (the bucket aggregate), so materializing it buys nothing
     val f = fp.join(broadcast(hot), Seq("fp_hash"), "left_anti")
-    inBucketPairs(f, Seq("fp_hash"), "doc_id")
+    inBucketPairs(f, Seq("fp_hash"), "doc_id", maxBucket = Some(dfCap))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -19,7 +19,17 @@ class AbortSpec extends SparkSuite {
   }
 
   test("abort mid-job raises EtlAbortError") {
-    Future { Thread.sleep(1000); Abort.abort(spark, "abort-test") }
+    // Abort only once the job is actually RUNNING: a fixed pre-abort sleep
+    // raced job submission on a loaded box (parallel test JVMs) — the
+    // cancel landed on an empty group and the count then succeeded.
+    Future {
+      val tracker = spark.sparkContext.statusTracker
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (tracker.getActiveJobIds().isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(200) // let the first tasks enter their sleep
+      Abort.abort(spark, "abort-test")
+    }
     assertThrows[EtlAbortError] {
       Abort.runCancellable(spark, "abort-test") { slowCount() }
     }

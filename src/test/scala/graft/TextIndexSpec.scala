@@ -109,6 +109,24 @@ class TextIndexSpec extends SparkSuite {
       e4.getMessage.contains("postings"))
   }
 
+  test("a DUPLICATED (term, doc) posting row fails at load — the " +
+    "invariant the r14 BM25 df rewrite leans on (scoreIndexed counts " +
+    "raw matched posting rows per term) stays pinned by the stamp gate") {
+    val path = freshPath()
+    val (p, ds) = textIndexBuild(docs)
+    textIndexSave(p, ds, path)
+    // out-of-band splice: replay ONE existing posting row into the store
+    // (the shape a load path that skipped the stamp would silently accept
+    // — and which would inflate that term's df and the doc's tf)
+    spark.read.parquet(s"$path/postings").limit(1)
+      .write.mode("append").parquet(s"$path/postings")
+    val e = intercept[IllegalArgumentException] {
+      textIndexLoad(spark, path)
+    }
+    assert(e.getMessage.contains("pairing") ||
+      e.getMessage.contains("postings"))
+  }
+
   test("forget vs delete: forget physically removes (statistics move, " +
     "crash-durable rewrite) and a re-submitted copy RE-ADMITS — the " +
     "contrast to delete's sticky tombstone; forgetting everything refuses") {
