@@ -32,8 +32,7 @@ object Profile {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .orElse(js.stageInfos.lastOption.map(_.name))
           .getOrElse("?")
         jobs.put(js.jobId, (js.time, desc))
       }
@@ -48,23 +47,30 @@ object Profile {
 
     wanted.foreach { name =>
       val fn = SparkEntry.queries(name)
-      // one untimed pass warms codegen/JIT so the profiled pass shows
-      // steady-state job shape, not first-run compilation
+      // pass 1 builds the stores and warms codegen/JIT; registering the
+      // query with BenchPhases and marking it warm makes pass 2 the
+      // bench's steady-state QUERY-ONLY sample (build brackets skip) —
+      // exactly the job set behind the artifact's query_s
       (1 to 2).foreach { pass =>
         done.synchronized(done.clear())
+        BenchPhases.setCurrent(name)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
+        val built = BenchPhases.drain(name)
+        if (pass == 1) BenchPhases.markWarm(name)
+        BenchPhases.clearCurrent()
         Thread.sleep(300) // let the listener bus drain the last job-end
+        val snap = done.synchronized(done.toList)
+        println(f"\n=== $name pass=$pass wall=$wall%.2f s (build=$built%.2f) " +
+          f"jobs=${snap.size} job-sum=${snap.map(_._2).sum}%.2f s ===")
         if (pass == 2) {
-          val snap = done.synchronized(done.toList)
-          println(f"\n=== $name pass=$pass wall=$wall%.2f s jobs=${snap.size} " +
-            f"job-sum=${snap.map(_._2).sum}%.2f s ===")
           snap.sortBy(_._1).foreach { case (id, s, desc) =>
             println(f"  job $id%4d  $s%7.3f s  ${desc.take(110)}")
           }
         }
       }
+      BenchPhases.invalidate(name)
     }
     spark.stop()
   }

@@ -43,14 +43,26 @@ object IndexTombstones {
     * an anchor and as someone else's neighbor) — one anti join per id
     * column, each against the same broadcast-sized tombstone set.
     */
-  def maskOn(rows: DataFrame, path: String, idCols: Seq[String]): DataFrame = {
-    val spark = rows.sparkSession
-    if (fs(spark, path).exists(tomb(path))) {
-      val t = spark.read.parquet(s"$path/tombstones").select("vec_id").distinct()
-      idCols.foldLeft(rows)((r, c) =>
-        r.join(t.select(col("vec_id").as(c)), Seq(c), "left_anti"))
-    } else rows
-  }
+  def maskOn(rows: DataFrame, path: String, idCols: Seq[String]): DataFrame =
+    tombstoneSet(rows.sparkSession, path) match {
+      case Some(t) => maskWith(rows, t, idCols)
+      case None => rows
+    }
+
+  /** The store's tombstone id set, read ONCE — loaders masking several
+    * relations of one store (postings + docstats, postings + positions)
+    * share the read instead of paying a parquet footer job per maskOn.
+    */
+  def tombstoneSet(spark: SparkSession, path: String): Option[DataFrame] =
+    if (fs(spark, path).exists(tomb(path)))
+      Some(spark.read.parquet(s"$path/tombstones")
+        .select("vec_id").distinct())
+    else None
+
+  /** Apply an already-read tombstone set (see [[tombstoneSet]]). */
+  def maskWith(rows: DataFrame, t: DataFrame, idCols: Seq[String]): DataFrame =
+    idCols.foldLeft(rows)((r, c) =>
+      r.join(t.select(col("vec_id").as(c)), Seq(c), "left_anti"))
 
   /** Drop the tombstone set — called by every family's full-save verb
     * (the compaction point).

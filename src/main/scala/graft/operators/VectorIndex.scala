@@ -337,7 +337,19 @@ object VectorIndex {
       k: Int = 5): DataFrame = {
     val spark = queries.sparkSession
     val versioned = isVersioned(spark, path)
-    family(spark, path) match {
+    searchResolved(e, queries, path, k, versioned, family(spark, path))
+  }
+
+  /** [[search]] with the store's (protocol, family) already resolved —
+    * the federated probe resolves them ONCE per shard for its marker
+    * check and must not pay the manifest probe + 1-row marker collect a
+    * second time per shard (round 15; the two reads were ~4 driver-
+    * serialized jobs per shard per probe).
+    */
+  private def searchResolved(e: DataFrame, queries: DataFrame, path: String,
+      k: Int, versioned: Boolean, fam: String): DataFrame = {
+    val spark = queries.sparkSession
+    fam match {
       case "sq8" =>
         val (params, codes) =
           if (versioned) QuantQueries.sqLoadIndexVersioned(spark, path)
@@ -651,9 +663,21 @@ object VectorIndex {
       k: Int = 5): DataFrame = {
     val spark = queries.sparkSession
     val (n, fam) = shardInfo(spark, root)
-    val per = (0 until n).map { i =>
-      open(spark, shardPath(root, i), fam) // router and marker must agree
-      search(spark.emptyDataFrame, queries, shardPath(root, i), k)
+    // Per-shard setup overlaps on the shard pool (guide §2.6) and the
+    // (protocol, family) pair is resolved ONCE per shard — the marker
+    // check IS that resolution, so the old open-then-search shape paid
+    // the manifest probe and the 1-row marker collect twice per shard,
+    // all driver-serialized.
+    val per = Parallel.shards(n) { i =>
+      val sp = shardPath(root, i)
+      val stored = family(spark, sp) // router and marker must agree
+      require(stored == fam,
+        s"VectorIndex: store at $sp was built as family '$stored' but " +
+          s"the caller declared '$fam' — routing it through the " +
+          "wrong family's verbs would fail late (or, for look-alike " +
+          "layouts, search wrongly)")
+      searchResolved(spark.emptyDataFrame, queries, sp, k,
+        isVersioned(spark, sp), stored)
     }
     GroupTopK.topK(per.reduce(_ unionByName _).drop("rank"),
         Seq(col("query_id")),

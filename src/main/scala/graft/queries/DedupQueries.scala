@@ -3413,13 +3413,13 @@ object DedupQueries extends QueryModule {
       fpE.count(), 0.01)
     val present = fpE.select("_sh").distinct().collect()
       .map(_.getLong(0)).toSet
-    val perShard = (0 until n).flatMap { i =>
+    val perShard = graft.operators.Parallel.shards(n) { i =>
       if (!present(i.toLong)) None
       else Some(winnowSharedRows(
         spark.read.parquet(winnowShardPath(root, i)),
         fpE.filter(col("_sh") === i).drop("_sh"), dfCap,
         prune = true, preBloom = Some(bloom)))
-    }
+    }.flatten
     if (perShard.isEmpty)
       // no routed hashes at all (empty or all-fresh increment): an
       // empty result with the probe's schema
@@ -3697,11 +3697,14 @@ object DedupQueries extends QueryModule {
     // over the checkpointed bands, cached-block sizing count
     val bloom = graft.functions.BloomFunctions.buildLongBloom(
       newBands.select(keyHash.as("h")), col("h"), newBands.count(), 0.01)
-    val oldSig = (0 until n)
-      .map(i => spark.read.parquet(sigShardPath(root, i)))
-      .reduce(_ unionByName _)
-    val oldBands = (0 until n)
-      .map(i => bandsFromSigs(spark.read.parquet(sigShardPath(root, i)))
+    // ONE read per shard (footer job), shared by the sig union and the
+    // band generator (the old shape read every shard twice), constructed
+    // on the overlap pool (guide §2.6)
+    val shardSigs = graft.operators.Parallel.shards(n)(
+      i => spark.read.parquet(sigShardPath(root, i)))
+    val oldSig = shardSigs.reduce(_ unionByName _)
+    val oldBands = shardSigs
+      .map(s => bandsFromSigs(s)
         .filter(graft.functions.BloomFunctions.mightContainLong(bloom, keyHash)))
       .reduce(_ unionByName _)
     rejectFromBands(oldBands, newBands, oldSig, newSig, bucketCap, threshold,
@@ -3963,11 +3966,15 @@ object DedupQueries extends QueryModule {
     // over the checkpointed bands, cached-block sizing count
     val bloom = graft.functions.BloomFunctions.buildLongBloom(
       newBands.select(keyHash.as("h")), col("h"), newBands.count(), 0.01)
-    def shardSig(i: Int) = graft.operators.VersionedStore
-      .read(spark, sigShardPath(root, i), "sig")
-    val oldSig = (0 until n).map(shardSig).reduce(_ unionByName _)
-    val oldBands = (0 until n)
-      .map(i => bandsFromSigs(shardSig(i))
+    // ONE manifest read per shard, shared by the sig union and the band
+    // generator (the old shape read every shard's manifest twice),
+    // constructed on the overlap pool (guide §2.6)
+    val shardSigs = graft.operators.Parallel.shards(n)(
+      i => graft.operators.VersionedStore
+        .read(spark, sigShardPath(root, i), "sig"))
+    val oldSig = shardSigs.reduce(_ unionByName _)
+    val oldBands = shardSigs
+      .map(s => bandsFromSigs(s)
         .filter(graft.functions.BloomFunctions.mightContainLong(bloom, keyHash)))
       .reduce(_ unionByName _)
     rejectFromBands(oldBands, newBands, oldSig, newSig, bucketCap, threshold,
@@ -4125,13 +4132,13 @@ object DedupQueries extends QueryModule {
       fpE.count(), 0.01)
     val present = fpE.select("_sh").distinct().collect()
       .map(_.getLong(0)).toSet
-    val perShard = (0 until n).flatMap { i =>
+    val perShard = graft.operators.Parallel.shards(n) { i =>
       if (!present(i.toLong)) None
       else Some(winnowSharedRows(
         graft.operators.VersionedStore.read(spark, winnowShardPath(root, i),
           "fp"), fpE.filter(col("_sh") === i).drop("_sh"), dfCap,
         prune = true, preBloom = Some(bloom)))
-    }
+    }.flatten
     if (perShard.isEmpty)
       return fpE.select(col("new_doc"), col("new_doc").as("old_doc"),
         lit(0L).as("n_shared")).limit(0)

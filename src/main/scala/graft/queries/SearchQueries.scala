@@ -666,9 +666,22 @@ object SearchQueries extends QueryModule {
       hp.toString == m.getAs[String]("h_pos"),
       s"textIndexLoad: postings at $path do not reproduce the meta stamp — " +
         "the postings/docstats pairing is broken (splice or partial append)")
-    (graft.operators.IndexTombstones.maskOn(postings, path, Seq("doc_id")),
-      graft.operators.IndexTombstones.maskOn(docstats, path, Seq("doc_id")))
+    maskBoth(postings, docstats, path)
   }
+
+  /** Tombstone-mask the (postings, docstats) pair with ONE read of the
+    * store's tombstone set (two maskOn calls paid a parquet footer job
+    * each for the same tiny relation).
+    */
+  private def maskBoth(postings: DataFrame, docstats: DataFrame,
+      path: String): (DataFrame, DataFrame) =
+    graft.operators.IndexTombstones
+      .tombstoneSet(postings.sparkSession, path) match {
+      case Some(t) =>
+        (graft.operators.IndexTombstones.maskWith(postings, t, Seq("doc_id")),
+          graft.operators.IndexTombstones.maskWith(docstats, t, Seq("doc_id")))
+      case None => (postings, docstats)
+    }
 
   /** Restore the positional relation (term, doc_id, pos), tombstone-
     * masked. Verified against the SAME meta stamp as the tf postings
@@ -1970,12 +1983,14 @@ object SearchQueries extends QueryModule {
     */
   private def federatedMaskedRaw(spark: SparkSession, root: String,
       n: Int): (DataFrame, DataFrame) = {
-    val per = (0 until n).map { i =>
+    // per-shard reads constructed on the overlap pool; the shard's
+    // tombstone set is read ONCE and masks both relations
+    val per = graft.operators.Parallel.shards(n) { i =>
       val sp = shardPath(root, i)
-      (graft.operators.IndexTombstones.maskOn(
-          spark.read.parquet(s"$sp/postings"), sp, Seq("doc_id")),
-        graft.operators.IndexTombstones.maskOn(
-          spark.read.parquet(s"$sp/docstats"), sp, Seq("doc_id")))
+      (spark.read.parquet(s"$sp/postings"),
+        spark.read.parquet(s"$sp/docstats"))
+    }.zipWithIndex.map { case ((p, d), i) =>
+      maskBoth(p, d, shardPath(root, i))
     }
     (per.map(_._1).reduce(_ unionByName _),
       per.map(_._2).reduce(_ unionByName _))
@@ -2146,10 +2161,91 @@ object SearchQueries extends QueryModule {
     */
   def textIndexSearchSharded(spark: SparkSession, root: String,
       queryTerms: Seq[String] = terms): DataFrame = {
-    val shards = (0 until textIndexShardCount(spark, root))
-      .map(i => textIndexLoad(spark, shardPath(root, i)))
-    scoreIndexed(shards.map(_._1).reduce(_ unionByName _),
-      shards.map(_._2).reduce(_ unionByName _), queryTerms)
+    val n = textIndexShardCount(spark, root)
+    val (postings, docstats) = textIndexLoadFederated(spark, root, n)
+    scoreIndexed(postings, docstats, queryTerms)
+  }
+
+  /** Load and gate-verify EVERY shard of the rename federation with a
+    * BATCHED verification (round 15, guide §2.6): the sequential
+    * per-shard [[textIndexLoad]] paid, per shard, a meta footer+collect,
+    * two relation footer reads, TWO driver-blocking stamp-aggregate jobs
+    * and two tombstone reads — ~11 driver-serialized jobs per shard, the
+    * dominant cost of a warm federated probe (and, at scale, n
+    * store-sized verification scans run back to back). Here the n 1-row
+    * metas are read in ONE multi-path scan, every shard's docstats AND
+    * postings-presence stamps ride ONE grouped aggregate job (shards
+    * scan in parallel inside it), relation/tombstone reads overlap on
+    * the shard pool, and each shard's tombstone set is read once for
+    * both relations. The CHECKS are textIndexLoad's verbatim — same
+    * requires, same messages, every shard still individually verified —
+    * only the job layout changes.
+    */
+  private def textIndexLoadFederated(spark: SparkSession, root: String,
+      n: Int): (DataFrame, DataFrame) = {
+    val paths = (0 until n).map(shardPath(root, _))
+    val shards = graft.operators.Parallel.shards(n) { i =>
+      val p = paths(i)
+      (spark.read.parquet(s"$p/postings"),
+        spark.read.parquet(s"$p/docstats"),
+        graft.operators.IndexTombstones.tombstoneSet(spark, p))
+    }
+    val metaRows = spark.read.parquet(paths.map(_ + "/meta"): _*)
+      .withColumn("_f", input_file_name()).collect()
+    val metaOf = (0 until n).map { i =>
+      val rows = metaRows.filter(_.getAs[String]("_f")
+        .contains(s"/shard-$i/meta/"))
+      require(rows.length == 1,
+        s"textIndexLoad: meta store at ${paths(i)}/meta has " +
+          s"${rows.length} rows — interrupted save or wrong path")
+      i -> rows(0)
+    }.toMap
+    // one stamp job for the whole federation: (shard, kind) groups where
+    // kind 0 = docstats presence, kind 1 = postings-derived presence —
+    // per-group aggregates are presenceStamp's, bit-identical per shard
+    val presAll = shards.zipWithIndex.map { case ((posts, ds, _), i) =>
+      ds.select(lit(i).as("_sh"), lit(0).as("_k"), col("doc_id"),
+          col("dl").cast("long").as("dl"))
+        .unionByName(postingsPresence(posts)
+          .select(lit(i).as("_sh"), lit(1).as("_k"), col("doc_id"),
+            col("dl").cast("long").as("dl")))
+    }.reduce(_ unionByName _)
+    val stampRows = presAll.groupBy("_sh", "_k").agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("tot"),
+      coalesce(sum(xxhash64(col("doc_id"), col("dl")).cast(dec38)),
+        lit(0L).cast(dec38)).as("h")).collect()
+    def st(i: Int, k: Int): (Long, Long, java.math.BigInteger) =
+      stampRows.find(r => r.getInt(0) == i && r.getInt(1) == k)
+        .map(r => (r.getLong(2), r.getLong(3), r.getDecimal(4).toBigInteger))
+        .getOrElse((0L, 0L, java.math.BigInteger.ZERO))
+    val masked = shards.zipWithIndex.map { case ((postings, docstats, tomb), i) =>
+      val path = paths(i)
+      val m = metaOf(i)
+      require(m.getAs[String]("tag") == tokTag,
+        s"textIndexLoad: store was built under tokenizer '${m.getAs[String]("tag")}' " +
+          s"but this library tokenizes '$tokTag' — scores would silently disagree")
+      val fpStored = m.getAs[String]("fp")
+      val (nD, totD, hD) = st(i, 0)
+      require(stampFingerprint(nD, totD, hD) == fpStored &&
+        nD == m.getAs[Long]("n_docs") && totD == m.getAs[Long]("tot_dl") &&
+        hD.toString == m.getAs[String]("h_all"),
+        s"textIndexLoad: docstats at $path do not reproduce the meta stamp " +
+          "(truncated/foreign/edited store)")
+      val (np, totp, hp) = st(i, 1)
+      require(np == m.getAs[Long]("n_pos") && totp == m.getAs[Long]("tot_pos") &&
+        hp.toString == m.getAs[String]("h_pos"),
+        s"textIndexLoad: postings at $path do not reproduce the meta stamp — " +
+          "the postings/docstats pairing is broken (splice or partial append)")
+      tomb match {
+        case Some(t) =>
+          (graft.operators.IndexTombstones.maskWith(postings, t, Seq("doc_id")),
+            graft.operators.IndexTombstones.maskWith(docstats, t, Seq("doc_id")))
+        case None => (postings, docstats)
+      }
+    }
+    (masked.map(_._1).reduce(_ unionByName _),
+      masked.map(_._2).reduce(_ unionByName _))
   }
 
   /** Federated phrase search: a phrase lives entirely inside one
@@ -2161,8 +2257,8 @@ object SearchQueries extends QueryModule {
     */
   def textIndexPhraseSearchSharded(spark: SparkSession, root: String,
       phrase: Seq[String]): DataFrame =
-    (0 until textIndexShardCount(spark, root))
-      .map(i => textIndexPhraseSearch(spark, shardPath(root, i), phrase))
+    graft.operators.Parallel.shards(textIndexShardCount(spark, root))(
+        i => textIndexPhraseSearch(spark, shardPath(root, i), phrase))
       .reduce(_ unionByName _)
 
   /** Federated proximity (NEAR) search — the phrase federation's twin,
@@ -2176,9 +2272,9 @@ object SearchQueries extends QueryModule {
     */
   def textIndexProximitySearchSharded(spark: SparkSession, root: String,
       termA: String, termB: String, window: Int): DataFrame =
-    (0 until textIndexShardCount(spark, root))
-      .map(i => textIndexProximitySearch(spark, shardPath(root, i), termA,
-        termB, window))
+    graft.operators.Parallel.shards(textIndexShardCount(spark, root))(
+        i => textIndexProximitySearch(spark, shardPath(root, i), termA,
+          termB, window))
       .reduce(_ unionByName _)
 
   /** Elect and persist the federation's champion lists at
@@ -2198,12 +2294,10 @@ object SearchQueries extends QueryModule {
   def textIndexChampionsSaveSharded(spark: SparkSession, root: String,
       m: Int): Unit = {
     require(m >= 1, s"textIndexChampionsSaveSharded: m must be >= 1, got $m")
-    val shards = (0 until textIndexShardCount(spark, root))
-      .map(i => textIndexLoad(spark, shardPath(root, i)))
+    val n = textIndexShardCount(spark, root)
+    val (postings, docstats) = textIndexLoadFederated(spark, root, n)
     graft.operators.StoreRewrite.atomicOverwrite(
-      championsOf(shards.map(_._1).reduce(_ unionByName _),
-        shards.map(_._2).reduce(_ unionByName _), m)
-        .withColumn("m", lit(m)),
+      championsOf(postings, docstats, m).withColumn("m", lit(m)),
       championsPath(root))
   }
 
@@ -2219,9 +2313,7 @@ object SearchQueries extends QueryModule {
   def textIndexChampionSearchSharded(spark: SparkSession, root: String,
       queryTerms: Seq[String] = terms, m: Int = 50): DataFrame = {
     val n = textIndexShardCount(spark, root)
-    val shards = (0 until n).map(i => textIndexLoad(spark, shardPath(root, i)))
-    val postings = shards.map(_._1).reduce(_ unionByName _)
-    val docstats = shards.map(_._2).reduce(_ unionByName _)
+    val (postings, docstats) = textIndexLoadFederated(spark, root, n)
     val matched = postings.filter(col("term").isin(queryTerms: _*))
     val cands =
       (if (hasChampions(spark, root) &&
@@ -2428,7 +2520,8 @@ object SearchQueries extends QueryModule {
 
   private def federatedVersionedPostings(spark: SparkSession,
       root: String, n: Int): (DataFrame, DataFrame) = {
-    val per = (0 until n).map(i =>
+    // per-shard manifest reads overlap on the shard pool (guide §2.6)
+    val per = graft.operators.Parallel.shards(n)(i =>
       versionedPostings(spark, shardPath(root, i), None))
     (per.map(_._1).reduce(_ unionByName _),
       per.map(_._2).reduce(_ unionByName _))
@@ -2454,17 +2547,17 @@ object SearchQueries extends QueryModule {
     */
   def textIndexPhraseSearchShardedVersioned(spark: SparkSession,
       root: String, phrase: Seq[String]): DataFrame =
-    (0 until textIndexShardCount(spark, root))
-      .map(i => textIndexPhraseSearchVersioned(spark, shardPath(root, i),
-        phrase))
+    graft.operators.Parallel.shards(textIndexShardCount(spark, root))(
+        i => textIndexPhraseSearchVersioned(spark, shardPath(root, i),
+          phrase))
       .reduce(_ unionByName _)
 
   def textIndexProximitySearchShardedVersioned(spark: SparkSession,
       root: String, termA: String, termB: String,
       window: Int): DataFrame =
-    (0 until textIndexShardCount(spark, root))
-      .map(i => textIndexProximitySearchVersioned(spark,
-        shardPath(root, i), termA, termB, window))
+    graft.operators.Parallel.shards(textIndexShardCount(spark, root))(
+        i => textIndexProximitySearchVersioned(spark,
+          shardPath(root, i), termA, termB, window))
       .reduce(_ unionByName _)
 
   /** Elect (or re-elect at a new depth) the federation's champion
