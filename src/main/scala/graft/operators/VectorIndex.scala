@@ -579,10 +579,14 @@ object VectorIndex {
     val marker = markerRel(spark, fam)
     def mark(i: Int): Unit =
       if (!versioned) writeMarker(spark, shardPath(root, i), fam)
+    // r15 (guide §2.6): per-shard code+save chains write DISJOINT dirs
+    // off the shared GLOBAL artifact (params/codebook trained once,
+    // before the fan-out) — overlapped like the text federation's save;
+    // the router commit below still strictly follows every shard.
     fam match {
       case "sq8" =>
         val params = QuantQueries.sqTrain(e).localCheckpoint(true) // GLOBAL
-        (0 until nShards).foreach { i =>
+        Parallel.shards(nShards) { i =>
           val codes = QuantQueries.sqCodes(params, slice(i))
           if (versioned)
             QuantQueries.sqSaveIndexVersioned(params, codes,
@@ -592,7 +596,7 @@ object VectorIndex {
         }
       case "pq" =>
         val idx = SimilarityQueries.pqTrain(e) // GLOBAL codebook
-        (0 until nShards).foreach { i =>
+        Parallel.shards(nShards) { i =>
           val codes = SimilarityQueries.pqCodes(idx, slice(i))
           if (versioned)
             SimilarityQueries.pqSaveIndexVersioned(idx, codes,
@@ -601,7 +605,7 @@ object VectorIndex {
           mark(i)
         }
       case "bin" =>
-        (0 until nShards).foreach { i =>
+        Parallel.shards(nShards) { i =>
           val codes = SimilarityQueries.binCodes(slice(i))
           if (versioned)
             SimilarityQueries.binSaveIndexVersioned(codes,

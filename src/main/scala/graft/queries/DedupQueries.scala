@@ -467,9 +467,17 @@ object DedupQueries extends QueryModule {
     "q35_simhash_pairs",
     (s, d) => {
       val sig = DedupQueries.simhash32(Tables(s, d, "documents"))
-      val bands = sig.select(col("doc_id"), col("simhash"),
-          explode(sequence(lit(0), lit(1))).as("band"))
-        .withColumn("key", expr("(simhash >> (band * 16)) & 65535"))
+      // r15 (guide §2.5): the 16-bit band buckets are UNCAPPED by the
+      // declared semantics, so a degenerate signature mode at scale makes
+      // the self-join quadratic in one bucket with no diagnosis. The
+      // guard fails loudly naming bucket and size past 50k members
+      // (~1.2e9 pairs — the point a task stops straggling and starts
+      // dying); result-neutral below it (SkewGuardSpec).
+      val bands = graft.operators.SkewGuard.boundedBuckets(
+        sig.select(col("doc_id"), col("simhash"),
+            explode(sequence(lit(0), lit(1))).as("band"))
+          .withColumn("key", expr("(simhash >> (band * 16)) & 65535")),
+        Seq("band", "key"), 50000L, "q35_simhash_pairs")
       val a = bands.as("a"); val b = bands.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
@@ -3376,7 +3384,9 @@ object DedupQueries extends QueryModule {
     require(empty.isEmpty,
       s"buildWinnowIndexSharded: shard(s) ${empty.mkString(",")} of " +
         s"$nShards would be EMPTY for this corpus — use fewer shards")
-    (0 until nShards).foreach { i =>
+    // r15 (guide §2.6): disjoint per-shard writes off the checkpointed
+    // slices, overlapped; the router commit still follows all of them.
+    graft.operators.Parallel.shards(nShards) { i =>
       fp.filter(col("_sh") === i).drop("_sh")
         .repartition(col("fp_hash"))
         .sortWithinPartitions("fp_hash", "doc_id", "fp_pos")
@@ -3661,7 +3671,9 @@ object DedupQueries extends QueryModule {
     require(empty.isEmpty,
       s"buildSignatureIndexSharded: shard(s) ${empty.mkString(",")} of " +
         s"$nShards would be EMPTY for this corpus — use fewer shards")
-    (0 until nShards).foreach { i =>
+    // r15 (guide §2.6): disjoint per-shard writes, overlapped (the
+    // winnow sharded build's rationale); router commit after all.
+    graft.operators.Parallel.shards(nShards) { i =>
       sig.filter(col("_sh") === i).drop("_sh")
         .write.mode("overwrite").parquet(sigShardPath(root, i))
     }
@@ -3935,7 +3947,8 @@ object DedupQueries extends QueryModule {
       s"buildSignatureIndexShardedVersioned: shard(s) " +
         s"${empty.mkString(",")} of $nShards would be EMPTY for this " +
         "corpus — use fewer shards")
-    (0 until nShards).foreach { i =>
+    // r15 (guide §2.6): disjoint per-shard PUTs, overlapped; router last.
+    graft.operators.Parallel.shards(nShards) { i =>
       graft.operators.VersionedStore.save(
         Map("sig" -> sig.filter(col("_sh") === i).drop("_sh")),
         sigShardPath(root, i))
@@ -4099,7 +4112,8 @@ object DedupQueries extends QueryModule {
     require(empty.isEmpty,
       s"buildWinnowIndexShardedVersioned: shard(s) ${empty.mkString(",")} " +
         s"of $nShards would be EMPTY for this corpus — use fewer shards")
-    (0 until nShards).foreach { i =>
+    // r15 (guide §2.6): disjoint per-shard PUTs, overlapped; router last.
+    graft.operators.Parallel.shards(nShards) { i =>
       graft.operators.VersionedStore.save(
         Map("fp" -> fp.filter(col("_sh") === i).drop("_sh")
           .repartition(col("fp_hash"))

@@ -642,31 +642,45 @@ object GovernanceQueries extends QueryModule {
           val fs = new org.apache.hadoop.fs.Path(root)
             .getFileSystem(s.sessionState.newHadoopConf())
           val (p, ds) = SearchQueries.textIndexBuild(docs)
-          SearchQueries.textIndexSave(p, ds, s"$root/a_text")
-          SearchQueries.textIndexSave(p, ds, s"$root/b_torn_text")
-          // the crash window between delete and rename: target gone,
-          // complete relation at the tmp sibling
-          fs.rename(new org.apache.hadoop.fs.Path(s"$root/b_torn_text/meta"),
-            new org.apache.hadoop.fs.Path(s"$root/b_torn_text/meta" +
-              graft.operators.StoreRewrite.TmpSuffix))
-          DedupQueries.buildSignatureIndex(docs, s"$root/c_sig")
-          DedupQueries.buildWinnowIndex(docs, s"$root/d_winnow")
-          DedupQueries.buildSignatureIndexSharded(docs, s"$root/e_sig_fed",
-            nShards = 2)
-          DedupQueries.buildSignatureIndexSharded(docs,
-            s"$root/f_sig_fed_intent", nShards = 2)
-          // a sharded forget that died mid-loop: the root intent is the
-          // only stamps-level evidence (every shard reads clean)
-          graft.operators.StoreRewrite.atomicOverwrite(
-            docs.select("doc_id").limit(3),
-            s"$root/f_sig_fed_intent/_forget_intent")
-          SearchQueries.textIndexSaveVersioned(docs.select("doc_id", "text"),
-            s"$root/g_vtext")
-          val params = QuantQueries.sqTrain(emb).localCheckpoint(true)
-          QuantQueries.sqSaveIndexVersioned(params,
-            QuantQueries.sqCodes(params, emb), s"$root/h_vsq8")
-          graft.operators.VersionedStore.save(Map("docs" -> docs),
-            s"$root/i_vcorpus")
+          // r15 (guide §2.6): the nine stores live in DISJOINT dirs and
+          // share only the pre-built (p, ds) plans — the sequential
+          // build chained ~9 independent job pipelines behind each
+          // other's driver gaps (12.4 s of build_s, the largest in the
+          // suite). Each store's own ordering constraint (the torn
+          // rename strictly after b's save; the forget intent after f's
+          // build) stays INSIDE its task.
+          graft.operators.Parallel.shards(8) {
+            case 0 =>
+              SearchQueries.textIndexSave(p, ds, s"$root/a_text")
+            case 1 =>
+              SearchQueries.textIndexSave(p, ds, s"$root/b_torn_text")
+              // the crash window between delete and rename: target gone,
+              // complete relation at the tmp sibling
+              fs.rename(
+                new org.apache.hadoop.fs.Path(s"$root/b_torn_text/meta"),
+                new org.apache.hadoop.fs.Path(s"$root/b_torn_text/meta" +
+                  graft.operators.StoreRewrite.TmpSuffix))
+            case 2 => DedupQueries.buildSignatureIndex(docs, s"$root/c_sig")
+            case 3 => DedupQueries.buildWinnowIndex(docs, s"$root/d_winnow")
+            case 4 => DedupQueries.buildSignatureIndexSharded(docs,
+              s"$root/e_sig_fed", nShards = 2)
+            case 5 =>
+              DedupQueries.buildSignatureIndexSharded(docs,
+                s"$root/f_sig_fed_intent", nShards = 2)
+              // a sharded forget that died mid-loop: the root intent is
+              // the only stamps-level evidence (every shard reads clean)
+              graft.operators.StoreRewrite.atomicOverwrite(
+                docs.select("doc_id").limit(3),
+                s"$root/f_sig_fed_intent/_forget_intent")
+            case 6 => SearchQueries.textIndexSaveVersioned(
+              docs.select("doc_id", "text"), s"$root/g_vtext")
+            case _ =>
+              val params = QuantQueries.sqTrain(emb).localCheckpoint(true)
+              QuantQueries.sqSaveIndexVersioned(params,
+                QuantQueries.sqCodes(params, emb), s"$root/h_vsq8")
+              graft.operators.VersionedStore.save(Map("docs" -> docs),
+                s"$root/i_vcorpus")
+          }
         }
         val res = graft.operators.StoreDoctor.scan(s, root, level = "stamps")
           .select("store", "family", "healthy")

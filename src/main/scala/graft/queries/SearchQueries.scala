@@ -2077,7 +2077,13 @@ object SearchQueries extends QueryModule {
     val p = postings.withColumn("_sh", shardOf(nShards)).localCheckpoint(true)
     val pos = positions.map(_.withColumn("_sh", shardOf(nShards))
       .localCheckpoint(true))
-    (0 until nShards).foreach { i =>
+    // r15 (guide §2.6): shard saves write DISJOINT dirs off the same
+    // checkpointed slices — independent job chains the sequential loop
+    // serialized for no reason; overlapping them back-fills each save's
+    // tiny stamp/footer jobs. The router below still lands strictly
+    // after every shard completed (Parallel.shards joins all futures),
+    // so the crash contract is unchanged.
+    graft.operators.Parallel.shards(nShards) { i =>
       textIndexSave(
         p.filter(col("_sh") === i).drop("_sh"),
         d.filter(col("_sh") === i).drop("_sh"),
@@ -2458,7 +2464,10 @@ object SearchQueries extends QueryModule {
     val p = postings.withColumn("_sh", shardOf(nShards)).localCheckpoint(true)
     val pos = positions.map(_.withColumn("_sh", shardOf(nShards))
       .localCheckpoint(true))
-    (0 until nShards).foreach { i =>
+    // r15 (guide §2.6): disjoint per-shard PUTs off shared checkpointed
+    // slices — overlapped like the rename save's; the router commit
+    // still strictly follows every shard (Parallel.shards joins all).
+    graft.operators.Parallel.shards(nShards) { i =>
       val rels = Map(
         "postings" -> p.filter(col("_sh") === i).drop("_sh")
           .repartitionByRange(col("term"), col("doc_id")),

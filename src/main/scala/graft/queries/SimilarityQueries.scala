@@ -159,9 +159,15 @@ object SimilarityQueries extends QueryModule {
   private val q38 = QueryDef(
     "q38_embedding_neardup",
     (s, d) => {
-      val e = Tables(s, d, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("bucket", lshBucket(col("v"), 6, dims))
+      // r15 (guide §2.5): same uncapped-bucket self-join exposure as q35
+      // — and this one carries the VECTOR payload through the join, so a
+      // degenerate bucket is quadratic in 64-double rows. Guard trips
+      // loudly past 50k members; result-neutral below (SkewGuardSpec).
+      val e = graft.operators.SkewGuard.boundedBuckets(
+        Tables(s, d, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .withColumn("bucket", lshBucket(col("v"), 6, dims)),
+        Seq("bucket"), 50000L, "q38_embedding_neardup")
       val a = e.as("a"); val b = e.as("b")
       a.join(b, col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))

@@ -1199,16 +1199,24 @@ object TextQueries extends QueryModule {
           (expr(fhSignExpr("tok")) * col("tf")).as("contrib"))
         .groupBy("doc_id", "chunk", "dim").agg(sum("contrib").as("val"))
         .filter(col("val") =!= 0L)
-        .localCheckpoint(true) // feeds the dot join AND the norm aggregate
+        // single consumer since the r15 one-pass score aggregate — the
+        // r14 checkpoint (dot join + norm aggregate both read this) is
+        // gone with the second reader
       val qSparse = hashedFeatures(docs.filter(col("doc_id") === 0))
         .select(col("dim"), col("val").as("qval"))
       val qq = qSparse.agg(sum(col("qval") * col("qval")).as("qq"))
-      val dots = chunkSparse.join(broadcast(qSparse), Seq("dim"))
+      // r15 (guide §2.3/§2.4): dot and chunk norm in ONE aggregate off a
+      // broadcast LEFT join — the r14 shape read chunkSparse twice (an
+      // inner-join dot aggregate AND a separate norm aggregate) and then
+      // re-joined the two on (doc_id, chunk). sum() ignores the nulls the
+      // left join leaves on non-query dims, so dot is NULL exactly when
+      // the old inner join produced no row — the same coalesce(0) case —
+      // and cc is untouched by qval. One exchange instead of two, no
+      // norm⋈dot join (plans/r15/q156 before/after).
+      val scored = chunkSparse.join(broadcast(qSparse), Seq("dim"), "left")
         .groupBy("doc_id", "chunk")
-        .agg(sum(col("val") * col("qval")).as("dot"))
-      val norms = chunkSparse.groupBy("doc_id", "chunk")
-        .agg(sum(col("val") * col("val")).as("cc"))
-      val scored = norms.join(dots, Seq("doc_id", "chunk"), "left")
+        .agg(sum(col("val") * col("qval")).as("dot"),
+          sum(col("val") * col("val")).as("cc"))
         .crossJoin(broadcast(qq))
         .filter(col("doc_id") =!= 0L)
         .select(col("doc_id"), col("chunk"),
