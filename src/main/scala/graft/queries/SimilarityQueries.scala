@@ -633,7 +633,14 @@ object SimilarityQueries extends QueryModule {
     */
   def pqTrain(emb: org.apache.spark.sql.DataFrame, subspaces: Int = 4,
       subDim: Int = 16, k: Int = 8, iters: Int = 2): PqIndex =
-    PqIndex((0 until subspaces).map { sub =>
+    // r15 (guide §2.6): the per-subspace codebooks train on DISJOINT
+    // vector slices with no cross-subspace dependence — running the 4
+    // Lloyd chains on the probe pool overlaps each iteration's tiny
+    // assignment/update jobs across subspaces. Each chain is internally
+    // unchanged (same seeds, same per-iteration checkpoints), so the
+    // trained artifact is bit-identical to the sequential loop's; the
+    // pool preserves subspace order in the returned codebook seq.
+    PqIndex(graft.operators.Parallel.shards(subspaces) { sub =>
       kmeansCentroids(emb.select(col("vec_id"),
         expr(s"slice(v, ${sub * subDim + 1}, $subDim)").as("v")),
         k, iters, byL2 = true)
